@@ -1,0 +1,70 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core session + IO helpers for the graft engine.
+  *
+  * Design notes (100 TB orientation):
+  *  - All table access goes through [[Tables.load]] so the batch harness
+  *    (parquet dirs) and a production deployment (catalog tables /
+  *    streaming sources) share one entry point.
+  *  - Sessions enable AQE (runtime re-plan, skew-join splitting) and a
+  *    shuffle partition count sized for the local harness; on a real
+  *    cluster `spark.sql.shuffle.partitions` scales with executor count
+  *    and AQE coalesces small partitions.
+  */
+object Graft {
+
+  /** Build the standard session for mains/tests. */
+  def session(appName: String, cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS), which Spark's reader
+      // rejects natively; read as nanos-since-epoch long and normalize
+      // in Tables.events (truncation to µs matches DuckDB's read).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Exact-decimal money column: cast a double to DECIMAL(18,2) so sums
+    * are associative (order-independent) and hash-identical to the
+    * DuckDB oracle regardless of partitioning / parallelism. The final
+    * aggregate is cast back to double.
+    */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Order-independent exact sum of a money column, surfaced as double. */
+  def moneySum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+}
+
+/** Uniform access to the harness tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events stream table with `ts` normalized to a proper µs
+    * timestamp. The parquet column is TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long
+    * of nanos-since-epoch. `DIV 1000` truncates toward zero (all data
+    * is post-1970) — exactly DuckDB's ns→µs read behavior, so
+    * event-time comparisons hash-match the oracle.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+}

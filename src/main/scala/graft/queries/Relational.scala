@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Graft, Tables}
+
+/** Relational / streaming-equivalent operators from SURVEY.md §2,
+  * re-expressed as batch DataFrame queries over the harness tables.
+  *
+  * Numbering follows the operator inventory:
+  *  - A1/A3/A4 windowed aggregations → q1, q2, q6, q14
+  *  - A2 distinct-count product stats → q15
+  *  - A5 keyed dedup (first-per-day)  → q7 (UV), q8 (is_new fix)
+  *  - J1/J2 interval joins            → q4 (symmetric), q5 (asymmetric)
+  *  - J3/J4 broadcast dim enrichment  → q2, q3
+  *  - P2/P3/P5 filters + derivations  → q9, q17, q11 (see RoutingOps)
+  *  - F1–F4, F7 scalar functions      → q10, q16, q17
+  *
+  * Exact-match discipline vs the DuckDB oracle: any sum over a double
+  * column goes through DECIMAL(18,2) (associative, order-independent),
+  * then back to double — so results are bit-identical at any
+  * parallelism. Counts stay BIGINT on both sides.
+  *
+  * Scale notes: dimension-side joins (nation/region/config) are
+  * explicitly `broadcast`; fact-fact joins are equi-joins that
+  * shuffle-partition on the join key and benefit from AQE. Nothing here
+  * collects to the driver.
+  */
+object Relational {
+  import Graft.{dec2, moneySum}
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** events with ns→µs normalized event-time (see Tables.events). */
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A1: pricing-summary style multi-measure aggregation -------------
+    "q1_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---- A3 + J4: province-stats style revenue rollup w/ broadcast dims --
+    "q2_province_stats" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("order_count"),
+          moneySum(col("o_totalprice")).as("order_amount"))
+    },
+
+    // ---- J4 + P8: OrderWide-style wide-row dim enrichment ----------------
+    "q3_order_wide" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+      val o  = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("l_orderkey").as("order_id"),
+          col("l_partkey").as("sku_id"),
+          dec2(col("l_extendedprice")).cast(DoubleType).as("split_total_amount"),
+          col("o_orderdate").as("create_time"),
+          col("c_name").as("user_name"),
+          col("n_name").as("province_name"))
+    },
+
+    // ---- J1: interval join (equi + symmetric time range) -----------------
+    "q4_interval_join" -> { (s, dir) =>
+      val o  = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      o.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") - expr("INTERVAL 5 DAYS") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 5 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("matched_lines"),
+          sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+    },
+
+    // ---- J2: asymmetric interval join (payment-after-order funnel) -------
+    "q5_payment_funnel" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val su = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("s_id"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      su.join(pu,
+          col("user_id") === col("p_uid") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 15 MINUTES"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("pair_ct"),
+          min(col("p_ts")).as("first_purchase_ts"))
+    },
+
+    // ---- A1: tumbling-window visitor stats -------------------------------
+    "q6_visitor_stats" -> { (s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("pv_ct"),
+          countDistinct(col("user_id")).as("uv_ct"),
+          moneySum(col("value")).as("dur_sum"))
+        .select(
+          col("w.start").as("stt"), col("w.end").as("edt"),
+          col("event_type"), col("pv_ct"), col("uv_ct"), col("dur_sum"))
+    },
+
+    // ---- A5: UV dedup — first event per user per day ---------------------
+    "q7_unique_visit" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("dt"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .withColumn("dt", to_date(col("ts")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("dt"),
+          col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+    },
+
+    // ---- A5 variant: is_new correction (first-seen-day flag) -------------
+    "q8_is_new_fix" -> { (s, dir) =>
+      val days = ev(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("dt")).distinct()
+      days
+        .withColumn("first_dt", min(col("dt")).over(Window.partitionBy(col("user_id"))))
+        .select(col("user_id"), col("dt"),
+          when(col("dt") === col("first_dt"), "1").otherwise("0").as("is_new"))
+    },
+
+    // ---- P5: stream splitting (3-way route) ------------------------------
+    "q9_split_route" -> { (s, dir) =>
+      ev(s, dir)
+        .withColumn("sink_table",
+          when(col("event_type") === "signup", "dwd_start_log")
+            .when(col("event_type").isin("view", "click"), "dwd_page_log")
+            .otherwise("dwd_action_log"))
+        .groupBy(col("sink_table"))
+        .agg(count(lit(1)).as("ct"), countDistinct(col("user_id")).as("uv"))
+    },
+
+    // ---- F1: JSON field extraction ---------------------------------------
+    "q10_json_extract" -> { (s, dir) =>
+      ev(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("ct"), sum(col("k")).as("k_sum"))
+    },
+
+    // ---- A2: product stats with exact distinct order counts --------------
+    "q15_product_stats" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey").as("sku_id"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast(DoubleType).as("order_sku_num"),
+          moneySum(col("l_extendedprice")).as("order_amount"),
+          countDistinct(col("l_orderkey")).as("order_ct"),
+          countDistinct(when(col("o_orderstatus") === "F", col("l_orderkey")))
+            .as("paid_order_ct"))
+    },
+
+    // ---- F7 + P8: null-coalescing merge of two row sources ---------------
+    "q16_coalesce_merge" -> { (s, dir) =>
+      val liAgg = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(moneySum(col("l_extendedprice")).as("li_amount"),
+             count(lit(1)).as("li_ct"))
+      t(s, dir, "orders")
+        .join(liAgg, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(
+          col("o_orderkey").as("order_id"),
+          coalesce(col("li_amount"), lit(0.0)).as("amount"),
+          coalesce(col("li_ct"), lit(0L)).as("item_ct"),
+          col("o_orderstatus").as("order_status"))
+    },
+
+    // ---- P3 + F2/F3: derived date/hour/epoch columns ---------------------
+    "q17_derive_date" -> { (s, dir) =>
+      ev(s, dir).select(
+        col("event_id"),
+        to_date(col("ts")).as("create_date"),
+        hour(col("ts")).as("create_hour"),
+        expr("unix_micros(ts) DIV 1000").as("create_ts"))
+    },
+
+    // ---- A1 union: VisitorStats fed by a union of derived streams --------
+    "q14_union_stats" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val page = e.filter(col("event_type").isin("view", "click"))
+        .select(col("ts"), col("user_id"),
+          lit(1L).as("pv_ct"), lit(0L).as("sv_ct"), col("value").as("dur"))
+      val start = e.filter(col("event_type") === "signup")
+        .select(col("ts"), col("user_id"),
+          lit(0L).as("pv_ct"), lit(1L).as("sv_ct"), lit(0.0).as("dur"))
+      page.unionByName(start)
+        .groupBy(window(col("ts"), "10 minutes").as("w"))
+        .agg(
+          sum(col("pv_ct")).as("pv_ct"),
+          sum(col("sv_ct")).as("sv_ct"),
+          countDistinct(col("user_id")).as("uv_ct"),
+          moneySum(col("dur")).as("dur_sum"))
+        .select(col("w.start").as("stt"), col("w.end").as("edt"),
+          col("pv_ct"), col("sv_ct"), col("uv_ct"), col("dur_sum"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_province_stats" ->
+      """SELECT r_name, n_name, COUNT(*) AS order_count,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q3_order_wide" ->
+      """SELECT l_orderkey AS order_id, l_partkey AS sku_id,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS split_total_amount,
+        | o_orderdate AS create_time, c_name AS user_name, n_name AS province_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_linenumber = 1""".stripMargin,
+
+    "q4_interval_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS matched_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate - INTERVAL 5 DAY
+        | AND l_shipdate <= o_orderdate + INTERVAL 5 DAY
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q5_payment_funnel" ->
+      """SELECT s.user_id, COUNT(*) AS pair_ct, MIN(p.ts) AS first_purchase_ts
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') s
+        |JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 15 MINUTE
+        |GROUP BY s.user_id""".stripMargin,
+
+    "q6_visitor_stats" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS stt,
+        | time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE AS edt,
+        | event_type,
+        | COUNT(*) AS pv_ct,
+        | COUNT(DISTINCT user_id) AS uv_ct,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q7_unique_visit" ->
+      """SELECT user_id, CAST(ts AS DATE) AS dt,
+        | event_id AS first_event_id, ts AS first_ts
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) = 1""".stripMargin,
+
+    "q8_is_new_fix" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events)
+        |SELECT user_id, dt,
+        | CASE WHEN dt = MIN(dt) OVER (PARTITION BY user_id) THEN '1' ELSE '0' END AS is_new
+        |FROM days""".stripMargin,
+
+    "q9_split_route" ->
+      """SELECT CASE WHEN event_type = 'signup' THEN 'dwd_start_log'
+        |  WHEN event_type IN ('view','click') THEN 'dwd_page_log'
+        |  ELSE 'dwd_action_log' END AS sink_table,
+        | COUNT(*) AS ct, COUNT(DISTINCT user_id) AS uv
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q10_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        | COUNT(*) AS ct,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q15_product_stats" ->
+      """SELECT l_partkey AS sku_id,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS order_sku_num,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount,
+        | COUNT(DISTINCT l_orderkey) AS order_ct,
+        | COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN l_orderkey END) AS paid_order_ct
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_partkey""".stripMargin,
+
+    "q16_coalesce_merge" ->
+      """SELECT o_orderkey AS order_id,
+        | COALESCE(li_amount, 0.0) AS amount,
+        | COALESCE(li_ct, 0) AS item_ct,
+        | o_orderstatus AS order_status
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey,
+        |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS li_amount,
+        |   COUNT(*) AS li_ct
+        |  FROM lineitem GROUP BY l_orderkey
+        |) ON o_orderkey = l_orderkey""".stripMargin,
+
+    "q17_derive_date" ->
+      """SELECT event_id, CAST(ts AS DATE) AS create_date,
+        | CAST(hour(ts) AS INT) AS create_hour,
+        | epoch_us(ts) // 1000 AS create_ts
+        |FROM events""".stripMargin,
+
+    "q14_union_stats" ->
+      """WITH u AS (
+        |  SELECT ts, user_id, 1 AS pv_ct, 0 AS sv_ct, value AS dur
+        |  FROM events WHERE event_type IN ('view','click')
+        |  UNION ALL
+        |  SELECT ts, user_id, 0 AS pv_ct, 1 AS sv_ct, 0.0 AS dur
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT time_bucket(INTERVAL '10 minutes', ts) AS stt,
+        | time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE AS edt,
+        | CAST(SUM(pv_ct) AS BIGINT) AS pv_ct,
+        | CAST(SUM(sv_ct) AS BIGINT) AS sv_ct,
+        | COUNT(DISTINCT user_id) AS uv_ct,
+        | CAST(SUM(CAST(dur AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+        |FROM u GROUP BY 1, 2""".stripMargin
+  )
+}
