@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column functions for the document pipeline.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (higher-order array functions, regexp, md5) — no Scala UDFs — so the
+  * expressions stay inside whole-stage codegen and scale linearly with
+  * input size. Equivalent to the reference's keyword tokenizer surface
+  * (reference `gmall-realtime/src/main/java/com/atguigu/utils/KeywordUtil.java:13-35`)
+  * plus the training-data-pipeline text operators (language ID, quality
+  * scoring, token counting, fingerprinting).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (the reference's IK segmenter becomes a
+    * dictionary-free split for the Latin-alphabet harness corpus; the
+    * API seam is the same: text → array of keywords).
+    */
+  def tokenize(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  /** Distinct lowercase token set — basis for lang-ID / dedup ops. */
+  def tokenSet(text: Column): Column =
+    array_distinct(tokenize(lower(text)))
+
+  /** Tiny per-language stopword profiles for the n-gram-free heuristic
+    * language ID. Deterministic and portable to the SQL oracle.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我"))
+
+  /** Score of one language profile = #distinct tokens ∩ profile. */
+  def langScore(text: Column, profile: Seq[String]): Column =
+    size(array_intersect(tokenSet(text), lit(profile.toArray)))
+
+  /** Heuristic language ID: argmax profile score, first-wins tie-break
+    * in `langProfiles` order, "und" when no profile matches at all.
+    */
+  def langId(text: Column): Column = {
+    val scores = langProfiles.map { case (l, p) => l -> langScore(text, p) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), elseCol) =>
+      when(s === best && s > 0, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality metrics (length / punctuation / stopword ratios). All
+    * ratios are integer-count ÷ integer-count in double — deterministic
+    * across engines.
+    */
+  def nTokens(text: Column): Column = size(tokenize(text))
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^a-zA-Z0-9 ]"))
+
+  def stopwordRatio(text: Column): Column = {
+    val stops = lit(langProfiles.flatMap(_._2).distinct.toArray)
+    size(filter(tokenize(lower(text)), w => array_contains(stops, w)))
+      .cast(DoubleType) / nTokens(text)
+  }
+
+  def avgTokenLen(text: Column): Column =
+    (length(text) - (nTokens(text) - lit(1))).cast(DoubleType) / nTokens(text)
+
+  /** Composite quality score in [0,1]-ish: favors mid-length docs with
+    * a natural stopword ratio and low punctuation noise.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(nTokens(text).cast(DoubleType) / lit(100.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val punctPenalty =
+      least(punctCount(text).cast(DoubleType) / nTokens(text), lit(1.0))
+    lenScore * lit(0.4) + stopScore * lit(0.4) +
+      (lit(1.0) - punctPenalty) * lit(0.2)
+  }
+
+  /** BPE-ish regex token count: runs of letters, runs of digits, or a
+    * single non-alphanumeric symbol each count as one token.
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+
+  /** Polynomial rolling hash over the document's characters
+    * (base 31, mod 1e9+7), fully inside codegen via
+    * `aggregate(split(text,''))`. The fold is sequential left-to-right,
+    * so the value is engine-portable (DuckDB `list_reduce` mirrors it).
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
+
+  /** Stable 32-char content fingerprint for exact dedup. */
+  def contentHash(text: Column): Column = md5(text)
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+
+/** Document deduplication operators for the training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH, n-gram Jaccard, and SimHash.
+  *
+  * Scale design (100 TB): every operator is a shuffle-on-key
+  * aggregation or a bucket-join — never an all-pairs product.
+  *  - Exact dedup shuffles once on the 128-bit content hash.
+  *  - MinHash/LSH turns near-dup search into an equi-join on band
+  *    keys: candidate generation is O(docs × bands) map-side plus one
+  *    shuffle on (band, key); only same-bucket docs are ever paired.
+  *  - Verification (exact Jaccard) runs only on LSH candidates.
+  *  - SimHash reduces each doc to a small signature whose equality
+  *    (or banded sub-keys, at scale) again gives an equi-join.
+  * All hashes derive from md5 so the DuckDB oracle can reproduce them
+  * bit-for-bit; swapping in xxhash64 for production speed is a one-line
+  * change per signature.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a text column, distinct, order-free.
+    * Short docs (< n words) contribute their full text as one shingle.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(text, " ")
+    val starts = sequence(lit(1), greatest(size(words) - (n - 1), lit(1)))
+    array_distinct(transform(starts, i => concat_ws(" ", slice(words, i, lit(n)))))
+  }
+
+  /** One MinHash value: min over shingles of md5(seed || shingle).
+    * md5 hex strings have fixed length, so lexicographic min == numeric
+    * min — portable to any engine with md5.
+    */
+  def minhash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"$seed:"), s))))
+
+  /** LSH band keys: `bands` groups of `rowsPerBand` minhashes, each
+    * group hashed to one key. A pair of docs is a candidate iff they
+    * share at least one (band, key).
+    */
+  def bandKeys(shingleCol: Column, bands: Int = 2, rowsPerBand: Int = 4): Column =
+    array((0 until bands).map { b =>
+      val sigs = (0 until rowsPerBand)
+        .map(r => minhash(shingleCol, b * rowsPerBand + r))
+      struct(lit(b).as("band"), md5(concat_ws("|", sigs: _*)).as("key"))
+    }: _*)
+
+  /** doc_id → exploded (band, key) rows, the LSH bucket layout. */
+  def lshBuckets(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 bands: Int = 2, rowsPerBand: Int = 4): DataFrame =
+    docs.select(col(idCol),
+        explode(bandKeys(shingles(col(textCol)), bands, rowsPerBand)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Candidate near-dup pairs: equi-self-join on the band key.
+    * Distinct (a < b) so each pair appears once however many bands
+    * collide.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     bands: Int = 2, rowsPerBand: Int = 4): DataFrame = {
+    val bk = lshBuckets(docs, idCol, textCol, bands, rowsPerBand)
+    val a = bk.select(col("band"), col("key"), col(idCol).as("doc_a"))
+    val b = bk.select(col("band").as("band_b"), col("key").as("key_b"),
+      col(idCol).as("doc_b"))
+    a.join(b,
+        col("band") === col("band_b") && col("key") === col("key_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Exact Jaccard similarity over shingle sets — the verification pass
+    * applied to LSH candidates only.
+    */
+  def jaccard(shA: Column, shB: Column): Column =
+    size(array_intersect(shA, shB)).cast(DoubleType) /
+      size(array_union(shA, shB))
+
+  /** Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold. */
+  def nearDupPairs(docs: DataFrame, threshold: Double,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    val cand = candidatePairs(docs, idCol, textCol)
+    cand
+      .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash over the distinct-word set. Per word, a 16-bit
+    * md5-derived hash votes ±1 on each bit position; the signature bit
+    * is 1 where the vote sum is positive. Integer votes make the value
+    * order-independent and oracle-portable.
+    */
+  def simhash16(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(TextFunctions.tokenSet(col(textCol))).as("w"))
+    val h = conv(substring(md5(col("w")), 1, 4), 16, 10).cast(IntegerType)
+    val votes = (0 until 16).map { j =>
+      sum((shiftright(h, j).bitwiseAND(lit(1))) * 2 - 1).as(s"v$j")
+    }
+    val sig = (0 until 16).map { j =>
+      when(col(s"v$j") > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    words.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), sig.cast(IntegerType).as("simhash"))
+  }
+
+  /** Exact dedup: group on content hash, keep the smallest id. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs.groupBy(TextFunctions.contentHash(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_ct"))
+}

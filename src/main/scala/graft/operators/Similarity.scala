@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, mirroring a production ANN stack:
+  *  - [[bruteForceKnn]]: exact cosine top-k of a (small) query set
+  *    against the full corpus — the correctness baseline. Cost is
+  *    |Q|×|corpus|; the query side is broadcast so the corpus is
+  *    streamed once with no shuffle.
+  *  - [[ivfKnn]]: IVF-style search that probes only the query's
+  *    coarse cell (here the `label` column stands in for a k-means
+  *    centroid assignment, which at 100 TB would be precomputed the
+  *    same way). Turns the cross product into an equi-join on the
+  *    cell id — the scale path.
+  *
+  * Cosine is computed with sequential-fold `aggregate` over
+  * `zip_with` products in double precision: float×float is exact in
+  * double and the fold order is the array order, so values are
+  * bit-reproducible across engines (the DuckDB oracle mirrors it with
+  * `list_reduce`).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a strict left fold in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param corpus  (id, vec) rows
+    * @param queries (id, vec) rows — expected small; broadcast.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    rank(q.crossJoin(c).filter(col("q_id") =!= col("n_id")), k)
+  }
+
+  /** IVF probe-1 search: only candidates in the query's coarse cell. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             cellCol: String = "label", idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), col(cellCol).as("q_cell")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col(cellCol).as("n_cell"))
+    rank(q.join(c, col("q_cell") === col("n_cell") &&
+      col("q_id") =!= col("n_id")), k)
+  }
+
+  private def rank(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = pairs.withColumn("cos_sim",
+      cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("cos_sim"))
+  }
+
+  /** Embedding near-duplicate pairs within a coarse cell (IVF-style
+    * pre-partition keeps this an equi-join, not an all-pairs product).
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+                   cellCol: String = "label", idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(cellCol).as("cell"), col(idCol).as("vec_a"),
+      col(vecCol).as("va"))
+    val b = corpus.select(col(cellCol).as("cell_b"), col(idCol).as("vec_b"),
+      col(vecCol).as("vb"))
+    a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** Deduplication operators over `documents`: exact, MinHash+LSH
+  * candidates, LSH-verified n-gram Jaccard near-dups, and SimHash.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> { (s, dir) => Dedup.exact(docs(s, dir)) },
+
+    "d2_lsh_candidates" -> { (s, dir) => Dedup.candidatePairs(docs(s, dir)) },
+
+    "d3_jaccard_neardup" -> { (s, dir) =>
+      Dedup.nearDupPairs(docs(s, dir), threshold = 0.5)
+    },
+
+    "d4_simhash" -> { (s, dir) => Dedup.simhash16(docs(s, dir)) })
+
+  /** SQL mirror of Dedup.shingles(n=3): distinct 3-word shingles with
+    * 1-based inclusive slicing, short docs → whole text.
+    */
+  private val sqlShingles =
+    """SELECT doc_id,
+      |  list_distinct(list_transform(
+      |    range(1, greatest(len(w) - 2, 1) + 1),
+      |    i -> array_to_string(w[i:i+2], ' '))) AS sh
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
+
+  /** SQL minhash signature columns h0..h7 (md5-hex min over shingles). */
+  private val sqlSigs = {
+    val hs = (0 until 8)
+      .map(k => s"list_min(list_transform(sh, s -> md5('$k:' || s))) AS h$k")
+      .mkString(",\n  ")
+    s"SELECT doc_id, $hs FROM shingled"
+  }
+
+  private val sqlBands =
+    """SELECT doc_id, 0 AS band,
+      |  md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS key FROM sigs
+      |UNION ALL
+      |SELECT doc_id, 1 AS band,
+      |  md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS key FROM sigs""".stripMargin
+
+  private val sqlCandidates =
+    s"""WITH shingled AS ($sqlShingles),
+       |sigs AS ($sqlSigs),
+       |bands AS ($sqlBands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+        | COUNT(*) AS dup_ct
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "d2_lsh_candidates" ->
+      s"""$sqlCandidates
+         |SELECT doc_a, doc_b FROM cand""".stripMargin,
+
+    "d3_jaccard_neardup" ->
+      s"""$sqlCandidates
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+         |FROM cand
+         |JOIN shingled sa ON sa.doc_id = doc_a
+         |JOIN shingled sb ON sb.doc_id = doc_b
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / len(list_distinct(sa.sh || sb.sh)) >= 0.5""".stripMargin,
+
+    "d4_simhash" -> {
+      val votes = (0 until 16)
+        .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS v$j")
+        .mkString(",\n  ")
+      val bits = (0 until 16)
+        .map(j => s"(CASE WHEN v$j > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH wx AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_filter(
+         |      string_split(lower(text), ' '), x -> len(x) > 0))) AS w
+         |  FROM documents),
+         |hv AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 4)) AS INT) AS h
+         |  FROM wx),
+         |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS INT) AS simhash FROM votes""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.sources.CdcRouter
+
+/** CDC + dynamic-routing operators (S3, P2, P4, P6, J3 in SURVEY.md §2)
+  * exercised over the harness's `events` table, which plays the role of
+  * the CDC stream: `event_type` ↔ sourceTable, a derived op ↔
+  * insert/update/delete.
+  */
+object RoutingOps {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  /** Deterministic CDC op derived from the payload: the event's k value
+    * mod 10 → delete (2), create (3), else insert/update split.
+    */
+  private def opCol: org.apache.spark.sql.Column = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    when(k % 10 === 2, "delete")
+      .when(k % 10 === 3, "create")
+      .when(k % 10 < 2, "update")
+      .otherwise("insert")
+  }
+
+  private val sqlOp =
+    """CASE WHEN CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 = 2 THEN 'delete'
+      |     WHEN CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 = 3 THEN 'create'
+      |     WHEN CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 < 2 THEN 'update'
+      |     ELSE 'insert' END""".stripMargin
+
+  /** The routing config: sourceTable=event_type, operateType, sink. */
+  private val configRows = Seq(
+    ("view", "insert", "kafka", "dwd_page_view", "event_id,user_id,value"),
+    ("view", "update", "kafka", "dwd_page_view", "event_id,user_id,value"),
+    ("click", "insert", "kafka", "dwd_click", "event_id,user_id"),
+    ("purchase", "insert", "hbase", "dim_purchase", "event_id,user_id,value"),
+    ("purchase", "update", "hbase", "dim_purchase", "event_id,user_id,value"),
+    ("signup", "insert", "hbase", "dim_user", "event_id,user_id"))
+
+  private def configDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    configRows.toDF("sourceTable", "operateType", "sinkType", "sinkTable",
+      "sinkColumns")
+  }
+
+  private val sqlConfig = configRows
+    .map { case (st, op, sk, tbl, cols) => s"('$st','$op','$sk','$tbl','$cols')" }
+    .mkString(
+      "(VALUES ",
+      ", ",
+      ") c(sourceTable, operateType, sinkType, sinkTable, sinkColumns)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S3 + P2: envelope op normalization + delete filter --------------
+    "r1_cdc_normalize" -> { (s, dir) =>
+      val withOp = ev(s, dir).withColumn("op", opCol)
+      CdcRouter.filterDeletes(withOp, "op")
+        .withColumn("op", CdcRouter.normalizeOp(col("op")))
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("ct"), countDistinct(col("user_id")).as("users"))
+    },
+
+    // ---- J3 + P6: broadcast-config dynamic routing -----------------------
+    "r2_dynamic_route" -> { (s, dir) =>
+      val rows = CdcRouter.filterDeletes(
+        ev(s, dir).withColumn("op", CdcRouter.normalizeOp(opCol)), "op")
+      CdcRouter.route(rows, configDf(s), tableCol = "event_type", opCol = "op")
+        .groupBy(col("sinkType"), col("sinkTable"))
+        .agg(count(lit(1)).as("ct"))
+    },
+
+    // ---- P4: config-driven column pruning --------------------------------
+    "r3_column_prune" -> { (s, dir) =>
+      val rows = CdcRouter.filterDeletes(
+        ev(s, dir).withColumn("op", CdcRouter.normalizeOp(opCol)), "op")
+        .withColumn("after", map_from_arrays(
+          array(lit("event_id"), lit("user_id"), lit("value")),
+          array(col("event_id").cast(StringType),
+            col("user_id").cast(StringType),
+            // double→string formatting diverges across engines;
+            // DECIMAL(18,2)→string is canonical on both
+            col("value").cast(DecimalType(18, 2)).cast(StringType))))
+      val routed = CdcRouter.route(rows, configDf(s),
+        tableCol = "event_type", opCol = "op")
+      CdcRouter.pruneColumns(routed)
+        .select(col("sinkTable"),
+          col("after")("event_id").as("event_id"),
+          col("after")("user_id").as("user_id"),
+          col("after")("value").as("value"))
+    })
+
+  def oracle: Map[String, String] = Map(
+    "r1_cdc_normalize" ->
+      s"""WITH x AS (SELECT user_id, $sqlOp AS op FROM events)
+         |SELECT CASE WHEN op = 'create' THEN 'insert' ELSE op END AS op,
+         |  COUNT(*) AS ct, COUNT(DISTINCT user_id) AS users
+         |FROM x WHERE op <> 'delete'
+         |GROUP BY 1""".stripMargin,
+
+    "r2_dynamic_route" ->
+      s"""WITH x AS (
+         |  SELECT event_type,
+         |    CASE WHEN op = 'create' THEN 'insert' ELSE op END AS op
+         |  FROM (SELECT event_type, $sqlOp AS op FROM events)
+         |  WHERE op <> 'delete')
+         |SELECT sinkType, sinkTable, COUNT(*) AS ct
+         |FROM x JOIN $sqlConfig
+         |  ON x.event_type = c.sourceTable AND x.op = c.operateType
+         |GROUP BY sinkType, sinkTable""".stripMargin,
+
+    "r3_column_prune" ->
+      s"""WITH x AS (
+         |  SELECT event_id, user_id, value, event_type,
+         |    CASE WHEN op = 'create' THEN 'insert' ELSE op END AS op
+         |  FROM (SELECT *, $sqlOp AS op FROM events)
+         |  WHERE op <> 'delete')
+         |SELECT sinkTable,
+         |  CASE WHEN list_contains(string_split(sinkColumns, ','), 'event_id')
+         |    THEN CAST(event_id AS VARCHAR) END AS event_id,
+         |  CASE WHEN list_contains(string_split(sinkColumns, ','), 'user_id')
+         |    THEN CAST(user_id AS VARCHAR) END AS user_id,
+         |  CASE WHEN list_contains(string_split(sinkColumns, ','), 'value')
+         |    THEN CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END AS value
+         |FROM x JOIN $sqlConfig
+         |  ON x.event_type = c.sourceTable AND x.op = c.operateType""".stripMargin
+  )
+}

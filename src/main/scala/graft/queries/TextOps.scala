@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: keyword stats
+  * (A4/F6 in SURVEY.md §2), language ID, quality scoring, token
+  * counting, and rolling-hash fingerprinting.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A4 + F6: tokenize → explode → keyword counts --------------------
+    "t1_keyword_stats" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"), explode(tokenize(col("text"))).as("keyword"))
+        .groupBy(col("keyword"), col("source"))
+        .agg(count(lit(1)).as("ct"))
+    },
+
+    // ---- language ID (stopword-profile heuristic) ------------------------
+    "t2_lang_id" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        langId(col("text")).as("pred_lang"),
+        col("lang").as("labeled_lang"))
+    },
+
+    // ---- quality scoring -------------------------------------------------
+    "t3_quality_score" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        nTokens(col("text")).as("n_tokens"),
+        punctCount(col("text")).as("punct_ct"),
+        stopwordRatio(col("text")).as("stop_ratio"),
+        qualityScore(col("text")).as("quality"))
+    },
+
+    // ---- token counting (whitespace + BPE-ish regex) ---------------------
+    "t4_token_count" -> { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("doc_ct"),
+          sum(nTokens(col("text"))).as("ws_tokens"),
+          sum(regexTokenCount(col("text"))).as("re_tokens"))
+    },
+
+    // ---- rolling-hash document fingerprint -------------------------------
+    "t5_fingerprint" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        rollingFingerprint(col("text")).as("fp"),
+        contentHash(col("text")).as("content_hash"))
+    })
+
+  /** SQL token-set expression mirroring TextFunctions.tokenSet. */
+  private val sqlTokenSet =
+    "list_distinct(list_filter(string_split(lower(text),' '), x -> len(x) > 0))"
+  private val sqlNTokens =
+    "len(list_filter(string_split(text,' '), x -> len(x) > 0))"
+
+  private def sqlProfile(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ",", "]")
+
+  def oracle: Map[String, String] = Map(
+    "t1_keyword_stats" ->
+      """SELECT keyword, source, COUNT(*) AS ct
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS keyword
+        |      FROM documents) t
+        |WHERE len(keyword) > 0
+        |GROUP BY keyword, source""".stripMargin,
+
+    "t2_lang_id" -> {
+      val scores = langProfiles.map { case (l, p) =>
+        s"len(list_intersect($sqlTokenSet, ${sqlProfile(p)})) AS s_$l"
+      }.mkString(",\n  ")
+      val best = langProfiles.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+      val cases = langProfiles.map { case (l, _) =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'"
+      }.mkString("\n  ")
+      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents),
+         |b AS (SELECT *, $best AS best FROM sc)
+         |SELECT doc_id,
+         |  CASE $cases ELSE 'und' END AS pred_lang,
+         |  lang AS labeled_lang
+         |FROM b""".stripMargin
+    },
+
+    "t3_quality_score" -> {
+      val stops = sqlProfile(langProfiles.flatMap(_._2).distinct)
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    $sqlNTokens AS n_tokens,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS punct_ct,
+         |    CAST(len(list_filter(list_filter(string_split(lower(text),' '), x -> len(x) > 0),
+         |        w -> list_contains($stops, w))) AS DOUBLE) / $sqlNTokens AS stop_ratio
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         |  CAST(punct_ct AS INT) AS punct_ct, stop_ratio,
+         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |    + least(stop_ratio * 4.0, 1.0) * 0.4
+         |    + (1.0 - least(CAST(punct_ct AS DOUBLE) / n_tokens, 1.0)) * 0.2 AS quality
+         |FROM m""".stripMargin
+    },
+
+    "t4_token_count" ->
+      s"""SELECT source, COUNT(*) AS doc_ct,
+         | CAST(SUM($sqlNTokens) AS BIGINT) AS ws_tokens,
+         | CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS re_tokens
+         |FROM documents GROUP BY source""".stripMargin,
+
+    "t5_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        | md5(text) AS content_hash
+        |FROM documents""".stripMargin
+  )
+}

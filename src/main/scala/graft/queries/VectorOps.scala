@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Similarity-search operators over `embeddings`: brute-force cosine
+  * top-k (baseline), IVF-cell top-k (scale path), and embedding
+  * near-dup pairs.
+  */
+object VectorOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Deterministic small query set: every 50th vector. */
+  private def querySet(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 50 === 0)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_knn_brute" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.bruteForceKnn(e, querySet(e), k = 3)
+    },
+
+    "v2_knn_ivf" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfKnn(e, querySet(e), k = 3)
+    },
+
+    // threshold 0.3: the synthetic embeddings have no true near-dups
+    // (max within-label cosine ≈ 0.47), so a production-style 0.9 gate
+    // would be vacuous; 0.3 keeps the verification pass non-empty.
+    "v3_embedding_neardup" -> { (s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), threshold = 0.3)
+    })
+
+  /** SQL mirror of Similarity.dot: strict left fold over the zipped
+    * product list, double precision — bit-identical to Spark's
+    * `aggregate(zip_with(...))`.
+    */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(list_zip($a, $b),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  private def sqlCos(qa: String, qb: String, na: String, nb: String): String =
+    s"${sqlDot(qa, qb)} / ($na * $nb)"
+
+  private val sqlWithNorm =
+    s"""SELECT vec_id, label, embedding,
+       | sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |FROM embeddings""".stripMargin
+
+  private def sqlKnn(joinCond: String): String =
+    s"""WITH e AS ($sqlWithNorm)
+       |SELECT q_id, n_id, rnk, cos_sim FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${sqlCos("q.embedding", "c.embedding", "q.nrm", "c.nrm")} AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCos("q.embedding", "c.embedding", "q.nrm", "c.nrm")} DESC,
+       |               c.vec_id) AS rnk
+       |  FROM e q JOIN e c ON $joinCond
+       |  WHERE q.vec_id % 50 = 0)
+       |WHERE rnk <= 3""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "v1_knn_brute" -> sqlKnn("q.vec_id <> c.vec_id"),
+
+    "v2_knn_ivf" -> sqlKnn("q.label = c.label AND q.vec_id <> c.vec_id"),
+
+    "v3_embedding_neardup" ->
+      s"""WITH e AS ($sqlWithNorm)
+         |SELECT vec_a, vec_b, cos_sim FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${sqlCos("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cos_sim >= 0.3""".stripMargin
+  )
+}

@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC-envelope handling + data-driven dynamic routing.
+  *
+  * The reference consumes a Debezium-style envelope
+  * `{database, tableName, before, after, type}` (shape produced at
+  * reference `gmall-realtime/src/main/java/com/atguigu/app/func/MyDeserialization.java:28-79`),
+  * drops deletes (`app/dwd/BaseDbApp.java:45-50`), normalizes
+  * `create|bootstrap-insert → insert`, and routes each row by a
+  * broadcast `table_process` config keyed on
+  * `sourceTable-operateType` (`app/func/TableProcessFunction.java:135-163`),
+  * pruning columns to the config's `sinkColumns` allowlist
+  * (`:165-184`).
+  *
+  * Spark-first re-expression: the envelope is a `from_json` projection;
+  * routing is a broadcast equi-join against the config DataFrame (rows
+  * without a matching route are dropped, as in the reference); pruning
+  * is a dynamic `select`. In streaming the config is re-read per
+  * micro-batch inside `foreachBatch`, giving batch-granularity config
+  * updates (documented semantic difference vs Flink's
+  * record-interleaved broadcast state).
+  */
+object CdcRouter {
+
+  /** Envelope schema: `before`/`after` kept as maps because CDC payload
+    * schemas vary by source table (schema is data-driven here).
+    */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("database", StringType),
+    StructField("tableName", StringType),
+    StructField("before", MapType(StringType, StringType)),
+    StructField("after", MapType(StringType, StringType)),
+    StructField("type", StringType)))
+
+  /** Routing-config row (mirror of the reference's TableProcess bean,
+    * `gmall-realtime/src/main/java/com/atguigu/bean/TableProcess.java:6-24`).
+    */
+  case class TableProcess(
+      sourceTable: String, operateType: String, sinkType: String,
+      sinkTable: String, sinkColumns: String,
+      sinkPk: String = "id", sinkExtend: String = "")
+
+  /** Parse raw JSON lines into envelope rows; unparseable lines keep a
+    * `_corrupt` payload instead of being dropped (dead-letter split,
+    * reference `BaseLogApp.java:35-52`).
+    */
+  def parseEnvelope(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    raw.withColumn("env", from_json(col(jsonCol), envelopeSchema))
+      .withColumn("_corrupt",
+        when(col("env").isNull, col(jsonCol)).otherwise(lit(null)))
+
+  /** `create` / `bootstrap-insert` → `insert` (reference
+    * `MyDeserialization.java:66-70`).
+    */
+  def normalizeOp(op: Column): Column =
+    when(op.isin("create", "bootstrap-insert"), "insert").otherwise(op)
+
+  /** Drop CDC deletes (reference `BaseDbApp.java:45-50`). */
+  def filterDeletes(df: DataFrame, opCol: String = "type"): DataFrame =
+    df.filter(col(opCol) =!= "delete")
+
+  /** Route rows by (sourceTable, operateType) against a small config
+    * table. Broadcast join; unmatched rows are dropped (the reference
+    * logs "不存在" and discards).
+    */
+  def route(rows: DataFrame, config: DataFrame,
+            tableCol: String = "tableName", opCol: String = "type"): DataFrame =
+    rows.join(broadcast(config),
+      col(tableCol) === col("sourceTable") && col(opCol) === col("operateType"),
+      "inner")
+
+  /** Config-driven column pruning: keep only `sinkColumns` keys of the
+    * `after` map (reference `TableProcessFunction.java:165-184`), as a
+    * single codegen'd `map_filter` — no per-row driver logic.
+    */
+  def pruneColumns(df: DataFrame, afterCol: String = "after",
+                   sinkColumnsCol: String = "sinkColumns"): DataFrame =
+    df.withColumn(afterCol,
+      map_filter(col(afterCol),
+        (k, _) => array_contains(split(col(sinkColumnsCol), ","), k)))
+}
