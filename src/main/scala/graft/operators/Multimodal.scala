@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * frame-sample operators.
+  *
+  * The Spark-side plumbing (schemas, batch-shaped partition iteration,
+  * deterministic partitioning of large blobs) is real and tested; the
+  * actual media decode is STUBBED with a deterministic fake — the
+  * container has no image/audio codecs. Production swaps
+  * [[decodeStub]] for a JNI/codec call with the identical signature;
+  * nothing else changes.
+  *
+  * Scale notes: blobs never pass through a shuffle — metadata is
+  * extracted map-side and only (id, small-struct) rows move. The
+  * decode runs in `mapPartitions` so per-partition codec state
+  * (decoder instances, model weights) is initialized once per task,
+  * the same economics as a Pandas-UDF batch on PySpark.
+  */
+object Multimodal {
+
+  /** Harness stand-in: materialize a binary payload column (UTF-8 of
+    * the text) — real deployments read actual bytes
+    * (`format("binaryFile")` or a blob-store table).
+    */
+  def withPayload(df: DataFrame, textCol: String = "text",
+                  payloadCol: String = "payload"): DataFrame =
+    df.withColumn(payloadCol, col(textCol).cast(BinaryType))
+
+  /** Map-side metadata: byte length, content digest, leading bytes as
+    * a hex "header" (magic-number sniffing shape).
+    */
+  def withMetadata(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("byte_len", length(col(payloadCol)))
+      .withColumn("sha", sha2(col(payloadCol), 256))
+      .withColumn("header_hex", upper(hex(substring(col(payloadCol), 1, 4))))
+
+  /** Decoded-media schema: what a real image decode would yield. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Deterministic fake decode of one payload: dims derived from the
+    * first bytes, an 8-dim "feature vector" from a rolling byte hash.
+    * Replace with a real codec in production — signature is the seam.
+    */
+  private[operators] def decodeStub(id: Long, bytes: Array[Byte]): Row = {
+    val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+    val width = (b0 % 64) * 16 + 64
+    val height = (b1 % 64) * 16 + 64
+    val feats = new Array[Float](8)
+    var acc = 17L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L
+      feats(i % 8) = ((feats(i % 8) + acc % 997) % 997).toFloat
+      i += 1
+    }
+    Row(id, width, height, 3, feats.toSeq)
+  }
+
+  /** Batch decode: one decoder per partition, rows streamed through —
+    * the Scala analogue of `mapInPandas`.
+    */
+  def decode(df: DataFrame, idCol: String = "doc_id",
+             payloadCol: String = "payload"): DataFrame = {
+    val session = df.sparkSession
+    val input = df.select(col(idCol).cast(LongType), col(payloadCol))
+    val rows = input.rdd.mapPartitions { it =>
+      // per-partition init happens here (decoder/codec state)
+      it.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }
+    session.createDataFrame(rows, decodedSchema)
+  }
+
+  /** Deterministic frame sampling for "video" payloads: n byte-offsets
+    * evenly spaced, each frame summarized by one digest value.
+    */
+  def sampleFrames(df: DataFrame, n: Int, payloadCol: String = "payload"): DataFrame = {
+    val idx = sequence(lit(0), lit(n - 1))
+    df.withColumn("frame_digests",
+      transform(idx, i => {
+        val off = (i * length(col(payloadCol))) / n
+        crc32(col(payloadCol).substr(off + 1, lit(16)))
+      }))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink shapes (SURVEY.md §2.8).
+  *
+  *  - Kafka fixed/dynamic topic: Spark's Kafka sink natively supports a
+  *    per-row `topic` column, so the reference's dynamic-topic producer
+  *    (`utils/MyKafkaUtil.java:25-34`) is just a projection.
+  *  - Dim upsert (Phoenix `upsert into` per row +
+  *    auto-DDL, `app/func/DimSinkFunction.java:31-70`): an idempotent
+  *    MERGE-by-pk into a per-table parquet dir, applied per micro-batch
+  *    via foreachBatch. Auto-creates the table dir on first sight.
+  *  - OLAP batch sink (ClickHouse JDBC, `utils/ClickHouseUtil.java:21-68`):
+  *    drops `@TransientSink`-style columns then appends.
+  */
+object Sinks {
+
+  /** Kafka record shape: value = JSON of all columns, plus a per-row
+    * topic column for dynamic routing (K1/K2).
+    */
+  def toKafkaRecords(df: DataFrame, topicCol: String): DataFrame =
+    df.select(col(topicCol).as("topic"),
+      to_json(struct(df.columns.filterNot(_ == topicCol).map(col): _*))
+        .as("value"))
+
+  /** Idempotent MERGE-by-pk upsert of `batch` into `baseDir/table`:
+    * existing rows with a matching pk are replaced, others kept.
+    * Semantically the Phoenix upsert; auto-DDL = first write creates
+    * the dir with the batch's schema. At scale this becomes a Delta/
+    * Iceberg MERGE — the call-site contract is identical.
+    */
+  def upsertDim(spark: SparkSession, batch: DataFrame, baseDir: String,
+                table: String, pk: String = "id"): Unit = {
+    val path = s"$baseDir/$table"
+    val dedupedBatch = batch.dropDuplicates(pk)
+    val merged =
+      if (new java.io.File(path).exists()) {
+        val existing = spark.read.parquet(path)
+        existing.join(dedupedBatch.select(col(pk)), Seq(pk), "left_anti")
+          .unionByName(dedupedBatch, allowMissingColumns = true)
+      } else dedupedBatch
+    // write via temp + swap so a failed write can't corrupt the table
+    val tmp = s"$baseDir/.tmp_$table"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dst = new java.io.File(path)
+    if (dst.exists()) {
+      val old = new java.io.File(s"$baseDir/.old_$table")
+      dst.renameTo(old)
+      new java.io.File(tmp).renameTo(dst)
+      org.apache.commons.io.FileUtils.deleteDirectory(old)
+    } else new java.io.File(tmp).renameTo(dst)
+  }
+
+  /** OLAP sink: drop accumulator/transient columns then append
+    * (the reference's `@TransientSink` reflection filter,
+    * `utils/ClickHouseUtil.java:42-47`, becomes an explicit drop list).
+    */
+  def writeOlap(df: DataFrame, path: String,
+                transientCols: Seq[String] = Nil): Unit =
+    df.drop(transientCols: _*).write.mode(SaveMode.Append).parquet(path)
+}

@@ -50,8 +50,11 @@ object CdcRouter {
     */
   def parseEnvelope(raw: DataFrame, jsonCol: String = "value"): DataFrame =
     raw.withColumn("env", from_json(col(jsonCol), envelopeSchema))
+      // malformed input yields an all-null struct (permissive mode), so
+      // probe required fields rather than the struct itself
       .withColumn("_corrupt",
-        when(col("env").isNull, col(jsonCol)).otherwise(lit(null)))
+        when(col("env.tableName").isNull && col("env.type").isNull,
+          col(jsonCol)).otherwise(lit(null)))
 
   /** `create` / `bootstrap-insert` → `insert` (reference
     * `MyDeserialization.java:66-70`).

@@ -1,0 +1,175 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.{Instant, LocalDate, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Keyed-state streaming operators: the reference's ValueState patterns
+  * (is_new fix `BaseLogApp.java:62-95`, UV dedup
+  * `UniqueVisitApp.java:44-84` with 1-day TTL :52-55, and the
+  * UserJumpDetailApp bounce detection — a stub in the snapshot, rebuilt
+  * here from the declared `uj_ct` output surface) as
+  * `flatMapGroupsWithState`.
+  *
+  * State-size discipline for scale: every operator keeps O(1) state per
+  * key (a date string or a small timestamp buffer), and TTL is enforced
+  * with processing-time timeouts exactly like the reference's
+  * StateTtlConfig.
+  */
+object StatefulOps {
+
+  private def dayOf(tsMillis: Long): String =
+    LocalDate.ofInstant(Instant.ofEpochMilli(tsMillis), ZoneOffset.UTC).toString
+
+  /** Minimal keyed event for the stateful ops. `event_time` mirrors
+    * `ts` as a timestamp — the watermark column must remain in scope at
+    * the stateful operator or event-time timeouts are rejected.
+    */
+  case class KeyedEvent(mid: String, ts: Long, is_new: String,
+      page_id: String, last_page_id: String,
+      event_time: Timestamp = null)
+
+  object KeyedEvent {
+    def at(mid: String, ts: Long, is_new: String = "1",
+           page_id: String = null, last_page_id: String = null): KeyedEvent =
+      KeyedEvent(mid, ts, is_new, page_id, last_page_id, new Timestamp(ts))
+  }
+
+  /** Stamp event_time from `ts` and attach a watermark — the standard
+    * prelude for every stateful op here.
+    */
+  def watermarked(events: Dataset[KeyedEvent],
+                  delay: String = "0 seconds"): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", delay)
+      .as[KeyedEvent]
+  }
+
+  /** Streaming UV dedup: emit only the first event per (mid, day).
+    * State = last seen day per mid (exactly the reference's
+    * `ValueState<String>` holding a date). TTL is event-time driven:
+    * state expires one day after the stored day ends (the reference's
+    * 24h processing-time TTL, re-expressed in event time so idle
+    * streams don't busy-poll — with processing-time timeouts the
+    * micro-batch engine runs continuous empty batches).
+    * Input must carry a watermark.
+    */
+  def uniqueVisitStreaming(events: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.mid)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (mid: String, rows: Iterator[KeyedEvent], state: GroupState[String]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val lastDay = state.getOption
+            val sorted = rows.toSeq.sortBy(e => (e.ts))
+            val out = scala.collection.mutable.ArrayBuffer[KeyedEvent]()
+            var cur = lastDay
+            sorted.foreach { e =>
+              val d = dayOf(e.ts)
+              if (!cur.contains(d)) { out += e; cur = Some(d) }
+            }
+            cur.foreach { d =>
+              state.update(d)
+              // expire at end-of-day + 1 day (≈ reference 24h TTL),
+              // but always strictly past the current watermark
+              val dayStart = LocalDate.parse(d).atStartOfDay(ZoneOffset.UTC)
+                .toInstant.toEpochMilli
+              val deadline = dayStart + 2 * 86400000L
+              state.setTimeoutTimestamp(
+                math.max(deadline, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+        })
+  }
+
+  /** Streaming is_new fix: a mid claiming is_new=1 after its first-seen
+    * day is rewritten to 0 (reference `BaseLogApp.java:75-89`).
+    */
+  def isNewFixStreaming(events: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.mid)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (mid: String, rows: Iterator[KeyedEvent], state: GroupState[String]) => {
+          val sorted = rows.toSeq.sortBy(_.ts)
+          var firstDay = state.getOption
+          val out = sorted.map { e =>
+            val d = dayOf(e.ts)
+            if (firstDay.isEmpty) { firstDay = Some(d); state.update(d) }
+            if (e.is_new == "1" && firstDay.exists(_ < d)) e.copy(is_new = "0")
+            else e
+          }
+          out.iterator
+        })
+  }
+
+  /** Bounce (user-jump) detection: a page visit that *enters* a session
+    * (last_page_id null) with no follow-up page within `gapMillis` is a
+    * bounce. The reference curriculum does this with Flink CEP; the
+    * declared output is `uj_ct` (bean/VisitorStats.java:31). Here:
+    * event-time timeout state machine per mid.
+    *
+    * Batch twin ([[bounceBatch]]) uses a lead() window — used by the
+    * correctness harness; both paths emit the same rows for in-order
+    * input.
+    */
+  case class BounceState(entryTs: Long)
+
+  def bounceStreaming(events: Dataset[KeyedEvent],
+                      gapMillis: Long = 10000L): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    // Input must carry a watermark (the caller sets withWatermark before
+    // converting to Dataset) so event-time timeouts fire for entries
+    // that never get a follow-up page at all.
+    events.groupByKey(_.mid)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (mid: String, rows: Iterator[KeyedEvent], state: GroupState[BounceState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed entry+gap with no follow-up → bounce
+            val t0 = state.get.entryTs
+            state.remove()
+            Iterator.single(KeyedEvent(mid, t0, null, null, null))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts)
+            val out = scala.collection.mutable.ArrayBuffer[KeyedEvent]()
+            sorted.foreach { e =>
+              val isEntry = e.last_page_id == null || e.last_page_id.isEmpty
+              state.getOption match {
+                case Some(BounceState(t0)) =>
+                  if (e.ts - t0 > gapMillis) {
+                    // previous entry never got a follow-up in time → bounce
+                    out += KeyedEvent(mid, t0, null, null, null)
+                  }
+                  if (isEntry) state.update(BounceState(e.ts)) else state.remove()
+                case None =>
+                  if (isEntry) state.update(BounceState(e.ts))
+              }
+            }
+            state.getOption.foreach(s =>
+              state.setTimeoutTimestamp(s.entryTs + gapMillis + 1))
+            out.iterator
+          }
+        })
+  }
+
+  /** Batch bounce detection: entry pages whose next page view for the
+    * same mid is > gap away (or absent).
+    */
+  def bounceBatch(df: DataFrame, gapMillis: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("mid")).orderBy(col("ts"))
+    df.withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter((col("last_page_id").isNull || col("last_page_id") === "") &&
+        (col("next_ts").isNull || col("next_ts") - col("ts") > gapMillis))
+      .select(col("mid"), col("ts"))
+  }
+}

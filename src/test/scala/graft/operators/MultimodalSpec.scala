@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+
+  test("metadata: byte length, sha, header from the payload bytes") {
+    val row1 = Multimodal.withMetadata(Multimodal.withPayload(docs))
+      .filter($"doc_id" === 1L)
+      .select("byte_len", "sha", "header_hex").collect().head
+    assert(row1.getInt(0) === 11)
+    assert(row1.getString(1) ===
+      "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
+    assert(row1.getString(2) === "68656C6C".toUpperCase) // 'hell'
+  }
+
+  test("decode runs per-partition, is deterministic, handles empty payloads") {
+    val out = Multimodal.decode(Multimodal.withPayload(docs))
+      .select("doc_id", "width", "height", "channels")
+      .as[(Long, Int, Int, Int)].collect()
+      .map { case (id, w, h, c) => id -> ((w, h, c)) }.toMap
+    val (w1, h1, _) = out(1L)
+    assert(w1 === ('h'.toInt % 64) * 16 + 64)
+    assert(h1 === ('e'.toInt % 64) * 16 + 64)
+    assert(out(2L) === ((64, 64, 3))) // empty payload → defaults
+    // determinism
+    val again = Multimodal.decode(Multimodal.withPayload(docs))
+      .select("doc_id", "width").as[(Long, Int)].collect().toMap
+    assert(again(1L) === w1)
+  }
+
+  test("frame sampling emits n digests per row") {
+    val out = Multimodal.sampleFrames(Multimodal.withPayload(docs), n = 4)
+      .filter($"doc_id" === 1L)
+      .select("frame_digests").as[Seq[Long]].head()
+    assert(out.size === 4)
+  }
+}

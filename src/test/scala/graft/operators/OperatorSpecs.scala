@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextFunctions
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under the min id") {
+    val out = Dedup.exact(docs).as[(String, Long, Long)].collect()
+      .map { case (_, keeper, ct) => (keeper, ct) }.toSet
+    assert(out === Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("LSH candidates include the exact pair; near pair found by jaccard") {
+    val cand = Dedup.candidatePairs(docs).as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)))
+    val near = Dedup.nearDupPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(near.contains((1L, 2L)))
+    assert(!near.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard is exact on shingle sets") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val a = sh.filter($"doc_id" === 1).select($"sh".as("sh_a"))
+    val b = sh.filter($"doc_id" === 3).select($"sh".as("sh_b"))
+    val j = a.crossJoin(b)
+      .select(Dedup.jaccard(col("sh_a"), col("sh_b"))).as[Double].head()
+    // 9 words → 7 shingles each, 6 shared → 6/8
+    assert(j === 0.75)
+  }
+
+  test("simhash of identical docs is identical, differs for unrelated docs") {
+    val sig = Dedup.simhash16(docs).as[(Long, Int)].collect().toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(4L))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f), 0),
+    (2L, Array(0.0f, 1.0f), 1),
+    (3L, Array(0.1f, 0.9f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force knn ranks by cosine") {
+    val out = Similarity.bruteForceKnn(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .select("n_id", "rnk").as[(Long, Int)].collect().toSet
+    assert(out === Set((1L, 1), (3L, 2)))
+  }
+
+  test("ivf knn only searches the query's cell") {
+    val out = Similarity.ivfKnn(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .select("n_id").as[Long].collect().toSet
+    assert(out === Set(1L)) // only same-label candidates
+  }
+
+  test("cosine of identical vectors is 1.0") {
+    val c = vecs.filter($"vec_id" === 0)
+      .select(Similarity.cosine(col("embedding"), col("embedding")))
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenize drops empty tokens") {
+    val out = Seq("a  b c").toDF("text")
+      .select(TextFunctions.tokenize(col("text"))).as[Seq[String]].head()
+    assert(out === Seq("a", "b", "c"))
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    val out = Seq(
+      "the cat is out of the bag and gone",
+      "el perro de la casa que ladra y los gatos",
+      "zzz qqq www").toDF("text")
+      .select(TextFunctions.langId(col("text"))).as[String].collect().toSeq
+    assert(out === Seq("en", "es", "und"))
+  }
+
+  test("rolling fingerprint is deterministic and order-sensitive") {
+    val fps = Seq("abc", "abc", "acb").toDF("text")
+      .select(TextFunctions.rollingFingerprint(col("text"))).as[Long].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+    // hand-computed: ((0*31+97)*31+98)*31+99 % 1e9+7
+    assert(fps(0) === ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+  }
+
+  test("regex token count splits letter runs, digit runs, symbols") {
+    val n = Seq("abc12 de-f!").toDF("text")
+      .select(TextFunctions.regexTokenCount(col("text"))).as[Int].head()
+    // abc, 12, de, -, f, ! → 6
+    assert(n === 6)
+  }
+}

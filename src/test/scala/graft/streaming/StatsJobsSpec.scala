@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StatsJobsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val t0 = "2021-05-03 12:00:03"
+  private val t1 = "2021-05-03 12:00:07"
+  private val t2 = "2021-05-03 12:00:13" // next 10s window
+
+  private def withEventTime(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("event_time", to_timestamp(col("t")))
+
+  test("visitorStats unions marker streams and aggregates per window") {
+    val pv = withEventTime(Seq(
+      ("v1", "web", "110000", "1", t0, 1L, 1000L),
+      ("v1", "web", "110000", "1", t1, 1L, 2000L),
+      ("v1", "web", "110000", "1", t2, 1L, 3000L)
+    ).toDF("vc", "ch", "ar", "is_new", "t", "pv_ct", "dur_sum"))
+    val uv = withEventTime(Seq(
+      ("v1", "web", "110000", "1", t0, 1L)
+    ).toDF("vc", "ch", "ar", "is_new", "t", "uv_ct"))
+    val out = StatsJobs.visitorStats(Seq(pv, uv))
+      .select("stt", "pv_ct", "uv_ct", "dur_sum")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("2021-05-03 12:00:00", 2L, 1L, 3000L),
+      ("2021-05-03 12:00:10", 1L, 0L, 3000L)))
+  }
+
+  test("productStats counts distinct orders per sku per window") {
+    val ow = Seq(
+      (100L, 1L, 2L, java.math.BigDecimal.valueOf(10.0), t0),
+      (100L, 1L, 1L, java.math.BigDecimal.valueOf(5.0), t1),
+      (100L, 2L, 3L, java.math.BigDecimal.valueOf(7.5), t1),
+      (200L, 3L, 1L, java.math.BigDecimal.valueOf(9.0), t2)
+    ).toDF("sku_id", "wide_order_id", "sku_num", "split_total_amount", "t")
+      .withColumn("order_event_time", to_timestamp(col("t")))
+    val out = StatsJobs.productStats(ow)
+      .select("sku_id", "order_sku_num", "order_ct")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((100L, 6L, 2L), (200L, 1L, 1L)))
+  }
+
+  test("provinceStats SQL layer aggregates per province per window") {
+    val ow = Seq(
+      (2L, "Beijing", 1L, java.math.BigDecimal.valueOf(10.0), t0),
+      (2L, "Beijing", 1L, java.math.BigDecimal.valueOf(20.0), t1),
+      (3L, "Shanghai", 2L, java.math.BigDecimal.valueOf(5.0), t0)
+    ).toDF("province_id", "province_name", "wide_order_id",
+        "split_total_amount", "t")
+      .withColumn("order_event_time", to_timestamp(col("t")))
+    val out = StatsJobs.provinceStats(spark, ow)
+      .select("province_name", "order_amount", "order_count")
+      .collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue, r.getLong(2)))
+      .toSet
+    assert(out === Set(("Beijing", 30.0, 1L), ("Shanghai", 5.0, 1L)))
+  }
+
+  test("keywordStats tokenizes search items and counts per window") {
+    val pages = Seq(
+      ("big data spark", "keyword", t0),
+      ("spark", "keyword", t1),
+      ("sku_9", "sku_id", t1) // not a search: excluded
+    ).toDF("item", "item_type", "t")
+      .withColumn("page", struct(col("item"), col("item_type")))
+      .withColumn("event_time", to_timestamp(col("t")))
+    val out = StatsJobs.keywordStats(pages)
+      .select("keyword", "ct").as[(String, Long)].collect().toSet
+    assert(out === Set(("big", 1L), ("data", 1L), ("spark", 2L)))
+  }
+}
