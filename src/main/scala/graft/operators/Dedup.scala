@@ -33,31 +33,45 @@ object Dedup {
     array_distinct(transform(starts, i => concat_ws(" ", slice(words, i, lit(n)))))
   }
 
-  /** One MinHash value: min over shingles of md5(seed || shingle).
-    * md5 hex strings have fixed length, so lexicographic min == numeric
-    * min — portable to any engine with md5.
+  /** (id, shingle) rows — the distributed layout every downstream LSH
+    * stage works from. Exploding once and shuffling small (id, string)
+    * rows beats nested higher-order functions, which would re-evaluate
+    * the whole shingling tree once per minhash seed per join side.
     */
-  def minhash(shingleCol: Column, seed: Int): Column =
-    array_min(transform(shingleCol, s => md5(concat(lit(s"$seed:"), s))))
+  def shingleRows(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", n: Int = 3): DataFrame =
+    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
 
-  /** LSH band keys: `bands` groups of `rowsPerBand` minhashes, each
-    * group hashed to one key. A pair of docs is a candidate iff they
-    * share at least one (band, key).
+  /** MinHash signature table: id, h0..h{k-1}. One shuffle on id; the
+    * per-seed min is a partial-aggregatable `min(md5(seed||shingle))`
+    * (md5 hex strings are fixed-length, so lexicographic min == numeric
+    * min — portable to any engine with md5).
     */
-  def bandKeys(shingleCol: Column, bands: Int = 2, rowsPerBand: Int = 4): Column =
-    array((0 until bands).map { b =>
-      val sigs = (0 until rowsPerBand)
-        .map(r => minhash(shingleCol, b * rowsPerBand + r))
-      struct(lit(b).as("band"), md5(concat_ws("|", sigs: _*)).as("key"))
-    }: _*)
+  def signatures(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", n: Int = 3,
+                 numHashes: Int = 8): DataFrame = {
+    val aggs = (0 until numHashes).map { k =>
+      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"h$k")
+    }
+    shingleRows(docs, idCol, textCol, n)
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** doc_id → exploded (band, key) rows, the LSH bucket layout. */
+  /** id → (band, key) rows: `bands` groups of `rowsPerBand` signature
+    * values, each group hashed to one bucket key. A pair of docs is a
+    * candidate iff they share at least one (band, key).
+    */
   def lshBuckets(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text",
-                 bands: Int = 2, rowsPerBand: Int = 4): DataFrame =
-    docs.select(col(idCol),
-        explode(bandKeys(shingles(col(textCol)), bands, rowsPerBand)).as("bk"))
+                 bands: Int = 2, rowsPerBand: Int = 4): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, numHashes = bands * rowsPerBand)
+    val bandStructs = (0 until bands).map { b =>
+      val ks = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", ks: _*)).as("key"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
 
   /** Candidate near-dup pairs: equi-self-join on the band key.
     * Distinct (a < b) so each pair appears once however many bands
@@ -83,17 +97,31 @@ object Dedup {
     size(array_intersect(shA, shB)).cast(DoubleType) /
       size(array_union(shA, shB))
 
-  /** Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold. */
+  /** Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
+    *
+    * Jaccard is computed set-relationally — |A∩B| by joining the two
+    * docs' shingle rows, |A∪B| = |A| + |B| − |A∩B| — so no per-row
+    * arrays survive into the join and every stage is a shuffled
+    * aggregate. Candidates sharing no shingle drop out of the inner
+    * join, which is equivalent to jaccard = 0 < threshold.
+    */
   def nearDupPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    val sr = shingleRows(docs, idCol, textCol, n)
+    val sizes = sr.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val cand = candidatePairs(docs, idCol, textCol)
-    cand
-      .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val inter = cand
+      .join(sr.select(col(idCol).as("doc_a"), col("shingle")), "doc_a")
+      .join(sr.select(col(idCol).as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        (col("inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -43,8 +43,12 @@ object Similarity {
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    // norms materialize once per side — cosine per pair is then a single
+    // dot fold plus one divide, not three folds
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_nrm"))
     rank(q.crossJoin(c).filter(col("q_id") =!= col("n_id")), k)
   }
 
@@ -53,9 +57,10 @@ object Similarity {
              cellCol: String = "label", idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"),
-      col(vecCol).as("q_vec"), col(cellCol).as("q_cell")))
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm"),
+      col(cellCol).as("q_cell")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      col(cellCol).as("n_cell"))
+      norm(col(vecCol)).as("n_nrm"), col(cellCol).as("n_cell"))
     rank(q.join(c, col("q_cell") === col("n_cell") &&
       col("q_id") =!= col("n_id")), k)
   }
@@ -63,7 +68,7 @@ object Similarity {
   private def rank(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = pairs.withColumn("cos_sim",
-      cosine(col("q_vec"), col("n_vec")))
+      dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -78,11 +83,13 @@ object Similarity {
                    cellCol: String = "label", idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     val a = corpus.select(col(cellCol).as("cell"), col(idCol).as("vec_a"),
-      col(vecCol).as("va"))
+      col(vecCol).as("va"), norm(col(vecCol)).as("nrm_a"))
     val b = corpus.select(col(cellCol).as("cell_b"), col(idCol).as("vec_b"),
-      col(vecCol).as("vb"))
+      col(vecCol).as("vb"), norm(col(vecCol)).as("nrm_b"))
     a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -124,15 +124,17 @@ object Relational {
     },
 
     // ---- A5: UV dedup — first event per user per day ---------------------
+    // min(struct(ts, event_id)) instead of a row_number window: structs
+    // order lexicographically, so this is the same first-row-per-key
+    // but partial-aggregatable (map-side combine, no full sort)
     "q7_unique_visit" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id"), col("dt"))
-        .orderBy(col("ts"), col("event_id"))
       ev(s, dir)
         .withColumn("dt", to_date(col("ts")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("user_id"), col("dt"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("first"))
         .select(col("user_id"), col("dt"),
-          col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+          col("first.event_id").as("first_event_id"),
+          col("first.ts").as("first_ts"))
     },
 
     // ---- A5 variant: is_new correction (first-seen-day flag) -------------
