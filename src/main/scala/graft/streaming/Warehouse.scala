@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.CdcRouter
+
+/** The full warehouse topology — the reference's job graph
+  * (ODS → DWD → DWM → DWS, SURVEY.md §0 dataflow) composed as one
+  * transform over the two ODS inputs:
+  *
+  *   logLines (ods_base_log)  → LogSplit   → start/page/display (+dirty)
+  *   cdcLines (ods_base_db)   → CdcRouter  → fact frames + dim frames
+  *   order_info × order_detail → OrderWide (interval join + dim join)
+  *   payment_info × order_wide → PaymentWide (interval join)
+  *   page/uv/bounce/order/payment → the four DWS stats frames
+  *
+  * In the reference each arrow is a Kafka topic between separate Flink
+  * jobs; here each arrow is a DataFrame handed to the next transform,
+  * and topics appear only at the edges (sources/sinks). The composition
+  * is lazy — Catalyst optimizes across layer boundaries (e.g. DWS
+  * column pruning reaches the ODS scan), something the topic-separated
+  * original cannot do.
+  */
+object Warehouse {
+
+  /** Typed facts extracted from a routed CDC frame's string-map
+    * payload. Column types follow the reference beans.
+    */
+  private def factFrame(routed: DataFrame, table: String,
+                        cols: Map[String, DataType]): DataFrame = {
+    val base = routed.filter(col("sinkTable") === s"dwd_$table")
+    cols.foldLeft(base) { case (df, (name, dt)) =>
+      df.withColumn(name, col("after")(name).cast(dt))
+    }.select(cols.keys.toSeq.map(col): _*)
+  }
+
+  private val money = DecimalType(16, 2)
+
+  def run(spark: SparkSession, logLines: DataFrame, cdcLines: DataFrame,
+          config: DataFrame): Map[String, DataFrame] = {
+
+    // ---- DWD: log side ----------------------------------------------------
+    val logOut = LogSplitJob.run(logLines)
+    val page = logOut("page")
+
+    // ---- DWD: db side (routing) ------------------------------------------
+    val env = CdcRouter.parseEnvelope(cdcLines)
+    val rows = env.filter(col("_corrupt").isNull).select(col("env.*"))
+      .withColumn("type", CdcRouter.normalizeOp(col("type")))
+    val alive = CdcRouter.filterDeletes(rows)
+    val routed = CdcRouter.pruneColumns(CdcRouter.route(alive, config))
+
+    val dims = routed.filter(col("sinkType") === "hbase")
+
+    val orderInfo = factFrame(routed, "order_info", Map(
+      "id" -> LongType, "province_id" -> LongType,
+      "order_status" -> StringType, "user_id" -> LongType,
+      "total_amount" -> money, "create_time" -> StringType))
+    val orderDetail = factFrame(routed, "order_detail", Map(
+      "id" -> LongType, "order_id" -> LongType, "sku_id" -> LongType,
+      "sku_num" -> LongType, "split_total_amount" -> money,
+      "create_time" -> StringType))
+    val paymentInfo = factFrame(routed, "payment_info", Map(
+      "id" -> LongType, "order_id" -> LongType, "user_id" -> LongType,
+      "total_amount" -> money, "create_time" -> StringType))
+
+    // dim frames: map payload → columns via the config allowlist
+    def dimAsColumns(table: String, columns: Seq[String]): DataFrame =
+      columns.foldLeft(dims.filter(col("sinkTable") === table)) {
+        (df, c) => df.withColumn(c, col("after")(c))
+      }.select(columns.map(col): _*)
+
+    val dimFrames = Map(
+      "dim_base_province" -> dimAsColumns("dim_base_province",
+        Seq("id", "name", "area_code", "iso_code", "iso_3166_2")),
+      "dim_user_info" -> dimAsColumns("dim_user_info",
+        Seq("id", "birthday", "gender")),
+      "dim_sku_info" -> dimAsColumns("dim_sku_info",
+        Seq("id", "spu_id", "tm_id", "category3_id")))
+
+    // ---- DWM ---------------------------------------------------------------
+    val orderWide = WideJobs.orderWide(orderInfo, orderDetail, dimFrames)
+    val paymentWide = WideJobs.paymentWide(paymentInfo, orderWide)
+
+    // ---- DWS ---------------------------------------------------------------
+    val pageForStats = page.select(
+      col("common.vc").as("vc"), col("common.ch").as("ch"),
+      col("common.ar").as("ar"), col("common.is_new").as("is_new"),
+      timestamp_millis(col("ts")).as("event_time"),
+      lit(1L).as("pv_ct"),
+      when(col("page.last_page_id").isNull, 1L).otherwise(0L).as("sv_ct"),
+      coalesce(col("page.during_time"), lit(0L)).as("dur_sum"))
+    val visitorStats = StatsJobs.visitorStats(Seq(pageForStats))
+    val productStats = StatsJobs.productStats(
+      orderWide.withColumnRenamed("order_id", "wide_order_id"))
+    val provinceStats = StatsJobs.provinceStats(spark,
+      orderWide.withColumnRenamed("order_id", "wide_order_id"))
+    val keywordStats = StatsJobs.keywordStats(
+      page.withColumn("event_time", timestamp_millis(col("ts"))))
+
+    Map(
+      "dirty" -> logOut("dirty"), "start" -> logOut("start"),
+      "page" -> page, "display" -> logOut("display"),
+      "order_wide" -> orderWide, "payment_wide" -> paymentWide,
+      "visitor_stats" -> visitorStats, "product_stats" -> productStats,
+      "province_stats" -> provinceStats, "keyword_stats" -> keywordStats)
+  }
+}

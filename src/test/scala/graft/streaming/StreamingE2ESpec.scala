@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sinks.Sinks
+import graft.sources.CdcRouter
+
+/** The production shape: ODS topics as streams, foreachBatch fan-out
+  * (the reference's side-output sinks), per-row-topic records, and
+  * per-micro-batch dim upserts — driven through a real streaming query.
+  */
+class StreamingE2ESpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("log stream fans out to per-route sinks via foreachBatch") {
+    implicit val sq = spark.sqlContext
+    val outDir = Files.createTempDirectory("e2e_log").toString
+    val input = MemoryStream[String]
+    val query = input.toDF().withColumnRenamed("value", "value")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val routes = LogSplitJob.run(batch)
+        routes.foreach { case (name, df) =>
+          if (!df.isEmpty)
+            df.write.mode("append").json(s"$outDir/$name")
+        }
+      }
+      .start()
+    try {
+      input.addData(
+        """{"common":{"mid":"m1","uid":"u1","is_new":"1","vc":"v1","ch":"web","ar":"1","ba":"X","md":"M","os":"A"},"start":{"entry":"icon","open_ad_id":1,"loading_time":1,"open_ad_ms":1,"open_ad_skip_ms":0},"ts":1620043200000}""",
+        """{"common":{"mid":"m1","uid":"u1","is_new":"1","vc":"v1","ch":"web","ar":"1","ba":"X","md":"M","os":"A"},"page":{"page_id":"home","during_time":5,"item":"x","item_type":"sku_id"},"displays":[{"item":"sku_2","item_type":"sku_id","display_type":"promo","order":1,"pos_id":3}],"ts":1620043201000}""",
+        "dirty {{{")
+      query.processAllAvailable()
+      assert(spark.read.json(s"$outDir/start").count() === 1)
+      assert(spark.read.json(s"$outDir/page").count() === 1)
+      val disp = spark.read.json(s"$outDir/display")
+      assert(disp.select("item").as[String].collect().toSeq === Seq("sku_2"))
+      assert(spark.read.json(s"$outDir/dirty").count() === 1)
+    } finally query.stop()
+  }
+
+  test("CDC stream routes per micro-batch: kafka records + dim upserts") {
+    implicit val sq = spark.sqlContext
+    val dimDir = Files.createTempDirectory("e2e_dim").toString
+    val kafkaDir = Files.createTempDirectory("e2e_kafka").toString
+    val config = Seq(
+      ("order_info", "insert", "kafka", "dwd_order_info", "id,total_amount"),
+      ("user_info", "insert", "hbase", "dim_user_info", "id,gender"))
+      .toDF("sourceTable", "operateType", "sinkType", "sinkTable", "sinkColumns")
+
+    val input = MemoryStream[String]
+    val query = input.toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // config re-read per micro-batch = the reference's broadcast
+        // config refresh point
+        val env = CdcRouter.parseEnvelope(batch)
+        val rows = env.filter(col("_corrupt").isNull).select(col("env.*"))
+          .withColumn("type", CdcRouter.normalizeOp(col("type")))
+        val routed = CdcRouter.pruneColumns(
+          CdcRouter.route(CdcRouter.filterDeletes(rows), config))
+        // kafka side: per-row-topic records
+        // (topic, value) — exactly the Kafka sink's record shape
+        routed.filter(col("sinkType") === "kafka")
+          .select(col("sinkTable").as("topic"),
+            to_json(col("after")).as("value"))
+          .write.mode("append").json(kafkaDir)
+        // hbase side: MERGE-by-pk per dim table
+        routed.filter(col("sinkType") === "hbase")
+          .select(col("sinkTable"),
+            col("after")("id").as("id"), col("after")("gender").as("gender"))
+          .collect().groupBy(_.getString(0))
+          .foreach { case (table, rws) =>
+            val df = rws.toSeq.map(r => (r.getString(1), r.getString(2)))
+              .toDF("id", "gender")
+            Sinks.upsertDim(spark, df, dimDir, table)
+          }
+      }
+      .start()
+    try {
+      input.addData(
+        """{"database":"g","tableName":"order_info","before":{},"after":{"id":"1","total_amount":"9.50","secret":"x"},"type":"insert"}""",
+        """{"database":"g","tableName":"user_info","before":{},"after":{"id":"10","gender":"F"},"type":"insert"}""")
+      query.processAllAvailable()
+      input.addData( // second batch: dim update must merge, not duplicate
+        """{"database":"g","tableName":"user_info","before":{},"after":{"id":"10","gender":"M"},"type":"insert"}""",
+        """{"database":"g","tableName":"user_info","before":{},"after":{"id":"11","gender":"F"},"type":"insert"}""")
+      query.processAllAvailable()
+
+      val kafka = spark.read.json(kafkaDir)
+      assert(kafka.count() === 1)
+      val rec = kafka.select("topic", "value").collect().head
+      assert(rec.getString(0) === "dwd_order_info")
+      assert(!rec.getString(1).contains("secret")) // pruned by allowlist
+
+      val dim = spark.read.parquet(s"$dimDir/dim_user_info")
+        .as[(String, String)].collect().toMap
+      assert(dim === Map("10" -> "M", "11" -> "F")) // upserted, not appended
+    } finally query.stop()
+  }
+}
