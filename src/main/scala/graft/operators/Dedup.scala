@@ -42,29 +42,28 @@ object Dedup {
                   textCol: String = "text", n: Int = 3): DataFrame =
     docs.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
 
-  /** MinHash signature table: id, h0..h{k-1}. One shuffle on id; the
-    * per-seed min is a partial-aggregatable `min(md5(seed||shingle))`
+  /** Per-seed minhash aggregate columns h0..h{k-1}: the min over a
+    * doc's shingle rows of md5(seed||shingle). Partial-aggregatable
     * (md5 hex strings are fixed-length, so lexicographic min == numeric
     * min — portable to any engine with md5).
     */
+  private def minhashAggs(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { k =>
+      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"h$k")
+    }
+
+  /** MinHash signature table: id, h0..h{k-1}. One shuffle on id. */
   def signatures(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", n: Int = 3,
                  numHashes: Int = 8): DataFrame = {
-    val aggs = (0 until numHashes).map { k =>
-      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"h$k")
-    }
+    val aggs = minhashAggs(numHashes)
     shingleRows(docs, idCol, textCol, n)
       .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** id → (band, key) rows: `bands` groups of `rowsPerBand` signature
-    * values, each group hashed to one bucket key. A pair of docs is a
-    * candidate iff they share at least one (band, key).
-    */
-  def lshBuckets(docs: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text",
-                 bands: Int = 2, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = signatures(docs, idCol, textCol, numHashes = bands * rowsPerBand)
+  /** Signature frame → (id, band, key) bucket rows. */
+  private def bandFrame(sigs: DataFrame, idCol: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val ks = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", ks: _*)).as("key"))
@@ -73,14 +72,8 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Candidate near-dup pairs: equi-self-join on the band key.
-    * Distinct (a < b) so each pair appears once however many bands
-    * collide.
-    */
-  def candidatePairs(docs: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text",
-                     bands: Int = 2, rowsPerBand: Int = 4): DataFrame = {
-    val bk = lshBuckets(docs, idCol, textCol, bands, rowsPerBand)
+  /** Bucket rows → distinct candidate (a < b) pairs. */
+  private def pairsFromBuckets(bk: DataFrame, idCol: String): DataFrame = {
     val a = bk.select(col("band"), col("key"), col(idCol).as("doc_a"))
     val b = bk.select(col("band").as("band_b"), col("key").as("key_b"),
       col(idCol).as("doc_b"))
@@ -89,6 +82,25 @@ object Dedup {
         col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
+
+  /** id → (band, key) rows: `bands` groups of `rowsPerBand` signature
+    * values, each group hashed to one bucket key. A pair of docs is a
+    * candidate iff they share at least one (band, key).
+    */
+  def lshBuckets(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 bands: Int = 2, rowsPerBand: Int = 4): DataFrame =
+    bandFrame(signatures(docs, idCol, textCol, numHashes = bands * rowsPerBand),
+      idCol, bands, rowsPerBand)
+
+  /** Candidate near-dup pairs: equi-self-join on the band key.
+    * Distinct (a < b) so each pair appears once however many bands
+    * collide.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     bands: Int = 2, rowsPerBand: Int = 4): DataFrame =
+    pairsFromBuckets(lshBuckets(docs, idCol, textCol, bands, rowsPerBand), idCol)
 
   /** Exact Jaccard similarity over shingle sets — the verification pass
     * applied to LSH candidates only.
@@ -107,18 +119,21 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
-                   n: Int = 3): DataFrame = {
+                   n: Int = 3, bands: Int = 2, rowsPerBand: Int = 4): DataFrame = {
     val sr = shingleRows(docs, idCol, textCol, n)
-    val sizes = sr.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val cand = candidatePairs(docs, idCol, textCol)
+    // one shuffle yields both the minhash signatures and the set sizes
+    val aggs = minhashAggs(bands * rowsPerBand) :+ count(lit(1)).as("n_sh")
+    val sigSize = sr.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val cand = pairsFromBuckets(
+      bandFrame(sigSize, idCol, bands, rowsPerBand), idCol)
     val inter = cand
       .join(sr.select(col(idCol).as("doc_a"), col("shingle")), "doc_a")
       .join(sr.select(col(idCol).as("doc_b"), col("shingle")),
         Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .join(sigSize.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sigSize.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))

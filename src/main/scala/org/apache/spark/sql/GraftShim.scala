@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to `private[sql]` Column↔Expression converters, so graft's
+  * native Catalyst expressions can surface as Columns. Lives in the
+  * Spark SQL package by necessity; keep it to these two calls.
+  */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -78,6 +78,21 @@ class SimilaritySpec extends AnyFunSuite {
       .as[Double].head()
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("codegen VecDot is bit-identical to the HOF left-fold formulation") {
+    val e = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val hofDot = aggregate(
+      zip_with(col("embedding"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val pairs = e.crossJoin(e.select(col("embedding").as("b")).limit(7))
+    val diffs = pairs.select(
+        (graft.functions.VecDot(col("embedding"), col("b")) - hofDot).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diffs === 0)
+  }
 }
 
 class TextFunctionsSpec extends AnyFunSuite {
