@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+
+/** Column-name conventions: the reference maps snake_case DB columns
+  * to camelCase bean fields with Guava CaseFormat (reference
+  * `gmall-realtime/src/main/java/com/atguigu/utils/JdbcUtil.java:46-48`).
+  * Pure string functions — applied to the schema, never per row.
+  */
+object Names {
+
+  def snakeToCamel(s: String): String = {
+    val parts = s.split("_")
+    (parts.head +: parts.tail.map(p =>
+      if (p.isEmpty) p else p.head.toUpper + p.tail)).mkString
+  }
+
+  def camelToSnake(s: String): String =
+    s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
+
+  /** Rename every column of a frame snake_case → camelCase. */
+  def camelized(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(snakeToCamel): _*)
+
+  /** Rename every column of a frame camelCase → snake_case. */
+  def snaked(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(camelToSnake): _*)
+}

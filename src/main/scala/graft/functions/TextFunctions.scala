@@ -27,6 +27,15 @@ object TextFunctions {
   def tokenSet(text: Column): Column =
     array_distinct(tokenize(lower(text)))
 
+  /** Script-aware tokenizer: CJK text goes through the dictionary
+    * segmenter (the reference's IK-analyzer role), everything else
+    * through the codegen'd whitespace split — so the UDF only runs
+    * where it must.
+    */
+  def tokenizeSmart(text: Column): Column =
+    when(text.rlike("[\\u4e00-\\u9fff]"), CjkSegmenter.tokenizeCjk(text))
+      .otherwise(tokenize(text))
+
   /** Tiny per-language stopword profiles for the n-gram-free heuristic
     * language ID. Deterministic and portable to the SQL oracle.
     */

@@ -34,13 +34,29 @@ object Dedup {
   }
 
   /** (id, shingle) rows — the distributed layout every downstream LSH
-    * stage works from. Exploding once and shuffling small (id, string)
-    * rows beats nested higher-order functions, which would re-evaluate
-    * the whole shingling tree once per minhash seed per join side.
+    * stage works from. Built from posexplode + window lead() rather
+    * than array higher-order functions: every operator here is
+    * codegen'd, and the window's hash partitioning on id is reused by
+    * the downstream signature groupBy (no second shuffle). Semantics
+    * match [[shingles]] exactly: distinct n-word shingles, short docs
+    * (< n words) contribute their full text (concat_ws skips the null
+    * leads).
     */
   def shingleRows(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text", n: Int = 3): DataFrame =
-    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+                  textCol: String = "text", n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .withColumn("_ws", split(col(textCol), " "))
+      .select(col(idCol), size(col("_ws")).as("_nw"),
+        posexplode(col("_ws")).as(Seq("_pos", "_w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val leads = (1 until n).map(i => lead(col("_w"), i).over(w))
+    words
+      .withColumn("_shingle", concat_ws(" ", (col("_w") +: leads): _*))
+      .filter(col("_pos") <= greatest(col("_nw") - n, lit(0)))
+      .select(col(idCol), col("_shingle").as("shingle"))
+      .distinct()
+  }
 
   /** Per-seed minhash aggregate columns h0..h{k-1}: the min over a
     * doc's shingle rows of md5(seed||shingle). Partial-aggregatable
@@ -100,7 +116,12 @@ object Dedup {
   def candidatePairs(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text",
                      bands: Int = 2, rowsPerBand: Int = 4): DataFrame =
-    pairsFromBuckets(lshBuckets(docs, idCol, textCol, bands, rowsPerBand), idCol)
+    // materialize the small bucket frame once — a self-join otherwise
+    // recomputes the whole shingle+signature lineage per side (AQE's
+    // broadcast path bypasses ReusedExchange)
+    pairsFromBuckets(
+      lshBuckets(docs, idCol, textCol, bands, rowsPerBand).localCheckpoint(),
+      idCol)
 
   /** Exact Jaccard similarity over shingle sets — the verification pass
     * applied to LSH candidates only.
@@ -120,10 +141,13 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 3, bands: Int = 2, rowsPerBand: Int = 4): DataFrame = {
-    val sr = shingleRows(docs, idCol, textCol, n)
+    // sr feeds three consumers (signatures+sizes, both intersection
+    // sides) and sigSize two — materialize each once
+    val sr = shingleRows(docs, idCol, textCol, n).localCheckpoint()
     // one shuffle yields both the minhash signatures and the set sizes
     val aggs = minhashAggs(bands * rowsPerBand) :+ count(lit(1)).as("n_sh")
     val sigSize = sr.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
     val cand = pairsFromBuckets(
       bandFrame(sigSize, idCol, bands, rowsPerBand), idCol)
     val inter = cand

@@ -87,7 +87,7 @@ object StatsJobs {
     val searches = pages
       .filter(col("page.item_type") === "keyword" && col("page.item").isNotNull)
       .select(col("event_time"),
-        explode(TextFunctions.tokenize(col("page.item"))).as("keyword"),
+        explode(TextFunctions.tokenizeSmart(col("page.item"))).as("keyword"),
         lit(KeywordSource.SEARCH).as("source"))
     windowBounds(
       searches.groupBy(win("event_time", width).as("w"),

@@ -14,6 +14,7 @@ object WarehouseDemo {
 
     val logs = Seq(
       """{"common":{"mid":"m1","uid":"u1","is_new":"1","vc":"v1","ch":"web","ar":"1","ba":"X","md":"M","os":"A"},"page":{"page_id":"home","during_time":5,"item":"spark engine","item_type":"keyword"},"ts":1620043200000}""",
+      """{"common":{"mid":"m2","uid":"u2","is_new":"1","vc":"v1","ch":"app","ar":"1","ba":"X","md":"M","os":"A"},"page":{"page_id":"home","during_time":3,"item":"尚硅谷大数据","item_type":"keyword"},"ts":1620043201000}""",
       "junk").toDF("value")
     val cdc = Seq(
       """{"database":"g","tableName":"order_info","before":{},"after":{"id":"1","province_id":"2","order_status":"1001","user_id":"10","total_amount":"5.00","create_time":"2021-05-03 12:00:00"},"type":"insert"}""",

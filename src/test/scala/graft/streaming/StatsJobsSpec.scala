@@ -62,6 +62,16 @@ class StatsJobsSpec extends AnyFunSuite {
     assert(out === Set(("Beijing", 30.0, 1L), ("Shanghai", 5.0, 1L)))
   }
 
+  test("keywordStats segments CJK search items via the dictionary UDF") {
+    val pages = Seq(("尚硅谷大数据", "keyword", t0))
+      .toDF("item", "item_type", "t")
+      .withColumn("page", struct(col("item"), col("item_type")))
+      .withColumn("event_time", to_timestamp(col("t")))
+    val out = StatsJobs.keywordStats(pages)
+      .select("keyword", "ct").as[(String, Long)].collect().toSet
+    assert(out === Set(("尚硅谷", 1L), ("大数据", 1L)))
+  }
+
   test("keywordStats tokenizes search items and counts per window") {
     val pages = Seq(
       ("big data spark", "keyword", t0),
