@@ -60,6 +60,47 @@ object StatsJobs {
           sum(col("split_total_amount")).as("order_amount"),
           countDistinct(col("wide_order_id")).as("order_ct")))
 
+  /** The measure surface of bean/ProductStats.java:21-87: long counts,
+    * money sums, and the three distinct-id Set accumulators.
+    */
+  private val psLongCols = Seq("display_ct", "click_ct", "favor_ct",
+    "cart_ct", "order_sku_num", "comment_ct", "good_comment_ct")
+  private val psMoneyCols = Seq("order_amount", "payment_amount",
+    "refund_amount")
+  private val psIdCols = Seq("order_id", "paid_order_id", "refund_order_id")
+
+  /** Full ProductStats: every input stream (display / click / favor /
+    * cart / order / payment / refund / comment) contributes marker
+    * columns; one keyed windowed aggregation produces the complete
+    * declared bean surface. Inputs need `sku_id`, `event_time`, and
+    * whichever measure columns they carry — the rest default to
+    * 0 / null here (the reference's union → keyBy → reduce pattern).
+    */
+  def productStatsFull(inputs: Seq[DataFrame],
+                       width: String = "10 seconds"): DataFrame = {
+    val money = org.apache.spark.sql.types.DecimalType(16, 2)
+    val base = inputs.map { df =>
+      val withLongs = psLongCols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(0L)))
+      val withMoney = psMoneyCols.foldLeft(withLongs)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(money)))
+      psIdCols.foldLeft(withMoney)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast("long")))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val aggs =
+      psLongCols.map(c => sum(col(c)).as(c)) ++
+        psMoneyCols.map(c => coalesce(sum(col(c)), lit(0).cast(money)).as(c)) ++
+        Seq(
+          countDistinct(col("order_id")).as("order_ct"),
+          countDistinct(col("paid_order_id")).as("paid_order_ct"),
+          countDistinct(col("refund_order_id")).as("refund_order_ct"))
+    windowBounds(
+      base.groupBy(win("event_time", width).as("w"), col("sku_id"))
+        .agg(aggs.head, aggs.tail: _*))
+  }
+
   /** ProvinceStats — expressed in SQL like the curriculum's Flink-SQL
     * layer (bean/ProvinceStats.java:16-39).
     */

@@ -93,8 +93,29 @@ object Warehouse {
       when(col("page.last_page_id").isNull, 1L).otherwise(0L).as("sv_ct"),
       coalesce(col("page.during_time"), lit(0L)).as("dur_sum"))
     val visitorStats = StatsJobs.visitorStats(Seq(pageForStats))
-    val productStats = StatsJobs.productStats(
-      orderWide.withColumnRenamed("order_id", "wide_order_id"))
+    // full A2 surface: display + click + order + payment streams merge
+    // into one keyed windowed aggregation
+    val displayIn = logOut("display")
+      .filter(col("item_type") === "sku_id")
+      .select(col("item").cast(LongType).as("sku_id"),
+        timestamp_millis(col("ts")).as("event_time"),
+        lit(1L).as("display_ct"))
+    val clickIn = page
+      .filter(col("page.item_type") === "sku_id" && col("page.item").isNotNull)
+      .select(col("page.item").cast(LongType).as("sku_id"),
+        timestamp_millis(col("ts")).as("event_time"),
+        lit(1L).as("click_ct"))
+    val orderIn = orderWide.select(col("sku_id"),
+      col("order_event_time").as("event_time"),
+      col("sku_num").as("order_sku_num"),
+      col("split_total_amount").as("order_amount"),
+      col("order_id"))
+    val paymentIn = paymentWide.select(col("sku_id"),
+      col("payment_event_time").as("event_time"),
+      col("split_total_amount").as("payment_amount"),
+      col("order_id").as("paid_order_id"))
+    val productStats = StatsJobs.productStatsFull(
+      Seq(displayIn, clickIn, orderIn, paymentIn))
     val provinceStats = StatsJobs.provinceStats(spark,
       orderWide.withColumnRenamed("order_id", "wide_order_id"))
     val keywordStats = StatsJobs.keywordStats(

@@ -47,6 +47,33 @@ class StatsJobsSpec extends AnyFunSuite {
     assert(out === Set((100L, 6L, 2L), (200L, 1L, 1L)))
   }
 
+  test("productStatsFull merges display/click/order/payment streams into one surface") {
+    val display = Seq((100L, t0, 1L)).toDF("sku_id", "t", "display_ct")
+      .withColumn("event_time", to_timestamp(col("t"))).drop("t")
+    val click = Seq((100L, t0, 1L), (100L, t1, 1L))
+      .toDF("sku_id", "t", "click_ct")
+      .withColumn("event_time", to_timestamp(col("t"))).drop("t")
+    val order = Seq(
+      (100L, t0, 2L, java.math.BigDecimal.valueOf(40.0), 1L),
+      (100L, t1, 1L, java.math.BigDecimal.valueOf(59.5), 1L))
+      .toDF("sku_id", "t", "order_sku_num", "order_amount", "order_id")
+      .withColumn("event_time", to_timestamp(col("t"))).drop("t")
+    val payment = Seq(
+      (100L, t1, java.math.BigDecimal.valueOf(99.5), 1L))
+      .toDF("sku_id", "t", "payment_amount", "paid_order_id")
+      .withColumn("event_time", to_timestamp(col("t"))).drop("t")
+
+    val out = StatsJobs.productStatsFull(
+        Seq(display, click, order, payment))
+      .select("sku_id", "display_ct", "click_ct", "order_sku_num",
+        "order_amount", "order_ct", "payment_amount", "paid_order_ct",
+        "refund_order_ct")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDecimal(4).doubleValue, r.getLong(5),
+        r.getDecimal(6).doubleValue, r.getLong(7), r.getLong(8))).toSet
+    assert(out === Set((100L, 1L, 2L, 3L, 99.5, 1L, 99.5, 1L, 0L)))
+  }
+
   test("provinceStats SQL layer aggregates per province per window") {
     val ow = Seq(
       (2L, "Beijing", 1L, java.math.BigDecimal.valueOf(10.0), t0),

@@ -106,11 +106,17 @@ class WarehouseSpec extends AnyFunSuite {
     // window [12:00:00,12:00:10): mid_1 entry (sv) + mid_2 entry (sv) + mid_1 page
     assert(vs === Set((3L, 2L, 15000L)))
 
-    // product stats: sku 100 has 2 details, 1 distinct order, 3 sku_num
+    // product stats (full surface): the order window row carries the
+    // order measures; the payment at 12:10 lands in its own window with
+    // the payment measures
     val ps = out("product_stats")
-      .select("sku_id", "order_sku_num", "order_ct").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(ps === Set((100L, 3L, 1L)))
+      .select("stt", "sku_id", "order_sku_num", "order_ct",
+        "payment_amount", "paid_order_ct").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDecimal(4).doubleValue, r.getLong(5))).toSet
+    assert(ps === Set(
+      ("2021-05-03 12:00:10", 100L, 3L, 1L, 0.0, 0L),
+      ("2021-05-03 12:10:00", 100L, 0L, 0L, 99.5, 1L)))
 
     // province stats: one order, 99.50 total across the two split rows
     val prs = out("province_stats")
