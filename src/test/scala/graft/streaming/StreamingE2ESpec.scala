@@ -47,6 +47,32 @@ class StreamingE2ESpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("file-stream source feeds LogSplitJob through the unified value seam") {
+    import graft.sources.Sources
+    val inDir = Files.createTempDirectory("src_in").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/log1.json"),
+      ("""{"common":{"mid":"m1","uid":"u1","is_new":"1","vc":"v1","ch":"web","ar":"1","ba":"X","md":"M","os":"A"},"start":{"entry":"icon","open_ad_id":1,"loading_time":1,"open_ad_ms":1,"open_ad_skip_ms":0},"ts":1620043200000}""" +
+        "\nnot json").getBytes("UTF-8"))
+    val stream = Sources.read(spark,
+      Sources.FileStream(inDir, maxFilesPerTrigger = Some(1)))
+    assert(stream.isStreaming)
+    val outDir = Files.createTempDirectory("src_out").toString
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (clean, dirty) = LogSplitJob.parse(batch)
+        clean.write.mode("append").json(s"$outDir/clean")
+        dirty.write.mode("append").json(s"$outDir/dirty")
+        ()
+      }.start()
+    try {
+      query.processAllAvailable()
+      assert(spark.read.json(s"$outDir/clean").count() === 1)
+      assert(spark.read.json(s"$outDir/dirty").count() === 1)
+      // batch path reads the same seam
+      assert(Sources.read(spark, Sources.BatchDir(inDir)).count() === 2)
+    } finally query.stop()
+  }
+
   test("checkpointed query restarts exactly-once: no duplicates, no loss") {
     import java.nio.charset.StandardCharsets
     val inDir = Files.createTempDirectory("ck_in").toString
