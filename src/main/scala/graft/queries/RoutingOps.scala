@@ -20,12 +20,16 @@ object RoutingOps {
   /** Deterministic CDC op derived from the payload: the event's k value
     * mod 10 → delete (2), create (3), else insert/update split.
     */
+  /** Branchless lookup — a when-chain re-evaluates the JSON parse per
+    * branch (conditional branches defeat subexpression elimination);
+    * element_at over a literal array parses once per row.
+    */
+  private val opTable = Array("update", "update", "delete", "create",
+    "insert", "insert", "insert", "insert", "insert", "insert")
+
   private def opCol: org.apache.spark.sql.Column = {
     val k = get_json_object(col("props"), "$.k").cast(LongType)
-    when(k % 10 === 2, "delete")
-      .when(k % 10 === 3, "create")
-      .when(k % 10 < 2, "update")
-      .otherwise("insert")
+    element_at(lit(opTable), (k % 10 + 1).cast("int"))
   }
 
   private val sqlOp =
