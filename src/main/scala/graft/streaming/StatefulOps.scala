@@ -162,7 +162,9 @@ object StatefulOps {
   }
 
   /** Batch bounce detection: entry pages whose next page view for the
-    * same mid is > gap away (or absent).
+    * same mid is > gap away (or absent). Passes the full entry row
+    * through (minus the helper column) so downstream stats keep their
+    * dimension columns.
     */
   def bounceBatch(df: DataFrame, gapMillis: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -170,6 +172,6 @@ object StatefulOps {
     df.withColumn("next_ts", lead(col("ts"), 1).over(w))
       .filter((col("last_page_id").isNull || col("last_page_id") === "") &&
         (col("next_ts").isNull || col("next_ts") - col("ts") > gapMillis))
-      .select(col("mid"), col("ts"))
+      .drop("next_ts")
   }
 }

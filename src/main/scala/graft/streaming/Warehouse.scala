@@ -85,14 +85,32 @@ object Warehouse {
     val paymentWide = WideJobs.paymentWide(paymentInfo, orderWide)
 
     // ---- DWS ---------------------------------------------------------------
-    val pageForStats = page.select(
-      col("common.vc").as("vc"), col("common.ch").as("ch"),
-      col("common.ar").as("ar"), col("common.is_new").as("is_new"),
+    val pageFlat = page.select(
+      col("common.mid").as("mid"), col("common.vc").as("vc"),
+      col("common.ch").as("ch"), col("common.ar").as("ar"),
+      col("common.is_new").as("is_new"), col("ts"),
+      col("page.last_page_id").as("last_page_id"),
+      col("page.during_time").as("during_time"))
+    val pageForStats = pageFlat.select(
+      col("vc"), col("ch"), col("ar"), col("is_new"),
       timestamp_millis(col("ts")).as("event_time"),
       lit(1L).as("pv_ct"),
-      when(col("page.last_page_id").isNull, 1L).otherwise(0L).as("sv_ct"),
-      coalesce(col("page.during_time"), lit(0L)).as("dur_sum"))
-    val visitorStats = StatsJobs.visitorStats(Seq(pageForStats))
+      when(col("last_page_id").isNull, 1L).otherwise(0L).as("sv_ct"),
+      coalesce(col("during_time"), lit(0L)).as("dur_sum"))
+    // uv: first page event per mid per day (A5), contributing uv_ct
+    val uvIn = pageFlat
+      .withColumn("dt", to_date(timestamp_millis(col("ts"))))
+      .groupBy(col("mid"), col("dt"))
+      .agg(min(struct(col("ts"), col("vc"), col("ch"), col("ar"),
+        col("is_new"))).as("f"))
+      .select(col("f.vc").as("vc"), col("f.ch").as("ch"),
+        col("f.ar").as("ar"), col("f.is_new").as("is_new"),
+        timestamp_millis(col("f.ts")).as("event_time"), lit(1L).as("uv_ct"))
+    // uj: bounced session entries (the CEP-shaped operator), uj_ct
+    val ujIn = StatefulOps.bounceBatch(pageFlat)
+      .select(col("vc"), col("ch"), col("ar"), col("is_new"),
+        timestamp_millis(col("ts")).as("event_time"), lit(1L).as("uj_ct"))
+    val visitorStats = StatsJobs.visitorStats(Seq(pageForStats, uvIn, ujIn))
     // full A2 surface: display + click + order + payment streams merge
     // into one keyed windowed aggregation
     val displayIn = logOut("display")

@@ -67,7 +67,7 @@ class StatefulOpsSpec extends AnyFunSuite {
       ("m2", day1 + 1000L, null.asInstanceOf[String])
     ).toDF("mid", "ts", "last_page_id")
     val bounces = StatefulOps.bounceBatch(df, gapMillis = 10000L)
-      .as[(String, Long)].collect().toSet
+      .select("mid", "ts").as[(String, Long)].collect().toSet
     assert(bounces === Set(("m1", day1 + 100000L), ("m2", day1 + 1000L)))
   }
 

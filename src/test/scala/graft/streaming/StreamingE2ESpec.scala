@@ -47,6 +47,36 @@ class StreamingE2ESpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("windowed agg drops events later than the watermark (T2 semantics)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", "5 seconds")
+      .groupBy(window(col("event_time"), "10 seconds"), col("k"))
+      .count()
+    val query = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      val base = 1620043200000L // 12:00:00
+      input.addData((base + 1000, "a"), (base + 2000, "a"))
+      query.processAllAvailable()
+      // watermark → 11:59:57; push it far past the first window's end
+      input.addData((base + 60000, "b"))
+      query.processAllAvailable()
+      input.addData((base + 120000, "b"))
+      query.processAllAvailable()
+      // this event's window [12:00:00,12:00:10) closed long ago → dropped
+      input.addData((base + 3000, "a"))
+      query.processAllAvailable()
+      input.addData((base + 180000, "c"))
+      query.processAllAvailable()
+      val out = spark.table("late_out")
+        .select(col("k"), col("count")).as[(String, Long)].collect().toMap
+      assert(out("a") === 2L) // late third event not counted
+    } finally query.stop()
+  }
+
   test("file-stream source feeds LogSplitJob through the unified value seam") {
     import graft.sources.Sources
     val inDir = Files.createTempDirectory("src_in").toString

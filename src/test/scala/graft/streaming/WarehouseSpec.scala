@@ -99,12 +99,14 @@ class WarehouseSpec extends AnyFunSuite {
     // PaymentWide: the payment matches both wide rows
     assert(out("payment_wide").count() === 2)
 
-    // DWS: visitor stats — 3 page views in one 10s window... windows split
+    // DWS: visitor stats in window [12:00:00,12:00:10): 3 page views,
+    // 2 session entries, 2 unique visitors, 1 bounce (mid_2's lone
+    // entry; mid_1's follow-up came 4s later, inside the gap)
     val vs = out("visitor_stats")
-      .select("pv_ct", "sv_ct", "dur_sum").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // window [12:00:00,12:00:10): mid_1 entry (sv) + mid_2 entry (sv) + mid_1 page
-    assert(vs === Set((3L, 2L, 15000L)))
+      .select("pv_ct", "sv_ct", "uv_ct", "uj_ct", "dur_sum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(vs === Set((3L, 2L, 2L, 1L, 15000L)))
 
     // product stats (full surface): the order window row carries the
     // order measures; the payment at 12:10 lands in its own window with
