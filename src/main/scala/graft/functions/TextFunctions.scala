@@ -70,23 +70,30 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[^a-zA-Z0-9 ]"))
 
+  /** nTokens with 0 mapped to null, so ratio denominators yield null
+    * for empty docs instead of a fatal ANSI DIVIDE_BY_ZERO.
+    */
+  private def nTokensDenom(text: Column): Column = nullif(nTokens(text), lit(0))
+
   def stopwordRatio(text: Column): Column = {
     val stops = lit(langProfiles.flatMap(_._2).distinct.toArray)
     size(filter(tokenize(lower(text)), w => array_contains(stops, w)))
-      .cast(DoubleType) / nTokens(text)
+      .cast(DoubleType) / nTokensDenom(text)
   }
 
   def avgTokenLen(text: Column): Column =
-    (length(text) - (nTokens(text) - lit(1))).cast(DoubleType) / nTokens(text)
+    (length(text) - (nTokens(text) - lit(1))).cast(DoubleType) /
+      nTokensDenom(text)
 
   /** Composite quality score in [0,1]-ish: favors mid-length docs with
-    * a natural stopword ratio and low punctuation noise.
+    * a natural stopword ratio and low punctuation noise. Null (not an
+    * error) for empty/whitespace-only docs.
     */
   def qualityScore(text: Column): Column = {
     val lenScore = least(nTokens(text).cast(DoubleType) / lit(100.0), lit(1.0))
     val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
     val punctPenalty =
-      least(punctCount(text).cast(DoubleType) / nTokens(text), lit(1.0))
+      least(punctCount(text).cast(DoubleType) / nTokensDenom(text), lit(1.0))
     lenScore * lit(0.4) + stopScore * lit(0.4) +
       (lit(1.0) - punctPenalty) * lit(0.2)
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Dot product of two `array<float>` columns as a native Catalyst
   * expression with whole-stage codegen.
@@ -24,18 +24,34 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs are produced only by the typed API below (array<float>);
-  // no ExpectsInputTypes — AbstractDataType is private[sql]
+  // no ExpectsInputTypes (AbstractDataType is private[sql]); instead
+  // the element accessor is resolved from the actual child types, and
+  // anything but array<float>/array<double> fails analysis loudly —
+  // reading a double array with getFloat would silently reinterpret
+  // bits and corrupt every score
+  private def accessor(e: Expression, side: String): String = e.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case other => throw new IllegalArgumentException(
+      s"vec_dot $side input must be array<float> or array<double>, got ${other.sql}")
+  }
+  private lazy val leftGet = accessor(left, "left")
+  private lazy val rightGet = accessor(right, "right")
+
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val lf = leftGet == "getFloat"
+    val rf = rightGet == "getFloat"
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -50,7 +66,7 @@ case class VecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += ((double) $a.$leftGet($i)) * ((double) $b.$rightGet($i));
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -51,7 +51,10 @@ object Multimodal {
     * first bytes, an 8-dim "feature vector" from a rolling byte hash.
     * Replace with a real codec in production — signature is the seam.
     */
-  private[operators] def decodeStub(id: Long, bytes: Array[Byte]): Row = {
+  private[operators] def decodeStub(id: Long, bytesOrNull: Array[Byte]): Row = {
+    // null payloads (missing blobs) decode like empty ones instead of
+    // NPE-ing the partition
+    val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
     val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
     val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
     val width = (b0 % 64) * 16 + 64
@@ -74,6 +77,7 @@ object Multimodal {
              payloadCol: String = "payload"): DataFrame = {
     val session = df.sparkSession
     val input = df.select(col(idCol).cast(LongType), col(payloadCol))
+      .filter(col(idCol).isNotNull)
     val rows = input.rdd.mapPartitions { it =>
       // per-partition init happens here (decoder/codec state)
       it.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))

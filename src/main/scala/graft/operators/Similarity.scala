@@ -34,7 +34,11 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine with a zero-norm guard: a zero vector (failed encode,
+    * padding row) yields null instead of a fatal ANSI DIVIDE_BY_ZERO.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Exact top-k neighbors for each query vector.
     *
@@ -69,7 +73,8 @@ object Similarity {
   private def rank(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = pairs.withColumn("cos_sim",
-      dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
+      dot(col("q_vec"), col("n_vec")) /
+        nullif(col("q_nrm") * col("n_nrm"), lit(0.0)))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -89,8 +94,8 @@ object Similarity {
       col(vecCol).as("vb"), norm(col(vecCol)).as("nrm_b"))
     a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        (dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
-          .as("cos_sim"))
+        (dot(col("va"), col("vb")) /
+          nullif(col("nrm_a") * col("nrm_b"), lit(0.0))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -29,7 +29,9 @@ object RoutingOps {
 
   private def opCol: org.apache.spark.sql.Column = {
     val k = get_json_object(col("props"), "$.k").cast(LongType)
-    element_at(lit(opTable), (k % 10 + 1).cast("int"))
+    // coalesce mirrors the oracle's CASE ... ELSE 'insert' when the
+    // payload lacks k (null index → null lookup)
+    coalesce(element_at(lit(opTable), (k % 10 + 1).cast("int")), lit("insert"))
   }
 
   private val sqlOp =

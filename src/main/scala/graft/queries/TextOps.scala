@@ -101,13 +101,13 @@ object TextOps {
          |    $sqlNTokens AS n_tokens,
          |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS punct_ct,
          |    CAST(len(list_filter(list_filter(string_split(lower(text),' '), x -> len(x) > 0),
-         |        w -> list_contains($stops, w))) AS DOUBLE) / $sqlNTokens AS stop_ratio
+         |        w -> list_contains($stops, w))) AS DOUBLE) / nullif($sqlNTokens, 0) AS stop_ratio
          |  FROM documents)
          |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
          |  CAST(punct_ct AS INT) AS punct_ct, stop_ratio,
          |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
          |    + least(stop_ratio * 4.0, 1.0) * 0.4
-         |    + (1.0 - least(CAST(punct_ct AS DOUBLE) / n_tokens, 1.0)) * 0.2 AS quality
+         |    + (1.0 - least(CAST(punct_ct AS DOUBLE) / nullif(n_tokens, 0), 1.0)) * 0.2 AS quality
          |FROM m""".stripMargin
     },
 

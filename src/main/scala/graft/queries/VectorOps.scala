@@ -49,7 +49,7 @@ object VectorOps {
        |  (acc, v) -> acc + v)""".stripMargin
 
   private def sqlCos(qa: String, qb: String, na: String, nb: String): String =
-    s"${sqlDot(qa, qb)} / ($na * $nb)"
+    s"${sqlDot(qa, qb)} / nullif($na * $nb, 0.0)"
 
   private val sqlWithNorm =
     s"""SELECT vec_id, label, embedding,

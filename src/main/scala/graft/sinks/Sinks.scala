@@ -31,26 +31,42 @@ object Sinks {
     * the dir with the batch's schema. At scale this becomes a Delta/
     * Iceberg MERGE — the call-site contract is identical.
     */
+  /** @param orderCol when the batch can carry several changes for one
+    *   pk, names the column whose max picks the winner (last-write-wins,
+    *   like applying the CDC rows in order); without it an arbitrary
+    *   row per pk survives.
+    */
   def upsertDim(spark: SparkSession, batch: DataFrame, baseDir: String,
-                table: String, pk: String = "id"): Unit = {
+                table: String, pk: String = "id",
+                orderCol: Option[String] = None): Unit = {
     val path = s"$baseDir/$table"
-    val dedupedBatch = batch.dropDuplicates(pk)
+    val dedupedBatch = orderCol match {
+      case Some(oc) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(pk)).orderBy(col(oc).desc)
+        batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      case None => batch.dropDuplicates(pk)
+    }
     val merged =
       if (new java.io.File(path).exists()) {
         val existing = spark.read.parquet(path)
         existing.join(dedupedBatch.select(col(pk)), Seq(pk), "left_anti")
           .unionByName(dedupedBatch, allowMissingColumns = true)
       } else dedupedBatch
-    // write via temp + swap so a failed write can't corrupt the table
-    val tmp = s"$baseDir/.tmp_$table"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // write via temp + swap so a failed write can't corrupt the table;
+    // every rename is checked — a silently failed swap would report
+    // success while dropping the batch's upserts
+    val tmp = new java.io.File(s"$baseDir/.tmp_$table")
+    val old = new java.io.File(s"$baseDir/.old_$table")
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
     val dst = new java.io.File(path)
     if (dst.exists()) {
-      val old = new java.io.File(s"$baseDir/.old_$table")
-      dst.renameTo(old)
-      new java.io.File(tmp).renameTo(dst)
+      require(dst.renameTo(old), s"upsertDim: could not stage $path aside")
+      require(tmp.renameTo(dst), s"upsertDim: could not publish $path")
       org.apache.commons.io.FileUtils.deleteDirectory(old)
-    } else new java.io.File(tmp).renameTo(dst)
+    } else require(tmp.renameTo(dst), s"upsertDim: could not publish $path")
   }
 
   /** OLAP sink: drop accumulator/transient columns then append

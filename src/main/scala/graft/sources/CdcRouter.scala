@@ -62,9 +62,12 @@ object CdcRouter {
   def normalizeOp(op: Column): Column =
     when(op.isin("create", "bootstrap-insert"), "insert").otherwise(op)
 
-  /** Drop CDC deletes (reference `BaseDbApp.java:45-50`). */
+  /** Drop CDC deletes (reference `BaseDbApp.java:45-50`). Null-safe:
+    * only rows explicitly equal to "delete" are removed — a null op
+    * must not silently vanish.
+    */
   def filterDeletes(df: DataFrame, opCol: String = "type"): DataFrame =
-    df.filter(col(opCol) =!= "delete")
+    df.filter(!(col(opCol) <=> "delete"))
 
   /** Route rows by (sourceTable, operateType) against a small config
     * table. Broadcast join; unmatched rows are dropped (the reference

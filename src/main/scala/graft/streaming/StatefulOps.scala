@@ -73,7 +73,11 @@ object StatefulOps {
             var cur = lastDay
             sorted.foreach { e =>
               val d = dayOf(e.ts)
-              if (!cur.contains(d)) { out += e; cur = Some(d) }
+              // strictly-later day only: a late previous-day event
+              // arriving after rollover is dropped rather than
+              // re-emitted (which would also double-count the current
+              // day's next event); ISO dates compare lexicographically
+              if (cur.forall(_ < d)) { out += e; cur = Some(d) }
             }
             cur.foreach { d =>
               state.update(d)

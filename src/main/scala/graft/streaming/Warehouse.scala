@@ -32,7 +32,10 @@ object Warehouse {
                         cols: Map[String, DataType]): DataFrame = {
     val base = routed.filter(col("sinkTable") === s"dwd_$table")
     cols.foldLeft(base) { case (df, (name, dt)) =>
-      df.withColumn(name, col("after")(name).cast(dt))
+      // try_cast: a junk field value in one CDC payload must yield a
+      // null column, not abort the whole job under ANSI mode (the
+      // dead-letter gate only catches unparseable envelopes)
+      df.withColumn(name, expr(s"try_cast(after['$name'] AS ${dt.sql})"))
     }.select(cols.keys.toSeq.map(col): _*)
   }
 
@@ -95,7 +98,10 @@ object Warehouse {
       col("vc"), col("ch"), col("ar"), col("is_new"),
       timestamp_millis(col("ts")).as("event_time"),
       lit(1L).as("pv_ct"),
-      when(col("last_page_id").isNull, 1L).otherwise(0L).as("sv_ct"),
+      // entry predicate must match bounceBatch's (null OR empty), or a
+      // window could report more bounces than session entries
+      when(col("last_page_id").isNull || col("last_page_id") === "", 1L)
+        .otherwise(0L).as("sv_ct"),
       coalesce(col("during_time"), lit(0L)).as("dur_sum"))
     // uv: first page event per mid per day (A5), contributing uv_ct
     val uvIn = pageFlat
