@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -24,11 +25,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // no ExpectsInputTypes (AbstractDataType is private[sql]); instead
-  // the element accessor is resolved from the actual child types, and
-  // anything but array<float>/array<double> fails analysis loudly —
-  // reading a double array with getFloat would silently reinterpret
-  // bits and corrupt every score
+  // no ExpectsInputTypes (AbstractDataType is private[sql]);
+  // checkInputDataTypes rejects anything but array<float>/array<double>
+  // at analysis time — reading a double array with getFloat would
+  // silently reinterpret bits and corrupt every score
+  private def supported(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (supported(left.dataType) && supported(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "vec_dot inputs must be array<float> or array<double>, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
   private def accessor(e: Expression, side: String): String = e.dataType match {
     case ArrayType(FloatType, _) => "getFloat"
     case ArrayType(DoubleType, _) => "getDouble"

@@ -86,14 +86,16 @@ object Multimodal {
   }
 
   /** Deterministic frame sampling for "video" payloads: n byte-offsets
-    * evenly spaced, each frame summarized by one digest value.
+    * evenly spaced, each frame summarized by one digest. md5 (not
+    * crc32) because it is portable across engines — the DuckDB oracle
+    * computes the identical hex string.
     */
   def sampleFrames(df: DataFrame, n: Int, payloadCol: String = "payload"): DataFrame = {
     val idx = sequence(lit(0), lit(n - 1))
     df.withColumn("frame_digests",
       transform(idx, i => {
-        val off = (i * length(col(payloadCol))) / n
-        crc32(col(payloadCol).substr(off + 1, lit(16)))
+        val off = floor(i * length(col(payloadCol)) / n).cast(IntegerType)
+        md5(col(payloadCol).substr(off + 1, lit(16)))
       }))
   }
 }

@@ -8,8 +8,10 @@ import graft.operators.Multimodal
 
 /** Multimodal-column operators over `documents` (text bytes stand in
   * for media blobs — the container has no codecs; see Multimodal).
-  * m1 has a full SQL oracle; m2/m3 exercise the mapPartitions decode
-  * path, which is not SQL-expressible → rows-only check by the driver.
+  * All three have full SQL oracles: the deterministic decode stub's
+  * header math and the md5 frame digests are SQL-expressible over the
+  * ASCII stand-in payloads (the mapPartitions plumbing is what m2
+  * actually exercises; the oracle checks its output, not its shape).
   */
 object MultimodalOps {
 
@@ -23,16 +25,21 @@ object MultimodalOps {
         .select(col("doc_id"), col("byte_len"), col("sha"), col("header_hex"))
     },
 
-    // ---- stubbed decode via mapPartitions (rows-only check) --------------
+    // ---- stubbed decode via mapPartitions --------------------------------
     "m2_decode_features" -> { (s, dir) =>
       Multimodal.decode(Multimodal.withPayload(docs(s, dir)))
         .select(col("doc_id"), col("width"), col("height"), col("channels"))
     },
 
-    // ---- deterministic frame sampling (rows-only check) ------------------
+    // ---- deterministic frame sampling ------------------------------------
+    // posexplode to scalar rows: array columns can't be sorted/hashed
+    // by the driver's compare, and exploded rows are the shape a
+    // downstream per-frame pipeline wants anyway
     "m3_frame_sample" -> { (s, dir) =>
       Multimodal.sampleFrames(Multimodal.withPayload(docs(s, dir)), n = 4)
-        .select(col("doc_id"), col("frame_digests"))
+        .select(col("doc_id"), posexplode(col("frame_digests")))
+        .select(col("doc_id"), col("pos").cast("int").as("frame_idx"),
+          col("col").as("frame_digest"))
     })
 
   def oracle: Map[String, String] = Map(
@@ -42,6 +49,21 @@ object MultimodalOps {
         | CAST(strlen(text) AS INT) AS byte_len,
         | sha256(text) AS sha,
         | upper(hex(substr(text, 1, 4))) AS header_hex
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // decodeStub header math over ASCII bytes: b0/b1 = first two chars
+    "m2_decode_features" ->
+      """SELECT doc_id,
+        | CAST((CASE WHEN strlen(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END % 64) * 16 + 64 AS INT) AS width,
+        | CAST((CASE WHEN strlen(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END % 64) * 16 + 64 AS INT) AS height,
+        | CAST(3 AS INT) AS channels
+        |FROM documents""".stripMargin,
+
+    "m3_frame_sample" ->
+      """SELECT d.doc_id,
+        | CAST(g.i AS INT) AS frame_idx,
+        | md5(substr(d.text, CAST(floor(g.i * strlen(d.text) / 4) AS INT) + 1, 16)) AS frame_digest
+        |FROM documents d
+        |CROSS JOIN generate_series(0, 3) AS g(i)""".stripMargin
   )
 }

@@ -160,8 +160,10 @@ object Relational {
 
     // ---- F1: JSON field extraction ---------------------------------------
     "q10_json_extract" -> { (s, dir) =>
+      // try_cast (mirrored by TRY_CAST in the oracle): a non-numeric
+      // props.k nulls out instead of aborting under ANSI mode
       ev(s, dir)
-        .select(get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .select(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("ct"), sum(col("k")).as("k_sum"))
     },
@@ -299,9 +301,9 @@ object Relational {
         |FROM events GROUP BY 1""".stripMargin,
 
     "q10_json_extract" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      """SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         | COUNT(*) AS ct,
-        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        | CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
         |FROM events GROUP BY 1""".stripMargin,
 
     "q15_product_stats" ->

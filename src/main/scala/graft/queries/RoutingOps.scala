@@ -28,16 +28,23 @@ object RoutingOps {
     "insert", "insert", "insert", "insert", "insert", "insert")
 
   private def opCol: org.apache.spark.sql.Column = {
-    val k = get_json_object(col("props"), "$.k").cast(LongType)
-    // coalesce mirrors the oracle's CASE ... ELSE 'insert' when the
-    // payload lacks k (null index → null lookup)
-    coalesce(element_at(lit(opTable), (k % 10 + 1).cast("int")), lit("insert"))
+    // try_cast: a non-numeric k nulls out (→ 'insert') instead of
+    // aborting under ANSI mode, mirroring the oracle's TRY_CAST
+    val k = expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    // k % 10 is a C-style remainder on both engines, so negative k gives
+    // a negative remainder; the oracle's `< 2` branch maps every
+    // negative remainder to 'update'. Guard the index the same way —
+    // two `when`s (not otherwise) so a null k stays null and falls to
+    // the coalesce's 'insert', exactly the oracle's ELSE
+    val idx = when(k >= 0, (k % 10 + 1).cast("int"))
+      .when(k < 0, lit(1))
+    coalesce(element_at(lit(opTable), idx), lit("insert"))
   }
 
   private val sqlOp =
-    """CASE WHEN CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 = 2 THEN 'delete'
-      |     WHEN CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 = 3 THEN 'create'
-      |     WHEN CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 < 2 THEN 'update'
+    """CASE WHEN TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 = 2 THEN 'delete'
+      |     WHEN TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 = 3 THEN 'create'
+      |     WHEN TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 < 2 THEN 'update'
       |     ELSE 'insert' END""".stripMargin
 
   /** The routing config: sourceTable=event_type, operateType, sink. */

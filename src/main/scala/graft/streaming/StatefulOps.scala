@@ -125,7 +125,10 @@ object StatefulOps {
     * correctness harness; both paths emit the same rows for in-order
     * input.
     */
-  case class BounceState(entryTs: Long)
+  // state = the full entry event, so a bounce emits the original row
+  // (is_new/page/event_time intact) exactly like bounceBatch's
+  // pass-through — downstream windowed stats keep their dimensions
+  case class BounceState(entry: KeyedEvent)
 
   def bounceStreaming(events: Dataset[KeyedEvent],
                       gapMillis: Long = 10000L): Dataset[KeyedEvent] = {
@@ -139,27 +142,27 @@ object StatefulOps {
         (mid: String, rows: Iterator[KeyedEvent], state: GroupState[BounceState]) => {
           if (state.hasTimedOut) {
             // watermark passed entry+gap with no follow-up → bounce
-            val t0 = state.get.entryTs
+            val entry = state.get.entry
             state.remove()
-            Iterator.single(KeyedEvent(mid, t0, null, null, null))
+            Iterator.single(entry)
           } else {
             val sorted = rows.toSeq.sortBy(_.ts)
             val out = scala.collection.mutable.ArrayBuffer[KeyedEvent]()
             sorted.foreach { e =>
               val isEntry = e.last_page_id == null || e.last_page_id.isEmpty
               state.getOption match {
-                case Some(BounceState(t0)) =>
-                  if (e.ts - t0 > gapMillis) {
+                case Some(BounceState(prev)) =>
+                  if (e.ts - prev.ts > gapMillis) {
                     // previous entry never got a follow-up in time → bounce
-                    out += KeyedEvent(mid, t0, null, null, null)
+                    out += prev
                   }
-                  if (isEntry) state.update(BounceState(e.ts)) else state.remove()
+                  if (isEntry) state.update(BounceState(e)) else state.remove()
                 case None =>
-                  if (isEntry) state.update(BounceState(e.ts))
+                  if (isEntry) state.update(BounceState(e))
               }
             }
             state.getOption.foreach(s =>
-              state.setTimeoutTimestamp(s.entryTs + gapMillis + 1))
+              state.setTimeoutTimestamp(s.entry.ts + gapMillis + 1))
             out.iterator
           }
         })

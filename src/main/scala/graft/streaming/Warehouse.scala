@@ -119,14 +119,16 @@ object Warehouse {
     val visitorStats = StatsJobs.visitorStats(Seq(pageForStats, uvIn, ujIn))
     // full A2 surface: display + click + order + payment streams merge
     // into one keyed windowed aggregation
+    // try_cast: a junk sku id (the log fixtures carry items like
+    // "sku_2") must null out, not abort the run under ANSI mode
     val displayIn = logOut("display")
       .filter(col("item_type") === "sku_id")
-      .select(col("item").cast(LongType).as("sku_id"),
+      .select(expr("try_cast(item AS BIGINT)").as("sku_id"),
         timestamp_millis(col("ts")).as("event_time"),
         lit(1L).as("display_ct"))
     val clickIn = page
       .filter(col("page.item_type") === "sku_id" && col("page.item").isNotNull)
-      .select(col("page.item").cast(LongType).as("sku_id"),
+      .select(expr("try_cast(page.item AS BIGINT)").as("sku_id"),
         timestamp_millis(col("ts")).as("event_time"),
         lit(1L).as("click_ct"))
     val orderIn = orderWide.select(col("sku_id"),

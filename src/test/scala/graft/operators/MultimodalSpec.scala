@@ -39,7 +39,11 @@ class MultimodalSpec extends AnyFunSuite {
   test("frame sampling emits n digests per row") {
     val out = Multimodal.sampleFrames(Multimodal.withPayload(docs), n = 4)
       .filter($"doc_id" === 1L)
-      .select("frame_digests").as[Seq[Long]].head()
+      .select("frame_digests").as[Seq[String]].head()
     assert(out.size === 4)
+    // frame 0 of "hello world" is bytes [0,16) = the whole string
+    assert(out.head === java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
   }
 }

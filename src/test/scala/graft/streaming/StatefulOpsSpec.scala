@@ -92,10 +92,15 @@ class StatefulOpsSpec extends AnyFunSuite {
       query.processAllAvailable()
       input.addData(KeyedEvent.at("m3", day1 + 900000L, "1", "detail", "x"))
       query.processAllAvailable()
-      val out = spark.table("bounce_out").as[KeyedEvent].collect()
-        .map(e => (e.mid, e.ts)).toSet
+      val rows = spark.table("bounce_out").as[KeyedEvent].collect()
+      val out = rows.map(e => (e.mid, e.ts)).toSet
       assert(out.contains(("m1", day1 + 100000L))) // in-stream bounce
       assert(out.contains(("m2", day1 + 300000L))) // timeout-flushed bounce
+      // bounce rows are the original entry rows, dimensions intact
+      // (batch/streaming equivalence covers the full row, not just keys)
+      rows.filter(e => e.mid == "m1" || e.mid == "m2").foreach { e =>
+        assert(e.is_new == "1" && e.page_id == "home" && e.event_time != null)
+      }
     } finally query.stop()
   }
 }
