@@ -34,29 +34,18 @@ object Dedup {
   }
 
   /** (id, shingle) rows — the distributed layout every downstream LSH
-    * stage works from. Built from posexplode + window lead() rather
-    * than array higher-order functions: every operator here is
-    * codegen'd, and the window's hash partitioning on id is reused by
-    * the downstream signature groupBy (no second shuffle). Semantics
-    * match [[shingles]] exactly: distinct n-word shingles, short docs
-    * (< n words) contribute their full text (concat_ws skips the null
-    * leads).
+    * stage works from: explode of the map-side [[shingles]] array.
+    * Entirely shuffle-free — shingling and dedup (array_distinct)
+    * happen inside the scan stage, so the first exchange in any LSH
+    * pipeline is the signature groupBy itself. (A window-lead
+    * formulation trades this for codegen'd ops but costs a full
+    * shuffle+sort of every word row plus a distinct — strictly worse
+    * at any scale: the HOF is per-doc map work that partitions
+    * perfectly.)
     */
   def shingleRows(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text", n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = docs
-      .withColumn("_ws", split(col(textCol), " "))
-      .select(col(idCol), size(col("_ws")).as("_nw"),
-        posexplode(col("_ws")).as(Seq("_pos", "_w")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
-    val leads = (1 until n).map(i => lead(col("_w"), i).over(w))
-    words
-      .withColumn("_shingle", concat_ws(" ", (col("_w") +: leads): _*))
-      .filter(col("_pos") <= greatest(col("_nw") - n, lit(0)))
-      .select(col(idCol), col("_shingle").as("shingle"))
-      .distinct()
-  }
+                  textCol: String = "text", n: Int = 3): DataFrame =
+    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
 
   /** Per-seed minhash aggregate columns h0..h{k-1}: the min over a
     * doc's shingle rows of md5(seed||shingle). Partial-aggregatable
@@ -116,11 +105,13 @@ object Dedup {
   def candidatePairs(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text",
                      bands: Int = 2, rowsPerBand: Int = 4): DataFrame =
-    // materialize the small bucket frame once — a self-join otherwise
-    // recomputes the whole shingle+signature lineage per side (AQE's
-    // broadcast path bypasses ReusedExchange)
+    // persist the small bucket frame — a self-join otherwise recomputes
+    // the whole shingle+signature lineage per side (AQE's broadcast
+    // path bypasses ReusedExchange). persist (lazy, non-blocking)
+    // rather than localCheckpoint: no eager barrier job, and the first
+    // pass through the scan stage populates it for the second side
     pairsFromBuckets(
-      lshBuckets(docs, idCol, textCol, bands, rowsPerBand).localCheckpoint(),
+      lshBuckets(docs, idCol, textCol, bands, rowsPerBand).persist(),
       idCol)
 
   /** Exact Jaccard similarity over shingle sets — the verification pass
@@ -142,12 +133,13 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 3, bands: Int = 2, rowsPerBand: Int = 4): DataFrame = {
     // sr feeds three consumers (signatures+sizes, both intersection
-    // sides) and sigSize two — materialize each once
-    val sr = shingleRows(docs, idCol, textCol, n).localCheckpoint()
+    // sides) and sigSize two — persist each so the lineage runs once
+    // (lazy: no barrier jobs, unlike localCheckpoint)
+    val sr = shingleRows(docs, idCol, textCol, n).persist()
     // one shuffle yields both the minhash signatures and the set sizes
     val aggs = minhashAggs(bands * rowsPerBand) :+ count(lit(1)).as("n_sh")
     val sigSize = sr.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint()
+      .persist()
     val cand = pairsFromBuckets(
       bandFrame(sigSize, idCol, bands, rowsPerBand), idCol)
     val inter = cand
