@@ -71,27 +71,40 @@ object RoutingOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- S3 + P2: envelope op normalization + delete filter --------------
+    // The delete filter runs AFTER the aggregation (on ≤4 grouped
+    // rows): a pre-filter would make the filter operator and the
+    // groupBy keys each evaluate the JSON-parsing op expression —
+    // whole-stage codegen eliminates common subexpressions within one
+    // operator, not across filter→project. The predicate references
+    // `ct` (always ≥ 0) in a single non-splittable CaseWhen, or
+    // PushPredicateThroughAggregate would push the op conjunct back
+    // below the agg and re-parse props per row. Same rows as the
+    // oracle's WHERE … GROUP BY (delete never normalizes away).
     "r1_cdc_normalize" -> { (s, dir) =>
-      val withOp = ev(s, dir).withColumn("op", opCol)
-      CdcRouter.filterDeletes(withOp, "op")
-        .withColumn("op", CdcRouter.normalizeOp(col("op")))
-        .groupBy(col("op"))
+      ev(s, dir)
+        .groupBy(CdcRouter.normalizeOp(opCol).as("op"))
         .agg(count(lit(1)).as("ct"), countDistinct(col("user_id")).as("users"))
+        .filter(when(col("op") <=> "delete", lit(false))
+          .otherwise(col("ct") >= 0))
     },
 
     // ---- J3 + P6: broadcast-config dynamic routing -----------------------
+    // No explicit delete pre-filter: the config carries no delete
+    // routes, so the inner route join IS the delete filter — one JSON
+    // evaluation per row at the join key instead of filter + join each
+    // re-parsing props.
     "r2_dynamic_route" -> { (s, dir) =>
-      val rows = CdcRouter.filterDeletes(
-        ev(s, dir).withColumn("op", CdcRouter.normalizeOp(opCol)), "op")
+      val rows = ev(s, dir).withColumn("op", CdcRouter.normalizeOp(opCol))
       CdcRouter.route(rows, configDf(s), tableCol = "event_type", opCol = "op")
         .groupBy(col("sinkType"), col("sinkTable"))
         .agg(count(lit(1)).as("ct"))
     },
 
     // ---- P4: config-driven column pruning --------------------------------
+    // (delete rows drop out at the route join, as in r2)
     "r3_column_prune" -> { (s, dir) =>
-      val rows = CdcRouter.filterDeletes(
-        ev(s, dir).withColumn("op", CdcRouter.normalizeOp(opCol)), "op")
+      val rows = ev(s, dir)
+        .withColumn("op", CdcRouter.normalizeOp(opCol))
         .withColumn("after", map_from_arrays(
           array(lit("event_id"), lit("user_id"), lit("value")),
           array(col("event_id").cast(StringType),
