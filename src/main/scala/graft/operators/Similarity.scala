@@ -57,6 +57,51 @@ object Similarity {
     rank(q.crossJoin(c).filter(col("q_id") =!= col("n_id")), k)
   }
 
+  /** Deterministic ±1 random hyperplanes for cosine LSH: the sign of
+    * plane p, dim d is the parity of the first hex digit of
+    * md5("p:d") — reproducible by any engine with md5 (the DuckDB
+    * oracle derives the identical planes in SQL).
+    */
+  def hyperplanes(numPlanes: Int, dims: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
+      (0 until dims).map { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$d".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** Random-hyperplane signature: bit p set iff dot(vec, plane_p) > 0.
+    * Map-side only — numPlanes codegen'd dot folds per row, no joins,
+    * no shuffle; vectors in the same bucket are cosine-close with
+    * probability rising in shared bits.
+    */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (h, p) =>
+      when(dot(vec, typedLit(h)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates share the query's full signature
+    * (probe-1). The scale shape matches [[ivfKnn]] — an equi-join on
+    * the bucket key instead of a cross product — but needs no
+    * precomputed cell assignment: the signature is derived from the
+    * vector itself at scan time.
+    */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             numPlanes: Int = 8, dims: Int = 64,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(numPlanes, dims)
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm"),
+      lshSignature(col(vecCol), planes).as("q_sig")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_nrm"),
+      lshSignature(col(vecCol), planes).as("n_sig"))
+    rank(q.join(c, col("q_sig") === col("n_sig") &&
+      col("q_id") =!= col("n_id")), k)
+  }
+
   /** IVF probe-1 search: only candidates in the query's coarse cell. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              cellCol: String = "label", idCol: String = "vec_id",

@@ -30,6 +30,11 @@ object VectorOps {
       Similarity.ivfKnn(e, querySet(e), k = 3)
     },
 
+    "v4_knn_lsh" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.lshKnn(e, querySet(e), k = 3)
+    },
+
     // threshold 0.3: the synthetic embeddings have no true near-dups
     // (max within-label cosine ≈ 0.47), so a production-style 0.9 gate
     // would be vacuous; 0.3 keeps the verification pass non-empty.
@@ -68,10 +73,42 @@ object VectorOps {
        |  WHERE q.vec_id % 50 = 0)
        |WHERE rnk <= 3""".stripMargin
 
+  /** SQL mirror of Similarity.hyperplanes/lshSignature: ±1 from the
+    * parity of md5("p:d")'s first hex digit (strpos is 1-based, so
+    * even digit ⇔ odd strpos), signature = Σ 1<<p over planes whose
+    * dot is > 0. Dots are the same strict left fold as sqlDot, so the
+    * > 0 comparisons agree bit-for-bit with Spark.
+    */
+  private val sqlLshSig =
+    s"""SELECT e.vec_id,
+       |  CAST(SUM(CASE WHEN ${sqlDot("e.embedding", "pl.h")} > 0
+       |           THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS sig
+       |FROM embeddings e CROSS JOIN (
+       |  SELECT p, list_transform(range(0, 64),
+       |    d -> CASE WHEN strpos('0123456789abcdef',
+       |                          substr(md5(p || ':' || d), 1, 1)) % 2 = 1
+       |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS h
+       |  FROM range(0, 8) t(p)) pl
+       |GROUP BY e.vec_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "v1_knn_brute" -> sqlKnn("q.vec_id <> c.vec_id"),
 
     "v2_knn_ivf" -> sqlKnn("q.label = c.label AND q.vec_id <> c.vec_id"),
+
+    "v4_knn_lsh" ->
+      s"""WITH e0 AS ($sqlWithNorm),
+         |sg AS ($sqlLshSig),
+         |e AS (SELECT e0.*, sg.sig FROM e0 JOIN sg USING (vec_id))
+         |SELECT q_id, n_id, rnk, cos_sim FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${sqlCos("q.embedding", "c.embedding", "q.nrm", "c.nrm")} AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "c.embedding", "q.nrm", "c.nrm")} DESC,
+         |               c.vec_id) AS rnk
+         |  FROM e q JOIN e c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |WHERE rnk <= 3""".stripMargin,
 
     "v3_embedding_neardup" ->
       s"""WITH e AS ($sqlWithNorm)

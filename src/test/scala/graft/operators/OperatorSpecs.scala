@@ -72,6 +72,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out === Set(1L)) // only same-label candidates
   }
 
+  test("lsh knn buckets by hyperplane signature and ranks within bucket") {
+    // identical vectors always share a signature, so the near-copy of
+    // vec 0 must surface; orthogonal vectors land elsewhere with high
+    // probability but correctness only requires bucket-consistency
+    val out = Similarity.lshKnn(vecs, vecs.filter($"vec_id" === 0),
+        k = 2, dims = 2)
+      .select("n_id", "rnk").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.nonEmpty && out.head._1 === 1L) // nearest is the near-copy
+    // signature determinism: same vector → same signature
+    val planes = Similarity.hyperplanes(8, 2)
+    val sigs = vecs.select(
+      Similarity.lshSignature(col("embedding"), planes).as("s")).as[Long].collect()
+    val sigs2 = vecs.select(
+      Similarity.lshSignature(col("embedding"), planes).as("s")).as[Long].collect()
+    assert(sigs.toSeq === sigs2.toSeq)
+  }
+
   test("cosine of identical vectors is 1.0") {
     val c = vecs.filter($"vec_id" === 0)
       .select(Similarity.cosine(col("embedding"), col("embedding")))
