@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Graft, Tables}
+import graft.streaming.StatsJobs
 
 /** Relational / streaming-equivalent operators from SURVEY.md §2,
   * re-expressed as batch DataFrame queries over the harness tables.
@@ -223,6 +224,13 @@ object Relational {
           moneySum(col("dur")).as("dur_sum"))
         .select(col("w.start").as("stt"), col("w.end").as("edt"),
           col("pv_ct"), col("sv_ct"), col("uv_ct"), col("dur_sum"))
+    },
+
+    // ---- session_window: gap-based sessionization ------------------------
+    "q18_sessionize" -> { (s, dir) =>
+      StatsJobs.sessionStats(ev(s, dir), keyCol = "user_id", tsCol = "ts",
+        gap = "4 hours",
+        extraAggs = Seq(moneySum(col("value")).as("val_sum")))
     }
   )
 
@@ -346,6 +354,27 @@ object Relational {
         | CAST(SUM(sv_ct) AS BIGINT) AS sv_ct,
         | COUNT(DISTINCT user_id) AS uv_ct,
         | CAST(SUM(CAST(dur AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
-        |FROM u GROUP BY 1, 2""".stripMargin
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    // gaps-and-islands mirror of session_window: a session breaks when
+    // the per-user gap reaches the 4h threshold (Spark's session end
+    // is exclusive, so an exactly-4h gap starts a new session on both
+    // engines); edt = last event + gap, as session_window defines it
+    "q18_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, MIN(ts) AS stt, MAX(ts) + INTERVAL 4 HOUR AS edt,
+        | COUNT(*) AS ev_ct,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM y GROUP BY user_id, sid""".stripMargin
   )
 }

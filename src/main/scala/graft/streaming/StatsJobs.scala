@@ -47,6 +47,29 @@ object StatsJobs {
           sum("dur_sum").as("dur_sum")))
   }
 
+  /** Gap-based sessionization via Spark-native `session_window`: per
+    * key, events closer than `gap` merge into one session spanning
+    * [first_ts, last_ts + gap). The reference approximates sessions
+    * with the log's last_page_id-null heuristic (sv_ct); this is the
+    * engine-level generalization — identical plan incrementalizes
+    * under streaming (sessions emit once the watermark passes
+    * last_ts + gap; state is one [start, end) range per open session,
+    * merged by the state store, never a row buffer).
+    *
+    * @param extraAggs additional aggregate columns (already aliased)
+    */
+  def sessionStats(events: DataFrame, keyCol: String = "user_id",
+                   tsCol: String = "ts", gap: String = "4 hours",
+                   extraAggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val aggs = count(lit(1)).as("ev_ct") +: extraAggs
+    val agged = events
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val aggCols = agged.columns.toSeq.filterNot(c => c == keyCol || c == "w")
+    agged.select((col(keyCol) +: col("w.start").as("stt") +:
+      col("w.end").as("edt") +: aggCols.map(col)): _*)
+  }
+
   /** ProductStats: per sku × window counts/amounts with exact distinct
     * order-id counts (the reference's Set-accumulator fields,
     * bean/ProductStats.java:74-84, are exactly a distinct-count partial

@@ -33,6 +33,52 @@ class StatsJobsSpec extends AnyFunSuite {
       ("2021-05-03 12:00:10", 1L, 0L, 3000L)))
   }
 
+  test("sessionStats merges events within the gap; batch equals streaming") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = Seq(
+      ("u1", "2021-05-03 12:00:00"), // session 1: 3 events, 30s apart
+      ("u1", "2021-05-03 12:00:30"),
+      ("u1", "2021-05-03 12:01:00"),
+      ("u1", "2021-05-03 12:10:00"), // > 60s gap → session 2
+      ("u2", "2021-05-03 12:00:10")  // separate key
+    )
+    val batchDf = events.toDF("user_id", "t")
+      .withColumn("ts", to_timestamp(col("t")))
+    val batch = StatsJobs.sessionStats(batchDf, gap = "60 seconds")
+      .select(col("user_id"), date_format(col("stt"), "HH:mm:ss").as("s"),
+        date_format(col("edt"), "HH:mm:ss").as("e"), col("ev_ct"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(batch === Set(
+      ("u1", "12:00:00", "12:02:00", 3L),
+      ("u1", "12:10:00", "12:11:00", 1L),
+      ("u2", "12:00:10", "12:01:10", 1L)))
+
+    // streaming twin: same plan incrementalizes; sessions close (and
+    // emit, in append mode) once the watermark passes last_ts + gap
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val stream = StatsJobs.sessionStats(
+      input.toDF().toDF("user_id", "t")
+        .withColumn("ts", to_timestamp(col("t")))
+        .withWatermark("ts", "0 seconds"),
+      gap = "60 seconds")
+    val query = stream.writeStream.format("memory")
+      .queryName("session_out").outputMode("append").start()
+    try {
+      input.addData(events.take(3))
+      query.processAllAvailable()
+      input.addData(events.drop(3)) // 12:10 watermark closes session 1
+      query.processAllAvailable()
+      input.addData(("u3", "2021-05-03 13:00:00")) // close the rest
+      query.processAllAvailable()
+      val streamed = spark.table("session_out")
+        .select(col("user_id"), date_format(col("stt"), "HH:mm:ss").as("s"),
+          date_format(col("edt"), "HH:mm:ss").as("e"), col("ev_ct"))
+        .as[(String, String, String, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
   test("productStats counts distinct orders per sku per window") {
     val ow = Seq(
       (100L, 1L, 2L, java.math.BigDecimal.valueOf(10.0), t0),
