@@ -59,6 +59,26 @@ object TextOps {
         col("doc_id"),
         rollingFingerprint(col("text")).as("fp"),
         contentHash(col("text")).as("content_hash"))
+    },
+
+    // ---- corpus profiling: per-language length quantiles -----------------
+    // Exact percentile over INTEGER token counts at dyadic percentages:
+    // both engines interpolate lo + (hi-lo)·frac with frac ∈ {0, ¼, ½,
+    // ¾} — exact in double, so results hash-match. (Doubles at
+    // arbitrary p would round differently; at 100 TB swap in
+    // approx_percentile — see SCALING.md.)
+    "t6_corpus_profile" -> { (s, dir) =>
+      docs(s, dir)
+        .select(langId(col("text")).as("pred_lang"),
+          nTokens(col("text")).as("n_tokens"),
+          qualityScore(col("text")).as("quality"))
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("doc_ct"),
+          percentile(col("n_tokens"), lit(0.25)).as("tok_p25"),
+          percentile(col("n_tokens"), lit(0.5)).as("tok_p50"),
+          percentile(col("n_tokens"), lit(0.75)).as("tok_p75"),
+          min(col("quality")).as("min_q"),
+          max(col("quality")).as("max_q"))
     })
 
   /** SQL token-set expression mirroring TextFunctions.tokenSet. */
@@ -124,6 +144,37 @@ object TextOps {
         |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |   (a, b) -> (a * 31 + b) % 1000000007) AS fp,
         | md5(text) AS content_hash
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "t6_corpus_profile" -> {
+      val scores = langProfiles.map { case (l, p) =>
+        s"len(list_intersect($sqlTokenSet, ${sqlProfile(p)})) AS s_$l"
+      }.mkString(",\n  ")
+      val best = langProfiles.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+      val cases = langProfiles.map { case (l, _) =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'"
+      }.mkString("\n  ")
+      val stops = sqlProfile(langProfiles.flatMap(_._2).distinct)
+      s"""WITH sc AS (SELECT text, $scores FROM documents),
+         |b AS (SELECT *, $best AS best FROM sc),
+         |m AS (
+         |  SELECT CASE $cases ELSE 'und' END AS pred_lang,
+         |    $sqlNTokens AS n_tokens,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS punct_ct,
+         |    CAST(len(list_filter(list_filter(string_split(lower(text),' '), x -> len(x) > 0),
+         |        w -> list_contains($stops, w))) AS DOUBLE) / nullif($sqlNTokens, 0) AS stop_ratio
+         |  FROM b)
+         |SELECT pred_lang, COUNT(*) AS doc_ct,
+         |  quantile_cont(n_tokens, 0.25) AS tok_p25,
+         |  quantile_cont(n_tokens, 0.5) AS tok_p50,
+         |  quantile_cont(n_tokens, 0.75) AS tok_p75,
+         |  MIN(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |    + least(stop_ratio * 4.0, 1.0) * 0.4
+         |    + (1.0 - least(CAST(punct_ct AS DOUBLE) / nullif(n_tokens, 0), 1.0)) * 0.2) AS min_q,
+         |  MAX(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |    + least(stop_ratio * 4.0, 1.0) * 0.4
+         |    + (1.0 - least(CAST(punct_ct AS DOUBLE) / nullif(n_tokens, 0), 1.0)) * 0.2) AS max_q
+         |FROM m GROUP BY pred_lang""".stripMargin
+    }
   )
 }
