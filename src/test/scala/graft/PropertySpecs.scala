@@ -1,0 +1,162 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.streaming.{StatefulOps, StatsJobs, WideJobs}
+
+/** Property tests (SURVEY.md §5): scalacheck generators produce the
+  * inputs, a single Spark job evaluates the operator over the whole
+  * generated batch, and every row is checked against an independent
+  * in-memory reference implementation. One job per property keeps the
+  * suite fast while still covering generated edge cases (empty docs,
+  * repeated words, timestamp skew, equal timestamps).
+  */
+class PropertySpecs extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic sample of `n` values from a Gen (fixed seed — the
+    * suite must be reproducible).
+    */
+  private def sample[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val wordGen: Gen[String] =
+    Gen.oneOf("the", "cat", "sat", "on", "a", "mat", "dog", "ran", "x9", "", "  ")
+  private val docGen: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("minhash signatures equal the per-doc md5-min reference for generated docs") {
+    val docs = sample(docGen, 60).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val sigs = Dedup.signatures(df, numHashes = 4)
+      .as[(Long, String, String, String, String)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    // reference: distinct 3-word shingles (short docs → whole text),
+    // min of md5("k:" + shingle) per seed
+    def refShingles(text: String): Seq[String] = {
+      val words = text.split(" ", -1).toSeq
+      val starts = 1 to math.max(words.size - 2, 1)
+      starts.map(i => words.slice(i - 1, i - 1 + 3).filter(_ != null).mkString(" ")).distinct
+    }
+    docs.foreach { case (id, text) =>
+      val sh = refShingles(text)
+      val expected = (0 until 4).map(k => sh.map(s => md5hex(s"$k:$s")).min)
+      assert(sigs(id) === expected, s"doc $id text='$text'")
+    }
+  }
+
+  test("exact dedup is total and idempotent on generated corpora") {
+    val docs = sample(docGen, 80).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val first = Dedup.exact(df)
+    // total: every row lands in exactly one group
+    assert(first.agg(sum("dup_ct")).as[Long].head() === docs.size.toLong)
+    // idempotent: keepers are all unique on a second pass
+    val keepers = first.select(col("keeper_id").as("doc_id"))
+      .join(df, "doc_id")
+    val second = Dedup.exact(keepers)
+    assert(second.filter(col("dup_ct") =!= 1L).count() === 0L)
+  }
+
+  test("interval join equals the brute-force predicate under timestamp skew") {
+    val base = 1620000000000L
+    val leftGen = for {
+      id <- Gen.chooseNum(0, 19)
+      off <- Gen.chooseNum(-30000, 30000)
+    } yield (id.toLong, base + off)
+    val rightGen = for {
+      key <- Gen.chooseNum(0, 19)
+      off <- Gen.chooseNum(-30000, 30000)
+    } yield (key.toLong, base + off)
+    val ls = sample(leftGen, 60).distinct
+    val rs = sample(rightGen, 120).distinct
+    val l = ls.toDF("id", "lts").withColumn("lt", timestamp_millis(col("lts")))
+    val r = rs.toDF("okey", "rts").withColumn("rt", timestamp_millis(col("rts")))
+    val joined = WideJobs.intervalJoin(l, r, "id", "okey", "lt", "rt",
+        "-5 seconds", "5 seconds")
+      .select(col("id"), col("lts"), col("rts"))
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = (for {
+      (id, lts) <- ls
+      (key, rts) <- rs
+      if key == id && rts >= lts - 5000 && rts <= lts + 5000
+    } yield (id, lts, rts)).toSet
+    assert(joined === expected)
+  }
+
+  test("batch bounce detection equals an in-memory session replay") {
+    val evGen = for {
+      mid <- Gen.oneOf("m1", "m2", "m3", "m4")
+      off <- Gen.chooseNum(0, 120000)
+      entry <- Gen.oneOf(true, true, false) // bias toward entries
+    } yield (mid, 1620000000000L + off, if (entry) null else "prev")
+    // one event per (mid, ts): lead() over timestamp ties is
+    // order-ambiguous and the replay would not be well-defined
+    val evs = sample(evGen, 80).distinctBy(e => (e._1, e._2))
+    val df = evs.toDF("mid", "ts", "last_page_id")
+    val out = StatefulOps.bounceBatch(df, gapMillis = 10000L)
+      .select("mid", "ts").as[(String, Long)].collect().toSet
+    // reference replay: an entry bounces iff no same-mid event follows
+    // within the gap (bounceBatch's lead() is over ALL events)
+    val expected = (for {
+      (mid, ts, lp) <- evs
+      if lp == null
+      next = evs.filter(e => e._1 == mid && e._2 > ts).map(_._2).sorted.headOption
+      if next.forall(_ - ts > 10000L)
+    } yield (mid, ts)).toSet
+    assert(out === expected)
+  }
+
+  test("sessionStats sessions are gap-separated, non-overlapping, and total") {
+    val evGen = for {
+      uid <- Gen.chooseNum(0, 9)
+      off <- Gen.chooseNum(0, 600)
+    } yield (uid.toLong, 1620000000L + off * 1000L)
+    val evs = sample(evGen, 150).distinct
+    val df = evs.toDF("user_id", "tsl")
+      .withColumn("ts", timestamp_millis(col("tsl")))
+    val sessions = StatsJobs.sessionStats(df, gap = "30 seconds")
+      .select(col("user_id"), col("stt").cast("long") * 1000,
+        col("edt").cast("long") * 1000, col("ev_ct"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sessions.map(_._4).sum === evs.size.toLong) // total
+    sessions.groupBy(_._1).foreach { case (uid, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 >= e1, s"user $uid sessions overlap") // gap-separated
+        case _ =>
+      }
+      // every session's span is covered by events no more than gap apart
+      sorted.foreach { case (_, s, e, ct) =>
+        val inSession = evs.filter(ev => ev._1 == uid && ev._2 >= s && ev._2 < e)
+        assert(inSession.size.toLong === ct)
+        assert(e === inSession.map(_._2).max + 30000L) // end = last + gap
+      }
+    }
+  }
+
+  test("rollingFingerprint equals the reference fold for generated ASCII text") {
+    val txtGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar))).map(_.mkString)
+    val texts = sample(txtGen, 100).distinct
+    val out = texts.toDF("text")
+      .select(col("text"), graft.functions.TextFunctions.rollingFingerprint(col("text")))
+      .as[(String, Long)].collect().toMap
+    texts.foreach { t =>
+      val expected = t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+      assert(out(t) === expected, s"text='$t'")
+    }
+  }
+}
