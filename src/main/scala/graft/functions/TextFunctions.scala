@@ -109,11 +109,11 @@ object TextFunctions {
     * `aggregate(split(text,''))`. The fold is sequential left-to-right,
     * so the value is engine-portable (DuckDB `list_reduce` mirrors it).
     */
-  def rollingFingerprint(text: Column): Column =
-    aggregate(
-      split(text, ""),
-      lit(0L),
-      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
+  /** Codegen'd native expression (see [[RollingHash]]); the equivalent
+    * HOF — `aggregate(split(text, ""), 0L, (a,c) => (a*31 + ascii(c))
+    * % 1000000007)` — is bit-identical but interpreted per character.
+    */
+  def rollingFingerprint(text: Column): Column = RollingHash(text)
 
   /** Stable 32-char content fingerprint for exact dedup. */
   def contentHash(text: Column): Column = md5(text)

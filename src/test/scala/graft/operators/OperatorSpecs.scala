@@ -110,6 +110,19 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("d") =!= 0.0).count()
     assert(diffs === 0)
   }
+
+  test("codegen RollingHash matches the HOF formulation incl. non-ASCII") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .union(Seq("", "héllo wörld", "汉字テスト", "mixed 汉 ascii").toDF("text"))
+    val hof = aggregate(split(col("text"), ""), lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
+    val diffs = docs
+      .select((graft.functions.RollingHash(col("text")) - hof).as("d"))
+      .filter(col("d") =!= 0L).count()
+    assert(diffs === 0)
+  }
 }
 
 class TextFunctionsSpec extends AnyFunSuite {
