@@ -77,10 +77,28 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Bucket rows → distinct candidate (a < b) pairs. */
-  private def pairsFromBuckets(bk: DataFrame, idCol: String): DataFrame = {
-    val a = bk.select(col("band"), col("key"), col(idCol).as("doc_a"))
-    val b = bk.select(col("band").as("band_b"), col("key").as("key_b"),
+  /** Bucket rows → distinct candidate (a < b) pairs.
+    *
+    * `maxBucket` guards the quadratic failure mode at scale: one
+    * degenerate bucket (boilerplate shingles, empty docs) makes the
+    * self-join produce |bucket|² pairs. Buckets above the cap are
+    * excluded from candidate generation — the standard production
+    * treatment (their members are near-identical boilerplate, caught
+    * by exact dedup) — via one cheap pre-aggregation on the same key
+    * the join shuffles on.
+    */
+  private def pairsFromBuckets(bk: DataFrame, idCol: String,
+                               maxBucket: Int = Int.MaxValue): DataFrame = {
+    val capped =
+      if (maxBucket == Int.MaxValue) bk
+      else {
+        val sizes = bk.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= maxBucket)
+        bk.join(sizes, Seq("band", "key"), "left_semi")
+      }
+    val a = capped.select(col("band"), col("key"), col(idCol).as("doc_a"))
+    val b = capped.select(col("band").as("band_b"), col("key").as("key_b"),
       col(idCol).as("doc_b"))
     a.join(b,
         col("band") === col("band_b") && col("key") === col("key_b") &&
@@ -104,7 +122,8 @@ object Dedup {
     */
   def candidatePairs(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text",
-                     bands: Int = 2, rowsPerBand: Int = 4): DataFrame =
+                     bands: Int = 2, rowsPerBand: Int = 4,
+                     maxBucket: Int = Int.MaxValue): DataFrame =
     // persist the small bucket frame — a self-join otherwise recomputes
     // the whole shingle+signature lineage per side (AQE's broadcast
     // path bypasses ReusedExchange). persist (lazy, non-blocking)
@@ -112,7 +131,7 @@ object Dedup {
     // pass through the scan stage populates it for the second side
     pairsFromBuckets(
       lshBuckets(docs, idCol, textCol, bands, rowsPerBand).persist(),
-      idCol)
+      idCol, maxBucket)
 
   /** Exact Jaccard similarity over shingle sets — the verification pass
     * applied to LSH candidates only.
@@ -131,7 +150,8 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
-                   n: Int = 3, bands: Int = 2, rowsPerBand: Int = 4): DataFrame = {
+                   n: Int = 3, bands: Int = 2, rowsPerBand: Int = 4,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     // sr feeds three consumers (signatures+sizes, both intersection
     // sides) and sigSize two — persist each so the lineage runs once
     // (lazy: no barrier jobs, unlike localCheckpoint)
@@ -141,7 +161,7 @@ object Dedup {
     val sigSize = sr.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .persist()
     val cand = pairsFromBuckets(
-      bandFrame(sigSize, idCol, bands, rowsPerBand), idCol)
+      bandFrame(sigSize, idCol, bands, rowsPerBand), idCol, maxBucket)
     val inter = cand
       .join(sr.select(col(idCol).as("doc_a"), col("shingle")), "doc_a")
       .join(sr.select(col(idCol).as("doc_b"), col("shingle")),

@@ -72,15 +72,27 @@ object Multimodal {
 
   /** Batch decode: one decoder per partition, rows streamed through —
     * the Scala analogue of `mapInPandas`.
+    *
+    * `batchSize` gives the decode the batch shape a vectorized codec
+    * (or an inference runtime scoring the feature vectors) wants:
+    * rows are grouped into fixed-size chunks inside the partition and
+    * handed to the kernel as a batch, exactly a Pandas-UDF batch's
+    * economics — per-batch amortized codec calls, per-partition
+    * amortized init, still fully streamed (grouped iterators never
+    * materialize the partition).
     */
   def decode(df: DataFrame, idCol: String = "doc_id",
-             payloadCol: String = "payload"): DataFrame = {
+             payloadCol: String = "payload",
+             batchSize: Int = 256): DataFrame = {
     val session = df.sparkSession
     val input = df.select(col(idCol).cast(LongType), col(payloadCol))
       .filter(col(idCol).isNotNull)
     val rows = input.rdd.mapPartitions { it =>
       // per-partition init happens here (decoder/codec state)
-      it.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch call boundary (vectorized codec seam)
+        batch.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
     }
     session.createDataFrame(rows, decodedSchema)
   }

@@ -21,6 +21,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row1.getString(2) === "68656C6C".toUpperCase) // 'hell'
   }
 
+  test("decode is batch-shape invariant: batchSize never changes results") {
+    val many = (1L to 30L).map(i => (i, s"payload number $i")).toDF("doc_id", "text")
+    val full = Multimodal.decode(Multimodal.withPayload(many), batchSize = 256)
+      .select("doc_id", "width", "height").as[(Long, Int, Int)].collect().toSet
+    val tiny = Multimodal.decode(Multimodal.withPayload(many), batchSize = 3)
+      .select("doc_id", "width", "height").as[(Long, Int, Int)].collect().toSet
+    assert(full === tiny && full.size === 30)
+  }
+
   test("decode runs per-partition, is deterministic, handles empty payloads") {
     val out = Multimodal.decode(Multimodal.withPayload(docs))
       .select("doc_id", "width", "height", "channels")

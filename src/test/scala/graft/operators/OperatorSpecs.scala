@@ -32,6 +32,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!near.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("maxBucket excludes degenerate buckets from candidate generation") {
+    // 40 identical boilerplate docs form one giant bucket; two distinct
+    // near-dup docs form a small one
+    val degenerate = (10L to 49L).map(i => (i, "repeated boilerplate text block"))
+    val all = (degenerate ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"))).toDF("doc_id", "text")
+    val uncapped = Dedup.candidatePairs(all).as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+    assert(uncapped.count(p => p._1 >= 10L) === 40 * 39 / 2) // quadratic
+    val capped = Dedup.candidatePairs(all, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L))) // giant bucket dropped, small kept
+  }
+
   test("jaccard is exact on shingle sets") {
     val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
     val a = sh.filter($"doc_id" === 1).select($"sh".as("sh_a"))
