@@ -146,12 +146,19 @@ object Warehouse {
       orderWide.withColumnRenamed("order_id", "wide_order_id"))
     val keywordStats = StatsJobs.keywordStats(
       page.withColumn("event_time", timestamp_millis(col("ts"))))
+    // true gap sessions per device (generalizes the reference's
+    // last_page_id-entry heuristic; 30 min = the classic web gap)
+    val sessions = StatsJobs.sessionStats(
+      pageFlat.withColumn("event_time", timestamp_millis(col("ts"))),
+      keyCol = "mid", tsCol = "event_time", gap = "30 minutes",
+      extraAggs = Seq(sum(coalesce(col("during_time"), lit(0L))).as("dur_sum")))
 
     Map(
       "dirty" -> logOut("dirty"), "start" -> logOut("start"),
       "page" -> page, "display" -> logOut("display"),
       "order_wide" -> orderWide, "payment_wide" -> paymentWide,
       "visitor_stats" -> visitorStats, "product_stats" -> productStats,
-      "province_stats" -> provinceStats, "keyword_stats" -> keywordStats)
+      "province_stats" -> provinceStats, "keyword_stats" -> keywordStats,
+      "sessions" -> sessions)
   }
 }

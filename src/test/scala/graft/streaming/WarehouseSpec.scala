@@ -131,5 +131,11 @@ class WarehouseSpec extends AnyFunSuite {
     val ks = out("keyword_stats").select("keyword", "ct")
       .as[(String, Long)].collect().toSet
     assert(ks === Set(("big", 1L), ("data", 1L)))
+
+    // sessions: all page events are within the 30min gap → one session
+    // per device (mid_1's two views merge; mid_2's lone view stands)
+    val ss = out("sessions").select("mid", "ev_ct")
+      .as[(String, Long)].collect().toSet
+    assert(ss === Set(("mid_1", 2L), ("mid_2", 1L)))
   }
 }
