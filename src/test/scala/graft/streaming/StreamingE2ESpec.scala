@@ -47,6 +47,44 @@ class StreamingE2ESpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join: in-window pairs emit, evicted state drops late matches") {
+    implicit val sq = spark.sqlContext
+    val base = 1620043200000L
+    val orders = MemoryStream[(Long, Long)]
+    val details = MemoryStream[(Long, Long)]
+    val o = orders.toDF().toDF("id", "ots")
+      .withColumn("o_time", timestamp_millis(col("ots")))
+      .withWatermark("o_time", "0 seconds")
+    val d = details.toDF().toDF("okey", "dts")
+      .withColumn("d_time", timestamp_millis(col("dts")))
+      .withWatermark("d_time", "0 seconds")
+    val query = WideJobs.intervalJoin(o, d, "id", "okey", "o_time", "d_time",
+        "-5 seconds", "5 seconds")
+      .select(col("id"), col("ots"), col("dts"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    def rows() = spark.table("ss_join")
+      .as[(Long, Long, Long)].collect().toSet
+    try {
+      orders.addData((1L, base))
+      details.addData((1L, base + 3000), (1L, base + 8000)) // in / out of window
+      query.processAllAvailable()
+      assert(rows() === Set((1L, base, base + 3000)))
+      // advance the global watermark far past order 1's join window on
+      // BOTH streams (watermark = min across inputs), twice so the new
+      // watermark takes effect and state is evicted
+      orders.addData((98L, base + 120000)); details.addData((99L, base + 120000))
+      query.processAllAvailable()
+      orders.addData((98L, base + 121000)); details.addData((99L, base + 121000))
+      query.processAllAvailable()
+      // this detail WOULD match order 1, but the order's state is
+      // gone — the reference's interval-join state pruning (T1/T2)
+      details.addData((1L, base + 1000))
+      query.processAllAvailable()
+      assert(rows() === Set((1L, base, base + 3000)))
+    } finally query.stop()
+  }
+
   test("windowed agg drops events later than the watermark (T2 semantics)") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String)]
