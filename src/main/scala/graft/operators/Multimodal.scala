@@ -97,6 +97,27 @@ object Multimodal {
     session.createDataFrame(rows, decodedSchema)
   }
 
+  /** Resize a decoded frame to target dimensions. The pixel resample is
+    * the stubbed part (production: codec/SIMD resample behind the same
+    * signature); the Spark-side contract is real — output schema keeps
+    * the decoded shape with the new dims, per-axis scale factors, and
+    * the feature vector rescaled by the area ratio (map-side HOF, no
+    * shuffle).
+    */
+  def resize(decoded: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val sx = col("width").cast(DoubleType) / targetW
+    val sy = col("height").cast(DoubleType) / targetH
+    decoded
+      .withColumn("scale_x", sx)
+      .withColumn("scale_y", sy)
+      .withColumn("features",
+        transform(col("features"),
+          f => (f.cast(DoubleType) / (col("scale_x") * col("scale_y")))
+            .cast(FloatType)))
+      .withColumn("width", lit(targetW))
+      .withColumn("height", lit(targetH))
+  }
+
   /** Deterministic frame sampling for "video" payloads: n byte-offsets
     * evenly spaced, each frame summarized by one digest. md5 (not
     * crc32) because it is portable across engines — the DuckDB oracle

@@ -31,6 +31,16 @@ object MultimodalOps {
         .select(col("doc_id"), col("width"), col("height"), col("channels"))
     },
 
+    // ---- resize: decoded frames → target dims + scale factors ------------
+    // (features stay array-typed in the library op; the query exposes
+    // the scalar surface the driver can hash)
+    "m4_resize" -> { (s, dir) =>
+      Multimodal.resize(
+          Multimodal.decode(Multimodal.withPayload(docs(s, dir))), 224, 224)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("scale_x"), col("scale_y"))
+    },
+
     // ---- deterministic frame sampling ------------------------------------
     // posexplode to scalar rows: array columns can't be sorted/hashed
     // by the driver's compare, and exploded rows are the shape a
@@ -58,6 +68,19 @@ object MultimodalOps {
         | CAST((CASE WHEN strlen(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END % 64) * 16 + 64 AS INT) AS height,
         | CAST(3 AS INT) AS channels
         |FROM documents""".stripMargin,
+
+    // width/height from the m2 header math; scales are exact int/int
+    // divisions in double, bit-reproducible on both engines
+    "m4_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |   (CASE WHEN strlen(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END % 64) * 16 + 64 AS w0,
+        |   (CASE WHEN strlen(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END % 64) * 16 + 64 AS h0
+        |  FROM documents)
+        |SELECT doc_id, CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
+        | CAST(w0 AS DOUBLE) / 224 AS scale_x,
+        | CAST(h0 AS DOUBLE) / 224 AS scale_y
+        |FROM m""".stripMargin,
 
     "m3_frame_sample" ->
       """SELECT d.doc_id,

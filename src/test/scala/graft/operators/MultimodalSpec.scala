@@ -45,6 +45,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again(1L) === w1)
   }
 
+  test("resize stamps target dims, scale factors, and rescales features") {
+    val out = Multimodal.resize(
+        Multimodal.decode(Multimodal.withPayload(docs)), 224, 224)
+      .filter($"doc_id" === 1L)
+      .select("width", "height", "scale_x", "scale_y", "features")
+      .as[(Int, Int, Double, Double, Seq[Float])].collect().head
+    val w0 = ('h'.toInt % 64) * 16 + 64
+    val h0 = ('e'.toInt % 64) * 16 + 64
+    assert(out._1 === 224 && out._2 === 224)
+    assert(out._3 === w0.toDouble / 224 && out._4 === h0.toDouble / 224)
+    val orig = Multimodal.decode(Multimodal.withPayload(docs))
+      .filter($"doc_id" === 1L).select("features").as[Seq[Float]].head()
+    val ratio = (w0.toDouble / 224) * (h0.toDouble / 224)
+    assert(out._5 === orig.map(f => (f / ratio).toFloat))
+  }
+
   test("frame sampling emits n digests per row") {
     val out = Multimodal.sampleFrames(Multimodal.withPayload(docs), n = 4)
       .filter($"doc_id" === 1L)
