@@ -201,4 +201,21 @@ object Dedup {
             textCol: String = "text"): DataFrame =
     docs.groupBy(TextFunctions.contentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_ct"))
+
+  /** Streaming exact dedup: emit the first arrival per content hash,
+    * dropping duplicates that arrive within the watermark delay of the
+    * original. State is one (hash, expiry) entry evicted by the
+    * watermark — the ingestion-time shape of [[exact]] (which dedups a
+    * bounded corpus globally): an unbounded stream needs a horizon or
+    * state grows forever; the horizon is the watermark delay.
+    * Input must carry `eventTimeCol` with `withWatermark` already set.
+    */
+  def exactStreaming(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     eventTimeCol: String = "event_time"): DataFrame =
+    docs
+      .withColumn("content_hash", TextFunctions.contentHash(col(textCol)))
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("content_hash"), col(idCol).as("keeper_id"),
+        col(eventTimeCol))
 }

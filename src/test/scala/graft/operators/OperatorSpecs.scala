@@ -47,6 +47,29 @@ class DedupSpec extends AnyFunSuite {
     assert(capped === Set((1L, 2L))) // giant bucket dropped, small kept
   }
 
+  test("streaming exact dedup drops within-watermark duplicates across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val base = 1620043200000L
+    val input = MemoryStream[(Long, String, Long)]
+    val stream = Dedup.exactStreaming(
+      input.toDF().toDF("doc_id", "text", "ts")
+        .withColumn("event_time", timestamp_millis(col("ts")))
+        .withWatermark("event_time", "10 seconds"))
+    val query = stream.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData((1L, "same text", base))
+      query.processAllAvailable()
+      // duplicate in a LATER batch, within the watermark delay → dropped
+      input.addData((2L, "same text", base + 3000), (3L, "other", base + 3000))
+      query.processAllAvailable()
+      val out = spark.table("dedup_out").select("keeper_id")
+        .as[Long].collect().toSet
+      assert(out === Set(1L, 3L))
+    } finally query.stop()
+  }
+
   test("jaccard is exact on shingle sets") {
     val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
     val a = sh.filter($"doc_id" === 1).select($"sh".as("sh_a"))
