@@ -231,6 +231,23 @@ object Relational {
       StatsJobs.sessionStats(ev(s, dir), keyCol = "user_id", tsCol = "ts",
         gap = "4 hours",
         extraAggs = Seq(moneySum(col("value")).as("val_sum")))
+    },
+
+    // ---- windowed top-N: hot items per window (the classic DWS ads
+    // query) — aggregate first, rank the aggregated (small) frame;
+    // deterministic tie-break on the key keeps both engines aligned
+    "q19_window_topn" -> { (s, dir) =>
+      val agged = t(s, dir, "lineitem")
+        .groupBy(window(col("l_shipdate"), "7 days").as("w"),
+          col("l_partkey").as("sku_id"))
+        .agg(moneySum(col("l_extendedprice")).as("amount"))
+      agged
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("w"))
+            .orderBy(col("amount").desc, col("sku_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("w.start").as("stt"), col("sku_id"),
+          col("amount"), col("rnk"))
     }
   )
 
@@ -375,6 +392,20 @@ object Relational {
         |SELECT user_id, MIN(ts) AS stt, MAX(ts) + INTERVAL 4 HOUR AS edt,
         | COUNT(*) AS ev_ct,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
-        |FROM y GROUP BY user_id, sid""".stripMargin
+        |FROM y GROUP BY user_id, sid""".stripMargin,
+
+    // time_bucket origin pinned to the epoch: DuckDB's default origin
+    // for day-scale buckets is 2000-01-03, Spark's window is
+    // epoch-aligned
+    "q19_window_topn" ->
+      """WITH a AS (
+        |  SELECT time_bucket(INTERVAL '7 days', l_shipdate, TIMESTAMP '1970-01-01') AS stt,
+        |    l_partkey AS sku_id,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT stt, sku_id, amount, rnk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY stt
+        |    ORDER BY amount DESC, sku_id) AS rnk FROM a)
+        |WHERE rnk <= 3""".stripMargin
   )
 }
