@@ -39,19 +39,16 @@ object Multimodal {
       .withColumn("sha", sha2(col(payloadCol), 256))
       .withColumn("header_hex", upper(hex(substring(col(payloadCol), 1, 4))))
 
-  /** Decoded-media schema: what a real image decode would yield. */
-  val decodedSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("channels", IntegerType),
-    StructField("features", ArrayType(FloatType))))
+  /** Decoded-media row: what a real image decode would yield. */
+  case class DecodedFrame(doc_id: Long, width: Int, height: Int,
+      channels: Int, features: Array[Float])
 
   /** Deterministic fake decode of one payload: dims derived from the
     * first bytes, an 8-dim "feature vector" from a rolling byte hash.
     * Replace with a real codec in production — signature is the seam.
     */
-  private[operators] def decodeStub(id: Long, bytesOrNull: Array[Byte]): Row = {
+  private[operators] def decodeStub(id: Long,
+      bytesOrNull: Array[Byte]): DecodedFrame = {
     // null payloads (missing blobs) decode like empty ones instead of
     // NPE-ing the partition
     val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
@@ -67,7 +64,7 @@ object Multimodal {
       feats(i % 8) = ((feats(i % 8) + acc % 997) % 997).toFloat
       i += 1
     }
-    Row(id, width, height, 3, feats.toSeq)
+    DecodedFrame(id, width, height, 3, feats)
   }
 
   /** Batch decode: one decoder per partition, rows streamed through —
@@ -84,17 +81,21 @@ object Multimodal {
   def decode(df: DataFrame, idCol: String = "doc_id",
              payloadCol: String = "payload",
              batchSize: Int = 256): DataFrame = {
-    val session = df.sparkSession
-    val input = df.select(col(idCol).cast(LongType), col(payloadCol))
+    // typed Dataset mapPartitions, not .rdd: rows stay in Tungsten
+    // binary format end to end (no Row boxing round-trip) and the
+    // surrounding stages keep whole-stage codegen
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
       .filter(col(idCol).isNotNull)
-    val rows = input.rdd.mapPartitions { it =>
-      // per-partition init happens here (decoder/codec state)
-      it.grouped(batchSize).flatMap { batch =>
-        // per-batch call boundary (vectorized codec seam)
-        batch.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init happens here (decoder/codec state)
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch call boundary (vectorized codec seam)
+          batch.map { case (id, bytes) => decodeStub(id, bytes) }
+        }
       }
-    }
-    session.createDataFrame(rows, decodedSchema)
+      .toDF()
   }
 
   /** Resize a decoded frame to target dimensions. The pixel resample is
