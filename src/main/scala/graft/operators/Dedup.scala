@@ -148,6 +148,13 @@ object Dedup {
     * aggregate. Candidates sharing no shingle drop out of the inner
     * join, which is equivalent to jaccard = 0 < threshold.
     */
+  /** Cache lifecycle: the persisted intermediates are plan-matched by
+    * the CacheManager, so repeated invocations over the SAME input
+    * reuse one entry (no growth); distinct corpora add entries that
+    * live until `df.unpersist()` / `spark.catalog.clearCache()` — a
+    * long-lived session sweeping many corpora should clear between
+    * pipelines (on a cluster these seams become persisted tables).
+    */
   def nearDupPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 3, bands: Int = 2, rowsPerBand: Int = 4,

@@ -27,7 +27,7 @@ object RoutingOps {
   private val opTable = Array("update", "update", "delete", "create",
     "insert", "insert", "insert", "insert", "insert", "insert")
 
-  private def opCol: org.apache.spark.sql.Column = {
+  private[graft] def opCol: org.apache.spark.sql.Column = {
     // try_cast: a non-numeric k nulls out (→ 'insert') instead of
     // aborting under ANSI mode, mirroring the oracle's TRY_CAST
     val k = expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
@@ -48,7 +48,7 @@ object RoutingOps {
       |     ELSE 'insert' END""".stripMargin
 
   /** The routing config: sourceTable=event_type, operateType, sink. */
-  private val configRows = Seq(
+  private[graft] val configRows = Seq(
     ("view", "insert", "kafka", "dwd_page_view", "event_id,user_id,value"),
     ("view", "update", "kafka", "dwd_page_view", "event_id,user_id,value"),
     ("click", "insert", "kafka", "dwd_click", "event_id,user_id"),
@@ -56,7 +56,15 @@ object RoutingOps {
     ("purchase", "update", "hbase", "dim_purchase", "event_id,user_id,value"),
     ("signup", "insert", "hbase", "dim_user", "event_id,user_id"))
 
-  private def configDf(s: SparkSession): DataFrame = {
+  // r2/r3 rely on the inner route join to drop deletes (see their
+  // comments); that only holds while no route carries a delete op —
+  // assert the invariant here so a config edit fails loudly instead of
+  // silently diverging from the oracle's explicit WHERE op <> 'delete'
+  require(configRows.forall(_._2 != "delete"),
+    "routing config must not contain delete routes: r2/r3 use the route " +
+      "join as the delete filter")
+
+  private[graft] def configDf(s: SparkSession): DataFrame = {
     import s.implicits._
     configRows.toDF("sourceTable", "operateType", "sinkType", "sinkTable",
       "sinkColumns")

@@ -21,6 +21,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row1.getString(2) === "68656C6C".toUpperCase) // 'hell'
   }
 
+  test("harness documents corpus is pure ASCII (the m1–m4 oracle contract)") {
+    // The multimodal oracles equate DuckDB's character math
+    // (ord/substr/strlen) with the operators' UTF-8 byte math — valid
+    // only while the stand-in corpus is ASCII. Regenerated fixtures
+    // with real multi-byte text must fail HERE, not silently diverge
+    // in three oracles at once.
+    val nonAscii = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(not(col("text").rlike("^[\\x00-\\x7F]*$"))).count()
+    assert(nonAscii === 0L)
+  }
+
   test("decode is batch-shape invariant: batchSize never changes results") {
     val many = (1L to 30L).map(i => (i, s"payload number $i")).toDF("doc_id", "text")
     val full = Multimodal.decode(Multimodal.withPayload(many), batchSize = 256)
