@@ -209,6 +209,50 @@ object Dedup {
     docs.groupBy(TextFunctions.contentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_ct"))
 
+  /** Streaming near-dup detection against a growing bucket index: per
+    * micro-batch, the batch's LSH bucket rows join the accumulated
+    * index (candidates = new doc × any prior doc sharing a band
+    * bucket), then the batch's buckets append to the index. The index
+    * is a parquet dir here — on a cluster the identical contract runs
+    * against a Delta/Iceberg table; either way the per-batch work is
+    * one bucket equi-join, never new × all-history content.
+    *
+    * `onBatch` receives (batchId, candidate pairs joined with bucket
+    * keys removed) — sink them or feed the exact-Jaccard verify.
+    */
+  def streamingCandidatePairs(stream: DataFrame, indexDir: String,
+      onBatch: (Long, DataFrame) => Unit,
+      idCol: String = "doc_id", textCol: String = "text",
+      bands: Int = 2, rowsPerBand: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val bk = bandFrame(
+        signatures(batch, idCol, textCol, numHashes = bands * rowsPerBand),
+        idCol, bands, rowsPerBand).persist()
+      val candidates =
+        if (!new java.io.File(indexDir).exists()) {
+          // first batch: only within-batch pairs
+          pairsFromBuckets(bk, idCol)
+        } else {
+          val index = spark.read.parquet(indexDir)
+          val prior = index.select(col("band"), col("key"),
+            col(idCol).as("doc_a"))
+          val fresh = bk.select(col("band").as("band_b"),
+            col("key").as("key_b"), col(idCol).as("doc_b"))
+          // prior × new (cross-batch) plus new × new (within-batch)
+          prior.join(fresh,
+              col("band") === col("band_b") && col("key") === col("key_b"))
+            .select(col("doc_a"), col("doc_b")).distinct()
+            .unionByName(pairsFromBuckets(bk, idCol))
+            .distinct()
+        }
+      onBatch(batchId, candidates)
+      bk.write.mode("append").parquet(indexDir)
+      bk.unpersist()
+      ()
+    }
+
   /** Streaming exact dedup: emit the first arrival per content hash,
     * dropping duplicates that arrive within the watermark delay of the
     * original. State is one (hash, expiry) entry evicted by the

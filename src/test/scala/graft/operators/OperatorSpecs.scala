@@ -70,6 +70,35 @@ class DedupSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming near-dup finds cross-batch candidates via the bucket index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("lsh_index").toString + "/idx"
+    val found = scala.collection.mutable.Set[(Long, Long)]()
+    val input = MemoryStream[(Long, String)]
+    val query = Dedup.streamingCandidatePairs(
+        input.toDF().toDF("doc_id", "text"), indexDir,
+        (_, pairs) => found ++=
+          pairs.as[(Long, Long)](newLongLongEncoder).collect())
+      .start()
+    try {
+      input.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (10L, "completely different content about spark engines"))
+      query.processAllAvailable()
+      assert(found.isEmpty) // nothing similar within batch 1
+      // batch 2: exact text of doc 1 arrives → cross-batch candidate
+      input.addData((2L, "the quick brown fox jumps over the lazy dog"))
+      query.processAllAvailable()
+      assert(found.toSet === Set((1L, 2L)))
+    } finally query.stop()
+  }
+
+  private def newLongLongEncoder =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+
   test("jaccard is exact on shingle sets") {
     val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
     val a = sh.filter($"doc_id" === 1).select($"sh".as("sh_a"))
