@@ -102,6 +102,32 @@ object Similarity {
       col("q_id") =!= col("n_id")), k)
   }
 
+  /** Distributed coarse-cell assignment — the k-means "assign" step
+    * that produces an IVF cell column: each vector goes to the
+    * highest-cosine centroid (ties → lowest centroid id). Centroids
+    * broadcast; the corpus streams through one codegen'd projection +
+    * a partial-aggregatable max(struct(cos, -cid)) — no shuffle of
+    * vectors, no window sort. Iterating Lloyd's = re-aggregating
+    * means over this assignment; one assignment pass is what IVF
+    * search needs at ingest time.
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val c = broadcast(centroids.select(col(idCol).as("c_id"),
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_nrm")))
+    corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .crossJoin(c)
+      .select(col(idCol),
+        (dot(col(vecCol), col("c_vec")) /
+          nullif(col("nrm") * col("c_nrm"), lit(0.0))).as("cos"),
+        col("c_id"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cos"), (-col("c_id")).as("neg_id"))).as("best"))
+      .select(col(idCol), (-col("best.neg_id")).as("cell"),
+        col("best.cos").as("cell_cos"))
+  }
+
   /** IVF probe-1 search: only candidates in the query's coarse cell. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              cellCol: String = "label", idCol: String = "vec_id",

@@ -35,6 +35,13 @@ object VectorOps {
       Similarity.lshKnn(e, querySet(e), k = 3)
     },
 
+    // deterministic seed centroids: the first 8 vectors (a production
+    // run would seed via k-means||; the assignment pass is identical)
+    "v5_cell_assign" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.assignCells(e, e.filter(col("vec_id") < 8))
+    },
+
     // threshold 0.3: the synthetic embeddings have no true near-dups
     // (max within-label cosine ≈ 0.47), so a production-style 0.9 gate
     // would be vacuous; 0.3 keeps the verification pass non-empty.
@@ -95,6 +102,20 @@ object VectorOps {
     "v1_knn_brute" -> sqlKnn("q.vec_id <> c.vec_id"),
 
     "v2_knn_ivf" -> sqlKnn("q.label = c.label AND q.vec_id <> c.vec_id"),
+
+    // max(struct(cos, -cid)) ≡ QUALIFY ROW_NUMBER() ORDER BY cos DESC,
+    // c_id — cosines are bit-identical (strict fold), so the argmax row
+    // is the same on both engines
+    "v5_cell_assign" ->
+      s"""WITH e AS ($sqlWithNorm)
+         |SELECT vec_id, cell, cell_cos FROM (
+         |  SELECT v.vec_id, c.vec_id AS cell,
+         |    ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} AS cell_cos,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
+         |               c.vec_id) AS rnk
+         |  FROM e v CROSS JOIN (SELECT * FROM e WHERE vec_id < 8) c)
+         |WHERE rnk = 1""".stripMargin,
 
     "v4_knn_lsh" ->
       s"""WITH e0 AS ($sqlWithNorm),

@@ -156,6 +156,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sigs.toSeq === sigs2.toSeq)
   }
 
+  test("cell assignment picks the highest-cosine centroid, ties to lowest id") {
+    val out = Similarity.assignCells(vecs, vecs.filter($"vec_id" < 2))
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    // centroid 0 = (1,0), centroid 1 = (0.9,0.1)
+    assert(out(0L) === 0L) // exact self-match beats the near-copy
+    assert(out(2L) === 1L) // (0,1) is closer to (0.9,0.1) than to (1,0)
+    assert(out(3L) === 1L)
+  }
+
   test("cosine of identical vectors is 1.0") {
     val c = vecs.filter($"vec_id" === 0)
       .select(Similarity.cosine(col("embedding"), col("embedding")))
