@@ -230,20 +230,30 @@ object Dedup {
       val bk = bandFrame(
         signatures(batch, idCol, textCol, numHashes = bands * rowsPerBand),
         idCol, bands, rowsPerBand).persist()
+      // Hadoop FS, not java.io.File: indexDir may be HDFS/S3 on a
+      // cluster — the local-FS check would always say "missing" there
+      // and silently drop all cross-batch candidates
+      val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val candidates =
-        if (!new java.io.File(indexDir).exists()) {
+        if (!fs.exists(indexPath)) {
           // first batch: only within-batch pairs
           pairsFromBuckets(bk, idCol)
         } else {
           val index = spark.read.parquet(indexDir)
           val prior = index.select(col("band"), col("key"),
-            col(idCol).as("doc_a"))
+            col(idCol).as("id_a"))
           val fresh = bk.select(col("band").as("band_b"),
-            col("key").as("key_b"), col(idCol).as("doc_b"))
-          // prior × new (cross-batch) plus new × new (within-batch)
+            col("key").as("key_b"), col(idCol).as("id_b"))
+          // prior × new (cross-batch) plus new × new (within-batch);
+          // normalize orientation to (least, greatest) so a pair has
+          // ONE representation regardless of which batch each side
+          // arrived in (the within-batch path already emits a < b)
           prior.join(fresh,
-              col("band") === col("band_b") && col("key") === col("key_b"))
-            .select(col("doc_a"), col("doc_b")).distinct()
+              col("band") === col("band_b") && col("key") === col("key_b") &&
+              col("id_a") =!= col("id_b"))
+            .select(least(col("id_a"), col("id_b")).as("doc_a"),
+              greatest(col("id_a"), col("id_b")).as("doc_b")).distinct()
             .unionByName(pairsFromBuckets(bk, idCol))
             .distinct()
         }
