@@ -9,4 +9,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function on a LIVE session (sessionState is
+    * private[sql]); the extensions path (GraftExtensions) covers
+    * sessions built with spark.sql.extensions.
+    */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

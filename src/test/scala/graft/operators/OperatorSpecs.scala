@@ -187,6 +187,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diffs === 0)
   }
 
+  test("native expressions are SQL-callable after extension registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+        |               array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS d,
+        |       rolling_hash('ab') AS h""".stripMargin)
+      .as[(Double, Long)].head()
+    assert(r._1 === 11.0)
+    assert(r._2 === ('a'.toInt * 31L + 'b'.toInt) % 1000000007L)
+  }
+
   test("codegen RollingHash matches the HOF formulation incl. non-ASCII") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
