@@ -248,6 +248,22 @@ object Relational {
         .filter(col("rnk") <= 3)
         .select(col("w.start").as("stt"), col("sku_id"),
           col("amount"), col("rnk"))
+    },
+
+    // ---- multi-dim enrichment over part/supplier -------------------------
+    // nation broadcasts explicitly (25 rows, always); part/supplier get
+    // no hint — they scale with the data, so join selection must stay
+    // size-based (broadcast at harness SFs, shuffled at 100 TB)
+    "q20_brand_supplier" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("p_brand"), col("n_name").as("supp_nation"))
+        .agg(moneySum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("line_ct"),
+          countDistinct(col("l_suppkey")).as("supp_ct"))
     }
   )
 
@@ -406,6 +422,16 @@ object Relational {
         |SELECT stt, sku_id, amount, rnk FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY stt
         |    ORDER BY amount DESC, sku_id) AS rnk FROM a)
-        |WHERE rnk <= 3""".stripMargin
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q20_brand_supplier" ->
+      """SELECT p_brand, n_name AS supp_nation,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS line_ct, COUNT(DISTINCT l_suppkey) AS supp_ct
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin
   )
 }
