@@ -147,6 +147,47 @@ class PropertySpecs extends AnyFunSuite {
     }
   }
 
+  test("bucketed ANN paths are consistent with brute force on real embeddings") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    // brute-force scores for every (query, neighbor) pair — ground truth
+    val truth = Similarity.bruteForceKnn(e, q, k = Int.MaxValue)
+      .select(col("q_id"), col("n_id"), col("cos_sim"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // each bucketed result must carry EXACTLY the brute-force cosine
+    // (same kernel, same inputs), and ranks must be locally consistent
+    Seq(Similarity.ivfKnn(e, q, k = 3), Similarity.lshKnn(e, q, k = 3))
+      .foreach { df =>
+        val rows = df.select(col("q_id"), col("n_id"), col("rnk"), col("cos_sim"))
+          .as[(Long, Long, Int, Double)].collect()
+        assert(rows.nonEmpty)
+        rows.foreach { case (a, b, _, c) => assert(truth((a, b)) === c) }
+        rows.groupBy(_._1).values.foreach { g =>
+          val byRank = g.sortBy(_._3).map(_._4)
+          assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+        }
+      }
+  }
+
+  test("CJK forward-maximum-matching tokens always rejoin to the input") {
+    import graft.functions.CjkSegmenter
+    val dictWords = CjkSegmenter.defaultDict.toSeq.sorted
+    val pieceGen = Gen.oneOf(
+      Gen.oneOf(dictWords),
+      Gen.oneOf("中", "文", "字", "符"),     // non-dictionary CJK singles
+      Gen.oneOf("abc", "x1", ""))
+    val textGen = Gen.chooseNum(0, 8)
+      .flatMap(n => Gen.listOfN(n, pieceGen)).map(_.mkString)
+    sample(textGen, 120).foreach { t =>
+      val toks = CjkSegmenter.segment(t)
+      // segmentation is a partition of the input: concatenating the
+      // tokens reproduces it exactly (whitespace-free inputs here)
+      assert(toks.mkString === t, s"input='$t' tokens=$toks")
+    }
+  }
+
   test("rollingFingerprint equals the reference fold for generated ASCII text") {
     val txtGen = Gen.chooseNum(0, 40).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar))).map(_.mkString)
