@@ -264,6 +264,15 @@ object Relational {
         .agg(moneySum(col("l_extendedprice")).as("revenue"),
           count(lit(1)).as("line_ct"),
           countDistinct(col("l_suppkey")).as("supp_ct"))
+    },
+
+    // ---- ROLLUP: per-dim totals + grand total in one pass ----------------
+    // (the DWS reporting shape: status × priority, per-status, overall)
+    "q21_rollup" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("ct"),
+          moneySum(col("o_totalprice")).as("total"))
     }
   )
 
@@ -432,6 +441,12 @@ object Relational {
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q21_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS ct,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin
   )
 }

@@ -30,6 +30,11 @@ object Sinks {
     * Semantically the Phoenix upsert; auto-DDL = first write creates
     * the dir with the batch's schema. At scale this becomes a Delta/
     * Iceberg MERGE — the call-site contract is identical.
+    *
+    * LOCAL-FS implementation by design (java.io rename swap): atomic
+    * renames don't exist on object stores, so the cluster deployment
+    * swaps this body for the table format's MERGE rather than porting
+    * the rename dance to Hadoop FS.
     */
   /** @param orderCol when the batch can carry several changes for one
     *   pk, names the column whose max picks the winner (last-write-wins,
