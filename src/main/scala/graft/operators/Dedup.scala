@@ -223,7 +223,8 @@ object Dedup {
   def streamingCandidatePairs(stream: DataFrame, indexDir: String,
       onBatch: (Long, DataFrame) => Unit,
       idCol: String = "doc_id", textCol: String = "text",
-      bands: Int = 2, rowsPerBand: Int = 4)
+      bands: Int = 2, rowsPerBand: Int = 4,
+      maxBucket: Int = Int.MaxValue)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
@@ -238,27 +239,44 @@ object Dedup {
       val candidates =
         if (!fs.exists(indexPath)) {
           // first batch: only within-batch pairs
-          pairsFromBuckets(bk, idCol)
+          pairsFromBuckets(bk, idCol, maxBucket)
         } else {
-          val index = spark.read.parquet(indexDir)
-          val prior = index.select(col("band"), col("key"),
-            col(idCol).as("id_a"))
+          // foreachBatch is at-least-once: read only batches strictly
+          // before this one, so a replayed batch neither joins against
+          // its own half-written buckets nor double-counts them
+          val prior0 = spark.read.option("basePath", indexDir)
+            .parquet(indexDir)
+            .filter(col("batch_id") < batchId)
+          // degenerate-bucket guard on the GROWN index side too — a
+          // boilerplate bucket otherwise makes per-batch output grow
+          // linearly forever (quadratic cumulatively)
+          val prior =
+            if (maxBucket == Int.MaxValue) prior0
+            else prior0.join(
+              prior0.groupBy(col("band"), col("key"))
+                .agg(count(lit(1)).as("_bsz"))
+                .filter(col("_bsz") <= maxBucket),
+              Seq("band", "key"), "left_semi")
           val fresh = bk.select(col("band").as("band_b"),
             col("key").as("key_b"), col(idCol).as("id_b"))
           // prior × new (cross-batch) plus new × new (within-batch);
           // normalize orientation to (least, greatest) so a pair has
           // ONE representation regardless of which batch each side
           // arrived in (the within-batch path already emits a < b)
-          prior.join(fresh,
+          prior.select(col("band"), col("key"), col(idCol).as("id_a"))
+            .join(fresh,
               col("band") === col("band_b") && col("key") === col("key_b") &&
               col("id_a") =!= col("id_b"))
             .select(least(col("id_a"), col("id_b")).as("doc_a"),
               greatest(col("id_a"), col("id_b")).as("doc_b")).distinct()
-            .unionByName(pairsFromBuckets(bk, idCol))
+            .unionByName(pairsFromBuckets(bk, idCol, maxBucket))
             .distinct()
         }
       onBatch(batchId, candidates)
-      bk.write.mode("append").parquet(indexDir)
+      // per-batch partition dir + Overwrite = idempotent under replay:
+      // a recovered batch rewrites its own partition instead of
+      // appending a duplicate copy
+      bk.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
       bk.unpersist()
       ()
     }

@@ -18,4 +18,13 @@ object GraftShim {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Apply a SparkSessionExtensions' injected functions to a live
+    * session's registry — lets tests drive the exact injection path a
+    * `spark.sql.extensions`-built session uses (registerFunctions is
+    * private[sql]).
+    */
+  def applyInjectedFunctions(ext: SparkSessionExtensions,
+      spark: SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

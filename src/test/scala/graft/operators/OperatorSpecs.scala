@@ -79,8 +79,7 @@ class DedupSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, String)]
     val query = Dedup.streamingCandidatePairs(
         input.toDF().toDF("doc_id", "text"), indexDir,
-        (_, pairs) => found ++=
-          pairs.as[(Long, Long)](newLongLongEncoder).collect())
+        (_, pairs) => found ++= pairs.as[(Long, Long)].collect())
       .start()
     try {
       input.addData((1L, "the quick brown fox jumps over the lazy dog"),
@@ -93,11 +92,6 @@ class DedupSpec extends AnyFunSuite {
       assert(found.toSet === Set((1L, 2L)))
     } finally query.stop()
   }
-
-  private def newLongLongEncoder =
-    org.apache.spark.sql.Encoders.tuple(
-      org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.Encoders.scalaLong)
 
   test("jaccard is exact on shingle sets") {
     val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
@@ -188,7 +182,11 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("native expressions are SQL-callable after extension registration") {
-    graft.functions.GraftExtensions.register(spark)
+    // drive the REAL injection path (what spark.sql.extensions runs at
+    // session build), not just the live-session temp registration
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftShim.applyInjectedFunctions(ext, spark)
     val r = spark.sql(
       """SELECT vec_dot(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
         |               array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS d,
