@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression net for the SCALING.md / PLANS.md claims: the
+  * properties that make these queries scale must stay visible in the
+  * physical plan — losing a pushdown, a broadcast, or a group-limit is
+  * a performance regression even when results stay correct.
+  */
+class PlanRegressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q2 dim enrichment broadcasts all dims and pushes scan filters") {
+    val p = plan("q2_province_stats")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull"))
+  }
+
+  test("q1 aggregation reads only the needed columns (pruned scan)") {
+    val p = plan("q1_agg")
+    // 5 of lineitem's 11 columns
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_returnflag:string,l_linestatus:string>"))
+  }
+
+  test("q19 top-N pushes the rank limit below the exchange") {
+    val p = plan("q19_window_topn")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2) // partial + final
+  }
+
+  test("no query plans a cartesian product of two large sides") {
+    // v1 brute-force kNN is the one intentional cross join — its query
+    // side is broadcast, so it must plan as a broadcast NL join, never
+    // a CartesianProduct exchange
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"), name)
+    }
+  }
+
+  test("interval joins stay equi-joins with the range as a post-filter") {
+    val p = plan("q4_interval_join")
+    assert(p.contains("l_orderkey") && !p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+}
