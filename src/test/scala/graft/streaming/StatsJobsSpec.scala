@@ -79,6 +79,38 @@ class StatsJobsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("visitorStats streams: union of marker streams aggregates per window in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // two independent marker streams (page views + unique visits),
+    // unioned THEN watermarked — the A1 shape from the Warehouse
+    val pvIn = MemoryStream[(String, String, String, String, String, Long, Long)]
+    val uvIn = MemoryStream[(String, String, String, String, String, Long)]
+    val pv = pvIn.toDF()
+      .toDF("vc", "ch", "ar", "is_new", "t", "pv_ct", "dur_sum")
+    val uv = uvIn.toDF().toDF("vc", "ch", "ar", "is_new", "t", "uv_ct")
+    def wm(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("event_time", to_timestamp(col("t")))
+        .withWatermark("event_time", "0 seconds")
+    val query = StatsJobs.visitorStats(Seq(wm(pv), wm(uv)))
+      .writeStream.format("memory").queryName("vs_stream")
+      .outputMode("append").start()
+    try {
+      pvIn.addData(("v1", "web", "110000", "1", t0, 1L, 1000L),
+        ("v1", "web", "110000", "1", t1, 1L, 2000L))
+      uvIn.addData(("v1", "web", "110000", "1", t0, 1L))
+      query.processAllAvailable()
+      // advance the watermark on BOTH streams past the first window
+      pvIn.addData(("v1", "web", "110000", "1", "2021-05-03 12:05:00", 1L, 0L))
+      uvIn.addData(("v1", "web", "110000", "1", "2021-05-03 12:05:00", 1L))
+      query.processAllAvailable()
+      val out = spark.table("vs_stream")
+        .select("stt", "pv_ct", "uv_ct", "dur_sum")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(out.contains(("2021-05-03 12:00:00", 2L, 1L, 3000L)))
+    } finally query.stop()
+  }
+
   test("productStats counts distinct orders per sku per window") {
     val ow = Seq(
       (100L, 1L, 2L, java.math.BigDecimal.valueOf(10.0), t0),
