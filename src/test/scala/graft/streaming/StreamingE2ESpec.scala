@@ -195,16 +195,19 @@ class StreamingE2ESpec extends AnyFunSuite {
           .select(col("sinkTable").as("topic"),
             to_json(col("after")).as("value"))
           .write.mode("append").json(kafkaDir)
-        // hbase side: MERGE-by-pk per dim table
-        routed.filter(col("sinkType") === "hbase")
+        // hbase side: MERGE-by-pk per dim table. Only the TABLE LIST
+        // (KB-scale) comes to the driver; each table's rows stay a
+        // distributed frame into the upsert — never collect the data
+        val dims = routed.filter(col("sinkType") === "hbase")
           .select(col("sinkTable"),
             col("after")("id").as("id"), col("after")("gender").as("gender"))
-          .collect().groupBy(_.getString(0))
-          .foreach { case (table, rws) =>
-            val df = rws.toSeq.map(r => (r.getString(1), r.getString(2)))
-              .toDF("id", "gender")
-            Sinks.upsertDim(spark, df, dimDir, table)
-          }
+        val tables = dims.select("sinkTable").distinct()
+          .collect().map(_.getString(0))
+        tables.foreach { table =>
+          Sinks.upsertDim(spark,
+            dims.filter(col("sinkTable") === table).drop("sinkTable"),
+            dimDir, table)
+        }
       }
       .start()
     try {
