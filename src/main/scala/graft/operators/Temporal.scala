@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively.
+  *
+  * [[asofJoin]]: for every left row, the single most recent right row
+  * with `rts <= lts` on the same key (point-in-time join — "what was
+  * the last purchase/price/state as of this event"). Built by
+  * composition, per the custom-operator preference order: no custom
+  * plan node needed.
+  *
+  * Scale shape: the naive formulation (range join + row_number) pairs
+  * every left row with ALL earlier right rows per key before ranking —
+  * quadratic in history. This implementation unions the two sides and
+  * takes a running `last(right, ignoreNulls)` over (key, time) — one
+  * shuffle on key, one ordered scan per partition, O(n log n) total,
+  * no pairwise blowup regardless of history depth. (The window is
+  * running-frame, so Spark evaluates it in a single pass; at extreme
+  * per-key cardinality, pre-bucketing by coarse time range bounds the
+  * sort.)
+  */
+object Temporal {
+
+  /** @param leftTs/rightTs   event-time columns (same type both sides)
+    * @param rightCarry       right-side columns carried onto each left
+    *                         row (null when no right row precedes it)
+    * Right-side ties on (key, ts) must be pre-deduplicated by the
+    * caller if a deterministic winner matters.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               keyL: String, keyR: String,
+               leftTs: String, rightTs: String,
+               rightCarry: Seq[String]): DataFrame = {
+    val carryStruct = struct(rightCarry.map(col): _*)
+    val leftCols = left.columns.toSeq
+    val r = right.select(col(keyR).as(keyL), col(rightTs).as(leftTs),
+      carryStruct.as("_carry"), lit(0).as("_side"))
+    val l = left.withColumn("_carry",
+        lit(null).cast(r.schema("_carry").dataType))
+      .withColumn("_side", lit(1))
+      .select(r.columns.map(col) ++
+        leftCols.filterNot(c => c == keyL || c == leftTs).map(col): _*)
+    // right rows sort before left rows at the same timestamp, so an
+    // equal-ts right row IS visible to the left row ("at or before")
+    val w = Window.partitionBy(col(keyL))
+      .orderBy(col(leftTs), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r.select(r.columns.map(col): _*), allowMissingColumns = true)
+      .withColumn("_asof", last(col("_carry"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) :+ col("_asof"): _*)
+  }
+}

@@ -266,6 +266,28 @@ object Relational {
           countDistinct(col("l_suppkey")).as("supp_ct"))
     },
 
+    // ---- as-of (point-in-time) join --------------------------------------
+    // for each view, the most recent purchase at-or-before it; right
+    // side deduped per (user, ts) so ties have one deterministic winner
+    "q22_asof_join" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val w = Window.partitionBy(col("p_uid"), col("p_ts"))
+        .orderBy(col("p_id").desc)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      graft.operators.Temporal.asofJoin(views, purchases,
+          keyL = "user_id", keyR = "p_uid", leftTs = "ts", rightTs = "p_ts",
+          rightCarry = Seq("p_id", "p_ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("_asof.p_id").as("last_purchase_id"),
+          col("_asof.p_ts").as("last_purchase_ts"))
+    },
+
     // ---- ROLLUP: per-dim totals + grand total in one pass ----------------
     // (the DWS reporting shape: status × priority, per-status, overall)
     "q21_rollup" -> { (s, dir) =>
@@ -442,6 +464,19 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q22_asof_join" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id AS p_uid, ts AS p_ts, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1)
+        |SELECT v.event_id, v.user_id, v.ts,
+        |  p.p_id AS last_purchase_id, p.p_ts AS last_purchase_ts
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.p_uid AND v.ts >= p.p_ts""".stripMargin,
 
     "q21_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS ct,

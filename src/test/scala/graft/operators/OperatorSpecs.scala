@@ -159,6 +159,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(3L) === 1L)
   }
 
+  test("asof join takes the most recent right row at-or-before each left row") {
+    val l = Seq((1L, "u1", 100L), (2L, "u1", 200L), (3L, "u1", 50L),
+      (4L, "u2", 100L)).toDF("event_id", "user_id", "ts")
+    val r = Seq(("u1", 100L, 7L), ("u1", 150L, 8L))
+      .toDF("p_uid", "p_ts", "p_id")
+    val out = Temporal.asofJoin(l, r, "user_id", "p_uid", "ts", "p_ts",
+        Seq("p_id"))
+      .select(col("event_id"), col("_asof.p_id"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(out(1L) === Some(7L)) // equal ts counts (at-or-before)
+    assert(out(2L) === Some(8L)) // most recent of the two
+    assert(out(3L) === None)     // nothing before → null
+    assert(out(4L) === None)     // other key unaffected
+  }
+
   test("cosine of identical vectors is 1.0") {
     val c = vecs.filter($"vec_id" === 0)
       .select(Similarity.cosine(col("embedding"), col("embedding")))
