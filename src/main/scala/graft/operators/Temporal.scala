@@ -30,6 +30,33 @@ object Temporal {
     * Right-side ties on (key, ts) must be pre-deduplicated by the
     * caller if a deterministic winner matters.
     */
+  /** Range (interval-containment) join with NO equi key: each left
+    * point row joins the right interval rows containing it. A naive
+    * theta-join plans as a nested loop (quadratic); here both sides
+    * bucket by `bucketMicros` — intervals explode into the buckets
+    * they cover, points map to their single bucket — so the physical
+    * join is an equi-join on the bucket id, then an exact containment
+    * filter. Each qualifying (point, interval) pair surfaces exactly
+    * once: the point's own bucket. Choose bucketMicros ≈ typical
+    * interval length: wider ⇒ fewer interval replicas, narrower ⇒
+    * fewer false bucket-mates to filter.
+    */
+  def rangeJoin(points: DataFrame, pointTs: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                bucketMicros: Long): DataFrame = {
+    // CAST to TIMESTAMP: unix_micros rejects TIMESTAMP_NTZ columns;
+    // the session is pinned UTC so the cast is value-preserving
+    val pb = points.withColumn("_bucket",
+      expr(s"unix_micros(CAST($pointTs AS TIMESTAMP)) DIV $bucketMicros"))
+    val ib = intervals.withColumn("_bucket",
+      explode(sequence(
+        expr(s"unix_micros(CAST($startCol AS TIMESTAMP)) DIV $bucketMicros"),
+        expr(s"unix_micros(CAST($endCol AS TIMESTAMP)) DIV $bucketMicros"))))
+    pb.join(ib, Seq("_bucket"))
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop("_bucket")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame,
                keyL: String, keyR: String,
                leftTs: String, rightTs: String,

@@ -288,6 +288,22 @@ object Relational {
           col("_asof.p_ts").as("last_purchase_ts"))
     },
 
+    // ---- range join (no equi key): shipments inside order windows --------
+    "q23_range_join" -> { (s, dir) =>
+      val points = t(s, dir, "lineitem")
+        .select(col("l_shipdate"), col("l_quantity"))
+      val intervals = t(s, dir, "orders")
+        .select(col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("o_end"),
+          col("o_orderpriority"))
+      graft.operators.Temporal.rangeJoin(points, "l_shipdate",
+          intervals, "o_orderdate", "o_end",
+          bucketMicros = 3L * 86400 * 1000000)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("ct"),
+          sum(dec2(col("l_quantity"))).cast(DoubleType).as("qty"))
+    },
+
     // ---- ROLLUP: per-dim totals + grand total in one pass ----------------
     // (the DWS reporting shape: status × priority, per-status, overall)
     "q21_rollup" -> { (s, dir) =>
@@ -464,6 +480,14 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q23_range_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS ct,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 3 DAY
+        |GROUP BY 1""".stripMargin,
 
     "q22_asof_join" ->
       """WITH v AS (

@@ -175,6 +175,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(4L) === None)     // other key unaffected
   }
 
+  test("range join matches containment exactly across bucket boundaries") {
+    // build directly in micros via timestamp_micros for precision
+    val p = Seq(1L, 999L, 1000L, 2500L, 9999L).toDF("us")
+      .select(col("us"), timestamp_micros(col("us")).as("pt"))
+    val iv = Seq((500L, 1500L, "a"), (2000L, 3000L, "b"))
+      .toDF("s_us", "e_us", "tag")
+      .select(col("tag"), timestamp_micros(col("s_us")).as("s"),
+        timestamp_micros(col("e_us")).as("e"))
+    // bucket width 1000µs: interval "a" [500,1500] spans two buckets
+    val out = Temporal.rangeJoin(p, "pt", iv, "s", "e", bucketMicros = 1000L)
+      .select(col("us"), col("tag")).as[(Long, String)].collect().toSet
+    assert(out === Set((999L, "a"), (1000L, "a"), (2500L, "b")))
+  }
+
   test("cosine of identical vectors is 1.0") {
     val c = vecs.filter($"vec_id" === 0)
       .select(Similarity.cosine(col("embedding"), col("embedding")))
