@@ -289,8 +289,13 @@ object Relational {
     },
 
     // ---- range join (no equi key): shipments inside order windows --------
+    // point set restricted to max-quantity lines: dates are
+    // day-aligned and orders are dense (~60/day), so the UNRESTRICTED
+    // containment join is semantically ~240 matches per point — 144M
+    // result rows at sf0.1 regardless of join strategy
     "q23_range_join" -> { (s, dir) =>
       val points = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 50.0)
         .select(col("l_shipdate"), col("l_quantity"))
       val intervals = t(s, dir, "orders")
         .select(col("o_orderdate"),
@@ -484,7 +489,8 @@ object Relational {
     "q23_range_join" ->
       """SELECT o_orderpriority, COUNT(*) AS ct,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-        |FROM lineitem JOIN orders
+        |FROM (SELECT * FROM lineitem WHERE l_quantity >= 50.0) li
+        |JOIN orders
         |  ON l_shipdate >= o_orderdate
         | AND l_shipdate <= o_orderdate + INTERVAL 3 DAY
         |GROUP BY 1""".stripMargin,
