@@ -228,25 +228,43 @@ object Dedup {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val bk = bandFrame(
+      val bk0 = bandFrame(
         signatures(batch, idCol, textCol, numHashes = bands * rowsPerBand),
         idCol, bands, rowsPerBand).persist()
+      // cap degenerate buckets ONCE on the batch side; the capped frame
+      // feeds both the within-batch pairing and the cross-batch probe,
+      // so a boilerplate bucket is consistently excluded everywhere
+      val bk =
+        if (maxBucket == Int.MaxValue) bk0
+        else bk0.join(
+          bk0.groupBy(col("band"), col("key"))
+            .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucket),
+          Seq("band", "key"), "left_semi").persist()
       // Hadoop FS, not java.io.File: indexDir may be HDFS/S3 on a
       // cluster — the local-FS check would always say "missing" there
       // and silently drop all cross-batch candidates
       val indexPath = new org.apache.hadoop.fs.Path(indexDir)
       val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var priorCache: Option[DataFrame] = None
       val candidates =
         if (!fs.exists(indexPath)) {
           // first batch: only within-batch pairs
-          pairsFromBuckets(bk, idCol, maxBucket)
+          pairsFromBuckets(bk, idCol)
         } else {
           // foreachBatch is at-least-once: read only batches strictly
           // before this one, so a replayed batch neither joins against
-          // its own half-written buckets nor double-counts them
-          val prior0 = spark.read.option("basePath", indexDir)
+          // its own half-written buckets nor double-counts them.
+          // Layout contract: batch_id=N partition dirs ONLY — fail
+          // loudly on anything else rather than mis-reading it.
+          val index = spark.read.option("basePath", indexDir)
             .parquet(indexDir)
-            .filter(col("batch_id") < batchId)
+          require(index.columns.contains("batch_id"),
+            s"$indexDir is not a batch_id-partitioned bucket index; " +
+              "rebuild it (no in-place migration from other layouts)")
+          // persisted: the size aggregate and the join probe otherwise
+          // each rescan the whole accumulated index every batch
+          val prior0 = index.filter(col("batch_id") < batchId).persist()
+          priorCache = Some(prior0)
           // degenerate-bucket guard on the GROWN index side too — a
           // boilerplate bucket otherwise makes per-batch output grow
           // linearly forever (quadratic cumulatively)
@@ -269,15 +287,21 @@ object Dedup {
               col("id_a") =!= col("id_b"))
             .select(least(col("id_a"), col("id_b")).as("doc_a"),
               greatest(col("id_a"), col("id_b")).as("doc_b")).distinct()
-            .unionByName(pairsFromBuckets(bk, idCol, maxBucket))
+            .unionByName(pairsFromBuckets(bk, idCol))
             .distinct()
         }
+      // onBatch must consume within the call (foreachBatch contract);
+      // the persisted frames release right after
       onBatch(batchId, candidates)
       // per-batch partition dir + Overwrite = idempotent under replay:
       // a recovered batch rewrites its own partition instead of
-      // appending a duplicate copy
-      bk.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-      bk.unpersist()
+      // appending a duplicate copy. UNCAPPED rows are indexed — the
+      // cap is a per-batch cost guard, not an index filter, so a
+      // lowered cap on restart still sees full history
+      bk0.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+      bk0.unpersist()
+      if (bk ne bk0) bk.unpersist()
+      priorCache.foreach(_.unpersist())
       ()
     }
 

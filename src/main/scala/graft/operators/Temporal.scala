@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,12 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  /** @param leftTs/rightTs   event-time columns (same type both sides)
-    * @param rightCarry       right-side columns carried onto each left
-    *                         row (null when no right row precedes it)
-    * Right-side ties on (key, ts) must be pre-deduplicated by the
-    * caller if a deterministic winner matters.
-    */
   /** Range (interval-containment) join with NO equi key: each left
     * point row joins the right interval rows containing it. A naive
     * theta-join plans as a nested loop (quadratic); here both sides
@@ -57,14 +51,32 @@ object Temporal {
       .drop("_bucket")
   }
 
+  /** @param leftTs  left event-time column (same type as rightTs)
+    * @param rightTs right event-time column
+    * @param rightCarry right-side columns carried onto each left row
+    *                   as a `_asof` struct (null when no right row
+    *                   precedes it)
+    * Right-side ties on (key, ts) must be pre-deduplicated by the
+    * caller if a deterministic winner matters. Null-keyed or null-ts
+    * right rows never match (SQL ASOF semantics: `lts >= null` is
+    * never true); null-keyed/null-ts left rows pass through with a
+    * null `_asof`.
+    */
   def asofJoin(left: DataFrame, right: DataFrame,
                keyL: String, keyR: String,
                leftTs: String, rightTs: String,
                rightCarry: Seq[String]): DataFrame = {
     val carryStruct = struct(rightCarry.map(col): _*)
     val leftCols = left.columns.toSeq
-    val r = right.select(col(keyR).as(keyL), col(rightTs).as(leftTs),
-      carryStruct.as("_carry"), lit(0).as("_side"))
+    // a null key or ts can never satisfy key-equal && rts <= lts;
+    // dropping such right rows also keeps them out of the nulls-first
+    // sort position, where their carry would otherwise be served to
+    // every left row (null-keyed left rows then partition alone and
+    // null-ts left rows sort before every surviving right row → null)
+    val r = right
+      .filter(col(keyR).isNotNull && col(rightTs).isNotNull)
+      .select(col(keyR).as(keyL), col(rightTs).as(leftTs),
+        carryStruct.as("_carry"), lit(0).as("_side"))
     val l = left.withColumn("_carry",
         lit(null).cast(r.schema("_carry").dataType))
       .withColumn("_side", lit(1))

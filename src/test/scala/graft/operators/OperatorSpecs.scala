@@ -175,6 +175,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(4L) === None)     // other key unaffected
   }
 
+  test("asof join never matches null keys or null timestamps (SQL ASOF semantics)") {
+    val l = Seq((1L, "u1", Some(100L)), (2L, "u1", None),
+      (3L, null.asInstanceOf[String], Some(100L)))
+      .toDF("event_id", "user_id", "opt_ts")
+      .select(col("event_id"), col("user_id"), col("opt_ts").as("ts"))
+    val r = Seq(("u1", Some(50L), 7L), ("u1", None, 8L),
+      (null.asInstanceOf[String], Some(10L), 9L))
+      .toDF("p_uid", "opt_ts", "p_id")
+      .select(col("p_uid"), col("opt_ts").as("p_ts"), col("p_id"))
+    val out = Temporal.asofJoin(l, r, "user_id", "p_uid", "ts", "p_ts",
+        Seq("p_id"))
+      .select(col("event_id"), col("_asof.p_id"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(out(1L) === Some(7L)) // the null-ts right row (id 8) is ignored
+    assert(out(2L) === None)     // null left ts matches nothing
+    assert(out(3L) === None)     // null left key matches nothing
+  }
+
   test("range join matches containment exactly across bucket boundaries") {
     // build directly in micros via timestamp_micros for precision
     val p = Seq(1L, 999L, 1000L, 2500L, 9999L).toDF("us")

@@ -198,9 +198,12 @@ class StreamingE2ESpec extends AnyFunSuite {
         // hbase side: MERGE-by-pk per dim table. Only the TABLE LIST
         // (KB-scale) comes to the driver; each table's rows stay a
         // distributed frame into the upsert — never collect the data
+        // persist: the distinct() and each per-table filter otherwise
+        // re-parse the whole CDC batch from source (T+1 rescans)
         val dims = routed.filter(col("sinkType") === "hbase")
           .select(col("sinkTable"),
             col("after")("id").as("id"), col("after")("gender").as("gender"))
+          .persist()
         val tables = dims.select("sinkTable").distinct()
           .collect().map(_.getString(0))
         tables.foreach { table =>
@@ -208,6 +211,8 @@ class StreamingE2ESpec extends AnyFunSuite {
             dims.filter(col("sinkTable") === table).drop("sinkTable"),
             dimDir, table)
         }
+        dims.unpersist()
+        ()
       }
       .start()
     try {
