@@ -117,4 +117,17 @@ object TextFunctions {
 
   /** Stable 32-char content fingerprint for exact dedup. */
   def contentHash(text: Column): Column = md5(text)
+
+  /** Deterministic dataset-split assignment: a document's split is a
+    * pure function of its key's md5 (first 4 hex digits as a uniform
+    * 0..65535 value), so train/val membership is stable across runs,
+    * engines, and repartitioning — the property a training pipeline
+    * needs to never leak validation docs into training when data is
+    * re-processed. `trainPermille`/1000 of keys go to "train".
+    */
+  def stableSplit(key: Column, trainPermille: Int = 900): Column = {
+    val bucket = conv(substring(md5(key.cast(StringType)), 1, 4), 16, 10)
+      .cast(IntegerType)
+    when(bucket * 1000 < trainPermille * 65536, "train").otherwise("val")
+  }
 }

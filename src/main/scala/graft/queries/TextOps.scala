@@ -61,6 +61,14 @@ object TextOps {
         contentHash(col("text")).as("content_hash"))
     },
 
+    // ---- deterministic train/val split -----------------------------------
+    "t7_stable_split" -> { (s, dir) =>
+      docs(s, dir)
+        .groupBy(stableSplit(col("doc_id")).as("split"))
+        .agg(count(lit(1)).as("doc_ct"),
+          sum(nTokens(col("text"))).as("tok_sum"))
+    },
+
     // ---- corpus profiling: per-language length quantiles -----------------
     // Exact percentile over INTEGER token counts at dyadic percentages:
     // both engines interpolate lo + (hi-lo)·frac with frac ∈ {0, ¼, ½,
@@ -145,6 +153,15 @@ object TextOps {
         |   (a, b) -> (a * 31 + b) % 1000000007) AS fp,
         | md5(text) AS content_hash
         |FROM documents""".stripMargin,
+
+    // hex→int per the portable-hash rule: Spark conv(substr(md5..)) ≡
+    // DuckDB CAST('0x'||substr(md5..) AS INT)
+    "t7_stable_split" ->
+      s"""SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) * 1000 < 900 * 65536
+         |  THEN 'train' ELSE 'val' END AS split,
+         | COUNT(*) AS doc_ct,
+         | CAST(SUM($sqlNTokens) AS BIGINT) AS tok_sum
+         |FROM documents GROUP BY 1""".stripMargin,
 
     "t6_corpus_profile" -> {
       val scores = langProfiles.map { case (l, p) =>
