@@ -64,9 +64,52 @@ object CjkSegmenter {
     out.toSeq
   }
 
+  /** Max-word segmentation — the reference analyzer's `smart=false`
+    * mode (`utils/KeywordUtil.java:16`, `new IKSegmenter(reader,
+    * false)` emits ALL overlapping dictionary matches, not one
+    * partition): every dictionary word at every position, in position
+    * order (longest first at a tie), plus singles for CJK chars inside
+    * no match and whitespace-split non-CJK runs. "大数据仓库" →
+    * [大数据, 数据, 仓库], not FMM's [大数据, 仓库].
+    */
+  def segmentFull(text: String, dict: Set[String] = defaultDict,
+                  maxLen: Int = 4): Seq[String] = {
+    if (text == null || text.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val n = text.length
+    val covered = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      if (!isCjk(text.charAt(i))) {
+        val start = i
+        while (i < n && !isCjk(text.charAt(i))) i += 1
+        text.substring(start, i).split("\\s+")
+          .iterator.filter(_.nonEmpty).foreach(out += _)
+      } else {
+        var l = math.min(maxLen, n - i)
+        while (l >= 2) {
+          if (dict.contains(text.substring(i, i + l))) {
+            out += text.substring(i, i + l)
+            (i until i + l).foreach(covered(_) = true)
+          }
+          l -= 1
+        }
+        if (!covered(i)) out += text.substring(i, i + 1)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** Column form: text → array of words (use under `explode`). */
   val tokenizeCjk: Column => Column = {
     val u = udf((s: String) => segment(s))
+    (c: Column) => u(c)
+  }
+
+  /** Column form of [[segmentFull]] (ik_max_word shape). */
+  val tokenizeCjkFull: Column => Column = {
+    val u = udf((s: String) => segmentFull(s))
     (c: Column) => u(c)
   }
 }

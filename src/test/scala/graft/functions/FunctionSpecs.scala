@@ -14,6 +14,15 @@ class CjkSegmenterSpec extends AnyFunSuite {
       Seq("尚硅谷", "大数据", "项目"))
   }
 
+  test("max-word mode emits all overlapping dictionary matches (ik smart=false)") {
+    // FMM partitions; max-word also surfaces the nested 数据
+    assert(CjkSegmenter.segmentFull("大数据仓库") ===
+      Seq("大数据", "数据", "仓库"))
+    // chars inside no match fall back to singles; non-CJK passes through
+    assert(CjkSegmenter.segmentFull("他buy手机") === Seq("他", "buy", "手机"))
+    assert(CjkSegmenter.segmentFull("") === Seq.empty)
+  }
+
   test("unknown CJK characters fall back to single-character tokens") {
     assert(CjkSegmenter.segment("犇数据") === Seq("犇", "数据"))
   }
