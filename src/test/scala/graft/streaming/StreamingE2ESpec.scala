@@ -85,6 +85,43 @@ class StreamingE2ESpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("point-in-time dim enrichment: each event gets the dim version in effect at its time") {
+    // The reference's async dim lookup serves the dim row as of NOW —
+    // a late-arriving event gets the wrong (too-new) attributes. An
+    // as-of join against versioned dim history enriches each event
+    // with the version in effect at the EVENT's time, per micro-batch.
+    implicit val sq = spark.sqlContext
+    val outDir = Files.createTempDirectory("e2e_asof").toString
+    // dim history: user 10 was F until ts=1000, M from ts=1000 on
+    val dimHistory = Seq((10L, 0L, "F"), (10L, 1000L, "M"))
+      .toDF("user_id", "valid_from", "gender")
+    val input = MemoryStream[(Long, Long)] // (event_id, ts)
+    val query = input.toDF().toDF("event_id", "ts")
+      .withColumn("user_id", lit(10L))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Temporal.asofJoin(batch, dimHistory,
+            keyL = "user_id", keyR = "user_id",
+            leftTs = "ts", rightTs = "valid_from",
+            rightCarry = Seq("gender"))
+          .select(col("event_id"), col("_asof.gender").as("gender"))
+          .write.mode("append").json(outDir)
+        ()
+      }
+      .start()
+    try {
+      input.addData((1L, 500L), (2L, 1500L))
+      query.processAllAvailable()
+      input.addData((3L, 999L)) // late event, BEFORE the change
+      query.processAllAvailable()
+      val out = spark.read.json(outDir)
+        .select("event_id", "gender").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // as-of-now enrichment would claim "M" for all three
+      assert(out === Map(1L -> "F", 2L -> "M", 3L -> "F"))
+    } finally query.stop()
+  }
+
   test("windowed agg drops events later than the watermark (T2 semantics)") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String)]
