@@ -203,6 +203,37 @@ object Dedup {
       .select(col(idCol), sig.cast(IntegerType).as("simhash"))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch: the estimate is
+    * derived from the k-th smallest md5-hash of the distinct values —
+    * (k−1) / fraction-of-hash-space-covered. Unlike HLL the sketch is
+    * a deterministic function of the data (md5, no seed), so two
+    * engines compute bit-identical estimates — which is what makes it
+    * exactly oracle-checkable AND mergeable: the union of two sketches
+    * is the k smallest of their combined hash sets, a `min`-style
+    * partial aggregate at scale.
+    *
+    * Returns per group: `distinct_le_k` (exact count when below k),
+    * `kth` hash, and `kmv_estimate` (null while distinct < k — the
+    * sketch is exact there; callers coalesce).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 12 hex digits = 48 bits: fits a long exactly on both engines
+    val h = conv(substring(md5(col(valueCol).cast(StringType)), 1, 12), 16, 10)
+      .cast(LongType)
+    val d = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), h.as("h")).distinct()
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    d.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k) // the sketch IS the k smallest hashes
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("distinct_le_k"),
+        max(when(col("rnk") === k, col("h"))).as("kth"))
+      .withColumn("kmv_estimate",
+        lit((k - 1).toDouble) * lit(281474976710656.0) / col("kth"))
+  }
+
   /** Exact dedup: group on content hash, keep the smallest id. */
   def exact(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame =

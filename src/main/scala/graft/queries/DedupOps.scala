@@ -23,7 +23,15 @@ object DedupOps {
       Dedup.nearDupPairs(docs(s, dir), threshold = 0.5)
     },
 
-    "d4_simhash" -> { (s, dir) => Dedup.simhash16(docs(s, dir)) })
+    "d4_simhash" -> { (s, dir) => Dedup.simhash16(docs(s, dir)) },
+
+    // KMV sketch over per-source distinct content hashes: unlike HLL
+    // the estimate is a deterministic function of the data (md5), so
+    // both engines compute the identical value — exactly checkable
+    "d5_kmv_distinct" -> { (s, dir) =>
+      Dedup.kmvDistinct(docs(s, dir), groupCol = "source",
+        valueCol = "text", k = 64)
+    })
 
   /** SQL mirror of Dedup.shingles(n=3): distinct 3-word shingles with
     * 1-based inclusive slicing, short docs → whole text.
@@ -79,6 +87,20 @@ object DedupOps {
          |JOIN shingled sb ON sb.doc_id = doc_b
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |    / len(list_distinct(sa.sh || sb.sh)) >= 0.5""".stripMargin,
+
+    "d5_kmv_distinct" ->
+      """WITH d AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk
+        |  FROM d)
+        |SELECT source, COUNT(*) AS distinct_le_k,
+        |  CAST(MAX(CASE WHEN rnk = 64 THEN h END) AS BIGINT) AS kth,
+        |  CAST(63 AS DOUBLE) * 281474976710656.0
+        |    / MAX(CASE WHEN rnk = 64 THEN h END) AS kmv_estimate
+        |FROM r WHERE rnk <= 64 GROUP BY source""".stripMargin,
 
     "d4_simhash" -> {
       val votes = (0 until 16)

@@ -93,6 +93,23 @@ class DedupSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("kmv sketch estimates distinct counts within theory bounds") {
+    // 2000 distinct values, k=64 → relative std error ≈ 1/sqrt(k-2) ≈ 13%
+    val df = (1 to 4000).map(i => ("g", s"value_${i % 2000}"))
+      .toDF("source", "text")
+    val row = Dedup.kmvDistinct(df, "source", "text", k = 64)
+      .select("distinct_le_k", "kmv_estimate").collect().head
+    assert(row.getLong(0) === 64L) // sketch holds exactly k hashes
+    val est = row.getDouble(1)
+    assert(est > 2000 * 0.6 && est < 2000 * 1.4, s"estimate $est")
+    // below k the sketch is exact
+    val small = Dedup.kmvDistinct(
+      (1 to 10).map(i => ("g", s"v$i")).toDF("source", "text"),
+      "source", "text", k = 64)
+      .select("distinct_le_k", "kmv_estimate").collect().head
+    assert(small.getLong(0) === 10L && small.isNullAt(1))
+  }
+
   test("jaccard is exact on shingle sets") {
     val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
     val a = sh.filter($"doc_id" === 1).select($"sh".as("sh_a"))
