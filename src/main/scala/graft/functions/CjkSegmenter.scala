@@ -4,12 +4,15 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
 /** Dictionary-based CJK word segmentation — the reference's one true
-  * UDF surface (IK analyzer, smart mode off, at reference
+  * UDF surface (IK analyzer at reference
   * `gmall-realtime/src/main/java/com/atguigu/utils/KeywordUtil.java:13-35`).
-  * Re-implemented from scratch as forward maximum matching over a
-  * dictionary (the classic FMM algorithm): at each position take the
-  * longest dictionary word (up to `maxLen`), else emit the single
-  * character. Non-CJK runs fall back to whitespace splitting, so mixed
+  * Two modes, both from scratch:
+  *  - [[segment]] — forward maximum matching (one partition of the
+  *    input; the classic FMM algorithm): at each position take the
+  *    longest dictionary word (up to `maxLen`), else the single char.
+  *  - [[segmentFull]] — max-word mode mirroring the reference's
+  *    `smart=false` instantiation: ALL overlapping dictionary matches.
+  * Non-CJK runs fall back to whitespace splitting in both, so mixed
   * text tokenizes sensibly.
   *
   * This is deliberately a Scala UDF, not a Catalyst expression: it is

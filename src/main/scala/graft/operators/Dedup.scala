@@ -203,14 +203,43 @@ object Dedup {
       .select(col(idCol), sig.cast(IntegerType).as("simhash"))
   }
 
+  /** The KMV sketch state: the ≤ k smallest DISTINCT hashes seen, as a
+    * bounded sorted vector. reduce/merge keep the bound, so only k
+    * longs per group cross each partial-aggregation boundary — a true
+    * map-side-combined aggregate (contrast: a window-rank formulation
+    * shuffles and sorts every distinct hash).
+    */
+  class KmvAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(b: Seq[Long], h: java.lang.Long): Seq[Long] =
+      if (h == null) b else insert(b, h.longValue)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      b.foldLeft(a)(insert)
+    override def finish(b: Seq[Long]): Seq[Long] = b
+    private def insert(b: Seq[Long], h: Long): Seq[Long] =
+      if (b.contains(h)) b
+      else {
+        val i = b.indexWhere(_ > h)
+        val merged = if (i < 0) b :+ h else (b.take(i) :+ h) ++ b.drop(i)
+        if (merged.size > k) merged.dropRight(1) else merged
+      }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch: the estimate is
     * derived from the k-th smallest md5-hash of the distinct values —
     * (k−1) / fraction-of-hash-space-covered. Unlike HLL the sketch is
     * a deterministic function of the data (md5, no seed), so two
-    * engines compute bit-identical estimates — which is what makes it
-    * exactly oracle-checkable AND mergeable: the union of two sketches
-    * is the k smallest of their combined hash sets, a `min`-style
-    * partial aggregate at scale.
+    * engines compute bit-identical estimates — exactly
+    * oracle-checkable AND mergeable: the union of two sketches is the
+    * k smallest of their combined hash sets, maintained here by a
+    * custom bounded [[KmvAgg]] Aggregator so each partial-aggregation
+    * boundary moves at most k longs per group.
     *
     * Returns per group: `distinct_le_k` (exact count when below k),
     * `kth` hash, and `kmv_estimate` (null while distinct < k — the
@@ -218,18 +247,17 @@ object Dedup {
     */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
                   k: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // 12 hex digits = 48 bits: fits a long exactly on both engines
     val h = conv(substring(md5(col(valueCol).cast(StringType)), 1, 12), 16, 10)
       .cast(LongType)
-    val d = df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol), h.as("h")).distinct()
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
-    d.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k) // the sketch IS the k smallest hashes
+    val sketch = udaf(new KmvAgg(k))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), h.as("h"))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("distinct_le_k"),
-        max(when(col("rnk") === k, col("h"))).as("kth"))
+      .agg(sketch(col("h")).as("_mins"))
+      .select(col(groupCol),
+        size(col("_mins")).cast(LongType).as("distinct_le_k"),
+        when(size(col("_mins")) === k, element_at(col("_mins"), k)).as("kth"))
       .withColumn("kmv_estimate",
         lit((k - 1).toDouble) * lit(281474976710656.0) / col("kth"))
   }

@@ -21,6 +21,11 @@ class CjkSegmenterSpec extends AnyFunSuite {
     // chars inside no match fall back to singles; non-CJK passes through
     assert(CjkSegmenter.segmentFull("他buy手机") === Seq("他", "buy", "手机"))
     assert(CjkSegmenter.segmentFull("") === Seq.empty)
+    // the column form drives the same kernel under explode
+    val toks = Seq("大数据仓库").toDF("t")
+      .select(explode(CjkSegmenter.tokenizeCjkFull(col("t"))).as("w"))
+      .as[String].collect().toSeq
+    assert(toks === Seq("大数据", "数据", "仓库"))
   }
 
   test("unknown CJK characters fall back to single-character tokens") {
