@@ -188,6 +188,32 @@ class PropertySpecs extends AnyFunSuite {
     }
   }
 
+  test("stableSplit assignment is invariant under repartitioning and rerun") {
+    import graft.functions.TextFunctions
+    val ids = sample(Gen.chooseNum(0L, 1000000L), 200).distinct
+    def assign(parts: Int): Map[Long, String] =
+      ids.toDF("doc_id").repartition(parts)
+        .select(col("doc_id"), TextFunctions.stableSplit(col("doc_id")).as("s"))
+        .as[(Long, String)].collect().toMap
+    val a = assign(1)
+    assert(assign(7) === a && assign(32) === a) // layout-independent
+    // ratio lands near the requested 90/10 (md5 uniformity)
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+  }
+
+  test("kmv sketch is partition-count independent (merge path ≡ single reduce)") {
+    import graft.operators.Dedup
+    val rows = sample(Gen.chooseNum(0, 3000), 500)
+      .map(v => ("g", s"text_$v"))
+    def sketch(parts: Int) =
+      Dedup.kmvDistinct(rows.toDF("source", "text").repartition(parts),
+          "source", "text", k = 32)
+        .select("distinct_le_k", "kth", "kmv_estimate")
+        .collect().head.toSeq
+    assert(sketch(1) === sketch(8) && sketch(8) === sketch(31))
+  }
+
   test("rollingFingerprint equals the reference fold for generated ASCII text") {
     val txtGen = Gen.chooseNum(0, 40).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar))).map(_.mkString)
