@@ -43,6 +43,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv sketch plans as a partial+final aggregate (map-side combined)") {
+    val p = plan("d5_kmv_distinct")
+    // the custom Aggregator must partial-aggregate before the exchange
+    // — that is the whole point of the bounded buffer
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
+    assert("partial_kmvagg|partial_KmvAgg|Partial".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
   test("interval joins stay equi-joins with the range as a post-filter") {
     val p = plan("q4_interval_join")
     assert(p.contains("l_orderkey") && !p.contains("CartesianProduct"))
