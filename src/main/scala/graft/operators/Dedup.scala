@@ -219,7 +219,11 @@ object Dedup {
       b.foldLeft(a)(insert)
     override def finish(b: Seq[Long]): Seq[Long] = b
     private def insert(b: Seq[Long], h: Long): Seq[Long] =
-      if (b.contains(h)) b
+      // steady-state fast path: a full sketch rejects any hash at or
+      // above its largest member in O(1), no allocation (== is a
+      // duplicate, > can never enter) — the common case per row
+      if (b.length >= k && h >= b.last) b
+      else if (b.contains(h)) b
       else {
         val i = b.indexWhere(_ > h)
         val merged = if (i < 0) b :+ h else (b.take(i) :+ h) ++ b.drop(i)
@@ -247,6 +251,9 @@ object Dedup {
     */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
                   k: Int = 64): DataFrame = {
+    // k < 2 has no defined estimator and k = 0 would drive
+    // element_at(_mins, 0) into an ANSI error — fail fast instead
+    require(k >= 2, s"kmvDistinct needs k >= 2, got $k")
     // 12 hex digits = 48 bits: fits a long exactly on both engines
     val h = conv(substring(md5(col(valueCol).cast(StringType)), 1, 12), 16, 10)
       .cast(LongType)
