@@ -130,4 +130,36 @@ object TextFunctions {
       .cast(IntegerType)
     when(bucket * 1000 < trainPermille * 65536, "train").otherwise("val")
   }
+
+  /** Uniform 0..65535 bucket from a salted md5 of the key. The salt
+    * decorrelates independent uses — sampling with the default salt is
+    * statistically independent of [[stableSplit]]'s unsalted hash, so a
+    * downsampled corpus never skews the train/val boundary.
+    */
+  def hashBucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast(StringType))), 1, 4), 16, 10)
+      .cast(IntegerType)
+
+  /** Deterministic per-stratum sampling predicate: keep a row iff its
+    * key's salted hash bucket falls under the stratum's rate (in
+    * permyriad, ‱ — 10000 = keep all, 0 = drop all). Pure function of
+    * (key, stratum), so the sample is stable across runs, engines, and
+    * repartitioning — re-processing 100 TB yields the SAME sample, the
+    * property `df.sample()` (seeded per-partition RNG) cannot give
+    * once partitioning changes. The rate lookup is a literal when-chain
+    * (strata maps are small), fully codegen'd — no join, no UDF.
+    */
+  def stratifiedKeep(key: Column, stratum: Column,
+                     ratesPermyriad: Map[String, Int],
+                     defaultPermyriad: Int,
+                     salt: String = "s:"): Column = {
+    require((defaultPermyriad +: ratesPermyriad.values.toSeq)
+      .forall(r => r >= 0 && r <= 10000),
+      s"rates must be in [0, 10000] permyriad")
+    val rate = ratesPermyriad.foldLeft(lit(defaultPermyriad): Column) {
+      case (acc, (s, r)) => when(stratum === s, lit(r)).otherwise(acc)
+    }
+    // int arithmetic only: 65535 * 10000 < 2^31, exact on any engine
+    hashBucket(key, salt) * 10000 < rate * lit(65536)
+  }
 }

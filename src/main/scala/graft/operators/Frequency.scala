@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Frequency operators for the training-data pipeline: exact heavy
+  * hitters over arbitrarily large token streams via a bounded-state
+  * Misra–Gries sketch plus one exact verification pass.
+  *
+  * Scale shape (100 TB): a plain `groupBy(token).count()` shuffles one
+  * row per DISTINCT token — fine for bounded vocabularies, quadratic
+  * pain for open ones (URLs, n-grams, ids). The 2-pass scheme here
+  * keeps state bounded everywhere: pass 1 is a map-side-combined
+  * [[MisraGries]] aggregate whose partial buffers never exceed k
+  * entries (the classic mergeable-summaries guarantee: the merged
+  * sketch retains every value with true frequency > n/(k+1)); pass 2
+  * re-scans the data counting ONLY the ≤ k surviving candidates via a
+  * broadcast semi-join — no full-vocabulary shuffle ever happens, and
+  * the output is provably EXACT (candidate superset + exact counts +
+  * exact threshold), not approximate.
+  */
+object Frequency {
+
+  /** Misra–Gries frequent-items sketch as a typed `Aggregator`: at most
+    * `k` counters per buffer at every partial-aggregation boundary.
+    *
+    * `reduce` is the textbook update (hit → increment; room → insert;
+    * full → decrement all, drop zeros). `merge` is the mergeable-
+    * summaries combine (Agarwal et al., "Mergeable Summaries", PODS
+    * 2012): sum counters pointwise, then subtract the (k+1)-th largest
+    * count and drop non-positives. Both preserve the invariant
+    * `true_count − n/(k+1) ≤ sketch_count ≤ true_count`, so every value
+    * with frequency > n/(k+1) is present in the final sketch.
+    */
+  class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k >= 1, s"MisraGries needs k >= 1, got $k")
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      if (x == null) b
+      else b.get(x) match {
+        case Some(c) => b.updated(x, c + 1L)
+        case None if b.size < k => b.updated(x, 1L)
+        case None =>
+          // full and x absent: decrement every counter (x's implicit
+          // counter hits 0 and is not stored), drop exhausted entries
+          b.collect { case (t, c) if c > 1L => t -> (c - 1L) }
+      }
+
+    override def merge(a: Map[String, Long],
+                       b: Map[String, Long]): Map[String, Long] = {
+      val m = b.foldLeft(a) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }
+      if (m.size <= k) m
+      else {
+        // subtract the (k+1)-th largest count from all, keep positives:
+        // ≤ k survivors, error grows by that count — still ≤ n/(k+1)
+        val d = m.valuesIterator.toArray.sorted(Ordering[Long].reverse).apply(k)
+        m.collect { case (t, c) if c > d => t -> (c - d) }
+      }
+    }
+
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Exact heavy hitters: every `valueCol` value whose count strictly
+    * exceeds `num/den` of the total row count, with its exact count.
+    *
+    * Two passes over `rows`: (1) MG sketch (+ total count, same scan)
+    * → ≤ k candidate values; (2) exact counts of candidates only,
+    * via broadcast semi-join. The threshold comparison is integer
+    * (`ct * den > n * num`) so the result is bit-identical to any
+    * exact engine — no floating-point boundary cases.
+    *
+    * Requires φ = num/den ≥ 1/(k+1), the regime where Misra–Gries
+    * guarantees no false negatives; checked at call time.
+    */
+  def heavyHitters(rows: DataFrame, valueCol: String, k: Int,
+                   num: Long = 1L, den: Long = 30L): DataFrame = {
+    require(num > 0 && den > 0, s"need positive threshold, got $num/$den")
+    require((k + 1L) * num >= den,
+      s"heavyHitters needs num/den >= 1/(k+1) for the MG no-false-negative " +
+        s"guarantee, got $num/$den with k=$k")
+    val sketch = udaf(new MisraGries(k))
+    val in = rows.filter(col(valueCol).isNotNull)
+    // single-row frame: sketch + exact total from one scan
+    val first = in.agg(sketch(col(valueCol)).as("_mg"), count(lit(1)).as("_n"))
+    val cands = first.select(explode(map_keys(col("_mg"))).as(valueCol),
+      col("_n"))
+    in.join(broadcast(cands), valueCol)
+      .groupBy(col(valueCol), col("_n"))
+      .agg(count(lit(1)).as("ct"))
+      .filter(col("ct") * den > col("_n") * num)
+      .select(col(valueCol), col("ct"))
+  }
+}

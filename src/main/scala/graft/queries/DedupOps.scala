@@ -31,6 +31,14 @@ object DedupOps {
     "d5_kmv_distinct" -> { (s, dir) =>
       Dedup.kmvDistinct(docs(s, dir), groupCol = "source",
         valueCol = "text", k = 64)
+    },
+
+    // near-dup pairs → dedup GROUPS: connected components labels each
+    // doc with the min doc id reachable through the ≥0.5-Jaccard graph
+    "d6_dedup_clusters" -> { (s, dir) =>
+      Dedup.clusterIds(
+        Dedup.nearDupPairs(docs(s, dir), threshold = 0.5)
+          .select(col("doc_a"), col("doc_b")))
     })
 
   /** SQL mirror of Dedup.shingles(n=3): distinct 3-word shingles with
@@ -101,6 +109,30 @@ object DedupOps {
         |  CAST(63 AS DOUBLE) * 281474976710656.0
         |    / MAX(CASE WHEN rnk = 64 THEN h END) AS kmv_estimate
         |FROM r WHERE rnk <= 64 GROUP BY source""".stripMargin,
+
+    // transitive closure of the d3 near-dup pairs: min reachable id per
+    // node via a recursive CTE (the oracle can afford all-pairs
+    // reachability at sf0.01; the Spark side uses log-round pointer
+    // jumping instead — same fixpoint)
+    "d6_dedup_clusters" ->
+      s"""${sqlCandidates.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM cand
+         |  JOIN shingled sa ON sa.doc_id = doc_a
+         |  JOIN shingled sb ON sb.doc_id = doc_b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, MIN(comp) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin,
 
     "d4_simhash" -> {
       val votes = (0 until 16)

@@ -87,6 +87,25 @@ object TextOps {
           percentile(col("n_tokens"), lit(0.75)).as("tok_p75"),
           min(col("quality")).as("min_q"),
           max(col("quality")).as("max_q"))
+    },
+
+    // ---- exact heavy hitters (bounded-state MG sketch + verify pass) -----
+    // tokens with > 1/30 of total mass; threshold compared in integer
+    // arithmetic so both engines agree bit-for-bit at the boundary
+    "t8_heavy_hitters" -> { (s, dir) =>
+      graft.operators.Frequency.heavyHitters(
+        docs(s, dir).select(explode(tokenize(col("text"))).as("token")),
+        "token", k = 32, num = 1L, den = 30L)
+    },
+
+    // ---- deterministic stratified sampling -------------------------------
+    // per-language rates: en downsampled hard, zh half, rest 80% — the
+    // "rebalance the corpus" op every multilingual pipeline runs
+    "t9_stratified_sample" -> { (s, dir) =>
+      docs(s, dir)
+        .filter(stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> 2000, "zh" -> 5000), defaultPermyriad = 8000))
+        .select(col("doc_id"), col("lang"))
     })
 
   /** SQL token-set expression mirroring TextFunctions.tokenSet. */
@@ -162,6 +181,25 @@ object TextOps {
          | COUNT(*) AS doc_ct,
          | CAST(SUM($sqlNTokens) AS BIGINT) AS tok_sum
          |FROM documents GROUP BY 1""".stripMargin,
+
+    // integer threshold (ct*30 > n) — no float boundary; the oracle is
+    // the plain exact formulation the 2-pass MG scheme provably equals
+    "t8_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |t AS (SELECT token FROM w WHERE len(token) > 0),
+        |n AS (SELECT COUNT(*) AS n FROM t)
+        |SELECT token, COUNT(*) AS ct
+        |FROM t, n
+        |GROUP BY token, n.n
+        |HAVING COUNT(*) * 30 > n.n""".stripMargin,
+
+    "t9_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) * 10000
+        |    < (CASE WHEN lang = 'en' THEN 2000
+        |            WHEN lang = 'zh' THEN 5000
+        |            ELSE 8000 END) * 65536""".stripMargin,
 
     "t6_corpus_profile" -> {
       val scores = langProfiles.map { case (l, p) =>

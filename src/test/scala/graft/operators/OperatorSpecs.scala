@@ -125,6 +125,102 @@ class DedupSpec extends AnyFunSuite {
     assert(sig(1L) === sig(2L))
     assert(sig(1L) !== sig(4L))
   }
+
+  test("clusterIds labels every component with its min reachable id") {
+    // chain 1-2-3-4 (propagation depth > 1 exercises pointer jumping),
+    // separate pair 10-11; orientation of input pairs is mixed
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // default (in-core union-find) and forced-distributed paths agree
+    val inCore = Dedup.clusterIds(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.clusterIds(pairs, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(inCore === expect)
+    assert(dist === expect)
+  }
+
+  test("clusterIds matches union-find on a random pair graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = (1 to 60)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    // in-memory union-find with union-by-min: each root stays the min
+    // of its set, so find(x) is the expected cluster id
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(n => n -> find(n)).toMap
+    // exercise the DISTRIBUTED pointer-jumping path on the random graph
+    val out = Dedup.clusterIds(pairs.toDF("doc_a", "doc_b"),
+        localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(out === expect)
+  }
+
+  test("clusterIds of no pairs is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clusterIds(empty).count() === 0L)
+  }
+}
+
+class FrequencySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("heavyHitters is exact vs brute force under eviction pressure") {
+    // ~200 distinct tokens vs k=9 counters → the sketch constantly
+    // evicts; heavy tokens a (~30%) and b (~15%) must survive with
+    // EXACT counts, everything at/below 10% must be absent
+    val rnd = new scala.util.Random(7)
+    val toks = Seq.fill(2000)(rnd.nextInt(100)).map {
+      case i if i < 30 => "a"
+      case i if i < 45 => "b"
+      case _ => s"t${rnd.nextInt(200)}"
+    }
+    val out = Frequency
+      .heavyHitters(toks.toDF("token").repartition(8), "token",
+        k = 9, num = 1L, den = 10L)
+      .as[(String, Long)].collect().toMap
+    val n = toks.size
+    val expect = toks.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+      .filter(_._2 * 10L > n)
+    assert(out === expect)
+    assert(out.contains("a") && out.contains("b"))
+  }
+
+  test("heavyHitters ignores nulls and rejects sub-guarantee thresholds") {
+    val df = Seq("x", null, "x", "y").toDF("token")
+    val out = Frequency.heavyHitters(df, "token", k = 4, num = 1L, den = 2L)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("x" -> 2L)) // 2 of 3 non-null > 1/2
+    intercept[IllegalArgumentException] {
+      Frequency.heavyHitters(df, "token", k = 5, num = 1L, den = 10L)
+    }
+  }
+
+  test("MG merge keeps every value above the n/(k+1) guarantee") {
+    val mg = new Frequency.MisraGries(3)
+    // two partitions' worth of skew, merged: 40×h + 30 distinct fillers
+    val p1 = (Seq.fill(20)("h") ++ (1 to 15).map(i => s"f$i"))
+      .foldLeft(mg.zero)(mg.reduce)
+    val p2 = (Seq.fill(20)("h") ++ (16 to 30).map(i => s"f$i"))
+      .foldLeft(mg.zero)(mg.reduce)
+    val merged = mg.merge(p1, p2)
+    assert(merged.size <= 3)
+    assert(merged.contains("h")) // 40/70 ≫ n/(k+1) = 17.5
+    // count is within the guaranteed error band
+    assert(merged("h") <= 40L && merged("h") >= 40L - 70L / 4L)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -309,5 +405,32 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(TextFunctions.regexTokenCount(col("text"))).as[Int].head()
     // abc, 12, de, -, f, ! → 6
     assert(n === 6)
+  }
+
+  test("stratifiedKeep honors rate edges and per-stratum rates") {
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s")
+    def kept(rates: Map[String, Int], default: Int): Long =
+      df.filter(TextFunctions.stratifiedKeep(col("id"), col("s"),
+        rates, default)).count()
+    assert(kept(Map.empty, 0) === 0L)        // rate 0 drops all
+    assert(kept(Map.empty, 10000) === 2000L) // rate 10000 keeps all
+    // stratum a kept fully, b dropped fully
+    val aOnly = df.filter(TextFunctions.stratifiedKeep(col("id"), col("s"),
+      Map("a" -> 10000, "b" -> 0), 5000))
+    assert(aOnly.select("s").distinct().as[String].collect().toSeq === Seq("a"))
+    // ~half at 5000‱, within a loose binomial band
+    val half = kept(Map.empty, 5000)
+    assert(half > 850 && half < 1150, s"got $half")
+  }
+
+  test("stratifiedKeep is a pure function of (key, stratum)") {
+    val df = (1L to 500L).toDF("id").withColumn("s", lit("x"))
+    val pred = TextFunctions.stratifiedKeep(col("id"), col("s"),
+      Map("x" -> 3000), 0)
+    val once = df.filter(pred).as[(Long, String)].collect().toSet
+    val again = df.repartition(7).filter(pred)
+      .as[(Long, String)].collect().toSet
+    assert(once === again)
   }
 }
