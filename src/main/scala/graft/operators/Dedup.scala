@@ -371,6 +371,70 @@ object Dedup {
       ()
     }
 
+  /** Compact the batch_id-partitioned bucket index that
+    * [[streamingCandidatePairs]] grows: merge every committed batch
+    * partition except the newest into one deduplicated partition, so
+    * the per-micro-batch `spark.read.parquet(indexDir)` lists O(1)
+    * directories instead of O(batches) — without compaction a
+    * long-running stream's index read planning degrades linearly in
+    * batch count (the classic small-files problem).
+    *
+    * Correctness under the streaming contract:
+    *  - The NEWEST batch dir is never folded in: foreachBatch is
+    *    at-least-once and a replayed batch overwrites its OWN partition
+    *    dir — folding it away would let the replay clobber merged
+    *    history. Everything older is committed and immutable.
+    *  - The merged rows land in the second-newest batch dir's id, so
+    *    the reader's `batch_id < currentBatch` filter sees exactly the
+    *    same rows before and after.
+    *  - Crash-safe by staging: rows are fully written to an
+    *    underscore-prefixed dir (invisible to partition discovery),
+    *    then superseded dirs are dropped and the stage is renamed in.
+    *    A re-run resumes a completed stage or discards a partial one,
+    *    and the merge `distinct()` heals any duplicate rows a previous
+    *    crash left. Run it between micro-batches (e.g. from a
+    *    maintenance trigger); a concurrent in-flight batch could
+    *    transiently miss index rows mid-swap — a Delta/Iceberg-backed
+    *    index makes this window atomic, the parquet-dir contract here
+    *    documents it instead.
+    *
+    * Returns the batch id the index was compacted up to, or -1 if
+    * there was nothing to do.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return -1L
+    def finishSwap(stage: org.apache.hadoop.fs.Path): Long = {
+      val hi = stage.getName.stripPrefix("_compacted_upto_").toLong
+      fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith("batch_id=") &&
+          p.getName.stripPrefix("batch_id=").toLong <= hi)
+        .foreach(p => fs.delete(p, true))
+      fs.rename(stage, new org.apache.hadoop.fs.Path(root, s"batch_id=$hi"))
+      hi
+    }
+    // resume or discard a crashed prior compaction before planning
+    fs.listStatus(root).map(_.getPath)
+      .find(_.getName.startsWith("_compacted_upto_"))
+      .foreach { st =>
+        if (fs.exists(new org.apache.hadoop.fs.Path(st, "_SUCCESS")))
+          finishSwap(st)
+        else fs.delete(st, true)
+      }
+    val ids = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+    if (ids.length <= 2) return -1L // nothing worth merging
+    val hi = ids(ids.length - 2) // newest stays replayable
+    val merged = spark.read.option("basePath", indexDir).parquet(indexDir)
+      .filter(col("batch_id") <= hi).drop("batch_id").distinct()
+    val stage = new org.apache.hadoop.fs.Path(root, s"_compacted_upto_$hi")
+    merged.write.mode("overwrite").parquet(stage.toString)
+    finishSwap(stage)
+  }
+
   /** Connected components over near-dup candidate pairs → a cluster id
     * per document (the minimum doc id reachable through the pair
     * graph). This is the step that turns pairwise near-dup evidence

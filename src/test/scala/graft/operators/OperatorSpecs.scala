@@ -93,6 +93,47 @@ class DedupSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("index compaction folds committed batches, survives restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("lsh_compact").toString
+    val indexDir = s"$base/idx"
+    val ckpt = s"$base/ckpt"
+    val found = scala.collection.mutable.Set[(Long, Long)]()
+    val input = MemoryStream[(Long, String)]
+    def startQuery() = Dedup.streamingCandidatePairs(
+        input.toDF().toDF("doc_id", "text"), indexDir,
+        (_, pairs) => found ++= pairs.as[(Long, Long)].collect())
+      .option("checkpointLocation", ckpt).start()
+    val q1 = startQuery()
+    try {
+      input.addData((1L, "the quick brown fox jumps over the lazy dog"))
+      q1.processAllAvailable()
+      input.addData((10L, "completely different content about spark engines"))
+      q1.processAllAvailable()
+      input.addData((2L, "the quick brown fox jumps over the lazy dog"))
+      q1.processAllAvailable()
+      assert(found.toSet === Set((1L, 2L)))
+    } finally q1.stop()
+    def batchDirs() = new java.io.File(indexDir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(batchDirs() === Seq("batch_id=0", "batch_id=1", "batch_id=2"))
+    // batches 0+1 fold into batch_id=1; newest stays replayable
+    assert(Dedup.compactIndex(spark, indexDir) === 1L)
+    assert(batchDirs() === Seq("batch_id=1", "batch_id=2"))
+    // re-compacting with nothing to merge is a no-op
+    assert(Dedup.compactIndex(spark, indexDir) === -1L)
+    // restart from the same checkpoint: a dup of doc 1 must still see
+    // the whole (now partly compacted) history
+    found.clear()
+    val q2 = startQuery()
+    try {
+      input.addData((3L, "the quick brown fox jumps over the lazy dog"))
+      q2.processAllAvailable()
+      assert(found.toSet === Set((1L, 3L), (2L, 3L)))
+    } finally q2.stop()
+  }
+
   test("kmv sketch estimates distinct counts within theory bounds") {
     // 2000 distinct values, k=64 → relative std error ≈ 1/sqrt(k-2) ≈ 13%
     val df = (1 to 4000).map(i => ("g", s"value_${i % 2000}"))

@@ -7,6 +7,108 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.streaming.StatefulOps.KeyedEvent
 
+class AsofStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import AsofStreaming._
+
+  test("streaming asof matches the batch asof join on out-of-order input") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[AsofEvent]
+    // 10-minute out-of-orderness allowance: probes may trail the
+    // reference rows (rows older than the watermark are late data and
+    // dropped before any stateful op — standard watermark contract)
+    val query = AsofStreaming
+      .asofStreaming(withEventTime(input.toDS(), "10 minutes"))
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      // reference rows first (out of order vs the probes that follow)
+      input.addData(AsofEvent.right("k", 100L, "p1"),
+        AsofEvent.right("k", 300L, "p2"))
+      query.processAllAvailable()
+      // probes: one between the rights, one after, one keyless-match
+      input.addData(AsofEvent.left("k", 250L, "probe1"),
+        AsofEvent.left("k", 350L, "probe2"),
+        AsofEvent.left("k2", 50L, "probe3"))
+      query.processAllAvailable()
+      // advance the watermark past every probe, then one more batch so
+      // the event-time timeouts fire and flush the pending lefts
+      input.addData(AsofEvent.right("flush", 1000000L, "x"))
+      query.processAllAvailable()
+      input.addData(AsofEvent.right("flush", 2000000L, "x"))
+      query.processAllAvailable()
+      val got = spark.table("asof_out").as[AsofMatch].collect()
+        .map(m => (m.key, m.ts, m.value,
+          Option(m.asof_ts).map(_.longValue), Option(m.asof_value))).toSet
+      assert(got === Set(
+        ("k", 250L, "probe1", Some(100L), Some("p1")),
+        ("k", 350L, "probe2", Some(300L), Some("p2")),
+        ("k2", 50L, "probe3", None, None)))
+      // the batch twin on identical data agrees row-for-row
+      val leftDf = Seq(("k", 250L, "probe1"), ("k", 350L, "probe2"),
+        ("k2", 50L, "probe3")).toDF("key", "ts", "value")
+      val rightDf = Seq(("k", 100L, "p1"), ("k", 300L, "p2"),
+        ("flush", 1000L, "x"), ("flush", 2000L, "x"))
+        .toDF("key", "rts", "rvalue")
+      val batch = graft.operators.Temporal
+        .asofJoin(leftDf, rightDf, "key", "key", "ts", "rts",
+          Seq("rts", "rvalue"))
+        .select("key", "ts", "value", "_asof.rts", "_asof.rvalue")
+        .as[(String, Long, String, Option[Long], Option[String])]
+        .collect().toSet
+      assert(batch === got)
+    } finally query.stop()
+  }
+
+  test("streaming asof state compacts rights to one floor row per key") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[AsofEvent]
+    val query = AsofStreaming.asofStreaming(withEventTime(input.toDS()))
+      .writeStream.format("memory").queryName("asof_floor_out")
+      .outputMode("append").start()
+    try {
+      // many superseded rights, then (after the watermark passes them
+      // all) a probe that must still match the surviving floor row
+      input.addData((1 to 20).map(i =>
+        AsofEvent.right("k", i * 10L, s"v$i")): _*)
+      query.processAllAvailable()
+      input.addData(AsofEvent.right("flush", 5000L, "x"))
+      query.processAllAvailable()
+      input.addData(AsofEvent.left("k", 6000L, "probe"))
+      query.processAllAvailable()
+      input.addData(AsofEvent.right("flush", 9000L, "x"))
+      query.processAllAvailable()
+      input.addData(AsofEvent.right("flush", 9500L, "x"))
+      query.processAllAvailable()
+      val got = spark.table("asof_floor_out").as[AsofMatch].collect()
+        .filter(_.key == "k")
+        .map(m => (m.ts, m.value, m.asof_ts.longValue, m.asof_value))
+      assert(got.toSeq === Seq((6000L, "probe", 200L, "v20")))
+    } finally query.stop()
+  }
+
+  test("streaming asof dedups equal right timestamps to the max value") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[AsofEvent]
+    val query = AsofStreaming.asofStreaming(withEventTime(input.toDS()))
+      .writeStream.format("memory").queryName("asof_tie_out")
+      .outputMode("append").start()
+    try {
+      input.addData(AsofEvent.right("k", 100L, "aa"),
+        AsofEvent.right("k", 100L, "zz"), AsofEvent.left("k", 150L, "probe"))
+      query.processAllAvailable()
+      input.addData(AsofEvent.right("flush", 1000L, "x"))
+      query.processAllAvailable()
+      input.addData(AsofEvent.right("flush", 2000L, "x"))
+      query.processAllAvailable()
+      val got = spark.table("asof_tie_out").as[AsofMatch].collect()
+        .filter(_.key == "k").map(m => (m.asof_ts.longValue, m.asof_value))
+      assert(got.toSeq === Seq((100L, "zz")))
+    } finally query.stop()
+  }
+}
+
 class StatefulOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
