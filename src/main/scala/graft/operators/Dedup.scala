@@ -477,9 +477,13 @@ object Dedup {
       .distinct().persist()
     if (edges.count() <= localEdgeThreshold) {
       // in-core path: union-find with union-by-min keeps each root the
-      // minimum of its set, so find(x) IS the cluster id
+      // minimum of its set, so find(x) IS the cluster id.
+      // edges stays persisted (same cache-lifecycle discipline as
+      // nearDupPairs: plan-matched by the CacheManager, so repeated
+      // invocations over the same pair lineage skip the whole upstream
+      // LSH+Jaccard recomputation; callers sweeping many corpora clear
+      // the cache between pipelines)
       val es = edges.as[(Long, Long)].collect()
-      edges.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         val p = parent.getOrElse(x, x)

@@ -91,7 +91,12 @@ object Frequency {
       s"heavyHitters needs num/den >= 1/(k+1) for the MG no-false-negative " +
         s"guarantee, got $num/$den with k=$k")
     val sketch = udaf(new MisraGries(k))
-    val in = rows.filter(col(valueCol).isNotNull)
+    // persist: the sketch pass and the exact verification pass both
+    // consume the (possibly explode-derived) input — cache it once
+    // rather than re-running the upstream lineage per pass (lazy;
+    // CacheManager plan-matches repeated invocations over the same
+    // input, same lifecycle discipline as Dedup.nearDupPairs)
+    val in = rows.filter(col(valueCol).isNotNull).persist()
     // single-row frame: sketch + exact total from one scan
     val first = in.agg(sketch(col(valueCol)).as("_mg"), count(lit(1)).as("_n"))
     val cands = first.select(explode(map_keys(col("_mg"))).as(valueCol),

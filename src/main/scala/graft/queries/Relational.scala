@@ -235,19 +235,28 @@ object Relational {
 
     // ---- windowed top-N: hot items per window (the classic DWS ads
     // query) — aggregate first, rank the aggregated (small) frame;
-    // deterministic tie-break on the key keeps both engines aligned
+    // deterministic tie-break on the key keeps both engines aligned.
+    // The 7-day bucket is a SCALAR long through the whole pipeline
+    // (epoch-day DIV 7 — identical alignment to window()/time_bucket,
+    // 1970-01-01-based): the high-cardinality hash agg and the rank
+    // partition key hash two longs instead of a (timestamp, timestamp)
+    // struct + long, and the window struct is never materialized per
+    // input row; stt converts back to a timestamp only on the final
+    // ~1k ranked rows
     "q19_window_topn" -> { (s, dir) =>
+      val wk = expr("unix_date(CAST(l_shipdate AS DATE)) DIV 7")
       val agged = t(s, dir, "lineitem")
-        .groupBy(window(col("l_shipdate"), "7 days").as("w"),
-          col("l_partkey").as("sku_id"))
+        .groupBy(wk.as("wk"), col("l_partkey").as("sku_id"))
         .agg(moneySum(col("l_extendedprice")).as("amount"))
       agged
         .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("w"))
+          Window.partitionBy(col("wk"))
             .orderBy(col("amount").desc, col("sku_id"))))
         .filter(col("rnk") <= 3)
-        .select(col("w.start").as("stt"), col("sku_id"),
-          col("amount"), col("rnk"))
+        .select(
+          expr("CAST(timestamp_seconds(wk * 7 * 86400) AS TIMESTAMP_NTZ)")
+            .as("stt"),
+          col("sku_id"), col("amount"), col("rnk"))
     },
 
     // ---- multi-dim enrichment over part/supplier -------------------------
@@ -292,21 +301,34 @@ object Relational {
     // point set restricted to max-quantity lines: dates are
     // day-aligned and orders are dense (~60/day), so the UNRESTRICTED
     // containment join is semantically ~240 matches per point — 144M
-    // result rows at sf0.1 regardless of join strategy
+    // result rows at sf0.1 regardless of join strategy.
+    // BOTH sides pre-aggregate before the range join (the decomposition
+    // that makes dense many-to-many range joins tractable): the final
+    // measures are count/sum over (point, order) matches, which factor
+    // into per-ship-day point partials × per-(orderdate, priority)
+    // order counts joined on the containment condition. The join then
+    // handles ~2.5k × ~12.5k day-level rows emitting ~50k weighted
+    // pairs instead of 12k × 150k raw rows emitting ~600k — a 12×
+    // output reduction that grows with density. Decimal partials ×
+    // long weights keep the global sum bit-exact vs the row-level
+    // oracle formulation
     "q23_range_join" -> { (s, dir) =>
       val points = t(s, dir, "lineitem")
         .filter(col("l_quantity") >= 50.0)
-        .select(col("l_shipdate"), col("l_quantity"))
+        .groupBy(col("l_shipdate"))
+        .agg(count(lit(1)).as("pt_ct"), sum(dec2(col("l_quantity"))).as("pt_qty"))
       val intervals = t(s, dir, "orders")
+        .groupBy(col("o_orderdate"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("ord_ct"))
         .select(col("o_orderdate"),
           (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("o_end"),
-          col("o_orderpriority"))
+          col("o_orderpriority"), col("ord_ct"))
       graft.operators.Temporal.rangeJoin(points, "l_shipdate",
           intervals, "o_orderdate", "o_end",
           bucketMicros = 3L * 86400 * 1000000)
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("ct"),
-          sum(dec2(col("l_quantity"))).cast(DoubleType).as("qty"))
+        .agg(sum(col("pt_ct") * col("ord_ct")).as("ct"),
+          sum(col("pt_qty") * col("ord_ct")).cast(DoubleType).as("qty"))
     },
 
     // ---- ROLLUP: per-dim totals + grand total in one pass ----------------
