@@ -106,6 +106,20 @@ object TextOps {
         .filter(stratifiedKeep(col("doc_id"), col("lang"),
           Map("en" -> 2000, "zh" -> 5000), defaultPermyriad = 8000))
         .select(col("doc_id"), col("lang"))
+    },
+
+    // ---- sequence packing into fixed token budgets -----------------------
+    // contiguous chunks of ~2048 tokens in doc_id order via the
+    // two-phase distributed prefix sum; verified here by per-chunk
+    // document and token totals
+    "t10_pack_chunks" -> { (s, dir) =>
+      graft.operators.Packing
+        .packByBudget(docs(s, dir), "doc_id",
+          nTokens(col("text")), budget = 2048L)
+        .groupBy(col("chunk_id"))
+        .agg(count(lit(1)).as("doc_ct"),
+          sum(coalesce(nTokens(col("text")).cast(LongType), lit(0L)))
+            .as("tok_sum"))
     })
 
   /** SQL token-set expression mirroring TextFunctions.tokenSet. */
@@ -200,6 +214,21 @@ object TextOps {
         |    < (CASE WHEN lang = 'en' THEN 2000
         |            WHEN lang = 'zh' THEN 5000
         |            ELSE 8000 END) * 65536""".stripMargin,
+
+    // chunk = exclusive prefix sum of token counts DIV budget, in
+    // doc_id order (// is DuckDB integer floor division; both operands
+    // non-negative, matching Spark's DIV)
+    "t10_pack_chunks" ->
+      s"""WITH x AS (
+         |  SELECT doc_id, COALESCE($sqlNTokens, 0) AS tok FROM documents),
+         |p AS (
+         |  SELECT doc_id, tok,
+         |    COALESCE(SUM(tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM x)
+         |SELECT pre // 2048 AS chunk_id, COUNT(*) AS doc_ct,
+         |  CAST(SUM(tok) AS BIGINT) AS tok_sum
+         |FROM p GROUP BY 1""".stripMargin,
 
     "t6_corpus_profile" -> {
       val scores = langProfiles.map { case (l, p) =>

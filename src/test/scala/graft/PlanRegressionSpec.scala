@@ -58,4 +58,31 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("l_orderkey") && !p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("t8 heavy hitters: map-side MG partials + broadcast verify join") {
+    val p = plan("t8_heavy_hitters")
+    // the Misra–Gries Aggregator must combine BEFORE the exchange (its
+    // bounded buffer is the whole scale argument), and the ≤ k
+    // candidates must reach the exact pass as a broadcast, never a
+    // shuffled join of the token stream
+    assert("(?i)partial_misragries".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q23 aggregates both sides below the bucket range join") {
+    val p = plan("q23_range_join")
+    // day-level partial+final aggs on points AND intervals feed the
+    // join (≥ 6 HashAggregates incl. the final rollup) — losing one
+    // side's pre-aggregation re-inflates join output ~12×
+    assert("HashAggregate".r.findAllIn(p).size >= 6, p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    // the quantity filter must reach the parquet scan
+    assert(p.contains("GreaterThanOrEqual(l_quantity,50.0)"))
+  }
+
+  test("t9 sampling is one codegen'd filter on a two-column scan") {
+    val p = plan("t9_stratified_sample")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"))
+    assert(!p.contains("Exchange")) // pure map-side predicate: no shuffle
+  }
 }

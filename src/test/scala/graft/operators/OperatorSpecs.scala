@@ -264,6 +264,57 @@ class FrequencySpec extends AnyFunSuite {
   }
 }
 
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("packByBudget assigns exclusive-prefix-DIV-budget chunk ids") {
+    // weights 600 each, budget 1000: exclusive prefixes 0,600,1200,
+    // 1800,2400,3000 → chunks 0,0,1,1,2,3
+    val df = (1L to 6L).map(i => (i, 600)).toDF("doc_id", "w")
+    val out = Packing.packByBudget(df, "doc_id", col("w"), budget = 1000L)
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 3L))
+  }
+
+  test("packByBudget matches the single-pass formulation on random data") {
+    val rnd = new scala.util.Random(11)
+    // sparse, non-contiguous ids; random weights incl. zeros and a null
+    val rows = (1 to 500).map(i =>
+      (i * 7L + rnd.nextInt(3), if (i == 250) null
+      else Integer.valueOf(rnd.nextInt(200))))
+      .distinctBy(_._1)
+    val df = rows.toDF("doc_id", "w").repartition(13)
+    val got = Packing
+      .packByBudget(df, "doc_id", col("w"), budget = 1500L, shards = 17)
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toMap
+    // in-memory reference: exclusive prefix over doc_id order
+    var acc = 0L
+    val expect = rows.sortBy(_._1).map { case (id, w) =>
+      val c = acc / 1500L
+      acc += Option(w).map(_.longValue).getOrElse(0L)
+      id -> c
+    }.toMap
+    assert(got === expect)
+  }
+
+  test("packByBudget null-id rows pass through with null chunk, no abort") {
+    val mixed = Seq((java.lang.Long.valueOf(1L), 5),
+      (null.asInstanceOf[java.lang.Long], 5),
+      (java.lang.Long.valueOf(2L), 5)).toDF("doc_id", "w")
+    val out = Packing.packByBudget(mixed, "doc_id", col("w"), 100L)
+      .select("doc_id", "chunk_id")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    // null id → null chunk; its weight never shifts real rows' prefixes
+    assert(out === Set((Some(1L), Some(0L)), (None, None),
+      (Some(2L), Some(0L))))
+    val empty = Seq.empty[(Long, Int)].toDF("doc_id", "w")
+    assert(Packing.packByBudget(empty, "doc_id", col("w"), 100L)
+      .count() === 0L)
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
