@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Frequency.MisraGries
+
+/** Streaming windowed frequent items: per tumbling window, a bounded
+  * Misra–Gries sketch maintained in keyed state, emitted when the
+  * watermark closes the window.
+  *
+  * The built-in alternative — windowed `groupBy(token).count()` —
+  * keeps one state row per DISTINCT token per open window: fine for a
+  * bounded vocabulary, unbounded growth for an open one (urls,
+  * n-grams, ids). Here state is ≤ k counters per window REGARDLESS of
+  * vocabulary, the same mergeable sketch the batch
+  * [[graft.operators.Frequency.heavyHitters]] uses for its candidate
+  * pass. The price is the MG guarantee instead of exactness: emitted
+  * counts are within n_window/(k+1) of truth, and every token above
+  * that threshold is present (no false negatives). A batch exact pass
+  * over the window's archived data refines candidates when needed —
+  * the streaming sketch is the alerting/candidate tier.
+  *
+  * Emission is watermark-closed and deterministic for a given input
+  * set: rows fold into the sketch in (ts, token) order, so replayed
+  * batches rebuild the identical sketch. (MG itself is arrival-order
+  * sensitive at the margin — pinning the fold order is what makes the
+  * streaming result reproducible.)
+  */
+object FrequencyStreaming {
+
+  case class TokenEvent(token: String, ts: Long, event_time: Timestamp)
+
+  object TokenEvent {
+    def at(token: String, ts: Long): TokenEvent =
+      TokenEvent(token, ts, new Timestamp(ts))
+  }
+
+  /** One frequent item of a closed window: window start millis, the
+    * token, and its MG count (true count − at most n_window/(k+1)).
+    */
+  case class WindowedItem(window_start: Long, token: String, ct: Long)
+
+  /** Input must carry a watermark on `event_time` (see
+    * [[StatefulOps.watermarked]] for the standard prelude shape).
+    */
+  def windowedHeavyHitters(events: Dataset[TokenEvent],
+                           windowMillis: Long,
+                           k: Int): Dataset[WindowedItem] = {
+    require(windowMillis > 0 && k >= 1)
+    import events.sparkSession.implicits._
+    val mg = new MisraGries(k)
+    events.groupByKey(e => e.ts / windowMillis)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (window: Long, rows: Iterator[TokenEvent],
+         state: GroupState[Map[String, Long]]) => {
+          if (state.hasTimedOut) {
+            val sketch = state.get
+            state.remove()
+            sketch.iterator
+              .map { case (t, c) => WindowedItem(window * windowMillis, t, c) }
+              .toSeq.sortBy(i => (i.token)).iterator
+          } else {
+            // deterministic fold order → replay-identical sketches
+            val sorted = rows.filter(_.token != null).toSeq
+              .sortBy(e => (e.ts, e.token))
+            state.update(sorted.foldLeft(
+              state.getOption.getOrElse(mg.zero))((b, e) => mg.reduce(b, e.token)))
+            // close when the watermark passes window end (must stay
+            // strictly ahead of the current watermark)
+            state.setTimeoutTimestamp(
+              math.max((window + 1) * windowMillis,
+                state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+        })
+  }
+}

@@ -109,6 +109,44 @@ class AsofStreamingSpec extends AnyFunSuite {
   }
 }
 
+class FrequencyStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import FrequencyStreaming._
+
+  test("windowed heavy hitters emit a bounded sketch per closed window") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[TokenEvent]
+    val withWm = input.toDS().toDF()
+      .withWatermark("event_time", "0 seconds").as[TokenEvent]
+    val query = FrequencyStreaming
+      .windowedHeavyHitters(withWm, windowMillis = 60000L, k = 3)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("append").start()
+    try {
+      // window 0: heavy token a (6×) + 4 distinct fillers vs k=3
+      val w0 = Seq.fill(6)("a") ++ Seq("f1", "f2", "f3", "f4")
+      input.addData(w0.zipWithIndex.map { case (t, i) =>
+        TokenEvent.at(t, 1000L + i) }: _*)
+      query.processAllAvailable()
+      // window 1 advances the watermark past window 0's end
+      input.addData(TokenEvent.at("b", 61000L))
+      query.processAllAvailable()
+      input.addData(TokenEvent.at("b", 62000L)) // fire w0's timeout
+      query.processAllAvailable()
+      val got = spark.table("hh_out").as[WindowedItem].collect()
+        .filter(_.window_start == 0L)
+      // matches the batch MG fold over the same (ts, token)-ordered data
+      val mg = new graft.operators.Frequency.MisraGries(3)
+      val expect = w0.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .sortBy(identity).map(_._2).foldLeft(mg.zero)(mg.reduce)
+      assert(got.map(i => i.token -> i.ct).toMap === expect)
+      assert(got.length <= 3) // state bound held
+      assert(expect("a") >= 6L - 10L / 4L) // heavy token survives
+    } finally query.stop()
+  }
+}
+
 class StatefulOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
