@@ -214,6 +214,49 @@ class PropertySpecs extends AnyFunSuite {
     assert(sketch(1) === sketch(8) && sketch(8) === sketch(31))
   }
 
+  test("packByBudget is shard-count invariant and equals the sequential scan") {
+    import graft.operators.Packing
+    val rows = sample(Gen.zip(Gen.chooseNum(0L, 500000L),
+      Gen.chooseNum(0, 300)), 300).distinctBy(_._1)
+    val df = rows.toDF("doc_id", "w")
+    def pack(shards: Int): Map[Long, Long] =
+      Packing.packByBudget(df.repartition(9), "doc_id", col("w"),
+          budget = 1000L, shards = shards)
+        .select("doc_id", "chunk_id").as[(Long, Long)].collect().toMap
+    // the global prefix sum must not depend on how it is sharded
+    val one = pack(1)
+    assert(pack(13) === one && pack(256) === one)
+    // and must equal the in-memory sequential scan
+    var acc = 0L
+    val expect = rows.sortBy(_._1).map { case (id, w) =>
+      val c = acc / 1000L; acc += w; id -> c
+    }.toMap
+    assert(one === expect)
+  }
+
+  test("MG sketch never loses a value above n/(k+1), any partitioning") {
+    import graft.operators.Frequency.MisraGries
+    val mg = new MisraGries(5)
+    val streamGen = Gen.listOfN(400,
+      Gen.frequency(3 -> Gen.const("hot"), 2 -> Gen.const("warm"),
+        5 -> Gen.chooseNum(0, 80).map(i => s"cold$i")))
+    sample(streamGen, 20).zipWithIndex.foreach { case (xs, i) =>
+      val counts = xs.groupBy(identity).map { case (t, g) => t -> g.size }
+      val threshold = xs.size / 6 // n/(k+1)
+      // random partitioning + pairwise merges must keep every heavy key
+      val rnd = new scala.util.Random(1000 + i)
+      val parts = xs.groupBy(_ => rnd.nextInt(7)).values
+        .map(_.foldLeft(mg.zero)(mg.reduce))
+      val merged = parts.reduce(mg.merge)
+      assert(merged.size <= 5)
+      counts.filter(_._2 > threshold).keys.foreach { t =>
+        assert(merged.contains(t), s"lost heavy '$t' in sample $i")
+        // count error bounded by n/(k+1)
+        assert(merged(t) >= counts(t) - threshold && merged(t) <= counts(t))
+      }
+    }
+  }
+
   test("rollingFingerprint equals the reference fold for generated ASCII text") {
     val txtGen = Gen.chooseNum(0, 40).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar))).map(_.mkString)
