@@ -126,8 +126,10 @@ object TextFunctions {
     * re-processed. `trainPermille`/1000 of keys go to "train".
     */
   def stableSplit(key: Column, trainPermille: Int = 900): Column = {
-    val bucket = conv(substring(md5(key.cast(StringType)), 1, 4), 16, 10)
-      .cast(IntegerType)
+    // empty salt ≡ md5 of the bare key — ONE definition of the bucket
+    // expression (hashBucket) keeps the documented independence between
+    // split and salted sampling from silently diverging under refactors
+    val bucket = hashBucket(key, salt = "")
     when(bucket * 1000 < trainPermille * 65536, "train").otherwise("val")
   }
 

@@ -412,7 +412,13 @@ object Dedup {
         .filter(p => p.getName.startsWith("batch_id=") &&
           p.getName.stripPrefix("batch_id=").toLong <= hi)
         .foreach(p => fs.delete(p, true))
-      fs.rename(stage, new org.apache.hadoop.fs.Path(root, s"batch_id=$hi"))
+      val dest = new org.apache.hadoop.fs.Path(root, s"batch_id=$hi")
+      // Hadoop rename reports failure as `false`, not an exception —
+      // the superseded dirs are already gone, so a silent failure here
+      // would leave the index missing all compacted history
+      if (!fs.rename(stage, dest)) throw new IllegalStateException(
+        s"compactIndex: rename $stage -> $dest failed; the staged " +
+          "compaction is intact — re-run compactIndex to resume")
       hi
     }
     // resume or discard a crashed prior compaction before planning
@@ -485,9 +491,15 @@ object Dedup {
       // the cache between pipelines)
       val es = edges.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map[Long, Long]()
+      // iterative find + path compression: union-by-min alone can
+      // build parent chains as deep as the component, and a recursive
+      // find would overflow the stack right at the edge threshold
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

@@ -21,12 +21,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    the only older right any future left can match;
   *  - lefts newer than the watermark (their match set isn't final yet).
   *
-  * A left row is emitted exactly once, when the watermark passes its
-  * timestamp: any unseen right that could still beat its current match
-  * (`rts <= lts <= watermark`) would itself be late and dropped, so the
-  * emission is deterministic under replay and arrival order — verified
-  * in the spec against the batch [[graft.operators.Temporal.asofJoin]]
-  * on identical data. Rows on EITHER side older than the watermark at
+  * A left row is emitted exactly once, when the watermark passes
+  * STRICTLY beyond its timestamp: Spark admits rows with event time
+  * equal to the watermark as on-time, so a right at `rts == lts == wm`
+  * can still arrive — only `lts < wm` guarantees every admissible
+  * `rts <= lts` right has been seen, making emission deterministic
+  * under replay and arrival order — verified in the spec against the
+  * batch [[graft.operators.Temporal.asofJoin]] on identical data. Rows on EITHER side older than the watermark at
   * arrival are late data and dropped before the operator (the standard
   * watermark contract) — size the [[withEventTime]] delay to the
   * expected cross-stream skew.
@@ -96,8 +97,10 @@ object AsofStreaming {
             .groupBy(_._1).map { case (t, vs) => (t, vs.map(_._2).max) }
             .toSeq.sortBy(_._1)
           val lefts = st.lefts ++ newL
-          // watermark-closed lefts emit now, in deterministic order
-          val (ready, pending) = lefts.partition(_._1 <= wm)
+          // watermark-closed lefts emit now, in deterministic order;
+          // STRICT <: a right at rts == wm is still on-time, so a left
+          // at lts == wm is not final yet
+          val (ready, pending) = lefts.partition(_._1 < wm)
           val out = ready.sorted.map { case (lts, lv) =>
             rights.takeWhile(_._1 <= lts).lastOption match {
               case Some((rts, rv)) => AsofMatch(key, lts, lv, rts, rv)

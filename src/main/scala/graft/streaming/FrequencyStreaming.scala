@@ -52,7 +52,10 @@ object FrequencyStreaming {
     require(windowMillis > 0 && k >= 1)
     import events.sparkSession.implicits._
     val mg = new MisraGries(k)
-    events.groupByKey(e => e.ts / windowMillis)
+    // floorDiv, not /: Long division truncates toward zero, which
+    // would merge pre-epoch (negative) timestamps into window 0 —
+    // floor semantics match the batch window()/DIV bucketing
+    events.groupByKey(e => Math.floorDiv(e.ts, windowMillis))
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (window: Long, rows: Iterator[TokenEvent],
