@@ -245,8 +245,15 @@ object Relational {
     // ~1k ranked rows
     "q19_window_topn" -> { (s, dir) =>
       val wk = expr("unix_date(CAST(l_shipdate AS DATE)) DIV 7")
+      // repartition on wk ONLY: HashPartitioning(wk) satisfies both the
+      // (wk, sku) aggregate's clustering AND the rank window's (wk)
+      // distribution, so one exchange of the raw rows serves the whole
+      // pipeline — versus groupBy's (wk, sku) exchange followed by a
+      // second (wk) exchange for the window
       val agged = t(s, dir, "lineitem")
-        .groupBy(wk.as("wk"), col("l_partkey").as("sku_id"))
+        .withColumn("wk", wk)
+        .repartition(col("wk"))
+        .groupBy(col("wk"), col("l_partkey").as("sku_id"))
         .agg(moneySum(col("l_extendedprice")).as("amount"))
       agged
         .withColumn("rnk", row_number().over(

@@ -29,9 +29,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_returnflag:string,l_linestatus:string>"))
   }
 
-  test("q19 top-N pushes the rank limit below the exchange") {
+  test("q19: one exchange serves both the aggregate and the rank") {
     val p = plan("q19_window_topn")
-    assert("WindowGroupLimit".r.findAllIn(p).size >= 2) // partial + final
+    // rank-limit pruning before the full window sort
+    assert(p.contains("WindowGroupLimit"))
+    // HashPartitioning(wk) satisfies the (wk, sku) agg clustering AND
+    // the window's (wk) distribution — a second exchange reappearing
+    // means that co-planning was lost
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p.take(1500))
   }
 
   test("no query plans a cartesian product of two large sides") {
