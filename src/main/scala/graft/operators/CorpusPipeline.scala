@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.TextFunctions
+
+/** End-to-end corpus curation: the composition every training-data
+  * pipeline runs, built entirely from this library's oracle-checked
+  * stages — language ID and quality scoring, exact dedup, near-dup
+  * cluster labeling, per-language stratified sampling, stable
+  * train/val split, and token-budget sequence packing.
+  *
+  * Each stage ANNOTATES rather than drops: the output carries the full
+  * provenance (`drop_reason` null = kept, else the first failing
+  * stage), so downstream consumers can audit attrition per stage —
+  * the operational requirement a silent filter chain fails. Kept rows
+  * additionally carry `split` and `chunk_id`.
+  *
+  * Scale shape: every stage is one of the already-analyzed operators
+  * (SCALING.md) — map-side scoring and sampling predicates, one
+  * content-hash shuffle for exact dedup, LSH bucket joins + component
+  * labeling for near-dups, and the two-phase prefix sum for packing.
+  * Nothing here adds a new shuffle beyond its constituent stages.
+  */
+object CorpusPipeline {
+
+  /** @param minQuality   drop docs scoring below this (null score drops)
+    * @param jaccard      near-dup threshold for cluster labeling
+    * @param sampleRates  per-language keep rates in permyriad
+    * @param defaultRate  keep rate for unlisted languages
+    * @param budget       tokens per packed chunk
+    */
+  case class Config(minQuality: Double = 0.3,
+                    jaccard: Double = 0.5,
+                    sampleRates: Map[String, Int] = Map.empty,
+                    defaultRate: Int = 10000,
+                    budget: Long = 2048L,
+                    trainPermille: Int = 900)
+
+  /** Annotate `docs` (doc_id, text, …) with curation decisions.
+    * Output adds: pred_lang, quality, drop_reason, cluster_id (null =
+    * no near-dup), split, chunk_id (null for dropped rows).
+    */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val scored = docs
+      .withColumn("pred_lang", TextFunctions.langId(col("text")))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+    // dedup runs on the quality-surviving set: a cluster whose min id
+    // failed quality must not claim (and then drop) its survivors.
+    // With that, each near-dup cluster's representative (the min id)
+    // is also its hash group's min, so it always survives exact dedup
+    // — the stages compose without orphaned clusters.
+    val qualityOk = scored.filter(col("text").isNotNull &&
+      length(col("text")) > 0 &&
+      col("quality").isNotNull && col("quality") >= cfg.minQuality)
+    // exact dedup: keep the min doc_id per content hash
+    val keepers = Dedup.exact(qualityOk, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"), lit(1).as("_exact_keep"))
+    // near-dup clusters over the survivors; keep each cluster's min id
+    val clusters = Dedup.clusterIds(
+      Dedup.nearDupPairs(qualityOk, threshold = cfg.jaccard,
+        idCol = "doc_id", textCol = "text")
+        .select(col("doc_a"), col("doc_b")))
+    val annotated = scored
+      .join(keepers, Seq("doc_id"), "left")
+      .join(clusters.withColumnRenamed("doc_id", "doc_id"),
+        Seq("doc_id"), "left")
+      .withColumn("drop_reason",
+        when(col("text").isNull || length(col("text")) === 0, "empty")
+          .when(col("quality").isNull || col("quality") < cfg.minQuality,
+            "quality")
+          .when(col("_exact_keep").isNull, "exact_dup")
+          .when(col("cluster_id").isNotNull &&
+            col("cluster_id") =!= col("doc_id"), "near_dup")
+          .when(!TextFunctions.stratifiedKeep(col("doc_id"),
+            col("pred_lang"), cfg.sampleRates, cfg.defaultRate), "sampled")
+          .otherwise(lit(null).cast("string")))
+      .drop("_exact_keep")
+      .withColumn("split",
+        when(col("drop_reason").isNull,
+          TextFunctions.stableSplit(col("doc_id"), cfg.trainPermille)))
+    // pack only the kept rows; dropped rows keep a null chunk_id
+    val kept = annotated.filter(col("drop_reason").isNull)
+    val packed = Packing.packByBudget(kept, "doc_id",
+        TextFunctions.nTokens(col("text")), cfg.budget)
+      .select(col("doc_id"), col("chunk_id"))
+    annotated.join(packed, Seq("doc_id"), "left")
+  }
+
+  /** Per-stage attrition report: rows and token mass per drop_reason
+    * (null reason = the kept set).
+    */
+  def attrition(curated: DataFrame): DataFrame =
+    curated
+      .groupBy(coalesce(col("drop_reason"), lit("kept")).as("stage"))
+      .agg(count(lit(1)).as("doc_ct"),
+        sum(coalesce(TextFunctions.nTokens(col("text")).cast(LongType),
+          lit(0L))).as("tok_sum"))
+}

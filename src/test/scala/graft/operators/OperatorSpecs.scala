@@ -264,6 +264,56 @@ class FrequencySpec extends AnyFunSuite {
   }
 }
 
+class CorpusPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("curate annotates every stage's decision and packs only keepers") {
+    val docs = Seq(
+      (1L, "the cat is out of the bag and the dog is in the house today"),
+      (2L, "the cat is out of the bag and the dog is in the house today"),
+      (3L, "the cat is out of the bag and the dog is in the house today extra"),
+      (4L, ""),
+      (5L, "zz"),
+      (6L, "a completely different note about the spark engine and the " +
+        "catalyst optimizer running the plan of the day")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(docs,
+        CorpusPipeline.Config(minQuality = 0.3, jaccard = 0.5))
+      .select("doc_id", "drop_reason", "cluster_id", "split", "chunk_id")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4)))).toMap
+    assert(out(1)._1 === None)                 // cluster representative
+    assert(out(2)._1 === Some("exact_dup"))    // identical text, higher id
+    assert(out(3)._1 === Some("near_dup"))     // same cluster as 1
+    assert(out(4)._1 === Some("empty"))
+    assert(out(5)._1 === Some("quality"))
+    assert(out(6)._1 === None)
+    // kept rows carry split + chunk; dropped rows carry neither
+    Seq(1L, 6L).foreach { id =>
+      assert(out(id)._3.nonEmpty && out(id)._4.nonEmpty, s"doc $id")
+    }
+    Seq(2L, 3L, 4L, 5L).foreach { id =>
+      assert(out(id)._3.isEmpty && out(id)._4.isEmpty, s"doc $id")
+    }
+    // docs 1 and 3 share a cluster labeled by the min id
+    assert(out(1)._2 === Some(1L) && out(3)._2 === Some(1L))
+  }
+
+  test("attrition accounts for every row exactly once") {
+    val docs = (1L to 40L).map(i => (i,
+      if (i % 7 == 0) "short" else
+        s"the quick document number $i is about the data of the day and " +
+          "the state of the art")).toDF("doc_id", "text")
+    val curated = CorpusPipeline.curate(docs)
+    val att = CorpusPipeline.attrition(curated)
+      .as[(String, Long, Long)].collect()
+    assert(att.map(_._2).sum === 40L)
+    assert(att.map(_._1).distinct.length === att.length)
+  }
+}
+
 class PackingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
