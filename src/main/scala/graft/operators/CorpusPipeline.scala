@@ -65,8 +65,7 @@ object CorpusPipeline {
         .select(col("doc_a"), col("doc_b")))
     val annotated = scored
       .join(keepers, Seq("doc_id"), "left")
-      .join(clusters.withColumnRenamed("doc_id", "doc_id"),
-        Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .withColumn("drop_reason",
         when(col("text").isNull || length(col("text")) === 0, "empty")
           .when(col("quality").isNull || col("quality") < cfg.minQuality,
@@ -81,6 +80,13 @@ object CorpusPipeline {
       .withColumn("split",
         when(col("drop_reason").isNull,
           TextFunctions.stableSplit(col("doc_id"), cfg.trainPermille)))
+      // persisted: packByBudget's two driver actions plus the final
+      // provenance join would otherwise re-run the scoring regexes and
+      // both dedup joins ~4× (nearDupPairs' internal persists cover
+      // only the LSH lineage). Same cache lifecycle as the other
+      // multi-consumer seams: callers sweeping corpora clear between
+      // pipelines.
+      .persist()
     // pack only the kept rows; dropped rows keep a null chunk_id
     val kept = annotated.filter(col("drop_reason").isNull)
     val packed = Packing.packByBudget(kept, "doc_id",

@@ -84,19 +84,24 @@ object Frequency {
     * Requires φ = num/den ≥ 1/(k+1), the regime where Misra–Gries
     * guarantees no false negatives; checked at call time.
     */
+  /** @param cacheInput cache the filtered input across the two passes
+    * (default). The cached frame is the TOKEN-level dataset — the
+    * largest in the pipeline — so a long-lived session sweeping many
+    * distinct corpora should either pass false (re-scan instead of
+    * accumulating cache entries) or clear the cache between sweeps;
+    * repeated calls over the SAME input reuse one entry either way
+    * (CacheManager plan-matching).
+    */
   def heavyHitters(rows: DataFrame, valueCol: String, k: Int,
-                   num: Long = 1L, den: Long = 30L): DataFrame = {
+                   num: Long = 1L, den: Long = 30L,
+                   cacheInput: Boolean = true): DataFrame = {
     require(num > 0 && den > 0, s"need positive threshold, got $num/$den")
     require((k + 1L) * num >= den,
       s"heavyHitters needs num/den >= 1/(k+1) for the MG no-false-negative " +
         s"guarantee, got $num/$den with k=$k")
     val sketch = udaf(new MisraGries(k))
-    // persist: the sketch pass and the exact verification pass both
-    // consume the (possibly explode-derived) input — cache it once
-    // rather than re-running the upstream lineage per pass (lazy;
-    // CacheManager plan-matches repeated invocations over the same
-    // input, same lifecycle discipline as Dedup.nearDupPairs)
-    val in = rows.filter(col(valueCol).isNotNull).persist()
+    val filtered = rows.filter(col(valueCol).isNotNull)
+    val in = if (cacheInput) filtered.persist() else filtered
     // single-row frame: sketch + exact total from one scan
     val first = in.agg(sketch(col(valueCol)).as("_mg"), count(lit(1)).as("_n"))
     val cands = first.select(explode(map_keys(col("_mg"))).as(valueCol),

@@ -15,9 +15,14 @@ import org.apache.spark.sql.types.LongType
   * by `orderCol`. The prefix sum is computed with the classic
   * two-phase distributed scan — never a single-partition window:
   *
-  *  1. rows shard deterministically by fixed-width ranges of
-  *     `orderCol` (width from one min/max aggregate — NOT a sampling
-  *     range partitioner, whose boundaries change run to run);
+  *  1. rows shard deterministically by `orderCol >> b` (arithmetic
+  *     shift = floor division by 2^b), with b sized from one min/max
+  *     aggregate so ~`shards` buckets cover the observed range — NOT
+  *     a sampling range partitioner, whose boundaries change run to
+  *     run. The shift is overflow-free over the entire Long range
+  *     (a `(id - lo) / width` scheme would overflow ANSI arithmetic
+  *     for hash-derived ids spanning more than half the Long range)
+  *     and monotonic, so shard order is global order;
   *  2. one small aggregate yields per-shard totals; their running
   *     total (driver-side, O(shards)) is each shard's global offset;
   *  3. each shard computes its local running sum in parallel and adds
@@ -50,21 +55,21 @@ object Packing {
     if (bounds.isNullAt(0)) return base.drop("_w") // empty / all-null ids
       .withColumn("chunk_id", lit(null).cast(LongType))
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    // fixed-width shards: width*shards >= span, so shard ids stay in
-    // [0, shards) with pure integer arithmetic (no overflow, no FP)
-    val span = hi - lo + 1
-    val width = (span + shards - 1) / shards
-    // DIV, not `/`: Column./ is floating-point division
-    val shardCol = expr(
-      s"CAST((CAST($orderCol AS BIGINT) - CAST($lo AS BIGINT)) " +
-        s"DIV CAST($width AS BIGINT) AS INT)")
+    // shift width b: 2^b ≈ span/shards, so the observed range maps to
+    // [shards, 2·shards) buckets; span via BigInt — hi−lo itself can
+    // exceed Long.MaxValue for ids spread across the full Long range
+    val span = BigInt(hi) - BigInt(lo) + 1
+    val b = math.max(0, (span / shards).bitLength - 1)
+    val shardCol = shiftright(col(orderCol).cast(LongType), b)
     val sharded = base.withColumn("_shard", shardCol)
     // per-shard totals -> exclusive global offsets (O(shards) driver);
-    // the null shard (null-id rows) stays out of every offset
+    // the null shard (null-id rows) stays out of every offset. Shard
+    // ids are raw shifted values (possibly negative) — only their
+    // ORDER matters for the running total
     val totals = sharded.groupBy(col("_shard")).agg(sum(col("_w")).as("t"))
       .filter(col("_shard").isNotNull)
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (s, t)) =>
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0L, 0L)) { case ((_, acc), (s, t)) =>
       (s, acc + t)
     }.tail.zip(totals).map { case ((s, cum), (_, t)) => s -> (cum - t) }.toMap
     val win = Window.partitionBy(col("_shard")).orderBy(col(orderCol))

@@ -14,8 +14,8 @@ import graft.operators.Frequency.MisraGries
   * The built-in alternative — windowed `groupBy(token).count()` —
   * keeps one state row per DISTINCT token per open window: fine for a
   * bounded vocabulary, unbounded growth for an open one (urls,
-  * n-grams, ids). Here state is ≤ k counters per window REGARDLESS of
-  * vocabulary, the same mergeable sketch the batch
+  * n-grams, ids). Here state is ≤ k counters per window subshard
+  * REGARDLESS of vocabulary, the same mergeable sketch the batch
   * [[graft.operators.Frequency.heavyHitters]] uses for its candidate
   * pass. The price is the MG guarantee instead of exactness: emitted
   * counts are within n_window/(k+1) of truth, and every token above
@@ -45,21 +45,34 @@ object FrequencyStreaming {
 
   /** Input must carry a watermark on `event_time` (see
     * [[StatefulOps.watermarked]] for the standard prelude shape).
+    *
+    * `subshards` spreads each window over that many state keys by a
+    * hash of the token — without it, one tumbling window funnels the
+    * whole stream through a single task. Tokens are DISJOINT across
+    * subshards (hash-partitioned), so the union of the emitted rows
+    * IS the window's result with no merge stage, state is ≤ k·subshards
+    * counters per window, and the retention guarantee tightens to
+    * "count > n_subshard/(k+1)" per token's own subshard. 1 reproduces
+    * the single-sketch semantics exactly.
     */
   def windowedHeavyHitters(events: Dataset[TokenEvent],
                            windowMillis: Long,
-                           k: Int): Dataset[WindowedItem] = {
-    require(windowMillis > 0 && k >= 1)
+                           k: Int,
+                           subshards: Int = 16): Dataset[WindowedItem] = {
+    require(windowMillis > 0 && k >= 1 && subshards >= 1)
     import events.sparkSession.implicits._
     val mg = new MisraGries(k)
     // floorDiv, not /: Long division truncates toward zero, which
     // would merge pre-epoch (negative) timestamps into window 0 —
     // floor semantics match the batch window()/DIV bucketing
-    events.groupByKey(e => Math.floorDiv(e.ts, windowMillis))
+    events.groupByKey(e => (Math.floorDiv(e.ts, windowMillis),
+        Math.floorMod(if (e.token == null) 0 else e.token.hashCode,
+          subshards)))
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (window: Long, rows: Iterator[TokenEvent],
+        (key: (Long, Int), rows: Iterator[TokenEvent],
          state: GroupState[Map[String, Long]]) => {
+          val window = key._1
           if (state.hasTimedOut) {
             val sketch = state.get
             state.remove()

@@ -349,6 +349,22 @@ class PackingSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("packByBudget survives ids spanning the full Long range") {
+    // hash-derived ids: span > Long.MaxValue would overflow a
+    // (id - lo) / width scheme under ANSI; the shift sharding must not
+    val rows = Seq((Long.MinValue + 5, 100), (-3L, 200), (0L, 300),
+      (7L, 50), (Long.MaxValue - 11, 400))
+    val got = Packing
+      .packByBudget(rows.toDF("doc_id", "w"), "doc_id", col("w"),
+        budget = 250L)
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    val expect = rows.sortBy(_._1).map { case (id, w) =>
+      val c = acc / 250L; acc += w; id -> c
+    }.toMap
+    assert(got === expect)
+  }
+
   test("packByBudget null-id rows pass through with null chunk, no abort") {
     val mixed = Seq((java.lang.Long.valueOf(1L), 5),
       (null.asInstanceOf[java.lang.Long], 5),

@@ -119,8 +119,10 @@ class FrequencyStreamingSpec extends AnyFunSuite {
     val input = MemoryStream[TokenEvent]
     val withWm = input.toDS().toDF()
       .withWatermark("event_time", "0 seconds").as[TokenEvent]
+    // subshards = 1: single-sketch semantics, exactly a batch MG fold
     val query = FrequencyStreaming
-      .windowedHeavyHitters(withWm, windowMillis = 60000L, k = 3)
+      .windowedHeavyHitters(withWm, windowMillis = 60000L, k = 3,
+        subshards = 1)
       .writeStream.format("memory").queryName("hh_out")
       .outputMode("append").start()
     try {
@@ -143,6 +145,43 @@ class FrequencyStreamingSpec extends AnyFunSuite {
       assert(got.map(i => i.token -> i.ct).toMap === expect)
       assert(got.length <= 3) // state bound held
       assert(expect("a") >= 6L - 10L / 4L) // heavy token survives
+    } finally query.stop()
+  }
+
+  test("subsharded windows union per-shard sketches without a merge") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[TokenEvent]
+    val withWm = input.toDS().toDF()
+      .withWatermark("event_time", "0 seconds").as[TokenEvent]
+    // k=2 per subshard; tokens are hash-disjoint across the 4 shards
+    val query = FrequencyStreaming
+      .windowedHeavyHitters(withWm, windowMillis = 60000L, k = 2,
+        subshards = 4)
+      .writeStream.format("memory").queryName("hh_sub_out")
+      .outputMode("append").start()
+    try {
+      val w0 = Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq("c", "d")
+      input.addData(w0.zipWithIndex.map { case (t, i) =>
+        TokenEvent.at(t, 1000L + i) }: _*)
+      query.processAllAvailable()
+      input.addData(TokenEvent.at("x", 61000L))
+      query.processAllAvailable()
+      input.addData(TokenEvent.at("x", 62000L))
+      query.processAllAvailable()
+      val got = spark.table("hh_sub_out").as[WindowedItem].collect()
+        .filter(_.window_start == 0L).map(i => i.token -> i.ct).toMap
+      // expected: per-subshard MG folds, unioned (tokens disjoint)
+      val mg = new graft.operators.Frequency.MisraGries(2)
+      val expect = w0.zipWithIndex
+        .groupBy { case (t, _) => Math.floorMod(t.hashCode, 4) }
+        .values.flatMap { part =>
+          part.map { case (t, i) => (1000L + i, t) }
+            .sortBy(identity).map(_._2).foldLeft(mg.zero)(mg.reduce)
+        }.toMap
+      assert(got === expect)
+      // each token's emitted count equals its own subshard's fold —
+      // heavy tokens in different shards both survive with k=2
+      assert(got.contains("a") && got("a") === expect("a"))
     } finally query.stop()
   }
 }
