@@ -555,6 +555,33 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 
+  /** Incremental exact dedup: the rows of `fresh` whose content does
+    * not already exist in `reference` (yesterday's corpus), themselves
+    * deduplicated (min id per hash) — the daily-ingest shape: dedup
+    * the new batch against all history WITHOUT rescanning history
+    * content.
+    *
+    * Scale shape: history participates only as its DISTINCT hash set
+    * (32 bytes/doc — a 10B-doc corpus is ~320 GB of hashes, a bucketed
+    * table or Bloom-filter pre-filter at the extreme), and the
+    * anti-join is an equi-join on the hash: broadcast when the fresh
+    * side's day of hashes fits, shuffled otherwise — never a content
+    * comparison. Null-text rows (null hash) never match history and
+    * surface under a null hash group for dead-lettering.
+    */
+  def incrementalNew(fresh: DataFrame, reference: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val refHashes = reference
+      .select(TextFunctions.contentHash(col(textCol)).as("content_hash"))
+      .distinct()
+    fresh
+      .withColumn("content_hash", TextFunctions.contentHash(col(textCol)))
+      .join(refHashes, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_ct"))
+  }
+
   /** Streaming exact dedup: emit the first arrival per content hash,
     * dropping duplicates that arrive within the watermark delay of the
     * original. State is one (hash, expiry) entry evicted by the

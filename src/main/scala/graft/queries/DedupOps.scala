@@ -39,6 +39,14 @@ object DedupOps {
       Dedup.clusterIds(
         Dedup.nearDupPairs(docs(s, dir), threshold = 0.5)
           .select(col("doc_a"), col("doc_b")))
+    },
+
+    // incremental ingest: docs < 250 play yesterday's corpus, the rest
+    // today's batch — emit today's genuinely-new content only
+    "d7_incremental_dedup" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.incrementalNew(
+        d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250))
     })
 
   /** SQL mirror of Dedup.shingles(n=3): distinct 3-word shingles with
@@ -109,6 +117,19 @@ object DedupOps {
         |  CAST(63 AS DOUBLE) * 281474976710656.0
         |    / MAX(CASE WHEN rnk = 64 THEN h END) AS kmv_estimate
         |FROM r WHERE rnk <= 64 GROUP BY source""".stripMargin,
+
+    // NOT EXISTS (not NOT IN): a null hash in either side must behave
+    // like Spark's left_anti (null keys never match, rows kept) —
+    // NOT IN would collapse to empty once the subquery contains a null
+    "d7_incremental_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250),
+        |r AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250)
+        |SELECT f.h AS content_hash, MIN(doc_id) AS keeper_id,
+        |  COUNT(*) AS dup_ct
+        |FROM f
+        |WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.h = f.h)
+        |GROUP BY f.h""".stripMargin,
 
     // transitive closure of the d3 near-dup pairs: min reachable id per
     // node via a recursive CTE (the oracle can afford all-pairs

@@ -207,6 +207,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out === expect)
   }
 
+  test("incrementalNew anti-joins history hashes, keeps null-text rows") {
+    val ref = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val fresh = Seq((10L, "seen before"),     // in history → dropped
+      (11L, "brand new"), (12L, "brand new"), // new, dup within batch
+      (13L, null.asInstanceOf[String]))       // null text → null hash kept
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(fresh, ref)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out.exists(t => t._1.nonEmpty && t._2 == 11L && t._3 == 2L))
+    assert(out.exists(t => t._1.isEmpty && t._2 == 13L && t._3 == 1L))
+    assert(out.size === 2)
+  }
+
   test("clusterIds of no pairs is empty") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.clusterIds(empty).count() === 0L)
