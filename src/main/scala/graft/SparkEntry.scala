@@ -17,12 +17,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
-      VectorOps.queries ++ RoutingOps.queries ++ MultimodalOps.queries
+      VectorOps.queries ++ RoutingOps.queries ++ MultimodalOps.queries ++
+      SeriesOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
-      VectorOps.oracle ++ RoutingOps.oracle ++ MultimodalOps.oracle
+      VectorOps.oracle ++ RoutingOps.oracle ++ MultimodalOps.oracle ++
+      SeriesOps.oracle
 }

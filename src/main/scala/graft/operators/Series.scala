@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.core.Graft.dec2
+
+/** Time-series similarity search over event streams, PAA-style
+  * (piecewise aggregate approximation): each series collapses to
+  * per-segment volume sums, fixed-length windows of segments become
+  * small exact vectors, and similar windows are found by a GRID
+  * bucket equi-join + exact L1 verify — the time-series analogue of
+  * the LSH/IVF pattern the dedup and vector families use (candidate
+  * generation by equality key, never all-pairs).
+  *
+  * All arithmetic is exact: segment sums go through DECIMAL(18,2) and
+  * surface as integer cents, quantization is integer division, and L1
+  * distance is an integer sum — results are bit-identical across
+  * engines and partitionings (no float means/σ/sqrt as in z-normalized
+  * schemes, which are not portably exact).
+  *
+  * Recall contract (same family as v4's LSH): only windows agreeing in
+  * EVERY quantized dimension become candidates, so near pairs straddling
+  * a grid boundary are missed — production multi-probes ±1 cells per
+  * dimension, exactly like v4's band multi-probe. Width tunes the
+  * recall/cost trade: coarser grid → more candidates → closer to
+  * all-pairs; a degenerate cell (constant series) is capped the same
+  * way Dedup.candidatePairs caps degenerate buckets.
+  *
+  * Segment sums assume non-negative values (integer DIV truncation ==
+  * floor only for non-negatives; both engines agree there).
+  */
+object Series {
+
+  /** Per (series key, window) volume vector: `segsPerWindow` integer
+    * cents sums of `valueCol` over `segMicros`-long segments. Windows
+    * missing a segment (no events) are dropped — a fixed-length
+    * vector is what makes the downstream grid join an equi-join.
+    */
+  def volumeSketch(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, segMicros: Long = 7200000000L,
+                   segsPerWindow: Int = 4): DataFrame = {
+    require(segMicros > 0 && segsPerWindow > 0)
+    val seg = expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) DIV $segMicros")
+    events
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("series_key"), seg.as("seg"))
+      .agg((sum(dec2(col(valueCol))) * 100).cast(LongType).as("cents"))
+      .groupBy(col("series_key"),
+        expr(s"seg DIV $segsPerWindow").as("w"))
+      .agg(sort_array(collect_list(struct(col("seg"), col("cents"))))
+        .as("sv"))
+      .filter(size(col("sv")) === segsPerWindow)
+      .select(col("series_key"), col("w"),
+        expr("transform(sv, s -> s.cents)").as("v"))
+  }
+
+  /** Similar-window pairs: grid-cell equi-join on the per-dimension
+    * quantized vector (`widthCents` per cell), then exact integer L1
+    * ≤ `maxL1Cents`. Each unordered pair surfaces once via the
+    * (key, window) tie-break.
+    */
+  def similarWindows(sketch: DataFrame, widthCents: Long,
+                     maxL1Cents: Long): DataFrame = {
+    require(widthCents > 0 && maxL1Cents >= 0)
+    // string cell id: portable join key (array equality as a join key
+    // is legal but a delimited string hashes everywhere)
+    val cell = expr(
+      s"concat_ws(',', transform(v, c -> CAST(c DIV $widthCents AS STRING)))")
+    val withCell = sketch.withColumn("_cell", cell)
+    val a = withCell.select(col("series_key").as("key_a"),
+      col("w").as("w_a"), col("v").as("v_a"), col("_cell"))
+    val b = withCell.select(col("series_key").as("key_b"),
+      col("w").as("w_b"), col("v").as("v_b"), col("_cell").as("_cell_b"))
+    a.join(b, col("_cell") === col("_cell_b") &&
+        (col("key_a") < col("key_b") ||
+          (col("key_a") === col("key_b") && col("w_a") < col("w_b"))))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(v_a, v_b, (x, y) -> abs(x - y)), 0L, (a, d) -> a + d)"))
+      .filter(col("l1") <= maxL1Cents)
+      .select(col("key_a"), col("w_a"), col("key_b"), col("w_b"), col("l1"))
+  }
+}

@@ -278,6 +278,41 @@ class FrequencySpec extends AnyFunSuite {
   }
 }
 
+class SeriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: Seq[(String, Long, Double)]) =
+    rows.map { case (k, sec, v) =>
+      (k, new java.sql.Timestamp(sec * 1000L), v)
+    }.toDF("event_type", "ts", "value")
+
+  test("volumeSketch builds ordered fixed-length windows, drops gaps") {
+    // segments of 10s, windows of 2: key A fills segs 0,1 and 2,3;
+    // key B misses seg 1 → its window 0 is dropped
+    val rows = Seq(("A", 1L, 1.5), ("A", 5L, 2.0), ("A", 12L, 4.0),
+      ("A", 21L, 8.0), ("A", 35L, 16.0), ("B", 2L, 1.0))
+    val out = Series.volumeSketch(ev(rows), "event_type", "ts", "value",
+        segMicros = 10000000L, segsPerWindow = 2)
+      .as[(String, Long, Seq[Long])].collect().toSet
+    assert(out === Set(("A", 0L, Seq(350L, 400L)),
+      ("A", 1L, Seq(800L, 1600L))))
+  }
+
+  test("similarWindows pairs same-cell windows under the L1 bound") {
+    val sketch = Seq(
+      ("A", 0L, Seq(100L, 200L)), ("A", 5L, Seq(120L, 210L)), // near
+      ("B", 0L, Seq(130L, 250L)),                             // cell-mate, far
+      ("C", 0L, Seq(900L, 900L)))                             // other cell
+      .toDF("series_key", "w", "v")
+    val out = Series.similarWindows(sketch, widthCents = 500L,
+        maxL1Cents = 40L)
+      .as[(String, Long, String, Long, Long)].collect().toSet
+    // A0–A5: |100-120|+|200-210| = 30 ≤ 40; A–B pairs exceed 40; C alone
+    assert(out === Set(("A", 0L, "A", 5L, 30L)))
+  }
+}
+
 class CorpusPipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
