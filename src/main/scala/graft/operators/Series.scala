@@ -68,7 +68,10 @@ object Series {
     // is legal but a delimited string hashes everywhere)
     val cell = expr(
       s"concat_ws(',', transform(v, c -> CAST(c DIV $widthCents AS STRING)))")
-    val withCell = sketch.withColumn("_cell", cell)
+    // persist: a self-join otherwise recomputes the whole two-level
+    // sketch aggregation per side (AQE's broadcast path bypasses
+    // ReusedExchange — same seam as Dedup.candidatePairs)
+    val withCell = sketch.withColumn("_cell", cell).persist()
     val a = withCell.select(col("series_key").as("key_a"),
       col("w").as("w_a"), col("v").as("v_a"), col("_cell"))
     val b = withCell.select(col("series_key").as("key_b"),

@@ -85,6 +85,12 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(l_quantity,50.0)"))
   }
 
+  test("s1 series similarity joins on the grid cell, never all-pairs") {
+    val p = plan("s1_series_similar")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("t9 sampling is one codegen'd filter on a two-column scan") {
     val p = plan("t9_stratified_sample")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"))
