@@ -555,29 +555,45 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 
-  /** Incremental exact dedup: the rows of `fresh` whose content does
-    * not already exist in `reference` (yesterday's corpus), themselves
-    * deduplicated (min id per hash) — the daily-ingest shape: dedup
-    * the new batch against all history WITHOUT rescanning history
-    * content.
+  /** Incremental exact dedup: the rows of `fresh` whose content key
+    * does not already exist in `reference` (yesterday's corpus),
+    * themselves deduplicated (min id per key) — the daily-ingest
+    * shape: dedup the new batch against all history WITHOUT rescanning
+    * history content.
     *
-    * Scale shape: history participates only as its DISTINCT hash set
-    * (32 bytes/doc — a 10B-doc corpus is ~320 GB of hashes, a bucketed
-    * table or Bloom-filter pre-filter at the extreme), and the
-    * anti-join is an equi-join on the hash: broadcast when the fresh
-    * side's day of hashes fits, shuffled otherwise — never a content
-    * comparison. Null-text rows (null hash) never match history and
-    * surface under a null hash group for dead-lettering.
+    * Scale shape — the asymmetry matters and Spark never broadcasts
+    * the LEFT side of an anti-join, so the naive `fresh ANTI history`
+    * would shuffle the ~320 GB history hash set (10B docs × 32 B)
+    * every day. Instead the SMALL side drives both joins:
+    *  1. the fresh day's distinct keys broadcast into a semi-join that
+    *     scans history ONCE and keeps only the keys seen today — a
+    *     result no larger than the fresh day;
+    *  2. that `seen` set broadcasts into the anti-join against fresh.
+    * History is never shuffled and never compared by content; a Bloom
+    * filter over today's keys pre-screens the history scan at the
+    * extreme. Null-key rows (null text) never match history and
+    * surface under a null key group for dead-lettering.
+    *
+    * `contentKey` defaults to the exact content hash; pass a
+    * normalized key (e.g. a leading-tokens hash) for near-exact
+    * boilerplate-insensitive ingestion dedup.
     */
   def incrementalNew(fresh: DataFrame, reference: DataFrame,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
-    val refHashes = reference
-      .select(TextFunctions.contentHash(col(textCol)).as("content_hash"))
+                     textCol: String = "text",
+                     contentKey: Column => Column =
+                       TextFunctions.contentHash): DataFrame = {
+    // consumed twice (key set + anti-join); one day's batch — persist
+    // per the repo cache discipline
+    val freshKeyed = fresh
+      .withColumn("content_hash", contentKey(col(textCol))).persist()
+    val freshKeys = freshKeyed.select(col("content_hash")).distinct()
+    val seen = reference
+      .select(contentKey(col(textCol)).as("content_hash"))
+      .join(broadcast(freshKeys), Seq("content_hash"), "left_semi")
       .distinct()
-    fresh
-      .withColumn("content_hash", TextFunctions.contentHash(col(textCol)))
-      .join(refHashes, Seq("content_hash"), "left_anti")
+    freshKeyed
+      .join(broadcast(seen), Seq("content_hash"), "left_anti")
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_ct"))
   }

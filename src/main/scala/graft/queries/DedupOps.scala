@@ -42,11 +42,18 @@ object DedupOps {
     },
 
     // incremental ingest: docs < 250 play yesterday's corpus, the rest
-    // today's batch — emit today's genuinely-new content only
+    // today's batch — emit today's genuinely-new content only. The key
+    // is a PREFIX-NORMALIZED hash (leading 5 tokens): boilerplate-
+    // insensitive near-exact dedup, and — unlike the raw hash, under
+    // which this corpus is collision-free — a fixture where the oracle
+    // actually exercises the anti-join drops AND dup_ct > 1 groups
     "d7_incremental_dedup" -> { (s, dir) =>
       val d = docs(s, dir)
+      val prefixKey = (t: org.apache.spark.sql.Column) =>
+        when(t.isNotNull, md5(concat_ws(" ", slice(split(t, " "), 1, 5))))
       Dedup.incrementalNew(
-        d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250))
+        d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
+        contentKey = prefixKey)
     })
 
   /** SQL mirror of Dedup.shingles(n=3): distinct 3-word shingles with
@@ -122,9 +129,12 @@ object DedupOps {
     // like Spark's left_anti (null keys never match, rows kept) —
     // NOT IN would collapse to empty once the subquery contains a null
     "d7_incremental_dedup" ->
-      """WITH f AS (
-        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250),
-        |r AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250)
+      """WITH x AS (
+        |  SELECT doc_id, CASE WHEN text IS NOT NULL THEN
+        |    md5(array_to_string((string_split(text, ' '))[1:5], ' ')) END AS h
+        |  FROM documents),
+        |f AS (SELECT * FROM x WHERE doc_id >= 250),
+        |r AS (SELECT DISTINCT h FROM x WHERE doc_id < 250)
         |SELECT f.h AS content_hash, MIN(doc_id) AS keeper_id,
         |  COUNT(*) AS dup_ct
         |FROM f

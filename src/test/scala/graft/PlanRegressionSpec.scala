@@ -85,6 +85,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(l_quantity,50.0)"))
   }
 
+  test("d7 probes history with broadcasts — history is never shuffled") {
+    val p = plan("d7_incremental_dedup")
+    // fresh keys broadcast into the semi-probe, seen set broadcast
+    // into the anti — two broadcast joins, no exchange of history
+    assert("BroadcastHashJoin LeftSemi".r.findAllIn(p).size +
+      "BroadcastHashJoin LeftAnti".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("s1 series similarity joins on the grid cell, never all-pairs") {
     val p = plan("s1_series_similar")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
