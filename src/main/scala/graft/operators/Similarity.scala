@@ -153,6 +153,187 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"), col("cos_sim"))
   }
 
+  // -----------------------------------------------------------------
+  // k-means coarse-quantizer training (spherical Lloyd's)
+  // -----------------------------------------------------------------
+
+  /** A trained coarse quantizer: (centroid id, direction). Centroids
+    * are metadata-scale (k × dims doubles — a few KB), so the model
+    * lives on the driver and enters plans as literals; only the corpus
+    * is distributed.
+    */
+  type KmeansModel = Seq[(Int, Seq[Double])]
+
+  /** Per-row argmax over literal centroids: one projection computing k
+    * codegen'd dot folds per row and a `greatest` over (cos, -cid)
+    * structs — zero shuffle, zero join. Right for training-loop k
+    * (≲ 64); for a large IVF codebook (k in the thousands) use
+    * [[assignCells]], which carries centroids as data instead of
+    * expression nodes. Ties break to the lowest centroid id, matching
+    * [[assignCells]].
+    */
+  private def argmaxCell(vec: Column, nrm: Column, model: KmeansModel): Column = {
+    val scored = model.map { case (cid, cv) =>
+      // driver-side strict left fold: same op order as norm()'s codegen
+      // fold, so an engine replaying this in SQL agrees bit-for-bit
+      val cn = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+      struct(
+        (dot(vec, typedLit(cv)) / nullif(nrm * lit(cn), lit(0.0))).as("cos"),
+        lit(-cid).as("neg_id"))
+    }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    -best.getField("neg_id")
+  }
+
+  /** Trains IVF coarse centroids with spherical k-means (cosine
+    * assignment, centroid = mean of the cell's unit vectors — the
+    * update that makes the summed-cosine objective non-decreasing).
+    *
+    * Deterministic end to end, independent of partitioning:
+    *  - seeds are the k vectors with the smallest `md5(id)` (a
+    *    reproducible pseudo-random spread; production-scale init would
+    *    be k-means&#124;&#124;, which only changes the seed step);
+    *  - mean components are summed as DECIMAL(28,12) (associative ⇒
+    *    partition-order independent) and divided in double, so two
+    *    runs over different partitionings give bit-identical models.
+    *
+    * Per iteration: one corpus scan (map-side argmax, no shuffle of
+    * vectors), one partial-aggregated shuffle of k×dims×partitions
+    * mean fragments, one k×dims collect — the classic Lloyd's cost
+    * shape, dominated by the scans. Zero-norm vectors are excluded;
+    * a cell that loses all members keeps its previous centroid.
+    */
+  def trainKmeans(corpus: DataFrame, k: Int, iters: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): KmeansModel = {
+    require(k >= 2, s"k-means needs k >= 2 centroids, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val nz = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+
+    var model: KmeansModel = nz
+      .withColumn("h", md5(col("id").cast("string").cast("binary")))
+      .orderBy(col("h")).limit(k)
+      .select(col("h"), transform(col("v"), x => x.cast("double")).as("cv"))
+      .collect().toSeq
+      .sortBy(_.getString(0))
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+
+    if (model.nonEmpty) {
+      for (_ <- 0 until iters) {
+        val m = model
+        val means = nz
+          .select(argmaxCell(col("v"), col("nrm"), m).as("cell"),
+            transform(col("v"), x => x.cast("double") / col("nrm")).as("unit"))
+          .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "u")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(col("u").cast(DecimalType(28, 12))).cast("double") /
+            count(lit(1))).as("m"))
+          .collect()
+        val byCell = means.groupBy(_.getInt(0)).map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+        model = model.map { case (cid, old) =>
+          (cid, byCell.getOrElse(cid, old))
+        }
+      }
+    }
+    model
+  }
+
+  /** Assigns every non-zero vector to its trained centroid — the
+    * model enters as literals, so this is a single map-side projection
+    * (no join, no shuffle): the shape of IVF ingest at any scale.
+    */
+  def assignModel(corpus: DataFrame, model: KmeansModel,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val nz = corpus
+      .select(col(idCol), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+    if (model.isEmpty)
+      nz.select(col(idCol), lit(null).cast("long").as("cell")).filter(lit(false))
+    else
+      nz.select(col(idCol),
+        argmaxCell(col("v"), col("nrm"), model).cast("long").as("cell"))
+  }
+
+  /** Mean best-cosine of [[assignModel]]'s assignment — the spherical
+    * k-means objective (up to the 1/n factor); monotone non-decreasing
+    * across [[trainKmeans]] iterations.
+    */
+  def kmeansObjective(corpus: DataFrame, model: KmeansModel,
+                      vecCol: String = "embedding"): Double = {
+    val nz = corpus.select(col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+    val bestCos = model.map { case (_, cv) =>
+      val cn = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+      dot(col("v"), typedLit(cv)) / nullif(col("nrm") * lit(cn), lit(0.0))
+    }.reduceLeft((a, b) => greatest(a, b))
+    nz.select(avg(bestCos)).collect().head.getDouble(0)
+  }
+
+  // -----------------------------------------------------------------
+  // Scalar-quantized (int8) search
+  // -----------------------------------------------------------------
+
+  /** Largest |component| of a vector in double — the per-vector
+    * quantization scale. Null/empty vectors yield null (callers filter
+    * `maxAbs > 0`).
+    */
+  def maxAbs(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Int8 scalar quantization: qᵢ = floor(xᵢ / scale · 127), values in
+    * [-127, 127] for scale = [[maxAbs]]. `floor` (not `round`) so the
+    * quantizer is unambiguous across engines — round-half ties differ
+    * between IEEE implementations, floor never does.
+    */
+  def sq8(vec: Column, scale: Column): Column =
+    transform(vec, x => floor(x.cast("double") / scale * 127).cast("long"))
+
+  /** Reference integer dot via built-in HOFs — semantically identical
+    * to the packed [[graft.functions.VecI8.dot]] kernel (spec-pinned);
+    * integer sums are associative, so both are order-independent.
+    */
+  def dotIntHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Quantized exhaustive top-k: every corpus vector is scanned, but
+    * as a 1-byte-per-dim packed code scored with an integer dot — the
+    * memory-bandwidth-bound scan that makes "brute force" viable at
+    * 100× the float32 footprint (64 B/vec vs 256 B + array headers).
+    * Queries broadcast; the corpus quantizes in the same projection
+    * that scans it, so nothing is shuffled. Scores are exact integers:
+    * rankings are reproducible bit-for-bit on any engine, unlike
+    * float-sum scores. Zero vectors (no scale) are excluded.
+    */
+  def sqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+            idCol: String = "vec_id",
+            vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VecI8
+    def quantized(df: DataFrame, p: String) = df
+      .select(col(idCol).as(s"${p}_id"), col(vecCol).as("v"),
+        maxAbs(col(vecCol)).as("mx"))
+      .filter(col("mx") > 0)
+      .select(col(s"${p}_id"),
+        VecI8.pack(sq8(col("v"), col("mx"))).as(s"${p}_q"))
+    val q = broadcast(quantized(queries, "q"))
+    val c = quantized(corpus, "n")
+
+    import org.apache.spark.sql.expressions.Window
+    val scored = q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+      .withColumn("qdot", VecI8.dot(col("q_q"), col("n_q")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qdot").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("qdot"))
+  }
+
   /** Embedding near-duplicate pairs within a coarse cell (IVF-style
     * pre-partition keeps this an equi-join, not an all-pairs product).
     */

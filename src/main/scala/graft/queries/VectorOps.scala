@@ -47,6 +47,19 @@ object VectorOps {
     // would be vacuous; 0.3 keeps the verification pass non-empty.
     "v3_embedding_neardup" -> { (s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), threshold = 0.3)
+    },
+
+    // iters=1 keeps the DuckDB oracle writable (one argmax + one mean
+    // update, mirrored CTE by CTE); the library supports arbitrary
+    // iters — monotonicity and partition-independence are spec-pinned
+    "v6_kmeans_train" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.assignModel(e, Similarity.trainKmeans(e, k = 8, iters = 1))
+    },
+
+    "v7_knn_sq8" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.sqKnn(e, querySet(e), k = 3)
     })
 
   /** SQL mirror of Similarity.dot: strict left fold over the zipped
