@@ -226,7 +226,7 @@ object TextOps {
          |    COALESCE(SUM(tok) OVER (ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
          |  FROM x)
-         |SELECT pre // 2048 AS chunk_id, COUNT(*) AS doc_ct,
+         |SELECT CAST(pre // 2048 AS BIGINT) AS chunk_id, COUNT(*) AS doc_ct,
          |  CAST(SUM(tok) AS BIGINT) AS tok_sum
          |FROM p GROUP BY 1""".stripMargin,
 
