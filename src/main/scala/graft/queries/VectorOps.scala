@@ -49,12 +49,20 @@ object VectorOps {
       Similarity.nearDupPairs(emb(s, dir), threshold = 0.3)
     },
 
-    // iters=1 keeps the DuckDB oracle writable (one argmax + one mean
-    // update, mirrored CTE by CTE); the library supports arbitrary
-    // iters — monotonicity and partition-independence are spec-pinned
+    // iters=1 keeps the DuckDB oracle small (one argmax + one mean
+    // update, mirrored CTE by CTE — see sqlKmeans); v8 pins a second
+    // iteration, and monotonicity / partition-independence are pinned
+    // in KmeansSpec
     "v6_kmeans_train" -> { (s, dir) =>
       val e = emb(s, dir)
       Similarity.assignModel(e, Similarity.trainKmeans(e, k = 8, iters = 1))
+    },
+
+    // two Lloyd's rounds: the oracle replays assignment → mean update
+    // twice, catching update-step bugs a single-iteration oracle can't
+    "v8_kmeans_iter2" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.assignModel(e, Similarity.trainKmeans(e, k = 8, iters = 2))
     },
 
     "v7_knn_sq8" -> { (s, dir) =>
@@ -111,8 +119,114 @@ object VectorOps {
        |  FROM range(0, 8) t(p)) pl
        |GROUP BY e.vec_id""".stripMargin
 
+  /** Self-norm of a `DOUBLE[]` list — mirrors the driver-side strict
+    * left fold in Similarity.argmaxCell (`a + x*x` in array order).
+    */
+  private def sqlSelfNorm(c: String): String =
+    s"""sqrt(list_reduce(
+       |  list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform($c, x -> x * x)),
+       |  (acc, v) -> acc + v))""".stripMargin
+
+  /** One cosine between a corpus row `v` (float embedding + nrm) and a
+    * centroid row `c` (double cv + cn) — the exact expression
+    * Similarity.argmaxCell evaluates per (vector, centroid).
+    */
+  private val sqlCentCos =
+    s"${sqlDot("v.embedding", "c.cv")} / nullif(v.nrm * c.cn, 0.0)"
+
+  /** Full CTE mirror of `assignModel(e, trainKmeans(e, k=8, iters=n))`:
+    * seeds = the k smallest-md5 non-zero vectors (cid in md5-hex
+    * order), then per iteration one argmax assignment (ties → lowest
+    * cid) and one mean update of the cell's unit vectors, components
+    * summed as DECIMAL(28,12) exactly like the Spark aggregate; a cell
+    * that loses all members keeps its previous centroid. Every float
+    * op is the same strict fold as the Spark/codegen side, so the
+    * argmax rows agree bit-for-bit.
+    */
+  private def sqlKmeans(iters: Int, k: Int = 8): String = {
+    val nz =
+      s"""SELECT vec_id, embedding, nrm FROM (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |WHERE nrm > 0""".stripMargin
+    val seeds =
+      s"""SELECT cid, cv, ${sqlSelfNorm("cv")} AS cn FROM (
+         |  SELECT cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM (
+         |    SELECT vec_id, embedding,
+         |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+         |    FROM nz QUALIFY cid < $k))""".stripMargin
+    def assign(cents: String) =
+      s"""SELECT vec_id, cell FROM (
+         |  SELECT v.vec_id, c.cid AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY $sqlCentCos DESC, c.cid) AS rnk
+         |  FROM nz v CROSS JOIN $cents c)
+         |WHERE rnk = 1""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (${assign(s"c${i - 1}")}),
+         |mu$i AS (
+         |  SELECT cell, pos,
+         |    CAST(SUM(CAST(u AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM (
+         |    SELECT a.cell,
+         |      unnest(range(len(v.embedding))) AS pos,
+         |      unnest(list_transform(v.embedding, x -> CAST(x AS DOUBLE) / v.nrm)) AS u
+         |    FROM a$i a JOIN nz v USING (vec_id))
+         |  GROUP BY cell, pos),
+         |c$i AS (
+         |  SELECT cid, cv, ${sqlSelfNorm("cv")} AS cn FROM (
+         |    SELECT s.cid, COALESCE(m.cv, s.cv) AS cv
+         |    FROM c${i - 1} s LEFT JOIN (
+         |      SELECT cell, list(m ORDER BY pos) AS cv
+         |      FROM mu$i GROUP BY cell) m ON m.cell = s.cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nz AS ($nz),
+       |c0 AS ($seeds),
+       |$rounds
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell
+       |FROM (${assign(s"c$iters")}) t""".stripMargin
+  }
+
+  /** Exact integer dot over two int8-quantized BIGINT lists — mirrors
+    * VecDotI8 (integer sums are associative, so fold order is moot,
+    * but the strict fold keeps the formulation uniform).
+    */
+  private def sqlDotI8(a: String, b: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(list_zip($a, $b), p -> p[1] * p[2])),
+       |  (acc, v) -> acc + v)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "v1_knn_brute" -> sqlKnn("q.vec_id <> c.vec_id"),
+
+    "v6_kmeans_train" -> sqlKmeans(iters = 1),
+
+    "v8_kmeans_iter2" -> sqlKmeans(iters = 2),
+
+    // per-vector scale = max |component|; q8 = floor(x/scale·127) —
+    // double division and floor are IEEE-identical on both engines, so
+    // codes and therefore integer scores match exactly
+    "v7_knn_sq8" ->
+      s"""WITH qz AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127) AS BIGINT)) AS q8
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |        FROM embeddings)
+         |  WHERE mx > 0)
+         |SELECT q_id, n_id, rnk, qdot FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${sqlDotI8("q.q8", "c.q8")} AS qdot,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlDotI8("q.q8", "c.q8")} DESC, c.vec_id) AS rnk
+         |  FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |WHERE rnk <= 3""".stripMargin,
 
     "v2_knn_ivf" -> sqlKnn("q.label = c.label AND q.vec_id <> c.vec_id"),
 
