@@ -57,14 +57,16 @@ object DedupOps {
     })
 
   /** SQL mirror of Dedup.shingles(n=3): distinct 3-word shingles with
-    * 1-based inclusive slicing, short docs → whole text.
+    * 1-based inclusive slicing, short docs → whole text. `src` is the
+    * (doc_id, text) relation to shingle — "documents" for the d*
+    * oracles, a filtered CTE for the curation-pipeline oracle.
     */
-  private val sqlShingles =
-    """SELECT doc_id,
-      |  list_distinct(list_transform(
-      |    range(1, greatest(len(w) - 2, 1) + 1),
-      |    i -> array_to_string(w[i:i+2], ' '))) AS sh
-      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
+  private[queries] def sqlShingles(src: String): String =
+    s"""SELECT doc_id,
+       |  list_distinct(list_transform(
+       |    range(1, greatest(len(w) - 2, 1) + 1),
+       |    i -> array_to_string(w[i:i+2], ' '))) AS sh
+       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)""".stripMargin
 
   /** SQL minhash signature columns h0..h7 (md5-hex min over shingles). */
   private val sqlSigs = {
@@ -81,14 +83,42 @@ object DedupOps {
       |SELECT doc_id, 1 AS band,
       |  md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS key FROM sigs""".stripMargin
 
-  private val sqlCandidates =
-    s"""WITH shingled AS ($sqlShingles),
+  /** shingled → sigs → bands → cand CTE chain over `src`. */
+  private[queries] def sqlCandidatesFrom(src: String): String =
+    s"""shingled AS (${sqlShingles(src)}),
        |sigs AS ($sqlSigs),
        |bands AS ($sqlBands),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val sqlCandidates = s"WITH ${sqlCandidatesFrom("documents")}"
+
+  /** Jaccard-verified pairs → undirected edges → min-reachable-id
+    * transitive closure: the CTE chain shared by the d6 oracle and the
+    * curation-pipeline oracle (requires WITH RECURSIVE; `cand` and
+    * `shingled` must already be in scope).
+    */
+  private[queries] def sqlClusterCtes(threshold: Double): String =
+    s"""pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN shingled sa ON sa.doc_id = doc_a
+       |  JOIN shingled sb ON sb.doc_id = doc_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / len(list_distinct(sa.sh || sb.sh)) >= $threshold),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |clus AS (
+       |  SELECT id AS doc_id, MIN(comp) AS cluster_id
+       |  FROM reach GROUP BY id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -146,24 +176,9 @@ object DedupOps {
     // reachability at sf0.01; the Spark side uses log-round pointer
     // jumping instead — same fixpoint)
     "d6_dedup_clusters" ->
-      s"""${sqlCandidates.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |pairs AS (
-         |  SELECT doc_a, doc_b
-         |  FROM cand
-         |  JOIN shingled sa ON sa.doc_id = doc_a
-         |  JOIN shingled sb ON sb.doc_id = doc_b
-         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |      / len(list_distinct(sa.sh || sb.sh)) >= 0.5),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(id, comp) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
-         |SELECT id AS doc_id, MIN(comp) AS cluster_id
-         |FROM reach GROUP BY id""".stripMargin,
+      s"""WITH RECURSIVE ${sqlCandidatesFrom("documents")},
+         |${sqlClusterCtes(0.5)}
+         |SELECT doc_id, cluster_id FROM clus""".stripMargin,
 
     "d4_simhash" -> {
       val votes = (0 until 16)

@@ -345,6 +345,34 @@ object Relational {
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("ct"),
           moneySum(col("o_totalprice")).as("total"))
+    },
+
+    // ---- bounce (user-jump) detection over real events -------------------
+    // The events table has no page columns, so the page-view surface is
+    // derived: mid = user, page = event_type, and an event ENTERS a
+    // session (last_page_id null) when it follows a ≥4h gap — the same
+    // session boundary q18 uses. bounceBatch then flags entries whose
+    // next event is > 10 min away (or absent). Timestamps stay in µs
+    // end to end ((user, µs) is unique, so the lead/lag order is
+    // deterministic; bounceBatch's gap parameter is unit-agnostic).
+    "q24_bounce" -> { (s, dir) =>
+      val sessionGapUs = 4L * 3600 * 1000000 // 4h, q18's session gap
+      val bounceGapUs = 600L * 1000000       // 10 min follow-up window
+      val w = Window.partitionBy(col("mid")).orderBy(col("ts"))
+      val pages = ev(s, dir).select(
+        col("user_id").cast(StringType).as("mid"),
+        unix_micros(col("ts")).as("ts"),
+        col("event_type").as("page_id"))
+      val entries = pages
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("last_page_id",
+          when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") >= sessionGapUs,
+            lit(null).cast(StringType))
+            .otherwise(lag(col("page_id"), 1).over(w)))
+        .drop("prev_ts")
+      graft.streaming.StatefulOps.bounceBatch(entries, gapMillis = bounceGapUs)
+        .select(col("mid"), col("ts"), col("page_id"))
     }
   )
 
@@ -541,6 +569,21 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS ct,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
-        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    // lag/lead gaps-and-islands mirror of the derived-entry + bounce
+    // composition: entry ⇔ prev gap ≥ 4h, bounce ⇔ entry with the next
+    // event > 10 min away or absent; all comparisons in integer µs
+    "q24_bounce" ->
+      """WITH p AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS mid, epoch_us(ts) AS ts,
+        |    event_type AS page_id,
+        |    lag(epoch_us(ts)) OVER w AS prev_ts,
+        |    lead(epoch_us(ts)) OVER w AS next_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT mid, ts, page_id FROM p
+        |WHERE (prev_ts IS NULL OR ts - prev_ts >= 14400000000)
+        |  AND (next_ts IS NULL OR next_ts - ts > 600000000)""".stripMargin
   )
 }

@@ -123,12 +123,12 @@ object TextOps {
     })
 
   /** SQL token-set expression mirroring TextFunctions.tokenSet. */
-  private val sqlTokenSet =
+  private[queries] val sqlTokenSet =
     "list_distinct(list_filter(string_split(lower(text),' '), x -> len(x) > 0))"
-  private val sqlNTokens =
+  private[queries] val sqlNTokens =
     "len(list_filter(string_split(text,' '), x -> len(x) > 0))"
 
-  private def sqlProfile(words: Seq[String]): String =
+  private[queries] def sqlProfile(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ",", "]")
 
   def oracle: Map[String, String] = Map(
