@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
       VectorOps.queries ++ RoutingOps.queries ++ MultimodalOps.queries ++
-      SeriesOps.queries ++ CurateOps.queries
+      SeriesOps.queries ++ CurateOps.queries ++ QcOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -26,5 +26,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
       VectorOps.oracle ++ RoutingOps.oracle ++ MultimodalOps.oracle ++
-      SeriesOps.oracle ++ CurateOps.oracle
+      SeriesOps.oracle ++ CurateOps.oracle ++ QcOps.oracle
 }

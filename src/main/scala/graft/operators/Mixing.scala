@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions.hashBucket
+
+/** Domain mixing to token budgets: from each domain (source, corpus
+  * slice, language…), keep a deterministic pseudo-random subset of
+  * documents whose token counts fill that domain's budget — the "mix
+  * 30 B tokens of web + 5 B of code" step that turns curated corpora
+  * into a training mixture. Selection priority is a salted md5 of the
+  * doc id, so the chosen subset is a pure function of (id, domain
+  * budgets): stable across runs, engines, and partitioning, and
+  * statistically independent of [[graft.functions.TextFunctions.stableSplit]]'s
+  * unsalted hash (different salt).
+  *
+  * A document is kept iff the tokens of strictly-higher-priority docs
+  * in its domain (`tok_prefix`) haven't already filled the budget —
+  * i.e. budgets overshoot by at most one document, never undershoot.
+  *
+  * The per-domain running sum is the two-phase distributed scan of
+  * [[Packing]], generalized to keyed prefix sums: a naive
+  * `Window.partitionBy(domain)` puts each domain's ENTIRE corpus slice
+  * in one task — with tens of domains over 100 TB that's a handful of
+  * multi-TB stragglers. Instead the 16-bit priority hash is cut into
+  * `buckets` ordered ranges, so:
+  *
+  *  1. one small aggregate computes per-(domain, bucket) token totals
+  *     (domains × buckets rows — model-sized, collected);
+  *  2. the driver turns them into exclusive per-bucket offsets within
+  *     each domain (priority order = bucket order, since the bucket is
+  *     the hash's high bits);
+  *  3. each (domain, bucket) computes its local window sum in
+  *     parallel and adds its offset — per-domain parallelism × buckets.
+  *
+  * Rows with a null id have no priority and are never kept (poison
+  * rows pass through with kept=false, they don't abort the job).
+  */
+object Mixing {
+
+  def mixByTokenBudget(docs: DataFrame, domainCol: String, idCol: String,
+                       weight: Column, budgets: Map[String, Long],
+                       defaultBudget: Long, buckets: Int = 16): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "budgets must be non-negative")
+    require(buckets > 0 && 65536 % buckets == 0,
+      s"buckets must divide 65536, got $buckets")
+    val width = 65536 / buckets
+    val base = docs
+      .withColumn("_w", coalesce(weight.cast(LongType), lit(0L)))
+      .withColumn("_pr", hashBucket(col(idCol), salt = "m:"))
+      .withColumn("_b", (col("_pr") / width).cast(IntegerType))
+      .withColumn("_dom", coalesce(col(domainCol).cast(StringType), lit("")))
+
+    // phase 1: per-(domain, bucket) totals — domains × buckets rows
+    val totals = base.filter(col("_b").isNotNull)
+      .groupBy(col("_dom"), col("_b")).agg(sum(col("_w")).as("t"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+
+    // phase 2 (driver, O(domains × buckets)): exclusive offsets in
+    // bucket order within each domain
+    val offsets: Map[String, Long] = totals.groupBy(_._1._1).flatMap {
+      case (dom, rows) =>
+        val sorted = rows.sortBy(_._1._2)
+        sorted.map(_._1).zip(
+          sorted.map(_._2).scanLeft(0L)(_ + _).init)
+          .map { case ((d, b), off) => s"$d:$b" -> off }
+    }
+
+    val budgetFor = budgets.foldLeft(lit(defaultBudget): Column) {
+      case (acc, (d, b)) => when(col(domainCol) === d, lit(b)).otherwise(acc)
+    }
+
+    if (offsets.isEmpty) // empty input (or all-null ids)
+      return base.drop("_w", "_pr", "_b", "_dom")
+        .withColumn("tok_prefix", lit(null).cast(LongType))
+        .withColumn("kept", lit(false))
+
+    // phase 3: local window per (domain, bucket) + broadcast offset
+    val win = Window.partitionBy(col("_dom"), col("_b"))
+      .orderBy(col("_pr"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("tok_prefix",
+        when(col("_b").isNotNull,
+          sum(col("_w")).over(win) - col("_w") +
+            element_at(typedLit(offsets), concat_ws(":", col("_dom"), col("_b")))))
+      .withColumn("kept", coalesce(col("tok_prefix") < budgetFor, lit(false)))
+      .drop("_w", "_pr", "_b", "_dom")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rule-based pattern redaction for training corpora: replace PII-like
+  * spans (emails, phone numbers, IPs, …) with typed placeholder tokens
+  * and report how often each rule fired — the scrubbing pass a corpus
+  * runs before leaving the trust boundary. Pure per-row
+  * `regexp_replace`/`regexp_count` (codegen'd, no UDF, no shuffle).
+  *
+  * Patterns are deliberately kept in the RE2 ∩ java.util.regex dialect
+  * (no backreferences, no lookaround) so the same rule set runs
+  * identically on Spark, the DuckDB oracle, and any RE2-based scrubber
+  * a downstream team might use.
+  *
+  * Semantics: `<name>_ct` counts matches in the ORIGINAL text per rule
+  * (so counts are rule-order-independent and auditable against the
+  * input); the redacted text applies the rules sequentially in list
+  * order (so an earlier rule's placeholder is visible to later rules —
+  * order the specific before the general).
+  */
+object Redact {
+
+  final case class Rule(name: String, pattern: String, replacement: String)
+
+  /** Default PII rule set. Conservative recall-oriented shapes — a
+    * production scrubber would add locale variants; the operator takes
+    * any rule list. Specific before general: ssn and ipv4 run before
+    * phone, whose digits-and-separators shape would otherwise swallow
+    * them.
+    */
+  val piiRules: Seq[Rule] = Seq(
+    Rule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    Rule("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    Rule("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    Rule("phone", "\\+?[0-9][0-9()\\-. ]{7,}[0-9]", "<PHONE>"))
+
+  /** Adds one `<name>_ct` column per rule plus `redacted`. */
+  def redact(docs: DataFrame, textCol: String,
+             rules: Seq[Rule] = piiRules): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "rule names must be unique")
+    val counted = rules.foldLeft(docs) { (df, r) =>
+      df.withColumn(s"${r.name}_ct",
+        regexp_count(col(textCol), lit(r.pattern)))
+    }
+    counted.withColumn("redacted",
+      rules.foldLeft(col(textCol)) { (c, r) =>
+        regexp_replace(c, r.pattern, r.replacement)
+      })
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions.tokenize
+
+/** Gopher-style repetition-quality signals, per document: how much of a
+  * doc is the same few words/phrases repeated. The curation rule "drop
+  * docs whose most common 2-gram covers too much of the text" (Rae et
+  * al., Gopher §A1.1) is the standard pre-training filter for
+  * boilerplate and keyword-stuffed spam; the reference's quality
+  * surface (length/punct/stopword, `TextOps` t3) has no repetition
+  * axis, so this fills it.
+  *
+  * Everything is computed with codegen'd higher-order array functions
+  * on the row itself — tokenize, `array_distinct`, `array_sort` + one
+  * `aggregate` run-length fold for the top-bigram count — so the
+  * operator is a pure map: ZERO shuffle, no explode, no join, at any
+  * scale. (An explode+groupBy formulation would shuffle one row per
+  * bigram — ~doc_len× the data volume — to compute a per-doc number.)
+  */
+object Repetition {
+
+  /** Most-repeated-bigram count via sort + run-length fold: equal
+    * bigrams are adjacent after `array_sort`, so the longest run IS the
+    * top count. The fold carries (prev, run, best) through one linear
+    * pass — O(L log L) per row, all inside whole-stage codegen.
+    */
+  def topBigramCount(text: Column): Column = {
+    val words = tokenize(text)
+    val n = size(words)
+    val bigrams = when(n >= 2,
+      zip_with(slice(words, lit(1), n - 1), slice(words, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast(ArrayType(StringType)))
+    aggregate(
+      array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+  }
+
+  /** Per-doc repetition report: word counts plus the two Gopher-rule
+    * fractions. Ratios are int÷int in double (engine-portable); empty
+    * docs yield null fractions (nullif denominators), never an ANSI
+    * divide-by-zero.
+    */
+  def report(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = tokenize(col(textCol))
+    val n = size(words)
+    val distinctN = size(array_distinct(words))
+    docs.select(
+      col(idCol),
+      n.as("n_words"),
+      distinctN.as("distinct_words"),
+      topBigramCount(col(textCol)).as("top_bigram_ct"),
+      (lit(1.0) - distinctN.cast(DoubleType) / nullif(n, lit(0)))
+        .as("dup_word_frac"),
+      // greatest(n-1, 0): an empty doc has -1 "bigram slots", which
+      // would dodge the nullif and yield -0.0 — clamp so it nulls out
+      (topBigramCount(col(textCol)).cast(DoubleType) /
+        nullif(greatest(n - 1, lit(0)), lit(0))).as("top_bigram_frac"))
+  }
+}

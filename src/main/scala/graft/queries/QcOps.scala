@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions.nTokens
+import graft.operators.{Decontaminate, Mixing, Redact, Repetition}
+
+/** Corpus-QC operators over `documents`: repetition quality
+  * (Gopher-rule signals), benchmark decontamination, pattern
+  * redaction, and domain mixing to token budgets.
+  */
+object QcOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Redaction rules for the driver query: patterns chosen to actually
+    * fire on the synthetic corpus (it contains no real PII); the
+    * default [[Redact.piiRules]] are exercised in RedactSpec on
+    * crafted fixtures. Dialect-portable (RE2 ∩ java.util.regex).
+    */
+  private val corpusRules = Seq(
+    Redact.Rule("entity", "\\bcustomer\\b", "<ENT>"),
+    Redact.Rule("number", "\\bvalue\\b", "<VAL>"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Gopher repetition signals: pure map, zero shuffle ---------------
+    "t12_repetition" -> { (s, dir) =>
+      Repetition.report(docs(s, dir), "text", "doc_id")
+    },
+
+    // ---- benchmark decontamination: src0 plays the eval set --------------
+    // n=4: the synthetic corpus's tiny vocabulary makes 4-gram overlap
+    // the informative level at sf0.01 (production uses 8–13-grams; n is
+    // a parameter)
+    "t13_decontam" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Decontaminate.contaminationReport(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"),
+        "doc_id", "text", n = 4)
+    },
+
+    // ---- rule-based redaction with per-rule counts -----------------------
+    "t14_redact" -> { (s, dir) =>
+      Redact.redact(docs(s, dir), "text", corpusRules)
+        .select(col("doc_id"), col("entity_ct"), col("number_ct"),
+          col("redacted"))
+    },
+
+    // ---- domain mixing to per-source token budgets -----------------------
+    // src0 capped at 600 tokens, every other source at 1000 — keeps
+    // roughly half the corpus, so both branches of the budget rule and
+    // the keep/drop boundary are exercised
+    "t15_domain_mix" -> { (s, dir) =>
+      Mixing.mixByTokenBudget(docs(s, dir), "source", "doc_id",
+        nTokens(col("text")), Map("src0" -> 600L), defaultBudget = 1000L)
+        .filter(col("kept"))
+        .select(col("doc_id"), col("source"), col("tok_prefix"))
+    })
+
+  def oracle: Map[String, String] = Map(
+    "t12_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+        |    CAST(len(list_distinct(w)) AS INT) AS distinct_words
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |top AS (
+        |  SELECT doc_id, MAX(c) AS top_ct FROM (
+        |    SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_words, b.distinct_words,
+        |  CAST(COALESCE(t.top_ct, 0) AS INT) AS top_bigram_ct,
+        |  1.0 - CAST(b.distinct_words AS DOUBLE) / nullif(b.n_words, 0) AS dup_word_frac,
+        |  CAST(COALESCE(t.top_ct, 0) AS DOUBLE) / nullif(greatest(b.n_words - 1, 0), 0) AS top_bigram_frac
+        |FROM base b LEFT JOIN top t USING (doc_id)""".stripMargin,
+
+    "t13_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(len(w) - 3),
+        |      i -> list_aggregate(w[i+1:i+4], 'string_agg', ' ')))) AS g
+        |  FROM toks WHERE len(w) >= 4),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+        |SELECT doc_id, COUNT(*) AS hit_ct
+        |FROM grams JOIN bench USING (g)
+        |WHERE source <> 'src0'
+        |GROUP BY doc_id""".stripMargin,
+
+    "t14_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS INT) AS entity_ct,
+        |  CAST(len(regexp_extract_all(text, '\bvalue\b')) AS INT) AS number_ct,
+        |  regexp_replace(regexp_replace(text, '\bcustomer\b', '<ENT>', 'g'),
+        |                 '\bvalue\b', '<VAL>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
+    // single-window mirror of the two-phase keyed prefix sum: bucket
+    // order is priority order (bucket = high bits of the hash), so one
+    // window ordered by (pr, doc_id) per domain is the same prefix
+    "t15_domain_mix" ->
+      """WITH x AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(text,' '), t -> len(t) > 0)) AS tok,
+        |    CAST('0x' || substr(md5('m:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS pr
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY pr, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_prefix
+        |  FROM x)
+        |SELECT doc_id, source, CAST(tok_prefix AS BIGINT) AS tok_prefix
+        |FROM p
+        |WHERE tok_prefix < CASE WHEN source = 'src0' THEN 600 ELSE 1000 END""".stripMargin
+  )
+}

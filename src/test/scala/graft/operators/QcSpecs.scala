@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Unit specs for the corpus-QC operators (repetition, decontamination,
+  * redaction, domain mixing) behind the t12–t15 driver queries.
+  */
+class RepetitionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("report matches hand-computed counts and fractions") {
+    val df = Seq((1L, "a b a b a b"), (2L, "x y z"), (3L, "w"))
+      .toDF("doc_id", "text")
+    val r = Repetition.report(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // doc 1: 6 words, 2 distinct; bigrams = [a b, b a, a b, b a, a b]
+    assert(r(0).getInt(1) === 6 && r(0).getInt(2) === 2)
+    assert(r(0).getInt(3) === 3) // "a b" ×3
+    assert(r(0).getDouble(4) === 1.0 - 2.0 / 6.0)
+    assert(r(0).getDouble(5) === 3.0 / 5.0)
+    // doc 2: all distinct, every bigram unique
+    assert(r(1).getInt(3) === 1 && r(1).getDouble(4) === 0.0)
+    // doc 3: one word -> no bigrams, null top fraction
+    assert(r(2).getInt(3) === 0 && r(2).isNullAt(5))
+  }
+
+  test("empty and whitespace-only docs yield zero counts and null ratios") {
+    val r = Repetition.report(
+      Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()
+    r.foreach { row =>
+      assert(row.getInt(1) === 0 && row.getInt(3) === 0)
+      assert(row.isNullAt(4) && row.isNullAt(5))
+    }
+  }
+
+  test("top bigram count is invariant under token-order rotation of ties") {
+    // two different bigrams with equal max count: count is well-defined
+    // (the argmax bigram itself is deliberately not exposed)
+    val r = Repetition.report(
+      Seq((1L, "a b a b c d c d")).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()(0)
+    assert(r.getInt(3) === 2)
+  }
+}
+
+class DecontaminateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("wordNgrams slides over tokens; short docs yield empty") {
+    val df = Seq(("a b c d", 4), ("a b", 2)).toDF("text", "k")
+    val g3 = df.filter($"k" === 4)
+      .select(Decontaminate.wordNgrams($"text", 3)).as[Seq[String]].head()
+    assert(g3 === Seq("a b c", "b c d"))
+    val gShort = df.filter($"k" === 2)
+      .select(Decontaminate.wordNgrams($"text", 3)).as[Seq[String]].head()
+    assert(gShort === Seq.empty)
+  }
+
+  test("report counts DISTINCT overlapping grams per doc, sparsely") {
+    val bench = Seq((100L, "p q r s")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "p q r s t"),       // grams p-q-r and q-r-s overlap (2)
+      (2L, "p q r p q r"),     // p-q-r twice, distinct -> 1
+      (3L, "x y z w")          // no overlap -> absent
+    ).toDF("doc_id", "text")
+    val r = Decontaminate
+      .contaminationReport(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(r === Array((1L, 2L), (2L, 1L)))
+  }
+
+  test("a doc is not contaminated by itself being in the corpus only") {
+    val bench = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val hits = Decontaminate
+      .contaminationReport(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect()
+    assert(hits === Array((1L, 1L)))
+  }
+}
+
+class RedactSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("default PII rules scrub crafted fixtures with correct counts") {
+    val df = Seq(
+      (1L, "mail bob@example.com and alice@test.org, call +1 (555) 123-4567"),
+      (2L, "server 10.0.0.1 ssn 123-45-6789"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val r = Redact.redact(df, "text").orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("email_ct") === 2)
+    assert(r(0).getAs[Int]("phone_ct") === 1)
+    val red1 = r(0).getAs[String]("redacted")
+    assert(red1.contains("<EMAIL>") && red1.contains("<PHONE>"))
+    assert(!red1.contains("example.com") && !red1.contains("555"))
+    assert(r(1).getAs[Int]("ipv4_ct") === 1 && r(1).getAs[Int]("ssn_ct") === 1)
+    val red2 = r(1).getAs[String]("redacted")
+    assert(red2 === "server <IP> ssn <SSN>")
+    assert(r(2).getAs[String]("redacted") === "nothing sensitive here")
+    assert(r(2).getAs[Int]("email_ct") === 0)
+  }
+
+  test("counts are measured on the original text, not intermediate output") {
+    // rule 1 rewrites 'aa' to 'b'; rule 2 counts 'b' — must see only the
+    // original single 'b', not the two introduced by rule 1
+    val rules = Seq(Redact.Rule("r1", "aa", "b"), Redact.Rule("r2", "b", "c"))
+    val r = Redact.redact(Seq((1L, "aa aa b")).toDF("doc_id", "text"),
+      "text", rules).collect()(0)
+    assert(r.getAs[Int]("r1_ct") === 2)
+    assert(r.getAs[Int]("r2_ct") === 1)
+    assert(r.getAs[String]("redacted") === "c c c") // sequential application
+  }
+
+  test("duplicate rule names are rejected") {
+    intercept[IllegalArgumentException] {
+      Redact.redact(Seq((1L, "x")).toDF("doc_id", "text"), "text",
+        Seq(Redact.Rule("a", "x", "y"), Redact.Rule("a", "y", "z")))
+    }
+  }
+}
+
+class MixingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("kept set fills but never undershoots the budget (overshoot ≤ 1 doc)") {
+    val mixed = Mixing.mixByTokenBudget(docs, "source", "doc_id",
+      graft.functions.TextFunctions.nTokens(col("text")),
+      Map.empty, defaultBudget = 500L)
+    val perDomain = mixed.filter($"kept")
+      .groupBy($"source")
+      .agg(sum(graft.functions.TextFunctions.nTokens(col("text"))).as("tok"),
+        max($"tok_prefix").as("max_pre"))
+      .collect()
+    perDomain.foreach { r =>
+      val tok = r.getLong(1)
+      val maxPre = r.getLong(2)
+      assert(maxPre < 500L, s"${r.getString(0)}: a kept doc started past budget")
+      // every kept doc's exclusive prefix < budget and the last one
+      // starts before 500, so total < 500 + one doc length
+      assert(tok >= math.min(500L, tok)) // non-vacuous only with the next check
+      val dropped = Mixing.mixByTokenBudget(docs, "source", "doc_id",
+        graft.functions.TextFunctions.nTokens(col("text")),
+        Map.empty, defaultBudget = 500L)
+        .filter(!$"kept" && $"source" === r.getString(0)).count()
+      if (dropped > 0) assert(tok >= 500L, "undershoot with drops remaining")
+    }
+  }
+
+  test("selection is deterministic under repartitioning") {
+    def keptIds(df: org.apache.spark.sql.DataFrame) =
+      Mixing.mixByTokenBudget(df, "source", "doc_id",
+        graft.functions.TextFunctions.nTokens(col("text")),
+        Map("src0" -> 200L), defaultBudget = 400L)
+        .filter($"kept").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptIds(docs) === keptIds(docs.repartition(13)))
+  }
+
+  test("two-phase scan equals the single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.functions.TextFunctions
+    val single = docs
+      .withColumn("_pr", tf.hashBucket(col("doc_id"), "m:"))
+      .withColumn("pre_ref",
+        coalesce(sum(tf.nTokens(col("text")))
+          .over(Window.partitionBy($"source").orderBy($"_pr", $"doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"pre_ref")
+    val twoPhase = Mixing.mixByTokenBudget(docs, "source", "doc_id",
+      tf.nTokens(col("text")), Map.empty, defaultBudget = Long.MaxValue,
+      buckets = 8)
+      .select($"doc_id", $"tok_prefix")
+    val diff = twoPhase.join(single, "doc_id")
+      .filter($"tok_prefix" =!= $"pre_ref").count()
+    assert(diff === 0)
+  }
+
+  test("null ids pass through unkept; zero budget keeps nothing") {
+    val df = Seq((Some(1L), "s", "a b"), (None, "s", "c d"))
+      .toDF("doc_id", "source", "text")
+    val r = Mixing.mixByTokenBudget(df, "source", "doc_id",
+      graft.functions.TextFunctions.nTokens(col("text")),
+      Map.empty, defaultBudget = 100L)
+    assert(r.count() === 2)
+    val nullRow = r.filter($"doc_id".isNull).collect()(0)
+    assert(!nullRow.getAs[Boolean]("kept"))
+    val zero = Mixing.mixByTokenBudget(df.filter($"doc_id".isNotNull),
+      "source", "doc_id",
+      graft.functions.TextFunctions.nTokens(col("text")),
+      Map.empty, defaultBudget = 0L)
+    assert(zero.filter($"kept").count() === 0)
+  }
+}
