@@ -105,4 +105,36 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"))
     assert(!p.contains("Exchange")) // pure map-side predicate: no shuffle
   }
+
+  test("t12 repetition report is a pure map: no shuffle, pruned scan") {
+    val p = plan("t12_repetition")
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("t13 decontamination broadcasts the benchmark gram set") {
+    val p = plan("t13_decontam")
+    // corpus grams must probe a broadcast build side, never co-shuffle
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // final per-doc count partial-aggregates before its exchange
+    assert("(?i)HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("t14 redaction is map-only with no UDF in the plan") {
+    val p = plan("t14_redact")
+    assert(!p.contains("Exchange"))
+    assert(!p.toLowerCase.contains("batchevalpython") &&
+      !p.contains("ScalaUDF"), p.take(1500))
+  }
+
+  test("t15 mixing windows per (domain, bucket), not per domain alone") {
+    val p = plan("t15_domain_mix")
+    // the window's required distribution must include the hash bucket
+    // — partitioning by domain alone is the straggler shape the
+    // two-phase scan exists to avoid
+    assert("hashpartitioning\\(_dom[#\\d]*, _b".r.findFirstIn(p.toLowerCase)
+      .isDefined || p.contains("_b"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
