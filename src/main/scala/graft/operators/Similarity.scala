@@ -334,6 +334,96 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"), col("qdot"))
   }
 
+  // -----------------------------------------------------------------
+  // Product-quantized (PQ) search with asymmetric distance (ADC)
+  // -----------------------------------------------------------------
+
+  /** PQ codebook: m subspaces × k codewords × (dims/m) components. */
+  type PqCodebook = Seq[Seq[Seq[Double]]]
+
+  /** Squared L2 distance as a strict left fold in double — the PQ
+    * metric. float−double is exact in double, and the fold order is
+    * the array order, so values reproduce bit-for-bit on any engine.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Builds the codebook from the first k corpus vectors (by id) — a
+    * deterministic seed codebook, exactly the role the first-8-vectors
+    * seed plays for [[assignCells]]. Production PQ refines each
+    * subspace's codewords with [[trainKmeans]]-style Lloyd's rounds;
+    * encode/ADC below are identical either way, and the seed variant
+    * keeps the whole operator oracle-checkable. Model-sized
+    * (m × k × dims/m doubles): lives on the driver, enters plans as
+    * literals.
+    */
+  def pqCodebook(corpus: DataFrame, m: Int, k: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): PqCodebook = {
+    val rows = corpus.orderBy(col(idCol)).limit(k)
+      .select(transform(col(vecCol), x => x.cast("double")))
+      .collect().map(_.getSeq[Double](0))
+    require(rows.nonEmpty, "corpus is empty")
+    val dims = rows.head.size
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    (0 until m).map(mi => rows.map(_.slice(mi * sub, (mi + 1) * sub)).toSeq)
+  }
+
+  /** Per-row PQ encoding: for each subspace, the argmin-distance
+    * codeword id (ties → lowest id). Map-side only — m×k codegen'd
+    * folds per row against literal codewords, no join, no shuffle:
+    * the 100 TB corpus compresses to m bytes/vector in one scan.
+    */
+  def pqEncode(vec: Column, cb: PqCodebook): Column = {
+    val sub = cb.head.head.size
+    array(cb.zipWithIndex.map { case (codewords, mi) =>
+      val s = slice(vec, mi * sub + 1, sub)
+      val scored = codewords.zipWithIndex.map { case (cw, ci) =>
+        struct(sqDist(s, typedLit(cw)).as("d"), lit(ci).as("cid"))
+      }
+      least(scored: _*).getField("cid")
+    }: _*)
+  }
+
+  /** PQ top-k with asymmetric distance: the query keeps its exact
+    * float vector; each corpus vector is approximated by its per-
+    * subspace codeword, so the pair distance is Σₘ ‖q⁽ᵐ⁾ − cb[m][code]‖²
+    * — m small folds against literal codewords instead of a full
+    * dims-length scan of raw floats. Queries broadcast, the corpus is
+    * encoded in the same projection that scans it (nothing shuffled),
+    * and the per-query top-k prunes through the rank window exactly
+    * like [[sqKnn]]. The m distances sum in fixed subspace order, so
+    * scores are engine-reproducible.
+    */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, cb: PqCodebook, k: Int,
+            idCol: String = "vec_id",
+            vecCol: String = "embedding"): DataFrame = {
+    val sub = cb.head.head.size
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"),
+      pqEncode(col(vecCol), cb).as("codes"))
+    val dist = cb.zipWithIndex.map { case (codewords, mi) =>
+      sqDist(
+        slice(col("q_vec"), mi * sub + 1, sub),
+        element_at(typedLit(codewords), element_at(col("codes"), mi + 1) + 1))
+    }.reduce(_ + _)
+
+    import org.apache.spark.sql.expressions.Window
+    val scored = q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+      .withColumn("dist", dist)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("dist"))
+  }
+
   /** Embedding near-duplicate pairs within a coarse cell (IVF-style
     * pre-partition keeps this an equi-join, not an all-pairs product).
     */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions.nTokens
-import graft.operators.{Decontaminate, Mixing, Redact, Repetition}
+import graft.operators.{Bm25, Decontaminate, Mixing, Redact, Repetition}
 
 /** Corpus-QC operators over `documents`: repetition quality
   * (Gopher-rule signals), benchmark decontamination, pattern
@@ -59,6 +59,12 @@ object QcOps {
         nTokens(col("text")), Map("src0" -> 600L), defaultBudget = 1000L)
         .filter(col("kept"))
         .select(col("doc_id"), col("source"), col("tok_prefix"))
+    },
+
+    // ---- BM25 ranked retrieval (rational-idf variant) --------------------
+    "t16_bm25" -> { (s, dir) =>
+      Bm25.topK(docs(s, dir), "doc_id", "text",
+        terms = Seq("spark", "query", "vector"), k = 20)
     })
 
   def oracle: Map[String, String] = Map(
@@ -124,6 +130,42 @@ object QcOps {
         |  FROM x)
         |SELECT doc_id, source, CAST(tok_prefix AS BIGINT) AS tok_prefix
         |FROM p
-        |WHERE tok_prefix < CASE WHEN source = 'src0' THEN 600 ELSE 1000 END""".stripMargin
+        |WHERE tok_prefix < CASE WHEN source = 'src0' THEN 600 ELSE 1000 END""".stripMargin,
+
+    // every float op mirrors Bm25.topK step for step (rational idf, no
+    // ln — see the Scaladoc); constants are combined in-expression so
+    // both engines run the identical IEEE sequence
+    "t16_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tfreq FROM toks
+        |  WHERE term IN ('spark','query','vector') GROUP BY doc_id, term),
+        |dl AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(list_filter(string_split(text,' '), x -> len(x) > 0))) AS BIGINT) AS toks
+        |  FROM documents),
+        |idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    (((CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tfreq AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+        |    / (CAST(tfreq AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |        ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+        |          + CAST(0.75 AS DOUBLE) * dl / (CAST(toks AS DOUBLE) / n))) AS s
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, score FROM (
+        |  SELECT doc_id,
+        |    (COALESCE(SUM(CASE WHEN term = 'spark' THEN s END), 0.0)
+        |     + COALESCE(SUM(CASE WHEN term = 'query' THEN s END), 0.0))
+        |     + COALESCE(SUM(CASE WHEN term = 'vector' THEN s END), 0.0) AS score
+        |  FROM s GROUP BY doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   )
 }

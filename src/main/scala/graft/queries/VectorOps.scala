@@ -68,6 +68,14 @@ object VectorOps {
     "v7_knn_sq8" -> { (s, dir) =>
       val e = emb(s, dir)
       Similarity.sqKnn(e, querySet(e), k = 3)
+    },
+
+    // seed codebook = first 16 vectors (deterministic, like v5's
+    // centroids); 4 subspaces × 16 codewords over 64 dims
+    "v9_knn_pq" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqKnn(e, querySet(e),
+        Similarity.pqCodebook(e, m = 4, k = 16), k = 3)
     })
 
   /** SQL mirror of Similarity.dot: strict left fold over the zipped
@@ -190,6 +198,64 @@ object VectorOps {
        |FROM (${assign(s"c$iters")}) t""".stripMargin
   }
 
+  /** Squared L2 over two lists — mirrors Similarity.sqDist's strict
+    * left fold ((a-b)·(a-b) per component, in array order).
+    */
+  private def sqlSqDist(a: String, b: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(list_zip($a, $b),
+       |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** Full CTE mirror of `pqKnn(e, querySet, pqCodebook(e, 4, 16), 3)`:
+    * codebook = first 16 vectors (cid = rank by vec_id), encode =
+    * per-(vector, subspace) argmin codeword (ties → lowest cid), ADC
+    * distance = the 4 subspace folds summed in fixed left-assoc order
+    * — every float op identical to the Spark side.
+    */
+  private def sqlPqKnn: String = {
+    val d = (0 until 4).map { m =>
+      sqlSqDist(s"q.embedding[${m * 16 + 1}:${(m + 1) * 16}]",
+        s"b$m.cv[${m * 16 + 1}:${(m + 1) * 16}]")
+    }
+    val dist = s"(((${d(0)} + ${d(1)}) + ${d(2)}) + ${d(3)})"
+    val encD = sqlSqDist("e.embedding[ms.m*16+1 : ms.m*16+16]",
+      "cb.cv[ms.m*16+1 : ms.m*16+16]")
+    s"""WITH cb AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |enc AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT e.vec_id, ms.m, cb.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, ms.m
+       |        ORDER BY $encD ASC, cb.cid) AS rnk
+       |    FROM embeddings e CROSS JOIN range(0,4) ms(m) CROSS JOIN cb)
+       |  WHERE rnk = 1),
+       |encp AS (
+       |  SELECT vec_id,
+       |    MAX(CASE WHEN m=0 THEN cid END) AS c0,
+       |    MAX(CASE WHEN m=1 THEN cid END) AS c1,
+       |    MAX(CASE WHEN m=2 THEN cid END) AS c2,
+       |    MAX(CASE WHEN m=3 THEN cid END) AS c3
+       |  FROM enc GROUP BY vec_id),
+       |sc AS (
+       |  SELECT q.vec_id AS q_id, x.vec_id AS n_id, $dist AS dist
+       |  FROM embeddings q JOIN encp x ON q.vec_id <> x.vec_id
+       |  JOIN cb b0 ON b0.cid = x.c0
+       |  JOIN cb b1 ON b1.cid = x.c1
+       |  JOIN cb b2 ON b2.cid = x.c2
+       |  JOIN cb b3 ON b3.cid = x.c3
+       |  WHERE q.vec_id % 50 = 0)
+       |SELECT q_id, n_id, rnk, dist FROM (
+       |  SELECT q_id, n_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   /** Exact integer dot over two int8-quantized BIGINT lists — mirrors
     * VecDotI8 (integer sums are associative, so fold order is moot,
     * but the strict fold keeps the formulation uniform).
@@ -229,6 +295,8 @@ object VectorOps {
          |WHERE rnk <= 3""".stripMargin,
 
     "v2_knn_ivf" -> sqlKnn("q.label = c.label AND q.vec_id <> c.vec_id"),
+
+    "v9_knn_pq" -> sqlPqKnn,
 
     // max(struct(cos, -cid)) ≡ QUALIFY ROW_NUMBER() ORDER BY cos DESC,
     // c_id — cosines are bit-identical (strict fold), so the argmax row

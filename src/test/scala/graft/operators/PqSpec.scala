@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins the product-quantization kernels (codebook slicing, argmin
+  * encode, ADC distance) behind the v9 driver query.
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private val M = 4
+  private val K = 16
+
+  /** Driver-side replica of encode + ADC with the same float-op order. */
+  private def sqDistScala(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+
+  test("codebook slices the first-k vectors into m contiguous subspaces") {
+    val cb = Similarity.pqCodebook(emb, M, K)
+    assert(cb.size === M && cb.forall(_.size === K))
+    assert(cb.forall(_.forall(_.size === 64 / M)))
+    val first = emb.orderBy("vec_id").limit(1)
+      .select(transform($"embedding", x => x.cast("double")))
+      .as[Seq[Double]].head()
+    assert(cb(1)(0) === first.slice(16, 32))
+  }
+
+  test("encode is the per-subspace argmin with lowest-id tie-break") {
+    val cb = Similarity.pqCodebook(emb, M, K)
+    val got = emb.select($"vec_id",
+        Similarity.pqEncode($"embedding", cb).as("codes"),
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Int], Seq[Double])].collect()
+    got.foreach { case (_, codes, v) =>
+      assert(codes.size === M)
+      codes.zipWithIndex.foreach { case (c, mi) =>
+        assert(c >= 0 && c < K)
+        val sub = v.slice(mi * 16, (mi + 1) * 16)
+        val dists = cb(mi).map(cw => sqDistScala(sub, cw))
+        // argmin with lowest-id tie-break
+        val best = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+        assert(c === best)
+      }
+    }
+  }
+
+  test("ADC distances match the driver-side replica and rank correctly") {
+    val cb = Similarity.pqCodebook(emb, M, K)
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val knn = Similarity.pqKnn(emb, queries, cb, k = 3)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(knn.nonEmpty)
+    val vecs = emb.select($"vec_id",
+        transform($"embedding", x => x.cast("double")))
+      .as[(Long, Seq[Double])].collect().toMap
+    val codes = emb.select($"vec_id", Similarity.pqEncode($"embedding", cb))
+      .as[(Long, Seq[Int])].collect().toMap
+    knn.foreach { case (qId, nId, _, dist) =>
+      val expected = (0 until M).foldLeft(0.0) { (acc, mi) =>
+        acc + sqDistScala(
+          vecs(qId).slice(mi * 16, (mi + 1) * 16),
+          cb(mi)(codes(nId)(mi)))
+      }
+      assert(dist === expected, s"q=$qId n=$nId")
+    }
+    // per query: ranks are 1..3 with non-decreasing distance
+    knn.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === Seq(1, 2, 3))
+      assert(sorted.sliding(2).forall(p => p.head._4 <= p.last._4))
+    }
+  }
+
+  test("pqKnn is deterministic under repartitioning") {
+    val cb = Similarity.pqCodebook(emb, M, K)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqKnn(c, queries, cb, k = 3)
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(run(emb) === run(emb.repartition(11)))
+  }
+}
