@@ -38,11 +38,14 @@ object Bm25 {
     require(terms.nonEmpty, "need at least one query term")
     require(terms.distinct.size == terms.size, "query terms must be unique")
 
+    // dl rides along as a grouping key (it's functionally dependent on
+    // the doc id) — one scan yields tf AND doc length, with no
+    // doc_id join back to a second corpus scan
     val tf = docs
-      .select(col(idCol), explode(tokenize(col(textCol))).as("term"))
+      .select(col(idCol), nTokens(col(textCol)).as("dl"),
+        explode(tokenize(col(textCol))).as("term"))
       .filter(col("term").isin(terms: _*))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = docs.select(col(idCol), nTokens(col(textCol)).as("dl"))
+      .groupBy(col(idCol), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
     val stats = docs.agg(count(lit(1)).as("n"),
       sum(nTokens(col(textCol)).cast("long")).as("toks"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -61,7 +64,6 @@ object Bm25 {
 
     val scored = tf
       .join(broadcast(df), "term")
-      .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .select(col(idCol), col("term"), score.as("s"))
 

@@ -128,6 +128,25 @@ class PlanRegressionSpec extends AnyFunSuite {
       !p.contains("ScalaUDF"), p.take(1500))
   }
 
+  test("t16 bm25: broadcast stats joins and a TakeOrdered top-k") {
+    val p = plan("t16_bm25")
+    // df + corpus stats join back as broadcasts; the top-k must be
+    // per-partition heads, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("v9 pq knn: rank-window pruned, corpus encoded without a shuffle") {
+    val p = plan("v9_knn_pq")
+    // top-k prunes before the full window sort, and the corpus side
+    // reaches the broadcast NL join straight from its scan (encoding
+    // is map-side: no exchange below the join)
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("t15 mixing windows per (domain, bucket), not per domain alone") {
     val p = plan("t15_domain_mix")
     // the window's required distribution must include the hash bucket
