@@ -364,12 +364,17 @@ object Similarity {
   def pqCodebook(corpus: DataFrame, m: Int, k: Int,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): PqCodebook = {
-    val rows = corpus.orderBy(col(idCol)).limit(k)
+    // null/empty vectors can't seed a codeword (poison rows must not
+    // kill the job); real corpora are unaffected by the filter
+    val raw = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .orderBy(col(idCol)).limit(k)
       .select(transform(col(vecCol), x => x.cast("double")))
       .collect().map(_.getSeq[Double](0))
-    require(rows.nonEmpty, "corpus is empty")
-    val dims = rows.head.size
+    require(raw.nonEmpty, "corpus has no non-empty vectors")
+    val dims = raw.head.size
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val rows = raw.filter(_.size == dims)
     val sub = dims / m
     (0 until m).map(mi => rows.map(_.slice(mi * sub, (mi + 1) * sub)).toSeq)
   }
