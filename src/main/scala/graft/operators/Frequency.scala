@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -111,5 +111,41 @@ object Frequency {
       .agg(count(lit(1)).as("ct"))
       .filter(col("ct") * den > col("_n") * num)
       .select(col(valueCol), col("ct"))
+  }
+
+  /** Rare-term QC scoring: per document, how much of it is made of
+    * corpus-rare tokens (OCR garbage, misspellings, random ids — the
+    * word-frequency quality filter of corpus curation). A term is
+    * "rare" iff `cf · 1000 < permille · total_tokens` — an integer
+    * comparison on corpus-relative frequency, so the rule is scale-
+    * invariant and has no float boundary. Output per doc (docs with
+    * zero tokens are absent): token count, the corpus frequency of its
+    * rarest term, and the count/fraction of rare-term occurrences.
+    *
+    * Scale shape: the token stream collapses map-side to (doc, term)
+    * term frequencies first, so the vocabulary join moves distinct
+    * pairs, not raw tokens; the corpus total enters as a broadcast
+    * 1-row frame (never a driver collect); Zipf-head skew on the join
+    * key is per-(doc,term) rows, bounded by doc count, and AQE's skew
+    * split covers the residue.
+    */
+  def rareTermScore(docs: DataFrame, idCol: String, toks: Column,
+                    permille: Long = 1L): DataFrame = {
+    require(permille >= 1, s"permille must be >= 1, got $permille")
+    val tf = docs.select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val stats = vocab.agg(sum(col("cf")).as("tot"))
+    val marked = vocab.crossJoin(broadcast(stats))
+      .select(col("term"), col("cf"),
+        (col("cf") * 1000L < col("tot") * permille).as("is_rare"))
+    tf.join(marked, "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_toks"),
+        min(col("cf")).as("min_cf"),
+        sum(when(col("is_rare"), col("tf")).otherwise(lit(0L))).as("rare_ct"))
+      .select(col(idCol), col("n_toks"), col("min_cf"), col("rare_ct"),
+        (col("rare_ct").cast("double") / col("n_toks").cast("double"))
+          .as("rare_frac"))
   }
 }

@@ -276,6 +276,49 @@ object Similarity {
     nz.select(avg(bestCos)).collect().head.getDouble(0)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): keep
+    * one representative per group of embedding-near-duplicates, where
+    * candidate pairs are bounded to a k-means cell instead of the full
+    * corpus. The decision rule is greedy-by-id: a vector is dropped
+    * iff some lower-id vector in the same cell is within `threshold`
+    * cosine — deterministic, order-free, and exactly mirrorable in
+    * SQL with a per-vector MIN over qualifying partners.
+    *
+    * Scale shape: the cell assignment is the same map-side literal-
+    * centroid projection as [[assignModel]] (no join, no shuffle of
+    * vectors), and the pair join is an equi-join on the cell id — at
+    * 100 TB each cell is a tiny fraction of the corpus, so the
+    * quadratic blow-up is per-cell, never global (v3's cell-bounded
+    * near-dup shape, but with a keep/drop verdict instead of a pair
+    * list). Output: one row per non-zero vector — (id, cell,
+    * dup_of) with dup_of = −1 for kept representatives.
+    */
+  def semDedup(corpus: DataFrame, model: KmeansModel, threshold: Double,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val withCell = corpus
+      .select(col(idCol), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+      // empty model → empty output, matching assignModel
+      .filter(lit(model.nonEmpty))
+      .select(col(idCol), col("v"), col("nrm"),
+        (if (model.isEmpty) lit(null).cast("long")
+         else argmaxCell(col("v"), col("nrm"), model).cast("long")).as("cell"))
+    val x = withCell.select(col(idCol).as("x_id"), col("v").as("x_v"),
+      col("nrm").as("x_nrm"), col("cell"))
+    val y = withCell.select(col(idCol).as("y_id"), col("v").as("y_v"),
+      col("nrm").as("y_nrm"), col("cell"))
+    val dup = x.join(y, "cell")
+      .filter(col("y_id") < col("x_id"))
+      .filter(dot(col("x_v"), col("y_v")) /
+        nullif(col("x_nrm") * col("y_nrm"), lit(0.0)) >= threshold)
+      .groupBy(col("x_id")).agg(min(col("y_id")).as("dup_of"))
+    withCell.select(col(idCol), col("cell"))
+      .join(dup, col(idCol) === col("x_id"), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
   // -----------------------------------------------------------------
   // Scalar-quantized (int8) search
   // -----------------------------------------------------------------

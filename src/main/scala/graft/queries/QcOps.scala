@@ -65,6 +65,16 @@ object QcOps {
     "t16_bm25" -> { (s, dir) =>
       Bm25.topK(docs(s, dir), "doc_id", "text",
         terms = Seq("spark", "query", "vector"), k = 20)
+    },
+
+    // ---- rare-term (word-frequency) quality scoring ----------------------
+    // permille=1: "rare" = the term is under 0.1% of all corpus tokens
+    // — on the synthetic corpus exactly the one outlier term, so both
+    // branches of the rule fire
+    "t17_rare_terms" -> { (s, dir) =>
+      import graft.functions.TextFunctions.tokenize
+      graft.operators.Frequency.rareTermScore(
+        docs(s, dir), "doc_id", tokenize(col("text")), permille = 1L)
     })
 
   def oracle: Map[String, String] = Map(
@@ -166,6 +176,28 @@ object QcOps {
         |     + COALESCE(SUM(CASE WHEN term = 'query' THEN s END), 0.0))
         |     + COALESCE(SUM(CASE WHEN term = 'vector' THEN s END), 0.0) AS score
         |  FROM s GROUP BY doc_id)
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // integer rarity rule (cf*1000 < tot) — no float boundary; the
+    // only float op is the final exact int/int division in double
+    "t17_rare_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |vocab AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY term),
+        |st AS (SELECT SUM(cf) AS tot FROM vocab),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(tf) AS BIGINT) AS n_toks,
+        |    CAST(MIN(cf) AS BIGINT) AS min_cf,
+        |    CAST(SUM(CASE WHEN cf * 1000 < tot * 1 THEN tf ELSE 0 END) AS BIGINT) AS rare_ct
+        |  FROM tf JOIN vocab USING (term) CROSS JOIN st
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_toks, min_cf, rare_ct,
+        |  CAST(rare_ct AS DOUBLE) / CAST(n_toks AS DOUBLE) AS rare_frac
+        |FROM agg""".stripMargin
   )
 }

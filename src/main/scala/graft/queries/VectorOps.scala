@@ -76,6 +76,29 @@ object VectorOps {
       val e = emb(s, dir)
       Similarity.pqKnn(e, querySet(e),
         Similarity.pqCodebook(e, m = 4, k = 16), k = 3)
+    },
+
+    // SemDeDup over the v6 clustering; threshold 0.3 for the same
+    // reason as v3 — the synthetic corpus has no 0.9-cosine twins
+    "v10_semdedup" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.semDedup(e, Similarity.trainKmeans(e, k = 8, iters = 1),
+        threshold = 0.3)
+    },
+
+    // recall@3 of the IVF probe-1 path against exact brute force —
+    // the eval harness any ANN deployment ships with
+    "v11_ann_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val brute = Similarity.bruteForceKnn(e, querySet(e), k = 3)
+      val ivf = Similarity.ivfKnn(e, querySet(e), k = 3)
+      brute.select(col("q_id"), col("n_id"))
+        .join(ivf.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
+          Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hit_ct"))
+        .select(col("q_id"), col("hit_ct"),
+          (col("hit_ct").cast("double") / lit(3.0)).as("recall"))
     })
 
   /** SQL mirror of Similarity.dot: strict left fold over the zipped
@@ -297,6 +320,45 @@ object VectorOps {
     "v2_knn_ivf" -> sqlKnn("q.label = c.label AND q.vec_id <> c.vec_id"),
 
     "v9_knn_pq" -> sqlPqKnn,
+
+    // assignment = the v6 kmeans mirror verbatim (nested CTE); the
+    // drop rule is a per-vector MIN over same-cell lower-id partners
+    // within 0.3 cosine — the cosine fold is sqlCos, bit-identical
+    "v10_semdedup" ->
+      s"""WITH asg AS (
+         |${sqlKmeans(iters = 1)}
+         |),
+         |e AS (
+         |  SELECT vec_id, embedding, nrm FROM (
+         |    SELECT vec_id, embedding,
+         |      sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |    FROM embeddings)
+         |  WHERE nrm > 0),
+         |dup AS (
+         |  SELECT x.vec_id AS x_id, MIN(y.vec_id) AS dup_of
+         |  FROM asg ax JOIN asg ay ON ax.cell = ay.cell
+         |  JOIN e x ON x.vec_id = ax.vec_id
+         |  JOIN e y ON y.vec_id = ay.vec_id
+         |  WHERE y.vec_id < x.vec_id
+         |    AND ${sqlCos("x.embedding", "y.embedding", "x.nrm", "y.nrm")} >= 0.3
+         |  GROUP BY x.vec_id)
+         |SELECT a.vec_id, a.cell,
+         |  CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of
+         |FROM asg a LEFT JOIN dup d ON d.x_id = a.vec_id""".stripMargin,
+
+    // recall@3: both knn mirrors nested as CTEs, counted per query
+    "v11_ann_recall" ->
+      s"""WITH b AS (
+         |${sqlKnn("q.vec_id <> c.vec_id")}
+         |),
+         |i AS (
+         |${sqlKnn("q.label = c.label AND q.vec_id <> c.vec_id")}
+         |)
+         |SELECT b.q_id,
+         |  CAST(COUNT(i.n_id) AS BIGINT) AS hit_ct,
+         |  CAST(COUNT(i.n_id) AS DOUBLE) / 3.0 AS recall
+         |FROM b LEFT JOIN i ON i.q_id = b.q_id AND i.n_id = b.n_id
+         |GROUP BY b.q_id""".stripMargin,
 
     // max(struct(cos, -cid)) ≡ QUALIFY ROW_NUMBER() ORDER BY cos DESC,
     // c_id — cosines are bit-identical (strict fold), so the argmax row

@@ -147,6 +147,33 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("v10 semdedup: map-side cell assignment, equi-join pair search") {
+    val p = plan("v10_semdedup")
+    // the assignment must stay a literal-centroid projection (vecdot
+    // against constants), never a join against a centroid table...
+    assert(p.contains("vecdot"), p.take(1500))
+    // ...and candidate pairs must come from an equi-join on the cell
+    // id — a nested-loop pair scan is the all-pairs blow-up SemDeDup
+    // exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("v11 recall eval keeps both knn top-k prunes") {
+    val p = plan("v11_ann_recall")
+    // each side's rank window must group-limit before its full sort
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2000))
+    // ivf side joins on the cell (equi), brute side broadcasts queries
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("t17 rare terms: partial aggs collapse tokens before any join") {
+    val p = plan("t17_rare_terms")
+    // tf, vocab, and the per-doc rollup must all partial-aggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
   test("t15 mixing windows per (domain, bucket), not per domain alone") {
     val p = plan("t15_domain_mix")
     // the window's required distribution must include the hash bucket
