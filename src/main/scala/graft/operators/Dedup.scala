@@ -24,14 +24,23 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  /** Word n-gram shingles of a text column, distinct, order-free.
-    * Short docs (< n words) contribute their full text as one shingle.
+  /** Shingles over an ALREADY-PROJECTED word-array column. `words`
+    * must be a bound attribute: the `transform` lambda evaluates it
+    * once per shingle position, so passing `split(text, " ")` directly
+    * re-splits the document per position — O(L²) per doc.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(text, " ")
+  def shinglesOf(words: Column, n: Int): Column = {
     val starts = sequence(lit(1), greatest(size(words) - (n - 1), lit(1)))
     array_distinct(transform(starts, i => concat_ws(" ", slice(words, i, lit(n)))))
   }
+
+  /** Word n-gram shingles of a text column, distinct, order-free.
+    * Short docs (< n words) contribute their full text as one shingle.
+    * For bulk scans prefer [[shingleRows]], which projects the split
+    * into its own column first (see [[shinglesOf]]).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOf(split(text, " "), n)
 
   /** (id, shingle) rows — the distributed layout every downstream LSH
     * stage works from: explode of the map-side [[shingles]] array.
@@ -45,7 +54,8 @@ object Dedup {
     */
   def shingleRows(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", n: Int = 3): DataFrame =
-    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+    docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol), explode(shinglesOf(col("_w"), n)).as("shingle"))
 
   /** Per-seed minhash aggregate columns h0..h{k-1}: the min over a
     * doc's shingle rows of md5(seed||shingle). Partial-aggregatable

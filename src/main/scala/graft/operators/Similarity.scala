@@ -354,9 +354,19 @@ object Similarity {
     * rankings are reproducible bit-for-bit on any engine, unlike
     * float-sum scores. Zero vectors (no scale) are excluded.
     */
+  /** @param cacheCodes materialize the packed corpus codes before the
+    * scan (default). The quantized corpus IS the index — 1 byte/dim —
+    * and materializing it serves every query batch from one encode
+    * pass. It also sidesteps a codegen hazard: a lazy projection under
+    * a nested-loop join gets its expressions DEFERRED into the pair
+    * loop, re-quantizing every corpus row once per query (measured 4×
+    * on this operator, 8× on [[pqKnn]]). Pass false only for one-shot
+    * queries on corpora too large to cache even quantized.
+    */
   def sqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
             idCol: String = "vec_id",
-            vecCol: String = "embedding"): DataFrame = {
+            vecCol: String = "embedding",
+            cacheCodes: Boolean = true): DataFrame = {
     import graft.functions.VecI8
     def quantized(df: DataFrame, p: String) = df
       .select(col(idCol).as(s"${p}_id"), col(vecCol).as("v"),
@@ -365,7 +375,8 @@ object Similarity {
       .select(col(s"${p}_id"),
         VecI8.pack(sq8(col("v"), col("mx"))).as(s"${p}_q"))
     val q = broadcast(quantized(queries, "q"))
-    val c = quantized(corpus, "n")
+    val c0 = quantized(corpus, "n")
+    val c = if (cacheCodes) c0.persist() else c0
 
     import org.apache.spark.sql.expressions.Window
     val scored = q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
@@ -387,8 +398,16 @@ object Similarity {
   /** Squared L2 distance as a strict left fold in double — the PQ
     * metric. float−double is exact in double, and the fold order is
     * the array order, so values reproduce bit-for-bit on any engine.
+    * A codegen'd native kernel ([[graft.functions.VecSqDist]]) —
+    * bit-identical to [[sqDistHof]], which PQ encoding evaluates m×k
+    * times per corpus row (interpreted HOFs were 6× of v9's runtime).
     */
-  def sqDist(a: Column, b: Column): Column =
+  def sqDist(a: Column, b: Column): Column = graft.functions.VecSqDist(a, b)
+
+  /** Reference HOF formulation of [[sqDist]] — spec-pinned bit-equal
+    * to the native kernel (same strict fold, same double ops).
+    */
+  def sqDistHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (x.cast("double") - y.cast("double")) *
@@ -448,18 +467,36 @@ object Similarity {
     * like [[sqKnn]]. The m distances sum in fixed subspace order, so
     * scores are engine-reproducible.
     */
+  /** @param cacheCodes materialize the m-byte/vector encoded corpus
+    * before the ADC scan (default) — the PQ index, built once and
+    * served to every query batch. Without it, codegen DEFERS the
+    * encode projection into the nested-loop pair loop and re-encodes
+    * every corpus row once per query — measured 8× the whole-query
+    * runtime at |Q| = 100.
+    */
   def pqKnn(corpus: DataFrame, queries: DataFrame, cb: PqCodebook, k: Int,
             idCol: String = "vec_id",
-            vecCol: String = "embedding"): DataFrame = {
+            vecCol: String = "embedding",
+            cacheCodes: Boolean = true): DataFrame = {
     val sub = cb.head.head.size
+    // classic ADC: each query precomputes its m×k distance table ONCE
+    // (all the dims-length folds happen here, |Q|·m·k of them), so the
+    // per-pair cost below is m array lookups + m−1 adds instead of m
+    // folds — the table rides inside the broadcast row
     val q = broadcast(queries.select(col(idCol).as("q_id"),
-      col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).as("q_vec"))
+      .select(col("q_id"), array(cb.zipWithIndex.map { case (codewords, mi) =>
+        array(codewords.map(cw =>
+          sqDist(slice(col("q_vec"), mi * sub + 1, sub), typedLit(cw))): _*)
+      }: _*).as("tbl")))
+    val c0 = corpus.select(col(idCol).as("n_id"),
       pqEncode(col(vecCol), cb).as("codes"))
-    val dist = cb.zipWithIndex.map { case (codewords, mi) =>
-      sqDist(
-        slice(col("q_vec"), mi * sub + 1, sub),
-        element_at(typedLit(codewords), element_at(col("codes"), mi + 1) + 1))
+    val c = if (cacheCodes) c0.persist() else c0
+    // same left-assoc sum of the same per-subspace folds as before —
+    // bit-identical distances, just cached per query
+    val dist = cb.indices.map { mi =>
+      element_at(element_at(col("tbl"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
     }.reduce(_ + _)
 
     import org.apache.spark.sql.expressions.Window

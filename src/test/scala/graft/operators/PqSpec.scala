@@ -22,6 +22,16 @@ class PqSpec extends AnyFunSuite {
   private def sqDistScala(a: Seq[Double], b: Seq[Double]): Double =
     a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
 
+  test("native vec_sqdist kernel is bit-identical to the HOF fold") {
+    val pairs = emb.limit(50).select($"embedding".as("a"))
+      .crossJoin(emb.limit(11).select($"embedding".as("b")))
+    val diffs = pairs.select(
+        (Similarity.sqDist($"a", $"b") -
+          Similarity.sqDistHof($"a", $"b")).as("d"))
+      .filter($"d" =!= 0.0).count()
+    assert(diffs === 0)
+  }
+
   test("codebook slices the first-k vectors into m contiguous subspaces") {
     val cb = Similarity.pqCodebook(emb, M, K)
     assert(cb.size === M && cb.forall(_.size === K))
