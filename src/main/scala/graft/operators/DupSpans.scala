@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokenize
+
+/** Cross-document duplicated-span detection: for each document, how
+  * much of it consists of word n-grams that also appear in *other*
+  * documents. This is the "duplicated n-gram fraction" family of
+  * filters (Rae et al. Gopher §A1.1, Penedo et al. RefinedWeb) used to
+  * demote boilerplate, mirrored templates, and near-copies that
+  * MinHash-level dedup ([[Dedup]]) keeps because the docs as a whole
+  * are dissimilar. Complements [[Repetition]] (intra-doc repeats) and
+  * [[Decontaminate]] (corpus-vs-benchmark overlap): this one is
+  * corpus-vs-itself.
+  *
+  * Scale shape: grams explode map-side and are immediately reduced to
+  * one row per (doc, gram) with a partial-aggregated count, so the
+  * shuffle carries a 64-bit-equivalent gram key + a count — never the
+  * span text. The gram→doc-count aggregate and the join back are both
+  * keyed on that same hash, so AQE co-partitions them with no extra
+  * exchange. Nothing is ever all-pairs: a gram shared by d documents
+  * costs d rows, not d² pair rows.
+  */
+object DupSpans {
+
+  /** 64-bit-equivalent gram key: the first 16 hex chars of md5. Both
+    * sides of the oracle derive the identical key, so grouping by the
+    * hash is exactly mirrorable; collision probability at 2⁻⁶⁴ is
+    * negligible against corpus sizes (and a collision only ever
+    * *overcounts* duplication by one gram).
+    */
+  private def gramKey(g: org.apache.spark.sql.Column) =
+    substring(md5(g), 1, 16)
+
+  /** Per-doc duplicated-span report.
+    *
+    * @param n gram width in words; a doc with fewer than n words has
+    *          zero gram slots (null `dup_frac`).
+    * @return one row per input doc: (id, n_grams, dup_grams, dup_frac)
+    *         where `dup_grams` counts gram *occurrences* (multiplicity
+    *         kept — a doc that repeats a shared span is more
+    *         duplicated, not less) whose gram occurs in ≥ 2 distinct
+    *         docs.
+    */
+  def report(docs: DataFrame, idCol: String, textCol: String,
+             n: Int): DataFrame = {
+    require(n >= 2, s"gram width must be >= 2 words, got $n")
+    val grams = docs
+      .select(col(idCol), tokenize(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("w")) - (n - 1)),
+        i => array_join(slice(col("w"), i, lit(n)), " "))).as("g"))
+    // one row per (doc, gram) with its in-doc multiplicity — the only
+    // shuffle of gram granularity, map-side combined before exchange
+    val dg = grams
+      .groupBy(col(idCol), gramKey(col("g")).as("gh"))
+      .agg(count(lit(1)).as("ct"))
+    // dg is already distinct per (doc, gram): counting rows per gram
+    // IS the distinct-doc count
+    val gd = dg.groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+    val agg = dg.join(gd, "gh")
+      .groupBy(col(idCol))
+      .agg(sum(col("ct")).as("n_grams"),
+        sum(when(col("n_docs") >= 2, col("ct")).otherwise(lit(0L)))
+          .as("dup_grams"))
+    // every input doc surfaces, including those too short for a gram
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        // null (not 0) when the doc has no gram slots: "no signal",
+        // the same convention as Repetition.report's fractions
+        (col("dup_grams").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions.nTokens
-import graft.operators.{Bm25, Decontaminate, Mixing, Redact, Repetition}
+import graft.operators.{Bm25, Decontaminate, DupSpans, Mixing, Redact, Repetition}
 
 /** Corpus-QC operators over `documents`: repetition quality
   * (Gopher-rule signals), benchmark decontamination, pattern
@@ -75,6 +75,14 @@ object QcOps {
       import graft.functions.TextFunctions.tokenize
       graft.operators.Frequency.rareTermScore(
         docs(s, dir), "doc_id", tokenize(col("text")), permille = 1L)
+    },
+
+    // ---- cross-doc duplicated n-gram fraction ----------------------------
+    // n=4 on this corpus splits the docs ~1:3 clean-vs-duplicated, so
+    // both the dup and non-dup branches carry signal (n=3 saturates
+    // near 100% on the tiny synthetic vocabulary, n=5 near 0%)
+    "t18_dup_spans" -> { (s, dir) =>
+      DupSpans.report(docs(s, dir), "doc_id", "text", n = 4)
     })
 
   def oracle: Map[String, String] = Map(
@@ -198,6 +206,31 @@ object QcOps {
         |  GROUP BY doc_id)
         |SELECT doc_id, n_toks, min_cf, rare_ct,
         |  CAST(rare_ct AS DOUBLE) / CAST(n_toks AS DOUBLE) AS rare_frac
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // grouping key = substr(md5(gram),1,16) on both engines, so the
+    // hash-keyed counts mirror exactly; dup_frac stays null for docs
+    // with no 4-gram slots (left-join nulls divide to null)
+    "t18_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 3),
+        |    i -> list_aggregate(w[i+1:i+4], 'string_agg', ' '))) AS g
+        |  FROM toks WHERE len(w) >= 4),
+        |dg AS (
+        |  SELECT doc_id, substr(md5(g), 1, 16) AS gh, COUNT(*) AS ct
+        |  FROM grams GROUP BY doc_id, gh),
+        |gd AS (SELECT gh, COUNT(*) AS n_docs FROM dg GROUP BY gh),
+        |agg AS (
+        |  SELECT doc_id, SUM(ct) AS n_grams,
+        |    SUM(CASE WHEN n_docs >= 2 THEN ct ELSE 0 END) AS dup_ct
+        |  FROM dg JOIN gd USING (gh) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(a.dup_ct, 0) AS BIGINT) AS dup_grams,
+        |  CAST(a.dup_ct AS DOUBLE) / CAST(a.n_grams AS DOUBLE) AS dup_frac
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
   )
 }

@@ -201,3 +201,48 @@ class MixingSpec extends AnyFunSuite {
     assert(zero.filter($"kept").count() === 0)
   }
 }
+
+class DupSpansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("grams shared across docs are flagged; per-doc counts are exact") {
+    val df = Seq(
+      (1L, "p q r s t"),         // grams: "p q r s", "q r s t"
+      (2L, "p q r s"),           // gram:  "p q r s"
+      (3L, "x y z w p q r s"),   // 5 grams, one shared
+      (4L, "a b c"))             // too short for a 4-gram
+      .toDF("doc_id", "text")
+    val r = DupSpans.report(df, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) === 2 && r(0).getLong(2) === 1)
+    assert(r(0).getDouble(3) === 0.5)
+    assert(r(1).getLong(1) === 1 && r(1).getLong(2) === 1)
+    assert(r(1).getDouble(3) === 1.0)
+    assert(r(2).getLong(1) === 5 && r(2).getLong(2) === 1)
+    assert(r(2).getDouble(3) === 0.2)
+    // no gram slots -> zero counts, null fraction (no signal)
+    assert(r(3).getLong(1) === 0 && r(3).getLong(2) === 0)
+    assert(r(3).isNullAt(3))
+  }
+
+  test("multiplicity counts: repeating a shared span raises dup_grams") {
+    val df = Seq(
+      (1L, "p q r s p q r s"),   // "p q r s" x2 of 5 grams
+      (2L, "p q r s"))
+      .toDF("doc_id", "text")
+    val r = DupSpans.report(df, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) === 5 && r(0).getLong(2) === 2)
+  }
+
+  test("intra-doc repeats alone are not cross-doc duplication") {
+    val df = Seq(
+      (1L, "m n o p m n o p"),
+      (2L, "completely different words here"))
+      .toDF("doc_id", "text")
+    val r = DupSpans.report(df, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(2) === 0 && r(1).getLong(2) === 0)
+  }
+}
