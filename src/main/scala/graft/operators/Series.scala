@@ -56,6 +56,55 @@ object Series {
         expr("transform(sv, s -> s.cents)").as("v"))
   }
 
+  /** Fixed-step grid resample with forward fill: for each series key,
+    * one row per `stepMicros`-aligned grid instant inside the key's
+    * observed time range, carrying the most recent observation at or
+    * before that instant (its value and its timestamp, so staleness is
+    * queryable). The standard gap-fill / downsample primitive for
+    * feature pipelines over irregular event streams.
+    *
+    * Deterministic: observations are first reduced to one row per
+    * (key, µs) — ties at the same microsecond resolve to MAX(value) —
+    * and the fill is [[Temporal.asofJoin]]'s union + running-last
+    * window: one shuffle on key, one ordered pass, O(n log n), no
+    * per-grid-point range scan. Grid size is bounded by each key's own
+    * span ÷ step, so a short-lived key never inflates the output;
+    * `stepMicros` is the caller's density knob.
+    *
+    * By construction the first grid instant is ≥ the key's first
+    * observation, so `value`/`obs_ts` are never null.
+    */
+  def resample(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"stepMicros must be positive, got $stepMicros")
+    val obs = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        expr(s"unix_micros(CAST($tsCol AS TIMESTAMP))").as("tus"))
+      .agg(max(col(valueCol)).as("v"))
+    // ceil-align the first grid instant, floor-align the last; all
+    // epochs are post-1970 so truncating DIV == floor on both engines
+    val grid = obs.groupBy(col("key"))
+      .agg(min(col("tus")).as("mn"), max(col("tus")).as("mx"))
+      .select(col("key"),
+        expr(s"(mn + ${stepMicros - 1}) DIV $stepMicros").as("b0"),
+        expr(s"mx DIV $stepMicros").as("b1"))
+      // a key whose whole span sits inside one step straddling no
+      // boundary has no grid instants (Spark's sequence(a,b) would
+      // count DOWN for a > b rather than yield empty)
+      .filter(col("b0") <= col("b1"))
+      .select(col("key"),
+        explode(sequence(col("b0"), col("b1"))).as("b"))
+      .select(col("key"), (col("b") * stepMicros).as("gus"))
+    Temporal.asofJoin(grid, obs, "key", "key", "gus", "tus",
+        rightCarry = Seq("tus", "v"))
+      .select(col("key").as(keyCol),
+        timestamp_micros(col("gus")).as("grid_ts"),
+        col("_asof.v").as("value"),
+        timestamp_micros(col("_asof.tus")).as("obs_ts"))
+  }
+
   /** Similar-window pairs: grid-cell equi-join on the per-dimension
     * quantized vector (`widthCents` per cell), then exact integer L1
     * ≤ `maxL1Cents`. Each unordered pair surfaces once via the

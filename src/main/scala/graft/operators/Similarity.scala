@@ -473,24 +473,34 @@ object Similarity {
     * encode projection into the nested-loop pair loop and re-encodes
     * every corpus row once per query — measured 8× the whole-query
     * runtime at |Q| = 100.
+    * @param cellCol when set, an IVF-PQ composition: both sides carry
+    * this precomputed coarse-cell column (the same role `label` plays
+    * for [[ivfKnn]]) and the ADC scan runs only inside the query's
+    * cell — the nested-loop broadcast product becomes an equi-join on
+    * the cell id, so cost drops from |Q|×|corpus| to |Q|×|cell|. This
+    * is the standard large-scale ANN deployment shape (FAISS IVFPQ):
+    * coarse quantizer prunes, product quantizer compresses what's left.
     */
   def pqKnn(corpus: DataFrame, queries: DataFrame, cb: PqCodebook, k: Int,
             idCol: String = "vec_id",
             vecCol: String = "embedding",
-            cacheCodes: Boolean = true): DataFrame = {
+            cacheCodes: Boolean = true,
+            cellCol: Option[String] = None): DataFrame = {
     val sub = cb.head.head.size
     // classic ADC: each query precomputes its m×k distance table ONCE
     // (all the dims-length folds happen here, |Q|·m·k of them), so the
     // per-pair cost below is m array lookups + m−1 adds instead of m
     // folds — the table rides inside the broadcast row
-    val q = broadcast(queries.select(col(idCol).as("q_id"),
-      col(vecCol).as("q_vec"))
-      .select(col("q_id"), array(cb.zipWithIndex.map { case (codewords, mi) =>
+    val qCell = cellCol.map(c => Seq(col(c).as("q_cell"))).getOrElse(Nil)
+    val nCell = cellCol.map(c => Seq(col(c).as("n_cell"))).getOrElse(Nil)
+    val q = broadcast(queries.select(Seq(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec")) ++ qCell: _*)
+      .select(Seq(col("q_id"), array(cb.zipWithIndex.map { case (codewords, mi) =>
         array(codewords.map(cw =>
           sqDist(slice(col("q_vec"), mi * sub + 1, sub), typedLit(cw))): _*)
-      }: _*).as("tbl")))
-    val c0 = corpus.select(col(idCol).as("n_id"),
-      pqEncode(col(vecCol), cb).as("codes"))
+      }: _*).as("tbl")) ++ qCell.map(_ => col("q_cell")): _*))
+    val c0 = corpus.select(Seq(col(idCol).as("n_id"),
+      pqEncode(col(vecCol), cb).as("codes")) ++ nCell: _*)
     val c = if (cacheCodes) c0.persist() else c0
     // same left-assoc sum of the same per-subspace folds as before —
     // bit-identical distances, just cached per query
@@ -500,8 +510,12 @@ object Similarity {
     }.reduce(_ + _)
 
     import org.apache.spark.sql.expressions.Window
-    val scored = q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
-      .withColumn("dist", dist)
+    val pairs = cellCol match {
+      case Some(_) => q.join(c, col("q_cell") === col("n_cell") &&
+        col("q_id") =!= col("n_id"))
+      case None => q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+    }
+    val scored = pairs.withColumn("dist", dist)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("dist").asc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w))

@@ -17,6 +17,13 @@ object SeriesOps {
         Series.volumeSketch(Tables.events(s, dir), keyCol = "event_type",
           tsCol = "ts", valueCol = "value"),
         widthCents = 10000L, maxL1Cents = 10000L)
+    },
+
+    // per-user daily grid with forward fill — each user spans ~30 days
+    // at sf0.01, so every key exercises multi-point fill
+    "s2_resample" -> { (s, dir) =>
+      Series.resample(Tables.events(s, dir), keyCol = "user_id",
+        tsCol = "ts", valueCol = "value", stepMicros = 86400000000L)
     })
 
   // epoch_us // on non-negative longs ≡ Spark DIV; cents sums are
@@ -43,5 +50,27 @@ object SeriesOps {
         | AND (a.event_type < b.event_type
         |      OR (a.event_type = b.event_type AND a.w < b.w))
         |WHERE abs(a.v[1]-b.v[1]) + abs(a.v[2]-b.v[2]) + abs(a.v[3]-b.v[3])
-        |    + abs(a.v[4]-b.v[4]) <= 10000""".stripMargin)
+        |    + abs(a.v[4]-b.v[4]) <= 10000""".stripMargin,
+
+    // forward fill = DuckDB's native ASOF JOIN (gus >= tus, same "at
+    // or before" semantics as Temporal.asofJoin's union window); all
+    // epochs positive so // == DIV; ties at one µs reduce to MAX first
+    "s2_resample" ->
+      """WITH obs AS (
+        |  SELECT user_id AS key, epoch_us(ts)::BIGINT AS tus, MAX(value) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rng AS (
+        |  SELECT key,
+        |    (MIN(tus) + 86399999999) // 86400000000 AS b0,
+        |    MAX(tus) // 86400000000 AS b1
+        |  FROM obs GROUP BY key),
+        |grid AS (
+        |  SELECT key, unnest(range(b0, b1 + 1)) * 86400000000 AS gus
+        |  FROM rng WHERE b0 <= b1)
+        |SELECT g.key AS user_id, make_timestamp(g.gus) AS grid_ts,
+        |  o.v AS value, make_timestamp(o.tus) AS obs_ts
+        |FROM grid g ASOF JOIN obs o
+        |  ON g.key = o.key AND g.gus >= o.tus""".stripMargin)
 }

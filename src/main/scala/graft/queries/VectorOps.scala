@@ -86,6 +86,16 @@ object VectorOps {
         threshold = 0.3)
     },
 
+    // IVF-PQ composition (FAISS IVFPQ shape): coarse cell prunes the
+    // candidate set, PQ/ADC scores what's left — same codebook as v9,
+    // same cell column as v2
+    "v12_knn_ivfpq" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqKnn(e, querySet(e),
+        Similarity.pqCodebook(e, m = 4, k = 16), k = 3,
+        cellCol = Some("label"))
+    },
+
     // recall@3 of the IVF probe-1 path against exact brute force —
     // the eval harness any ANN deployment ships with
     "v11_ann_recall" -> { (s, dir) =>
@@ -237,8 +247,12 @@ object VectorOps {
     * per-(vector, subspace) argmin codeword (ties → lowest cid), ADC
     * distance = the 4 subspace folds summed in fixed left-assoc order
     * — every float op identical to the Spark side.
+    *
+    * @param cellPred extra predicate for the IVF-PQ variant: restricts
+    * candidate pairs to the query's coarse cell (`ex` is the corpus
+    * row's raw embeddings record, carrying its label).
     */
-  private def sqlPqKnn: String = {
+  private def sqlPqKnn(cellPred: String = "TRUE"): String = {
     val d = (0 until 4).map { m =>
       sqlSqDist(s"q.embedding[${m * 16 + 1}:${(m + 1) * 16}]",
         s"b$m.cv[${m * 16 + 1}:${(m + 1) * 16}]")
@@ -267,11 +281,12 @@ object VectorOps {
        |sc AS (
        |  SELECT q.vec_id AS q_id, x.vec_id AS n_id, $dist AS dist
        |  FROM embeddings q JOIN encp x ON q.vec_id <> x.vec_id
+       |  JOIN embeddings ex ON ex.vec_id = x.vec_id
        |  JOIN cb b0 ON b0.cid = x.c0
        |  JOIN cb b1 ON b1.cid = x.c1
        |  JOIN cb b2 ON b2.cid = x.c2
        |  JOIN cb b3 ON b3.cid = x.c3
-       |  WHERE q.vec_id % 50 = 0)
+       |  WHERE q.vec_id % 50 = 0 AND $cellPred)
        |SELECT q_id, n_id, rnk, dist FROM (
        |  SELECT q_id, n_id, dist,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id) AS rnk
@@ -319,7 +334,9 @@ object VectorOps {
 
     "v2_knn_ivf" -> sqlKnn("q.label = c.label AND q.vec_id <> c.vec_id"),
 
-    "v9_knn_pq" -> sqlPqKnn,
+    "v9_knn_pq" -> sqlPqKnn(),
+
+    "v12_knn_ivfpq" -> sqlPqKnn(cellPred = "q.label = ex.label"),
 
     // assignment = the v6 kmeans mirror verbatim (nested CTE); the
     // drop rule is a per-vector MIN over same-cell lower-id partners

@@ -311,6 +311,37 @@ class SeriesSpec extends AnyFunSuite {
     // A0–A5: |100-120|+|200-210| = 30 ≤ 40; A–B pairs exceed 40; C alone
     assert(out === Set(("A", 0L, "A", 5L, 30L)))
   }
+
+  test("resample forward-fills the grid from the last observation") {
+    // step = 10s; A observes at 3s/15s/27s → grid instants 10s, 20s
+    val rows = Seq(("A", 3L, 1.0), ("A", 15L, 2.0), ("A", 27L, 3.0))
+    val out = Series.resample(ev(rows), "event_type", "ts", "value",
+        stepMicros = 10000000L)
+      .selectExpr("event_type", "unix_micros(grid_ts) DIV 1000000",
+        "value", "unix_micros(obs_ts) DIV 1000000")
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(out === Set(("A", 10L, 1.0, 3L), ("A", 20L, 2.0, 15L)))
+  }
+
+  test("resample: equal-instant observation is visible; sub-step keys vanish") {
+    val rows = Seq(
+      ("B", 10L, 5.0), ("B", 20L, 7.0), // obs exactly on grid instants
+      ("C", 13L, 9.0))                  // span inside one step: no grid
+    val out = Series.resample(ev(rows), "event_type", "ts", "value",
+        stepMicros = 10000000L)
+      .selectExpr("event_type", "unix_micros(grid_ts) DIV 1000000", "value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(out === Set(("B", 10L, 5.0), ("B", 20L, 7.0)))
+  }
+
+  test("resample resolves same-microsecond ties to the max value") {
+    val rows = Seq(("D", 10L, 4.0), ("D", 10L, 9.0), ("D", 20L, 1.0))
+    val out = Series.resample(ev(rows), "event_type", "ts", "value",
+        stepMicros = 10000000L)
+      .selectExpr("unix_micros(grid_ts) DIV 1000000", "value")
+      .as[(Long, Double)].collect().toSet
+    assert(out === Set((10L, 9.0), (20L, 1.0)))
+  }
 }
 
 class CorpusPipelineSpec extends AnyFunSuite {

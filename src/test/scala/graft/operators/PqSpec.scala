@@ -96,4 +96,26 @@ class PqSpec extends AnyFunSuite {
         .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
     assert(run(emb) === run(emb.repartition(11)))
   }
+
+  test("IVF-PQ equals exhaustive PQ re-ranked within the query's cell") {
+    val cb = Similarity.pqCodebook(emb, M, K)
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val ivfpq = Similarity.pqKnn(emb, queries, cb, k = 3,
+        cellCol = Some("label"))
+      .as[(Long, Long, Int, Double)].collect()
+      .map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+    // reference: all same-cell ADC pairs, ranked per query in Scala
+    val cells = emb.select($"vec_id", $"label").as[(Long, Long)]
+      .collect().toMap
+    val all = Similarity.pqKnn(emb, queries, cb, k = Int.MaxValue)
+      .as[(Long, Long, Int, Double)].collect()
+    val expect = all
+      .filter { case (q, n, _, _) => cells(q) == cells(n) }
+      .groupBy(_._1).toSeq.flatMap { case (q, g) =>
+        g.sortBy(r => (r._4, r._2)).take(3).zipWithIndex.map {
+          case ((_, n, _, d), i) => (q, i + 1) -> (n, d)
+        }
+      }.toMap
+    assert(ivfpq === expect)
+  }
 }
