@@ -183,4 +183,28 @@ class PlanRegressionSpec extends AnyFunSuite {
       .isDefined || p.contains("_b"), p.take(2000))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("t18 dup spans: grams collapse to hash-keyed counts, pruned scan") {
+    val p = plan("t18_dup_spans")
+    // dg partial+final, gd partial+final, per-doc rollup — losing a
+    // partial means raw grams cross an exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 5, p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("s2 resample: one running window, no join of any kind") {
+    val p = plan("s2_resample")
+    // the as-of union shape: a Join node appearing means the quadratic
+    // grid×history formulation crept back in
+    assert(!p.contains("Join"), p.take(2000))
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("v12 ivf-pq: cell equi-join replaces the broadcast NL product") {
+    val p = plan("v12_knn_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // per-query top-k still prunes through the rank window
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
 }
