@@ -128,6 +128,28 @@ object Similarity {
         col("best.cos").as("cell_cos"))
   }
 
+  /** Contrastive hard-negative mining: for each query vector, the
+    * top-k highest-cosine corpus vectors with a DIFFERENT label — the
+    * "confusable but wrong" examples an embedding model trains
+    * against (triplet/InfoNCE negatives). Exhaustive scan with the
+    * query set broadcast — the offline mining shape; at 100 TB the
+    * corpus scan swaps for an ANN candidate set ([[ivfKnn]] over
+    * neighboring cells / [[lshKnn]]) with the same label-mismatch
+    * filter and rank, unchanged output contract.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    labelCol: String = "label",
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm"),
+      col(labelCol).as("q_lbl")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_nrm"), col(labelCol).as("n_lbl"))
+    // label mismatch subsumes self-exclusion
+    rank(q.crossJoin(c).filter(col("q_lbl") =!= col("n_lbl")), k)
+  }
+
   /** IVF probe-1 search: only candidates in the query's coarse cell. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              cellCol: String = "label", idCol: String = "vec_id",

@@ -96,6 +96,31 @@ object VectorOps {
         cellCol = Some("label"))
     },
 
+    // contrastive hard negatives: highest-cosine WRONG-label corpus
+    // vectors per query — training-pair mining for embedding models
+    "v13_hard_negatives" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e, querySet(e), k = 3)
+    },
+
+    // Matryoshka-style eval: recall@3 of first-16-dims search against
+    // full-64-dim exact search — how much ranking the truncated
+    // representation preserves
+    "v14_mrl_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val lo = e.select(col("vec_id"), col("label"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val full = Similarity.bruteForceKnn(e, querySet(e), k = 3)
+      val trunc = Similarity.bruteForceKnn(lo, querySet(lo), k = 3)
+      full.select(col("q_id"), col("n_id"))
+        .join(trunc.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
+          Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hit_ct"))
+        .select(col("q_id"), col("hit_ct"),
+          (col("hit_ct").cast("double") / lit(3.0)).as("recall"))
+    },
+
     // recall@3 of the IVF probe-1 path against exact brute force —
     // the eval harness any ANN deployment ships with
     "v11_ann_recall" -> { (s, dir) =>
@@ -125,13 +150,19 @@ object VectorOps {
   private def sqlCos(qa: String, qb: String, na: String, nb: String): String =
     s"${sqlDot(qa, qb)} / nullif($na * $nb, 0.0)"
 
-  private val sqlWithNorm =
-    s"""SELECT vec_id, label, embedding,
-       | sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+  /** (vec_id, label, embedding, nrm) base CTE over an arbitrary
+    * embedding expression — `embedding[1:16]` gives the truncated-
+    * dimension (MRL) variant, same folds, same bit-exactness.
+    */
+  private def sqlWithNormOn(vec: String): String =
+    s"""SELECT vec_id, label, $vec AS embedding,
+       | sqrt(${sqlDot(vec, vec)}) AS nrm
        |FROM embeddings""".stripMargin
 
-  private def sqlKnn(joinCond: String): String =
-    s"""WITH e AS ($sqlWithNorm)
+  private val sqlWithNorm = sqlWithNormOn("embedding")
+
+  private def sqlKnn(joinCond: String, vec: String = "embedding"): String =
+    s"""WITH e AS (${sqlWithNormOn(vec)})
        |SELECT q_id, n_id, rnk, cos_sim FROM (
        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
        |    ${sqlCos("q.embedding", "c.embedding", "q.nrm", "c.nrm")} AS cos_sim,
@@ -333,6 +364,23 @@ object VectorOps {
          |WHERE rnk <= 3""".stripMargin,
 
     "v2_knn_ivf" -> sqlKnn("q.label = c.label AND q.vec_id <> c.vec_id"),
+
+    // label mismatch subsumes self-exclusion
+    "v13_hard_negatives" -> sqlKnn("q.label <> c.label"),
+
+    // same recall shape as v11, low-dim leg sliced before the folds
+    "v14_mrl_recall" ->
+      s"""WITH b AS (
+         |${sqlKnn("q.vec_id <> c.vec_id")}
+         |),
+         |i AS (
+         |${sqlKnn("q.vec_id <> c.vec_id", vec = "embedding[1:16]")}
+         |)
+         |SELECT b.q_id,
+         |  CAST(COUNT(i.n_id) AS BIGINT) AS hit_ct,
+         |  CAST(COUNT(i.n_id) AS DOUBLE) / 3.0 AS recall
+         |FROM b LEFT JOIN i ON i.q_id = b.q_id AND i.n_id = b.n_id
+         |GROUP BY b.q_id""".stripMargin,
 
     "v9_knn_pq" -> sqlPqKnn(),
 

@@ -501,6 +501,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sigs.toSeq === sigs2.toSeq)
   }
 
+  test("hard negatives are the nearest WRONG-label vectors, ranked") {
+    // nearest overall to vec 0 is same-label vec 1 — it must be
+    // excluded; the negatives are the other-label vectors by cosine
+    val out = Similarity.hardNegatives(vecs, vecs.filter($"vec_id" === 0),
+        k = 2)
+      .select("n_id", "rnk").as[(Long, Int)].collect().toSet
+    assert(out === Set((3L, 1), (2L, 2))) // (0.1,0.9) beats (0,1)
+  }
+
   test("cell assignment picks the highest-cosine centroid, ties to lowest id") {
     val out = Similarity.assignCells(vecs, vecs.filter($"vec_id" < 2))
       .select("vec_id", "cell").as[(Long, Long)].collect().toMap
