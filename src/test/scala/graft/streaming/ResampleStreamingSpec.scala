@@ -77,6 +77,41 @@ class ResampleStreamingSpec extends AnyFunSuite {
     assert(reordered === batchTwin(rows ++ Seq((12000L, -1.0))))
   }
 
+  test("streaming resample survives a checkpoint restart without dupes or loss") {
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("rs_ckpt").toString
+    val (ckpt, outDir) = (s"$base/ckpt", s"$base/out")
+    val input = MemoryStream[Obs]
+    // parquet sink: the memory sink cannot recover from a checkpoint
+    def start() = resampleStreaming(
+        withEventTime(input.toDS(), "5 seconds"), stepMs = Step)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(obs("k", 5000L, 1.0))
+      q1.processAllAvailable()
+      input.addData(obs("k", 22000L, 2.0)) // wm → 17s: emits grid 10s
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: the floor row and the unemitted 20s instant must carry
+    // over, emitting exactly once as the watermark passes them
+    val q2 = start()
+    try {
+      input.addData(obs("k", 38000L, 3.0))
+      q2.processAllAvailable()
+      input.addData(obs("flush", 10000000L, 0.0))
+      q2.processAllAvailable()
+      input.addData(obs("flush", 20000000L, 0.0))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).as[GridPoint].collect()
+        .filter(_.key == "k").map(g => (g.grid_ts, g.value, g.obs_ts))
+      assert(got.sortBy(_._1).toSeq === Seq(
+        (10000L, 1.0, 5000L), (20000L, 1.0, 5000L),
+        (30000L, 2.0, 22000L)))
+    } finally q2.stop()
+  }
+
   test("same-timestamp observations deduplicate to the max value") {
     val rows = Seq((10000L, 4.0), (10000L, 9.0), (20000L, 1.0))
     val got = run(Seq(rows.map { case (t, v) => obs("k", t, v) }))
