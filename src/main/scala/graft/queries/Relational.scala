@@ -373,6 +373,15 @@ object Relational {
         .drop("prev_ts")
       graft.streaming.StatefulOps.bounceBatch(entries, gapMillis = bounceGapUs)
         .select(col("mid"), col("ts"), col("page_id"))
+    },
+
+    // ordered conversion funnel: earliest view → first click after it
+    // → first purchase after that, per user (nulls where the user
+    // stalls — the product-analytics staple the reference's payment
+    // funnel is a 2-stage special case of)
+    "q25_funnel" -> { (s, dir) =>
+      graft.operators.Funnel.firstReached(ev(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
     }
   )
 
@@ -584,6 +593,31 @@ object Relational {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
         |SELECT mid, ts, page_id FROM p
         |WHERE (prev_ts IS NULL OR ts - prev_ts >= 14400000000)
-        |  AND (next_ts IS NULL OR next_ts - ts > 600000000)""".stripMargin
+        |  AND (next_ts IS NULL OR next_ts - ts > 600000000)""".stripMargin,
+
+    // each stage = conditional MIN at-or-after the previous stage;
+    // `tus >= NULL` is NULL, so a stalled funnel carries nulls forward
+    // on both engines; make_timestamp(µs) mirrors timestamp_micros
+    "q25_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id AS key, epoch_us(ts)::BIGINT AS tus,
+        |    event_type AS typ
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s0 AS (
+        |  SELECT key, MIN(tus) AS t0 FROM e WHERE typ = 'view'
+        |  GROUP BY key),
+        |s1 AS (
+        |  SELECT s0.key, t0,
+        |    MIN(CASE WHEN e.typ = 'click' AND e.tus >= t0 THEN e.tus END) AS t1
+        |  FROM s0 LEFT JOIN e ON e.key = s0.key
+        |  GROUP BY s0.key, t0),
+        |s2 AS (
+        |  SELECT s1.key, t0, t1,
+        |    MIN(CASE WHEN e.typ = 'purchase' AND e.tus >= t1 THEN e.tus END) AS t2
+        |  FROM s1 LEFT JOIN e ON e.key = s1.key
+        |  GROUP BY s1.key, t0, t1)
+        |SELECT key AS user_id, make_timestamp(t0) AS view_ts,
+        |  make_timestamp(t1) AS click_ts, make_timestamp(t2) AS purchase_ts
+        |FROM s2""".stripMargin
   )
 }

@@ -681,3 +681,52 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(once === again)
   }
 }
+
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: Seq[(String, Long, String)]) =
+    rows.map { case (k, sec, t) =>
+      (k, new java.sql.Timestamp(sec * 1000L), t)
+    }.toDF("user_id", "ts", "event_type")
+
+  private def run(rows: Seq[(String, Long, String)]) =
+    Funnel.firstReached(ev(rows), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .selectExpr("user_id", "unix_micros(view_ts) DIV 1000000",
+        "unix_micros(click_ts) DIV 1000000",
+        "unix_micros(purchase_ts) DIV 1000000")
+      .as[(String, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+  test("stages only count at-or-after the previous stage") {
+    val out = run(Seq(
+      ("A", 10L, "view"), ("A", 20L, "click"), ("A", 30L, "purchase"),
+      // B's only click precedes its first view — funnel stalls
+      ("B", 5L, "click"), ("B", 10L, "view"),
+      // C's first purchase precedes its first qualifying click
+      ("C", 10L, "view"), ("C", 15L, "purchase"), ("C", 20L, "click"),
+      ("C", 25L, "purchase"),
+      // D never views — absent from output
+      ("D", 10L, "click")))
+    assert(out === Map(
+      "A" -> (Some(10L), Some(20L), Some(30L)),
+      "B" -> (Some(10L), None, None),
+      "C" -> (Some(10L), Some(20L), Some(25L))))
+  }
+
+  test("a stage at the exact same instant as the previous one counts") {
+    val out = run(Seq(
+      ("E", 10L, "view"), ("E", 10L, "click"), ("E", 10L, "purchase")))
+    assert(out === Map("E" -> (Some(10L), Some(10L), Some(10L))))
+  }
+
+  test("earliest qualifying event wins within each stage") {
+    val out = run(Seq(
+      ("F", 10L, "view"), ("F", 40L, "click"), ("F", 20L, "click"),
+      ("F", 30L, "purchase"), ("F", 50L, "purchase")))
+    // first click >= 10 is 20; first purchase >= 20 is 30
+    assert(out === Map("F" -> (Some(10L), Some(20L), Some(30L))))
+  }
+}
