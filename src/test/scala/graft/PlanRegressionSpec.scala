@@ -200,6 +200,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("""\(\d+\) Window""".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("q25 funnel: the whole stage chain runs in one key partitioning") {
+    val p = plan("q25_funnel")
+    // every exchange must hash on the funnel key alone — a compound
+    // (key, t_i) partitioning appearing means a stage aggregate
+    // stopped reusing the join's distribution and added a shuffle
+    val parts = "hashpartitioning\\(([a-zA-Z0-9_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(parts.subsetOf(Set("key")), s"$parts\n${p.take(1500)}")
+  }
+
   test("v12 ivf-pq: cell equi-join replaces the broadcast NL product") {
     val p = plan("v12_knn_ivfpq")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
