@@ -163,6 +163,55 @@ object Similarity {
       col("q_id") =!= col("n_id")), k)
   }
 
+  /** Multiprobe IVF search: each query probes its `nprobe` highest-
+    * cosine cells instead of only the nearest — the standard recall
+    * lever for IVF (cells are Voronoi regions; a query near a boundary
+    * has true neighbors in the runner-up cell, which probe-1 misses
+    * by construction). Corpus cells come from [[assignCells]] over the
+    * same centroids, so candidate generation stays an equi-join on the
+    * cell id — the probe multiplier applies to the broadcast query
+    * side only, never the corpus. At 100 TB the corpus assignment is
+    * precomputed at ingest (one scan, materialized like v2's `label`);
+    * the per-query probe ranking costs |Q|×k centroid folds.
+    */
+  def ivfMultiprobeKnn(corpus: DataFrame, queries: DataFrame,
+                       centroids: DataFrame, k: Int, nprobe: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    import org.apache.spark.sql.expressions.Window
+    val cc = broadcast(centroids.select(col(idCol).as("c_id"),
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_nrm")))
+    val c = corpus
+      .select(col(idCol), col(vecCol).as("n_vec"),
+        norm(col(vecCol)).as("n_nrm"))
+      .join(assignCells(corpus, centroids, idCol, vecCol)
+        .select(col(idCol), col("cell").as("n_cell")), Seq(idCol))
+      .select(col(idCol).as("n_id"), col("n_vec"), col("n_nrm"),
+        col("n_cell"))
+    // query side is broadcast-sized: a rank window over its |Q|×k
+    // centroid cosines is cheap; ties break to the lowest centroid id,
+    // matching assignCells
+    val scoredQ = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_nrm"))
+      .crossJoin(cc)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"),
+        (dot(col("q_vec"), col("c_vec")) /
+          nullif(col("q_nrm") * col("c_nrm"), lit(0.0))).as("ccos"),
+        col("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("c_id"))
+    val q = broadcast(scoredQ.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"),
+        col("c_id").as("q_cell")))
+    // a corpus vector lives in exactly one cell and probe cells are
+    // distinct, so no candidate surfaces twice
+    rank(q.join(c, col("q_cell") === col("n_cell") &&
+      col("q_id") =!= col("n_id")), k)
+  }
+
   private def rank(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = pairs.withColumn("cos_sim",

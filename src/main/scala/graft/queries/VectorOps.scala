@@ -96,6 +96,15 @@ object VectorOps {
         cellCol = Some("label"))
     },
 
+    // multiprobe IVF (nprobe=2): boundary queries recover neighbors
+    // from the runner-up cell; centroids = first 8 vectors (v5's
+    // deterministic seed convention)
+    "v15_knn_multiprobe" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfMultiprobeKnn(e, querySet(e),
+        e.filter(col("vec_id") < 8), k = 3, nprobe = 2)
+    },
+
     // contrastive hard negatives: highest-cosine WRONG-label corpus
     // vectors per query — training-pair mining for embedding models
     "v13_hard_negatives" -> { (s, dir) =>
@@ -367,6 +376,36 @@ object VectorOps {
 
     // label mismatch subsumes self-exclusion
     "v13_hard_negatives" -> sqlKnn("q.label <> c.label"),
+
+    // corpus assignment = the v5 argmax (rnk = 1); query probes = the
+    // same ranking kept to rnk <= 2; candidates join on the cell id.
+    // Every cosine is the same strict fold, so cell ranks, probe sets,
+    // and the final top-3 agree bit-for-bit.
+    "v15_knn_multiprobe" ->
+      s"""WITH e AS ($sqlWithNorm),
+         |cent AS (SELECT * FROM e WHERE vec_id < 8),
+         |rk AS (
+         |  SELECT v.vec_id, c.vec_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
+         |               c.vec_id) AS rnk
+         |  FROM e v CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, cell FROM rk WHERE rnk = 1),
+         |probe AS (
+         |  SELECT vec_id, cell FROM rk
+         |  WHERE rnk <= 2 AND vec_id % 50 = 0)
+         |SELECT q_id, n_id, rnk, cos_sim FROM (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    ${sqlCos("q.embedding", "n.embedding", "q.nrm", "n.nrm")} AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "n.embedding", "q.nrm", "n.nrm")} DESC,
+         |               n.vec_id) AS rnk
+         |  FROM e q
+         |  JOIN probe p ON p.vec_id = q.vec_id
+         |  JOIN asg a ON a.cell = p.cell
+         |  JOIN e n ON n.vec_id = a.vec_id AND n.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |WHERE rnk <= 3""".stripMargin,
 
     // same recall shape as v11, low-dim leg sliced before the folds
     "v14_mrl_recall" ->

@@ -501,6 +501,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sigs.toSeq === sigs2.toSeq)
   }
 
+  test("multiprobe ivf: probing every cell equals brute force; probe-1 can miss") {
+    val centroids = vecs.filter($"vec_id".isin(0L, 2L))
+    def run(nprobe: Int) =
+      Similarity.ivfMultiprobeKnn(vecs, vecs.filter($"vec_id" === 1), centroids,
+          k = 3, nprobe = nprobe)
+        .select("n_id", "rnk").as[(Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceKnn(vecs, vecs.filter($"vec_id" === 1), k = 3)
+      .select("n_id", "rnk").as[(Long, Int)].collect().toSet
+    assert(run(2) === brute)
+    // query 1 lives in cell 0: probe-1 sees only its cell-mates
+    assert(run(1) === Set((0L, 1)))
+  }
+
   test("hard negatives are the nearest WRONG-label vectors, ranked") {
     // nearest overall to vec 0 is same-label vec 1 — it must be
     // excluded; the negatives are the other-label vectors by cosine
