@@ -36,6 +36,27 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         require(es.length == 1, s"rolling_hash expects 1 argument, got ${es.length}")
         RollingHash(es.head)
+      }),
+    ("vec_sqdist",
+      info("vec_sqdist",
+        "vec_sqdist(a, b) - squared L2 distance of two float/double arrays"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"vec_sqdist expects 2 arguments, got ${es.length}")
+        VecSqDist(es.head, es(1))
+      }),
+    ("veci8_pack",
+      info("veci8_pack",
+        "veci8_pack(a) - pack an int8-range bigint array into binary codes"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, s"veci8_pack expects 1 argument, got ${es.length}")
+        PackI8(es.head)
+      }),
+    ("veci8_dot",
+      info("veci8_dot",
+        "veci8_dot(a, b) - exact integer dot of two packed int8 code arrays"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"veci8_dot expects 2 arguments, got ${es.length}")
+        VecDotI8(es.head, es(1))
       }))
 
   /** Register on an already-built session. */

@@ -616,6 +616,14 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Double, Long)].head()
     assert(r._1 === 11.0)
     assert(r._2 === ('a'.toInt * 31L + 'b'.toInt) % 1000000007L)
+    val r2 = spark.sql(
+      """SELECT vec_sqdist(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+        |                  array(CAST(3.0 AS DOUBLE), CAST(5.0 AS DOUBLE))) AS sq,
+        |       veci8_dot(veci8_pack(array(1L, -2L, 3L)),
+        |                 veci8_pack(array(4L, 5L, -6L))) AS qd""".stripMargin)
+      .as[(Double, Long)].head()
+    assert(r2._1 === 13.0)
+    assert(r2._2 === (4L - 10L - 18L))
   }
 
   test("codegen RollingHash matches the HOF formulation incl. non-ASCII") {
