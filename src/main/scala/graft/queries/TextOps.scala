@@ -120,6 +120,29 @@ object TextOps {
         .agg(count(lit(1)).as("doc_ct"),
           sum(coalesce(nTokens(col("text")).cast(LongType), lit(0L)))
             .as("tok_sum"))
+    },
+
+    // ---- per-source data card --------------------------------------------
+    // the composition summary a dataset release ships with: volume,
+    // token mass, and language mix per source. Two-level aggregate so
+    // the language argmax partial-aggregates (max over structs), never
+    // collects rows; tie on count → greatest lang string, mirrored in
+    // the oracle's ORDER BY ct DESC, lang DESC
+    "t19_data_card" -> { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("ct"),
+          sum(nTokens(col("text")).cast(LongType)).as("toks"))
+        .groupBy(col("source"))
+        .agg(sum(col("ct")).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          (sum(col("toks")).cast(DoubleType) /
+            sum(col("ct")).cast(DoubleType)).as("avg_tokens"),
+          count(lit(1)).as("n_langs"),
+          max(struct(col("ct"), col("lang"))).getField("lang")
+            .as("top_lang"),
+          max(struct(col("ct"), col("lang"))).getField("ct")
+            .as("top_lang_ct"))
     })
 
   /** SQL token-set expression mirroring TextFunctions.tokenSet. */
@@ -229,6 +252,32 @@ object TextOps {
          |SELECT CAST(pre // 2048 AS BIGINT) AS chunk_id, COUNT(*) AS doc_ct,
          |  CAST(SUM(tok) AS BIGINT) AS tok_sum
          |FROM p GROUP BY 1""".stripMargin,
+
+    // top lang per source: ct DESC, lang DESC mirrors Spark's
+    // max(struct(ct, lang)) tie rule
+    "t19_data_card" ->
+      s"""WITH sl AS (
+         |  SELECT source, lang, COUNT(*) AS ct,
+         |    CAST(SUM($sqlNTokens) AS BIGINT) AS toks
+         |  FROM documents GROUP BY source, lang),
+         |agg AS (
+         |  SELECT source,
+         |    CAST(SUM(ct) AS BIGINT) AS n_docs,
+         |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(toks) AS DOUBLE) / CAST(SUM(ct) AS DOUBLE) AS avg_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_langs
+         |  FROM sl GROUP BY source),
+         |top AS (
+         |  SELECT source, lang AS top_lang, CAST(ct AS BIGINT) AS top_lang_ct
+         |  FROM (
+         |    SELECT source, lang, ct,
+         |      ROW_NUMBER() OVER (PARTITION BY source
+         |        ORDER BY ct DESC, lang DESC) AS rnk
+         |    FROM sl)
+         |  WHERE rnk = 1)
+         |SELECT a.source, a.n_docs, a.n_tokens, a.avg_tokens, a.n_langs,
+         |  t.top_lang, t.top_lang_ct
+         |FROM agg a JOIN top t USING (source)""".stripMargin,
 
     "t6_corpus_profile" -> {
       val scores = langProfiles.map { case (l, p) =>
