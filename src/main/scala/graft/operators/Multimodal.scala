@@ -132,4 +132,38 @@ object Multimodal {
         md5(col(payloadCol).substr(off + 1, lit(16)))
       }))
   }
+
+  /** Frame-overlap near-duplicate pairs: payloads sharing at least
+    * `minShared` sampled-frame digests — how video/image dedup works
+    * in practice (per-frame fingerprints; clips that share frames are
+    * re-encodes, clips, or mirrors of each other even when their
+    * container bytes differ entirely). Candidates come from an
+    * equi-join on the digest, never an all-pairs product: a digest
+    * shared by d payloads costs d rows pre-pair, and per-doc digests
+    * are deduplicated first so a frame repeated within one payload
+    * doesn't inflate the pair count.
+    *
+    * @param maxBucket drop digests shared by more than this many
+    * payloads before pairing (black frames, test cards, silence — the
+    * degenerate buckets that would otherwise go quadratic; same guard
+    * as `Dedup.candidatePairs`).
+    */
+  def frameOverlapPairs(df: DataFrame, n: Int, minShared: Long = 1L,
+                        maxBucket: Long = Long.MaxValue,
+                        idCol: String = "doc_id",
+                        payloadCol: String = "payload"): DataFrame = {
+    val fd = sampleFrames(df, n, payloadCol)
+      .select(col(idCol), explode(array_distinct(col("frame_digests")))
+        .as("dg"))
+    val ok = fd.groupBy(col("dg")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket)
+      .select(col("dg"))
+    val kept = fd.join(ok, "dg")
+    val a = kept.select(col(idCol).as("doc_a"), col("dg"))
+    val b = kept.select(col(idCol).as("doc_b"), col("dg").as("dg_b"))
+    a.join(b, col("dg") === col("dg_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
 }

@@ -50,6 +50,14 @@ object MultimodalOps {
         .select(col("doc_id"), posexplode(col("frame_digests")))
         .select(col("doc_id"), col("pos").cast("int").as("frame_idx"),
           col("col").as("frame_digest"))
+    },
+
+    // ---- frame-overlap near-dup (video/image dedup shape) ----------------
+    // payload pairs sharing >= 1 sampled-frame digest; candidates are
+    // a digest equi-join, never all-pairs
+    "m5_frame_overlap" -> { (s, dir) =>
+      Multimodal.frameOverlapPairs(
+        Multimodal.withPayload(docs(s, dir)), n = 4, minShared = 1L)
     })
 
   def oracle: Map[String, String] = Map(
@@ -87,6 +95,20 @@ object MultimodalOps {
         | CAST(g.i AS INT) AS frame_idx,
         | md5(substr(d.text, CAST(floor(g.i * strlen(d.text) / 4) AS INT) + 1, 16)) AS frame_digest
         |FROM documents d
-        |CROSS JOIN generate_series(0, 3) AS g(i)""".stripMargin
+        |CROSS JOIN generate_series(0, 3) AS g(i)""".stripMargin,
+
+    // per-doc digests dedup before pairing (DISTINCT ≡ the Spark
+    // side's array_distinct + explode)
+    "m5_frame_overlap" ->
+      """WITH fr AS (
+        |  SELECT d.doc_id,
+        |    md5(substr(d.text, CAST(floor(g.i * strlen(d.text) / 4) AS INT) + 1, 16)) AS dg
+        |  FROM documents d CROSS JOIN generate_series(0, 3) AS g(i)),
+        |fd AS (SELECT DISTINCT doc_id, dg FROM fr)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  COUNT(*) AS shared_frames
+        |FROM fd a JOIN fd b ON a.dg = b.dg AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 1""".stripMargin
   )
 }

@@ -83,4 +83,35 @@ class MultimodalSpec extends AnyFunSuite {
       .digest("hello world".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString)
   }
+
+  test("frame overlap pairs payloads sharing digests, never unrelated ones") {
+    // 64-byte payloads: 1 and 2 identical (share all 4 frames); 3
+    // shares only the first 16 bytes (frame 0); 4 disjoint
+    val p1 = "A" * 16 + "B" * 16 + "C" * 16 + "D" * 16
+    val p3 = "A" * 16 + "x" * 48
+    val p4 = "z" * 64
+    val df = Seq((1L, p1), (2L, p1), (3L, p3), (4L, p4))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val out = Multimodal.frameOverlapPairs(df, n = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 4L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // threshold: only the full-copy pair survives minShared = 2
+    val strict = Multimodal.frameOverlapPairs(df, n = 4, minShared = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(strict === Set((1L, 2L, 4L)))
+  }
+
+  test("degenerate digests shared by too many payloads are capped out") {
+    // 5 payloads share frame 0; a disjoint near-pair must survive
+    val common = "A" * 16
+    val qr = "Q" * 16 + "R" * 16 + "S" * 16 + "T" * 16
+    val rows = (1L to 5L).map(i => (i, common + i.toString * 48)) ++
+      Seq((6L, qr), (7L, qr))
+    val df = rows.toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val capped = Multimodal.frameOverlapPairs(df, n = 4, maxBucket = 4L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped === Set((6L, 7L, 4L)))
+  }
 }
