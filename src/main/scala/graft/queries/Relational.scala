@@ -382,6 +382,21 @@ object Relational {
     "q25_funnel" -> { (s, dir) =>
       graft.operators.Funnel.firstReached(ev(s, dir), "user_id", "ts",
         "event_type", Seq("view", "click", "purchase"))
+    },
+
+    // salted fact-dim join: demonstrates the explicit skew primitive
+    // (for shuffles AQE can't split — stream-stream, keyed state);
+    // results are identical to the plain equi-join, which is exactly
+    // what the oracle runs
+    "q26_skew_join" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(o, c, "custkey", salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(Graft.moneySum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("order_ct"))
     }
   )
 
@@ -618,6 +633,14 @@ object Relational {
         |  GROUP BY s1.key, t0, t1)
         |SELECT key AS user_id, make_timestamp(t0) AS view_ts,
         |  make_timestamp(t1) AS click_ts, make_timestamp(t2) AS purchase_ts
-        |FROM s2""".stripMargin
+        |FROM s2""".stripMargin,
+
+    // the PLAIN join: salting must be invisible in the result set
+    "q26_skew_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS order_ct
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }

@@ -751,3 +751,28 @@ class FunnelSpec extends AnyFunSuite {
     assert(out === Map("F" -> (Some(10L), Some(20L), Some(30L))))
   }
 }
+
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join equals the plain join, including hot keys and misses") {
+    val left = ((1 to 500).map(i => ("hot", i.toLong)) ++
+      (1 to 10).map(i => (s"k$i", i.toLong))).toDF("key", "v")
+    val right = Seq(("hot", "H"), ("k1", "A"), ("k99", "Z"))
+      .toDF("key", "tag")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "v", "tag").as[(String, Long, String)]
+        .collect().sorted.toSeq
+    assert(sorted(Skew.saltedJoin(left, right, "key", salt = 8)) ===
+      sorted(left.join(right, Seq("key"))))
+  }
+
+  test("a hot key's rows actually spread over multiple salts") {
+    val left = (1 to 500).map(i => ("hot", i.toLong)).toDF("key", "v")
+    val salts = left.select(
+        pmod(xxhash64(struct(col("key"), col("v"))), lit(8L)).as("s"))
+      .distinct().count()
+    assert(salts > 4, s"only $salts salts used")
+  }
+}
