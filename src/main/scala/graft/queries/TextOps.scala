@@ -122,6 +122,14 @@ object TextOps {
             .as("tok_sum"))
     },
 
+    // ---- RAG sliding-window chunking --------------------------------------
+    // 32-token windows, stride 24 (8-token overlap): every doc ≥ 1
+    // chunk, multi-chunk docs exercise the overlap and tail paths
+    "t20_chunk_rag" -> { (s, dir) =>
+      graft.operators.Chunking.slidingChunks(
+        docs(s, dir), "doc_id", "text", window = 32, stride = 24)
+    },
+
     // ---- per-source data card --------------------------------------------
     // the composition summary a dataset release ships with: volume,
     // token mass, and language mix per source. Two-level aggregate so
@@ -252,6 +260,27 @@ object TextOps {
          |SELECT CAST(pre // 2048 AS BIGINT) AS chunk_id, COUNT(*) AS doc_ct,
          |  CAST(SUM(tok) AS BIGINT) AS tok_sum
          |FROM p GROUP BY 1""".stripMargin,
+
+    // chunk count = 1 + ceil((n-32)/24) for n > 32 (integer ceil-div,
+    // non-negative operands, so // ≡ Spark DIV); slices are 1-based
+    // inclusive on both engines
+    "t20_chunk_rag" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 1),
+        |c AS (
+        |  SELECT doc_id, w, n,
+        |    unnest(range(CASE WHEN n <= 32 THEN 1
+        |                 ELSE 1 + (n - 32 + 23) // 24 END)) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  list_aggregate(w[chunk_idx*24 + 1 : chunk_idx*24 + 32],
+        |    'string_agg', ' ') AS chunk_text,
+        |  CAST(least(32, n - chunk_idx*24) AS INT) AS n_tokens
+        |FROM c""".stripMargin,
 
     // top lang per source: ct DESC, lang DESC mirrors Spark's
     // max(struct(ct, lang)) tie rule

@@ -246,3 +246,32 @@ class DupSpansSpec extends AnyFunSuite {
     assert(r(0).getLong(2) === 0 && r(1).getLong(2) === 0)
   }
 }
+
+class ChunkingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(text: String, window: Int, stride: Int) =
+    Chunking.slidingChunks(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", window, stride)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text", "n_tokens")
+      .as[(Int, String, Int)].collect().toSeq
+
+  test("overlapping windows cover every token; tail chunk is short") {
+    val out = run("a b c d e", window = 4, stride = 2)
+    assert(out === Seq((0, "a b c d", 4), (1, "c d e", 3)))
+  }
+
+  test("a doc at or under the window is one chunk; empty docs vanish") {
+    assert(run("a b c", 4, 2) === Seq((0, "a b c", 3)))
+    assert(run("a b c d", 4, 2) === Seq((0, "a b c d", 4)))
+    assert(run("   ", 4, 2).isEmpty)
+  }
+
+  test("stride == window tiles without overlap and without gaps") {
+    val out = run((1 to 10).map(i => s"t$i").mkString(" "), 4, 4)
+    assert(out.map(_._2) === Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
+    assert(out.map(_._3) === Seq(4, 4, 2))
+  }
+}
