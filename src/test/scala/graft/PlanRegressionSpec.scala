@@ -210,6 +210,12 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(parts.subsetOf(Set("key")), s"$parts\n${p.take(1500)}")
   }
 
+  test("t20 chunking is a pure map: no exchange anywhere in the plan") {
+    val p = plan("t20_chunk_rag")
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
   test("v12 ivf-pq: cell equi-join replaces the broadcast NL product") {
     val p = plan("v12_knn_ivfpq")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
