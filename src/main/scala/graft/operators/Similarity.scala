@@ -552,6 +552,46 @@ object Similarity {
     * is the standard large-scale ANN deployment shape (FAISS IVFPQ):
     * coarse quantizer prunes, product quantizer compresses what's left.
     */
+  /** Builds the PQ index frame: (id, codes) — m bytes-worth of
+    * codeword ids per vector. This IS the serveable index: write it
+    * once (parquet/Delta), read it back for every query batch via
+    * [[pqScoreCodes]]. Spec-pinned: encode → persist → score equals
+    * the fused [[pqKnn]] row-for-row.
+    */
+  def pqEncodeCorpus(corpus: DataFrame, cb: PqCodebook,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("n_id"),
+      pqEncode(col(vecCol), cb).as("codes"))
+
+  /** ADC top-k scan over a prebuilt (n_id, codes) index frame — the
+    * serving half of [[pqKnn]]. The codebook must be the one that
+    * encoded the index.
+    */
+  def pqScoreCodes(codes: DataFrame, queries: DataFrame, cb: PqCodebook,
+                   k: Int, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val sub = cb.head.head.size
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"))
+      .select(col("q_id"), array(cb.zipWithIndex.map { case (codewords, mi) =>
+        array(codewords.map(cw =>
+          sqDist(slice(col("q_vec"), mi * sub + 1, sub), typedLit(cw))): _*)
+      }: _*).as("tbl")))
+    val dist = cb.indices.map { mi =>
+      element_at(element_at(col("tbl"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    val scored = q.crossJoin(codes).filter(col("q_id") =!= col("n_id"))
+      .withColumn("dist", dist)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("dist"))
+  }
+
   def pqKnn(corpus: DataFrame, queries: DataFrame, cb: PqCodebook, k: Int,
             idCol: String = "vec_id",
             vecCol: String = "embedding",

@@ -97,6 +97,20 @@ class PqSpec extends AnyFunSuite {
     assert(run(emb) === run(emb.repartition(11)))
   }
 
+  test("write-then-serve PQ index equals the fused path row-for-row") {
+    val cb = Similarity.pqCodebook(emb, M, K)
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    // build once, persist, serve from the persisted index
+    Similarity.pqEncodeCorpus(emb, cb).write.mode("overwrite").parquet(dir)
+    val served = Similarity.pqScoreCodes(
+        spark.read.parquet(dir), queries, cb, k = 3)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val fused = Similarity.pqKnn(emb, queries, cb, k = 3)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(served === fused)
+  }
+
   test("IVF-PQ equals exhaustive PQ re-ranked within the query's cell") {
     val cb = Similarity.pqCodebook(emb, M, K)
     val queries = emb.filter($"vec_id" % 50 === 0)
