@@ -83,7 +83,66 @@ object QcOps {
     // near 100% on the tiny synthetic vocabulary, n=5 near 0%)
     "t18_dup_spans" -> { (s, dir) =>
       DupSpans.report(docs(s, dir), "doc_id", "text", n = 4)
+    },
+
+    // ---- hybrid retrieval: BM25 + dense cosine, RRF-fused ----------------
+    // the RAG retrieval staple: lexical (t16's ranking) and dense
+    // (vec 0 as the query embedding; doc_id ≡ vec_id in the harness)
+    // rank lists fuse by reciprocal rank, k0 = 60 — rational
+    // arithmetic in a fixed order, so scores are engine-exact
+    "t21_hybrid_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bm = Bm25.topK(docs(s, dir), "doc_id", "text",
+          terms = Seq("spark", "query", "vector"), k = 20)
+        .withColumn("r_t", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_t"))
+      val e = Tables.load(s, dir, "embeddings")
+      val kn = graft.operators.Similarity
+        .bruteForceKnn(e, e.filter(col("vec_id") === 0), k = 20)
+        .select(col("n_id").as("doc_id"), col("rnk").as("r_v"))
+      bm.join(kn, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("r_t")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_v")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
     })
+
+  /** t16's full mirror, reused verbatim as the lexical leg of t21. */
+  private val sqlBm25: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tfreq FROM toks
+      |  WHERE term IN ('spark','query','vector') GROUP BY doc_id, term),
+      |dl AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS dl
+      |  FROM documents),
+      |stats AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(len(list_filter(string_split(text,' '), x -> len(x) > 0))) AS BIGINT) AS toks
+      |  FROM documents),
+      |idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    (((CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tfreq AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+      |    / (CAST(tfreq AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+      |        ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+      |          + CAST(0.75 AS DOUBLE) * dl / (CAST(toks AS DOUBLE) / n))) AS s
+      |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+      |SELECT doc_id, score FROM (
+      |  SELECT doc_id,
+      |    (COALESCE(SUM(CASE WHEN term = 'spark' THEN s END), 0.0)
+      |     + COALESCE(SUM(CASE WHEN term = 'query' THEN s END), 0.0))
+      |     + COALESCE(SUM(CASE WHEN term = 'vector' THEN s END), 0.0) AS score
+      |  FROM s GROUP BY doc_id)
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "t12_repetition" ->
@@ -153,38 +212,7 @@ object QcOps {
     // every float op mirrors Bm25.topK step for step (rational idf, no
     // ln — see the Scaladoc); constants are combined in-expression so
     // both engines run the identical IEEE sequence
-    "t16_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS term
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, term, COUNT(*) AS tfreq FROM toks
-        |  WHERE term IN ('spark','query','vector') GROUP BY doc_id, term),
-        |dl AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS dl
-        |  FROM documents),
-        |stats AS (
-        |  SELECT COUNT(*) AS n,
-        |    CAST(SUM(len(list_filter(string_split(text,' '), x -> len(x) > 0))) AS BIGINT) AS toks
-        |  FROM documents),
-        |idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        |s AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    (((CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-        |      * (CAST(tfreq AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
-        |    / (CAST(tfreq AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-        |        ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
-        |          + CAST(0.75 AS DOUBLE) * dl / (CAST(toks AS DOUBLE) / n))) AS s
-        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
-        |SELECT doc_id, score FROM (
-        |  SELECT doc_id,
-        |    (COALESCE(SUM(CASE WHEN term = 'spark' THEN s END), 0.0)
-        |     + COALESCE(SUM(CASE WHEN term = 'query' THEN s END), 0.0))
-        |     + COALESCE(SUM(CASE WHEN term = 'vector' THEN s END), 0.0) AS score
-        |  FROM s GROUP BY doc_id)
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "t16_bm25" -> sqlBm25,
 
     // integer rarity rule (cf*1000 < tot) — no float boundary; the
     // only float op is the final exact int/int division in double
@@ -231,6 +259,36 @@ object QcOps {
         |  CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
         |  CAST(COALESCE(a.dup_ct, 0) AS BIGINT) AS dup_grams,
         |  CAST(a.dup_ct AS DOUBLE) / CAST(a.n_grams AS DOUBLE) AS dup_frac
-        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // lexical leg = t16's mirror verbatim (nested CTE); dense leg =
+    // single-query cosine top-20; RRF terms sum lexical-then-dense
+    "t21_hybrid_rrf" ->
+      s"""WITH bm0 AS (
+         |$sqlBm25
+         |),
+         |bm AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_t
+         |  FROM bm0),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${VectorOps.sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |kv AS (
+         |  SELECT n_id AS doc_id, rnk AS r_v FROM (
+         |    SELECT c.vec_id AS n_id,
+         |      ROW_NUMBER() OVER (ORDER BY
+         |        ${VectorOps.sqlCos("q.embedding", "c.embedding", "q.nrm", "c.nrm")} DESC,
+         |        c.vec_id) AS rnk
+         |    FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0)
+         |  WHERE rnk <= 20),
+         |f AS (
+         |  SELECT COALESCE(bm.doc_id, kv.doc_id) AS doc_id,
+         |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + bm.r_t), CAST(0.0 AS DOUBLE))
+         |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + kv.r_v), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM bm FULL JOIN kv ON bm.doc_id = kv.doc_id)
+         |SELECT doc_id, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   )
 }

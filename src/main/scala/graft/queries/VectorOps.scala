@@ -149,14 +149,14 @@ object VectorOps {
     * product list, double precision — bit-identical to Spark's
     * `aggregate(zip_with(...))`.
     */
-  private def sqlDot(a: String, b: String): String =
+  private[queries] def sqlDot(a: String, b: String): String =
     s"""list_reduce(
        |  list_prepend(CAST(0.0 AS DOUBLE),
        |    list_transform(list_zip($a, $b),
        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
        |  (acc, v) -> acc + v)""".stripMargin
 
-  private def sqlCos(qa: String, qb: String, na: String, nb: String): String =
+  private[queries] def sqlCos(qa: String, qb: String, na: String, nb: String): String =
     s"${sqlDot(qa, qb)} / nullif($na * $nb, 0.0)"
 
   /** (vec_id, label, embedding, nrm) base CTE over an arbitrary
