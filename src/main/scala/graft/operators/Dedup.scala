@@ -219,26 +219,40 @@ object Dedup {
     * map-side-combined aggregate (contrast: a window-rank formulation
     * shuffles and sorts every distinct hash).
     */
+  /** One KMV insert: keep the k smallest distinct hashes, sorted.
+    * Steady-state fast path: a full sketch rejects any hash at or
+    * above its largest member in O(1), no allocation (== is a
+    * duplicate, > can never enter) — the common case per row. Shared
+    * by the batch [[KmvAgg]] and the streaming windowed sketch
+    * (`graft.streaming.KmvStreaming`), so the two are one fold.
+    */
+  private[graft] def kmvInsert(k: Int)(b: Seq[Long], h: Long): Seq[Long] =
+    if (b.length >= k && h >= b.last) b
+    else if (b.contains(h)) b
+    else {
+      val i = b.indexWhere(_ > h)
+      val merged = if (i < 0) b :+ h else (b.take(i) :+ h) ++ b.drop(i)
+      if (merged.size > k) merged.dropRight(1) else merged
+    }
+
+  /** Driver-side twin of the SQL hash in [[kmvDistinct]]: first 12
+    * hex chars of md5 (48 bits) as a long.
+    */
+  private[graft] def kmvHash(v: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).take(6)
+        .map("%02x".format(_)).mkString, 16)
+
   class KmvAgg(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         java.lang.Long, Seq[Long], Seq[Long]] {
     override def zero: Seq[Long] = Vector.empty
     override def reduce(b: Seq[Long], h: java.lang.Long): Seq[Long] =
-      if (h == null) b else insert(b, h.longValue)
+      if (h == null) b else kmvInsert(k)(b, h.longValue)
     override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
-      b.foldLeft(a)(insert)
+      b.foldLeft(a)(kmvInsert(k))
     override def finish(b: Seq[Long]): Seq[Long] = b
-    private def insert(b: Seq[Long], h: Long): Seq[Long] =
-      // steady-state fast path: a full sketch rejects any hash at or
-      // above its largest member in O(1), no allocation (== is a
-      // duplicate, > can never enter) — the common case per row
-      if (b.length >= k && h >= b.last) b
-      else if (b.contains(h)) b
-      else {
-        val i = b.indexWhere(_ > h)
-        val merged = if (i < 0) b :+ h else (b.take(i) :+ h) ++ b.drop(i)
-        if (merged.size > k) merged.dropRight(1) else merged
-      }
     override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
     override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
