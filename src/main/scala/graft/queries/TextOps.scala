@@ -130,6 +130,28 @@ object TextOps {
         docs(s, dir), "doc_id", "text", window = 32, stride = 24)
     },
 
+    // ---- vocabulary head coverage (Zipf mass report) -----------------------
+    // share of total token mass covered by the top-k terms, k ∈
+    // {5, 10, 100} (100 > vocab exercises the saturation edge). Top-k
+    // goes through orderBy+limit (TakeOrdered, never a global window
+    // over the vocabulary); ties rank (cf DESC, term ASC) on both
+    // engines
+    "t22_head_coverage" -> { (s, dir) =>
+      val tf = docs(s, dir)
+        .select(explode(tokenize(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      val total = tf.agg(sum(col("cf")).as("total"))
+      Seq(5, 10, 100).map { k =>
+        tf.orderBy(col("cf").desc, col("term")).limit(k)
+          .agg(sum(col("cf")).as("head_mass"))
+          .select(lit(k).as("top_k"), col("head_mass"))
+      }.reduce(_.unionByName(_))
+        .crossJoin(total)
+        .select(col("top_k"), col("head_mass"), col("total"),
+          (col("head_mass").cast(DoubleType) / col("total").cast(DoubleType))
+            .as("coverage"))
+    },
+
     // ---- per-source data card --------------------------------------------
     // the composition summary a dataset release ships with: volume,
     // token mass, and language mix per source. Two-level aggregate so
@@ -260,6 +282,24 @@ object TextOps {
          |SELECT CAST(pre // 2048 AS BIGINT) AS chunk_id, COUNT(*) AS doc_ct,
          |  CAST(SUM(tok) AS BIGINT) AS tok_sum
          |FROM p GROUP BY 1""".stripMargin,
+
+    // rank ties (cf DESC, term ASC) mirror the Spark TakeOrdered key
+    "t22_head_coverage" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS term
+         |  FROM documents),
+         |tf AS (SELECT term, COUNT(*) AS cf FROM toks GROUP BY term),
+         |tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS total FROM tf),
+         |r AS (
+         |  SELECT cf, ROW_NUMBER() OVER (ORDER BY cf DESC, term) AS rnk
+         |  FROM tf)
+         |SELECT k.top_k,
+         |  CAST(SUM(CASE WHEN rnk <= k.top_k THEN cf ELSE 0 END) AS BIGINT) AS head_mass,
+         |  tot.total,
+         |  CAST(SUM(CASE WHEN rnk <= k.top_k THEN cf ELSE 0 END) AS DOUBLE)
+         |    / CAST(tot.total AS DOUBLE) AS coverage
+         |FROM r CROSS JOIN (VALUES (5), (10), (100)) k(top_k) CROSS JOIN tot
+         |GROUP BY k.top_k, tot.total""".stripMargin,
 
     // chunk count = 1 + ceil((n-32)/24) for n > 32 (integer ceil-div,
     // non-negative operands, so // ≡ Spark DIV); slices are 1-based
