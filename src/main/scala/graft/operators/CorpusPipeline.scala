@@ -31,30 +31,76 @@ object CorpusPipeline {
     * @param sampleRates  per-language keep rates in permyriad
     * @param defaultRate  keep rate for unlisted languages
     * @param budget       tokens per packed chunk
+    * @param maxTopBigramFrac Gopher repetition gate: drop docs whose
+    *   most common bigram covers more than this fraction (None = off;
+    *   docs with no bigram slots pass — "no signal")
+    * @param maxDupSpanFrac cross-doc duplicated-span gate over
+    *   [[DupSpans.report]]'s `dup_frac` (None = off)
+    * @param dupSpanN     gram width for the span gate
+    * @param benchmark    decontamination gate: drop docs sharing any
+    *   `decontamN`-gram with this eval set (None = off)
+    *
+    * The three QC gates default OFF, so the base pipeline's oracle
+    * contract (t11) is byte-identical with a default Config; each gate
+    * adds only its own operator's cost when enabled (a pure map for
+    * repetition, the t18/t13 shuffles for spans/decontamination).
     */
   case class Config(minQuality: Double = 0.3,
                     jaccard: Double = 0.5,
                     sampleRates: Map[String, Int] = Map.empty,
                     defaultRate: Int = 10000,
                     budget: Long = 2048L,
-                    trainPermille: Int = 900)
+                    trainPermille: Int = 900,
+                    maxTopBigramFrac: Option[Double] = None,
+                    maxDupSpanFrac: Option[Double] = None,
+                    dupSpanN: Int = 4,
+                    benchmark: Option[DataFrame] = None,
+                    decontamN: Int = 4)
 
   /** Annotate `docs` (doc_id, text, …) with curation decisions.
     * Output adds: pred_lang, quality, drop_reason, cluster_id (null =
     * no near-dup), split, chunk_id (null for dropped rows).
     */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val scored = docs
+    val base = docs
       .withColumn("pred_lang", TextFunctions.langId(col("text")))
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
-    // dedup runs on the quality-surviving set: a cluster whose min id
-    // failed quality must not claim (and then drop) its survivors.
-    // With that, each near-dup cluster's representative (the min id)
-    // is also its hash group's min, so it always survives exact dedup
-    // — the stages compose without orphaned clusters.
+    // optional QC gates annotate _*_fail flags (false when off, so
+    // the default plan carries only literals — no joins, no shuffles)
+    val withRep = cfg.maxTopBigramFrac match {
+      case Some(t) =>
+        val n = size(TextFunctions.tokenize(col("text")))
+        val frac = Repetition.topBigramCount(col("text")).cast("double") /
+          nullif(greatest(n - 1, lit(0)), lit(0))
+        base.withColumn("_rep_fail", coalesce(frac > t, lit(false)))
+      case None => base.withColumn("_rep_fail", lit(false))
+    }
+    val withSpan = cfg.maxDupSpanFrac match {
+      case Some(t) =>
+        val ds = DupSpans.report(docs, "doc_id", "text", cfg.dupSpanN)
+          .select(col("doc_id"),
+            coalesce(col("dup_frac") > t, lit(false)).as("_span_fail"))
+        withRep.join(ds, Seq("doc_id"), "left")
+      case None => withRep.withColumn("_span_fail", lit(false))
+    }
+    val scored = cfg.benchmark match {
+      case Some(bench) =>
+        val hits = Decontaminate.contaminationReport(
+            docs, bench, "doc_id", "text", cfg.decontamN)
+          .select(col("doc_id"), lit(true).as("_contam"))
+        withSpan.join(hits, Seq("doc_id"), "left")
+          .withColumn("_contam", coalesce(col("_contam"), lit(false)))
+      case None => withSpan.withColumn("_contam", lit(false))
+    }
+    // dedup runs on the gate-surviving set: a cluster whose min id
+    // failed an earlier gate must not claim (and then drop) its
+    // survivors. With that, each near-dup cluster's representative
+    // (the min id) is also its hash group's min, so it always survives
+    // exact dedup — the stages compose without orphaned clusters.
     val qualityOk = scored.filter(col("text").isNotNull &&
       length(col("text")) > 0 &&
-      col("quality").isNotNull && col("quality") >= cfg.minQuality)
+      col("quality").isNotNull && col("quality") >= cfg.minQuality &&
+      !col("_rep_fail") && !col("_span_fail") && !col("_contam"))
     // exact dedup: keep the min doc_id per content hash
     val keepers = Dedup.exact(qualityOk, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"), lit(1).as("_exact_keep"))
@@ -70,13 +116,16 @@ object CorpusPipeline {
         when(col("text").isNull || length(col("text")) === 0, "empty")
           .when(col("quality").isNull || col("quality") < cfg.minQuality,
             "quality")
+          .when(col("_rep_fail"), "repetition")
+          .when(col("_contam"), "contaminated")
+          .when(col("_span_fail"), "dup_spans")
           .when(col("_exact_keep").isNull, "exact_dup")
           .when(col("cluster_id").isNotNull &&
             col("cluster_id") =!= col("doc_id"), "near_dup")
           .when(!TextFunctions.stratifiedKeep(col("doc_id"),
             col("pred_lang"), cfg.sampleRates, cfg.defaultRate), "sampled")
           .otherwise(lit(null).cast("string")))
-      .drop("_exact_keep")
+      .drop("_exact_keep", "_rep_fail", "_span_fail", "_contam")
       .withColumn("split",
         when(col("drop_reason").isNull,
           TextFunctions.stableSplit(col("doc_id"), cfg.trainPermille)))

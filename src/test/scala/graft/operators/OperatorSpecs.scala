@@ -392,6 +392,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(att.map(_._2).sum === 40L)
     assert(att.map(_._1).distinct.length === att.length)
   }
+
+  test("optional QC gates annotate their own drop reasons") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),      // top bigram covers all
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "alpha beta gamma delta"),              // its 1 gram is shared
+      (4L, "alpha beta gamma delta iota kappa lambda mu"), // 1 of 5 shared
+      (5L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "quick brown fox jumps")).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(docs, CorpusPipeline.Config(
+        minQuality = 0.0, jaccard = 0.99,
+        maxTopBigramFrac = Some(0.5), maxDupSpanFrac = Some(0.5),
+        benchmark = Some(bench)))
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === Some("repetition"))   // 5/5 bigram slots
+    assert(out(2L) === Some("contaminated")) // shares the bench 4-gram
+    assert(out(3L) === Some("dup_spans"))    // dup_frac 1.0 > 0.5
+    assert(out(4L) === None)                 // dup_frac 0.2: kept
+    assert(out(5L) === None)
+    // helper flags never leak into the output schema
+    val cols = CorpusPipeline.curate(docs).columns
+    assert(!cols.exists(_.startsWith("_")))
+  }
 }
 
 class PackingSpec extends AnyFunSuite {
