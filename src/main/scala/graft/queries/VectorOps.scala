@@ -130,6 +130,22 @@ object VectorOps {
           (col("hit_ct").cast("double") / lit(3.0)).as("recall"))
     },
 
+    // recall@3 of int8-quantized exhaustive search vs float exact —
+    // the quantization-quality eval (completes the family: v11 IVF,
+    // v14 truncation, v16 quantization)
+    "v16_sq8_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val brute = Similarity.bruteForceKnn(e, querySet(e), k = 3)
+      val sq = Similarity.sqKnn(e, querySet(e), k = 3)
+      brute.select(col("q_id"), col("n_id"))
+        .join(sq.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
+          Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hit_ct"))
+        .select(col("q_id"), col("hit_ct"),
+          (col("hit_ct").cast("double") / lit(3.0)).as("recall"))
+    },
+
     // recall@3 of the IVF probe-1 path against exact brute force —
     // the eval harness any ANN deployment ships with
     "v11_ann_recall" -> { (s, dir) =>
@@ -344,6 +360,25 @@ object VectorOps {
        |    list_transform(list_zip($a, $b), p -> p[1] * p[2])),
        |  (acc, v) -> acc + v)""".stripMargin
 
+  /** v7's full mirror, reused verbatim as the quantized leg of v16. */
+  private lazy val sqlSq8Knn: String =
+    s"""WITH qz AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127) AS BIGINT)) AS q8
+       |  FROM (SELECT vec_id, embedding,
+       |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+       |        FROM embeddings)
+       |  WHERE mx > 0)
+       |SELECT q_id, n_id, rnk, qdot FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${sqlDotI8("q.q8", "c.q8")} AS qdot,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlDotI8("q.q8", "c.q8")} DESC, c.vec_id) AS rnk
+       |  FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % 50 = 0)
+       |WHERE rnk <= 3""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "v1_knn_brute" -> sqlKnn("q.vec_id <> c.vec_id"),
 
@@ -354,23 +389,22 @@ object VectorOps {
     // per-vector scale = max |component|; q8 = floor(x/scale·127) —
     // double division and floor are IEEE-identical on both engines, so
     // codes and therefore integer scores match exactly
-    "v7_knn_sq8" ->
-      s"""WITH qz AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding,
-         |      x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127) AS BIGINT)) AS q8
-         |  FROM (SELECT vec_id, embedding,
-         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
-         |        FROM embeddings)
-         |  WHERE mx > 0)
-         |SELECT q_id, n_id, rnk, qdot FROM (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-         |    ${sqlDotI8("q.q8", "c.q8")} AS qdot,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlDotI8("q.q8", "c.q8")} DESC, c.vec_id) AS rnk
-         |  FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
-         |  WHERE q.vec_id % 50 = 0)
-         |WHERE rnk <= 3""".stripMargin,
+    "v7_knn_sq8" -> sqlSq8Knn,
+
+    // quantization-quality recall: the exact and SQ8 mirrors nested as
+    // CTEs, counted per query (the v11 shape)
+    "v16_sq8_recall" ->
+      s"""WITH b AS (
+         |${sqlKnn("q.vec_id <> c.vec_id")}
+         |),
+         |i AS (
+         |$sqlSq8Knn
+         |)
+         |SELECT b.q_id,
+         |  CAST(COUNT(i.n_id) AS BIGINT) AS hit_ct,
+         |  CAST(COUNT(i.n_id) AS DOUBLE) / 3.0 AS recall
+         |FROM b LEFT JOIN i ON i.q_id = b.q_id AND i.n_id = b.n_id
+         |GROUP BY b.q_id""".stripMargin,
 
     "v2_knn_ivf" -> sqlKnn("q.label = c.label AND q.vec_id <> c.vec_id"),
 
