@@ -35,7 +35,13 @@ object CorpusPipeline {
     *   most common bigram covers more than this fraction (None = off;
     *   docs with no bigram slots pass — "no signal")
     * @param maxDupSpanFrac cross-doc duplicated-span gate over
-    *   [[DupSpans.report]]'s `dup_frac` (None = off)
+    *   [[DupSpans.report]]'s `dup_frac` (None = off). Computed over the
+    *   DEDUP SURVIVORS, not the raw corpus — RefinedWeb/Gopher apply
+    *   duplicated-span filters after dedup, because measured pre-dedup
+    *   every member of an exact/near-dup cluster sees its grams in ≥ 2
+    *   docs (dup_frac ≈ 1.0) and the whole cluster is dropped with no
+    *   representative surviving. Post-dedup, one copy of each
+    *   duplicated doc gets a fair measurement against *distinct* docs.
     * @param dupSpanN     gram width for the span gate
     * @param benchmark    decontamination gate: drop docs sharing any
     *   `decontamN`-gram with this eval set (None = off)
@@ -75,22 +81,14 @@ object CorpusPipeline {
         base.withColumn("_rep_fail", coalesce(frac > t, lit(false)))
       case None => base.withColumn("_rep_fail", lit(false))
     }
-    val withSpan = cfg.maxDupSpanFrac match {
-      case Some(t) =>
-        val ds = DupSpans.report(docs, "doc_id", "text", cfg.dupSpanN)
-          .select(col("doc_id"),
-            coalesce(col("dup_frac") > t, lit(false)).as("_span_fail"))
-        withRep.join(ds, Seq("doc_id"), "left")
-      case None => withRep.withColumn("_span_fail", lit(false))
-    }
     val scored = cfg.benchmark match {
       case Some(bench) =>
         val hits = Decontaminate.contaminationReport(
             docs, bench, "doc_id", "text", cfg.decontamN)
           .select(col("doc_id"), lit(true).as("_contam"))
-        withSpan.join(hits, Seq("doc_id"), "left")
+        withRep.join(hits, Seq("doc_id"), "left")
           .withColumn("_contam", coalesce(col("_contam"), lit(false)))
-      case None => withSpan.withColumn("_contam", lit(false))
+      case None => withRep.withColumn("_contam", lit(false))
     }
     // dedup runs on the gate-surviving set: a cluster whose min id
     // failed an earlier gate must not claim (and then drop) its
@@ -100,7 +98,7 @@ object CorpusPipeline {
     val qualityOk = scored.filter(col("text").isNotNull &&
       length(col("text")) > 0 &&
       col("quality").isNotNull && col("quality") >= cfg.minQuality &&
-      !col("_rep_fail") && !col("_span_fail") && !col("_contam"))
+      !col("_rep_fail") && !col("_contam"))
     // exact dedup: keep the min doc_id per content hash
     val keepers = Dedup.exact(qualityOk, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"), lit(1).as("_exact_keep"))
@@ -109,19 +107,37 @@ object CorpusPipeline {
       Dedup.nearDupPairs(qualityOk, threshold = cfg.jaccard,
         idCol = "doc_id", textCol = "text")
         .select(col("doc_a"), col("doc_b")))
-    val annotated = scored
+    val preAnnot = scored
       .join(keepers, Seq("doc_id"), "left")
       .join(clusters, Seq("doc_id"), "left")
+    // duplicated-span gate — measured over the DEDUP SURVIVORS (the
+    // set a downstream trainer would actually see), per the Config
+    // scaladoc. A doc dropped here carries 'dup_spans', never
+    // 'exact_dup'/'near_dup': the dedup reasons fire first below.
+    val withSpan = cfg.maxDupSpanFrac match {
+      case Some(t) =>
+        val survivors = preAnnot
+          .filter(col("_exact_keep").isNotNull &&
+            (col("cluster_id").isNull || col("cluster_id") === col("doc_id")))
+          .select(col("doc_id"), col("text"))
+        val ds = DupSpans.report(survivors, "doc_id", "text", cfg.dupSpanN)
+          .select(col("doc_id"),
+            coalesce(col("dup_frac") > t, lit(false)).as("_span_fail"))
+        preAnnot.join(ds, Seq("doc_id"), "left")
+          .withColumn("_span_fail", coalesce(col("_span_fail"), lit(false)))
+      case None => preAnnot.withColumn("_span_fail", lit(false))
+    }
+    val annotated = withSpan
       .withColumn("drop_reason",
         when(col("text").isNull || length(col("text")) === 0, "empty")
           .when(col("quality").isNull || col("quality") < cfg.minQuality,
             "quality")
           .when(col("_rep_fail"), "repetition")
           .when(col("_contam"), "contaminated")
-          .when(col("_span_fail"), "dup_spans")
           .when(col("_exact_keep").isNull, "exact_dup")
           .when(col("cluster_id").isNotNull &&
             col("cluster_id") =!= col("doc_id"), "near_dup")
+          .when(col("_span_fail"), "dup_spans")
           .when(!TextFunctions.stratifiedKeep(col("doc_id"),
             col("pred_lang"), cfg.sampleRates, cfg.defaultRate), "sampled")
           .otherwise(lit(null).cast("string")))

@@ -26,18 +26,41 @@ object CurateOps {
   private val cfg = CorpusPipeline.Config(
     sampleRates = Map("en" -> 8000), defaultRate = 9000)
 
+  /** t11b: the same pipeline with all three QC gates ON. Thresholds
+    * are set where the sf0.01 corpus actually has mass (top-bigram
+    * p95 ≈ 0.091, survivor dup_frac p99 ≈ 0.09), so every gate's
+    * drop_reason bucket is non-empty — the full gated composition is
+    * hash-checked end to end, not just the per-gate reports
+    * (t12/t13/t18). src0 plays the benchmark (as in t13), so the
+    * curated corpus is the other 19 sources.
+    */
+  private val cfgGated = cfg.copy(
+    maxTopBigramFrac = Some(0.09),
+    maxDupSpanFrac = Some(0.08),
+    dupSpanN = 4,
+    decontamN = 4)
+
+  private def stageSelect(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      coalesce(col("drop_reason"), lit("kept")).as("stage"),
+      // nulls coalesced to sentinels: the driver compare hashes
+      // scalar values, and "" / -1 are unambiguous here (split and
+      // chunk_id exist iff kept, cluster_id iff in a near-dup
+      // component)
+      coalesce(col("split"), lit("")).as("split"),
+      coalesce(col("chunk_id"), lit(-1L)).as("chunk_id"),
+      coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_curate" -> { (s, dir) =>
-      CorpusPipeline.curate(Tables.load(s, dir, "documents"), cfg)
-        .select(col("doc_id"),
-          coalesce(col("drop_reason"), lit("kept")).as("stage"),
-          // nulls coalesced to sentinels: the driver compare hashes
-          // scalar values, and "" / -1 are unambiguous here (split and
-          // chunk_id exist iff kept, cluster_id iff in a near-dup
-          // component)
-          coalesce(col("split"), lit("")).as("split"),
-          coalesce(col("chunk_id"), lit(-1L)).as("chunk_id"),
-          coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
+      stageSelect(
+        CorpusPipeline.curate(Tables.load(s, dir, "documents"), cfg))
+    },
+    "t11b_curate_gated" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      stageSelect(CorpusPipeline.curate(
+        d.filter(col("source") =!= "src0"),
+        cfgGated.copy(benchmark = Some(d.filter(col("source") === "src0")))))
     })
 
   def oracle: Map[String, String] = Map(
@@ -102,6 +125,128 @@ object CurateOps {
          |  CASE WHEN d.drop_reason IS NULL THEN
          |    CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS INT) * 1000
          |              < ${cfg.trainPermille} * 65536
+         |         THEN 'train' ELSE 'val' END
+         |  ELSE '' END AS split,
+         |  COALESCE(pk.chunk_id, -1) AS chunk_id,
+         |  COALESCE(d.cluster_id, -1) AS cluster_id
+         |FROM dr d LEFT JOIN pk ON pk.doc_id = d.doc_id""".stripMargin
+    },
+
+    // the gates-on composition: same cascade as t11 re-rooted on the
+    // non-src0 corpus, plus the t12 (repetition), t13 (decontamination
+    // vs src0), and t18 (duplicated spans, measured over the DEDUP
+    // SURVIVORS — see CorpusPipeline.Config) mirrors in the pipeline's
+    // gate order: empty → quality → repetition → contaminated →
+    // exact_dup → near_dup → dup_spans → sampled
+    "t11b_curate_gated" -> {
+      val scores = langProfiles.map { case (l, p) =>
+        s"len(list_intersect(${TextOps.sqlTokenSet}, ${TextOps.sqlProfile(p)})) AS s_$l"
+      }.mkString(",\n  ")
+      val best = langProfiles.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+      val cases = langProfiles.map { case (l, _) =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'"
+      }.mkString("\n  ")
+      val stops = TextOps.sqlProfile(langProfiles.flatMap(_._2).distinct)
+      val nt = TextOps.sqlNTokens
+      val minQ = cfgGated.minQuality
+      val repT = cfgGated.maxTopBigramFrac.get
+      val spanT = cfgGated.maxDupSpanFrac.get
+      val sampleRate =
+        s"CASE WHEN m.pred_lang = 'en' THEN ${cfgGated.sampleRates("en")} ELSE ${cfgGated.defaultRate} END"
+      // 4-gram explode shared by the decontamination and span CTEs
+      def grams4(toks: String) =
+        s"""SELECT doc_id, unnest(list_transform(range(len(w) - 3),
+           |    i -> list_aggregate(w[i+1:i+4], 'string_agg', ' '))) AS g
+           |  FROM $toks WHERE len(w) >= 4""".stripMargin
+      s"""WITH RECURSIVE src AS (SELECT * FROM documents WHERE source <> 'src0'),
+         |sc AS (
+         |  SELECT doc_id, text, $scores,
+         |    $nt AS n_tokens,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS punct_ct,
+         |    CAST(len(list_filter(list_filter(string_split(lower(text),' '), x -> len(x) > 0),
+         |        w -> list_contains($stops, w))) AS DOUBLE) / nullif($nt, 0) AS stop_ratio
+         |  FROM src),
+         |b AS (SELECT *, $best AS best FROM sc),
+         |m AS (
+         |  SELECT doc_id, text, n_tokens,
+         |    CASE $cases ELSE 'und' END AS pred_lang,
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + least(stop_ratio * 4.0, 1.0) * 0.4
+         |      + (1.0 - least(CAST(punct_ct AS DOUBLE) / nullif(n_tokens, 0), 1.0)) * 0.2 AS quality
+         |  FROM b),
+         |rtoks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w FROM src),
+         |rgrams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+         |  FROM rtoks WHERE len(w) >= 2),
+         |rtop AS (SELECT doc_id, MAX(c) AS top_ct FROM (
+         |    SELECT doc_id, g, COUNT(*) AS c FROM rgrams GROUP BY doc_id, g) GROUP BY doc_id),
+         |rep AS (SELECT t.doc_id,
+         |    CAST(COALESCE(p.top_ct, 0) AS DOUBLE) / nullif(greatest(len(t.w) - 1, 0), 0) AS tbf
+         |  FROM rtoks t LEFT JOIN rtop p USING (doc_id)),
+         |btoks AS (
+         |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+         |  FROM documents WHERE source = 'src0'),
+         |cgrams AS (SELECT DISTINCT doc_id, g FROM (${grams4("rtoks")})),
+         |bgrams AS (SELECT DISTINCT g FROM (${grams4("btoks")})),
+         |contam AS (SELECT DISTINCT doc_id FROM cgrams JOIN bgrams USING (g)),
+         |ok AS (
+         |  SELECT m.doc_id, m.text FROM m
+         |  LEFT JOIN rep r ON r.doc_id = m.doc_id
+         |  LEFT JOIN contam c ON c.doc_id = m.doc_id
+         |  WHERE m.text IS NOT NULL AND len(m.text) > 0
+         |    AND m.quality IS NOT NULL AND m.quality >= $minQ
+         |    AND NOT COALESCE(r.tbf > $repT, FALSE)
+         |    AND c.doc_id IS NULL),
+         |${DedupOps.sqlCandidatesFrom("ok")},
+         |${DedupOps.sqlClusterCtes(cfgGated.jaccard)},
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY md5(text)),
+         |surv AS (
+         |  SELECT o.doc_id, o.text FROM ok o
+         |  JOIN keep k ON k.doc_id = o.doc_id
+         |  LEFT JOIN clus c2 ON c2.doc_id = o.doc_id
+         |  WHERE c2.cluster_id IS NULL OR c2.cluster_id = o.doc_id),
+         |stoks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w FROM surv),
+         |sdg AS (
+         |  SELECT doc_id, substr(md5(g), 1, 16) AS gh, COUNT(*) AS ct
+         |  FROM (${grams4("stoks")}) GROUP BY doc_id, gh),
+         |sgd AS (SELECT gh, COUNT(*) AS n_docs FROM sdg GROUP BY gh),
+         |span AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN n_docs >= 2 THEN ct ELSE 0 END) AS DOUBLE)
+         |      / CAST(SUM(ct) AS DOUBLE) AS dup_frac
+         |  FROM sdg JOIN sgd USING (gh) GROUP BY doc_id),
+         |dr AS (
+         |  SELECT m.doc_id,
+         |    CASE
+         |      WHEN m.text IS NULL OR len(m.text) = 0 THEN 'empty'
+         |      WHEN m.quality IS NULL OR m.quality < $minQ THEN 'quality'
+         |      WHEN COALESCE(r.tbf > $repT, FALSE) THEN 'repetition'
+         |      WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |      WHEN k.doc_id IS NULL THEN 'exact_dup'
+         |      WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> m.doc_id THEN 'near_dup'
+         |      WHEN COALESCE(sp.dup_frac > $spanT, FALSE) THEN 'dup_spans'
+         |      WHEN NOT (CAST('0x' || substr(md5('s:' || CAST(m.doc_id AS VARCHAR)), 1, 4) AS INT) * 10000
+         |                < ($sampleRate) * 65536) THEN 'sampled'
+         |      ELSE NULL END AS drop_reason,
+         |    m.n_tokens, cl.cluster_id
+         |  FROM m
+         |  LEFT JOIN rep r ON r.doc_id = m.doc_id
+         |  LEFT JOIN contam c ON c.doc_id = m.doc_id
+         |  LEFT JOIN keep k ON k.doc_id = m.doc_id
+         |  LEFT JOIN clus cl ON cl.doc_id = m.doc_id
+         |  LEFT JOIN span sp ON sp.doc_id = m.doc_id),
+         |pk AS (
+         |  SELECT doc_id,
+         |    CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // ${cfgGated.budget} AS BIGINT) AS chunk_id
+         |  FROM (SELECT doc_id, COALESCE(n_tokens, 0) AS tok
+         |        FROM dr WHERE drop_reason IS NULL))
+         |SELECT d.doc_id,
+         |  COALESCE(d.drop_reason, 'kept') AS stage,
+         |  CASE WHEN d.drop_reason IS NULL THEN
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS INT) * 1000
+         |              < ${cfgGated.trainPermille} * 65536
          |         THEN 'train' ELSE 'val' END
          |  ELSE '' END AS split,
          |  COALESCE(pk.chunk_id, -1) AS chunk_id,

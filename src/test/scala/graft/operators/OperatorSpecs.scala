@@ -417,6 +417,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val cols = CorpusPipeline.curate(docs).columns
     assert(!cols.exists(_.startsWith("_")))
   }
+
+  test("span gate measures dedup survivors: one copy of a dup doc passes") {
+    // docs 1/2 are exact duplicates; their grams appear nowhere else.
+    // Measured pre-dedup both would see every gram in 2 docs
+    // (dup_frac 1.0) and the whole cluster would drop as 'dup_spans' —
+    // the keep-one-copy contract silently becoming keep-zero. Measured
+    // over dedup survivors (RefinedWeb/Gopher ordering), doc 2 drops as
+    // exact_dup and doc 1's grams are unique among survivors → kept.
+    val docs = Seq(
+      (1L, "epsilon zeta eta theta iota kappa lambda"),
+      (2L, "epsilon zeta eta theta iota kappa lambda"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(docs, CorpusPipeline.Config(
+        minQuality = 0.0, jaccard = 0.99, maxDupSpanFrac = Some(0.5)))
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === None)
+    assert(out(2L) === Some("exact_dup"))
+    assert(out(3L) === None)
+  }
 }
 
 class PackingSpec extends AnyFunSuite {
