@@ -512,6 +512,63 @@ object Similarity {
     (0 until m).map(mi => rows.map(_.slice(mi * sub, (mi + 1) * sub)).toSeq)
   }
 
+  /** Lloyd's-refined PQ codebook: starts from [[pqCodebook]]'s
+    * deterministic seed and runs `iters` per-subspace k-means rounds —
+    * assign every corpus sub-vector to its argmin-sq-distance codeword
+    * (the exact [[pqEncode]] rule, so train and serve agree), then
+    * re-center each codeword on the mean of its assigned sub-vectors.
+    * This is the standard PQ training loop (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search" §III): each round's
+    * update is non-increasing in per-subspace quantization MSE, which
+    * is what ADC recall rides on at real scale.
+    *
+    * Deterministic and partition-independent like [[trainKmeans]]:
+    * assignment ties break to the lowest codeword id, mean components
+    * sum as DECIMAL(28,12) (associative) before the double divide, and
+    * a codeword that loses all members keeps its previous value. Per
+    * round: one corpus scan (map-side argmin per subspace — the m×k
+    * codegen'd folds of [[pqEncode]]), one partial-aggregated shuffle
+    * of m×k×dims/m mean fragments, one model-sized collect. Nothing
+    * data-sized ever reaches the driver.
+    */
+  def pqCodebookRefined(corpus: DataFrame, m: Int, k: Int, iters: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): PqCodebook = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var cb = pqCodebook(corpus, m, k, idCol, vecCol)
+    val sub = cb.head.head.size
+    val dims = sub * m
+    // wrong-width rows can't vote on a codeword (same poison-row
+    // guard as the seed step)
+    val base = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(vecCol).as("v"))
+    for (_ <- 0 until iters) {
+      val cur = cb
+      val means = base
+        .select(col("v"),
+          posexplode(pqEncode(col("v"), cur)).as(Seq("mi", "cid")))
+        .select(col("mi"), col("cid"),
+          posexplode(transform(
+            slice(col("v"), col("mi") * sub + 1, lit(sub)),
+            x => x.cast("double"))).as(Seq("pos", "x")))
+        .groupBy(col("mi"), col("cid"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("mu"))
+        .collect()
+      val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      cb = cur.zipWithIndex.map { case (codewords, mi) =>
+        codewords.zipWithIndex.map { case (cw, ci) =>
+          byKey.getOrElse((mi, ci), cw)
+        }
+      }
+    }
+    cb
+  }
+
   /** Per-row PQ encoding: for each subspace, the argmin-distance
     * codeword id (ties → lowest id). Map-side only — m×k codegen'd
     * folds per row against literal codewords, no join, no shuffle:

@@ -146,6 +146,33 @@ object VectorOps {
           (col("hit_ct").cast("double") / lit(3.0)).as("recall"))
     },
 
+    // seed-vs-Lloyd's-refined PQ codebook recall, side by side against
+    // exact brute force: the training-quality eval for the PQ index
+    // (one refinement round keeps the oracle one CTE chain; PqSpec
+    // pins MSE monotonicity and partition independence across rounds).
+    // recall@10, not @3: on this corpus one round lifts mean recall@10
+    // 0.12 → 0.21, while @3 is chance-limited and can't separate the
+    // codebooks
+    "v17_pq_refined_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val brute = Similarity.bruteForceKnn(e, querySet(e), k = 10)
+      val seed = Similarity.pqKnn(e, querySet(e),
+        Similarity.pqCodebook(e, m = 4, k = 16), k = 10)
+      val refined = Similarity.pqKnn(e, querySet(e),
+        Similarity.pqCodebookRefined(e, m = 4, k = 16, iters = 1), k = 10)
+      brute.select(col("q_id"), col("n_id"))
+        .join(seed.select(col("q_id"), col("n_id"), lit(1L).as("s_hit")),
+          Seq("q_id", "n_id"), "left")
+        .join(refined.select(col("q_id"), col("n_id"), lit(1L).as("r_hit")),
+          Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("s_hit"), lit(0L))).as("seed_hits"),
+          sum(coalesce(col("r_hit"), lit(0L))).as("refined_hits"))
+        .select(col("q_id"), col("seed_hits"), col("refined_hits"),
+          (col("seed_hits").cast("double") / lit(10.0)).as("seed_recall"),
+          (col("refined_hits").cast("double") / lit(10.0)).as("refined_recall"))
+    },
+
     // recall@3 of the IVF probe-1 path against exact brute force —
     // the eval harness any ANN deployment ships with
     "v11_ann_recall" -> { (s, dir) =>
@@ -186,7 +213,8 @@ object VectorOps {
 
   private val sqlWithNorm = sqlWithNormOn("embedding")
 
-  private def sqlKnn(joinCond: String, vec: String = "embedding"): String =
+  private def sqlKnn(joinCond: String, vec: String = "embedding",
+                     k: Int = 3): String =
     s"""WITH e AS (${sqlWithNormOn(vec)})
        |SELECT q_id, n_id, rnk, cos_sim FROM (
        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -196,7 +224,7 @@ object VectorOps {
        |               c.vec_id) AS rnk
        |  FROM e q JOIN e c ON $joinCond
        |  WHERE q.vec_id % 50 = 0)
-       |WHERE rnk <= 3""".stripMargin
+       |WHERE rnk <= $k""".stripMargin
 
   /** SQL mirror of Similarity.hyperplanes/lshSignature: ±1 from the
     * parity of md5("p:d")'s first hex digit (strpos is 1-based, so
@@ -308,7 +336,7 @@ object VectorOps {
     * candidate pairs to the query's coarse cell (`ex` is the corpus
     * row's raw embeddings record, carrying its label).
     */
-  private def sqlPqKnn(cellPred: String = "TRUE"): String = {
+  private def sqlPqKnn(cellPred: String = "TRUE", k: Int = 3): String = {
     val d = (0 until 4).map { m =>
       sqlSqDist(s"q.embedding[${m * 16 + 1}:${(m + 1) * 16}]",
         s"b$m.cv[${m * 16 + 1}:${(m + 1) * 16}]")
@@ -347,7 +375,81 @@ object VectorOps {
        |  SELECT q_id, n_id, dist,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id) AS rnk
        |  FROM sc)
-       |WHERE rnk <= 3""".stripMargin
+       |WHERE rnk <= $k""".stripMargin
+  }
+
+  /** Full CTE mirror of the refined-codebook leg of v17:
+    * `pqKnn(e, querySet, pqCodebookRefined(e, 4, 16, iters = 1), 3)`.
+    * Seed codebook and seed encode are the sqlPqKnn CTEs; the
+    * refinement round re-centers each (subspace, codeword) on the
+    * DECIMAL(28,12)-summed mean of its assigned sub-vectors (the
+    * sqlKmeans update, per subspace slice), codewords with no members
+    * keep their seed slice, then encode + ADC re-run against the
+    * refined sub-sliced codewords. Every float op is the same strict
+    * fold as the Spark side.
+    */
+  private def sqlPqRefinedKnn(k: Int = 3): String = {
+    val encSeedD = sqlSqDist("e.embedding[ms.m*16+1 : ms.m*16+16]",
+      "cb.cv[ms.m*16+1 : ms.m*16+16]")
+    val encRefD = sqlSqDist("e.embedding[c.m*16+1 : c.m*16+16]", "c.scv")
+    val d = (0 until 4).map { m =>
+      sqlSqDist(s"q.embedding[${m * 16 + 1}:${(m + 1) * 16}]", s"b$m.scv")
+    }
+    val dist = s"(((${d(0)} + ${d(1)}) + ${d(2)}) + ${d(3)})"
+    s"""WITH cb0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |enc0 AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT e.vec_id, ms.m, cb.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, ms.m
+       |        ORDER BY $encSeedD ASC, cb.cid) AS rnk
+       |    FROM embeddings e CROSS JOIN range(0,4) ms(m) CROSS JOIN cb0 cb)
+       |  WHERE rnk = 1),
+       |mu AS (
+       |  SELECT m, cid, pos,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu
+       |  FROM (
+       |    SELECT en.m, en.cid,
+       |      unnest(range(16)) AS pos,
+       |      unnest(list_transform(e.embedding[en.m*16+1 : en.m*16+16],
+       |        v -> CAST(v AS DOUBLE))) AS x
+       |    FROM enc0 en JOIN embeddings e USING (vec_id))
+       |  GROUP BY m, cid, pos),
+       |cbr AS (
+       |  SELECT ms.m, s.cid, COALESCE(r.scv, s.cv[ms.m*16+1 : ms.m*16+16]) AS scv
+       |  FROM cb0 s CROSS JOIN range(0,4) ms(m)
+       |  LEFT JOIN (SELECT m, cid, list(mu ORDER BY pos) AS scv
+       |             FROM mu GROUP BY m, cid) r
+       |    ON r.m = ms.m AND r.cid = s.cid),
+       |encr AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT e.vec_id, c.m, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.m
+       |        ORDER BY $encRefD ASC, c.cid) AS rnk
+       |    FROM embeddings e CROSS JOIN cbr c)
+       |  WHERE rnk = 1),
+       |encp AS (
+       |  SELECT vec_id,
+       |    MAX(CASE WHEN m=0 THEN cid END) AS c0,
+       |    MAX(CASE WHEN m=1 THEN cid END) AS c1,
+       |    MAX(CASE WHEN m=2 THEN cid END) AS c2,
+       |    MAX(CASE WHEN m=3 THEN cid END) AS c3
+       |  FROM encr GROUP BY vec_id),
+       |sc AS (
+       |  SELECT q.vec_id AS q_id, x.vec_id AS n_id, $dist AS dist
+       |  FROM embeddings q JOIN encp x ON q.vec_id <> x.vec_id
+       |  JOIN cbr b0 ON b0.m = 0 AND b0.cid = x.c0
+       |  JOIN cbr b1 ON b1.m = 1 AND b1.cid = x.c1
+       |  JOIN cbr b2 ON b2.m = 2 AND b2.cid = x.c2
+       |  JOIN cbr b3 ON b3.m = 3 AND b3.cid = x.c3
+       |  WHERE q.vec_id % 50 = 0)
+       |SELECT q_id, n_id, rnk, dist FROM (
+       |  SELECT q_id, n_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $k""".stripMargin
   }
 
   /** Exact integer dot over two int8-quantized BIGINT lists — mirrors
@@ -456,6 +558,28 @@ object VectorOps {
          |GROUP BY b.q_id""".stripMargin,
 
     "v9_knn_pq" -> sqlPqKnn(),
+
+    // seed leg = v9's mirror at k=10, refined leg = the one-round
+    // Lloyd's mirror; both counted against the exact brute-force CTE
+    "v17_pq_refined_recall" ->
+      s"""WITH b AS (
+         |${sqlKnn("q.vec_id <> c.vec_id", k = 10)}
+         |),
+         |s AS (
+         |${sqlPqKnn(k = 10)}
+         |),
+         |r AS (
+         |${sqlPqRefinedKnn(k = 10)}
+         |)
+         |SELECT b.q_id,
+         |  CAST(COUNT(s.n_id) AS BIGINT) AS seed_hits,
+         |  CAST(COUNT(r.n_id) AS BIGINT) AS refined_hits,
+         |  CAST(COUNT(s.n_id) AS DOUBLE) / 10.0 AS seed_recall,
+         |  CAST(COUNT(r.n_id) AS DOUBLE) / 10.0 AS refined_recall
+         |FROM b
+         |LEFT JOIN s ON s.q_id = b.q_id AND s.n_id = b.n_id
+         |LEFT JOIN r ON r.q_id = b.q_id AND r.n_id = b.n_id
+         |GROUP BY b.q_id""".stripMargin,
 
     "v12_knn_ivfpq" -> sqlPqKnn(cellPred = "q.label = ex.label"),
 

@@ -111,6 +111,45 @@ class PqSpec extends AnyFunSuite {
     assert(served === fused)
   }
 
+  test("refined codebook is deterministic and partition-independent") {
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqCodebookRefined(c, M, K, iters = 2)
+    val a = run(emb)
+    val b = run(emb.repartition(11))
+    // bit-equality of every codeword component: the DECIMAL(28,12)
+    // mean sum is associative, so partitioning must not matter
+    assert(a === b)
+    // encode under the refined codebook is likewise stable
+    val ea = emb.select($"vec_id", Similarity.pqEncode($"embedding", a))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val eb = emb.repartition(7)
+      .select($"vec_id", Similarity.pqEncode($"embedding", b))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(ea === eb)
+  }
+
+  test("refinement rounds never increase per-subspace quantization MSE") {
+    // Lloyd's guarantee: assign-then-recenter is non-increasing in
+    // summed squared reconstruction error; verify across 3 rounds
+    def mse(cb: Similarity.PqCodebook): Double = {
+      val vecs = emb.select(transform($"embedding", x => x.cast("double")))
+        .as[Seq[Double]].collect()
+      vecs.map { v =>
+        (0 until M).map { mi =>
+          val sub = v.slice(mi * 16, (mi + 1) * 16)
+          cb(mi).map(cw => sqDistScala(sub, cw)).min
+        }.sum
+      }.sum / vecs.length
+    }
+    val errs = (0 to 3).map(i =>
+      mse(Similarity.pqCodebookRefined(emb, M, K, iters = i)))
+    errs.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next <= prev + 1e-9, s"MSE rose across a round: $errs")
+    }
+    // and one round genuinely improves on the raw seed for this corpus
+    assert(errs(1) < errs(0))
+  }
+
   test("IVF-PQ equals exhaustive PQ re-ranked within the query's cell") {
     val cb = Similarity.pqCodebook(emb, M, K)
     val queries = emb.filter($"vec_id" % 50 === 0)
