@@ -113,6 +113,48 @@ object Frequency {
       .select(col(valueCol), col("ct"))
   }
 
+  /** Exact heavy hitters PER TUMBLING WINDOW: [[heavyHitters]]'s
+    * two-pass scheme keyed by a window column — the batch twin of
+    * [[graft.streaming.FrequencyStreaming.windowedHeavyHitters]],
+    * sharing the same [[MisraGries]] fold, so the per-window sketch
+    * semantics are oracle-checkable (the streaming variant emits the
+    * sketch itself; this one verifies candidates to exact counts, and
+    * a dropped true heavy hitter in ANY window would surface as a
+    * missing row vs the exact oracle).
+    *
+    * Scale shape: pass 1 partial-aggregates ≤ k counters per (window,
+    * partition) before the shuffle; the candidate frame is ≤ k rows ×
+    * open windows (windows are bounded — days/hours — so it stays
+    * broadcastable at any corpus size); pass 2 is the same broadcast
+    * semi-join + exact count as the global variant. No per-distinct-
+    * value shuffle ever happens.
+    *
+    * @param windowCol window-start expression (e.g. day-truncated
+    *   epoch millis); rows with a null value are excluded, mirroring
+    *   the global variant.
+    */
+  def windowedHeavyHitters(rows: DataFrame, windowCol: Column,
+                           valueCol: String, k: Int,
+                           num: Long = 1L, den: Long = 30L,
+                           cacheInput: Boolean = true): DataFrame = {
+    require(num > 0 && den > 0, s"need positive threshold, got $num/$den")
+    require((k + 1L) * num >= den,
+      s"windowedHeavyHitters needs num/den >= 1/(k+1), got $num/$den with k=$k")
+    val sketch = udaf(new MisraGries(k))
+    val filtered = rows.filter(col(valueCol).isNotNull)
+      .select(windowCol.as("_w"), col(valueCol))
+    val in = if (cacheInput) filtered.persist() else filtered
+    val first = in.groupBy(col("_w"))
+      .agg(sketch(col(valueCol)).as("_mg"), count(lit(1)).as("_n"))
+    val cands = first.select(col("_w"),
+      explode(map_keys(col("_mg"))).as(valueCol), col("_n"))
+    in.join(broadcast(cands), Seq("_w", valueCol))
+      .groupBy(col("_w"), col(valueCol), col("_n"))
+      .agg(count(lit(1)).as("ct"))
+      .filter(col("ct") * den > col("_n") * num)
+      .select(col("_w").as("window_start"), col(valueCol), col("ct"))
+  }
+
   /** Rare-term QC scoring: per document, how much of it is made of
     * corpus-rare tokens (OCR garbage, misspellings, random ids — the
     * word-frequency quality filter of corpus curation). A term is

@@ -98,6 +98,20 @@ object TextOps {
         "token", k = 32, num = 1L, den = 30L)
     },
 
+    // ---- per-window exact heavy hitters (batch twin of the streaming
+    // windowed MG sketch) ---------------------------------------------------
+    // day windows over events, heavy users per day at > 1/50 of the
+    // day's mass; k=64 < the 150 distinct users, so the MG candidate
+    // pruning genuinely fires in every window before the exact verify
+    "t23_windowed_hh" -> { (s, dir) =>
+      val e = graft.core.Tables.events(s, dir)
+      graft.operators.Frequency.windowedHeavyHitters(
+        e.select(expr("unix_millis(ts) DIV 86400000").as("day"),
+          col("user_id").cast("string").as("user_id")),
+        windowCol = col("day") * 86400000L,
+        valueCol = "user_id", k = 64, num = 1L, den = 50L)
+    },
+
     // ---- deterministic stratified sampling -------------------------------
     // per-language rates: en downsampled hard, zh half, rest 80% — the
     // "rebalance the corpus" op every multilingual pipeline runs
@@ -260,6 +274,20 @@ object TextOps {
         |FROM t, n
         |GROUP BY token, n.n
         |HAVING COUNT(*) * 30 > n.n""".stripMargin,
+
+    // integer threshold per window (ct*50 > n_window); the oracle is
+    // the exact per-window formulation the windowed 2-pass MG scheme
+    // provably equals (no-false-negative retention at num/den >= 1/(k+1))
+    "t23_windowed_hh" ->
+      """WITH e AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS window_start,
+        |    CAST(user_id AS VARCHAR) AS user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |n AS (SELECT window_start, COUNT(*) AS n FROM e GROUP BY window_start)
+        |SELECT e.window_start, e.user_id, COUNT(*) AS ct
+        |FROM e JOIN n USING (window_start)
+        |GROUP BY e.window_start, e.user_id, n.n
+        |HAVING COUNT(*) * 50 > n.n""".stripMargin,
 
     "t9_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

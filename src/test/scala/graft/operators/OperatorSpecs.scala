@@ -263,6 +263,32 @@ class FrequencySpec extends AnyFunSuite {
     }
   }
 
+  test("windowedHeavyHitters is exact per window under eviction pressure") {
+    // 3 windows × (~150 distinct fillers vs k=9) → per-window sketches
+    // evict constantly; each window's heavy tokens must come back with
+    // exact counts and nothing at/below the threshold may appear
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 3).flatMap { w =>
+      Seq.fill(1000)(rnd.nextInt(100)).map {
+        case i if i < 25 => (w.toLong, s"hot$w") // per-window heavy token
+        case _ => (w.toLong, s"t${rnd.nextInt(150)}")
+      }
+    }
+    val out = Frequency
+      .windowedHeavyHitters(rows.toDF("w", "token").repartition(8),
+        windowCol = col("w"), valueCol = "token",
+        k = 9, num = 1L, den = 10L)
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val expect = rows.groupBy(identity)
+      .map { case ((w, t), xs) => (w, t) -> xs.size.toLong }
+      .filter { case ((w, _), ct) =>
+        ct * 10L > rows.count(_._1 == w).toLong
+      }
+    assert(out === expect)
+    (0 until 3).foreach(w => assert(out.contains((w.toLong, s"hot$w"))))
+  }
+
   test("MG merge keeps every value above the n/(k+1) guarantee") {
     val mg = new Frequency.MisraGries(3)
     // two partitions' worth of skew, merged: 40×h + 30 distinct fillers
