@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Explicit skew mitigation for shuffles AQE can't re-plan.
@@ -27,12 +27,26 @@ object Skew {
     * deterministic row fingerprint (replay/retry-stable, unlike a
     * random or monotonic id), uniform across a key's rows so the hot
     * key spreads evenly.
+    *
+    * LIMIT of the default fingerprint: BYTE-IDENTICAL duplicate left
+    * rows all hash to the same salt, so a hot key made of exact
+    * duplicates still lands in one task (results stay correct — the
+    * mitigation is just a no-op for that case). A retry-stable
+    * per-duplicate disambiguator doesn't exist without an ordering
+    * assumption (partition-id + counter changes across retries and
+    * would break shuffle-replay consistency), so for such inputs pass
+    * `saltOn` with a column that distinguishes the duplicates — an
+    * event id, an offset, or a pre-assigned row id from the source.
+    *
+    * @param saltOn optional expression to fingerprint instead of the
+    *   whole row; must be deterministic per row (retry-stable).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-                 salt: Int): DataFrame = {
+                 salt: Int, saltOn: Option[Column] = None): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
+    val fp = saltOn.getOrElse(struct(left.columns.map(col): _*))
     val l = left.withColumn("_salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salt.toLong)))
+      pmod(xxhash64(fp), lit(salt.toLong)))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")

@@ -161,6 +161,11 @@ object TextOps {
           .select(lit(k).as("top_k"), col("head_mass"))
       }.reduce(_.unionByName(_))
         .crossJoin(total)
+        // empty-vocabulary edge: the global agg still emits one row of
+        // nulls per k while the oracle's CROSS JOIN over an empty
+        // relation emits none — drop the null-total rows so both
+        // engines agree on "no tokens → no report"
+        .filter(col("total").isNotNull)
         .select(col("top_k"), col("head_mass"), col("total"),
           (col("head_mass").cast(DoubleType) / col("total").cast(DoubleType))
             .as("coverage"))

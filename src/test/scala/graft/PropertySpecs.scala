@@ -257,6 +257,16 @@ class PropertySpecs extends AnyFunSuite {
     }
   }
 
+  test("t22 head coverage emits zero rows on an empty corpus") {
+    // contract with the DuckDB mirror: no tokens → no report rows
+    // (the oracle's CROSS JOIN over an empty vocabulary emits none,
+    // so the Spark side must drop its null-total aggregate rows)
+    val dir = java.nio.file.Files.createTempDirectory("t22_empty").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(0).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("t22_head_coverage")(spark, dir).count() === 0L)
+  }
+
   test("rollingFingerprint equals the reference fold for generated ASCII text") {
     val txtGen = Gen.chooseNum(0, 40).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar))).map(_.mkString)

@@ -847,4 +847,28 @@ class SkewSpec extends AnyFunSuite {
       .distinct().count()
     assert(salts > 4, s"only $salts salts used")
   }
+
+  test("saltOn spreads byte-identical duplicate rows and keeps results") {
+    // 400 byte-identical hot rows: the whole-row fingerprint sends all
+    // of them to ONE salt (the documented no-op case); salting on a
+    // distinct id column spreads them while the join result — with the
+    // id column carried — is unchanged
+    val dup = (1 to 400).map(i => ("hot", "payload", i.toLong))
+      .toDF("key", "v", "row_id")
+    val right = Seq(("hot", "H")).toDF("key", "tag")
+    val wholeRowSalts = dup.drop("row_id").select(
+        pmod(xxhash64(struct(col("key"), col("v"))), lit(8L)).as("s"))
+      .distinct().count()
+    assert(wholeRowSalts === 1)
+    val onId = Skew.saltedJoin(dup, right, "key", salt = 8,
+      saltOn = Some(col("row_id")))
+    val idSalts = dup.select(
+        pmod(xxhash64(col("row_id")), lit(8L)).as("s")).distinct().count()
+    assert(idSalts > 4, s"only $idSalts salts used")
+    assert(onId.count() === 400L)
+    assert(onId.select("key", "v", "row_id", "tag")
+      .as[(String, String, Long, String)].collect().sorted.toSeq ===
+      dup.join(right, Seq("key")).select("key", "v", "row_id", "tag")
+        .as[(String, String, Long, String)].collect().sorted.toSeq)
+  }
 }
