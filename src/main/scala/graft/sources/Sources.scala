@@ -27,13 +27,24 @@ object Sources {
       maxFilesPerTrigger: Option[Int] = None) extends SourceSpec
   final case class BatchDir(dir: String) extends SourceSpec
 
+  /** The exact option map the Kafka reader is configured with —
+    * exposed as a pure function so the wiring is unit-testable in
+    * environments without the Kafka connector on the classpath (the
+    * CI harness here has neither `spark-sql-kafka` jars nor network
+    * access to fetch them; an embedded-broker integration test needs
+    * both and lives with deployments that have them — see SURVEY.md
+    * §2 S1).
+    */
+  def kafkaOptions(spec: KafkaTopic): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> spec.bootstrapServers,
+    "subscribe" -> spec.topic,
+    "startingOffsets" -> spec.startingOffsets)
+
   /** JSON-lines stream/batch as `value: string`. */
   def read(spark: SparkSession, spec: SourceSpec): DataFrame = spec match {
-    case KafkaTopic(servers, topic, offsets) =>
+    case k: KafkaTopic =>
       spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", offsets)
+        .options(kafkaOptions(k))
         .load()
         .selectExpr("CAST(value AS STRING) AS value")
     case FileStream(dir, maxFiles) =>
