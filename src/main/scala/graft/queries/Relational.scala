@@ -397,6 +397,61 @@ object Relational {
         .groupBy(col("c_mktsegment"))
         .agg(Graft.moneySum(col("o_totalprice")).as("revenue"),
           count(lit(1)).as("order_ct"))
+    },
+
+    // ---- hopping (sliding) windows — the Flink staple the tumbling
+    // family (q6/q14) doesn't cover: each event lands in
+    // size/slide = 4 windows; Spark's window(size, slide) explodes
+    // map-side, so the aggregate shape is identical to tumbling with a
+    // 4× row amplification, and no state beyond the aggregation
+    "q27_hopping" -> { (s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "4 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("pv_ct"),
+          countDistinct(col("user_id")).as("uv_ct"),
+          moneySum(col("value")).as("val_sum"))
+        .select(col("w.start").as("stt"), col("w.end").as("edt"),
+          col("pv_ct"), col("uv_ct"), col("val_sum"))
+    },
+
+    // ---- per-key z-score outliers — anomaly detection over the event
+    // stream. Both moments come from DECIMAL-exact sums (value is
+    // 2-decimal; its square is 4-decimal — both exact in decimal), so
+    // mean/variance/z reproduce bit-for-bit at any parallelism and the
+    // |z| > 1.5 boundary can't flap (uniform values cap |z| at √3, so
+    // a 2σ gate would be vacuous on this fixture)
+    "q28_zscore" -> { (s, dir) =>
+      val e = ev(s, dir).filter(col("value").isNotNull)
+      val stats = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(Graft.dec2(col("value"))).as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(28, 4))).as("s2"))
+        .filter(col("n") > 1)
+        .select(col("user_id"), col("n"),
+          (col("s1").cast(DoubleType) / col("n")).as("mean"),
+          ((col("s2").cast(DoubleType) -
+            col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n"))
+            / (col("n") - 1)).as("variance"))
+      e.join(stats, Seq("user_id"))
+        .filter(col("variance") > 0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          ((col("value") - col("mean")) / sqrt(col("variance"))).as("z"))
+        .filter(abs(col("z")) > 1.5)
+    },
+
+    // ---- cohort retention — first-event-day cohorts × day offsets,
+    // the warehouse release-health staple. Integer-only (date diffs +
+    // distinct counts), two partial-aggregatable exchanges: one for
+    // the per-user cohort MIN, one for the (cohort, offset) rollup
+    "q29_retention" -> { (s, dir) =>
+      val days = ev(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("dt")).distinct()
+      val cohort = days.groupBy(col("user_id"))
+        .agg(min(col("dt")).as("cohort_dt"))
+      days.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_dt"),
+          datediff(col("dt"), col("cohort_dt")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
     }
   )
 
@@ -641,6 +696,54 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS order_ct
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // hopping windows = tumbling per-slide buckets minus o slides,
+    // o in [0, size/slide): the same window set Spark's
+    // window(size, slide) assigns (starts aligned to the slide)
+    "q27_hopping" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts)
+        |           - o.o * INTERVAL '1 hour' AS stt,
+        |    user_id, value
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS o) o)
+        |SELECT stt, stt + INTERVAL '4 hours' AS edt,
+        |  COUNT(*) AS pv_ct,
+        |  COUNT(DISTINCT user_id) AS uv_ct,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM w GROUP BY stt""".stripMargin,
+
+    // both moments from DECIMAL-exact sums; every double op below is
+    // the identical expression tree as the Spark side, so z and the
+    // |z| > 1.5 boundary are bit-reproducible
+    "q28_zscore" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+        |    SUM(CAST(value * value AS DECIMAL(28,4))) AS s2
+        |  FROM e GROUP BY user_id HAVING COUNT(*) > 1),
+        |m AS (
+        |  SELECT user_id,
+        |    CAST(s1 AS DOUBLE) / n AS mean,
+        |    (CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS variance
+        |  FROM st)
+        |SELECT e.user_id, e.event_id, e.value,
+        |  (e.value - m.mean) / sqrt(m.variance) AS z
+        |FROM e JOIN m USING (user_id)
+        |WHERE m.variance > 0
+        |  AND abs((e.value - m.mean) / sqrt(m.variance)) > 1.5""".stripMargin,
+
+    "q29_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events),
+        |c AS (SELECT user_id, MIN(dt) AS cohort_dt FROM days GROUP BY user_id)
+        |SELECT c.cohort_dt,
+        |  CAST(d.dt - c.cohort_dt AS INT) AS day_offset,
+        |  COUNT(DISTINCT d.user_id) AS active_users
+        |FROM days d JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin
   )
 }
