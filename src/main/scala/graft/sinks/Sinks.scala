@@ -81,4 +81,26 @@ object Sinks {
   def writeOlap(df: DataFrame, path: String,
                 transientCols: Seq[String] = Nil): Unit =
     df.drop(transientCols: _*).write.mode(SaveMode.Append).parquet(path)
+
+  /** Bucketed catalog table: the co-located-join strategy for fact/dim
+    * tables that are joined on the same key repeatedly. Two tables
+    * bucketed (and sorted) on the join key with the same bucket count
+    * join WITHOUT any Exchange — the scan's hash-partitioning already
+    * satisfies the join's distribution requirement — so at 100 TB the
+    * fact table's shuffle is paid ONCE at write time instead of per
+    * query (`BucketedJoinSpec` pins the exchange-free plan). Sorting
+    * within buckets additionally drops the per-query Sort for
+    * sort-merge joins.
+    *
+    * Bucket count is a layout contract: both sides must match, and it
+    * bounds write-side parallelism per partition — size it to target
+    * file sizes (≈ table bytes ÷ 128–512 MB), not executor count.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sorted: Boolean = true): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val w = df.write.format("parquet").mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+    (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
+  }
 }
