@@ -223,4 +223,30 @@ class PlanRegressionSpec extends AnyFunSuite {
     // per-query top-k still prunes through the rank window
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
+
+  test("q27 hopping: window explode is a map-side Expand, no Window op") {
+    val p = plan("q27_hopping")
+    // window(size, slide) must plan as Expand (slide-ratio row
+    // amplification) feeding the tumbling-style aggregate — a Window
+    // or Join node appearing means the per-slide re-scan crept in
+    assert(p.contains("Expand"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!"""\(\d+\) Window""".r.findAllIn(p).hasNext, p.take(2000))
+  }
+
+  test("q28 zscore: moments broadcast back, event scan never shuffles") {
+    val p = plan("q28_zscore")
+    // the per-user stats frame must re-enter as a broadcast — a
+    // SortMergeJoin here means the full event stream shuffles twice
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("t23 windowed heavy hitters: MG partials + broadcast verify") {
+    val p = plan("t23_windowed_hh")
+    // same contract as t8, per window: bounded partial buffers before
+    // the exchange, candidates broadcast into the exact pass
+    assert("(?i)partial_misragries".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
