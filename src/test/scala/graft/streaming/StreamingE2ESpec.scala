@@ -152,6 +152,45 @@ class StreamingE2ESpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("hopping-window agg incrementalizes: streaming equals the batch twin") {
+    // q27's plan (window(size, slide) = map-side Expand + aggregate)
+    // under readStream: same window assignment, watermark-closed
+    // emission, and the closed windows must match the batch
+    // formulation over the identical rows bit-for-bit
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val agg = input.toDF().toDF("ts", "uid")
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", "0 seconds")
+      .groupBy(window(col("event_time"), "20 seconds", "5 seconds").as("w"))
+      .agg(count(lit(1)).as("pv"), approx_count_distinct(col("uid")).as("uv"))
+      .select(col("w.start").as("stt"), col("pv"), col("uv"))
+    val query = agg.writeStream.format("memory").queryName("hop_out")
+      .outputMode("append").start()
+    try {
+      val base = 1620043200000L
+      val rows = Seq((base + 1000L, 1L), (base + 6000L, 2L),
+        (base + 7000L, 1L), (base + 23000L, 3L))
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      // push the watermark far past every touched window's end
+      input.addData((base + 600000L, 9L))
+      query.processAllAvailable()
+      val got = spark.table("hop_out")
+        .filter(col("stt") < timestamp_millis(lit(base + 300000L)))
+        .as[(java.sql.Timestamp, Long, Long)].collect().sorted.toSeq
+      val expect = rows.toDF("ts", "uid")
+        .withColumn("event_time", timestamp_millis(col("ts")))
+        .groupBy(window(col("event_time"), "20 seconds", "5 seconds").as("w"))
+        .agg(count(lit(1)).as("pv"), approx_count_distinct(col("uid")).as("uv"))
+        .select(col("w.start").as("stt"), col("pv"), col("uv"))
+        .as[(java.sql.Timestamp, Long, Long)].collect().sorted.toSeq
+      assert(got === expect)
+      // each event must appear in size/slide = 4 windows
+      assert(expect.map(_._2).sum === rows.size * 4L)
+    } finally query.stop()
+  }
+
   test("file-stream source feeds LogSplitJob through the unified value seam") {
     import graft.sources.Sources
     val inDir = Files.createTempDirectory("src_in").toString
