@@ -41,6 +41,41 @@ import graft.functions.TextFunctions.hashBucket
   */
 object Mixing {
 
+  /** Sequential Poisson (priority) sampling: exactly `k` rows per
+    * stratum, with inclusion probability ∝ `weight` (Ohlsson 1998;
+    * Duffield et al., "Priority Sampling", 2007) — the
+    * "sample 1M docs, longer/higher-quality docs proportionally more
+    * often" step of corpus curation, where [[mixByTokenBudget]] fills
+    * budgets and [[graft.functions.TextFunctions.stratifiedKeep]]
+    * applies flat rates. Priority = u / w with u a salted-md5 48-bit
+    * uniform: a pure function of (id, weight), so the chosen sample is
+    * stable across runs, engines, and partitioning; the k smallest
+    * priorities per stratum win (ties broken by id).
+    *
+    * Scale shape: one exchange on the stratum key; the per-stratum
+    * top-k runs through the rank window with WindowGroupLimit pruning
+    * (each task keeps k rows before the final sort), so no stratum's
+    * full slice is ever sorted. Rows with null/≤0 weight or null id
+    * can't be sampled and are excluded.
+    */
+  def prioritySample(docs: DataFrame, strataCol: String, idCol: String,
+                     weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // 48-bit uniform: exact in BIGINT and DOUBLE on every engine
+    val u = conv(substring(md5(concat(lit("p:"),
+        col(idCol).cast(StringType))), 1, 12), 16, 10).cast(LongType)
+    val w = weight.cast(DoubleType)
+    val pr = u.cast(DoubleType) / w
+    val win = Window.partitionBy(col(strataCol))
+      .orderBy(col("_pr").asc, col(idCol))
+    docs
+      .filter(col(idCol).isNotNull && w.isNotNull && w > 0)
+      .withColumn("_pr", pr)
+      .withColumn("_rk", row_number().over(win))
+      .filter(col("_rk") <= k)
+      .drop("_pr", "_rk")
+  }
+
   def mixByTokenBudget(docs: DataFrame, domainCol: String, idCol: String,
                        weight: Column, budgets: Map[String, Long],
                        defaultBudget: Long, buckets: Int = 16): DataFrame = {

@@ -112,6 +112,16 @@ object TextOps {
         valueCol = "user_id", k = 64, num = 1L, den = 50L)
     },
 
+    // ---- weighted (priority) sampling: exact k per stratum ----------------
+    // sequential Poisson sampling ∝ token count — longer docs
+    // proportionally more likely, exactly 5 survivors per source,
+    // deterministic under repartitioning (priority = md5-uniform / w)
+    "t24_weighted_sample" -> { (s, dir) =>
+      graft.operators.Mixing.prioritySample(
+        docs(s, dir), "source", "doc_id", nTokens(col("text")), k = 5)
+        .select(col("doc_id"), col("source"))
+    },
+
     // ---- deterministic stratified sampling -------------------------------
     // per-language rates: en downsampled hard, zh half, rest 80% — the
     // "rebalance the corpus" op every multilingual pipeline runs
@@ -293,6 +303,22 @@ object TextOps {
         |FROM e JOIN n USING (window_start)
         |GROUP BY e.window_start, e.user_id, n.n
         |HAVING COUNT(*) * 50 > n.n""".stripMargin,
+
+    // priority = 48-bit salted-md5 uniform / token count — u is exact
+    // in both BIGINT and DOUBLE, the division is the identical IEEE op,
+    // so the per-source top-5 agrees bit-for-bit
+    "t24_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS w
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST('0x' || substr(md5('p:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE)
+        |      / CAST(w AS DOUBLE) AS pr
+        |  FROM d WHERE w > 0)
+        |SELECT doc_id, source FROM p
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY pr, doc_id) <= 5""".stripMargin,
 
     "t9_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -200,6 +200,35 @@ class MixingSpec extends AnyFunSuite {
       Map.empty, defaultBudget = 0L)
     assert(zero.filter($"kept").count() === 0)
   }
+
+  test("prioritySample: exact k per stratum, repartition-stable") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Mixing.prioritySample(df, "source", "doc_id",
+        graft.functions.TextFunctions.nTokens(col("text")), k = 3)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val a = ids(docs)
+    assert(a === ids(docs.repartition(13)))
+    val perSource = Mixing.prioritySample(docs, "source", "doc_id",
+        graft.functions.TextFunctions.nTokens(col("text")), k = 3)
+      .groupBy("source").count().as[(String, Long)].collect()
+    perSource.foreach { case (s, n) => assert(n === 3L, s) }
+  }
+
+  test("prioritySample inclusion tracks weight (heavier wins on ties of u)") {
+    // one stratum, two weight classes with identical id-hash
+    // distribution: the heavy class must be over-represented roughly
+    // ∝ weight (10×) — a loose statistical check on the u/w rule
+    val rows = (1L to 2000L).map(i => (i, "s", if (i % 2 == 0) 10.0 else 1.0))
+    val df = rows.toDF("doc_id", "source", "w")
+    val kept = Mixing.prioritySample(df, "source", "doc_id", col("w"), k = 200)
+      .select("doc_id").as[Long].collect()
+    val heavy = kept.count(_ % 2 == 0)
+    assert(heavy > 150, s"heavy class underrepresented: $heavy of 200")
+    // and zero/null weights are never sampled
+    val z = Seq((1L, "s", 0.0), (2L, "s", 5.0)).toDF("doc_id", "source", "w")
+    assert(Mixing.prioritySample(z, "source", "doc_id", col("w"), k = 5)
+      .select("doc_id").as[Long].collect().toSeq === Seq(2L))
+  }
 }
 
 class DupSpansSpec extends AnyFunSuite {
