@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.core.Graft.dec2
 
@@ -103,6 +103,54 @@ object Series {
         timestamp_micros(col("gus")).as("grid_ts"),
         col("_asof.v").as("value"),
         timestamp_micros(col("_asof.tus")).as("obs_ts"))
+  }
+
+  /** CUSUM drift detection per key (Page 1954): flag the points where
+    * the cumulative deviation from the key's own mean exceeds a
+    * threshold — the sequential changepoint test that catches slow
+    * drifts a per-point z-score gate (q28) never sees.
+    *
+    * The textbook recurrence S_i = max(0, S_{i-1} + x_i) is a fold,
+    * not a window sum — but it equals P_i − min(0, min_{j≤i} P_j)
+    * with P the plain prefix sum of x, so two window functions over
+    * one (key)-partitioned sort compute it exactly.
+    *
+    * Exactness: everything is INTEGER. Values go to cents via
+    * DECIMAL(18,2); the per-key mean is avoided by scaling through n
+    * (x_i·n = n·cents_i − total_cents), so S'_i = n·S_i stays a
+    * BIGINT and the flag compare (S' > driftCents·n) has no float
+    * boundary at any parallelism. |cents| ≤ 2^40-ish and n ≤ events
+    * per key keep n·cents far from overflow for any realistic key.
+    *
+    * Scale shape: one broadcast of the per-key (n, total) aggregate
+    * back onto the stream, one exchange + sort per key for the two
+    * windows — the same cost class as any per-key sessionization.
+    *
+    * @return flagged rows only: (key, id, ts, cusum) with `cusum` the
+    *         running exceedance in value units (S_i, descaled).
+    */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String,
+            idCol: String, valueCol: String,
+            driftCents: Long): DataFrame = {
+    require(driftCents >= 0, s"driftCents must be >= 0, got $driftCents")
+    import org.apache.spark.sql.expressions.Window
+    val base = events
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(idCol), col(tsCol),
+        (col(valueCol).cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("_cents"))
+    val stats = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"), sum(col("_cents")).as("_tot"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(stats), Seq(keyCol))
+      .withColumn("_x", col("_n") * col("_cents") - col("_tot"))
+      .withColumn("_p", sum(col("_x")).over(w))
+      .withColumn("_m", min(col("_p")).over(w))
+      .withColumn("_s", col("_p") - least(col("_m"), lit(0L)))
+      .filter(col("_s") > col("_n") * driftCents)
+      .select(col(keyCol), col(idCol), col(tsCol),
+        (col("_s").cast(DoubleType) / (col("_n") * lit(100.0))).as("cusum"))
   }
 
   /** Similar-window pairs: grid-cell equi-join on the per-dimension

@@ -399,6 +399,34 @@ object Relational {
           count(lit(1)).as("order_ct"))
     },
 
+    // ---- user-journey path mining — top event-type sequences per
+    // 4-hour-gap session (q18's sessionization rule with an explicit
+    // event_id tie-break, since sequence ORDER matters here). Gap
+    // arithmetic in integer microseconds on both engines; the path
+    // string builds from an array_sort'd struct list (order-free
+    // collect), and the final top-20 is TakeOrdered, never a global
+    // sort of all paths
+    "q30_paths" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val prev = lag(us, 1).over(w)
+      val ns = when(prev.isNull || us - prev >= lit(14400000000L), 1)
+        .otherwise(0)
+      ev(s, dir)
+        .withColumn("_ns", ns)
+        .withColumn("_sid", sum(col("_ns")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("_sid"))
+        .agg(concat_ws(">", transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("ct"))
+        .orderBy(col("ct").desc, col("path"))
+        .limit(20)
+    },
+
     // ---- hopping (sliding) windows — the Flink staple the tumbling
     // family (q6/q14) doesn't cover: each event lands in
     // size/slide = 4 windows; Spark's window(size, slide) explodes
@@ -697,6 +725,25 @@ object Relational {
         |  COUNT(*) AS order_ct
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q30_paths" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 14400000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |p AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM y GROUP BY user_id, sid)
+        |SELECT path, COUNT(*) AS ct FROM p
+        |GROUP BY path ORDER BY ct DESC, path LIMIT 20""".stripMargin,
 
     // hopping windows = tumbling per-slide buckets minus o slides,
     // o in [0, size/slide): the same window set Spark's

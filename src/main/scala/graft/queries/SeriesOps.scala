@@ -24,6 +24,15 @@ object SeriesOps {
     "s2_resample" -> { (s, dir) =>
       Series.resample(Tables.events(s, dir), keyCol = "user_id",
         tsCol = "ts", valueCol = "value", stepMicros = 86400000000L)
+    },
+
+    // per-user CUSUM drift flags; 420.00 value-units of cumulative
+    // exceedance sits at the ~95th percentile of this fixture's
+    // natural random-walk drift, so both flag branches carry signal
+    "s3_cusum" -> { (s, dir) =>
+      Series.cusum(Tables.events(s, dir), keyCol = "user_id",
+        tsCol = "ts", idCol = "event_id", valueCol = "value",
+        driftCents = 42000L)
     })
 
   // epoch_us // on non-negative longs ≡ Spark DIV; cents sums are
@@ -72,5 +81,33 @@ object SeriesOps {
         |SELECT g.key AS user_id, make_timestamp(g.gus) AS grid_ts,
         |  o.v AS value, make_timestamp(o.tus) AS obs_ts
         |FROM grid g ASOF JOIN obs o
-        |  ON g.key = o.key AND g.gus >= o.tus""".stripMargin)
+        |  ON g.key = o.key AND g.gus >= o.tus""".stripMargin,
+
+    // all-integer pipeline (cents, n-scaled deviations, prefix sum −
+    // running min); the single double op is the final descale, the
+    // identical expression on both engines
+    "s3_cusum" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |st AS (
+        |  SELECT user_id, COUNT(*) AS n, SUM(cents) AS tot
+        |  FROM base GROUP BY user_id),
+        |x AS (
+        |  SELECT b.user_id, b.event_id, b.ts, st.n,
+        |    st.n * b.cents - st.tot AS x
+        |  FROM base b JOIN st USING (user_id)),
+        |y AS (
+        |  SELECT *, SUM(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM x),
+        |z AS (
+        |  SELECT *, MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS m
+        |  FROM y)
+        |SELECT user_id, event_id, ts,
+        |  CAST(p - least(m, 0) AS DOUBLE) / (n * 100.0) AS cusum
+        |FROM z
+        |WHERE p - least(m, 0) > n * 42000""".stripMargin)
 }

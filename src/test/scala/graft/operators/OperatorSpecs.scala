@@ -370,6 +370,49 @@ class SeriesSpec extends AnyFunSuite {
   }
 }
 
+class CusumSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("window formulation equals the textbook sequential fold") {
+    // P − min(0, running-min P) must reproduce S_i = max(0, S_{i-1}+x_i)
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 300L).map(i =>
+      ("k" + (i % 3), i, new java.sql.Timestamp(i * 1000),
+        math.round(rnd.nextDouble() * 2000) / 100.0))
+    val df = rows.toDF("k", "id", "ts", "v").repartition(7)
+    val got = graft.operators.Series
+      .cusum(df, "k", "ts", "id", "v", driftCents = 0L)
+      .select($"k", $"id", $"cusum").as[(String, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // driver-side replica in exact cents, same n-scaling
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val cents = g.sortBy(r => (r._3.getTime, r._2))
+        .map(r => (r._2, math.round(r._4 * 100)))
+      val n = cents.size.toLong
+      val tot = cents.map(_._2).sum
+      var s = 0L
+      cents.foreach { case (id, c) =>
+        s = math.max(0L, s + (n * c - tot))
+        if (s > 0L) // driftCents=0 flags every strictly-positive point
+          assert(got((k, id)) === s.toDouble / (n * 100.0), s"$k/$id")
+        else assert(!got.contains((k, id)), s"$k/$id")
+      }
+    }
+  }
+
+  test("cusum is deterministic under repartitioning") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Series
+        .cusum(d, "user_id", "ts", "event_id", "value", driftCents = 10000L)
+        .select($"event_id", $"cusum").as[(Long, Double)]
+        .collect().sortBy(_._1).toSeq
+    assert(run(df) === run(df.repartition(11)))
+  }
+}
+
 class CorpusPipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
