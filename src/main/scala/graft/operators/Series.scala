@@ -153,6 +153,34 @@ object Series {
         (col("_s").cast(DoubleType) / (col("_n") * lit(100.0))).as("cusum"))
   }
 
+  /** Fixed-target CUSUM: [[cusum]] against a KNOWN reference level
+    * (cents) instead of the key's own mean — the deployment shape,
+    * where the target comes from history and monitoring runs forward.
+    * No n-scaling needed (no mean to avoid): x = cents − target, S
+    * via the same prefix-sum − running-min rewrite, flag S > drift.
+    * This is the exact fold [[graft.streaming.CusumStreaming]] runs
+    * incrementally; twin equality is spec-pinned.
+    */
+  def cusumFixedTarget(events: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, valueCol: String,
+                       targetCents: Long, driftCents: Long): DataFrame = {
+    require(driftCents >= 0, s"driftCents must be >= 0, got $driftCents")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(idCol), col(tsCol),
+        ((col(valueCol).cast(DecimalType(18, 2)) * 100)
+          .cast(LongType) - targetCents).as("_x"))
+      .withColumn("_p", sum(col("_x")).over(w))
+      .withColumn("_m", min(col("_p")).over(w))
+      .withColumn("_s", col("_p") - least(col("_m"), lit(0L)))
+      .filter(col("_s") > driftCents)
+      .select(col(keyCol), col(idCol), col(tsCol),
+        (col("_s").cast(DoubleType) / 100.0).as("cusum"))
+  }
+
   /** Similar-window pairs: grid-cell equi-join on the per-dimension
     * quantized vector (`widthCents` per cell), then exact integer L1
     * ≤ `maxL1Cents`. Each unordered pair surfaces once via the

@@ -33,6 +33,16 @@ object SeriesOps {
       Series.cusum(Tables.events(s, dir), keyCol = "user_id",
         tsCol = "ts", idCol = "event_id", valueCol = "value",
         driftCents = 42000L)
+    },
+
+    // deployment-shape CUSUM: reference level 50.00 (the corpus mean,
+    // as history would supply it), drift 600.00 at the ~95th
+    // percentile — this is the exact fold CusumStreaming runs
+    // incrementally (twin equality spec-pinned)
+    "s4_cusum_fixed" -> { (s, dir) =>
+      Series.cusumFixedTarget(Tables.events(s, dir), keyCol = "user_id",
+        tsCol = "ts", idCol = "event_id", valueCol = "value",
+        targetCents = 5000L, driftCents = 60000L)
     })
 
   // epoch_us // on non-negative longs ≡ Spark DIV; cents sums are
@@ -109,5 +119,24 @@ object SeriesOps {
         |SELECT user_id, event_id, ts,
         |  CAST(p - least(m, 0) AS DOUBLE) / (n * 100.0) AS cusum
         |FROM z
-        |WHERE p - least(m, 0) > n * 42000""".stripMargin)
+        |WHERE p - least(m, 0) > n * 42000""".stripMargin,
+
+    // same rewrite without the n-scaling (no per-key mean to avoid)
+    "s4_cusum_fixed" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 5000 AS x
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |y AS (
+        |  SELECT *, SUM(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM base),
+        |z AS (
+        |  SELECT *, MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS m
+        |  FROM y)
+        |SELECT user_id, event_id, ts,
+        |  CAST(p - least(m, 0) AS DOUBLE) / 100.0 AS cusum
+        |FROM z
+        |WHERE p - least(m, 0) > 60000""".stripMargin)
 }
