@@ -622,6 +622,36 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_ct"))
   }
 
+  /** Corpus snapshot diff: classify every doc id across two versions
+    * of a corpus as `added` (only in the new snapshot), `removed`
+    * (only in the old), `changed` (both, different content key), or
+    * `unchanged` — the audit step between corpus releases that
+    * [[incrementalNew]] (content-keyed, id-free) doesn't answer:
+    * "what happened to THIS document".
+    *
+    * Scale shape: one full outer join on the id — both sides carry
+    * only (id, 128-bit key), so the shuffle is id + hash wide, never
+    * document bytes. `contentKey` as in [[incrementalNew]]: default
+    * exact hash, or a normalized key for boilerplate-insensitive
+    * comparison.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text",
+                   contentKey: Column => Column =
+                     TextFunctions.contentHash): DataFrame = {
+    val o = oldDocs.select(col(idCol),
+      contentKey(col(textCol)).as("_old_key"))
+    val n = newDocs.select(col(idCol),
+      contentKey(col(textCol)).as("_new_key"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_old_key").isNull, "added")
+          .when(col("_new_key").isNull, "removed")
+          .when(col("_old_key") === col("_new_key"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Streaming exact dedup: emit the first arrival per content hash,
     * dropping duplicates that arrive within the watermark delay of the
     * original. State is one (hash, expiry) entry evicted by the

@@ -54,6 +54,19 @@ object DedupOps {
       Dedup.incrementalNew(
         d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
         contentKey = prefixKey)
+    },
+
+    // snapshot audit: old = ids ∉ 7ℤ, new = ids ∉ 5ℤ with every 3rd
+    // doc's text edited — so all four statuses (added/removed/
+    // changed/unchanged) fire deterministically on any sf
+    "d8_snapshot_diff" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val oldV = d.filter(col("doc_id") % 7 =!= 0)
+      val newV = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Dedup.snapshotDiff(oldV, newV)
     })
 
   /** SQL mirror of Dedup.shingles(n=3): distinct 3-word shingles with
@@ -170,6 +183,21 @@ object DedupOps {
         |FROM f
         |WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.h = f.h)
         |GROUP BY f.h""".stripMargin,
+
+    "d8_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS ok FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS nk
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.ok = n.nk THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     // transitive closure of the d3 near-dup pairs: min reachable id per
     // node via a recursive CTE (the oracle can afford all-pairs
