@@ -347,6 +347,42 @@ object Similarity {
     nz.select(avg(bestCos)).collect().head.getDouble(0)
   }
 
+  /** Mean-pool embeddings per group: the chunk→document aggregation of
+    * a RAG/embedding pipeline (embed chunks, pool to one vector per
+    * doc). Components quantize to 1e-12 via `floor(x · 1e12)` — floor,
+    * not a decimal cast, because floor has NO tie: floats that are odd
+    * multiples of 2⁻¹³ decimal-expand to an exact …5 at digit 13,
+    * where HALF_UP (Spark's double→decimal) and HALF_EVEN (DuckDB's)
+    * disagree. The quantized longs sum exactly as DECIMAL(38,0)
+    * (associative ⇒ partitioning-independent, overflow-proof), so the
+    * pooled vector is bit-identical on any engine at any parallelism;
+    * the 1e-12 quantization is far below any embedding's float
+    * precision. Wrong-width and null vectors are excluded.
+    *
+    * Scale shape: posexplode is map-side (dims rows per vector), the
+    * (group, pos) aggregate partial-aggregates before its exchange,
+    * and the final per-group array rebuild is an order-free
+    * `array_sort(collect_list(struct(pos, m)))` over exactly `dims`
+    * rows per group — never a collect of raw vectors.
+    */
+  def meanPool(corpus: DataFrame, groupCol: String, dims: Int,
+               vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col(groupCol), col("pos"),
+        floor(col("x").cast(DoubleType) * 1e12).cast(DecimalType(38, 0))
+          .as("q"))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(((sum(col("q")).cast(DoubleType) / count(lit(1))) / 1e12)
+        .as("m"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("pooled"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): keep
     * one representative per group of embedding-near-duplicates, where
     * candidate pairs are bounded to a k-means cell instead of the full

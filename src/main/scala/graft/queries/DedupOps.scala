@@ -56,6 +56,41 @@ object DedupOps {
         contentKey = prefixKey)
     },
 
+    // LSH tuning eval: candidate recall vs EXACT ≥0.5-Jaccard truth on
+    // a fixed 200-doc sample — how you validate a (bands × rows)
+    // configuration before trusting it at corpus scale. Truth pairs
+    // come from the shared-shingle inverted index (a superset of every
+    // J > 0 pair — no cross join) verified by exact Jaccard; the
+    // sample stays constant-size at any sf, so the eval's cost never
+    // grows with the corpus
+    "d9_lsh_recall" -> { (s, dir) =>
+      val sample = docs(s, dir).filter(col("doc_id") < 200)
+      val sh = Dedup.shingleRows(sample)
+      val shared = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val sets = sample.select(col("doc_id"),
+        Dedup.shingles(col("text")).as("sh"))
+      val truth = shared
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+          "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          "doc_b")
+        .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+        .select("doc_a", "doc_b")
+      val cand = Dedup.candidatePairs(sample)
+      truth
+        .join(cand.select(col("doc_a"), col("doc_b"), lit(1L).as("hit")),
+          Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .select(col("n_true"), col("n_hit"), col("n_cand"),
+          (col("n_hit").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+    },
+
     // snapshot audit: old = ids ∉ 7ℤ, new = ids ∉ 5ℤ with every 3rd
     // doc's text edited — so all four statuses (added/removed/
     // changed/unchanged) fire deterministically on any sf
@@ -183,6 +218,31 @@ object DedupOps {
         |FROM f
         |WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.h = f.h)
         |GROUP BY f.h""".stripMargin,
+
+    // truth = shared-shingle pairs verified ≥ 0.5 exact Jaccard; cand
+    // = the d2 LSH chain re-rooted on the sample CTE; one summary row
+    "d9_lsh_recall" -> {
+      s"""WITH s9 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |${sqlCandidatesFrom("s9")},
+         |pairsh AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM (SELECT doc_id, unnest(sh) AS g FROM shingled) a
+         |  JOIN (SELECT doc_id, unnest(sh) AS g FROM shingled) b USING (g)
+         |  WHERE a.doc_id < b.doc_id),
+         |truth AS (
+         |  SELECT doc_a, doc_b FROM pairsh
+         |  JOIN shingled sa ON sa.doc_id = doc_a
+         |  JOIN shingled sb ON sb.doc_id = doc_b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(sa.sh || sb.sh)) >= 0.5)
+         |SELECT t.n_true, h.n_hit, c.n_cand,
+         |  CAST(h.n_hit AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS recall
+         |FROM (SELECT COUNT(*) AS n_true FROM truth) t,
+         |     (SELECT COUNT(*) AS n_hit
+         |      FROM truth JOIN cand USING (doc_a, doc_b)) h,
+         |     (SELECT COUNT(*) AS n_cand FROM cand) c""".stripMargin
+    },
 
     "d8_snapshot_diff" ->
       """WITH o AS (

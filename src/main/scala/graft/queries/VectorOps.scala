@@ -173,6 +173,13 @@ object VectorOps {
           (col("refined_hits").cast("double") / lit(10.0)).as("refined_recall"))
     },
 
+    // chunk→doc mean pooling: one vector per label, per-position
+    // DECIMAL-exact means — partitioning-independent, hash-checkable
+    // down to the last bit of every component
+    "v18_mean_pool" -> { (s, dir) =>
+      Similarity.meanPool(emb(s, dir), "label", dims = 64)
+    },
+
     // recall@3 of the IVF probe-1 path against exact brute force —
     // the eval harness any ANN deployment ships with
     "v11_ann_recall" -> { (s, dir) =>
@@ -558,6 +565,25 @@ object VectorOps {
          |GROUP BY b.q_id""".stripMargin,
 
     "v9_knn_pq" -> sqlPqKnn(),
+
+    // per-(label, pos) mean over floor(x·1e12)-quantized components —
+    // floor instead of a decimal cast because odd-multiple-of-2⁻¹³
+    // floats tie exactly at digit 13, where the engines' rounding
+    // modes (HALF_UP vs HALF_EVEN) disagree; floor has no tie
+    "v18_mean_pool" ->
+      """WITH x AS (
+        |  SELECT label,
+        |    unnest(range(len(embedding))) AS pos,
+        |    unnest(list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1e12) AS DECIMAL(38,0)))) AS q
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |m AS (
+        |  SELECT label, pos,
+        |    (CAST(SUM(q) AS DOUBLE) / COUNT(*)) / 1e12 AS m
+        |  FROM x GROUP BY label, pos)
+        |SELECT label, list(m ORDER BY pos) AS pooled
+        |FROM m GROUP BY label""".stripMargin,
 
     // seed leg = v9's mirror at k=10, refined leg = the one-round
     // Lloyd's mirror; both counted against the exact brute-force CTE
