@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Frequency, Series, Similarity}
 
 /** Scale-growth regression smoke: times the dedup (d2/d3/d6) and ANN
   * (v2/v12) families on a 1× and a deterministic 10× slice of the
@@ -38,14 +38,19 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
     val docs0 = spark.read.parquet(s"$baseDir/documents.parquet")
     val emb0 = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    // events via the ns->us normalization all event queries use
+    val ev0 = graft.core.Tables.events(spark, baseDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
     val nDocs = docs0.agg(max("doc_id")).as[Long].head() + 1
     val nVecs = emb0.agg(max("vec_id")).as[Long].head() + 1
+    val nEv = ev0.agg(max("event_id")).as[Long].head() + 1
 
     def scaledDocs(f: Int): DataFrame =
       (0 until f).map { i =>
@@ -62,6 +67,17 @@ object ScaleSmoke {
           col("label"), col("embedding"))
       }.reduce(_.unionByName(_))
 
+    // events: ids remapped, USERS remapped per copy (user_id + i*10^6)
+    // so per-key row counts stay constant — the window/sort families'
+    // workload grows by key count, not per-key size (growing a key 10x
+    // would be a quadratic-ish sort workload, not a regression)
+    def scaledEv(f: Int): DataFrame =
+      (0 until f).map { i =>
+        ev0.select((col("event_id") + lit(i * nEv)).as("event_id"),
+          col("ts"), (col("user_id") + lit(i * 1000000L)).as("user_id"),
+          col("value"))
+      }.reduce(_.unionByName(_))
+
     // materialize to parquet so every timed run scans real files, not
     // an in-memory union plan
     val tmp = Files.createTempDirectory("scalesmoke").toString
@@ -74,32 +90,41 @@ object ScaleSmoke {
     val dNx = persist(scaledDocs(factor), s"docs$factor")
     val e1x = persist(scaledEmb(1), "emb1")
     val eNx = persist(scaledEmb(factor), s"emb$factor")
+    val v1x = persist(scaledEv(1), "ev1")
+    val vNx = persist(scaledEv(factor), s"ev$factor")
     val queries = e1x.filter(col("vec_id") % 50 === 0)
 
-    def bench(name: String, run: (DataFrame, DataFrame) => DataFrame): (String, Double) = {
-      def once(d: DataFrame, e: DataFrame): Double = {
+    def bench(name: String, small: DataFrame, big: DataFrame,
+              run: DataFrame => DataFrame): (String, Double) = {
+      def once(in: DataFrame): Double = {
         val t0 = System.nanoTime()
-        run(d, e).count()
+        run(in).count()
         (System.nanoTime() - t0) / 1e9
       }
-      once(d1x, e1x) // warmup (codegen + reader init)
-      val t1 = once(d1x, e1x)
-      val tn = once(dNx, eNx)
+      once(small) // warmup (codegen + reader init)
+      val t1 = once(small)
+      val tn = once(big)
       val ratio = tn / t1
       println(f"[scalesmoke] $name%-8s 1x=$t1%6.2f s  ${factor}x=$tn%6.2f s  ratio=$ratio%5.1f")
       name -> ratio
     }
 
     val ratios = Seq(
-      bench("d2", (d, _) => Dedup.candidatePairs(d)),
-      bench("d3", (d, _) => Dedup.nearDupPairs(d, threshold = 0.5)),
-      bench("d6", (d, _) => Dedup.clusterIds(
+      bench("d2", d1x, dNx, d => Dedup.candidatePairs(d)),
+      bench("d3", d1x, dNx, d => Dedup.nearDupPairs(d, threshold = 0.5)),
+      bench("d6", d1x, dNx, d => Dedup.clusterIds(
         Dedup.nearDupPairs(d, threshold = 0.5)
           .select(col("doc_a"), col("doc_b")))),
-      bench("v2", (_, e) => Similarity.ivfKnn(e, queries, k = 3)),
-      bench("v12", (_, e) => Similarity.pqKnn(e, queries,
+      bench("v2", e1x, eNx, e => Similarity.ivfKnn(e, queries, k = 3)),
+      bench("v12", e1x, eNx, e => Similarity.pqKnn(e, queries,
         Similarity.pqCodebook(e, m = 4, k = 16), k = 3,
-        cellCol = Some("label"))))
+        cellCol = Some("label"))),
+      bench("t23", v1x, vNx, v => Frequency.windowedHeavyHitters(
+        v.select(expr("unix_millis(ts) DIV 86400000 * 86400000").as("w"),
+          col("user_id").cast("string").as("u")),
+        windowCol = col("w"), valueCol = "u", k = 64, num = 1L, den = 50L)),
+      bench("s3", v1x, vNx, v => Series.cusum(v, "user_id", "ts",
+        "event_id", "value", driftCents = 42000L)))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)
