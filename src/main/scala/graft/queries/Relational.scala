@@ -399,6 +399,23 @@ object Relational {
           count(lit(1)).as("order_ct"))
     },
 
+    // ---- per-group value percentiles — the latency-profile staple.
+    // Percentiles interpolate over exact CENTS integers (t6's proven
+    // percentile ↔ quantile_cont pairing is on ints), descaled by the
+    // identical /100.0 on both engines
+    "q31_value_profile" -> { (s, dir) =>
+      ev(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (Graft.dec2(col("value")) * 100).cast(LongType).as("cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (percentile(col("cents"), lit(0.25)) / 100.0).as("p25"),
+          (percentile(col("cents"), lit(0.5)) / 100.0).as("p50"),
+          (percentile(col("cents"), lit(0.75)) / 100.0).as("p75"),
+          (min(col("cents")) / lit(100.0)).as("vmin"),
+          (max(col("cents")) / lit(100.0)).as("vmax"))
+    },
+
     // ---- user-journey path mining — top event-type sequences per
     // 4-hour-gap session (q18's sessionization rule with an explicit
     // event_id tie-break, since sequence ORDER matters here). Gap
@@ -725,6 +742,19 @@ object Relational {
         |  COUNT(*) AS order_ct
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q31_value_profile" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n,
+        |  quantile_cont(cents, 0.25) / 100.0 AS p25,
+        |  quantile_cont(cents, 0.5) / 100.0 AS p50,
+        |  quantile_cont(cents, 0.75) / 100.0 AS p75,
+        |  MIN(cents) / 100.0 AS vmin,
+        |  MAX(cents) / 100.0 AS vmax
+        |FROM b GROUP BY event_type""".stripMargin,
 
     "q30_paths" ->
       """WITH x AS (

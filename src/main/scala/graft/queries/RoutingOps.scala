@@ -108,6 +108,22 @@ object RoutingOps {
         .agg(count(lit(1)).as("ct"))
     },
 
+    // ---- SCD2 dimension versioning ---------------------------------------
+    // change rows → type-2 validity intervals: each row's valid_to is
+    // the key's next change (null = current version), the layout q22's
+    // as-of join reconstructs point-in-time against. One lead window
+    // per key, (ts, event_id) tie-broken so intervals are
+    // deterministic under replay
+    "r4_scd2_intervals" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+    },
+
     // ---- P4: config-driven column pruning --------------------------------
     // (delete rows drop out at the route join, as in r2)
     "r3_column_prune" -> { (s, dir) =>
@@ -147,6 +163,13 @@ object RoutingOps {
          |FROM x JOIN $sqlConfig
          |  ON x.event_type = c.sourceTable AND x.op = c.operateType
          |GROUP BY sinkType, sinkTable""".stripMargin,
+
+    "r4_scd2_intervals" ->
+      """SELECT user_id, event_id, ts, value,
+        |  LEAD(ts) OVER w AS valid_to,
+        |  LEAD(ts) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "r3_column_prune" ->
       s"""WITH x AS (
