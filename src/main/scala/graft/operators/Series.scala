@@ -122,9 +122,14 @@ object Series {
     * boundary at any parallelism. |cents| ≤ 2^40-ish and n ≤ events
     * per key keep n·cents far from overflow for any realistic key.
     *
-    * Scale shape: one broadcast of the per-key (n, total) aggregate
-    * back onto the stream, one exchange + sort per key for the two
-    * windows — the same cost class as any per-key sessionization.
+    * Scale shape: the per-key (n, total) aggregate joins back on the
+    * SAME key partitioning the windows sort on — the join is
+    * deliberately NOT broadcast (the stats frame has one row per key
+    * and grows with key count; forcing it through the driver is the
+    * q28 shape misapplied — q28 broadcasts because its event side has
+    * no downstream key exchange to ride). Total cost: one exchange +
+    * sort per key for the join and both windows together — the same
+    * class as any per-key sessionization.
     *
     * @return flagged rows only: (key, id, ts, cusum) with `cusum` the
     *         running exceedance in value units (S_i, descaled).
@@ -143,7 +148,7 @@ object Series {
       .agg(count(lit(1)).as("_n"), sum(col("_cents")).as("_tot"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(stats), Seq(keyCol))
+    base.join(stats, Seq(keyCol))
       .withColumn("_x", col("_n") * col("_cents") - col("_tot"))
       .withColumn("_p", sum(col("_x")).over(w))
       .withColumn("_m", min(col("_p")).over(w))

@@ -242,6 +242,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("s3 cusum: both windows ride ONE sort; the stats join is not forced") {
+    val p = plan("s3_cusum")
+    // prefix-sum and running-min share the same (key, ts, id) sort —
+    // a second Sort appearing means the windows stopped co-planning
+    assert("""\(\d+\) Sort\b""".r.findAllIn(p).size == 1, p.take(2000))
+    assert("""\(\d+\) Window\b""".r.findAllIn(p).size == 2, p.take(2000))
+  }
+
   test("t23 windowed heavy hitters: MG partials + broadcast verify") {
     val p = plan("t23_windowed_hh")
     // same contract as t8, per window: bounded partial buffers before
