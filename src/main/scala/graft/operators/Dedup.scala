@@ -640,15 +640,19 @@ object Dedup {
                    textCol: String = "text",
                    contentKey: Column => Column =
                      TextFunctions.contentHash): DataFrame = {
+    // presence is a per-side literal, NOT key-nullness: a null-text row
+    // has a null content key but still EXISTS in its snapshot (the
+    // curation pipeline models exactly such rows), and the id-keyed
+    // oracle semantics key presence on the row, so must we
     val o = oldDocs.select(col(idCol),
-      contentKey(col(textCol)).as("_old_key"))
+      contentKey(col(textCol)).as("_old_key"), lit(true).as("_in_old"))
     val n = newDocs.select(col(idCol),
-      contentKey(col(textCol)).as("_new_key"))
+      contentKey(col(textCol)).as("_new_key"), lit(true).as("_in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("_old_key").isNull, "added")
-          .when(col("_new_key").isNull, "removed")
-          .when(col("_old_key") === col("_new_key"), "unchanged")
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(col("_old_key") <=> col("_new_key"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

@@ -132,6 +132,11 @@ object Frequency {
     * @param windowCol window-start expression (e.g. day-truncated
     *   epoch millis); rows with a null value are excluded, mirroring
     *   the global variant.
+    * @param cacheInput same lifecycle hazard as [[heavyHitters]]'s
+    *   flag: the cached frame is the (window, value)-level dataset —
+    *   a long-lived session sweeping many distinct corpora should
+    *   pass false or clear the cache between sweeps, or cached copies
+    *   accumulate until eviction thrashing.
     */
   def windowedHeavyHitters(rows: DataFrame, windowCol: Column,
                            valueCol: String, k: Int,

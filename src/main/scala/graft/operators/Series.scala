@@ -117,10 +117,14 @@ object Series {
     *
     * Exactness: everything is INTEGER. Values go to cents via
     * DECIMAL(18,2); the per-key mean is avoided by scaling through n
-    * (x_i·n = n·cents_i − total_cents), so S'_i = n·S_i stays a
-    * BIGINT and the flag compare (S' > driftCents·n) has no float
-    * boundary at any parallelism. |cents| ≤ 2^40-ish and n ≤ events
-    * per key keep n·cents far from overflow for any realistic key.
+    * (x_i·n = n·cents_i − total_cents), and the flag compare
+    * (S' > driftCents·n) has no float boundary at any parallelism.
+    * The scaled deviations and their prefix sums run as DECIMAL(38,0),
+    * not BIGINT: the per-point term n·cents is long-safe, but the
+    * window's PREFIX SUM accumulates up to ~n²·maxCents, which clears
+    * 2⁶³ for large hot keys — a silent wrap in non-ANSI Spark while
+    * the oracle's HUGEINT stays exact. Decimal sums keep both engines
+    * exact to 10³⁸.
     *
     * Scale shape: the per-key (n, total) aggregate joins back on the
     * SAME key partitioning the windows sort on — the join is
@@ -145,11 +149,14 @@ object Series {
         (col(valueCol).cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("_cents"))
     val stats = base.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("_n"), sum(col("_cents")).as("_tot"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_cents").cast(DecimalType(38, 0))).as("_tot"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.join(stats, Seq(keyCol))
-      .withColumn("_x", col("_n") * col("_cents") - col("_tot"))
+      .withColumn("_x",
+        (col("_cents").cast(DecimalType(38, 0)) * col("_n") - col("_tot"))
+          .cast(DecimalType(38, 0)))
       .withColumn("_p", sum(col("_x")).over(w))
       .withColumn("_m", min(col("_p")).over(w))
       .withColumn("_s", col("_p") - least(col("_m"), lit(0L)))
@@ -176,8 +183,11 @@ object Series {
     events
       .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol), col(idCol), col(tsCol),
+        // decimal for the same prefix-sum-overflow reason as [[cusum]]
+        // (here the bound is ~n·maxCents — smaller, but the wrap mode
+        // would be the same silent one)
         ((col(valueCol).cast(DecimalType(18, 2)) * 100)
-          .cast(LongType) - targetCents).as("_x"))
+          .cast(LongType) - targetCents).cast(DecimalType(38, 0)).as("_x"))
       .withColumn("_p", sum(col("_x")).over(w))
       .withColumn("_m", min(col("_p")).over(w))
       .withColumn("_s", col("_p") - least(col("_m"), lit(0L)))

@@ -255,7 +255,7 @@ object DedupOps {
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN o.ok = n.nk THEN 'unchanged'
+        |       WHEN o.ok IS NOT DISTINCT FROM n.nk THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 

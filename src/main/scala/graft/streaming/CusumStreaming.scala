@@ -54,10 +54,14 @@ object CusumStreaming {
         (key: String, rows: Iterator[Pt],
          state: GroupState[CusumState]) => {
           val st0 = state.getOption.getOrElse(CusumState(0L, Nil))
-          // cents via round-half-up of value·100 — the same value the
-          // batch twin's DECIMAL(18,2) cast produces for these inputs
+          // cents via HALF_UP (away from zero), matching the batch
+          // twin's DECIMAL(18,2) cast exactly — Math.round rounds half
+          // toward +infinity and disagrees on negative half-cents
+          // (-12.5 → -12 instead of -13)
           val incoming = rows
-            .map(p => (p.ts, p.id, Math.round(p.value * 100))).toSeq
+            .map(p => (p.ts, p.id,
+              BigDecimal(p.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+                .*(100).toLongExact)).toSeq
           val wm = state.getCurrentWatermarkMs()
           // fold everything the watermark has sealed, in event order
           val (ready, pending) = (st0.pending ++ incoming)

@@ -97,6 +97,12 @@ object ScaleSmoke {
     def bench(name: String, small: DataFrame, big: DataFrame,
               run: DataFrame => DataFrame): (String, Double) = {
       def once(in: DataFrame): Double = {
+        // operators persist intermediates internally (LSH buckets, HH
+        // inputs); a cache surviving from the warmup would serve the 1×
+        // timed run a partially-cached pipeline while the 10× run pays
+        // full cost — a spuriously super-linear ratio. Every run
+        // starts cold.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         run(in).count()
         (System.nanoTime() - t0) / 1e9

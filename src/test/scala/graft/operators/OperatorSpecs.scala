@@ -207,6 +207,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out === expect)
   }
 
+  test("snapshotDiff keys presence on the row, not content-key nullness") {
+    // null-text rows have a null content key but still EXIST in their
+    // snapshot — they must classify by id presence like any other row
+    val oldV = Seq((1L, "same"), (2L, null), (3L, "was"), (4L, null))
+      .toDF("doc_id", "text")
+    val newV = Seq((1L, "same"), (2L, "now text"), (4L, null), (5L, "new"))
+      .toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(oldV, newV)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(
+      1L -> "unchanged",
+      2L -> "changed",   // null -> text: the id was present, not 'added'
+      3L -> "removed",
+      4L -> "unchanged", // null on both sides: same (absent) content
+      5L -> "added"))
+  }
+
   test("incrementalNew anti-joins history hashes, keeps null-text rows") {
     val ref = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
     val fresh = Seq((10L, "seen before"),     // in history → dropped

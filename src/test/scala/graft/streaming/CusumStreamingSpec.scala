@@ -62,6 +62,18 @@ class CusumStreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty) // the fixture must actually flag something
   }
 
+  test("negative exact-half-cent values round like the batch DECIMAL cast") {
+    // -0.125 is exact in binary; HALF_UP gives -13 cents where
+    // Math.round(-12.5) would give -12 — the twin must agree with the
+    // batch side's DECIMAL(18,2) semantics on exactly these inputs
+    val rows = Seq(
+      (1L, 1000L, 13.00), (2L, 2000L, 14.50),
+      (3L, 3000L, -0.125), (4L, 4000L, -2.625),
+      (5L, 5000L, 16.00), (6L, 6000L, 15.875))
+    val got = run(Seq(rows.map { case (id, ts, v) => pt("k", id, ts, v) }))
+    assert(got === batchTwin(rows))
+  }
+
   test("arrival order and batch boundaries don't change the flags") {
     val expect = batchTwin(rows)
     // shuffled within-delay arrival, split across micro-batches
