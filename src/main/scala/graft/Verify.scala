@@ -17,10 +17,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var nestedViolations = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Harness contract: the driver canonicalizes rows via pandas,
+        // which cannot sort/hash nested cells (Array/Map/Struct) —
+        // such a column passes the repo's tolerant tools/check.py but
+        // red-flags in the real driver. Fail fast and loud here.
+        val nested = df.schema.fields.collect {
+          case f if !isAtomic(f.dataType) => s"${f.name}: ${f.dataType.sql}"
+        }
+        if (nested.nonEmpty) {
+          nestedViolations ::= s"$name -> ${nested.mkString(", ")}"
+          System.err.println(
+            s"[verify] $name emits nested-typed columns the driver " +
+            s"cannot canonicalize: ${nested.mkString(", ")}")
+        } else {
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -40,5 +56,23 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (nestedViolations.nonEmpty) {
+      System.err.println(
+        s"[verify] ${nestedViolations.size} quer(ies) violate the " +
+        "atomic-columns contract:\n  " + nestedViolations.mkString("\n  "))
+      sys.exit(2)
+    }
   }
+
+  /** True iff the driver's pandas-based checker can sort/hash the type:
+    * atomic scalars only — Array/Map/Struct cells raise
+    * `unhashable type: numpy.ndarray` inside its canonicalizing sort.
+    */
+  private def isAtomic(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case _: org.apache.spark.sql.types.StructType => false
+      case _ => true
+    }
 }

@@ -146,7 +146,11 @@ object Frequency {
     require((k + 1L) * num >= den,
       s"windowedHeavyHitters needs num/den >= 1/(k+1), got $num/$den with k=$k")
     val sketch = udaf(new MisraGries(k))
-    val filtered = rows.filter(col(valueCol).isNotNull)
+    // null windows are excluded like null values: a null-window group
+    // would otherwise surface heavy-hitter rows with a null
+    // window_start that no consumer (or oracle mirror) models
+    val filtered = rows
+      .filter(col(valueCol).isNotNull && windowCol.isNotNull)
       .select(windowCol.as("_w"), col(valueCol))
     val in = if (cacheInput) filtered.persist() else filtered
     val first = in.groupBy(col("_w"))

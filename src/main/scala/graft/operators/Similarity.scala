@@ -366,7 +366,20 @@ object Similarity {
     * rows per group — never a collect of raw vectors.
     */
   def meanPool(corpus: DataFrame, groupCol: String, dims: Int,
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding"): DataFrame =
+    meanPoolRows(corpus, groupCol, dims, vecCol)
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("pooled"))
+
+  /** The scalar half of [[meanPool]]: one `(group, pos, m)` row per
+    * group×dimension, before the per-group array rebuild. This is the
+    * shape flat consumers (and row-oriented checkers) want — every
+    * column atomic, exactly `dims` rows per group.
+    */
+  def meanPoolRows(corpus: DataFrame, groupCol: String, dims: Int,
+                   vecCol: String = "embedding"): DataFrame = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     corpus
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
@@ -377,10 +390,6 @@ object Similarity {
       .groupBy(col(groupCol), col("pos"))
       .agg(((sum(col("q")).cast(DoubleType) / count(lit(1))) / 1e12)
         .as("m"))
-      .groupBy(col(groupCol))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x.getField("m")).as("pooled"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): keep
@@ -560,7 +569,9 @@ object Similarity {
     *
     * Deterministic and partition-independent like [[trainKmeans]]:
     * assignment ties break to the lowest codeword id, mean components
-    * sum as DECIMAL(28,12) (associative) before the double divide, and
+    * floor-quantize to 1e-12 and sum as DECIMAL(38,0) (associative,
+    * and — unlike a decimal cast — tie-free: see [[meanPool]]'s
+    * HALF_UP/HALF_EVEN analysis) before the double divide, and
     * a codeword that loses all members keeps its previous value. Per
     * round: one corpus scan (map-side argmin per subspace — the m×k
     * codegen'd folds of [[pqEncode]]), one partial-aggregated shuffle
@@ -589,8 +600,8 @@ object Similarity {
             slice(col("v"), col("mi") * sub + 1, lit(sub)),
             x => x.cast("double"))).as(Seq("pos", "x")))
         .groupBy(col("mi"), col("cid"), col("pos"))
-        .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
-          count(lit(1))).as("mu"))
+        .agg(((sum(floor(col("x") * 1e12).cast(DecimalType(38, 0)))
+          .cast("double") / count(lit(1))) / 1e12).as("mu"))
         .collect()
       val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
         .map { case (key, rows) =>

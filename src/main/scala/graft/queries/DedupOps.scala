@@ -83,8 +83,10 @@ object DedupOps {
       truth
         .join(cand.select(col("doc_a"), col("doc_b"), lit(1L).as("hit")),
           Seq("doc_a", "doc_b"), "left")
+        // outer coalesce: SUM over zero rows is NULL in Spark but the
+        // oracle's COUNT is 0 — the empty-truth fixture must agree
         .agg(count(lit(1)).as("n_true"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("n_hit"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
         .select(col("n_true"), col("n_hit"), col("n_cand"),
           (col("n_hit").cast("double") / col("n_true").cast("double"))

@@ -173,11 +173,13 @@ object VectorOps {
           (col("refined_hits").cast("double") / lit(10.0)).as("refined_recall"))
     },
 
-    // chunk→doc mean pooling: one vector per label, per-position
-    // DECIMAL-exact means — partitioning-independent, hash-checkable
-    // down to the last bit of every component
+    // chunk→doc mean pooling, surfaced as scalar (label, pos, m) rows
+    // — the pre-array half of Similarity.meanPool, so every output
+    // column is atomic and row-checkable; library callers wanting the
+    // pooled vector use Similarity.meanPool, which rebuilds the array
+    // from exactly these rows
     "v18_mean_pool" -> { (s, dir) =>
-      Similarity.meanPool(emb(s, dir), "label", dims = 64)
+      Similarity.meanPoolRows(emb(s, dir), "label", dims = 64)
     },
 
     // recall@3 of the IVF probe-1 path against exact brute force —
@@ -389,8 +391,10 @@ object VectorOps {
     * `pqKnn(e, querySet, pqCodebookRefined(e, 4, 16, iters = 1), 3)`.
     * Seed codebook and seed encode are the sqlPqKnn CTEs; the
     * refinement round re-centers each (subspace, codeword) on the
-    * DECIMAL(28,12)-summed mean of its assigned sub-vectors (the
-    * sqlKmeans update, per subspace slice), codewords with no members
+    * floor(x·1e12)-quantized DECIMAL(38,0)-summed mean of its assigned
+    * sub-vectors (meanPool's tie-free quantization — a plain decimal
+    * cast would tie at digit 12 where Spark rounds HALF_UP and DuckDB
+    * HALF_EVEN), codewords with no members
     * keep their seed slice, then encode + ADC re-run against the
     * refined sub-sliced codewords. Every float op is the same strict
     * fold as the Spark side.
@@ -416,7 +420,8 @@ object VectorOps {
        |  WHERE rnk = 1),
        |mu AS (
        |  SELECT m, cid, pos,
-       |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu
+       |    (CAST(SUM(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE)
+       |      / COUNT(*)) / 1e12 AS mu
        |  FROM (
        |    SELECT en.m, en.cid,
        |      unnest(range(16)) AS pos,
@@ -579,11 +584,10 @@ object VectorOps {
         |  FROM embeddings
         |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
         |m AS (
-        |  SELECT label, pos,
+        |  SELECT label, CAST(pos AS INTEGER) AS pos,
         |    (CAST(SUM(q) AS DOUBLE) / COUNT(*)) / 1e12 AS m
         |  FROM x GROUP BY label, pos)
-        |SELECT label, list(m ORDER BY pos) AS pooled
-        |FROM m GROUP BY label""".stripMargin,
+        |SELECT label, pos, m FROM m""".stripMargin,
 
     // seed leg = v9's mirror at k=10, refined leg = the one-round
     // Lloyd's mirror; both counted against the exact brute-force CTE

@@ -57,8 +57,12 @@ object CusumStreaming {
           // cents via HALF_UP (away from zero), matching the batch
           // twin's DECIMAL(18,2) cast exactly — Math.round rounds half
           // toward +infinity and disagrees on negative half-cents
-          // (-12.5 → -12 instead of -13)
+          // (-12.5 → -12 instead of -13). Non-finite values are
+          // dropped first for the same twin contract: the batch cast
+          // nulls NaN/Infinity and filters the row, whereas
+          // BigDecimal(NaN) would throw and kill the whole query.
           val incoming = rows
+            .filter(p => !p.value.isNaN && !p.value.isInfinite)
             .map(p => (p.ts, p.id,
               BigDecimal(p.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
                 .*(100).toLongExact)).toSeq

@@ -9,6 +9,14 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
      (NaN-safe), with a small report per query.
 
 Driver-side tooling only — NOT part of the shipped library.
+
+CAVEAT — this mirror is MORE tolerant than the real driver: norm()
+tuple-izes list/ndarray cells and the sort is str-keyed, so a query
+that emits an ARRAY/MAP/STRUCT column passes here but dies in the
+driver's pandas sort_values ("unhashable type: numpy.ndarray", see
+v18 in CORRECTNESS_r07). graft.Verify now rejects nested-typed output
+columns up front (exit 2), so a green Verify run is the real contract;
+treat any nested-column pass from this script as suspect.
 """
 import json
 import math
