@@ -76,6 +76,77 @@ object Mixing {
       .drop("_pr", "_rk")
   }
 
+  /** Two-pass [[prioritySample]]: identical output, but the rank
+    * window only ever sorts ~k survivors per stratum instead of the
+    * stratum's whole slice — the 100 TB shape, where a stratum can be
+    * multi-TB and even WindowGroupLimit's per-task top-k still sorts
+    * every task's full input locally.
+    *
+    *  1. One exact aggregate counts rows per (stratum, ⌊log2 pr⌋)
+    *     priority octave — strata × ~2100 possible octaves, in practice
+    *     a few dozen per stratum: model-sized, collected (the
+    *     [[mixByTokenBudget]] phase-1 pattern, NOT an approx-percentile
+    *     sketch, so the retention guarantee is unconditional).
+    *  2. The driver scans each stratum's octaves in ascending order and
+    *     cuts at the first prefix holding ≥ k rows; the cutoff is that
+    *     octave's UPPER edge, so at least min(k, n) rows survive —
+    *     never an undershoot, and the overshoot is bounded by the
+    *     cutoff octave's own population (≈k again when priorities
+    *     spread across octaves, since octave counts grow geometrically
+    *     for anything uniform-ish; degenerate only if one octave holds
+    *     the whole stratum).
+    *  3. Survivors flow through the exact [[prioritySample]] rank
+    *     window — same ordering, same ties, bit-identical output
+    *     (spec-pinned in MixingSpec).
+    */
+  def prioritySampleThresholded(docs: DataFrame, strataCol: String,
+                                idCol: String, weight: Column,
+                                k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = conv(substring(md5(concat(lit("p:"),
+        col(idCol).cast(StringType))), 1, 12), 16, 10).cast(LongType)
+    val w = weight.cast(DoubleType)
+    val base = docs
+      .filter(col(idCol).isNotNull && w.isNotNull && w > 0)
+      .withColumn("_pr", u.cast(DoubleType) / w)
+      // string stratum key for the broadcast cutoff map; null strata
+      // group under the same sentinel the map uses (the
+      // mixByTokenBudget convention)
+      .withColumn("_st", coalesce(col(strataCol).cast(StringType), lit("")))
+      // clamp before log2: pr = 0 (md5 prefix 0x000000000000) and
+      // double overflow to +inf both land in finite edge octaves
+      .withColumn("_oct", floor(log2(greatest(least(col("_pr"),
+        lit(1e300)), lit(1e-300)))).cast(IntegerType))
+    val counts = base.groupBy(col("_st"), col("_oct"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    if (counts.isEmpty) return base.drop("_pr", "_st", "_oct")
+    // driver scan: per stratum, the first ascending-octave prefix with
+    // >= k rows; cutoff = 2^(oct+1), the octave's exclusive upper edge
+    val cutoffs: Map[String, Double] = counts.groupBy(_._1).map {
+      case (st, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val cum = sorted.map(_._3).scanLeft(0L)(_ + _).tail
+        val idx = cum.indexWhere(_ >= k)
+        val cut =
+          if (idx < 0) Double.PositiveInfinity // n < k: keep the lot
+          // the top clamp octave (floor(log2 1e300) = 996) also holds
+          // rows clamped DOWN from above its true edge — only +inf is
+          // a safe upper bound there
+          else if (sorted(idx)._2 >= 996) Double.PositiveInfinity
+          else math.pow(2.0, sorted(idx)._2 + 1.0)
+        st -> cut
+    }
+    val win = Window.partitionBy(col("_st"))
+      .orderBy(col("_pr").asc, col(idCol))
+    base
+      .filter(col("_pr") <
+        element_at(typedLit(cutoffs), col("_st")))
+      .withColumn("_rk", row_number().over(win))
+      .filter(col("_rk") <= k)
+      .drop("_pr", "_st", "_oct", "_rk")
+  }
+
   def mixByTokenBudget(docs: DataFrame, domainCol: String, idCol: String,
                        weight: Column, budgets: Map[String, Long],
                        defaultBudget: Long, buckets: Int = 16): DataFrame = {

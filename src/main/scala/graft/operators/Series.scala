@@ -224,4 +224,71 @@ object Series {
       .filter(col("l1") <= maxL1Cents)
       .select(col("key_a"), col("w_a"), col("key_b"), col("w_b"), col("l1"))
   }
+
+  /** Multi-probe [[similarWindows]]: closes the documented grid-boundary
+    * recall gap the same way v15's multiprobe closes IVF's — one side
+    * of the self-join additionally probes neighboring grid cells, the
+    * other side keeps its single home cell, and candidate generation
+    * stays an equi-join on the cell id.
+    *
+    * The probe set is ADAPTIVE, not a blind ±1 box: dimension i probes
+    * offset −1 only when `v_i mod width < maxL1` (a partner within the
+    * L1 budget could sit below the cell floor) and +1 only when
+    * `v_i mod width + maxL1 ≥ width` (one could sit at or above the
+    * ceiling). A window centered in its cells probes nothing extra, so
+    * with the usual tuning `maxL1 ≪ width` the expansion is ~1×, not
+    * 3^dims — the blind box is the worst case, reached only when
+    * `maxL1 = width`.
+    *
+    * Recall contract: EXACT (every pair with L1 ≤ `maxL1Cents`
+    * surfaces) whenever `widthCents ≥ maxL1Cents`, because then no
+    * qualifying pair can differ by more than one cell in any dimension
+    * and the offset conditions characterize one-cell reachability
+    * precisely. Below that, recall still strictly dominates
+    * single-probe but >1-cell straddles are missed.
+    *
+    * Each unordered pair surfaces at most once: probe offset vectors
+    * are distinct, so distinct probe cells; the partner holds exactly
+    * one home cell; the (key, window) tie-break kills the mirrored
+    * orientation.
+    */
+  def similarWindowsMultiprobe(sketch: DataFrame, widthCents: Long,
+                               maxL1Cents: Long,
+                               dims: Int = 4): DataFrame = {
+    require(widthCents > 0 && maxL1Cents >= 0)
+    require(dims >= 1 && dims <= 8,
+      s"dims must be in [1, 8] (probe box is 3^dims), got $dims")
+    // all 3^dims offset vectors, enumerated driver-side as literals;
+    // the per-row filter below prunes to the reachable ones
+    val combos: Seq[Seq[Int]] = Seq.fill(dims)(Seq(-1, 0, 1))
+      .foldLeft(Seq(Seq.empty[Int]))((acc, o) =>
+        acc.flatMap(c => o.map(c :+ _)))
+    val withCell = sketch.filter(size(col("v")) === dims).persist()
+    val probed = withCell
+      .withColumn("_combo", explode(typedLit(combos)))
+      // values are non-negative (volumeSketch contract) so % == mod
+      .filter(expr(
+        s"""forall(zip_with(v, _combo, (x, o) -> CASE
+           |  WHEN o = 0 THEN true
+           |  WHEN o = -1 THEN x % $widthCents < ${maxL1Cents}L
+           |    AND x DIV $widthCents > 0
+           |  ELSE x % $widthCents + ${maxL1Cents}L >= $widthCents
+           |END), p -> p)""".stripMargin))
+      .select(col("series_key").as("key_a"), col("w").as("w_a"),
+        col("v").as("v_a"),
+        expr(s"""concat_ws(',', zip_with(v, _combo,
+                |(x, o) -> CAST(x DIV $widthCents + o AS STRING)))"""
+          .stripMargin).as("_probe"))
+    val home = withCell.select(col("series_key").as("key_b"),
+      col("w").as("w_b"), col("v").as("v_b"),
+      expr(s"concat_ws(',', transform(v, c -> " +
+        s"CAST(c DIV $widthCents AS STRING)))").as("_cell_b"))
+    probed.join(home, col("_probe") === col("_cell_b") &&
+        (col("key_a") < col("key_b") ||
+          (col("key_a") === col("key_b") && col("w_a") < col("w_b"))))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(v_a, v_b, (x, y) -> abs(x - y)), 0L, (a, d) -> a + d)"))
+      .filter(col("l1") <= maxL1Cents)
+      .select(col("key_a"), col("w_a"), col("key_b"), col("w_b"), col("l1"))
+  }
 }

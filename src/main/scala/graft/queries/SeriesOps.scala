@@ -19,6 +19,17 @@ object SeriesOps {
         widthCents = 10000L, maxL1Cents = 10000L)
     },
 
+    // multi-probe variant at width = maxL1, where the adaptive ±1
+    // probe set makes recall EXACT — so the oracle is the brute-force
+    // all-pairs L1 join with NO grid at all: matching it cross-engine
+    // proves the boundary-recall gap (Series.scala scaladoc) is closed
+    "s5_series_multiprobe" -> { (s, dir) =>
+      Series.similarWindowsMultiprobe(
+        Series.volumeSketch(Tables.events(s, dir), keyCol = "event_type",
+          tsCol = "ts", valueCol = "value"),
+        widthCents = 10000L, maxL1Cents = 10000L, dims = 4)
+    },
+
     // per-user daily grid with forward fill — each user spans ~30 days
     // at sf0.01, so every key exercises multi-point fill
     "s2_resample" -> { (s, dir) =>
@@ -67,6 +78,30 @@ object SeriesOps {
         |  ON a.v[1]//10000 = b.v[1]//10000 AND a.v[2]//10000 = b.v[2]//10000
         | AND a.v[3]//10000 = b.v[3]//10000 AND a.v[4]//10000 = b.v[4]//10000
         | AND (a.event_type < b.event_type
+        |      OR (a.event_type = b.event_type AND a.w < b.w))
+        |WHERE abs(a.v[1]-b.v[1]) + abs(a.v[2]-b.v[2]) + abs(a.v[3]-b.v[3])
+        |    + abs(a.v[4]-b.v[4]) <= 10000""".stripMargin,
+
+    // deliberately gridless: the mirror is exhaustive all-pairs under
+    // the L1 bound, so a hash match certifies the multiprobe's exact-
+    // recall claim (width >= maxL1), not just its candidate arithmetic
+    "s5_series_multiprobe" ->
+      """WITH seg AS (
+        |  SELECT event_type, epoch_us(ts)::BIGINT // 7200000000 AS seg,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, seg // 4 AS w,
+        |    list(cents ORDER BY seg) AS v, count(*) AS n
+        |  FROM seg GROUP BY 1, 2),
+        |f AS (SELECT * FROM win WHERE n = 4)
+        |SELECT a.event_type AS key_a, a.w AS w_a,
+        |  b.event_type AS key_b, b.w AS w_b,
+        |  abs(a.v[1]-b.v[1]) + abs(a.v[2]-b.v[2]) + abs(a.v[3]-b.v[3])
+        |    + abs(a.v[4]-b.v[4]) AS l1
+        |FROM f a JOIN f b
+        |  ON (a.event_type < b.event_type
         |      OR (a.event_type = b.event_type AND a.w < b.w))
         |WHERE abs(a.v[1]-b.v[1]) + abs(a.v[2]-b.v[2]) + abs(a.v[3]-b.v[3])
         |    + abs(a.v[4]-b.v[4]) <= 10000""".stripMargin,

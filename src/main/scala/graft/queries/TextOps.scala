@@ -122,6 +122,16 @@ object TextOps {
         .select(col("doc_id"), col("source"))
     },
 
+    // two-pass variant: octave-bucketed cutoff pass, then the exact
+    // rank window over ~k survivors per stratum — same oracle SQL as
+    // t24 because the output contract is bit-identical; a green row
+    // certifies the threshold pass loses nothing
+    "t25_weighted_sample_2p" -> { (s, dir) =>
+      graft.operators.Mixing.prioritySampleThresholded(
+        docs(s, dir), "source", "doc_id", nTokens(col("text")), k = 5)
+        .select(col("doc_id"), col("source"))
+    },
+
     // ---- deterministic stratified sampling -------------------------------
     // per-language rates: en downsampled hard, zh half, rest 80% — the
     // "rebalance the corpus" op every multilingual pipeline runs
@@ -308,6 +318,21 @@ object TextOps {
     // in both BIGINT and DOUBLE, the division is the identical IEEE op,
     // so the per-source top-5 agrees bit-for-bit
     "t24_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS w
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST('0x' || substr(md5('p:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE)
+        |      / CAST(w AS DOUBLE) AS pr
+        |  FROM d WHERE w > 0)
+        |SELECT doc_id, source FROM p
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY pr, doc_id) <= 5""".stripMargin,
+
+    // identical mirror to t24 by design: the two-pass sampler's
+    // contract is bit-equality with the one-pass rank
+    "t25_weighted_sample_2p" ->
       """WITH d AS (
         |  SELECT doc_id, source,
         |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS w

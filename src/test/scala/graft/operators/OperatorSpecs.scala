@@ -355,6 +355,45 @@ class SeriesSpec extends AnyFunSuite {
     assert(out === Set(("A", 0L, "A", 5L, 30L)))
   }
 
+  test("multiprobe finds the boundary-straddling pair single-probe misses") {
+    // D and E straddle the 500-cell boundary in dim 0 (495 vs 505,
+    // cells 0 vs 1) and are L1 = 12 apart — single-probe's blind spot
+    val sketch = Seq(
+      ("D", 0L, Seq(495L, 200L)), ("E", 0L, Seq(505L, 202L)),
+      ("F", 0L, Seq(900L, 900L)))
+      .toDF("series_key", "w", "v")
+    val single = Series.similarWindows(sketch, widthCents = 500L,
+      maxL1Cents = 40L).collect()
+    assert(single.isEmpty)
+    val multi = Series.similarWindowsMultiprobe(sketch, widthCents = 500L,
+        maxL1Cents = 40L, dims = 2)
+      .as[(String, Long, String, Long, Long)].collect().toSet
+    assert(multi === Set(("D", 0L, "E", 0L, 12L)))
+  }
+
+  test("multiprobe at width >= maxL1 equals brute-force all-pairs") {
+    // random sketch; the exact-recall contract says the grid must not
+    // lose (or duplicate) any qualifying pair vs the O(n^2) join
+    val rnd = new scala.util.Random(7)
+    val sketch = (1 to 120).map(i =>
+        (s"k${i % 25}", (i / 25).toLong, Seq.fill(3)(rnd.nextLong(2000))))
+      .toDF("series_key", "w", "v")
+    val brute = sketch.as("a").crossJoin(sketch.as("b"))
+      .filter(expr("a.series_key < b.series_key OR " +
+        "(a.series_key = b.series_key AND a.w < b.w)"))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> abs(x - y)), 0L, (a, d) -> a + d)"))
+      .filter(col("l1") <= 700L)
+      .select(expr("a.series_key"), expr("a.w"), expr("b.series_key"),
+        expr("b.w"), col("l1"))
+      .as[(String, Long, String, Long, Long)].collect().toSet
+    val multi = Series.similarWindowsMultiprobe(sketch, widthCents = 700L,
+        maxL1Cents = 700L, dims = 3)
+      .as[(String, Long, String, Long, Long)].collect()
+    assert(multi.length === multi.toSet.size) // no duplicated pairs
+    assert(multi.toSet === brute)
+  }
+
   test("resample forward-fills the grid from the last observation") {
     // step = 10s; A observes at 3s/15s/27s → grid instants 10s, 20s
     val rows = Seq(("A", 3L, 1.0), ("A", 15L, 2.0), ("A", 27L, 3.0))

@@ -229,6 +229,41 @@ class MixingSpec extends AnyFunSuite {
     assert(Mixing.prioritySample(z, "source", "doc_id", col("w"), k = 5)
       .select("doc_id").as[Long].collect().toSeq === Seq(2L))
   }
+
+  test("thresholded two-pass sample equals the one-pass rank bit-for-bit") {
+    val tf = graft.functions.TextFunctions
+    def ids(f: (org.apache.spark.sql.DataFrame, String, String,
+        org.apache.spark.sql.Column, Int) => org.apache.spark.sql.DataFrame,
+        df: org.apache.spark.sql.DataFrame, k: Int) =
+      f(df, "source", "doc_id", tf.nTokens(col("text")), k)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    // small k (heavy pruning), k larger than some strata (keep-all
+    // path), and a skewed-weight frame (octaves spread wide)
+    for (k <- Seq(1, 5, 1000)) {
+      assert(ids(Mixing.prioritySampleThresholded, docs, k) ===
+        ids(Mixing.prioritySample, docs, k), s"k=$k")
+    }
+    val skewed = (1L to 500L)
+      .map(i => (i, s"s${i % 3}", math.pow(10.0, (i % 7).toDouble)))
+      .toDF("doc_id", "source", "w")
+    val a = Mixing.prioritySampleThresholded(skewed, "source", "doc_id",
+      col("w"), 7).select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Mixing.prioritySample(skewed, "source", "doc_id",
+      col("w"), 7).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
+  test("thresholded sample: null strata group together; tiny strata kept whole") {
+    val df = Seq((Some("x"), 1L), (None, 2L), (None, 3L), (None, 4L))
+      .map { case (s, i) => (i, s.orNull, 1.0) }
+      .toDF("doc_id", "source", "w")
+    val out = Mixing.prioritySampleThresholded(df, "source", "doc_id",
+      col("w"), k = 2)
+    // the x-stratum has 1 row (< k: kept whole); nulls form one
+    // stratum and yield exactly k
+    assert(out.filter($"source".isNull).count() === 2L)
+    assert(out.filter($"source" === "x").count() === 1L)
+  }
 }
 
 class DupSpansSpec extends AnyFunSuite {
