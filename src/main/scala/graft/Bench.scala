@@ -44,7 +44,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","mode":"steady-state (1 untimed warmup pass, min of 2 timed passes per query)"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","mode":"steady-state (1 untimed warmup pass, min of 2 timed passes per query)"}"""
+    println(json)
+    // the driver's BENCH_r{N}.json capture head-truncates on long runs,
+    // losing ~25 queries of cross-round comparison — persist the full
+    // line locally so every round's numbers survive verbatim
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
+    }
     spark.stop()
   }
 }

@@ -47,6 +47,79 @@ object Decontaminate {
   def wordNgrams(text: Column, n: Int): Column =
     wordNgramsOf(tokenize(text), n)
 
+  /** Bloom-prefiltered [[contaminationReport]]: bit-identical output,
+    * but corpus grams pass through a Bloom membership test BEFORE any
+    * join — the 100 TB shape when the benchmark gram set is too large
+    * to broadcast raw. The bloom stage is a pure map (k codegen'd
+    * xxhash64 probes against a literal bit array, ~1 bit/gram of
+    * protected content at these parameters vs ~30 bytes/gram raw), so
+    * only the tiny surviving fraction ever reaches the exact-verify
+    * join — which therefore no longer NEEDS to be a broadcast: with
+    * survivors at ~fp-rate × corpus, a shuffled equi-join on the gram
+    * is executor-memory-safe however big the benchmark grows.
+    *
+    * Exactness contract: Bloom filters have no false negatives, and
+    * every false positive dies in the exact join — so the output
+    * equals [[contaminationReport]]'s on any input (the t26 oracle
+    * certifies this cross-engine against the gridless exact SQL).
+    *
+    * The filter is built WITH Spark's own xxhash64 (one eval-set-sized
+    * job collecting bit positions, never the grams themselves), so the
+    * probe side is guaranteed hash-compatible with the build side.
+    *
+    * @param bitsLog2 log2 of the bit-array size (default 2²⁰ bits =
+    *   16K longs in the plan literal); size ~10 bits/gram for ~1% fp
+    * @param k number of hash probes per gram
+    */
+  def contaminationReportBloom(corpus: DataFrame, bench: DataFrame,
+                               idCol: String, textCol: String, n: Int,
+                               bitsLog2: Int = 20, k: Int = 5): DataFrame = {
+    require(bitsLog2 >= 6 && bitsLog2 <= 30,
+      s"bitsLog2 must be in [6, 30], got $bitsLog2")
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    val m = 1L << bitsLog2
+    val benchGrams = bench
+      .select(tokenize(col(textCol)).as("_w"))
+      .select(explode(wordNgramsOf(col("_w"), n)).as("g"))
+      .distinct()
+    // probe i's position for gram g; seeding by prefix keeps the k
+    // probes independent while reusing the codegen'd hash both sides
+    def pos(g: Column, i: Int): Column =
+      pmod(xxhash64(concat(lit(s"b$i:"), g)), lit(m))
+    // build: positions (not grams) come back to the driver — k × |bench
+    // grams| longs, eval-set sized
+    val setBits = benchGrams
+      .select(explode(array((0 until k).map(i => pos(col("g"), i)): _*))
+        .as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](1 << (bitsLog2 - 6))
+    setBits.foreach { p =>
+      words((p >>> 6).toInt) |= (1L << (p & 63L))
+    }
+    val bits = typedLit(words.toSeq)
+    val hit = (g: Column) => (0 until k)
+      .map { i =>
+        val p = pos(g, i)
+        // bitwiseAND, not % 2: arithmetic shiftright keeps the sign
+        // bit, and Spark's % is a remainder (-3 % 2 = -1) — a set bit
+        // in a negative word would read as unset under % 2 = 1
+        (call_function("shiftright",
+          element_at(bits, (p / 64 + 1).cast("int")),
+          (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1)
+      }
+      .reduce(_ && _)
+    corpus
+      .select(col(idCol), tokenize(col(textCol)).as("_w"))
+      .select(col(idCol),
+        explode(array_distinct(wordNgramsOf(col("_w"), n))).as("g"))
+      .filter(hit(col("g")))
+      // exact verify over the survivors; deliberately NOT broadcast —
+      // see scaladoc (AQE may still choose broadcast when small)
+      .join(benchGrams, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hit_ct"))
+  }
+
   /** Per-corpus-doc contamination report: (id, hit_ct) where hit_ct =
     * #distinct n-grams of the doc that appear anywhere in `bench`.
     * Docs with zero overlap are absent (the common case — keep the

@@ -199,4 +199,56 @@ object Frequency {
         (col("rare_ct").cast("double") / col("n_toks").cast("double"))
           .as("rare_frac"))
   }
+
+  /** Corpus-level collocations: the top word bigrams by LIFT,
+    * p(xy)/(p(x)·p(y)) — the exponent-free core of PMI, the "which
+    * phrases behave as units" signal behind tokenizer-vocab and
+    * stop-phrase curation. `minCount` suppresses the classic PMI
+    * pathology (hapax pairs scoring ∞-ish).
+    *
+    * Determinism: counts are exact integers; lift is ONE fixed-shape
+    * double expression over them — c_xy·N·N / (B·c_x·c_y), evaluated
+    * left-to-right in both engines — and the top-k orders by (lift,
+    * bigram), so ranking is bit-stable cross-engine.
+    *
+    * Scale shape: unigram and bigram counts are two partial-aggregated
+    * shuffles (state bounded by vocab / observed-bigram count); the
+    * count-table joins are equi-joins on the word; scalar totals ride
+    * a broadcast; the final top-k is TakeOrdered (orderBy + limit),
+    * never a global sort. For open vocabularies where even the bigram
+    * count table is too fat, gate the input through [[heavyHitters]]
+    * first — lift needs c_x, c_y ≥ minCount survivors only.
+    */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val words = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.TextFunctions.tokenize(lower(col(textCol)))
+          .as("_w"))
+    val uni = words.select(explode(col("_w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // bigrams stay within a doc (never straddle documents)
+    val bi = words
+      .filter(size(col("_w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_w) - 1), i -> struct(_w[i-1] AS w1, _w[i] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+    val totals = uni.agg(sum(col("c")).as("n_tok"))
+      .crossJoin(bi.agg(sum(col("cxy")).as("n_bi")))
+    val lift = col("cxy").cast("double") * col("n_tok") * col("n_tok") /
+      (col("n_bi").cast("double") * col("cx") * col("cy"))
+    bi.filter(col("cxy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("cy")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
+        lift.as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

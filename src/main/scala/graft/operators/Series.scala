@@ -252,6 +252,102 @@ object Series {
     * one home cell; the (key, window) tie-break kills the mirrored
     * orientation.
     */
+  /** Per-key linear trend: exact-sum OLS slope/intercept of value vs
+    * time — the "is this metric drifting and how fast" fit behind
+    * monitoring dashboards and feature drift reports, complementing
+    * [[cusum]] (which detects a drift) with its RATE.
+    *
+    * Exactness: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    * are INTEGER sums — x in whole seconds since the key's own first
+    * observation (the shift keeps magnitudes small and the fit
+    * origin-invariant), y in cents via DECIMAL(18,2) — accumulated as
+    * DECIMAL(38,0) (HUGEINT in the oracle), so they are bit-identical
+    * at any parallelism; slope/intercept are then single double
+    * expressions over those exact integers, deterministic cross-engine.
+    *
+    * Scale shape: one unordered per-key window (min, no sort) + one
+    * partial-aggregatable groupBy on the same key — no joins, no
+    * driver state. Degenerate keys (one point, or all points in the
+    * same second) get null slope/intercept via the nullif'd
+    * denominator, never a divide error.
+    */
+  def trend(events: DataFrame, keyCol: String, tsCol: String,
+            valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val pts = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros(CAST($tsCol AS TIMESTAMP))").as("tus"),
+        (dec2(col(valueCol)) * 100).cast(LongType).as("cents"))
+      .filter(col("cents").isNotNull) // non-finite values null the cast
+    val x = expr("(tus - min(tus) OVER (PARTITION BY key)) DIV 1000000")
+    val agg = pts
+      .select(col("key"), x.as("x"), col("cents"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("cents").cast(d38)).as("sy"),
+        sum((col("x") * col("cents")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast(DoubleType)
+    val den = nullif((col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast(DoubleType), lit(0.0))
+    agg.select(col("key"), col("n"),
+      (num / den / 100.0).as("slope"),
+      ((col("sy").cast(DoubleType) - num / den * col("sx").cast(DoubleType))
+        / col("n") / 100.0).as("intercept"))
+  }
+
+  /** Robust per-key outliers by median absolute deviation: flag points
+    * whose |value − median| exceeds `k` × MAD — the outlier gate that,
+    * unlike q28's z-score, a few extreme points cannot drag (median
+    * and MAD have a 50% breakdown point; mean/σ have 0%).
+    *
+    * Exactness: values are integer cents, medians are exact
+    * (`percentile` / `quantile_cont` — the mid-pair average, a
+    * .5-grained value exactly representable in double), deviations are
+    * |int − .5-grain| and the MAD is again an exact mid-pair average —
+    * every compare is over exactly-representable doubles, so the
+    * flagged set is bit-identical cross-engine. A zero MAD (≥ half the
+    * key's points AT the median) flags every off-median point, the
+    * standard degenerate-MAD behavior.
+    *
+    * Scale shape: two per-key aggregations and two equi-joins, all
+    * riding one key partitioning — the [[cusum]] stats-join rule: the
+    * per-key frames grow with key count, so neither is broadcast.
+    * Exact `percentile` buffers one key's values per group; keys are
+    * assumed executor-sized (the same contract as any per-key sort —
+    * for multi-TB single keys you'd swap in approx_percentile and
+    * lose the oracle).
+    */
+  def madOutliers(events: DataFrame, keyCol: String, idCol: String,
+                  tsCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val pts = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), col(idCol).as("id"),
+        col(tsCol).as("ts"),
+        (dec2(col(valueCol)) * 100).cast(LongType).as("cents"))
+      .filter(col("cents").isNotNull)
+    val med = pts.groupBy(col("key"))
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = pts.join(med, "key")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = dev.groupBy(col("key"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(mad, "key")
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select(col("key"), col("id"), col("ts"),
+        (col("cents") / 100.0).as("value"),
+        (col("med") / 100.0).as("median"),
+        (col("mad") / 100.0).as("mad"))
+  }
+
   def similarWindowsMultiprobe(sketch: DataFrame, widthCents: Long,
                                maxL1Cents: Long,
                                dims: Int = 4): DataFrame = {

@@ -43,6 +43,18 @@ object QcOps {
         "doc_id", "text", n = 4)
     },
 
+    // bloom-prefiltered decontam against src1 as the eval set (a
+    // distinct row set from t13): the oracle is the EXACT report's
+    // SQL, so a green row certifies the no-false-negative /
+    // FPs-die-in-verify contract cross-engine, not just the plumbing
+    "t26_bloom_decontam" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Decontaminate.contaminationReportBloom(
+        d.filter(col("source") =!= "src1"),
+        d.filter(col("source") === "src1"),
+        "doc_id", "text", n = 4)
+    },
+
     // ---- rule-based redaction with per-rule counts -----------------------
     "t14_redact" -> { (s, dir) =>
       Redact.redact(docs(s, dir), "text", corpusRules)
@@ -181,6 +193,24 @@ object QcOps {
         |SELECT doc_id, COUNT(*) AS hit_ct
         |FROM grams JOIN bench USING (g)
         |WHERE source <> 'src0'
+        |GROUP BY doc_id""".stripMargin,
+
+    // the EXACT report's SQL (no bloom modeled): output equality is
+    // the bloom variant's correctness contract
+    "t26_bloom_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(len(w) - 3),
+        |      i -> list_aggregate(w[i+1:i+4], 'string_agg', ' ')))) AS g
+        |  FROM toks WHERE len(w) >= 4),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src1')
+        |SELECT doc_id, COUNT(*) AS hit_ct
+        |FROM grams JOIN bench USING (g)
+        |WHERE source <> 'src1'
         |GROUP BY doc_id""".stripMargin,
 
     "t14_redact" ->

@@ -54,6 +54,21 @@ object SeriesOps {
       Series.cusumFixedTarget(Tables.events(s, dir), keyCol = "user_id",
         tsCol = "ts", idCol = "event_id", valueCol = "value",
         targetCents = 5000L, driftCents = 60000L)
+    },
+
+    // per-user OLS drift rate — integer sufficient statistics, one
+    // double expression at the end; complements s3 (detection) with
+    // the RATE of the drift
+    "s6_trend" -> { (s, dir) =>
+      Series.trend(Tables.events(s, dir), keyCol = "user_id",
+        tsCol = "ts", valueCol = "value")
+    },
+
+    // robust outliers: 3×MAD gate per user — medians exact on both
+    // engines, so the flagged set is hash-comparable
+    "s7_mad_outliers" -> { (s, dir) =>
+      Series.madOutliers(Tables.events(s, dir), keyCol = "user_id",
+        idCol = "event_id", tsCol = "ts", valueCol = "value", k = 3.0)
     })
 
   // epoch_us // on non-negative longs ≡ Spark DIV; cents sums are
@@ -173,5 +188,61 @@ object SeriesOps {
         |SELECT user_id, event_id, ts,
         |  CAST(p - least(m, 0) AS DOUBLE) / 100.0 AS cusum
         |FROM z
-        |WHERE p - least(m, 0) > 60000""".stripMargin)
+        |WHERE p - least(m, 0) > 60000""".stripMargin,
+
+    // sums as HUGEINT mirror Spark's DECIMAL(38,0) (both exact
+    // integers, both correctly-rounded on the final double cast); x is
+    // whole seconds since the key's first observation, so // == DIV
+    "s6_trend" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts)::BIGINT AS tus,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |q AS (
+        |  SELECT user_id,
+        |    (tus - MIN(tus) OVER (PARTITION BY user_id)) // 1000000 AS x,
+        |    cents
+        |  FROM p),
+        |a AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(cents AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * cents) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM q GROUP BY user_id)
+        |SELECT user_id AS key, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) / 100.0 AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |     - CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+        |       * CAST(sx AS DOUBLE))
+        |    / n / 100.0 AS intercept
+        |FROM a""".stripMargin,
+
+    // quantile_cont = Spark's exact percentile (mid-pair average);
+    // cents are integers so every median/deviation is an exactly-
+    // representable double and the 3×MAD compare has no float edge
+    "s7_mad_outliers" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |st AS (
+        |  SELECT user_id, quantile_cont(cents, 0.5) AS med
+        |  FROM p GROUP BY user_id),
+        |d AS (
+        |  SELECT p.user_id, p.event_id, p.ts, p.cents, st.med,
+        |    abs(p.cents - st.med) AS dev
+        |  FROM p JOIN st USING (user_id)),
+        |md AS (
+        |  SELECT user_id, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY user_id)
+        |SELECT d.user_id AS key, d.event_id AS id, d.ts,
+        |  d.cents / 100.0 AS value, d.med / 100.0 AS median,
+        |  md.mad / 100.0 AS mad
+        |FROM d JOIN md USING (user_id)
+        |WHERE d.dev > 3.0 * md.mad""".stripMargin)
 }

@@ -98,6 +98,14 @@ object TextOps {
         "token", k = 32, num = 1L, den = 30L)
     },
 
+    // ---- top collocations by lift ----------------------------------------
+    // corpus-level bigram phrases: exact integer counts, one fixed-
+    // shape double lift expression, (lift, bigram) TakeOrdered top-50
+    "t27_collocations" -> { (s, dir) =>
+      graft.operators.Frequency.collocations(
+        docs(s, dir), "doc_id", "text", minCount = 5L, topK = 50)
+    },
+
     // ---- per-window exact heavy hitters (batch twin of the streaming
     // windowed MG sketch) ---------------------------------------------------
     // day windows over events, heavy users per day at > 1/50 of the
@@ -299,6 +307,37 @@ object TextOps {
         |FROM t, n
         |GROUP BY token, n.n
         |HAVING COUNT(*) * 30 > n.n""".stripMargin,
+
+    // counts exact; lift is the IDENTICAL left-to-right double
+    // expression (cxy·N·N / (B·cx·cy)) on both engines, and the tie-
+    // break is the bigram's bytewise string order
+    "t27_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |uc AS (
+        |  SELECT w0 AS w, COUNT(*) AS c FROM (
+        |    SELECT unnest(w) AS w0 FROM toks)
+        |  GROUP BY 1),
+        |bc AS (
+        |  SELECT b['w1'] AS w1, b['w2'] AS w2, COUNT(*) AS cxy FROM (
+        |    SELECT unnest(list_transform(range(len(w) - 1),
+        |      i -> struct_pack(w1 := w[i+1], w2 := w[i+2]))) AS b
+        |    FROM toks WHERE len(w) >= 2)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT SUM(c) FROM uc) AS n_tok,
+        |               (SELECT SUM(cxy) FROM bc) AS n_bi)
+        |SELECT w1, w2, cxy, cx, cy,
+        |  CAST(cxy AS DOUBLE) * n_tok * n_tok
+        |    / (CAST(n_bi AS DOUBLE) * cx * cy) AS lift
+        |FROM bc
+        |JOIN (SELECT w AS w1, c AS cx FROM uc) USING (w1)
+        |JOIN (SELECT w AS w2, c AS cy FROM uc) USING (w2)
+        |CROSS JOIN tot
+        |WHERE cxy >= 5
+        |ORDER BY lift DESC, w1, w2
+        |LIMIT 50""".stripMargin,
 
     // integer threshold per window (ct*50 > n_window); the oracle is
     // the exact per-window formulation the windowed 2-pass MG scheme

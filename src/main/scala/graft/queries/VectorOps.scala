@@ -49,6 +49,17 @@ object VectorOps {
       Similarity.nearDupPairs(emb(s, dir), threshold = 0.3)
     },
 
+    // semantic dedup GROUPS: connected components over the v3 cosine
+    // near-dup graph — SemDeDup (v10) keeps one doc per PAIR decision;
+    // this labels whole transitive families (the d6 shape on the
+    // embedding side), the unit a curation pipeline samples from
+    "v19_embed_clusters" -> { (s, dir) =>
+      graft.operators.Dedup.clusterIds(
+        Similarity.nearDupPairs(emb(s, dir), threshold = 0.3),
+        aCol = "vec_a", bCol = "vec_b")
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    },
+
     // iters=1 keeps the DuckDB oracle small (one argmax + one mean
     // update, mirrored CTE by CTE — see sqlKmeans); v8 pins a second
     // iteration, and monotonicity / partition-independence are pinned
@@ -686,6 +697,28 @@ object VectorOps {
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    ${sqlCos("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_sim
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |WHERE cos_sim >= 0.3""".stripMargin
+         |WHERE cos_sim >= 0.3""".stripMargin,
+
+    // transitive closure of the v3 pair graph: min reachable id per
+    // node via a recursive CTE (the d6 oracle pattern on the embedding
+    // side; Spark uses log-round pointer jumping — same fixpoint)
+    "v19_embed_clusters" ->
+      s"""WITH RECURSIVE e AS ($sqlWithNorm),
+         |pairs AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |      ${sqlCos("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos_sim
+         |    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |  WHERE cos_sim >= 0.3),
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+         |  UNION
+         |  SELECT vec_b, vec_a FROM pairs),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT ed.dst, r.comp FROM reach r JOIN edges ed ON ed.src = r.id)
+         |SELECT id AS vec_id, MIN(comp) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin
   )
 }

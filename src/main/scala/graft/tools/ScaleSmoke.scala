@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Frequency, Series, Similarity}
+import graft.operators.{Dedup, Frequency, Mixing, Series, Similarity}
 
 /** Scale-growth regression smoke: times the dedup (d2/d3/d6) and ANN
   * (v2/v12) families on a 1× and a deterministic 10× slice of the
@@ -47,7 +47,8 @@ object ScaleSmoke {
     val emb0 = spark.read.parquet(s"$baseDir/embeddings.parquet")
     // events via the ns->us normalization all event queries use
     val ev0 = graft.core.Tables.events(spark, baseDir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        col("event_type"))
     val nDocs = docs0.agg(max("doc_id")).as[Long].head() + 1
     val nVecs = emb0.agg(max("vec_id")).as[Long].head() + 1
     val nEv = ev0.agg(max("event_id")).as[Long].head() + 1
@@ -75,7 +76,7 @@ object ScaleSmoke {
       (0 until f).map { i =>
         ev0.select((col("event_id") + lit(i * nEv)).as("event_id"),
           col("ts"), (col("user_id") + lit(i * 1000000L)).as("user_id"),
-          col("value"))
+          col("value"), col("event_type"))
       }.reduce(_.unionByName(_))
 
     // materialize to parquet so every timed run scans real files, not
@@ -95,7 +96,13 @@ object ScaleSmoke {
     val queries = e1x.filter(col("vec_id") % 50 === 0)
 
     def bench(name: String, small: DataFrame, big: DataFrame,
-              run: DataFrame => DataFrame): (String, Double) = {
+              run: DataFrame => DataFrame): (String, Double) =
+      benchAction(name, small, big, in => { run(in).count(); () })
+
+    // for shapes whose output is a driver-side model (v17's codebook),
+    // not a DataFrame — the action itself must force the computation
+    def benchAction(name: String, small: DataFrame, big: DataFrame,
+                    run: DataFrame => Unit): (String, Double) = {
       def once(in: DataFrame): Double = {
         // operators persist intermediates internally (LSH buckets, HH
         // inputs); a cache surviving from the warmup would serve the 1×
@@ -104,7 +111,7 @@ object ScaleSmoke {
         // starts cold.
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        run(in).count()
+        run(in)
         (System.nanoTime() - t0) / 1e9
       }
       once(small) // warmup (codegen + reader init)
@@ -130,7 +137,45 @@ object ScaleSmoke {
           col("user_id").cast("string").as("u")),
         windowCol = col("w"), valueCol = "u", k = 64, num = 1L, den = 50L)),
       bench("s3", v1x, vNx, v => Series.cusum(v, "user_id", "ts",
-        "event_id", "value", driftCents = 42000L)))
+        "event_id", "value", driftCents = 42000L)),
+      // t24: per-stratum rank window — each copy adds rows to the SAME
+      // strata (source has ~5 values), so this exercises the full-
+      // stratum sort the thresholded variant avoids; t25 beside it
+      // shows the two-pass prefilter staying flat-ish on the same data
+      bench("t24", d1x, dNx, d => Mixing.prioritySample(
+        d, "source", "doc_id",
+        graft.functions.TextFunctions.nTokens(col("text")), k = 5)),
+      bench("t25", d1x, dNx, d => Mixing.prioritySampleThresholded(
+        d, "source", "doc_id",
+        graft.functions.TextFunctions.nTokens(col("text")), k = 5)),
+      // q30: sessionized path mining — per-user window sort + ordered
+      // collect; users are remapped per copy so sessions stay constant-
+      // size and the workload grows by key count
+      bench("q30", v1x, vNx, { v =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val us = unix_micros(col("ts"))
+        val prev = lag(us, 1).over(w)
+        v.withColumn("_ns",
+            when(prev.isNull || us - prev >= lit(14400000000L), 1)
+              .otherwise(0))
+          .withColumn("_sid", sum(col("_ns")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("_sid"))
+          .agg(concat_ws(">", transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type"))).as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("ct"))
+          .orderBy(col("ct").desc, col("path"))
+          .limit(20)
+      }),
+      // v17: refined PQ training — per round one corpus scan + one
+      // m×k×sub partial-aggregated shuffle; growth must track the scan
+      benchAction("v17", e1x, eNx, e => {
+        Similarity.pqCodebookRefined(e, m = 4, k = 16, iters = 2); ()
+      }))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)

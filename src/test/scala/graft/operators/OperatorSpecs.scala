@@ -319,6 +319,27 @@ class FrequencySpec extends AnyFunSuite {
     // count is within the guaranteed error band
     assert(merged("h") <= 40L && merged("h") >= 40L - 70L / 4L)
   }
+
+  test("collocations: hand-computed lift, doc-bounded bigrams, min count") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: (a,b)×2, (b,a)×1
+      (2L, "b a"),       // (b,a)×1
+      (3L, "c"),         // ends doc 3 …
+      (4L, "d d"))       // … and (c,d) must NOT appear (doc boundary)
+      .toDF("doc_id", "text")
+    val out = Frequency.collocations(docs, "doc_id", "text",
+        minCount = 2L, topK = 10)
+      .select("w1", "w2", "cxy", "cx", "cy", "lift")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    // N = 9 tokens (a:3 b:3 c:1 d:2); B = 5 bigrams
+    // lift(a,b) = 2·81 / (5·9) = 3.6; lift(b,a) = 2·81 / 45 = 3.6;
+    // (d,d) has cxy=1 < minCount; (c,d) must be absent entirely
+    assert(out.toSet === Set(
+      ("a", "b", 2L, 3L, 3L, 2.0 * 9 * 9 / (5.0 * 3 * 3)),
+      ("b", "a", 2L, 3L, 3L, 2.0 * 9 * 9 / (5.0 * 3 * 3))))
+    // equal lift ties break by bigram string order
+    assert(out.map(r => (r._1, r._2)).toSeq === Seq(("a", "b"), ("b", "a")))
+  }
 }
 
 class SeriesSpec extends AnyFunSuite {

@@ -83,6 +83,33 @@ class DecontaminateSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     assert(hits === Array((1L, 1L)))
   }
+
+  test("bloom-prefiltered report equals the exact report") {
+    val rnd = new scala.util.Random(11)
+    def sentence(): String =
+      Seq.fill(8)(s"w${rnd.nextInt(40)}").mkString(" ")
+    val bench = (100L to 119L).map(i => (i, sentence())).toDF("doc_id", "text")
+    val corpus = ((1L to 60L).map(i => (i, sentence())) ++
+      // guaranteed overlap: a few corpus docs quote bench text
+      Seq((61L, bench.as[(Long, String)].collect()(3)._2),
+          (62L, "quoted " + bench.as[(Long, String)].collect()(7)._2)))
+      .toDF("doc_id", "text")
+    val exact = Decontaminate
+      .contaminationReport(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toSet
+    val bloom = Decontaminate
+      .contaminationReportBloom(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(bloom === exact)
+    // a deliberately tiny, saturated filter (2^6 bits, 2 probes):
+    // plenty of REAL false positives now reach the verify join — and
+    // must all die there, leaving output still equal to exact
+    val tiny = Decontaminate
+      .contaminationReportBloom(corpus, bench, "doc_id", "text", n = 3,
+        bitsLog2 = 6, k = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(tiny === exact)
+  }
 }
 
 class RedactSpec extends AnyFunSuite {
