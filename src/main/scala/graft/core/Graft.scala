@@ -28,9 +28,11 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS), which Spark's reader
-      // rejects natively; read as nanos-since-epoch long and normalize
-      // in Tables.events (truncation to µs matches DuckDB's read).
+      // Some testdata generations write events.parquet with
+      // TIMESTAMP(NANOS), which Spark's reader rejects natively; this
+      // flag reads such columns as nanos-since-epoch longs, and
+      // Tables.events normalizes them (schema-dispatched, so µs-encoded
+      // data is untouched).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,13 +60,26 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** The events stream table with `ts` normalized to a proper µs
-    * timestamp. The parquet column is TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long
-    * of nanos-since-epoch. `DIV 1000` truncates toward zero (all data
-    * is post-1970) — exactly DuckDB's ns→µs read behavior, so
-    * event-time comparisons hash-match the oracle.
+    * timestamp, whichever physical encoding the parquet carries:
+    *  - TIMESTAMP(MICROS): read natively, used as-is.
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it natively; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a
+    *    long of nanos-since-epoch, and `DIV 1000` truncates toward
+    *    zero (all data is post-1970) — exactly DuckDB's ns→µs read
+    *    behavior, so event-time comparisons hash-match the oracle.
+    * Dispatching on the observed schema keeps every events consumer
+    * working across testdata regenerations that flip the encoding.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // TIMESTAMP_NTZ (isAdjustedToUTC=false) arrives as TimestampNTZType,
+      // which unix_micros/window/etc. reject. The session timezone is
+      // pinned to UTC, so casting reinterprets the same wall-clock as the
+      // same instant — bit-identical µs, matching DuckDB's naive read.
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
 }

@@ -479,8 +479,7 @@ class CusumSpec extends AnyFunSuite {
   }
 
   test("cusum is deterministic under repartitioning") {
-    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     def run(d: org.apache.spark.sql.DataFrame) =
       graft.operators.Series
         .cusum(d, "user_id", "ts", "event_id", "value", driftCents = 10000L)
