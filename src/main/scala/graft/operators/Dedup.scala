@@ -299,6 +299,95 @@ object Dedup {
     docs.groupBy(TextFunctions.contentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_ct"))
 
+  /** Corpus-wide duplicate-chunk removal (C4/RefinedWeb-style "line
+    * dedup", with fixed `n`-word chunks standing in for lines since
+    * the harness text has no newlines): split each doc into
+    * consecutive non-overlapping n-word chunks, keep only the FIRST
+    * occurrence of every distinct chunk corpus-wide (ordered by
+    * (doc id, chunk position)), and reassemble each doc from its
+    * surviving chunks in order.
+    *
+    * Scale shape: chunking is map-side (one HOF projection inside the
+    * scan); the only exchange is the hash-partition on the chunk text
+    * for the first-occurrence window — each chunk group is tiny, so no
+    * skewed sort; reassembly re-shuffles by doc id with a map-side
+    * partial (collect_list) — never a global sort. The reference's
+    * exact dedup (gmall-realtime keyed dedup, see [[exact]]) dedups
+    * whole payloads; this is its intra-document refinement used in
+    * LLM corpus cleaning.
+    *
+    * Output: (doc_id, clean_text, kept_chunks, dropped_chunks) — one
+    * row per doc that produced at least one chunk; a doc whose every
+    * chunk was seen earlier survives with clean_text = ''.
+    */
+  def chunkDedup(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
+      .filter(col("_w").isNotNull)
+    val chunks = words
+      .select(col(idCol), posexplode(
+        transform(
+          sequence(lit(0),
+            ceil(size(col("_w")).cast(DoubleType) / n).cast(LongType) - 1),
+          j => concat_ws(" ",
+            slice(col("_w"), (j * n + 1).cast(IntegerType), lit(n)))))
+        .as(Seq("idx", "chunk")))
+    val firstWins = Window.partitionBy(col("chunk"))
+      .orderBy(col(idCol), col("idx"))
+    chunks
+      .withColumn("rn", row_number().over(firstWins))
+      .groupBy(col(idCol))
+      .agg(
+        count(when(col("rn") === 1, 1)).as("kept_chunks"),
+        count(when(col("rn") > 1, 1)).as("dropped_chunks"),
+        coalesce(
+          array_join(transform(
+            array_sort(collect_list(
+              when(col("rn") === 1, struct(col("idx"), col("chunk"))))),
+            x => x.getField("chunk")), " "),
+          lit("")).as("clean_text"))
+      .select(col(idCol), col("clean_text"), col("kept_chunks"),
+        col("dropped_chunks"))
+  }
+
+  /** Asymmetric n-gram containment pairs: |shingles(a) ∩ shingles(b)|
+    * / |shingles(a)| ≥ threshold — "a is (mostly) contained in b".
+    * Catches quote/extraction/boilerplate-wrapper near-dups that
+    * symmetric Jaccard ([[nearDupPairs]]) misses: a short doc fully
+    * quoted inside a long one has high containment but low Jaccard
+    * (the union is dominated by the long doc).
+    *
+    * Same scale shape as the Jaccard path: candidates come from the
+    * shared-shingle inverted index (equi-join on the shingle — a
+    * superset of every containment > 0 pair, never a cross join), the
+    * shared count is a partial-aggregatable groupBy, and the per-doc
+    * shingle size joins in by id. All-integer arithmetic; the ratio is
+    * one exact IEEE divide, so both engines agree bit-for-bit.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       idCol: String = "doc_id",
+                       textCol: String = "text",
+                       n: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("sh_ct"))
+    val shared = sh.select(col(idCol).as("doc_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_ct"))
+    shared
+      .join(sizes.select(col(idCol).as("doc_a"), col("sh_ct").as("size_a")),
+        "doc_a")
+      .withColumn("containment",
+        col("shared_ct").cast(DoubleType) / col("size_a").cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared_ct"), col("size_a"),
+        col("containment"))
+  }
+
   /** Streaming near-dup detection against a growing bucket index: per
     * micro-batch, the batch's LSH bucket rows join the accumulated
     * index (candidates = new doc × any prior doc sharing a band

@@ -102,6 +102,71 @@ object Similarity {
       col("q_id") =!= col("n_id")), k)
   }
 
+  /** Sign-bit binary signature: bit d is set iff vec[d] > 0, packed
+    * into one BIGINT (dims ≤ 64 — the harness embeddings are 64-d; a
+    * wider model packs into an array of longs the same way). The
+    * classic 32× storage cut of binary quantization: a 64-float vector
+    * becomes 8 bytes, and Hamming distance over the packs is a single
+    * `bit_count(xor)` — one codegen'd ALU op per comparison instead of
+    * a 64-element float fold. Comparisons (`> 0`) are exact, so any
+    * engine derives the identical signature (the DuckDB oracle mirrors
+    * this with `list_sum`/`<<`).
+    */
+  def signBits(vec: Column): Column =
+    aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (v, i) => when(v > lit(0), call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Binary-quantized kNN: scan sign signatures (8 bytes/vector) for
+    * the Hamming top-`rerank` candidates per query, then rerank just
+    * those with exact cosine and keep top-`k`.
+    *
+    * The scale story is the two-phase read: the Hamming scan touches a
+    * 16-byte (id, sig) projection of the corpus — column pruning keeps
+    * the 100 TB of float vectors out of the scan entirely — and only
+    * |Q|×rerank candidate rows join back (broadcast, corpus-side scan
+    * prunes to (id, vec)) to fetch full vectors for the rerank. Both
+    * windows partition by q_id, so no global sort anywhere.
+    */
+  def hammingKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                 rerank: Int = 10,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qSig = broadcast(queries
+      .select(col(idCol).as("q_id"), signBits(col(vecCol)).as("q_sig"))
+      .filter(col("q_sig").isNotNull))
+    val cSig = corpus
+      .select(col(idCol).as("n_id"), signBits(col(vecCol)).as("n_sig"))
+      .filter(col("n_sig").isNotNull)
+    val wHam = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("n_id"))
+    val cand = qSig.crossJoin(cSig)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("hamming",
+        call_function("bit_count",
+          col("q_sig").bitwiseXOR(col("n_sig"))).cast(IntegerType))
+      .withColumn("h_rnk", row_number().over(wHam))
+      .filter(col("h_rnk") <= rerank)
+      .select("q_id", "n_id", "hamming")
+    val qFull = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm")))
+    val cFull = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).as("n_vec"), norm(col(vecCol)).as("n_nrm"))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    broadcast(cand).join(cFull, "n_id").join(qFull, "q_id")
+      .withColumn("cos_sim",
+        dot(col("q_vec"), col("n_vec")) /
+          nullif(col("q_nrm") * col("n_nrm"), lit(0.0)))
+      .withColumn("rnk", row_number().over(wCos))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("hamming"),
+        col("cos_sim"))
+  }
+
   /** Distributed coarse-cell assignment — the k-means "assign" step
     * that produces an IVF cell column: each vector goes to the
     * highest-cosine centroid (ties → lowest centroid id). Centroids

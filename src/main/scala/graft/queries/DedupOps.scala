@@ -93,6 +93,17 @@ object DedupOps {
             .as("recall"))
     },
 
+    // corpus-wide duplicate-chunk removal (C4-style line dedup with
+    // 3-word chunks as "lines"): first occurrence wins, docs
+    // reassembled from surviving chunks in order
+    "d10_chunk_dedup" -> { (s, dir) => Dedup.chunkDedup(docs(s, dir)) },
+
+    // asymmetric containment |A∩B|/|A| ≥ 0.5: quote/extraction
+    // near-dups symmetric Jaccard misses (the union washes them out)
+    "d11_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), threshold = 0.5)
+    },
+
     // snapshot audit: old = ids ∉ 7ℤ, new = ids ∉ 5ℤ with every 3rd
     // doc's text edited — so all four statuses (added/removed/
     // changed/unchanged) fire deterministically on any sf
@@ -175,6 +186,54 @@ object DedupOps {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
         | COUNT(*) AS dup_ct
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // non-overlapping 3-word chunks (1-based inclusive slice), first
+    // occurrence per distinct chunk by (doc_id, idx), docs rebuilt by
+    // ordered string_agg over survivors
+    "d10_chunk_dedup" ->
+      """WITH wd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |idx AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT))) AS j
+        |  FROM wd),
+        |chunks AS (
+        |  SELECT doc_id, j AS idx,
+        |    array_to_string(w[CAST(j*3+1 AS INT) : CAST(j*3+3 AS INT)],
+        |                    ' ') AS chunk
+        |  FROM idx),
+        |keep AS (
+        |  SELECT doc_id, idx, chunk,
+        |    ROW_NUMBER() OVER (PARTITION BY chunk
+        |                       ORDER BY doc_id, idx) AS rn
+        |  FROM chunks)
+        |SELECT doc_id,
+        |  coalesce(string_agg(chunk, ' ' ORDER BY idx)
+        |             FILTER (WHERE rn = 1), '') AS clean_text,
+        |  COUNT(*) FILTER (WHERE rn = 1) AS kept_chunks,
+        |  COUNT(*) FILTER (WHERE rn > 1) AS dropped_chunks
+        |FROM keep GROUP BY doc_id""".stripMargin,
+
+    // shared-shingle inverted index → per-ordered-pair shared count /
+    // |A|'s distinct shingles; ≥ 0.5 gate. Integer counts, one IEEE
+    // divide — bit-identical across engines
+    "d11_containment" ->
+      s"""WITH shingled AS (${sqlShingles("documents")}),
+         |sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+         |sizes AS (SELECT doc_id, len(sh) AS sh_ct FROM shingled),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(*) AS shared_ct
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, shared_ct, sz.sh_ct AS size_a,
+         |  CAST(shared_ct AS DOUBLE) / CAST(sz.sh_ct AS DOUBLE)
+         |    AS containment
+         |FROM shared JOIN sizes sz ON sz.doc_id = doc_a
+         |WHERE CAST(shared_ct AS DOUBLE) / CAST(sz.sh_ct AS DOUBLE)
+         |      >= 0.5""".stripMargin,
 
     "d2_lsh_candidates" ->
       s"""$sqlCandidates

@@ -193,6 +193,14 @@ object VectorOps {
       Similarity.meanPoolRows(emb(s, dir), "label", dims = 64)
     },
 
+    // binary quantization: 64 floats → one sign-bit long; Hamming
+    // top-10 scan (bit_count(xor), 8-byte payload) reranked by exact
+    // cosine to top-3 — the memory-bound ANN shape
+    "v20_hamming_knn" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.hammingKnn(e, querySet(e), k = 3, rerank = 10)
+    },
+
     // recall@3 of the IVF probe-1 path against exact brute force —
     // the eval harness any ANN deployment ships with
     "v11_ann_recall" -> { (s, dir) =>
@@ -506,6 +514,45 @@ object VectorOps {
 
   def oracle: Map[String, String] = Map(
     "v1_knn_brute" -> sqlKnn("q.vec_id <> c.vec_id"),
+
+    // sign signature = Σ 1<<d over dims with value > 0 (exact float
+    // comparison, engine-independent); Hamming = bit_count(xor); the
+    // cosine rerank reuses the strict-fold sqlCos, inlined in the
+    // window ORDER BY (aliases are not in scope there)
+    "v20_hamming_knn" ->
+      s"""WITH e AS ($sqlWithNorm),
+         |sigs AS (
+         |  SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(0, len(embedding)),
+         |      i -> CASE WHEN embedding[CAST(i AS INT) + 1] > 0
+         |           -- bit 63 as two's-complement min: DuckDB's checked
+         |           -- << rejects 1<<63; Spark's shiftleft wraps to
+         |           -- exactly this value, so the packs agree
+         |           THEN CASE WHEN i = 63
+         |                THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+         |                ELSE CAST(1 AS BIGINT) << i END
+         |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |cand AS (
+         |  SELECT q_id, n_id, hamming FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      CAST(bit_count(xor(q.sig, c.sig)) AS INT) AS hamming,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY bit_count(xor(q.sig, c.sig)), c.vec_id) AS h_rnk
+         |    FROM sigs q JOIN sigs c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id % 50 = 0)
+         |  WHERE h_rnk <= 10)
+         |SELECT q_id, n_id, rnk, hamming, cos_sim FROM (
+         |  SELECT t.q_id, t.n_id, t.hamming,
+         |    ${sqlCos("qe.embedding", "ce.embedding", "qe.nrm", "ce.nrm")}
+         |      AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY t.q_id
+         |      ORDER BY ${sqlCos("qe.embedding", "ce.embedding", "qe.nrm", "ce.nrm")} DESC,
+         |               t.n_id) AS rnk
+         |  FROM cand t
+         |  JOIN e qe ON qe.vec_id = t.q_id
+         |  JOIN e ce ON ce.vec_id = t.n_id)
+         |WHERE rnk <= 3""".stripMargin,
 
     "v6_kmeans_train" -> sqlKmeans(iters = 1),
 

@@ -991,3 +991,103 @@ class SkewSpec extends AnyFunSuite {
         .as[(String, String, Long, String)].collect().sorted.toSeq)
   }
 }
+
+class ChunkDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("first occurrence wins corpus-wide and docs reassemble in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // chunks: "a b c", "d e f"
+      (2L, "a b c x y z"),          // "a b c" dup of doc 1's first chunk
+      (3L, "d e f"),                // fully duplicated → empty survivor
+      (4L, "a b c d e f")           // both chunks dups
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, n = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === (("a b c d e f", 2L, 0L)))
+    assert(out(2L) === (("x y z", 1L, 1L)))
+    assert(out(3L) === (("", 0L, 1L)))
+    assert(out(4L) === (("", 0L, 2L)))
+  }
+
+  test("within-doc repeats collapse to the first position") {
+    val docs = Seq((1L, "a b c a b c d e f")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, n = 3)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(out === ((1L, "a b c d e f", 2L, 1L)))
+  }
+
+  test("short tail chunk is kept as its own unit") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text") // "a b c", "d"
+    val out = Dedup.chunkDedup(docs, n = 3)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(out === ((1L, "a b c d", 2L, 0L)))
+  }
+}
+
+class ContainmentSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("quote containment fires where symmetric jaccard stays silent") {
+    // doc 1 is fully quoted inside doc 2's much longer text
+    val quote = "alpha beta gamma delta epsilon"
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),
+      (2L, s"$filler $quote"),
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, threshold = 0.8)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    // 1 ⊂ 2: every shingle of 1 appears in 2 → containment 1.0
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 === 1.0))
+    // the reverse direction is diluted by the filler → below gate
+    assert(!pairs.exists(p => p._1 == 2L && p._2 == 1L))
+    // and symmetric jaccard would miss the pair entirely at 0.5
+    val jac = Dedup.nearDupPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+  }
+}
+
+class HammingKnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("signBits packs sign comparisons, bit 63 wrapping to Long.MinValue") {
+    val v64 = Array.tabulate(64)(i => if (i == 63 || i == 0) 1.0f else -1.0f)
+    val sig = Seq(Tuple1(v64)).toDF("embedding")
+      .select(Similarity.signBits(col("embedding"))).as[Long].collect().head
+    assert(sig === (Long.MinValue | 1L))
+    val zeros = Array.fill(4)(0.0f) // zero / negative dims set no bits
+    val sigZ = Seq(Tuple1(zeros)).toDF("embedding")
+      .select(Similarity.signBits(col("embedding"))).as[Long].collect().head
+    assert(sigZ === 0L)
+  }
+
+  test("hamming scan finds sign-identical vectors; rerank orders by cosine") {
+    // 0 and 1: same orthant (hamming 0), 1 closer in cosine than 2
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f, -1.0f, -1.0f)),
+      (1L, Array(0.9f, 1.1f, -0.9f, -1.1f)),
+      (2L, Array(1.0f, -1.0f, 1.0f, -1.0f)),
+      (3L, Array(-1.0f, -1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hammingKnn(vecs, vecs.filter($"vec_id" === 0),
+        k = 3, rerank = 3)
+      .select("n_id", "rnk", "hamming")
+      .as[(Long, Int, Int)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L)) // cosine order
+    assert(out.head._3 === 0)       // same orthant → hamming 0
+    assert(out.last._3 === 4)       // antipode → all bits differ
+    // rerank cap excludes the hamming-farthest candidate
+    val capped = Similarity.hammingKnn(vecs, vecs.filter($"vec_id" === 0),
+        k = 3, rerank = 2)
+      .select("n_id").as[Long].collect().toSet
+    assert(capped === Set(1L, 2L))
+  }
+}
