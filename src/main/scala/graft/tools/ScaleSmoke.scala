@@ -62,6 +62,21 @@ object ScaleSmoke {
           col("source"))
       }.reduce(_.unionByName(_))
 
+    // word-tagged copies: EVERY word carries a per-copy prefix, so the
+    // shingle space is disjoint across copies — the fixture for
+    // inverted-index shapes (d11 containment), whose workload would
+    // otherwise grow quadratically from copies sharing nearly all
+    // shingles (that would model a corpus of duplicates, not growth)
+    def scaledDocsTagged(f: Int): DataFrame =
+      (0 until f).map { i =>
+        docs0.select(
+          (col("doc_id") + lit(i * nDocs)).as("doc_id"),
+          (if (i == 0) col("text")
+           else array_join(transform(split(col("text"), " "),
+             w => concat(lit(s"c$i"), w)), " ")).as("text"),
+          col("source"))
+      }.reduce(_.unionByName(_))
+
     def scaledEmb(f: Int): DataFrame =
       (0 until f).map { i =>
         emb0.select((col("vec_id") + lit(i * nVecs)).as("vec_id"),
@@ -89,6 +104,8 @@ object ScaleSmoke {
     }
     val d1x = persist(scaledDocs(1), "docs1")
     val dNx = persist(scaledDocs(factor), s"docs$factor")
+    val dt1x = persist(scaledDocsTagged(1), "docsTagged1")
+    val dtNx = persist(scaledDocsTagged(factor), s"docsTagged$factor")
     val e1x = persist(scaledEmb(1), "emb1")
     val eNx = persist(scaledEmb(factor), s"emb$factor")
     val v1x = persist(scaledEv(1), "ev1")
@@ -175,7 +192,33 @@ object ScaleSmoke {
       // m×k×sub partial-aggregated shuffle; growth must track the scan
       benchAction("v17", e1x, eNx, e => {
         Similarity.pqCodebookRefined(e, m = 4, k = 16, iters = 2); ()
-      }))
+      }),
+      // d10: chunk dedup — map-side chunking + one hash exchange on the
+      // chunk; plain copies are the right fixture here (duplicate
+      // chunks across copies grow each first-wins group 10×, which is
+      // exactly the production duplicate load the window must absorb)
+      bench("d10", d1x, dNx, d => Dedup.chunkDedup(d)),
+      // d11: containment over the shared-shingle inverted index — the
+      // word-tagged fixture keeps shingles disjoint across copies so
+      // the index (and the join) grows linearly, modeling new content
+      bench("d11", dt1x, dtNx, d => Dedup.containmentPairs(d, 0.5)),
+      // v20: Hamming scan over 8-byte signatures + top-R cosine rerank;
+      // fixed query set, so work tracks the corpus scan
+      bench("v20", e1x, eNx, e => Similarity.hammingKnn(e, queries, k = 3)),
+      // t26: bloom-filter decontamination — train side grows 10×, the
+      // eval benchmark stays fixed (the ANN-query-set convention)
+      bench("t26", d1x, dNx, d => graft.operators.Decontaminate
+        .contaminationReportBloom(
+          d.filter(col("source") =!= "src1"),
+          d1x.filter(col("source") === "src1"), "doc_id", "text", n = 4)),
+      // t27: collocation mining — bigram count aggregate (partial
+      // map-side combine) + a broadcast unigram-stats join + top-k
+      bench("t27", d1x, dNx, d => graft.operators.Frequency
+        .collocations(d, "doc_id", "text", minCount = 5L, topK = 50)),
+      // s7: per-key median/MAD (two percentile aggs) + outlier filter;
+      // users remapped per copy → key count grows, per-key size fixed
+      bench("s7", v1x, vNx, v => Series.madOutliers(v, keyCol = "user_id",
+        idCol = "event_id", tsCol = "ts", valueCol = "value", k = 3.0)))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)
