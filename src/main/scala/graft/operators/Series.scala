@@ -348,6 +348,48 @@ object Series {
         (col("mad") / 100.0).as("mad"))
   }
 
+  /** Exponentially-weighted moving average over a finite `horizon` of
+    * events per key, α = 1/2 — EXACT-decimal, unlike the textbook
+    * recursive form: the recursion `e_i = αx_i + (1-α)e_{i-1}` folds
+    * floats in data order, which no two engines (or partitionings of a
+    * retry) reproduce bit-for-bit. With α = 1/2 the weights are powers
+    * of two, so the truncated-horizon EWMA is a ratio of two INTEGER
+    * sums: Σ 2^(H-1-j)·cents_{i-j} / (100·Σ 2^(H-1-j)), both exact in
+    * long, followed by one correctly-rounded IEEE divide — hash-equal
+    * everywhere. Truncating at H=16 discards < 2⁻¹⁶ of the mass.
+    *
+    * Shape: `horizon` lag() terms over ONE per-key window sort (a
+    * single exchange + sort, all map-side after); ramp-up rows (< H
+    * priors) renormalize over the weights actually present.
+    */
+  def ewma(events: DataFrame, keyCol: String, idCol: String,
+           tsCol: String, valueCol: String, horizon: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(horizon >= 1 && horizon <= 32,
+      s"horizon must be in [1, 32], got $horizon")
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("id"))
+    val pts = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), col(idCol).as("id"),
+        col(tsCol).as("ts"),
+        (dec2(col(valueCol)) * 100).cast(LongType).as("cents"))
+      .filter(col("cents").isNotNull)
+    val terms = (0 until horizon).map { j =>
+      val weight = 1L << (horizon - 1 - j)
+      val lagged = lag(col("cents"), j).over(w)
+      (coalesce(lagged * weight, lit(0L)),
+        when(lagged.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    pts
+      .withColumn("_num", terms.map(_._1).reduce(_ + _))
+      .withColumn("_den", terms.map(_._2).reduce(_ + _))
+      .select(col("key"), col("id"), col("ts"),
+        (col("cents") / 100.0).as("value"),
+        (col("_num").cast(DoubleType) /
+          (col("_den") * 100L).cast(DoubleType)).as("ewma"))
+  }
+
   def similarWindowsMultiprobe(sketch: DataFrame, widthCents: Long,
                                maxL1Cents: Long,
                                dims: Int = 4): DataFrame = {

@@ -347,6 +347,18 @@ object Relational {
           moneySum(col("o_totalprice")).as("total"))
     },
 
+    // full cube: all four grouping sets in one Expand-based pass (the
+    // rollup's lattice completion); grouping_id disambiguates a
+    // genuine NULL key from a subtotal row — same bitmask encoding on
+    // both engines
+    "q32_cube" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("ct"),
+          moneySum(col("l_extendedprice")).as("total"),
+          grouping_id().cast(LongType).as("gid"))
+    },
+
     // ---- bounce (user-jump) detection over real events -------------------
     // The events table has no page columns, so the page-view surface is
     // derived: mid = user, page = event_type, and an event ENTERS a
@@ -694,6 +706,13 @@ object Relational {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q32_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS ct,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     // lag/lead gaps-and-islands mirror of the derived-entry + bounce
     // composition: entry ⇔ prev gap ≥ 4h, bounce ⇔ entry with the next

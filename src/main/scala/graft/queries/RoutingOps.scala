@@ -108,6 +108,21 @@ object RoutingOps {
         .agg(count(lit(1)).as("ct"))
     },
 
+    // ---- CDC latest-state compaction -------------------------------------
+    // changelog → current snapshot: one row per user carrying the last
+    // change's payload (order (ts, event_id) — unique, so "last" is
+    // well-defined), users whose final change is a delete tombstoned
+    // away. One partial-aggregatable max(struct) — never a per-key
+    // window sort over the feed (see CdcRouter.latestState).
+    "r5_latest_state" -> { (s, dir) =>
+      val rows = ev(s, dir)
+        .withColumn("op", CdcRouter.normalizeOp(opCol))
+        .select(col("user_id"), col("ts"), col("event_id"), col("op"),
+          col("event_type"), col("value"))
+      CdcRouter.latestState(rows, keyCols = Seq("user_id"),
+        orderCols = Seq("ts", "event_id"))
+    },
+
     // ---- SCD2 dimension versioning ---------------------------------------
     // change rows → type-2 validity intervals: each row's valid_to is
     // the key's next change (null = current version), the layout q22's
@@ -163,6 +178,20 @@ object RoutingOps {
          |FROM x JOIN $sqlConfig
          |  ON x.event_type = c.sourceTable AND x.op = c.operateType
          |GROUP BY sinkType, sinkTable""".stripMargin,
+
+    "r5_latest_state" ->
+      s"""WITH feed AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN op = 'create' THEN 'insert' ELSE op END AS op,
+         |    event_type, value
+         |  FROM (SELECT *, $sqlOp AS op FROM events)
+         |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM feed)
+         |SELECT user_id, ts, event_id, op, event_type, value
+         |FROM ranked WHERE rn = 1 AND op <> 'delete'""".stripMargin,
 
     "r4_scd2_intervals" ->
       """SELECT user_id, event_id, ts, value,

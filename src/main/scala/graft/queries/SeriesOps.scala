@@ -69,7 +69,31 @@ object SeriesOps {
     "s7_mad_outliers" -> { (s, dir) =>
       Series.madOutliers(Tables.events(s, dir), keyCol = "user_id",
         idCol = "event_id", tsCol = "ts", valueCol = "value", k = 3.0)
+    },
+
+    // α=1/2 EWMA smoothing over a 16-event horizon — power-of-two
+    // weights make it a ratio of exact integer sums (see Series.ewma),
+    // so the smoothed series hash-matches across engines
+    "s8_ewma" -> { (s, dir) =>
+      Series.ewma(Tables.events(s, dir), keyCol = "user_id",
+        idCol = "event_id", tsCol = "ts", valueCol = "value", horizon = 16)
     })
+
+  /** s8's lag-chain SQL, generated for the 16-term horizon: numerator
+    * Σ 2^(15-j)·lag_j, denominator Σ 2^(15-j) over present lags.
+    */
+  private val sqlEwmaTerms: (String, String) = {
+    val horizon = 16
+    val num = (0 until horizon).map { j =>
+      val w = 1L << (horizon - 1 - j)
+      s"COALESCE(LAG(cents, $j) OVER w * $w, 0)"
+    }.mkString(" + ")
+    val den = (0 until horizon).map { j =>
+      val w = 1L << (horizon - 1 - j)
+      s"CASE WHEN LAG(cents, $j) OVER w IS NOT NULL THEN $w ELSE 0 END"
+    }.mkString(" + ")
+    (num, den)
+  }
 
   // epoch_us // on non-negative longs ≡ Spark DIV; cents sums are
   // DECIMAL-exact; L1 is integer — bit-identical across engines
@@ -244,5 +268,19 @@ object SeriesOps {
         |  d.cents / 100.0 AS value, d.med / 100.0 AS median,
         |  md.mad / 100.0 AS mad
         |FROM d JOIN md USING (user_id)
-        |WHERE d.dev > 3.0 * md.mad""".stripMargin)
+        |WHERE d.dev > 3.0 * md.mad""".stripMargin,
+
+    "s8_ewma" ->
+      s"""WITH p AS (
+         |  SELECT user_id, event_id, ts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND value IS NOT NULL)
+         |SELECT user_id AS key, event_id AS id, ts,
+         |  cents / 100.0 AS value,
+         |  CAST(${sqlEwmaTerms._1} AS DOUBLE) /
+         |    CAST((${sqlEwmaTerms._2}) * 100 AS DOUBLE) AS ewma
+         |FROM p
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)
 }

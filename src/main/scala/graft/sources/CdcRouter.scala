@@ -88,4 +88,43 @@ object CdcRouter {
     df.withColumn(afterCol,
       map_filter(col(afterCol),
         (k, _) => array_contains(split(col(sinkColumnsCol), ","), k)))
+
+  /** CDC latest-state compaction: fold a change feed down to the
+    * current snapshot — one row per key carrying the payload of that
+    * key's LAST change in `(orderCols)` order, with keys whose last
+    * change is a delete dropped entirely (the materialized-view
+    * semantics of replaying a changelog; reference: the dim-upsert
+    * sink overwrites by key, `DimUtil`/HBase puts, and a delete
+    * tombstones the row).
+    *
+    * Scale shape: a single `max(struct(order…, payload…))` aggregate —
+    * partial-aggregatable (map-side combine keeps one candidate row
+    * per key per partition before the exchange), so the shuffle
+    * carries ≤ |keys| rows, not the feed. The alternative
+    * (`row_number` over a per-key window) shuffles and sorts every
+    * change row; at a 100 TB changelog the agg wins outright.
+    * Order rows with null order columns are excluded up front
+    * (a change without a position cannot be sequenced).
+    *
+    * @param orderCols change-sequence columns, compared left-to-right
+    *                  (e.g. ts, then a unique change id as tiebreak —
+    *                  make the tuple unique or "last" is undefined)
+    */
+  def latestState(rows: DataFrame, keyCols: Seq[String],
+                  orderCols: Seq[String], opCol: String = "op",
+                  deleteOp: String = "delete"): DataFrame = {
+    val payload = rows.columns.toSeq
+      .filterNot(keyCols.contains).filterNot(orderCols.contains)
+    val ordered = struct(
+      (orderCols.map(col) ++ (opCol +: payload.filterNot(_ == opCol))
+        .map(col)): _*)
+    rows
+      .filter(orderCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(ordered).as("_last"))
+      .filter(col(s"_last.$opCol") =!= deleteOp)
+      .select(keyCols.map(col) ++
+        (orderCols ++ Seq(opCol) ++ payload.filterNot(_ == opCol))
+          .map(c => col(s"_last.$c").as(c)): _*)
+  }
 }

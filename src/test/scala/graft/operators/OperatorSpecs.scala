@@ -489,6 +489,47 @@ class CusumSpec extends AnyFunSuite {
   }
 }
 
+class EwmaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Long, Long, Double)]) =
+    rows.map { case (k, sec, id, v) =>
+      (k, id, new java.sql.Timestamp(sec * 1000L), v)
+    }.toDF("user_id", "event_id", "ts", "value")
+
+  test("ewma matches the closed-form weighted sum, ramp-up renormalized") {
+    // horizon 2, alpha 1/2: weights (2, 1) over (current, previous)
+    val rows = Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, 4.0), (1L, 3L, 3L, 10.0))
+    val out = Series.ewma(ev(rows), keyCol = "user_id",
+        idCol = "event_id", tsCol = "ts", valueCol = "value", horizon = 2)
+      .select("id", "ewma").as[(Long, Double)].collect().toMap
+    assert(out(1L) === 1.0)              // ramp-up: only itself
+    assert(out(2L) === (2 * 4.0 + 1.0) / 3.0)
+    assert(out(3L) === (2 * 10.0 + 4.0) / 3.0)
+  }
+
+  test("ewma is deterministic under repartitioning") {
+    val rows = (1 to 300).map(i =>
+      ((i % 5).toLong, i.toLong, i.toLong, i * 0.37))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Series.ewma(d, "user_id", "event_id", "ts", "value")
+        .select("id", "ewma").as[(Long, Double)].collect()
+        .sortBy(_._1).toSeq
+    val df = ev(rows)
+    assert(run(df) === run(df.repartition(17)))
+  }
+
+  test("ewma weights decay by halves across a full horizon") {
+    // constant series: ewma == the constant at every row regardless of
+    // how many lags are present (weights renormalize)
+    val rows = (1 to 40).map(i => (9L, i.toLong, i.toLong, 2.5))
+    val out = Series.ewma(ev(rows), "user_id", "event_id", "ts", "value")
+      .select("ewma").as[Double].collect()
+    assert(out.forall(_ === 2.5))
+  }
+}
+
 class CorpusPipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._

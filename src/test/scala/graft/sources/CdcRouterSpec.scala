@@ -43,4 +43,49 @@ class CdcRouterSpec extends AnyFunSuite {
     val hbaseSide = pruned.filter(col("sinkType") === "hbase").count()
     assert(kafkaSide === 1 && hbaseSide === 1)
   }
+
+  test("latestState keeps the last change per key and tombstones deletes") {
+    val feed = Seq(
+      // user 1: insert then update -> last is the update payload
+      (1L, 100L, 1L, "insert", "a", 1.0),
+      (1L, 200L, 2L, "update", "b", 2.0),
+      // user 2: last change is a delete -> key absent
+      (2L, 100L, 3L, "insert", "c", 3.0),
+      (2L, 300L, 4L, "delete", "c", 0.0),
+      // user 3: delete then REVIVED by a later insert -> present
+      (3L, 100L, 5L, "delete", "d", 0.0),
+      (3L, 200L, 6L, "insert", "e", 5.0),
+      // user 4: same ts, event_id breaks the tie -> id 8 wins
+      (4L, 100L, 7L, "insert", "f", 6.0),
+      (4L, 100L, 8L, "update", "g", 7.0)
+    ).toDF("user_id", "ts", "event_id", "op", "event_type", "value")
+    val out = CdcRouter.latestState(feed, keyCols = Seq("user_id"),
+        orderCols = Seq("ts", "event_id"))
+      .select("user_id", "event_id", "op", "event_type", "value")
+      .as[(Long, Long, String, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out.keySet === Set(1L, 3L, 4L))
+    assert(out(1L) === ((2L, "update", "b", 2.0)))
+    assert(out(3L) === ((6L, "insert", "e", 5.0)))
+    assert(out(4L) === ((8L, "update", "g", 7.0)))
+    // null order rows cannot be sequenced and are excluded
+    val withNull = feed.unionByName(Seq((5L, Option.empty[Long], 9L,
+        "insert", "h", 1.0))
+      .toDF("user_id", "ts", "event_id", "op", "event_type", "value"))
+    val out2 = CdcRouter.latestState(withNull, keyCols = Seq("user_id"),
+      orderCols = Seq("ts", "event_id"))
+    assert(!out2.select("user_id").as[Long].collect().contains(5L))
+  }
+
+  test("latestState is partitioning-independent (agg, not a window sort)") {
+    val feed = (1 to 500).map { i =>
+      (i % 7L, i.toLong, i.toLong, if (i % 11 == 0) "delete" else "update",
+        s"t$i", i * 1.5)
+    }.toDF("user_id", "ts", "event_id", "op", "event_type", "value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CdcRouter.latestState(d, Seq("user_id"), Seq("ts", "event_id"))
+        .select("user_id", "event_id").as[(Long, Long)].collect()
+        .sortBy(_._1).toSeq
+    assert(run(feed) === run(feed.repartition(13)))
+  }
 }
