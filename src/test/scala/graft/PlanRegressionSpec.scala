@@ -257,4 +257,45 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("(?i)partial_misragries".r.findFirstIn(p).isDefined, p.take(2000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("v20 hamming: sig scan carries no vectors; rerank joins broadcast") {
+    val p = plan("v20_hamming_knn")
+    // the candidate scan is a broadcast NL join of 16-byte sig rows —
+    // the embedding column must not ride through it (the 32x payload
+    // cut is the operator's reason to exist); it reappears only in the
+    // rerank stage's broadcast hash joins
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+    val nlJoin = p.substring(p.indexOf("BroadcastNestedLoopJoin"))
+      .takeWhile(_ != '\n')
+    assert(!nlJoin.contains("embedding"), nlJoin)
+    // hamming top-R window prunes per-group before the full sort
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("d10 chunk dedup: no global sort; reassembly is partial-aggregated") {
+    val p = plan("d10_chunk_dedup")
+    // first-occurrence window partitions by chunk — a global (empty-
+    // partition) Window would be a scale killer
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    // reassembly collect_list must map-side combine
+    assert("(?i)partial_collect_list|ObjectHashAggregate".r.findFirstIn(p).isDefined)
+  }
+
+  test("r5 latest-state plans as partial+final agg, never a window sort") {
+    val p = plan("r5_latest_state")
+    // the whole scale argument: max(struct) partial-aggregates before
+    // the exchange; a Window operator here means someone rewrote it to
+    // row_number over the feed
+    assert(!p.contains(" Window "), p.take(2000))
+    assert("(?i)partial_max".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
+  test("s8 ewma: sixteen lags ride one sort, scan pruned to four columns") {
+    val p = plan("s8_ewma")
+    // one exchange (hash by key) + one sort serve the whole lag chain
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p.take(2000))
+    assert("""\(\d+\) Sort""".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp"))
+  }
 }
