@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming CDC latest-state maintenance: the incremental twin of
+  * [[graft.sources.CdcRouter.latestState]] — per key, keep the change
+  * with the highest (ts, id) and emit the refreshed snapshot row each
+  * time it advances (update semantics; the sink upserts by key, the
+  * reference's dim-upsert contract).
+  *
+  * Unlike the CUSUM/as-of/resample twins, NO watermark buffering is
+  * needed: "latest by (ts, id)" is a max — commutative and idempotent
+  * — so any arrival order, replay, or duplicate delivery folds to the
+  * same state (spec-pinned). State per key is ONE snapshot row,
+  * independent of history length; deletes stay in state (a later
+  * revive must compare against them) and surface as `deleted = true`
+  * so the sink can tombstone.
+  */
+object LatestStateStreaming {
+
+  case class Change(key: Long, ts: Long, id: Long, op: String,
+                    payload: String, value: Double)
+
+  case class Snapshot(key: Long, ts: Long, id: Long, op: String,
+                      payload: String, value: Double, deleted: Boolean)
+
+  private def snap(c: Change): Snapshot =
+    Snapshot(c.key, c.ts, c.id, c.op, c.payload, c.value,
+      deleted = c.op == "delete")
+
+  /** Run with `OutputMode.Update`: each batch emits one row per key
+    * whose latest change advanced (or arrived).
+    */
+  def latestStateStreaming(changes: Dataset[Change]): Dataset[Snapshot] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[Change],
+         state: org.apache.spark.sql.streaming.GroupState[Snapshot]) => {
+          val best = (state.getOption.iterator ++ rows.map(snap))
+            .maxBy(s => (s.ts, s.id))
+          state.update(best)
+          best
+        })
+  }
+
+  /** Convenience: the output mode this operator is correct under. */
+  val outputMode: OutputMode = OutputMode.Update
+}
