@@ -201,6 +201,22 @@ object VectorOps {
       Similarity.hammingKnn(e, querySet(e), k = 3, rerank = 10)
     },
 
+    // recall@3 of the binary-quantized path vs exact brute force —
+    // completes the quantization-eval family (v11 IVF, v16 SQ8,
+    // v17 PQ): how much the 32× compression costs at this rerank depth
+    "v21_hamming_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val brute = Similarity.bruteForceKnn(e, querySet(e), k = 3)
+      val ham = Similarity.hammingKnn(e, querySet(e), k = 3, rerank = 10)
+      brute.select(col("q_id"), col("n_id"))
+        .join(ham.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
+          Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hit_ct"))
+        .select(col("q_id"), col("hit_ct"),
+          (col("hit_ct").cast("double") / lit(3.0)).as("recall"))
+    },
+
     // recall@3 of the IVF probe-1 path against exact brute force —
     // the eval harness any ANN deployment ships with
     "v11_ann_recall" -> { (s, dir) =>
@@ -494,6 +510,46 @@ object VectorOps {
        |  (acc, v) -> acc + v)""".stripMargin
 
   /** v7's full mirror, reused verbatim as the quantized leg of v16. */
+  /** SQL mirror of Similarity.signBits/hammingKnn: sign signature =
+    * Σ 1<<d over dims with value > 0, Hamming = bit_count(xor), top-10
+    * candidates reranked by the strict-fold cosine to top-3. Shared by
+    * the v20 oracle and v21's recall CTE.
+    */
+  private lazy val sqlHammingKnn: String =
+    s"""WITH e AS ($sqlWithNorm),
+       |sigs AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(range(0, len(embedding)),
+       |      i -> CASE WHEN embedding[CAST(i AS INT) + 1] > 0
+       |           -- bit 63 as two's-complement min: DuckDB's checked
+       |           -- << rejects 1<<63; Spark's shiftleft wraps to
+       |           -- exactly this value, so the packs agree
+       |           THEN CASE WHEN i = 63
+       |                THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+       |                ELSE CAST(1 AS BIGINT) << i END
+       |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |cand AS (
+       |  SELECT q_id, n_id, hamming FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      CAST(bit_count(xor(q.sig, c.sig)) AS INT) AS hamming,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY bit_count(xor(q.sig, c.sig)), c.vec_id) AS h_rnk
+       |    FROM sigs q JOIN sigs c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id % 50 = 0)
+       |  WHERE h_rnk <= 10)
+       |SELECT q_id, n_id, rnk, hamming, cos_sim FROM (
+       |  SELECT t.q_id, t.n_id, t.hamming,
+       |    ${sqlCos("qe.embedding", "ce.embedding", "qe.nrm", "ce.nrm")}
+       |      AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY t.q_id
+       |      ORDER BY ${sqlCos("qe.embedding", "ce.embedding", "qe.nrm", "ce.nrm")} DESC,
+       |               t.n_id) AS rnk
+       |  FROM cand t
+       |  JOIN e qe ON qe.vec_id = t.q_id
+       |  JOIN e ce ON ce.vec_id = t.n_id)
+       |WHERE rnk <= 3""".stripMargin
+
   private lazy val sqlSq8Knn: String =
     s"""WITH qz AS (
        |  SELECT vec_id,
@@ -519,40 +575,21 @@ object VectorOps {
     // comparison, engine-independent); Hamming = bit_count(xor); the
     // cosine rerank reuses the strict-fold sqlCos, inlined in the
     // window ORDER BY (aliases are not in scope there)
-    "v20_hamming_knn" ->
-      s"""WITH e AS ($sqlWithNorm),
-         |sigs AS (
-         |  SELECT vec_id,
-         |    CAST(list_sum(list_transform(range(0, len(embedding)),
-         |      i -> CASE WHEN embedding[CAST(i AS INT) + 1] > 0
-         |           -- bit 63 as two's-complement min: DuckDB's checked
-         |           -- << rejects 1<<63; Spark's shiftleft wraps to
-         |           -- exactly this value, so the packs agree
-         |           THEN CASE WHEN i = 63
-         |                THEN CAST(-9223372036854775807 - 1 AS BIGINT)
-         |                ELSE CAST(1 AS BIGINT) << i END
-         |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
-         |  FROM embeddings WHERE embedding IS NOT NULL),
-         |cand AS (
-         |  SELECT q_id, n_id, hamming FROM (
-         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-         |      CAST(bit_count(xor(q.sig, c.sig)) AS INT) AS hamming,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY bit_count(xor(q.sig, c.sig)), c.vec_id) AS h_rnk
-         |    FROM sigs q JOIN sigs c ON q.vec_id <> c.vec_id
-         |    WHERE q.vec_id % 50 = 0)
-         |  WHERE h_rnk <= 10)
-         |SELECT q_id, n_id, rnk, hamming, cos_sim FROM (
-         |  SELECT t.q_id, t.n_id, t.hamming,
-         |    ${sqlCos("qe.embedding", "ce.embedding", "qe.nrm", "ce.nrm")}
-         |      AS cos_sim,
-         |    ROW_NUMBER() OVER (PARTITION BY t.q_id
-         |      ORDER BY ${sqlCos("qe.embedding", "ce.embedding", "qe.nrm", "ce.nrm")} DESC,
-         |               t.n_id) AS rnk
-         |  FROM cand t
-         |  JOIN e qe ON qe.vec_id = t.q_id
-         |  JOIN e ce ON ce.vec_id = t.n_id)
-         |WHERE rnk <= 3""".stripMargin,
+    "v20_hamming_knn" -> sqlHammingKnn,
+
+    // brute vs binary-quantized, the v16 counting shape
+    "v21_hamming_recall" ->
+      s"""WITH b AS (
+         |${sqlKnn("q.vec_id <> c.vec_id")}
+         |),
+         |h AS (
+         |$sqlHammingKnn
+         |)
+         |SELECT b.q_id,
+         |  CAST(COUNT(h.n_id) AS BIGINT) AS hit_ct,
+         |  CAST(COUNT(h.n_id) AS DOUBLE) / 3.0 AS recall
+         |FROM b LEFT JOIN h ON h.q_id = b.q_id AND h.n_id = b.n_id
+         |GROUP BY b.q_id""".stripMargin,
 
     "v6_kmeans_train" -> sqlKmeans(iters = 1),
 
