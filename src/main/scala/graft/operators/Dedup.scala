@@ -366,11 +366,27 @@ object Dedup {
     * shingle size joins in by id. All-integer arithmetic; the ratio is
     * one exact IEEE divide, so both engines agree bit-for-bit.
     */
+  /** @param maxDocFreq stop-shingle cap: shingles appearing in more
+    *   than this many docs are excluded END-TO-END (both the pair
+    *   count and |A|), so the score becomes containment over the
+    *   INFORMATIVE shingle space — the stopword-removal analogy, and
+    *   the production lever against the Zipf head (same discipline as
+    *   [[candidatePairs]]'s maxBucket: a shingle in d docs costs d²
+    *   candidate rows). Default ∞ = exact containment over all
+    *   shingles.
+    */
   def containmentPairs(docs: DataFrame, threshold: Double,
                        idCol: String = "doc_id",
                        textCol: String = "text",
-                       n: Int = 3): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
+                       n: Int = 3,
+                       maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val sh0 = shingleRows(docs, idCol, textCol, n).persist()
+    val sh =
+      if (maxDocFreq == Long.MaxValue) sh0
+      else sh0.join(
+        sh0.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDocFreq).select("shingle"),
+        "shingle")
     val sizes = sh.groupBy(col(idCol))
       .agg(count(lit(1)).as("sh_ct"))
     val shared = sh.select(col(idCol).as("doc_a"), col("shingle"))

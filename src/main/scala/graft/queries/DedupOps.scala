@@ -98,6 +98,33 @@ object DedupOps {
     // reassembled from surviving chunks in order
     "d10_chunk_dedup" -> { (s, dir) => Dedup.chunkDedup(docs(s, dir)) },
 
+    // sketch calibration eval: the MinHash estimate (matching
+    // signature fraction) against exact Jaccard, per LSH candidate
+    // pair — how you size numHashes before trusting the sketch as a
+    // verify-free filter. All-integer counts + exact IEEE divides
+    "d12_minhash_calibration" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val sig = Dedup.signatures(d)
+      val sh = d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      def side(suffix: String) = sig.columns.tail.foldLeft(
+        sig.withColumnRenamed("doc_id", s"doc_$suffix")) {
+        (df, h) => df.withColumnRenamed(h, s"${h}_$suffix")
+      }
+      val matches = (0 until 8)
+        .map(k => when(col(s"h${k}_a") === col(s"h${k}_b"), 1).otherwise(0))
+        .reduce(_ + _)
+      Dedup.candidatePairs(d)
+        .join(side("a"), "doc_a").join(side("b"), "doc_b")
+        .withColumn("est", matches.cast("double") / 8.0)
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+          "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          "doc_b")
+        .withColumn("exact", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .select(col("doc_a"), col("doc_b"), col("est"), col("exact"),
+          abs(col("est") - col("exact")).as("abs_err"))
+    },
+
     // asymmetric containment |A∩B|/|A| ≥ 0.5: quote/extraction
     // near-dups symmetric Jaccard misses (the union washes them out)
     "d11_containment" -> { (s, dir) =>
@@ -238,6 +265,33 @@ object DedupOps {
     "d2_lsh_candidates" ->
       s"""$sqlCandidates
          |SELECT doc_a, doc_b FROM cand""".stripMargin,
+
+    // est = matching-minhash fraction; exact via the distinct shingle
+    // lists (|∪| = |A| + |B| − |∩| keeps it integer); one divide each
+    "d12_minhash_calibration" ->
+      s"""$sqlCandidates,
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+         |    len(sa.sh) + len(sb.sh)
+         |      - len(list_intersect(sa.sh, sb.sh)) AS uni
+         |  FROM cand
+         |  JOIN shingled sa ON sa.doc_id = doc_a
+         |  JOIN shingled sb ON sb.doc_id = doc_b),
+         |m AS (
+         |  SELECT doc_a, doc_b,
+         |    (${(0 until 8).map(k =>
+      s"CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END").mkString(" + ")})
+         |      AS matches
+         |  FROM cand
+         |  JOIN sigs a ON a.doc_id = doc_a
+         |  JOIN sigs b ON b.doc_id = doc_b)
+         |SELECT j.doc_a, j.doc_b,
+         |  CAST(m.matches AS DOUBLE) / 8.0 AS est,
+         |  CAST(j.inter AS DOUBLE) / CAST(j.uni AS DOUBLE) AS exact,
+         |  abs(CAST(m.matches AS DOUBLE) / 8.0
+         |      - CAST(j.inter AS DOUBLE) / CAST(j.uni AS DOUBLE)) AS abs_err
+         |FROM j JOIN m ON m.doc_a = j.doc_a AND m.doc_b = j.doc_b""".stripMargin,
 
     "d3_jaccard_neardup" ->
       s"""$sqlCandidates

@@ -1093,6 +1093,38 @@ class ContainmentSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
   }
+
+  test("maxDocFreq drops boilerplate shingles from score and candidates") {
+    // "x y z" boilerplate appears in every doc; the informative quote
+    // only in docs 1 and 2
+    val docs = Seq(
+      (1L, "alpha beta gamma delta x y z"),
+      (2L, "alpha beta gamma delta other words here x y z"),
+      (3L, "completely different content x y z"),
+      (4L, "nothing shared at all with one x y z")
+    ).toDF("doc_id", "text")
+    // uncapped: every pair is a candidate via the shared boilerplate
+    val un = Dedup.containmentPairs(docs, threshold = 0.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(un.contains((3L, 4L)))
+    // capped at 2: boilerplate (df=4) is out; only the quote pair
+    // remains, scored over informative shingles alone
+    val capped = Dedup.containmentPairs(docs, threshold = 0.5,
+      maxDocFreq = 2L)
+    val pairs = capped.select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._1 == 4L))
+    assert(pairs.keySet.contains((1L, 2L)))
+    // a high cap reduces to the exact operator
+    val hi = Dedup.containmentPairs(docs, threshold = 0.0, maxDocFreq = 100L)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.containmentPairs(docs, threshold = 0.0)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hi === exact)
+  }
 }
 
 class HammingKnnSpec extends AnyFunSuite {
