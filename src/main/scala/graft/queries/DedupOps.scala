@@ -131,6 +131,19 @@ object DedupOps {
       Dedup.containmentPairs(docs(s, dir), threshold = 0.5)
     },
 
+    // centrality over the near-dup graph: integer-deterministic
+    // PageRank (3 unrolled iterations) on the undirected ≥0.5-Jaccard
+    // edges — ranks boilerplate hubs above incidental near-dups, the
+    // link-analysis complement to d6's component labels
+    "d13_pagerank" -> { (s, dir) =>
+      val pairs = Dedup.nearDupPairs(docs(s, dir), threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+      graft.operators.Graph.pagerank(edges, iters = 3)
+    },
+
     // snapshot audit: old = ids ∉ 7ℤ, new = ids ∉ 5ℤ with every 3rd
     // doc's text edited — so all four statuses (added/removed/
     // changed/unchanged) fire deterministically on any sf
@@ -208,7 +221,55 @@ object DedupOps {
        |  SELECT id AS doc_id, MIN(comp) AS cluster_id
        |  FROM reach GROUP BY id)""".stripMargin
 
+  /** d13's unrolled integer PageRank: mirrors Graph.pagerank exactly —
+    * `//` on non-negative values ≡ Spark's DIV, BIGINT sums exact, so
+    * every iteration is bit-identical. r cast back to BIGINT at the
+    * end (DuckDB SUM widens to HUGEINT).
+    */
+  private lazy val sqlPagerank: String = {
+    val total = graft.operators.Graph.TotalMass
+    val iters = (1 to 3).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst, SUM(r.r // od.deg) AS m
+         |  FROM edges e
+         |  JOIN r${k - 1} r ON r.node = e.src
+         |  JOIN od ON od.src = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT node,
+         |    (($total // 100) * 15) // n
+         |      + (85 * COALESCE(m, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c$k ON c$k.dst = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$sqlCandidates,
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN shingled sa ON sa.doc_id = doc_a
+       |  JOIN shingled sb ON sb.doc_id = doc_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (
+       |  SELECT src AS node FROM edges
+       |  UNION
+       |  SELECT dst FROM edges),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |od AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (
+       |  SELECT node, $total // n AS r FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT node, CAST(r AS BIGINT) AS rank_units,
+       |  CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+       |FROM r3""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "d13_pagerank" -> sqlPagerank,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
         | COUNT(*) AS dup_ct
