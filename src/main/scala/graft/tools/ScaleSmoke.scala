@@ -218,7 +218,17 @@ object ScaleSmoke {
       // s7: per-key median/MAD (two percentile aggs) + outlier filter;
       // users remapped per copy → key count grows, per-key size fixed
       bench("s7", v1x, vNx, v => Series.madOutliers(v, keyCol = "user_id",
-        idCol = "event_id", tsCol = "ts", valueCol = "value", k = 3.0)))
+        idCol = "event_id", tsCol = "ts", valueCol = "value", k = 3.0)),
+      // d13: 3-round integer PageRank over the near-dup graph; the
+      // word-tagged fixture keeps the edge list linear in copies (the
+      // same reason as d11), so per-iteration join+agg must track it
+      bench("d13", dt1x, dtNx, { d =>
+        val pairs = Dedup.nearDupPairs(d, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        graft.operators.Graph.pagerank(
+          pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+            .toDF("src", "dst"), iters = 3)
+      }))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)
