@@ -130,6 +130,19 @@ object Dedup {
     * Distinct (a < b) so each pair appears once however many bands
     * collide.
     */
+  /** Candidate pairs from an ALREADY-COMPUTED signature frame (the
+    * [[signatures]] output) — for consumers that also read the
+    * signatures themselves (the d12 calibration eval): one shingle +
+    * minhash pass serves both, instead of [[candidatePairs]]
+    * recomputing the whole lineage internally.
+    */
+  def candidatePairsFromSignatures(sigs: DataFrame,
+                                   idCol: String = "doc_id",
+                                   bands: Int = 2, rowsPerBand: Int = 4,
+                                   maxBucket: Int = Int.MaxValue): DataFrame =
+    pairsFromBuckets(bandFrame(sigs, idCol, bands, rowsPerBand).persist(),
+      idCol, maxBucket)
+
   def candidatePairs(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text",
                      bands: Int = 2, rowsPerBand: Int = 4,
@@ -365,8 +378,8 @@ object Dedup {
     * shared count is a partial-aggregatable groupBy, and the per-doc
     * shingle size joins in by id. All-integer arithmetic; the ratio is
     * one exact IEEE divide, so both engines agree bit-for-bit.
-    */
-  /** @param maxDocFreq stop-shingle cap: shingles appearing in more
+    *
+    * @param maxDocFreq stop-shingle cap: shingles appearing in more
     *   than this many docs are excluded END-TO-END (both the pair
     *   count and |A|), so the score becomes containment over the
     *   INFORMATIVE shingle space — the stopword-removal analogy, and

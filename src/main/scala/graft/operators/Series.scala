@@ -368,12 +368,24 @@ object Series {
     require(horizon >= 1 && horizon <= 32,
       s"horizon must be in [1, 32], got $horizon")
     val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("id"))
+    // overflow guard: Σ_j cents·2^(H-1-j) < |cents|·2^H must fit a
+    // long, so |cents| is bounded at Long.MaxValue >> horizon
+    // (≈ 1.4e15 dollars at H=16 — unreachable for real money, but a
+    // corrupt row must fail fast, not wrap: the DuckDB mirror raises
+    // on the same multiplication and the twin contract is divergence
+    // nowhere or an error on both sides)
+    val maxAbs = Long.MaxValue >> horizon
+    val rawCents = (dec2(col(valueCol)) * 100).cast(LongType)
     val pts = events
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
         col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), col(idCol).as("id"),
         col(tsCol).as("ts"),
-        (dec2(col(valueCol)) * 100).cast(LongType).as("cents"))
+        when(rawCents.isNull, lit(null).cast(LongType)) // non-finite → filtered below
+          .when(abs(rawCents) <= maxAbs, rawCents)
+          .otherwise(raise_error(concat(
+            lit(s"ewma(horizon=$horizon) input exceeds |cents| bound "),
+            lit(maxAbs.toString))).cast(LongType)).as("cents"))
       .filter(col("cents").isNotNull)
     val terms = (0 until horizon).map { j =>
       val weight = 1L << (horizon - 1 - j)

@@ -112,12 +112,20 @@ object Similarity {
     * engine derives the identical signature (the DuckDB oracle mirrors
     * this with `list_sum`/`<<`).
     */
-  def signBits(vec: Column): Column =
-    aggregate(
+  def signBits(vec: Column): Column = {
+    val packed = aggregate(
       zip_with(vec, sequence(lit(0), size(vec) - 1),
         (v, i) => when(v > lit(0), call_function("shiftleft", lit(1L), i))
           .otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
+    // fail fast on wide vectors: shiftleft wraps its shift amount mod
+    // 64, so dims > 64 would alias onto low bits and the additive fold
+    // would carry — silently corrupt signatures, wrong kNN results
+    when(size(vec) <= 64, packed)
+      .otherwise(raise_error(concat(
+        lit("signBits packs at most 64 dims into one long, got "),
+        size(vec).cast(StringType))).cast(LongType))
+  }
 
   /** Binary-quantized kNN: scan sign signatures (8 bytes/vector) for
     * the Hamming top-`rerank` candidates per query, then rerank just

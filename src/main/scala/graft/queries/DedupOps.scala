@@ -104,8 +104,12 @@ object DedupOps {
     // verify-free filter. All-integer counts + exact IEEE divides
     "d12_minhash_calibration" -> { (s, dir) =>
       val d = docs(s, dir)
-      val sig = Dedup.signatures(d)
+      // one shingle+minhash pass serves the candidate generation AND
+      // both signature sides; the shingle arrays persist across their
+      // two join uses
+      val sig = Dedup.signatures(d).persist()
       val sh = d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+        .persist()
       def side(suffix: String) = sig.columns.tail.foldLeft(
         sig.withColumnRenamed("doc_id", s"doc_$suffix")) {
         (df, h) => df.withColumnRenamed(h, s"${h}_$suffix")
@@ -113,7 +117,7 @@ object DedupOps {
       val matches = (0 until 8)
         .map(k => when(col(s"h${k}_a") === col(s"h${k}_b"), 1).otherwise(0))
         .reduce(_ + _)
-      Dedup.candidatePairs(d)
+      Dedup.candidatePairsFromSignatures(sig)
         .join(side("a"), "doc_a").join(side("b"), "doc_b")
         .withColumn("est", matches.cast("double") / 8.0)
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),

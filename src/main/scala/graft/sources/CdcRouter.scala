@@ -122,7 +122,9 @@ object CdcRouter {
       .filter(orderCols.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(keyCols.map(col): _*)
       .agg(max(ordered).as("_last"))
-      .filter(col(s"_last.$opCol") =!= deleteOp)
+      // null-safe: only an explicit delete tombstones — a null op must
+      // not silently vanish a key (same discipline as filterDeletes)
+      .filter(!(col(s"_last.$opCol") <=> deleteOp))
       .select(keyCols.map(col) ++
         (orderCols ++ Seq(opCol) ++ payload.filterNot(_ == opCol))
           .map(c => col(s"_last.$c").as(c)): _*)

@@ -30,18 +30,24 @@ object LatestStateStreaming {
       deleted = c.op == "delete")
 
   /** Run with `OutputMode.Update`: each batch emits one row per key
-    * whose latest change advanced (or arrived).
+    * whose latest change ADVANCED (or arrived) — a batch of only
+    * stale/duplicate changes emits nothing, so an upserting sink sees
+    * no redundant traffic under replay. (maxBy keeps the FIRST max, so
+    * a replayed change tying the stored (ts, id) resolves to the
+    * stored snapshot and stays silent.)
     */
   def latestStateStreaming(changes: Dataset[Change]): Dataset[Snapshot] = {
     import changes.sparkSession.implicits._
     changes.groupByKey(_.key)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (_: Long, rows: Iterator[Change],
          state: org.apache.spark.sql.streaming.GroupState[Snapshot]) => {
-          val best = (state.getOption.iterator ++ rows.map(snap))
+          val prior = state.getOption
+          val best = (prior.iterator ++ rows.map(snap))
             .maxBy(s => (s.ts, s.id))
-          state.update(best)
-          best
+          if (prior.contains(best)) Iterator.empty
+          else { state.update(best); Iterator.single(best) }
         })
   }
 

@@ -296,6 +296,10 @@ class PlanRegressionSpec extends AnyFunSuite {
     // one exchange (hash by key) + one sort serve the whole lag chain
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p.take(2000))
     assert("""\(\d+\) Sort""".r.findAllIn(p).size == 1, p.take(2000))
-    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp"))
+    // four columns pruned, but ts's parquet encoding is deliberately
+    // NOT pinned — Tables.events schema-dispatches across testdata
+    // regenerations (timestamp / timestamp_ntz / nanos-as-bigint)
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:"))
+    assert(p.contains("user_id:bigint,value:double"))
   }
 }

@@ -520,6 +520,20 @@ class EwmaSpec extends AnyFunSuite {
     assert(run(df) === run(df.repartition(17)))
   }
 
+  test("ewma fails fast on magnitudes that would overflow the fold") {
+    // |cents| above Long.MaxValue >> horizon would wrap in the
+    // weighted sum — the guard must raise, not emit garbage
+    // 1e13 dollars fits DECIMAL(18,2) (so the cast succeeds) but its
+    // 1e15 cents exceed Long.MaxValue >> 16 ≈ 1.4e14 — the guard's zone
+    val huge = Seq((1L, 1L, 1L, 1.0e13))
+    val err = intercept[Exception] {
+      Series.ewma(ev(huge), "user_id", "event_id", "ts", "value")
+        .collect()
+    }
+    assert(err.getMessage.contains("ewma") ||
+      err.getCause != null && err.getCause.getMessage.contains("ewma"))
+  }
+
   test("ewma weights decay by halves across a full horizon") {
     // constant series: ewma == the constant at every row regardless of
     // how many lags are present (weights renormalize)
@@ -1140,6 +1154,14 @@ class HammingKnnSpec extends AnyFunSuite {
     val sigZ = Seq(Tuple1(zeros)).toDF("embedding")
       .select(Similarity.signBits(col("embedding"))).as[Long].collect().head
     assert(sigZ === 0L)
+    // wider than 64 dims must fail fast, not alias onto low bits
+    val wide = Array.fill(65)(1.0f)
+    val err = intercept[Exception] {
+      Seq(Tuple1(wide)).toDF("embedding")
+        .select(Similarity.signBits(col("embedding"))).collect()
+    }
+    assert(err.getMessage.contains("64") ||
+      err.getCause != null && err.getCause.getMessage.contains("64"))
   }
 
   test("hamming scan finds sign-identical vectors; rerank orders by cosine") {

@@ -64,10 +64,25 @@ class LatestStateStreamingSpec extends AnyFunSuite {
     assert(a === c)
   }
 
-  test("replayed duplicates are idempotent; stale changes never regress") {
-    val withDups = Seq(feed, feed, // full replay
-      Seq(Change(1L, 150L, 99L, "update", "STALE", 9.9))) // older than (200,2)
-    val out = run(withDups)
-    assert(out(1L).payload === "b" && out(1L).id === 2L)
+  test("replayed duplicates are idempotent and emit NOTHING new") {
+    implicit val sq = spark.sqlContext
+    val name = s"ls_dup_${System.nanoTime()}"
+    val input = MemoryStream[Change]
+    val query = latestStateStreaming(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      input.addData(feed: _*); query.processAllAvailable()
+      val afterFirst = spark.table(name).count()
+      // full replay + a stale change older than key 1's (200, 2)
+      input.addData(feed: _*); query.processAllAvailable()
+      input.addData(Change(1L, 150L, 99L, "update", "STALE", 9.9))
+      query.processAllAvailable()
+      // nothing advanced → zero redundant upsert rows
+      assert(spark.table(name).count() === afterFirst)
+      val k1 = spark.table(name).as[Snapshot].collect()
+        .filter(_.key == 1L).maxBy(s => (s.ts, s.id))
+      assert(k1.payload === "b" && k1.id === 2L)
+    } finally query.stop()
   }
 }
