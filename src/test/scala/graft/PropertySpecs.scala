@@ -279,4 +279,74 @@ class PropertySpecs extends AnyFunSuite {
       assert(out(t) === expected, s"text='$t'")
     }
   }
+
+  test("chunk dedup matches a sequential first-wins replay on generated corpora") {
+    val docs = sample(docGen, 80).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, n = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // reference: chunks in (doc_id, idx) order, global first-wins set
+    val seen = scala.collection.mutable.Set[String]()
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      val words = text.split(" ", -1).toSeq
+      val chunks = words.grouped(3).map(_.mkString(" ")).toSeq
+      var kept = 0L; var dropped = 0L
+      val survivors = chunks.flatMap { c =>
+        if (seen.add(c)) { kept += 1; Some(c) } else { dropped += 1; None }
+      }
+      assert(out(id) === ((survivors.mkString(" "), kept, dropped)),
+        s"doc $id text='$text'")
+    }
+  }
+
+  test("ewma matches a sequential replay on generated series") {
+    val valGen = Gen.chooseNum(-9999, 9999).map(_ / 100.0 * 3)
+    val vals = sample(valGen, 120)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ((i % 5).toLong, i.toLong, new java.sql.Timestamp(i.toLong * 1000), v)
+    }
+    val h = 16
+    val out = graft.operators.Series
+      .ewma(rows.toDF("k", "id", "ts", "v"), "k", "id", "ts", "v", horizon = h)
+      .select("id", "ewma").as[(Long, Double)].collect().toMap
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val ordered = series.sortBy(r => (r._3.getTime, r._2))
+      val cents = ordered.map(r =>
+        BigDecimal(r._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact)
+      cents.indices.foreach { i =>
+        val window = cents.slice(math.max(0, i - h + 1), i + 1)
+        var num = 0L; var w = 1L
+        window.foreach { c => num += c * w; w <<= 1 }
+        val expected = num.toDouble / (((w - 1) * 100L).toDouble)
+        assert(out(ordered(i)._2) === expected, s"row ${ordered(i)}")
+      }
+    }
+  }
+
+  test("pagerank matches an in-memory integer replay on generated graphs") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 19L); b <- Gen.chooseNum(0L, 19L) if a != b
+    } yield (a, b)
+    val edges = sample(edgeGen, 120).distinct
+    val out = graft.operators.Graph
+      .pagerank(edges.toDF("src", "dst"), iters = 3)
+      .select("node", "rank_units").as[(Long, Long)].collect().toMap
+    // replay with plain Long arithmetic
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val total = graft.operators.Graph.TotalMass
+    val base = ((total / 100) * 15) / n
+    var r = nodes.map(_ -> total / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (a, b) =>
+        contrib(b) += r(a) / outdeg(a)
+      }
+      r = nodes.map(v => v -> (base + (85L * contrib(v)) / 100)).toMap
+    }
+    nodes.foreach { v => assert(out(v) === r(v), s"node $v") }
+  }
 }
