@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
-import graft.core.Graft.dec2
+import graft.core.Graft.{cents, dec2, finite}
 
 /** Time-series similarity search over event streams, PAA-style
   * (piecewise aggregate approximation): each series collapses to
@@ -46,7 +46,7 @@ object Series {
     events
       .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(keyCol).as("series_key"), seg.as("seg"))
-      .agg((sum(dec2(col(valueCol))) * 100).cast(LongType).as("cents"))
+      .agg((sum(dec2(finite(col(valueCol)))) * 100).cast(LongType).as("cents"))
       .groupBy(col("series_key"),
         expr(s"seg DIV $segsPerWindow").as("w"))
       .agg(sort_array(collect_list(struct(col("seg"), col("cents"))))
@@ -146,8 +146,8 @@ object Series {
     val base = events
       .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol), col(idCol), col(tsCol),
-        (col(valueCol).cast(DecimalType(18, 2)) * 100)
-          .cast(LongType).as("_cents"))
+        cents(col(valueCol)).as("_cents"))
+      .filter(col("_cents").isNotNull) // non-finite dropped (ANSI-safe)
     val stats = base.groupBy(col(keyCol))
       .agg(count(lit(1)).as("_n"),
         sum(col("_cents").cast(DecimalType(38, 0))).as("_tot"))
@@ -185,9 +185,12 @@ object Series {
       .select(col(keyCol), col(idCol), col(tsCol),
         // decimal for the same prefix-sum-overflow reason as [[cusum]]
         // (here the bound is ~n·maxCents — smaller, but the wrap mode
-        // would be the same silent one)
-        ((col(valueCol).cast(DecimalType(18, 2)) * 100)
-          .cast(LongType) - targetCents).cast(DecimalType(38, 0)).as("_x"))
+        // would be the same silent one); non-finite values drop like
+        // every cents ingester (and like the streaming twin), instead
+        // of aborting under ANSI or ghosting through the prefix sum
+        (cents(col(valueCol)) - targetCents)
+          .cast(DecimalType(38, 0)).as("_x"))
+      .filter(col("_x").isNotNull)
       .withColumn("_p", sum(col("_x")).over(w))
       .withColumn("_m", min(col("_p")).over(w))
       .withColumn("_s", col("_p") - least(col("_m"), lit(0L)))
@@ -280,7 +283,7 @@ object Series {
         col(valueCol).isNotNull)
       .select(col(keyCol).as("key"),
         expr(s"unix_micros(CAST($tsCol AS TIMESTAMP))").as("tus"),
-        (dec2(col(valueCol)) * 100).cast(LongType).as("cents"))
+        cents(col(valueCol)).as("cents"))
       .filter(col("cents").isNotNull) // non-finite values null the cast
     val x = expr("(tus - min(tus) OVER (PARTITION BY key)) DIV 1000000")
     val agg = pts
@@ -332,7 +335,7 @@ object Series {
         col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), col(idCol).as("id"),
         col(tsCol).as("ts"),
-        (dec2(col(valueCol)) * 100).cast(LongType).as("cents"))
+        cents(col(valueCol)).as("cents"))
       .filter(col("cents").isNotNull)
     val med = pts.groupBy(col("key"))
       .agg(expr("percentile(cents, 0.5)").as("med"))
@@ -375,7 +378,7 @@ object Series {
     // on the same multiplication and the twin contract is divergence
     // nowhere or an error on both sides)
     val maxAbs = Long.MaxValue >> horizon
-    val rawCents = (dec2(col(valueCol)) * 100).cast(LongType)
+    val rawCents = cents(col(valueCol))
     val pts = events
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
         col(valueCol).isNotNull)

@@ -120,8 +120,11 @@ object Similarity {
       lit(0L), (acc, x) => acc + x)
     // fail fast on wide vectors: shiftleft wraps its shift amount mod
     // 64, so dims > 64 would alias onto low bits and the additive fold
-    // would carry — silently corrupt signatures, wrong kNN results
-    when(size(vec) <= 64, packed)
+    // would carry — silently corrupt signatures, wrong kNN results.
+    // A null vector stays null (filtered by every consumer), it must
+    // not trip the guard
+    when(vec.isNull, lit(null).cast(LongType))
+      .when(size(vec) <= 64, packed)
       .otherwise(raise_error(concat(
         lit("signBits packs at most 64 dims into one long, got "),
         size(vec).cast(StringType))).cast(LongType))

@@ -416,7 +416,8 @@ object Relational {
     // percentile ↔ quantile_cont pairing is on ints), descaled by the
     // identical /100.0 on both engines
     "q31_value_profile" -> { (s, dir) =>
-      ev(s, dir).filter(col("value").isNotNull)
+      // finite-guarded: a NaN/Inf row must drop, not abort the ANSI cast
+      ev(s, dir).filter(Graft.finite(col("value")).isNotNull)
         .select(col("event_type"),
           (Graft.dec2(col("value")) * 100).cast(LongType).as("cents"))
         .groupBy(col("event_type"))
@@ -478,7 +479,8 @@ object Relational {
     // |z| > 1.5 boundary can't flap (uniform values cap |z| at √3, so
     // a 2σ gate would be vacuous on this fixture)
     "q28_zscore" -> { (s, dir) =>
-      val e = ev(s, dir).filter(col("value").isNotNull)
+      // finite-guarded like q31: every downstream decimal cast is then safe
+      val e = ev(s, dir).filter(Graft.finite(col("value")).isNotNull)
       val stats = e.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
           sum(Graft.dec2(col("value"))).as("s1"),

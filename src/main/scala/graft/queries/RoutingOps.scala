@@ -149,8 +149,10 @@ object RoutingOps {
           array(col("event_id").cast(StringType),
             col("user_id").cast(StringType),
             // double→string formatting diverges across engines;
-            // DECIMAL(18,2)→string is canonical on both
-            col("value").cast(DecimalType(18, 2)).cast(StringType))))
+            // DECIMAL(18,2)→string is canonical on both (finite-guarded
+            // so a junk NaN row nulls out instead of aborting the cast)
+            graft.core.Graft.finite(col("value"))
+              .cast(DecimalType(18, 2)).cast(StringType))))
       val routed = CdcRouter.route(rows, configDf(s),
         tableCol = "event_type", opCol = "op")
       CdcRouter.pruneColumns(routed)

@@ -74,7 +74,7 @@ object AsofStreaming {
   def withEventTime(events: Dataset[AsofEvent],
                     delay: String = "0 seconds"): Dataset[AsofEvent] = {
     import events.sparkSession.implicits._
-    events.toDF().withWatermark("event_time", delay).as[AsofEvent]
+    EventTime.attach(events, delay)
   }
 
   def asofStreaming(events: Dataset[AsofEvent]): Dataset[AsofMatch] = {

@@ -41,8 +41,16 @@ object CusumStreaming {
   def withEventTime(events: Dataset[Pt],
                     delay: String = "0 seconds"): Dataset[Pt] = {
     import events.sparkSession.implicits._
-    events.toDF().withWatermark("event_time", delay).as[Pt]
+    EventTime.attach(events, delay)
   }
+
+  /** |cents| bound: the running S accumulates c − target per event, so
+    * headroom of 2²⁰ max-magnitude events before a Long could wrap is
+    * kept; a corrupt record beyond it raises a diagnosable error
+    * instead of poison-pilling with a bare ArithmeticException (which
+    * would re-kill the query on every checkpoint restart with no clue).
+    */
+  val CentsBound: Long = Long.MaxValue >> 20
 
   def cusumStreaming(events: Dataset[Pt], targetCents: Long,
                      driftCents: Long): Dataset[Flag] = {
@@ -54,18 +62,12 @@ object CusumStreaming {
         (key: String, rows: Iterator[Pt],
          state: GroupState[CusumState]) => {
           val st0 = state.getOption.getOrElse(CusumState(0L, Nil))
-          // cents via HALF_UP (away from zero), matching the batch
-          // twin's DECIMAL(18,2) cast exactly — Math.round rounds half
-          // toward +infinity and disagrees on negative half-cents
-          // (-12.5 → -12 instead of -13). Non-finite values are
-          // dropped first for the same twin contract: the batch cast
-          // nulls NaN/Infinity and filters the row, whereas
-          // BigDecimal(NaN) would throw and kill the whole query.
+          // shared Cents.halfUp: non-finite rows drop — the identical
+          // set the batch twin's Graft.cents nulls-and-filters — and a
+          // magnitude beyond CentsBound raises a diagnosable error
           val incoming = rows
-            .filter(p => !p.value.isNaN && !p.value.isInfinite)
-            .map(p => (p.ts, p.id,
-              BigDecimal(p.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-                .*(100).toLongExact)).toSeq
+            .flatMap(p => Cents.halfUp(p.value, CentsBound)
+              .map(c => (p.ts, p.id, c))).toSeq
           val wm = state.getCurrentWatermarkMs()
           // fold everything the watermark has sealed, in event order
           val (ready, pending) = (st0.pending ++ incoming)

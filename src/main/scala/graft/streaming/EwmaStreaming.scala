@@ -41,7 +41,7 @@ object EwmaStreaming {
   def withEventTime(events: Dataset[Pt],
                     delay: String = "0 seconds"): Dataset[Pt] = {
     import events.sparkSession.implicits._
-    events.toDF().withWatermark("event_time", delay).as[Pt]
+    EventTime.attach(events, delay)
   }
 
   def ewmaStreaming(events: Dataset[Pt],
@@ -56,18 +56,12 @@ object EwmaStreaming {
         (key: String, rows: Iterator[Pt],
          state: GroupState[EwmaState]) => {
           val st0 = state.getOption.getOrElse(EwmaState(Nil, Nil))
-          // HALF_UP cents, non-finite dropped — the batch twin's
-          // DECIMAL(18,2) contract (see CusumStreaming for rationale)
+          // shared Cents.halfUp: non-finite rows drop (the batch
+          // twin's Graft.cents contract), |cents| beyond the horizon
+          // bound raises with a diagnosable message
           val incoming = rows
-            .filter(p => !p.value.isNaN && !p.value.isInfinite)
-            .map { p =>
-              val c = BigDecimal(p.value)
-                .setScale(2, BigDecimal.RoundingMode.HALF_UP)
-                .*(100).toLongExact
-              require(math.abs(c) <= maxAbs,
-                s"ewma(horizon=$horizon) input exceeds |cents| bound $maxAbs")
-              (p.ts, p.id, c)
-            }.toSeq
+            .flatMap(p => Cents.halfUp(p.value, maxAbs)
+              .map(c => (p.ts, p.id, c))).toSeq
           val wm = state.getCurrentWatermarkMs()
           val (ready, pending) = (st0.pending ++ incoming)
             .sortBy(p => (p._1, p._2))

@@ -71,13 +71,20 @@ object KmvStreaming {
             val merged = rows.filter(_.value != null)
               .foldLeft(state.getOption.getOrElse(Vector.empty[Long]))(
                 (b, e) => Dedup.kmvInsert(k)(b, Dedup.kmvHash(e.value)))
-            state.update(merged)
-            // close when the watermark passes window end (must stay
-            // strictly ahead of the current watermark)
-            state.setTimeoutTimestamp(
-              math.max((window + 1) * windowMillis,
-                state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+            // an all-null window must not materialize state: the batch
+            // twin (kmvDistinct) filters nulls BEFORE groupBy and emits
+            // no row for such a group — creating state here would emit
+            // a phantom (window, 0, null) row on timeout
+            if (merged.isEmpty && state.getOption.isEmpty) Iterator.empty
+            else {
+              state.update(merged)
+              // close when the watermark passes window end (must stay
+              // strictly ahead of the current watermark)
+              state.setTimeoutTimestamp(
+                math.max((window + 1) * windowMillis,
+                  state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
           }
         })
   }

@@ -6,9 +6,12 @@ import org.apache.spark.sql.types._
 
 /** DWD log ETL — the reference's BaseLogApp
   * (`gmall-realtime/src/main/java/com/atguigu/app/dwd/BaseLogApp.java`)
-  * re-expressed as pure DataFrame transforms, so the identical logic
-  * runs under Structured Streaming (Kafka source) and in batch (the
-  * test/verify harness).
+  * re-expressed as pure DataFrame transforms. [[parse]] and [[split]]
+  * run identically under Structured Streaming (Kafka source) and in
+  * batch; [[run]] composes the BATCH is_new fix (a non-time window,
+  * which streaming rejects) — a streaming caller swaps in
+  * [[StatefulOps.isNewFixStreaming]] between the same parse and split
+  * stages (StreamingE2ESpec wires exactly that).
   *
   * Stages (reference lines cited):
   *  1. parse with dead-letter split        — BaseLogApp.java:35-52

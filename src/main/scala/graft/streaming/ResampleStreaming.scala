@@ -63,7 +63,7 @@ object ResampleStreaming {
   def withEventTime(events: Dataset[Obs],
                     delay: String = "0 seconds"): Dataset[Obs] = {
     import events.sparkSession.implicits._
-    events.toDF().withWatermark("event_time", delay).as[Obs]
+    EventTime.attach(events, delay)
   }
 
   def resampleStreaming(events: Dataset[Obs],

@@ -58,6 +58,15 @@ object StatefulOps {
     * streams don't busy-poll — with processing-time timeouts the
     * micro-batch engine runs continuous empty batches).
     * Input must carry a watermark.
+    *
+    * Contract note: like the reference's keyed ValueState, "first" is
+    * first-PROCESSED — events sort by ts within a micro-batch, but an
+    * out-of-order earlier event arriving in a LATER batch is dropped
+    * (its day is already marked), so the emitted row can differ from
+    * the batch twin's min(ts) pick by up to the out-of-orderness
+    * horizon. The batch UV input (Warehouse.uvIn, min(struct(ts,…)))
+    * is normative for replay; this op mirrors the reference's
+    * low-latency arrival semantics by design.
     */
   def uniqueVisitStreaming(events: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
     import events.sparkSession.implicits._
@@ -96,6 +105,15 @@ object StatefulOps {
 
   /** Streaming is_new fix: a mid claiming is_new=1 after its first-seen
     * day is rewritten to 0 (reference `BaseLogApp.java:75-89`).
+    *
+    * The stored first-seen day is the MINIMUM day observed, not the
+    * first-arrived: an on-time out-of-order earlier-day event lowers
+    * the state, so every SUBSEQUENT event classifies exactly as the
+    * batch twin ([[isNewFixBatch]], min over all days) would. Rows
+    * already emitted before such a correction arrived cannot be
+    * retracted in Append mode — the batch twin remains normative for
+    * replay; this keeps the divergence window to the out-of-orderness
+    * horizon instead of forever.
     */
   def isNewFixStreaming(events: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
     import events.sparkSession.implicits._
@@ -107,7 +125,7 @@ object StatefulOps {
           var firstDay = state.getOption
           val out = sorted.map { e =>
             val d = dayOf(e.ts)
-            if (firstDay.isEmpty) { firstDay = Some(d); state.update(d) }
+            if (firstDay.forall(_ > d)) { firstDay = Some(d); state.update(d) }
             if (e.is_new == "1" && firstDay.exists(_ < d)) e.copy(is_new = "0")
             else e
           }
@@ -122,49 +140,64 @@ object StatefulOps {
     * event-time timeout state machine per mid.
     *
     * Batch twin ([[bounceBatch]]) uses a lead() window — used by the
-    * correctness harness; both paths emit the same rows for in-order
-    * input.
+    * correctness harness; the streaming path folds WATERMARK-SEALED
+    * events in event-time order, so both paths emit the same rows for
+    * any arrival order of watermark-admissible input (not just
+    * in-order arrival).
     */
-  // state = the full entry event, so a bounce emits the original row
-  // (is_new/page/event_time intact) exactly like bounceBatch's
-  // pass-through — downstream windowed stats keep their dimensions
-  case class BounceState(entry: KeyedEvent)
+  // state = the open entry event (so a bounce emits the original row —
+  // is_new/page/event_time intact, exactly like bounceBatch's
+  // pass-through) plus the out-of-orderness buffer: the bounce verdict
+  // is only rendered from WATERMARK-SEALED events in event-time order.
+  // Deciding from arrival order would irrevocably emit a false bounce
+  // in Append mode when an on-time out-of-order follow-up lands in a
+  // later micro-batch (the batch twin's lead() would disagree).
+  case class BounceState(entry: Option[KeyedEvent],
+                         pending: Seq[KeyedEvent])
 
   def bounceStreaming(events: Dataset[KeyedEvent],
                       gapMillis: Long = 10000L): Dataset[KeyedEvent] = {
     import events.sparkSession.implicits._
     // Input must carry a watermark (the caller sets withWatermark before
-    // converting to Dataset) so event-time timeouts fire for entries
-    // that never get a follow-up page at all.
+    // converting to Dataset): it both seals events for in-order folding
+    // and fires the timeout for entries with no follow-up at all.
     events.groupByKey(_.mid)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (mid: String, rows: Iterator[KeyedEvent], state: GroupState[BounceState]) => {
-          if (state.hasTimedOut) {
-            // watermark passed entry+gap with no follow-up → bounce
-            val entry = state.get.entry
-            state.remove()
-            Iterator.single(entry)
-          } else {
-            val sorted = rows.toSeq.sortBy(_.ts)
-            val out = scala.collection.mutable.ArrayBuffer[KeyedEvent]()
-            sorted.foreach { e =>
-              val isEntry = e.last_page_id == null || e.last_page_id.isEmpty
-              state.getOption match {
-                case Some(BounceState(prev)) =>
-                  if (e.ts - prev.ts > gapMillis) {
-                    // previous entry never got a follow-up in time → bounce
-                    out += prev
-                  }
-                  if (isEntry) state.update(BounceState(e)) else state.remove()
-                case None =>
-                  if (isEntry) state.update(BounceState(e))
-              }
+          val st0 = state.getOption.getOrElse(BounceState(None, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) = (st0.pending ++ rows)
+            .sortBy(_.ts)
+            .partition(_.ts < wm)
+          var entry = st0.entry
+          val out = scala.collection.mutable.ArrayBuffer[KeyedEvent]()
+          ready.foreach { e =>
+            entry.foreach { prev =>
+              // the sealed next event renders the verdict for the open
+              // entry either way: bounce iff it came too late
+              if (e.ts - prev.ts > gapMillis) out += prev
+              entry = None
             }
-            state.getOption.foreach(s =>
-              state.setTimeoutTimestamp(s.entry.ts + gapMillis + 1))
-            out.iterator
+            if (e.last_page_id == null || e.last_page_id.isEmpty)
+              entry = Some(e)
           }
+          // no sealed follow-up AND the watermark passed the gap →
+          // nothing admissible can still rescue the entry: bounce
+          entry.foreach { prev =>
+            if (wm > prev.ts + gapMillis) { out += prev; entry = None }
+          }
+          if (entry.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(BounceState(entry, pending))
+            // wake at whichever decision point comes first: the open
+            // entry's gap deadline or the sealing of the oldest
+            // buffered event — always strictly past the watermark
+            val wake = (entry.map(_.ts + gapMillis + 1).toSeq ++
+              pending.map(_.ts + 1)).min
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
+          }
+          out.iterator
         })
   }
 

@@ -13,8 +13,15 @@ import graft.model.KeywordSource
   * e.g. bean/VisitorStats.java:13-15; 10s tumble per curriculum).
   *
   * Every job takes already-parsed DWD/DWM frames and returns the stats
-  * frame; in streaming the caller adds `withWatermark` upstream and the
-  * identical plan incrementalizes.
+  * frame. Streaming caveat: [[visitorStats]] and [[keywordStats]]
+  * incrementalize as-is under `withWatermark`; the jobs built on
+  * count(DISTINCT …) ([[productStats]], [[productStatsFull]],
+  * [[provinceStats]]) do NOT — Spark rejects distinct aggregates on
+  * streaming frames — and run per window via `foreachBatch` (compute
+  * the batch plan over each micro-batch's closed windows), or swap
+  * `countDistinct` for `approx_count_distinct` to stream natively at
+  * sketch precision. The batch plans here are the correctness oracle
+  * either way.
   */
 object StatsJobs {
 

@@ -73,4 +73,16 @@ class KmvStreamingSpec extends AnyFunSuite {
     val got = run(Seq(dup), k = 16)
     assert(got === Seq((0L, 4L, None)))
   }
+
+  test("an all-null window emits no phantom row (batch-twin parity)") {
+    // window 0 (of Win): only null values; window 1: real values. The
+    // batch twin filters nulls before groupBy and emits NO row for the
+    // all-null group — streaming must not materialize state for it.
+    val out = run(Seq(Seq(
+      ValueEvent.at(null, 1000L), ValueEvent.at(null, 2000L),
+      ValueEvent.at("a", Win + 1000L), ValueEvent.at("b", Win + 2000L))),
+      k = 8)
+    assert(out.map(_._1).toSet === Set(Win)) // no window-0 row
+    assert(out === Seq((Win, 2L, None)))
+  }
 }

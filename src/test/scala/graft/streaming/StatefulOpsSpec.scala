@@ -318,4 +318,61 @@ class StatefulOpsSpec extends AnyFunSuite {
       }
     } finally query.stop()
   }
+
+  test("bounce: an out-of-order follow-up in a later batch is not a false bounce") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    // 60s delay keeps all of these events watermark-admissible
+    val query = StatefulOps.bounceStreaming(
+        StatefulOps.watermarked(input.toDS(), delay = "60 seconds"),
+        gapMillis = 10000L)
+      .writeStream.format("memory").queryName("bounce_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1: the entry
+      input.addData(KeyedEvent.at("m1", day1 + 1000L, "1", "home", null))
+      query.processAllAvailable()
+      // batch 2: a LATER event arrives first (arrival order != event order)
+      input.addData(KeyedEvent.at("m1", day1 + 30000L, "1", "other", "x"))
+      query.processAllAvailable()
+      // batch 3: the on-time out-of-order follow-up WITHIN the gap
+      input.addData(KeyedEvent.at("m1", day1 + 5000L, "1", "detail", "home"))
+      query.processAllAvailable()
+      // flush the watermark far past everything
+      input.addData(KeyedEvent.at("mz", day1 + 9000000L, "1", "p", "q"))
+      query.processAllAvailable()
+      input.addData(KeyedEvent.at("mz", day1 + 9900000L, "1", "p", "q"))
+      query.processAllAvailable()
+      val out = spark.table("bounce_ooo").as[KeyedEvent].collect()
+        .filter(_.mid == "m1").map(_.ts).toSet
+      // arrival-order folding would have bounced the entry at batch 2;
+      // watermark-sealed folding sees the 5s follow-up first
+      assert(out === Set.empty[Long])
+    } finally query.stop()
+  }
+
+  test("is_new fix lowers first-seen day on an out-of-order earlier event") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val query = StatefulOps.isNewFixStreaming(
+        StatefulOps.watermarked(input.toDS(), delay = "10 days"))
+      .writeStream.format("memory").queryName("isnew_ooo")
+      .outputMode("append").start()
+    try {
+      val day3 = day1 + 2 * 86400000L
+      // day-3 event arrives first: state = day3
+      input.addData(KeyedEvent.at("m1", day3 + 1000L, "1"))
+      query.processAllAvailable()
+      // out-of-order day-1 event arrives later: state must LOWER
+      input.addData(KeyedEvent.at("m1", day1 + 1000L, "1"))
+      query.processAllAvailable()
+      // subsequent day-3 claim is now corrected (batch-twin semantics)
+      input.addData(KeyedEvent.at("m1", day3 + 2000L, "1"))
+      query.processAllAvailable()
+      val out = spark.table("isnew_ooo").as[KeyedEvent].collect()
+        .map(e => e.ts -> e.is_new).toMap
+      assert(out(day1 + 1000L) === "1")
+      assert(out(day3 + 2000L) === "0") // would stay "1" without the fix
+    } finally query.stop()
+  }
 }
