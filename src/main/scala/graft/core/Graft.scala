@@ -49,14 +49,16 @@ object Graft {
   /** Order-independent exact sum of a money column, surfaced as double. */
   def moneySum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
 
-  /** Non-finite guard: NaN/±Infinity → null BEFORE any decimal cast.
-    * Under Spark 4's ANSI default the cast ABORTS on non-finite input
-    * (it does not null it), so every operator ingesting a raw double
-    * measurement routes through this — one junk row must drop, not
-    * kill a 1000-executor job. Null input stays null.
+  /** Castability guard: NaN/±Infinity AND finite values outside
+    * DECIMAL(18,2)'s range (|x| ≥ 10¹⁶) → null BEFORE any decimal
+    * cast. Under Spark 4's ANSI default the cast ABORTS on both
+    * classes of input (it does not null them), so every operator
+    * ingesting a raw double measurement routes through this — one
+    * junk row must drop, not kill a 1000-executor job. Null input
+    * stays null.
     */
   def finite(c: Column): Column =
-    when(!isnan(c) && abs(c) < Double.PositiveInfinity, c)
+    when(!isnan(c) && abs(c) < lit(1e16), c)
 
   /** HALF_UP integer cents of a raw double measurement, null for
     * null/non-finite input — the shared ingestion contract of the

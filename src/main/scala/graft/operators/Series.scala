@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -44,9 +44,13 @@ object Series {
     require(segMicros > 0 && segsPerWindow > 0)
     val seg = expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) DIV $segMicros")
     events
-      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      // row-level castability filter (not inside the sum): an
+      // all-non-finite segment must VANISH — a null cents entry would
+      // still count toward the fixed-length window and poison the
+      // integer-vector contract downstream (null L1, aliased cell ids)
+      .filter(col(tsCol).isNotNull && finite(col(valueCol)).isNotNull)
       .groupBy(col(keyCol).as("series_key"), seg.as("seg"))
-      .agg((sum(dec2(finite(col(valueCol)))) * 100).cast(LongType).as("cents"))
+      .agg((sum(dec2(col(valueCol))) * 100).cast(LongType).as("cents"))
       .groupBy(col("series_key"),
         expr(s"seg DIV $segsPerWindow").as("w"))
       .agg(sort_array(collect_list(struct(col("seg"), col("cents"))))
@@ -173,6 +177,28 @@ object Series {
     * This is the exact fold [[graft.streaming.CusumStreaming]] runs
     * incrementally; twin equality is spec-pinned.
     */
+  /** [[graft.core.Graft.cents]] with a magnitude bound: null-equivalent
+    * junk drops (stays null, callers filter), a finite value whose
+    * cents exceed `bound` RAISES with a diagnosable message — the
+    * downstream integer folds would silently wrap on it, and the
+    * streaming twins' Cents.halfUp raises on the identical input.
+    */
+  private def boundedCents(c: Column, bound: Long, msg: String): Column = {
+    val raw = cents(c)
+    when(raw.isNull, lit(null).cast(LongType))
+      .when(abs(raw) <= bound, raw)
+      .otherwise(raise_error(concat(lit(s"$msg "), lit(bound.toString)))
+        .cast(LongType))
+  }
+
+  /** |cents| bound shared with the streaming twin: headroom of 2²⁰
+    * max-magnitude events before the stream's running Long could wrap.
+    * BOTH sides raise on a value beyond it — the twin contract is
+    * divergence nowhere or an error on both sides, never results on
+    * one and a crash on the other.
+    */
+  val CusumCentsBound: Long = Long.MaxValue >> 20
+
   def cusumFixedTarget(events: DataFrame, keyCol: String, tsCol: String,
                        idCol: String, valueCol: String,
                        targetCents: Long, driftCents: Long): DataFrame = {
@@ -188,7 +214,8 @@ object Series {
         // would be the same silent one); non-finite values drop like
         // every cents ingester (and like the streaming twin), instead
         // of aborting under ANSI or ghosting through the prefix sum
-        (cents(col(valueCol)) - targetCents)
+        (boundedCents(col(valueCol), CusumCentsBound,
+          s"cusumFixedTarget input exceeds |cents| bound") - targetCents)
           .cast(DecimalType(38, 0)).as("_x"))
       .filter(col("_x").isNotNull)
       .withColumn("_p", sum(col("_x")).over(w))
@@ -378,17 +405,14 @@ object Series {
     // on the same multiplication and the twin contract is divergence
     // nowhere or an error on both sides)
     val maxAbs = Long.MaxValue >> horizon
-    val rawCents = cents(col(valueCol))
     val pts = events
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
         col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), col(idCol).as("id"),
         col(tsCol).as("ts"),
-        when(rawCents.isNull, lit(null).cast(LongType)) // non-finite → filtered below
-          .when(abs(rawCents) <= maxAbs, rawCents)
-          .otherwise(raise_error(concat(
-            lit(s"ewma(horizon=$horizon) input exceeds |cents| bound "),
-            lit(maxAbs.toString))).cast(LongType)).as("cents"))
+        boundedCents(col(valueCol), maxAbs,
+          s"ewma(horizon=$horizon) input exceeds |cents| bound")
+          .as("cents"))
       .filter(col("cents").isNotNull)
     val terms = (0 until horizon).map { j =>
       val weight = 1L << (horizon - 1 - j)

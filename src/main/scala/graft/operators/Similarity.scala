@@ -121,9 +121,12 @@ object Similarity {
     // fail fast on wide vectors: shiftleft wraps its shift amount mod
     // 64, so dims > 64 would alias onto low bits and the additive fold
     // would carry — silently corrupt signatures, wrong kNN results.
-    // A null vector stays null (filtered by every consumer), it must
-    // not trip the guard
-    when(vec.isNull, lit(null).cast(LongType))
+    // A null OR EMPTY vector yields null (filtered by every consumer) —
+    // null must not trip the guard, and empty must not pack to 0L:
+    // sequence(0, -1) counts DOWN (the resample:94 hazard), zip_with
+    // null-pads, and the fold would emit a fake all-zero signature
+    // where the DuckDB mirror's list_sum over an empty list is NULL
+    when(vec.isNull || size(vec) === 0, lit(null).cast(LongType))
       .when(size(vec) <= 64, packed)
       .otherwise(raise_error(concat(
         lit("signBits packs at most 64 dims into one long, got "),

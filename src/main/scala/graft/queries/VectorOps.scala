@@ -536,7 +536,10 @@ object VectorOps {
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |        ORDER BY bit_count(xor(q.sig, c.sig)), c.vec_id) AS h_rnk
        |    FROM sigs q JOIN sigs c ON q.vec_id <> c.vec_id
-       |    WHERE q.vec_id % 50 = 0)
+       |    -- null sigs (empty vectors: list_sum of [] is NULL) are
+       |    -- excluded on both sides, mirroring Spark's isNotNull
+       |    WHERE q.vec_id % 50 = 0
+       |      AND q.sig IS NOT NULL AND c.sig IS NOT NULL)
        |  WHERE h_rnk <= 10)
        |SELECT q_id, n_id, rnk, hamming, cos_sim FROM (
        |  SELECT t.q_id, t.n_id, t.hamming,

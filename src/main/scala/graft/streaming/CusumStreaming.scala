@@ -44,13 +44,15 @@ object CusumStreaming {
     EventTime.attach(events, delay)
   }
 
-  /** |cents| bound: the running S accumulates c − target per event, so
-    * headroom of 2²⁰ max-magnitude events before a Long could wrap is
-    * kept; a corrupt record beyond it raises a diagnosable error
-    * instead of poison-pilling with a bare ArithmeticException (which
+  /** |cents| bound — the single shared constant with the batch twin
+    * ([[graft.operators.Series.CusumCentsBound]]): both sides raise on
+    * a value beyond it, so the twin contract stays "divergence nowhere
+    * or an error on both sides". Headroom: 2²⁰ max-magnitude events
+    * before the stream's running Long could wrap; the raise carries a
+    * diagnosable message instead of a bare ArithmeticException (which
     * would re-kill the query on every checkpoint restart with no clue).
     */
-  val CentsBound: Long = Long.MaxValue >> 20
+  val CentsBound: Long = graft.operators.Series.CusumCentsBound
 
   def cusumStreaming(events: Dataset[Pt], targetCents: Long,
                      driftCents: Long): Dataset[Flag] = {

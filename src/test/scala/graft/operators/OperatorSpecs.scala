@@ -534,6 +534,15 @@ class EwmaSpec extends AnyFunSuite {
       err.getCause != null && err.getCause.getMessage.contains("ewma"))
   }
 
+  test("ewma drops rows outside DECIMAL(18,2) range instead of aborting") {
+    // 1e17 is finite but uncastable: under ANSI the raw cast would
+    // abort; Graft.finite nulls it and the row must simply vanish
+    val rows = Seq((1L, 1L, 1L, 1.0e17), (1L, 2L, 2L, 2.0))
+    val out = Series.ewma(ev(rows), "user_id", "event_id", "ts", "value")
+      .select("id", "ewma").as[(Long, Double)].collect().toMap
+    assert(out === Map(2L -> 2.0))
+  }
+
   test("ewma weights decay by halves across a full horizon") {
     // constant series: ewma == the constant at every row regardless of
     // how many lags are present (weights renormalize)
@@ -1154,6 +1163,12 @@ class HammingKnnSpec extends AnyFunSuite {
     val sigZ = Seq(Tuple1(zeros)).toDF("embedding")
       .select(Similarity.signBits(col("embedding"))).as[Long].collect().head
     assert(sigZ === 0L)
+    // empty vectors must yield a NULL signature, not a fake all-zero
+    // pack (the oracle's list_sum over [] is NULL)
+    val empty = Array.empty[Float]
+    val sigE = Seq(Tuple1(empty)).toDF("embedding")
+      .select(Similarity.signBits(col("embedding")).as("s"))
+    assert(sigE.filter(col("s").isNull).count() === 1)
     // wider than 64 dims must fail fast, not alias onto low bits
     val wide = Array.fill(65)(1.0f)
     val err = intercept[Exception] {
