@@ -10,9 +10,18 @@ import org.apache.spark.sql.DataFrame
 object Names {
 
   def snakeToCamel(s: String): String = {
-    val parts = s.split("_")
-    (parts.head +: parts.tail.map(p =>
-      if (p.isEmpty) p else p.head.toUpper + p.tail)).mkString
+    // leading underscores are metadata convention (_corrupt, _rn), not
+    // word separators — preserve them so snaked(camelized(df)) round-
+    // trips; an all-underscore name passes through unchanged (split
+    // would return an empty array and .head would throw)
+    val lead = s.takeWhile(_ == '_')
+    val rest = s.drop(lead.length)
+    if (rest.isEmpty) s
+    else {
+      val parts = rest.split("_")
+      lead + (parts.head +: parts.tail.map(p =>
+        if (p.isEmpty) p else p.head.toUpper + p.tail)).mkString
+    }
   }
 
   def camelToSnake(s: String): String =

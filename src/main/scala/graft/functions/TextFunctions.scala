@@ -33,7 +33,11 @@ object TextFunctions {
     * where it must.
     */
   def tokenizeSmart(text: Column): Column =
-    when(text.rlike("[\\u4e00-\\u9fff]"), CjkSegmenter.tokenizeCjk(text))
+    // the gate mirrors CjkSegmenter.isCjk exactly (unified + Ext-A +
+    // compatibility ideographs) — a narrower gate would route Ext-A
+    // text to the whitespace tokenizer and emit whole runs as one token
+    when(text.rlike("[\\u3400-\\u4dbf\\u4e00-\\u9fff\\uf900-\\ufaff]"),
+        CjkSegmenter.tokenizeCjk(text))
       .otherwise(tokenize(text))
 
   /** Tiny per-language stopword profiles for the n-gram-free heuristic
@@ -94,8 +98,13 @@ object TextFunctions {
     val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
     val punctPenalty =
       least(punctCount(text).cast(DoubleType) / nTokensDenom(text), lit(1.0))
-    lenScore * lit(0.4) + stopScore * lit(0.4) +
-      (lit(1.0) - punctPenalty) * lit(0.2)
+    // the zero-token null must be EXPLICIT: least() SKIPS null
+    // arguments (least(null, 1.0) = 1.0), so without this gate a
+    // whitespace-only doc scores 0.4 and sails through the curation
+    // pipeline's >= 0.3 quality gate instead of dropping
+    when(nTokens(text) > 0,
+      lenScore * lit(0.4) + stopScore * lit(0.4) +
+        (lit(1.0) - punctPenalty) * lit(0.2))
   }
 
   /** BPE-ish regex token count: runs of letters, runs of digits, or a

@@ -52,7 +52,16 @@ case class VecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  override def nullable: Boolean = true
+
+  // a null ELEMENT nulls the whole product — matching the HOF
+  // formulation (zip_with propagates null) instead of silently
+  // reading the slot as 0.0 and scoring a corrupt vector
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
@@ -61,6 +70,7 @@ case class VecDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -68,6 +78,9 @@ case class VecDot(left: Expression, right: Expression)
     }
     acc
   }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    throw new IllegalStateException("eval is overridden directly")
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -78,6 +91,7 @@ case class VecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += ((double) $a.$leftGet($i)) * ((double) $b.$rightGet($i));
          |}
          |${ev.value} = $acc;

@@ -23,7 +23,7 @@ case class PackI8(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"pack_i8 input must be array<bigint>, got ${other.sql}")
+      s"veci8_pack input must be array<bigint>, got ${other.sql}")
   }
 
   override def dataType: DataType = BinaryType
@@ -83,7 +83,7 @@ case class VecDotI8(left: Expression, right: Expression)
     if (left.dataType == BinaryType && right.dataType == BinaryType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "vec_dot_i8 inputs must be binary (pack_i8 output), got " +
+      "veci8_dot inputs must be binary (veci8_pack output), got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
 
   override def dataType: DataType = LongType
@@ -122,11 +122,11 @@ case class VecDotI8(left: Expression, right: Expression)
 }
 
 object VecI8 {
-  /** Column-level API: `pack_i8(quantized)`. */
+  /** Column-level API: `veci8_pack(quantized)`. */
   def pack(a: Column): Column =
     GraftShim.column(PackI8(GraftShim.expression(a)))
 
-  /** Column-level API: `vec_dot_i8(a, b)`. */
+  /** Column-level API: `veci8_dot(a, b)`. */
   def dot(a: Column, b: Column): Column =
     GraftShim.column(
       VecDotI8(GraftShim.expression(a), GraftShim.expression(b)))

@@ -47,7 +47,14 @@ case class VecSqDist(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  // null elements null the result — HOF parity, see VecDot
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
@@ -56,6 +63,7 @@ case class VecSqDist(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       val d = xv - yv
@@ -64,6 +72,9 @@ case class VecSqDist(left: Expression, right: Expression)
     }
     acc
   }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    throw new IllegalStateException("eval is overridden directly")
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -75,6 +86,7 @@ case class VecSqDist(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $d = ((double) $a.$leftGet($i)) - ((double) $b.$rightGet($i));
          |  $acc += $d * $d;
          |}

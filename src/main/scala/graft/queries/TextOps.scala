@@ -266,9 +266,11 @@ object TextOps {
          |  FROM documents)
          |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
          |  CAST(punct_ct AS INT) AS punct_ct, stop_ratio,
-         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-         |    + least(stop_ratio * 4.0, 1.0) * 0.4
-         |    + (1.0 - least(CAST(punct_ct AS DOUBLE) / nullif(n_tokens, 0), 1.0)) * 0.2 AS quality
+         |  CASE WHEN n_tokens > 0 THEN
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + least(stop_ratio * 4.0, 1.0) * 0.4
+         |      + (1.0 - least(CAST(punct_ct AS DOUBLE) / nullif(n_tokens, 0), 1.0)) * 0.2
+         |  END AS quality
          |FROM m""".stripMargin
     },
 

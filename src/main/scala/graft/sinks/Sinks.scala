@@ -45,7 +45,20 @@ object Sinks {
                 table: String, pk: String = "id",
                 orderCol: Option[String] = None): Unit = {
     val path = s"$baseDir/$table"
-    val dedupedBatch = orderCol match {
+    // crash recovery BEFORE anything reads `path`: a death between the
+    // two renames below leaves the only full copy in .old_<table> with
+    // the table dir gone — that copy must be RESTORED, not deleted
+    // (deleting it and "merging" with nothing would silently rebuild
+    // the dim from the latest batch alone). If both exist, the swap
+    // completed and .old_ is a stale backup, safe to clear.
+    locally {
+      val dst0 = new java.io.File(path)
+      val old0 = new java.io.File(s"$baseDir/.old_$table")
+      if (old0.exists() && !dst0.exists())
+        require(old0.renameTo(dst0),
+          s"upsertDim: could not restore $path from interrupted swap")
+    }
+    val dedupedBatch0 = orderCol match {
       case Some(oc) =>
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col(pk)).orderBy(col(oc).desc)
@@ -53,6 +66,11 @@ object Sinks {
           .filter(col("_rn") === 1).drop("_rn")
       case None => batch.dropDuplicates(pk)
     }
+    // a null pk can never match the anti-join (null = null is null),
+    // so it would APPEND a fresh copy every batch instead of upserting
+    // — junk without an identity is dropped, per the MERGE-by-pk
+    // contract
+    val dedupedBatch = dedupedBatch0.filter(col(pk).isNotNull)
     val merged =
       if (new java.io.File(path).exists()) {
         val existing = spark.read.parquet(path)

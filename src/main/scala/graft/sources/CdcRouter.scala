@@ -115,6 +115,17 @@ object CdcRouter {
                   deleteOp: String = "delete"): DataFrame = {
     val payload = rows.columns.toSeq
       .filterNot(keyCols.contains).filterNot(orderCols.contains)
+    // max(struct(…)) requires ORDERABLE field types; a map-typed
+    // payload column (e.g. this file's own `after`/`before` envelopes)
+    // would fail analysis with an opaque error deep in the agg — fail
+    // here with the remedy instead
+    payload.foreach { c =>
+      require(!rows.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.MapType],
+        s"latestState payload column '$c' is map-typed (not orderable " +
+          "inside max(struct)): serialize it first (to_json) or drop it " +
+          "from the frame")
+    }
     val ordered = struct(
       (orderCols.map(col) ++ (opCol +: payload.filterNot(_ == opCol))
         .map(col)): _*)

@@ -61,4 +61,14 @@ class NamesSpec extends AnyFunSuite {
     assert(Names.snaked(Names.camelized(df)).columns.toSeq ===
       Seq("order_id", "sku_name"))
   }
+
+  test("metadata columns with leading underscores round-trip unmangled") {
+    assert(Names.snakeToCamel("_corrupt") === "_corrupt")
+    assert(Names.snakeToCamel("__rn") === "__rn")
+    assert(Names.snakeToCamel("_split_total") === "_splitTotal")
+    assert(Names.camelToSnake(Names.snakeToCamel("_split_total"))
+      === "_split_total")
+    assert(Names.snakeToCamel("_") === "_")   // must not throw
+    assert(Names.snakeToCamel("___") === "___")
+  }
 }

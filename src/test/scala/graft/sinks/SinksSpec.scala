@@ -37,4 +37,32 @@ class SinksSpec extends AnyFunSuite {
     val cols = spark.read.parquet(dir).columns.toSet
     assert(cols === Set("sku_id", "order_ct"))
   }
+
+  test("upsertDim restores from an interrupted swap instead of deleting it") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("dimcrash").toString
+    Sinks.upsertDim(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), base, "dim")
+    // simulate a crash between the two renames: table dir staged aside,
+    // replacement never published
+    val dst = new java.io.File(s"$base/dim")
+    val old = new java.io.File(s"$base/.old_dim")
+    require(dst.renameTo(old))
+    // next upsert must RESTORE the staged copy and merge with it —
+    // not delete the only surviving data and rebuild from the batch
+    Sinks.upsertDim(spark, Seq((2L, "b2")).toDF("id", "v"), base, "dim")
+    val out = spark.read.parquet(s"$base/dim")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a", 2L -> "b2"))
+  }
+
+  test("upsertDim drops null-pk rows instead of accumulating them") {
+    val base = java.nio.file.Files.createTempDirectory("dimnull").toString
+    val b1 = Seq((Some(1L), "a"), (None, "junk1")).toDF("id", "v")
+    val b2 = Seq((Some(1L), "a2"), (None, "junk2")).toDF("id", "v")
+    Sinks.upsertDim(spark, b1, base, "dim")
+    Sinks.upsertDim(spark, b2, base, "dim")
+    val out = spark.read.parquet(s"$base/dim").collect()
+    assert(out.length === 1) // no null-pk rows, no per-batch growth
+  }
 }
