@@ -82,8 +82,12 @@ object Series {
                valueCol: String, stepMicros: Long): DataFrame = {
     require(stepMicros > 0, s"stepMicros must be positive, got $stepMicros")
     val obs = events
+      // finite() here too, although no decimal cast follows: max() over
+      // a NaN orders differently per engine (Spark: NaN greatest;
+      // DuckDB: its own rule), so non-finite junk must drop for the
+      // oracle contract like every other value ingester
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
-        col(valueCol).isNotNull)
+        finite(col(valueCol)).isNotNull)
       .groupBy(col(keyCol).as("key"),
         expr(s"unix_micros(CAST($tsCol AS TIMESTAMP))").as("tus"))
       .agg(max(col(valueCol)).as("v"))

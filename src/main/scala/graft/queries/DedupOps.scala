@@ -89,7 +89,11 @@ object DedupOps {
           coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("n_hit"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
         .select(col("n_true"), col("n_hit"), col("n_cand"),
-          (col("n_hit").cast("double") / col("n_true").cast("double"))
+          // empty-truth guard on the RATIO too: Spark's 0.0/0.0 is NaN
+          // while DuckDB's is NULL — the fixture-agreement contract
+          // the n_hit coalesce above exists for needs null here
+          when(col("n_true") > 0,
+            col("n_hit").cast("double") / col("n_true").cast("double"))
             .as("recall"))
     },
 

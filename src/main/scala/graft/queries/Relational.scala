@@ -113,7 +113,10 @@ object Relational {
 
     // ---- A1: tumbling-window visitor stats -------------------------------
     "q6_visitor_stats" -> { (s, dir) =>
-      ev(s, dir)
+      // explicit null-ts drop, symmetric with the oracle's WHERE —
+      // window() happens to exclude null event times, but the contract
+      // should not hinge on that implicit behavior
+      ev(s, dir).filter(col("ts").isNotNull)
         .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
         .agg(
           count(lit(1)).as("pv_ct"),
@@ -208,7 +211,7 @@ object Relational {
 
     // ---- A1 union: VisitorStats fed by a union of derived streams --------
     "q14_union_stats" -> { (s, dir) =>
-      val e = ev(s, dir)
+      val e = ev(s, dir).filter(col("ts").isNotNull)
       val page = e.filter(col("event_type").isin("view", "click"))
         .select(col("ts"), col("user_id"),
           lit(1L).as("pv_ct"), lit(0L).as("sv_ct"), col("value").as("dur"))
@@ -228,7 +231,8 @@ object Relational {
 
     // ---- session_window: gap-based sessionization ------------------------
     "q18_sessionize" -> { (s, dir) =>
-      StatsJobs.sessionStats(ev(s, dir), keyCol = "user_id", tsCol = "ts",
+      StatsJobs.sessionStats(ev(s, dir).filter(col("ts").isNotNull),
+        keyCol = "user_id", tsCol = "ts",
         gap = "4 hours",
         extraAggs = Seq(moneySum(col("value")).as("val_sum")))
     },
@@ -371,7 +375,7 @@ object Relational {
       val sessionGapUs = 4L * 3600 * 1000000 // 4h, q18's session gap
       val bounceGapUs = 600L * 1000000       // 10 min follow-up window
       val w = Window.partitionBy(col("mid")).orderBy(col("ts"))
-      val pages = ev(s, dir).select(
+      val pages = ev(s, dir).filter(col("ts").isNotNull).select(
         col("user_id").cast(StringType).as("mid"),
         unix_micros(col("ts")).as("ts"),
         col("event_type").as("page_id"))
@@ -443,7 +447,7 @@ object Relational {
       val prev = lag(us, 1).over(w)
       val ns = when(prev.isNull || us - prev >= lit(14400000000L), 1)
         .otherwise(0)
-      ev(s, dir)
+      ev(s, dir).filter(col("ts").isNotNull)
         .withColumn("_ns", ns)
         .withColumn("_sid", sum(col("_ns")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -463,7 +467,7 @@ object Relational {
     // map-side, so the aggregate shape is identical to tumbling with a
     // 4× row amplification, and no state beyond the aggregation
     "q27_hopping" -> { (s, dir) =>
-      ev(s, dir)
+      ev(s, dir).filter(col("ts").isNotNull)
         .groupBy(window(col("ts"), "4 hours", "1 hour").as("w"))
         .agg(count(lit(1)).as("pv_ct"),
           countDistinct(col("user_id")).as("uv_ct"),
@@ -479,8 +483,12 @@ object Relational {
     // |z| > 1.5 boundary can't flap (uniform values cap |z| at √3, so
     // a 2σ gate would be vacuous on this fixture)
     "q28_zscore" -> { (s, dir) =>
-      // finite-guarded like q31: every downstream decimal cast is then safe
-      val e = ev(s, dir).filter(Graft.finite(col("value")).isNotNull)
+      // finite-guarded like q31, tightened to |v| < 1e12: the s2
+      // moment squares the value into DECIMAL(28,4) (24 integer
+      // digits), so v² must stay under 1e24 for the cast to be safe on
+      // both engines
+      val e = ev(s, dir).filter(Graft.finite(col("value")).isNotNull &&
+        abs(col("value")) < 1e12)
       val stats = e.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
           sum(Graft.dec2(col("value"))).as("s1"),
@@ -566,7 +574,8 @@ object Relational {
         | COUNT(*) AS pv_ct,
         | COUNT(DISTINCT user_id) AS uv_ct,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
-        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q7_unique_visit" ->
       """SELECT user_id, CAST(ts AS DATE) AS dt,
@@ -625,9 +634,10 @@ object Relational {
       """WITH u AS (
         |  SELECT ts, user_id, 1 AS pv_ct, 0 AS sv_ct, value AS dur
         |  FROM events WHERE event_type IN ('view','click')
+        |    AND ts IS NOT NULL
         |  UNION ALL
         |  SELECT ts, user_id, 0 AS pv_ct, 1 AS sv_ct, 0.0 AS dur
-        |  FROM events WHERE event_type = 'signup')
+        |  FROM events WHERE event_type = 'signup' AND ts IS NOT NULL)
         |SELECT time_bucket(INTERVAL '10 minutes', ts) AS stt,
         | time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE AS edt,
         | CAST(SUM(pv_ct) AS BIGINT) AS pv_ct,
@@ -646,7 +656,7 @@ object Relational {
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
         |         THEN 1 ELSE 0 END AS ns
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |y AS (
         |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
@@ -725,7 +735,7 @@ object Relational {
         |    event_type AS page_id,
         |    lag(epoch_us(ts)) OVER w AS prev_ts,
         |    lead(epoch_us(ts)) OVER w AS next_ts
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
         |SELECT mid, ts, page_id FROM p
         |WHERE (prev_ts IS NULL OR ts - prev_ts >= 14400000000)
@@ -768,7 +778,9 @@ object Relational {
       """WITH b AS (
         |  SELECT event_type,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM events WHERE value IS NOT NULL)
+        |  FROM events
+        |  WHERE value IS NOT NULL AND isfinite(value)
+        |    AND abs(value) < 1e16)
         |SELECT event_type, COUNT(*) AS n,
         |  quantile_cont(cents, 0.25) / 100.0 AS p25,
         |  quantile_cont(cents, 0.5) / 100.0 AS p50,
@@ -783,7 +795,7 @@ object Relational {
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 14400000000
         |         THEN 1 ELSE 0 END AS ns
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |y AS (
         |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -804,7 +816,8 @@ object Relational {
         |  SELECT time_bucket(INTERVAL '1 hour', ts)
         |           - o.o * INTERVAL '1 hour' AS stt,
         |    user_id, value
-        |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS o) o)
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS o) o
+        |  WHERE ts IS NOT NULL)
         |SELECT stt, stt + INTERVAL '4 hours' AS edt,
         |  COUNT(*) AS pv_ct,
         |  COUNT(DISTINCT user_id) AS uv_ct,
@@ -816,7 +829,9 @@ object Relational {
     // |z| > 1.5 boundary are bit-reproducible
     "q28_zscore" ->
       """WITH e AS (
-        |  SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL),
+        |  SELECT user_id, event_id, value FROM events
+        |  WHERE value IS NOT NULL AND isfinite(value)
+        |    AND abs(value) < 1e12),
         |st AS (
         |  SELECT user_id, COUNT(*) AS n,
         |    SUM(CAST(value AS DECIMAL(18,2))) AS s1,

@@ -17,12 +17,11 @@ object RoutingOps {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
-  /** Deterministic CDC op derived from the payload: the event's k value
-    * mod 10 → delete (2), create (3), else insert/update split.
-    */
-  /** Branchless lookup — a when-chain re-evaluates the JSON parse per
-    * branch (conditional branches defeat subexpression elimination);
-    * element_at over a literal array parses once per row.
+  /** Deterministic CDC op derived from the payload — the event's k
+    * value mod 10 → delete (2), create (3), else insert/update split —
+    * as a branchless lookup: a when-chain re-evaluates the JSON parse
+    * per branch (conditional branches defeat subexpression
+    * elimination); element_at over a literal array parses once per row.
     */
   private val opTable = Array("update", "update", "delete", "create",
     "insert", "insert", "insert", "insert", "insert", "insert")

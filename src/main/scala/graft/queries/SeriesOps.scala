@@ -102,7 +102,7 @@ object SeriesOps {
       """WITH seg AS (
         |  SELECT event_type, epoch_us(ts)::BIGINT // 7200000000 AS seg,
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |  FROM events WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e16 AND ts IS NOT NULL
         |  GROUP BY 1, 2),
         |win AS (
         |  SELECT event_type, seg // 4 AS w,
@@ -128,7 +128,7 @@ object SeriesOps {
       """WITH seg AS (
         |  SELECT event_type, epoch_us(ts)::BIGINT // 7200000000 AS seg,
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |  FROM events WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e16 AND ts IS NOT NULL
         |  GROUP BY 1, 2),
         |win AS (
         |  SELECT event_type, seg // 4 AS w,
@@ -152,7 +152,7 @@ object SeriesOps {
       """WITH obs AS (
         |  SELECT user_id AS key, epoch_us(ts)::BIGINT AS tus, MAX(value) AS v
         |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL AND isfinite(value) AND abs(value) < 1e16
         |  GROUP BY 1, 2),
         |rng AS (
         |  SELECT key,
@@ -174,7 +174,7 @@ object SeriesOps {
       """WITH base AS (
         |  SELECT user_id, event_id, ts,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |  FROM events WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e16 AND ts IS NOT NULL),
         |st AS (
         |  SELECT user_id, COUNT(*) AS n, SUM(cents) AS tot
         |  FROM base GROUP BY user_id),
@@ -200,7 +200,7 @@ object SeriesOps {
       """WITH base AS (
         |  SELECT user_id, event_id, ts,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 5000 AS x
-        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |  FROM events WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e16 AND ts IS NOT NULL),
         |y AS (
         |  SELECT *, SUM(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS p
@@ -222,7 +222,7 @@ object SeriesOps {
         |  SELECT user_id, epoch_us(ts)::BIGINT AS tus,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL AND isfinite(value) AND abs(value) < 1e16),
         |q AS (
         |  SELECT user_id,
         |    (tus - MIN(tus) OVER (PARTITION BY user_id)) // 1000000 AS x,
@@ -253,7 +253,7 @@ object SeriesOps {
         |  SELECT user_id, event_id, ts,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL AND isfinite(value) AND abs(value) < 1e16),
         |st AS (
         |  SELECT user_id, quantile_cont(cents, 0.5) AS med
         |  FROM p GROUP BY user_id),
@@ -276,7 +276,7 @@ object SeriesOps {
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
          |  FROM events
          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-         |    AND value IS NOT NULL)
+         |    AND value IS NOT NULL AND isfinite(value) AND abs(value) < 1e16)
          |SELECT user_id AS key, event_id AS id, ts,
          |  cents / 100.0 AS value,
          |  CAST(${sqlEwmaTerms._1} AS DOUBLE) /

@@ -113,6 +113,7 @@ object TextOps {
     // pruning genuinely fires in every window before the exact verify
     "t23_windowed_hh" -> { (s, dir) =>
       val e = graft.core.Tables.events(s, dir)
+        .filter(col("ts").isNotNull) // symmetric with the oracle's WHERE
       graft.operators.Frequency.windowedHeavyHitters(
         e.select(expr("unix_millis(ts) DIV 86400000").as("day"),
           col("user_id").cast("string").as("user_id")),
@@ -231,6 +232,23 @@ object TextOps {
   private[queries] def sqlProfile(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** t24/t25 shared mirror: sequential-Poisson priority top-5 per
+    * source — the thresholded two-pass variant must produce the
+    * IDENTICAL result, so both oracle keys bind to this one SQL.
+    */
+  private lazy val sqlPrioritySample: String =
+  """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS w
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST('0x' || substr(md5('p:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE)
+        |      / CAST(w AS DOUBLE) AS pr
+        |  FROM d WHERE w > 0)
+        |SELECT doc_id, source FROM p
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY pr, doc_id) <= 5""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "t1_keyword_stats" ->
       """SELECT keyword, source, COUNT(*) AS ct
@@ -348,7 +366,7 @@ object TextOps {
       """WITH e AS (
         |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS window_start,
         |    CAST(user_id AS VARCHAR) AS user_id
-        |  FROM events WHERE user_id IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |n AS (SELECT window_start, COUNT(*) AS n FROM e GROUP BY window_start)
         |SELECT e.window_start, e.user_id, COUNT(*) AS ct
         |FROM e JOIN n USING (window_start)
@@ -358,33 +376,14 @@ object TextOps {
     // priority = 48-bit salted-md5 uniform / token count — u is exact
     // in both BIGINT and DOUBLE, the division is the identical IEEE op,
     // so the per-source top-5 agrees bit-for-bit
-    "t24_weighted_sample" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS w
-        |  FROM documents WHERE doc_id IS NOT NULL),
-        |p AS (
-        |  SELECT doc_id, source,
-        |    CAST(CAST('0x' || substr(md5('p:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE)
-        |      / CAST(w AS DOUBLE) AS pr
-        |  FROM d WHERE w > 0)
-        |SELECT doc_id, source FROM p
-        |QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY pr, doc_id) <= 5""".stripMargin,
+    "t24_weighted_sample" -> sqlPrioritySample,
 
     // identical mirror to t24 by design: the two-pass sampler's
     // contract is bit-equality with the one-pass rank
-    "t25_weighted_sample_2p" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS w
-        |  FROM documents WHERE doc_id IS NOT NULL),
-        |p AS (
-        |  SELECT doc_id, source,
-        |    CAST(CAST('0x' || substr(md5('p:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE)
-        |      / CAST(w AS DOUBLE) AS pr
-        |  FROM d WHERE w > 0)
-        |SELECT doc_id, source FROM p
-        |QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY pr, doc_id) <= 5""".stripMargin,
+    // identical mirror to t24 BY CONSTRUCTION: one shared binding,
+    // so the "two-pass ≡ one-pass" contract can never certify
+    // against a stale copy
+    "t25_weighted_sample_2p" -> sqlPrioritySample,
 
     "t9_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

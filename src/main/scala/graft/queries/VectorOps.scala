@@ -19,6 +19,22 @@ object VectorOps {
   private def querySet(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % 50 === 0)
 
+  /** recall@k counting: per query, how many of `truth`'s (q_id, n_id)
+    * pairs `approx` reproduced. ONE implementation for every eval
+    * (v11/v14/v16/v21 and v17's two-leg variant) — the denominator,
+    * null handling, and tie semantics are contract, not per-eval
+    * detail.
+    */
+  private def recallAgainst(truth: DataFrame, approx: DataFrame,
+                            k: Int): DataFrame =
+    truth.select(col("q_id"), col("n_id"))
+      .join(approx.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
+        Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hit_ct"))
+      .select(col("q_id"), col("hit_ct"),
+        (col("hit_ct").cast("double") / lit(k.toDouble)).as("recall"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_knn_brute" -> { (s, dir) =>
       val e = emb(s, dir)
@@ -132,13 +148,7 @@ object VectorOps {
         slice(col("embedding"), 1, 16).as("embedding"))
       val full = Similarity.bruteForceKnn(e, querySet(e), k = 3)
       val trunc = Similarity.bruteForceKnn(lo, querySet(lo), k = 3)
-      full.select(col("q_id"), col("n_id"))
-        .join(trunc.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
-          Seq("q_id", "n_id"), "left")
-        .groupBy(col("q_id"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("hit_ct"))
-        .select(col("q_id"), col("hit_ct"),
-          (col("hit_ct").cast("double") / lit(3.0)).as("recall"))
+      recallAgainst(full, trunc, k = 3)
     },
 
     // recall@3 of int8-quantized exhaustive search vs float exact —
@@ -148,13 +158,7 @@ object VectorOps {
       val e = emb(s, dir)
       val brute = Similarity.bruteForceKnn(e, querySet(e), k = 3)
       val sq = Similarity.sqKnn(e, querySet(e), k = 3)
-      brute.select(col("q_id"), col("n_id"))
-        .join(sq.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
-          Seq("q_id", "n_id"), "left")
-        .groupBy(col("q_id"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("hit_ct"))
-        .select(col("q_id"), col("hit_ct"),
-          (col("hit_ct").cast("double") / lit(3.0)).as("recall"))
+      recallAgainst(brute, sq, k = 3)
     },
 
     // seed-vs-Lloyd's-refined PQ codebook recall, side by side against
@@ -208,13 +212,7 @@ object VectorOps {
       val e = emb(s, dir)
       val brute = Similarity.bruteForceKnn(e, querySet(e), k = 3)
       val ham = Similarity.hammingKnn(e, querySet(e), k = 3, rerank = 10)
-      brute.select(col("q_id"), col("n_id"))
-        .join(ham.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
-          Seq("q_id", "n_id"), "left")
-        .groupBy(col("q_id"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("hit_ct"))
-        .select(col("q_id"), col("hit_ct"),
-          (col("hit_ct").cast("double") / lit(3.0)).as("recall"))
+      recallAgainst(brute, ham, k = 3)
     },
 
     // recall@3 of the IVF probe-1 path against exact brute force —
@@ -223,13 +221,7 @@ object VectorOps {
       val e = emb(s, dir)
       val brute = Similarity.bruteForceKnn(e, querySet(e), k = 3)
       val ivf = Similarity.ivfKnn(e, querySet(e), k = 3)
-      brute.select(col("q_id"), col("n_id"))
-        .join(ivf.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
-          Seq("q_id", "n_id"), "left")
-        .groupBy(col("q_id"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("hit_ct"))
-        .select(col("q_id"), col("hit_ct"),
-          (col("hit_ct").cast("double") / lit(3.0)).as("recall"))
+      recallAgainst(brute, ivf, k = 3)
     })
 
   /** SQL mirror of Similarity.dot: strict left fold over the zipped
@@ -509,7 +501,6 @@ object VectorOps {
        |    list_transform(list_zip($a, $b), p -> p[1] * p[2])),
        |  (acc, v) -> acc + v)""".stripMargin
 
-  /** v7's full mirror, reused verbatim as the quantized leg of v16. */
   /** SQL mirror of Similarity.signBits/hammingKnn: sign signature =
     * Σ 1<<d over dims with value > 0, Hamming = bit_count(xor), top-10
     * candidates reranked by the strict-fold cosine to top-3. Shared by
@@ -553,6 +544,7 @@ object VectorOps {
        |  JOIN e ce ON ce.vec_id = t.n_id)
        |WHERE rnk <= 3""".stripMargin
 
+  /** v7's full mirror, reused verbatim as the quantized leg of v16. */
   private lazy val sqlSq8Knn: String =
     s"""WITH qz AS (
        |  SELECT vec_id,
