@@ -155,7 +155,8 @@ object CorpusPipeline {
     // pack only the kept rows; dropped rows keep a null chunk_id
     val kept = annotated.filter(col("drop_reason").isNull)
     val packed = Packing.packByBudget(kept, "doc_id",
-        TextFunctions.nTokens(col("text")), cfg.budget)
+        TextFunctions.nTokens(col("text")), cfg.budget,
+        cacheInput = false) // `annotated` is already persisted above
       .select(col("doc_id"), col("chunk_id"))
     annotated.join(packed, Seq("doc_id"), "left")
   }

@@ -78,10 +78,14 @@ object Decontaminate {
       s"bitsLog2 must be in [6, 30], got $bitsLog2")
     require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
     val m = 1L << bitsLog2
+    // persisted: the eval-set-sized gram frame feeds BOTH the bit-
+    // position collect and the exact-verify join — without the cache
+    // the tokenize+explode+distinct lineage runs twice (the
+    // candidatePairs persist rationale: AQE bypasses ReusedExchange)
     val benchGrams = bench
       .select(tokenize(col(textCol)).as("_w"))
       .select(explode(wordNgramsOf(col("_w"), n)).as("g"))
-      .distinct()
+      .distinct().persist()
     // probe i's position for gram g; seeding by prefix keeps the k
     // probes independent while reusing the codegen'd hash both sides
     def pos(g: Column, i: Int): Column =

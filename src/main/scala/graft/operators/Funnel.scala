@@ -32,6 +32,9 @@ object Funnel {
   def firstReached(events: DataFrame, keyCol: String, tsCol: String,
                    typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct (a repeated stage would emit " +
+        s"duplicate <stage>_ts columns): $stages")
     val base = events
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).as("key"),

@@ -139,9 +139,15 @@ object Mixing {
     }
     val win = Window.partitionBy(col("_st"))
       .orderBy(col("_pr").asc, col(idCol))
+    val cut = element_at(typedLit(cutoffs), col("_st"))
     base
-      .filter(col("_pr") <
-        element_at(typedLit(cutoffs), col("_st")))
+      // an infinite cutoff means "keep the whole stratum" (underfull,
+      // or the clamp-edge octave): it must admit pr = +Inf (subnormal
+      // weight) and pr = NaN (NaN weight passes w > 0 under Spark's
+      // NaN-is-largest ordering) — `Inf < Inf` and `NaN < Inf` are
+      // both false, so a bare < filter would drop rows the exact
+      // one-pass sampler keeps, breaking the pinned equivalence
+      .filter(col("_pr") < cut || cut === Double.PositiveInfinity)
       .withColumn("_rk", row_number().over(win))
       .filter(col("_rk") <= k)
       .drop("_pr", "_st", "_oct", "_rk")
@@ -176,8 +182,13 @@ object Mixing {
           .map { case ((d, b), off) => s"$d:$b" -> off }
     }
 
+    // budget lookup on _dom, NOT the raw column: null domains fold
+    // into the "" group for the prefix-sum stream, so their budget
+    // must come from the same key — comparing the raw (null) column
+    // would hand the shared stream defaultBudget for the null rows and
+    // budgets("") for the rest, undershooting both guarantees
     val budgetFor = budgets.foldLeft(lit(defaultBudget): Column) {
-      case (acc, (d, b)) => when(col(domainCol) === d, lit(b)).otherwise(acc)
+      case (acc, (d, b)) => when(col("_dom") === d, lit(b)).otherwise(acc)
     }
 
     if (offsets.isEmpty) // empty input (or all-null ids)

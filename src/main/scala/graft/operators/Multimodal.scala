@@ -81,6 +81,7 @@ object Multimodal {
   def decode(df: DataFrame, idCol: String = "doc_id",
              payloadCol: String = "payload",
              batchSize: Int = 256): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     // typed Dataset mapPartitions, not .rdd: rows stay in Tungsten
     // binary format end to end (no Row boxing round-trip) and the
     // surrounding stages keep whole-stage codegen
@@ -125,10 +126,16 @@ object Multimodal {
     * computes the identical hex string.
     */
   def sampleFrames(df: DataFrame, n: Int, payloadCol: String = "payload"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n") // n=0: sequence(0,-1)
     val idx = sequence(lit(0), lit(n - 1))
     df.withColumn("frame_digests",
       transform(idx, i => {
-        val off = floor(i * length(col(payloadCol)) / n).cast(IntegerType)
+        // LONG offset math: i and length() are both Int columns, and
+        // frame index × a video-sized byte length clears Int.MaxValue
+        // (2.2e9 at 35 MB × 64 frames) — an ANSI abort / wrapped
+        // negative offset on real media, invisible on harness text
+        val off = floor(i.cast(LongType) * length(col(payloadCol)) / n)
+          .cast(IntegerType) // result <= length, Int-safe after the long multiply
         md5(col(payloadCol).substr(off + 1, lit(16)))
       }))
   }

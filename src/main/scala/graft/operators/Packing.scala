@@ -43,12 +43,18 @@ import org.apache.spark.sql.types.LongType
   */
 object Packing {
 
+  /** @param cacheInput persist the annotated input across this
+    *   operator's three actions (bounds agg, shard totals, final
+    *   window job) — the [[Frequency]] convention; pass false when the
+    *   caller already persists (CorpusPipeline does).
+    */
   def packByBudget(docs: DataFrame, orderCol: String,
                    weight: org.apache.spark.sql.Column, budget: Long,
-                   shards: Int = 256): DataFrame = {
+                   shards: Int = 256, cacheInput: Boolean = true): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
-    val base = docs.withColumn("_w", coalesce(weight.cast(LongType), lit(0L)))
+    val base0 = docs.withColumn("_w", coalesce(weight.cast(LongType), lit(0L)))
+    val base = if (cacheInput) base0.persist() else base0
     val bounds = base.agg(
       min(col(orderCol).cast(LongType)), max(col(orderCol).cast(LongType)))
       .head()

@@ -42,10 +42,26 @@ object Temporal {
     // the session is pinned UTC so the cast is value-preserving
     val pb = points.withColumn("_bucket",
       expr(s"unix_micros(CAST($pointTs AS TIMESTAMP)) DIV $bucketMicros"))
-    val ib = intervals.withColumn("_bucket",
-      explode(sequence(
-        expr(s"unix_micros(CAST($startCol AS TIMESTAMP)) DIV $bucketMicros"),
-        expr(s"unix_micros(CAST($endCol AS TIMESTAMP)) DIV $bucketMicros"))))
+    // guard the explode: an INVERTED interval (corrupt row) would
+    // silently generate a DESCENDING sequence (Spark counts down for
+    // b < a) whose pairs die in the containment filter — pure wasted
+    // blowup — and an open-ended sentinel (valid_to 9999-12-31) at a
+    // fine bucket would build a job-killing multi-billion-element
+    // array. Inverted rows drop (DuckDB's range() yields empty for
+    // them, so the oracle agrees); over-wide rows raise with the
+    // remedy rather than dying deep inside array allocation.
+    val b0 = expr(s"unix_micros(CAST($startCol AS TIMESTAMP)) DIV $bucketMicros")
+    val b1 = expr(s"unix_micros(CAST($endCol AS TIMESTAMP)) DIV $bucketMicros")
+    val maxBuckets = 1L << 20
+    val ib = intervals
+      .filter(b1 >= b0)
+      .withColumn("_bucket",
+        explode(sequence(b0,
+          when(b1 - b0 < maxBuckets, b1)
+            .otherwise(raise_error(concat(
+              lit(s"rangeJoin: interval spans >= $maxBuckets buckets of "),
+              lit(s"$bucketMicros micros — use a coarser bucketMicros or "),
+              lit("clamp open-ended sentinels first"))).cast(org.apache.spark.sql.types.LongType)))))
     pb.join(ib, Seq("_bucket"))
       .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
       .drop("_bucket")

@@ -366,3 +366,74 @@ class ChunkingSpec extends AnyFunSuite {
     assert(out.map(_._3) === Seq(4, 4, 2))
   }
 }
+
+class ReviewRegressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("thresholded sampler keeps underfull strata whole, incl. +Inf/NaN priorities") {
+    import org.apache.spark.sql.functions.col
+    // stratum "a": 3 rows, k = 5 (underfull -> +Inf cutoff); one
+    // subnormal weight overflows priority to +Inf, one NaN weight
+    // yields a NaN priority — both must survive, as the exact sampler
+    // keeps them
+    val docs = Seq(
+      ("a", 1L, 1.0), ("a", 2L, java.lang.Double.MIN_VALUE),
+      ("a", 3L, Double.NaN),
+      ("b", 10L, 1.0), ("b", 11L, 2.0)
+    ).toDF("source", "doc_id", "w")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").as[Long].collect().toSet
+    val exact = Mixing.prioritySample(docs, "source", "doc_id", col("w"), k = 5)
+    val twoPass = Mixing.prioritySampleThresholded(
+      docs, "source", "doc_id", col("w"), k = 5)
+    assert(ids(exact) === ids(twoPass))
+    assert(ids(twoPass).intersect(Set(2L, 3L)) === Set(2L, 3L))
+  }
+
+  test("rangeJoin drops inverted intervals and raises on sentinel-width ones") {
+    import org.apache.spark.sql.functions.col
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val points = Seq((1L, ts(100))).toDF("pid", "pts")
+    // inverted interval (corrupt row): silently contributes nothing
+    val inverted = Seq((ts(500), ts(100), "inv"), (ts(50), ts(150), "ok"))
+      .toDF("s", "e", "tag")
+    val out = Temporal.rangeJoin(points, "pts", inverted, "s", "e",
+        bucketMicros = 60000000L)
+      .select("tag").as[String].collect().toSeq
+    assert(out === Seq("ok"))
+    // an open-ended sentinel at a fine bucket must raise, not allocate
+    val sentinel = Seq((ts(0), java.sql.Timestamp.valueOf("9999-12-31 00:00:00"),
+      "open")).toDF("s", "e", "tag")
+    val err = intercept[Exception] {
+      Temporal.rangeJoin(points, "pts", sentinel, "s", "e",
+        bucketMicros = 60000000L).collect()
+    }
+    assert(err.getMessage.contains("rangeJoin") ||
+      (err.getCause != null && err.getCause.getMessage.contains("rangeJoin")))
+  }
+
+  test("funnel rejects repeated stage names") {
+    val e = intercept[IllegalArgumentException] {
+      Funnel.firstReached(
+        Seq(("u", new java.sql.Timestamp(0L), "view")).toDF("k", "ts", "t"),
+        "k", "ts", "t", Seq("view", "click", "view"))
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
+  test("mixByTokenBudget treats null and empty domains as ONE budgeted group") {
+    import org.apache.spark.sql.functions.col
+    // budget for "" = 60 tokens; null-domain rows fold into the same
+    // group and must draw from the SAME budget, not defaultBudget
+    val docs = (1 to 20).map(i =>
+      (if (i % 2 == 0) null else "", i.toLong, 10L))
+      .toDF("dom", "doc_id", "w")
+    val out = Mixing.mixByTokenBudget(docs, "dom", "doc_id", col("w"),
+      budgets = Map("" -> 60L), defaultBudget = 1000000L, buckets = 4)
+    val kept = out.filter(col("kept")).count()
+    // 60-token budget over 10-token docs → ~6 kept (±1 per bucket
+    // boundary), NOT all 20 (which defaultBudget would admit)
+    assert(kept >= 5 && kept <= 10, s"kept $kept")
+  }
+}
