@@ -375,4 +375,40 @@ class StatefulOpsSpec extends AnyFunSuite {
       assert(out(day3 + 2000L) === "0") // would stay "1" without the fix
     } finally query.stop()
   }
+
+  test("bounce state (entry + OOO buffer) survives a checkpoint restart") {
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("bounce_ckpt").toString
+    // memory sinks can't recover from a checkpoint — collect via
+    // foreachBatch, the compaction restart test's pattern
+    val found = scala.collection.mutable.Buffer[KeyedEvent]()
+    val input = MemoryStream[KeyedEvent]
+    def start() = StatefulOps.bounceStreaming(
+        StatefulOps.watermarked(input.toDS(), delay = "30 seconds"),
+        gapMillis = 10000L)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[KeyedEvent], _: Long) =>
+        found ++= b.collect(); ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      // an entry that will eventually bounce, still undecided (buffered)
+      input.addData(KeyedEvent.at("m1", day1 + 1000L, "1", "home", null))
+      q1.processAllAvailable()
+      assert(found.isEmpty) // verdict not rendered yet
+    } finally q1.stop()
+    // restart from the checkpoint: the buffered entry must still be in
+    // state and bounce once the watermark passes its gap
+    val q2 = start()
+    try {
+      input.addData(KeyedEvent.at("mz", day1 + 500000L, "1", "p", "q"))
+      q2.processAllAvailable()
+      input.addData(KeyedEvent.at("mz", day1 + 900000L, "1", "p", "q"))
+      q2.processAllAvailable()
+      val out = found.filter(_.mid == "m1").map(_.ts).toSet
+      assert(out === Set(day1 + 1000L)) // bounced exactly once, post-restart
+    } finally q2.stop()
+  }
 }
