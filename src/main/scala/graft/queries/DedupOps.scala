@@ -139,6 +139,19 @@ object DedupOps {
       Dedup.containmentPairs(docs(s, dir), threshold = 0.5)
     },
 
+    // the windowed twin of d5, anchoring the KmvStreaming family to an
+    // oracle row: per-day KMV distinct-user sketch over events — below
+    // k the count is exact (estimate null), at k the deterministic
+    // (k−1)·2⁴⁸/kth estimator fires; sf0.01 has days on both branches
+    "d14_windowed_kmv" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      Dedup.kmvDistinct(
+        ev.select(expr("unix_millis(ts) DIV 86400000").as("day"),
+          col("user_id").cast("string").as("uid")),
+        groupCol = "day", valueCol = "uid", k = 64)
+    },
+
     // centrality over the near-dup graph: integer-deterministic
     // PageRank (3 unrolled iterations) on the undirected ≥0.5-Jaccard
     // edges — ranks boilerplate hubs above incidental near-dups, the
@@ -372,6 +385,21 @@ object DedupOps {
          |JOIN shingled sb ON sb.doc_id = doc_b
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |    / len(list_distinct(sa.sh || sb.sh)) >= 0.5""".stripMargin,
+
+    "d14_windowed_kmv" ->
+      """WITH d AS (
+        |  SELECT DISTINCT (epoch_ms(ts) // 86400000) AS day,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |      AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rnk
+        |  FROM d)
+        |SELECT day, COUNT(*) AS distinct_le_k,
+        |  CAST(MAX(CASE WHEN rnk = 64 THEN h END) AS BIGINT) AS kth,
+        |  CAST(63 AS DOUBLE) * 281474976710656.0
+        |    / MAX(CASE WHEN rnk = 64 THEN h END) AS kmv_estimate
+        |FROM r WHERE rnk <= 64 GROUP BY day""".stripMargin,
 
     "d5_kmv_distinct" ->
       """WITH d AS (
