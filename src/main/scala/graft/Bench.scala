@@ -29,8 +29,14 @@ object Bench {
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      catch { case _: Throwable => spark.catalog.clearCache(); return -1.0 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operator-internal persists (LSH bands, bloom builds, pagerank
+      // edge frames) are intra-query reuse; release them here so 110
+      // queries x 3 passes don't accumulate cache in one JVM, and so
+      // each timed pass pays its own cache-build cost (honest numbers)
+      spark.catalog.clearCache()
+      dt
     }
     names.foreach(once) // warmup pass (untimed)
     // two timed passes, min per query: this host is a shared VM and a

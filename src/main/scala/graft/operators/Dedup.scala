@@ -177,6 +177,10 @@ object Dedup {
     * live until `df.unpersist()` / `spark.catalog.clearCache()` — a
     * long-lived session sweeping many corpora should clear between
     * pipelines (on a cluster these seams become persisted tables).
+    * The repo's own lifecycle owners do exactly that: Bench and Verify
+    * call `spark.catalog.clearCache()` after each query's action, so
+    * intra-query reuse is kept and nothing accumulates across the
+    * 110-query sweeps.
     */
   def nearDupPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",

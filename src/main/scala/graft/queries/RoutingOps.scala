@@ -164,7 +164,7 @@ object RoutingOps {
   def oracle: Map[String, String] = Map(
     "r1_cdc_normalize" ->
       s"""WITH x AS (SELECT user_id, $sqlOp AS op FROM events)
-         |SELECT CASE WHEN op = 'create' THEN 'insert' ELSE op END AS op,
+         |SELECT CASE WHEN op IN ('create','bootstrap-insert') THEN 'insert' ELSE op END AS op,
          |  COUNT(*) AS ct, COUNT(DISTINCT user_id) AS users
          |FROM x WHERE op <> 'delete'
          |GROUP BY 1""".stripMargin,
@@ -172,7 +172,7 @@ object RoutingOps {
     "r2_dynamic_route" ->
       s"""WITH x AS (
          |  SELECT event_type,
-         |    CASE WHEN op = 'create' THEN 'insert' ELSE op END AS op
+         |    CASE WHEN op IN ('create','bootstrap-insert') THEN 'insert' ELSE op END AS op
          |  FROM (SELECT event_type, $sqlOp AS op FROM events)
          |  WHERE op <> 'delete')
          |SELECT sinkType, sinkTable, COUNT(*) AS ct
@@ -183,7 +183,7 @@ object RoutingOps {
     "r5_latest_state" ->
       s"""WITH feed AS (
          |  SELECT user_id, ts, event_id,
-         |    CASE WHEN op = 'create' THEN 'insert' ELSE op END AS op,
+         |    CASE WHEN op IN ('create','bootstrap-insert') THEN 'insert' ELSE op END AS op,
          |    event_type, value
          |  FROM (SELECT *, $sqlOp AS op FROM events)
          |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
@@ -204,7 +204,7 @@ object RoutingOps {
     "r3_column_prune" ->
       s"""WITH x AS (
          |  SELECT event_id, user_id, value, event_type,
-         |    CASE WHEN op = 'create' THEN 'insert' ELSE op END AS op
+         |    CASE WHEN op IN ('create','bootstrap-insert') THEN 'insert' ELSE op END AS op
          |  FROM (SELECT *, $sqlOp AS op FROM events)
          |  WHERE op <> 'delete')
          |SELECT sinkTable,

@@ -51,6 +51,64 @@ object LatestStateStreaming {
         })
   }
 
+  /** TTL variant: identical semantics to [[latestStateStreaming]] for
+    * live keys, but DELETE tombstones are evicted from state once the
+    * event-time watermark passes `ts + tombstoneTtlMs` — without this,
+    * state grows with total key cardinality forever on high-churn CDC
+    * feeds (dead keys never leave). Live snapshots still live forever:
+    * they ARE the maintained table.
+    *
+    * Contract changes vs the NoTimeout variant (both are consequences
+    * of having a watermark, and both require
+    * `tombstoneTtlMs` > the feed's out-of-orderness horizon):
+    *  - changes older than the watermark are dropped (standard
+    *    stateful-op late-data semantics);
+    *  - a revive arriving AFTER its key's tombstone was evicted
+    *    re-inserts as a fresh key (the stored (ts, id) it would have
+    *    had to beat is gone).
+    * A revive arriving BEFORE eviction leaves the pending timeout in
+    * place; the timeout callback checks `deleted` and keeps the live
+    * snapshot, so no live row is ever evicted.
+    */
+  def latestStateStreamingTtl(changes: Dataset[Change],
+                              watermarkDelay: String,
+                              tombstoneTtlMs: Long): Dataset[Snapshot] = {
+    import changes.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    require(tombstoneTtlMs > 0, s"tombstoneTtlMs must be > 0, got $tombstoneTtlMs")
+    changes.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Change]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, rows: Iterator[Change],
+         state: org.apache.spark.sql.streaming.GroupState[Snapshot]) => {
+          if (state.hasTimedOut) {
+            // only a still-tombstoned key is evicted; a key revived
+            // after its delete keeps its (stale-timeout) live snapshot
+            if (state.getOption.forall(_.deleted)) state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption
+            val best = (prior.iterator ++ rows.map(snap))
+              .maxBy(s => (s.ts, s.id))
+            if (prior.contains(best)) Iterator.empty
+            else {
+              state.update(best)
+              if (best.deleted)
+                // a tombstone already older than watermark+ttl must
+                // still be settable (Spark rejects timestamps <= wm)
+                state.setTimeoutTimestamp(math.max(
+                  best.ts + tombstoneTtlMs,
+                  state.getCurrentWatermarkMs() + 1))
+              Iterator.single(best)
+            }
+          }
+        })
+  }
+
   /** Convenience: the output mode this operator is correct under. */
   val outputMode: OutputMode = OutputMode.Update
 }

@@ -20,20 +20,25 @@ private[streaming] object EventTime {
 private[streaming] object Cents {
 
   /** HALF_UP integer cents of a raw double measurement:
-    *  - None for null-equivalent non-finite values (NaN/±Infinity) —
-    *    exactly the rows the batch twins' `Graft.cents` nulls and
-    *    filters, so stream and batch drop the identical set;
+    *  - None for null-equivalent inputs — NaN/±Infinity AND finite
+    *    |value| ≥ 1e16 — exactly the rows the batch twins'
+    *    `Graft.cents` nulls (via `Graft.finite`) and filters, so
+    *    stream and batch drop the identical set;
     *  - a clear IllegalArgumentException when |cents| exceeds `bound`
-    *    — a fail-fast with a diagnosable message instead of either a
-    *    silent Long wrap in the downstream integer arithmetic or a
-    *    bare ArithmeticException poison-pill from toLongExact.
+    *    on the remaining [bound/100, 1e16) range — a fail-fast with a
+    *    diagnosable message instead of either a silent Long wrap in
+    *    the downstream integer arithmetic or a bare
+    *    ArithmeticException poison-pill from toLongExact. On that
+    *    range the batch side's bounded-cents guard raises too, so the
+    *    contract stays "divergence nowhere, or an error on both
+    *    sides".
     *
     * HALF_UP (away from zero) matches DECIMAL(18,2)'s cast rounding;
     * Math.round would disagree on negative half-cents (see the CUSUM
     * twin's spec).
     */
   def halfUp(value: Double, bound: Long = Long.MaxValue): Option[Long] =
-    if (value.isNaN || value.isInfinite) None
+    if (value.isNaN || value.isInfinite || math.abs(value) >= 1e16) None
     else {
       val bd = BigDecimal(value)
         .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100

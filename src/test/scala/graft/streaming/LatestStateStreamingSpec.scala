@@ -85,4 +85,39 @@ class LatestStateStreamingSpec extends AnyFunSuite {
       assert(k1.payload === "b" && k1.id === 2L)
     } finally query.stop()
   }
+
+  test("TTL variant evicts dead tombstones but never a live or revived key") {
+    implicit val sq = spark.sqlContext
+    val name = s"ls_ttl_${System.nanoTime()}"
+    val input = MemoryStream[Change]
+    // watermark horizon 1s, tombstones evicted 1s past their event time
+    val query = latestStateStreamingTtl(input.toDS(), "1 second", 1000L)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Change(1L, 100000L, 1L, "delete", "x", 0.0),
+        Change(2L, 100000L, 2L, "delete", "x", 0.0),
+        Change(3L, 100000L, 3L, "insert", "live", 1.0),
+        Change(4L, 100000L, 4L, "delete", "x", 0.0))
+      query.processAllAvailable()
+      // revive key 4 before its TTL horizon (wm is 99000 here)
+      input.addData(Change(4L, 100500L, 5L, "insert", "revived", 2.0))
+      query.processAllAvailable()
+      // advance the watermark past 100000 + 1000: wm = 103000 - 1000
+      input.addData(Change(3L, 103000L, 6L, "update", "live2", 1.5))
+      query.processAllAvailable()
+      // one more batch so the now-expired timeouts actually fire
+      input.addData(Change(3L, 103001L, 7L, "update", "live3", 1.6))
+      query.processAllAvailable()
+      val stateRows = query.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators.head.numRowsTotal
+      assert(stateRows === 2L,
+        s"dead keys 1,2 evicted; live 3 + revived 4 remain, got $stateRows")
+      // the revived key survived its stale tombstone timeout intact
+      val k4 = spark.table(name).as[Snapshot].collect()
+        .filter(_.key == 4L).maxBy(s => (s.ts, s.id))
+      assert(!k4.deleted && k4.payload === "revived")
+    } finally query.stop()
+  }
 }
