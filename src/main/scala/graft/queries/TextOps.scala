@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -221,7 +221,78 @@ object TextOps {
             .as("top_lang"),
           max(struct(col("ct"), col("lang"))).getField("ct")
             .as("top_lang_ct"))
+    },
+
+    // ---- F6/A4: the CJK (FMM) tokenizer path, oracle-anchored ------------
+    // the reference's one true UDF (`utils/KeywordUtil.java:13-35`) on
+    // actual CJK text: deterministic CJK sentences are derived from
+    // doc_id IDENTICALLY on both sides (array-literal indexing — no
+    // randomness, no fixture files), the Spark side segments with the
+    // real CjkSegmenter UDF, and the oracle replays forward-maximum-
+    // match in pure SQL (longest-dict-match-per-position table + a
+    // recursive position walk). Keyword counts hash-match ⇒ the FMM
+    // production path is verified, not just unit-tested.
+    "t28_keyword_cjk" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), cjkText(col("doc_id")).as("text"))
+        .select(col("doc_id"),
+          explode(graft.functions.CjkSegmenter.tokenizeCjk(col("text")))
+            .as("keyword"))
+        .groupBy(col("keyword"))
+        .agg(count(lit(1)).as("ct"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    },
+
+    // ---- max-word (ik_max_word, smart=false) twin ------------------------
+    // the reference instantiates `new IKSegmenter(reader, false)` —
+    // ALL overlapping dictionary matches, not one partition. SQL mirror
+    // needs no recursion: every dict match at every position, plus
+    // singles for positions no match covers.
+    "t29_keyword_cjk_full" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), cjkText(col("doc_id")).as("text"))
+        .select(col("doc_id"),
+          explode(graft.functions.CjkSegmenter.tokenizeCjkFull(col("text")))
+            .as("keyword"))
+        .groupBy(col("keyword"))
+        .agg(count(lit(1)).as("ct"),
+          countDistinct(col("doc_id")).as("n_docs"))
     })
+
+  /** Deterministic CJK sentence for a doc id — shared shape of t28/t29.
+    * Five pool picks with per-position affine indexes plus a constant
+    * infix, built so the result exercises the interesting segmentation
+    * regimes: overlapping words (大数据 ⊃ 数据), longest-match wins
+    * (购物车 over 购物), un-matched noise chars (的/了/车), and words
+    * formed across pick boundaries (数据+仓库). Pool is pure CJK — the
+    * Latin/whitespace fallback path is t1's oracle.
+    */
+  private val cjkPool: Seq[String] = Seq(
+    "尚硅谷", "大数据", "数据", "仓库", "实时", "购物",
+    "车", "的", "手机", "旗舰店", "了", "搜索")
+
+  private def cjkText(id: Column): Column = {
+    val pool = array(cjkPool.map(lit): _*)
+    def pick(j: Int): Column = element_at(pool,
+      (((id * (j + 3) + j) % cjkPool.size) + 1).cast(IntegerType))
+    concat(pick(0), pick(1), lit("购物车"), pick(2), pick(3), pick(4))
+  }
+
+  /** The identical sentence in DuckDB SQL (1-based array indexing). */
+  private def sqlCjkText: String = {
+    val arr = cjkPool.map(w => s"'$w'").mkString("([", ", ", "])")
+    def pick(j: Int) =
+      s"$arr[((doc_id * ${j + 3} + $j) % ${cjkPool.size}) + 1]"
+    Seq(pick(0), pick(1), "'购物车'", pick(2), pick(3), pick(4))
+      .mkString(" || ")
+  }
+
+  /** The segmenter's dictionary as SQL VALUES rows (sorted: Set order
+    * is not a contract).
+    */
+  private def sqlCjkDict: String =
+    graft.functions.CjkSegmenter.defaultDict.toSeq.sorted
+      .map(w => s"('$w')").mkString(", ")
 
   /** SQL token-set expression mirroring TextFunctions.tokenSet. */
   private[queries] val sqlTokenSet =
@@ -501,6 +572,69 @@ object TextOps {
          |    + least(stop_ratio * 4.0, 1.0) * 0.4
          |    + (1.0 - least(CAST(punct_ct AS DOUBLE) / nullif(n_tokens, 0), 1.0)) * 0.2) AS max_q
          |FROM m GROUP BY pred_lang""".stripMargin
-    }
+    },
+
+    // FMM replay in SQL: `best` is the longest dictionary match at each
+    // character position (ties impossible: one substring, one word);
+    // the recursive `walk` starts at 1 and advances by the match length
+    // (1 on no match) — exactly segment()'s control flow. Depth = token
+    // count per doc (~15), well inside recursion limits.
+    "t28_keyword_cjk" ->
+      s"""WITH RECURSIVE
+         |cd AS (SELECT doc_id, $sqlCjkText AS text FROM documents),
+         |dict(w) AS (VALUES $sqlCjkDict),
+         |pos AS (
+         |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+         |  FROM cd),
+         |best AS (
+         |  SELECT pos.doc_id, pos.p,
+         |    arg_max(dict.w, length(dict.w)) AS w,
+         |    MAX(length(dict.w)) AS len
+         |  FROM pos JOIN dict
+         |    ON substr(pos.text, CAST(pos.p AS INT), length(dict.w)) = dict.w
+         |  GROUP BY pos.doc_id, pos.p),
+         |walk(doc_id, p) AS (
+         |  SELECT doc_id, CAST(1 AS BIGINT) FROM cd
+         |  UNION ALL
+         |  SELECT walk.doc_id, walk.p + COALESCE(best.len, 1)
+         |  FROM walk
+         |  JOIN cd ON cd.doc_id = walk.doc_id
+         |  LEFT JOIN best ON best.doc_id = walk.doc_id AND best.p = walk.p
+         |  WHERE walk.p <= length(cd.text))
+         |SELECT COALESCE(best.w, substr(cd.text, CAST(walk.p AS INT), 1)) AS keyword,
+         |  COUNT(*) AS ct, COUNT(DISTINCT walk.doc_id) AS n_docs
+         |FROM walk
+         |JOIN cd ON cd.doc_id = walk.doc_id
+         |LEFT JOIN best ON best.doc_id = walk.doc_id AND best.p = walk.p
+         |WHERE walk.p <= length(cd.text)
+         |GROUP BY 1""".stripMargin,
+
+    // max-word replay: all dict matches at all positions; a single char
+    // is emitted iff no match STARTING at or before it spans it —
+    // segmentFull's `covered` array, set-relationally.
+    "t29_keyword_cjk_full" ->
+      s"""WITH
+         |cd AS (SELECT doc_id, $sqlCjkText AS text FROM documents),
+         |dict(w) AS (VALUES $sqlCjkDict),
+         |pos AS (
+         |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+         |  FROM cd),
+         |m AS (
+         |  SELECT pos.doc_id, pos.p, dict.w, length(dict.w) AS len
+         |  FROM pos JOIN dict
+         |    ON substr(pos.text, CAST(pos.p AS INT), length(dict.w)) = dict.w),
+         |singles AS (
+         |  SELECT pos.doc_id, substr(pos.text, CAST(pos.p AS INT), 1) AS w
+         |  FROM pos
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM m
+         |    WHERE m.doc_id = pos.doc_id
+         |      AND m.p <= pos.p AND m.p + m.len > pos.p)),
+         |tokens AS (
+         |  SELECT doc_id, w FROM m
+         |  UNION ALL SELECT doc_id, w FROM singles)
+         |SELECT w AS keyword, COUNT(*) AS ct,
+         |  COUNT(DISTINCT doc_id) AS n_docs
+         |FROM tokens GROUP BY 1""".stripMargin
   )
 }
