@@ -139,6 +139,17 @@ object DedupOps {
       Dedup.containmentPairs(docs(s, dir), threshold = 0.5)
     },
 
+    // the production lever against the Zipf head, hash-verified: same
+    // containment but shingles in > 5 docs are excluded END-TO-END
+    // (pair counts AND |A|), so the score is containment over the
+    // informative shingle space. d11 stays the exact-reference row;
+    // this is the variant a 100-TB run actually deploys (a shingle in
+    // d docs costs d² inverted-index rows)
+    "d15_containment_capped" -> { (s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), threshold = 0.5,
+        maxDocFreq = 5L)
+    },
+
     // the windowed twin of d5, anchoring the KmvStreaming family to an
     // oracle row: per-day KMV distinct-user sketch over events — below
     // k the count is exact (estimate null), at k the deterministic
@@ -331,6 +342,30 @@ object DedupOps {
       s"""WITH shingled AS (${sqlShingles("documents")}),
          |sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
          |sizes AS (SELECT doc_id, len(sh) AS sh_ct FROM shingled),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(*) AS shared_ct
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, shared_ct, sz.sh_ct AS size_a,
+         |  CAST(shared_ct AS DOUBLE) / CAST(sz.sh_ct AS DOUBLE)
+         |    AS containment
+         |FROM shared JOIN sizes sz ON sz.doc_id = doc_a
+         |WHERE CAST(shared_ct AS DOUBLE) / CAST(sz.sh_ct AS DOUBLE)
+         |      >= 0.5""".stripMargin,
+
+    // d11 with the stop-shingle cap engaged: doc-freq > 5 shingles
+    // leave BOTH the pair counts and the per-doc sizes before scoring
+    "d15_containment_capped" ->
+      s"""WITH shingled AS (${sqlShingles("documents")}),
+         |sh0 AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+         |keep AS (
+         |  SELECT shingle FROM sh0 GROUP BY shingle
+         |  HAVING COUNT(*) <= 5),
+         |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+         |sizes AS (
+         |  SELECT doc_id, COUNT(*) AS sh_ct FROM sh GROUP BY doc_id),
          |shared AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    COUNT(*) AS shared_ct
