@@ -39,43 +39,50 @@ object Bm25 {
     require(terms.distinct.size == terms.size, "query terms must be unique")
 
     // dl rides along as a grouping key (it's functionally dependent on
-    // the doc id) — one scan yields tf AND doc length, with no
-    // doc_id join back to a second corpus scan
-    val tf = docs
+    // the doc id) — one scan yields per-doc tf for EVERY term at once
+    // (conditional counts), so the whole match side is ONE shuffle; the
+    // earlier per-(doc, term) form shuffled once for tf, again for df,
+    // and a third time for the per-doc sum
+    val perDoc = docs
       .select(col(idCol), nTokens(col(textCol)).as("dl"),
         explode(tokenize(col(textCol))).as("term"))
       .filter(col("term").isin(terms: _*))
-      .groupBy(col(idCol), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("dl"))
+      .agg(
+        count(when(col("term") === terms.head, lit(1))).as("_tf0"),
+        terms.zipWithIndex.tail.map { case (t, i) =>
+          count(when(col("term") === t, lit(1))).as(s"_tf$i")
+        }: _*)
+    // document frequencies fold over the (small) matched-doc frame,
+    // not a second corpus scan; corpus stats are the one other scan
+    val df = perDoc.agg(
+      sum(when(col("_tf0") > 0, 1L)).as("_df0"),
+      terms.indices.tail.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L)).as(s"_df$i")): _*)
     val stats = docs.agg(count(lit(1)).as("n"),
       sum(nTokens(col(textCol)).cast("long")).as("toks"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     // one IEEE op per step, mirrored textually by the SQL oracle —
     // constants like k1+1 are combined IN the expression (not
     // pre-folded in Scala) so both engines perform the identical
-    // float-op sequence, tie-breaks included
+    // float-op sequence, tie-breaks included. Per-term scores sum in
+    // FIXED term-list order (coalesced at zero tf), preserving the
+    // bit-exact total the oracle checks.
     val avgdl = col("toks").cast(DoubleType) / col("n")
-    val idf = (col("n").cast(DoubleType) - col("df") + lit(0.5)) /
-      (col("df").cast(DoubleType) + lit(0.5))
-    val tfD = col("tf").cast(DoubleType)
-    val score = idf * (tfD * (lit(k1) + lit(1.0))) /
-      (tfD + lit(k1) *
-        ((lit(1.0) - lit(b)) + lit(b) * col("dl").cast(DoubleType) / avgdl))
-
-    val scored = tf
-      .join(broadcast(df), "term")
-      .crossJoin(broadcast(stats))
-      .select(col(idCol), col("term"), score.as("s"))
-
-    // fixed-order summation: s(term1) + s(term2) + … in `terms` order
-    val perTerm = terms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === t, col("s"))).as(s"_s$i")
+    def termScore(i: Int): Column = {
+      val idf = (col("n").cast(DoubleType) - col(s"_df$i") + lit(0.5)) /
+        (col(s"_df$i").cast(DoubleType) + lit(0.5))
+      val tfD = col(s"_tf$i").cast(DoubleType)
+      val s = idf * (tfD * (lit(k1) + lit(1.0))) /
+        (tfD + lit(k1) *
+          ((lit(1.0) - lit(b)) + lit(b) * col("dl").cast(DoubleType) / avgdl))
+      when(col(s"_tf$i") > 0, s).otherwise(lit(0.0))
     }
-    val total = terms.indices
-      .map(i => coalesce(col(s"_s$i"), lit(0.0)))
-      .reduce(_ + _)
+    val total = terms.indices.map(termScore).reduce(_ + _)
 
-    scored.groupBy(col(idCol)).agg(perTerm.head, perTerm.tail: _*)
+    perDoc
+      .crossJoin(broadcast(df))
+      .crossJoin(broadcast(stats))
       .select(col(idCol), total.as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

@@ -228,18 +228,28 @@ object Frequency {
       .select(col(idCol),
         graft.functions.TextFunctions.tokenize(lower(col(textCol)))
           .as("_w"))
-    val uni = words.select(explode(col("_w")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    // bigrams stay within a doc (never straddle documents)
-    val bi = words
-      .filter(size(col("_w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(_w) - 1), i -> struct(_w[i-1] AS w1, _w[i] AS w2))"))
-        .as("b"))
+    // unigrams and bigrams counted in ONE tagged shuffle (w2 null =
+    // unigram): the two-aggregate form scans and tokenizes the corpus
+    // twice and shuffles it twice. Bigrams stay within a doc (never
+    // straddle documents); the size guard lives in the CASE because
+    // sequence(1, 0) would step DOWNWARD, not produce empty.
+    val grams = words.select(explode(expr(
+      """concat(
+        |  transform(_w, x -> struct(x AS w1, CAST(NULL AS STRING) AS w2)),
+        |  CASE WHEN size(_w) >= 2
+        |    THEN transform(sequence(1, size(_w) - 1),
+        |           i -> struct(_w[i-1] AS w1, _w[i] AS w2))
+        |    ELSE array() END)""".stripMargin)).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
-    val totals = uni.agg(sum(col("c")).as("n_tok"))
-      .crossJoin(bi.agg(sum(col("cxy")).as("n_bi")))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val uni = grams.filter(col("w2").isNull)
+      .select(col("w1").as("w"), col("c"))
+    val bi = grams.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("c").as("cxy"))
+    // both corpus totals from the counted frame in one aggregate
+    val totals = grams.agg(
+      sum(when(col("w2").isNull, col("c"))).as("n_tok"),
+      sum(when(col("w2").isNotNull, col("c"))).as("n_bi"))
     val lift = col("cxy").cast("double") * col("n_tok") * col("n_tok") /
       (col("n_bi").cast("double") * col("cx") * col("cy"))
     bi.filter(col("cxy") >= minCount)

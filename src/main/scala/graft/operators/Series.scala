@@ -156,12 +156,18 @@ object Series {
       .select(col(keyCol), col(idCol), col(tsCol),
         cents(col(valueCol)).as("_cents"))
       .filter(col("_cents").isNotNull) // non-finite dropped (ANSI-safe)
-    val stats = base.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("_n"),
-        sum(col("_cents").cast(DecimalType(38, 0))).as("_tot"))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    // per-key totals as WHOLE-PARTITION window aggregates, not a
+    // separate groupBy + join-back: every window shares the (key)
+    // partitioning, so the whole operator is ONE exchange + sort over
+    // one scan — the agg+join form costs a second scan, a second
+    // shuffle, and a join
+    val part = Window.partitionBy(col(keyCol))
+    val w = part.orderBy(col(tsCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(stats, Seq(keyCol))
+    base
+      .withColumn("_n", count(lit(1)).over(part))
+      .withColumn("_tot",
+        sum(col("_cents").cast(DecimalType(38, 0))).over(part))
       .withColumn("_x",
         (col("_cents").cast(DecimalType(38, 0)) * col("_n") - col("_tot"))
           .cast(DecimalType(38, 0)))
@@ -368,13 +374,18 @@ object Series {
         col(tsCol).as("ts"),
         cents(col(valueCol)).as("cents"))
       .filter(col("cents").isNotNull)
-    val med = pts.groupBy(col("key"))
-      .agg(expr("percentile(cents, 0.5)").as("med"))
-    val dev = pts.join(med, "key")
+    // both exact medians as WHOLE-PARTITION window aggregates: the two
+    // percentile windows share the (key) partitioning, so the operator
+    // is one exchange over one scan — the groupBy+join form scans the
+    // input three times and shuffles it three times. Each percentile
+    // evaluates once per partition frame, not per row. At 100× scale
+    // the documented lever stands: swap `percentile` for
+    // `approx_percentile` (same shape, sketch-sized state).
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    pts
+      .withColumn("med", expr("percentile(cents, 0.5)").over(part))
       .withColumn("dev", abs(col("cents") - col("med")))
-    val mad = dev.groupBy(col("key"))
-      .agg(expr("percentile(dev, 0.5)").as("mad"))
-    dev.join(mad, "key")
+      .withColumn("mad", expr("percentile(dev, 0.5)").over(part))
       .filter(col("dev") > lit(k) * col("mad"))
       .select(col("key"), col("id"), col("ts"),
         (col("cents") / 100.0).as("value"),

@@ -24,13 +24,19 @@ object StatefulOps {
   private def dayOf(tsMillis: Long): String =
     LocalDate.ofInstant(Instant.ofEpochMilli(tsMillis), ZoneOffset.UTC).toString
 
-  /** Minimal keyed event for the stateful ops. `event_time` mirrors
-    * `ts` as a timestamp — the watermark column must remain in scope at
-    * the stateful operator or event-time timeouts are rejected.
+  /** Keyed event for the stateful ops. `event_time` mirrors `ts` as a
+    * timestamp — the watermark column must remain in scope at the
+    * stateful operator or event-time timeouts are rejected. The
+    * trailing dimension fields (vc/ch/ar/during_time) are pure
+    * pass-through — the reference's keyed operators carry the whole
+    * JSONObject, so downstream stats keep their grouping dimensions;
+    * they default to null/0 for callers that don't need them.
     */
   case class KeyedEvent(mid: String, ts: Long, is_new: String,
       page_id: String, last_page_id: String,
-      event_time: Timestamp = null)
+      event_time: Timestamp = null,
+      vc: String = null, ch: String = null, ar: String = null,
+      during_time: Long = 0L)
 
   object KeyedEvent {
     def at(mid: String, ts: Long, is_new: String = "1",

@@ -155,10 +155,18 @@ object StatsJobs {
     * KeywordUtil tokenizer + GmallConstant sources).
     */
   def keywordStats(pages: DataFrame, width: String = "10 seconds"): DataFrame = {
+    // non-search rows are dropped by nulling the text into the
+    // tokenizer (empty token array → explode emits nothing) rather
+    // than by a filter: Catalyst pushes a plain filter BELOW the
+    // input's EventTimeWatermark node (the predicate doesn't reference
+    // the event-time column), after which non-search rows would never
+    // advance the streaming watermark and windows would only seal on
+    // search traffic. The explode sits safely above the watermark.
     val searches = pages
-      .filter(col("page.item_type") === "keyword" && col("page.item").isNotNull)
       .select(col("event_time"),
-        explode(TextFunctions.tokenizeSmart(col("page.item"))).as("keyword"),
+        explode(TextFunctions.tokenizeSmart(
+          when(col("page.item_type") === "keyword", col("page.item"))))
+          .as("keyword"),
         lit(KeywordSource.SEARCH).as("source"))
     windowBounds(
       searches.groupBy(win("event_time", width).as("w"),

@@ -161,4 +161,252 @@ object Warehouse {
       "province_stats" -> provinceStats, "keyword_stats" -> keywordStats,
       "sessions" -> sessions)
   }
+
+  // -------------------------------------------------------------------------
+  // Streaming deployment
+  // -------------------------------------------------------------------------
+
+  /** The warehouse as a CHECKPOINTED streaming deployment — the
+    * reference's actual production shape (`app/dwd/BaseDbApp.java:30-36`
+    * checkpoint configs; one Flink job per layer, connected by Kafka
+    * topics). Here each layer is one Structured Streaming query with
+    * its own checkpoint, and the topics are exactly-once parquet file
+    * sinks that the next layer consumes as a file stream (the file
+    * sink's `_spark_metadata` commit log IS the topic offset log). On
+    * a cluster the dirs become Kafka topics / Delta tables; every
+    * query restarts from its checkpoint with state intact.
+    *
+    * Topology (→ = a file "topic" under `outRoot`):
+    *   logDir  → parse+split → page / start / display / dirty
+    *   page    → isNewFixStreaming → page_fixed        (keyed state)
+    *   page_fixed → uniqueVisitStreaming → unique_visit (keyed state)
+    *   page_fixed → bounceStreaming → user_jump        (keyed state)
+    *   page_fixed ∪ unique_visit ∪ user_jump → visitor_stats (window agg)
+    *   page    → keyword_stats                          (window agg)
+    *   cdcDir  → route → order_info / order_detail + dim upserts
+    *   order_info  (+ dim_base_province) → province_stats (window agg)
+    *   display ∪ page-clicks ∪ order_detail → product_stats (window agg)
+    *
+    * Streaming-measure caveat (documented at [[StatsJobs]]): the
+    * distinct-order counts stay on the batch/oracle path; the streaming
+    * stats emit the sum/count measure surface, which needs no distinct
+    * state. The dim join for province runs per sealed micro-batch
+    * against the upserted dim table — the reference's J4 lookup-join
+    * shape (its ClickHouse sink is likewise at-least-once JDBC append).
+    *
+    * @return query-name → running [[StreamingQuery]]; stop them all and
+    *         call again with the same roots to restart from checkpoints.
+    */
+  def streaming(spark: SparkSession, logDir: String, cdcDir: String,
+                config: DataFrame, outRoot: String, ckRoot: String,
+                width: String = "10 seconds", delay: String = "2 seconds",
+                gapMillis: Long = 10000L)
+      : Map[String, org.apache.spark.sql.streaming.StreamingQuery] = {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.KeyedEvent
+
+    def out(n: String) = s"$outRoot/$n"
+    def ck(n: String) = s"$ckRoot/$n"
+    // chained file "topics" must exist before a downstream file source
+    // starts polling them
+    Seq("page", "page_fixed", "unique_visit", "user_jump", "display",
+      "order_info", "order_detail").foreach(n => new java.io.File(out(n)).mkdirs())
+
+    def fileSink(name: String, df: DataFrame)
+        : (String, org.apache.spark.sql.streaming.StreamingQuery) =
+      name -> df.writeStream.format("parquet")
+        .option("path", out(name)).option("checkpointLocation", ck(name))
+        .outputMode("append").start()
+
+    // ---- DWD log: parse + split (stateless; the is_new fix is the
+    // NEXT query — isNewFixBatch's window function does not stream)
+    val raw = spark.readStream.text(logDir)
+    val (clean, dirty) = LogSplitJob.parse(raw)
+    val splitFrames = LogSplitJob.split(clean)
+    val page = splitFrames("page")
+
+    // ---- DWD fix: keyed is_new correction, page → page_fixed
+    val pageSchema = page.schema
+    def pageStream() = spark.readStream.schema(pageSchema).parquet(out("page"))
+    val toKeyed = (df: DataFrame) => df.select(
+      col("common.mid").as("mid"), col("ts"),
+      col("common.is_new").as("is_new"),
+      col("page.page_id").as("page_id"),
+      col("page.last_page_id").as("last_page_id"),
+      timestamp_millis(col("ts")).as("event_time"),
+      col("common.vc").as("vc"), col("common.ch").as("ch"),
+      col("common.ar").as("ar"),
+      coalesce(col("page.during_time"), lit(0L)).as("during_time"))
+      .as[KeyedEvent]
+    val fixed = StatefulOps.isNewFixStreaming(toKeyed(pageStream()))
+    val keyedSchema = fixed.toDF().schema
+    def fixedStream() = spark.readStream.schema(keyedSchema)
+      .parquet(out("page_fixed")).as[KeyedEvent]
+
+    // ---- DWM: UV dedup + bounce detection (keyed state + watermark)
+    val uv = StatefulOps.uniqueVisitStreaming(
+      StatefulOps.watermarked(fixedStream(), delay))
+    val uj = StatefulOps.bounceStreaming(
+      StatefulOps.watermarked(fixedStream(), delay), gapMillis)
+
+    // ---- DWS visitor: pv/sv/dur + uv + uj legs → one windowed agg
+    def keyedLeg(dir: String) = spark.readStream.schema(keyedSchema)
+      .parquet(out(dir)).withWatermark("event_time", delay)
+    val pvLeg = keyedLeg("page_fixed").select(
+      col("vc"), col("ch"), col("ar"), col("is_new"), col("event_time"),
+      lit(1L).as("pv_ct"),
+      when(col("last_page_id").isNull || col("last_page_id") === "", 1L)
+        .otherwise(0L).as("sv_ct"),
+      col("during_time").as("dur_sum"))
+    val uvLeg = keyedLeg("unique_visit").select(
+      col("vc"), col("ch"), col("ar"), col("is_new"), col("event_time"),
+      lit(1L).as("uv_ct"))
+    val ujLeg = keyedLeg("user_jump").select(
+      col("vc"), col("ch"), col("ar"), col("is_new"), col("event_time"),
+      lit(1L).as("uj_ct"))
+    val visitorStats = StatsJobs.visitorStats(Seq(pvLeg, uvLeg, ujLeg), width)
+
+    // ---- DWS keyword: raw page search items → windowed keyword counts
+    val keywordStats = StatsJobs.keywordStats(
+      pageStream().withColumn("event_time", timestamp_millis(col("ts")))
+        .withWatermark("event_time", delay), width)
+
+    // ---- DWD db: route CDC → fact topics + dim upserts
+    val cdcRaw = spark.readStream.text(cdcDir)
+    val env = CdcRouter.parseEnvelope(cdcRaw)
+    val rows = env.filter(col("_corrupt").isNull).select(col("env.*"))
+      .withColumn("type", CdcRouter.normalizeOp(col("type")))
+    val routed = CdcRouter.pruneColumns(
+      CdcRouter.route(CdcRouter.filterDeletes(rows), config))
+    val orderInfo = factFrame(routed, "order_info", Map(
+      "id" -> LongType, "province_id" -> LongType,
+      "order_status" -> StringType, "user_id" -> LongType,
+      "total_amount" -> money, "create_time" -> StringType))
+    val orderDetail = factFrame(routed, "order_detail", Map(
+      "id" -> LongType, "order_id" -> LongType, "sku_id" -> LongType,
+      "sku_num" -> LongType, "split_total_amount" -> money,
+      "create_time" -> StringType))
+    val dimQuery = "dims" -> routed.filter(col("sinkType") === "hbase")
+      .writeStream.option("checkpointLocation", ck("dims"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // MERGE by pk — idempotent under replay, the K3 contract
+        val province = batch
+          .filter(col("sinkTable") === "dim_base_province")
+          .select(col("after")("id").as("id"), col("after")("name").as("name"),
+            col("after")("area_code").as("area_code"))
+        if (!province.isEmpty)
+          graft.sinks.Sinks.upsertDim(spark, province, out("dim"),
+            "dim_base_province")
+        ()
+      }.start()
+
+    // ---- DWS province: windowed order count/amount at the ORDER grain
+    // (one CDC row per order id ⇒ exact counts without distinct state),
+    // dim name joined per sealed batch against the upserted table
+    val oiSchema = orderInfo.schema
+    val provAgg = spark.readStream.schema(oiSchema).parquet(out("order_info"))
+      .withColumn("event_time", to_timestamp(col("create_time")))
+      .withWatermark("event_time", delay)
+      .groupBy(window(col("event_time"), width).as("w"), col("province_id"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("total_amount")).as("order_amount"))
+    val provinceQuery = "province_stats" -> provAgg
+      .writeStream.option("checkpointLocation", ck("province_stats"))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dimPath = s"${out("dim")}/dim_base_province"
+        val dim =
+          if (new java.io.File(dimPath).exists())
+            spark.read.parquet(dimPath)
+              .select(expr("try_cast(id AS BIGINT)").as("province_id"),
+                col("name").as("province_name"))
+          else Seq.empty[(Long, String)].toDF("province_id", "province_name")
+        batch
+          .withColumn("stt", date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
+          .withColumn("edt", date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss"))
+          .drop("w")
+          .join(dim, Seq("province_id"), "left")
+          .write.mode("append").parquet(out("province_stats"))
+        ()
+      }.start()
+
+    // ---- DWS product: display + click + order-detail measure streams
+    // → windowed sums per sku (the sum/count surface; distinct-order
+    // counts are the batch path, see scaladoc)
+    // display/click rows that aren't sku impressions are dropped by
+    // NULLING the sku key, not by a filter: Catalyst pushes a plain
+    // filter below the EventTimeWatermark node (predicate doesn't
+    // reference event_time), after which non-sku rows would never
+    // advance the watermark and product windows would stall. The null
+    // group is one bounded state row per window, dropped post-agg.
+    val displaySchema = splitFrames("display").schema
+    val dispLeg = spark.readStream.schema(displaySchema).parquet(out("display"))
+      .select(
+        expr("try_cast(CASE WHEN item_type = 'sku_id' THEN item END AS BIGINT)")
+          .as("sku_id"),
+        timestamp_millis(col("ts")).as("event_time"),
+        lit(1L).as("display_ct"), lit(0L).as("click_ct"),
+        lit(0L).as("order_sku_num"),
+        lit(null).cast(money).as("order_amount"))
+    val clickLeg = pageStream()
+      .select(
+        expr("try_cast(CASE WHEN page.item_type = 'sku_id' THEN page.item END AS BIGINT)")
+          .as("sku_id"),
+        timestamp_millis(col("ts")).as("event_time"),
+        lit(0L).as("display_ct"), lit(1L).as("click_ct"),
+        lit(0L).as("order_sku_num"),
+        lit(null).cast(money).as("order_amount"))
+    val odSchema = orderDetail.schema
+    val odLeg = spark.readStream.schema(odSchema).parquet(out("order_detail"))
+      .select(col("sku_id"),
+        to_timestamp(col("create_time")).as("event_time"),
+        lit(0L).as("display_ct"), lit(0L).as("click_ct"),
+        col("sku_num").as("order_sku_num"),
+        col("split_total_amount").as("order_amount"))
+    // ONE watermark over the unioned measure rows: per-leg watermark
+    // operators would hold the query's global watermark at the min of
+    // three independently-advancing values, and a leg whose operator
+    // stalls (e.g. restored from a checkpoint and fed only via the
+    // others) stalls every window
+    val productStats = dispLeg.unionByName(clickLeg).unionByName(odLeg)
+      .withWatermark("event_time", delay)
+      .groupBy(window(col("event_time"), width).as("w"), col("sku_id"))
+      .agg(sum("display_ct").as("display_ct"), sum("click_ct").as("click_ct"),
+        sum("order_sku_num").as("order_sku_num"),
+        coalesce(sum("order_amount"), lit(0).cast(money)).as("order_amount"))
+      .filter(col("sku_id").isNotNull) // the nulled non-sku group
+      .withColumn("stt", date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("edt", date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("w")
+
+    // ---- DWS top-N: ranked top skus per window by order amount (the
+    // q19 serving shape, incremental — TopNStreaming scaladoc)
+    val topnQuery = "product_topn" -> TopNStreaming.windowedTopN(
+      spark.readStream.schema(odSchema).parquet(out("order_detail"))
+        .select(col("sku_id"),
+          (col("split_total_amount") * 100).cast(LongType)
+            .as("amount_cents"),
+          to_timestamp(col("create_time")).as("event_time"))
+        .withWatermark("event_time", delay),
+      width, n = 3, keyCol = "sku_id", centsCol = "amount_cents",
+      tsCol = "event_time") { (_, ranked) =>
+        ranked.write.mode("append").parquet(out("product_topn"))
+      }
+      .option("checkpointLocation", ck("product_topn")).start()
+
+    Map(
+      fileSink("page", page),
+      fileSink("start", splitFrames("start")),
+      fileSink("display", splitFrames("display")),
+      fileSink("dirty", dirty),
+      fileSink("page_fixed", fixed.toDF()),
+      fileSink("unique_visit", uv.toDF()),
+      fileSink("user_jump", uj.toDF()),
+      fileSink("visitor_stats", visitorStats),
+      fileSink("keyword_stats", keywordStats),
+      fileSink("order_info", orderInfo),
+      fileSink("order_detail", orderDetail),
+      fileSink("product_stats", productStats),
+      dimQuery, provinceQuery, topnQuery)
+  }
 }

@@ -23,16 +23,21 @@ import graft.operators.{Dedup, Frequency, Mixing, Series, Similarity}
   *    scans grow 10×; the QUERY SET stays the base one (copy 0), so
   *    brute/IVF/PQ work scales with the corpus, not corpus × queries.
   *
-  * Usage: `sbt "runMain graft.tools.ScaleSmoke [baseSfDir] [factor]"`
-  * (defaults /root/testdata/sf0.01 and 10). Prints per-query times and
-  * ratios; exits nonzero if any ratio exceeds `factor × 2.5` (generous
-  * slack for fixed overheads; quadratic blowup is ~factor² and trips
-  * it with a wide margin).
+  * Usage: `sbt "runMain graft.tools.ScaleSmoke [baseSfDir] [factor] [only]"`
+  * (defaults /root/testdata/sf0.01 and 10; `only` is an optional
+  * comma-separated query-name filter, e.g. `d11,t26` — used to run the
+  * heaviest families at factor=100, confirming sub-linearity across
+  * TWO decades, not one). Prints per-query times and ratios; exits
+  * nonzero if any ratio exceeds `factor × 2.5` (generous slack for
+  * fixed overheads; quadratic blowup is ~factor² and trips it with a
+  * wide margin).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -120,6 +125,7 @@ object ScaleSmoke {
     // not a DataFrame — the action itself must force the computation
     def benchAction(name: String, small: DataFrame, big: DataFrame,
                     run: DataFrame => Unit): (String, Double) = {
+      if (only.exists(!_.contains(name))) return name -> 0.0 // filtered out
       def once(in: DataFrame): Double = {
         // operators persist intermediates internally (LSH buckets, HH
         // inputs); a cache surviving from the warmup would serve the 1×

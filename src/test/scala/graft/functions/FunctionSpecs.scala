@@ -43,6 +43,55 @@ class CjkSegmenterSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(out === Seq("小米", "手机", "旗舰店"))
   }
+
+  // ---- IK-analyzer parity evidence ----------------------------------------
+  // The reference's KeywordUtil instantiates `new IKSegmenter(reader,
+  // false)` (ik_max_word). Pinned against the two canonical public
+  // ik_max_word examples from the Elasticsearch/IK documentation, with
+  // the dictionary words those examples rest on supplied explicitly
+  // (our segmenter is dictionary-parameterized; IK ships a bundled
+  // main dict).
+  //
+  // Parity table (matches / divergences):
+  //   ik_max_word "中华人民共和国国歌" → full 10-token output: MATCH,
+  //     token-for-token including emission order.
+  //   ik_max_word "我是中国人"        → [我, 是, 中国人, 中国, 国人]: MATCH.
+  //   ik_smart    "中华人民共和国国歌" → [中华人民共和国, 国歌]: our FMM
+  //     MATCHES on this input.
+  //   DIVERGENCE CLASS (documented, acceptable — the reference runs
+  //   smart=false): IK's smart mode arbitrates overlapping paths with
+  //   a disambiguator, while our `segment` is plain forward maximum
+  //   match. On crossing-ambiguity inputs like 研究生命起源 FMM
+  //   greedily takes 研究生 and emits [研究生, 命, 起源]; an
+  //   arbitration that prefers balanced paths can yield
+  //   [研究, 生命, 起源]. The max-word path — the one the reference
+  //   uses — has no such arbitration and stays in lockstep.
+  test("ik_max_word parity on the public documentation examples") {
+    val anthem = "中华人民共和国国歌"
+    val dictA = Set("中华人民共和国", "中华人民", "中华", "华人",
+      "人民共和国", "人民", "共和国", "共和", "国国", "国歌")
+    assert(CjkSegmenter.segmentFull(anthem, dictA, maxLen = 7) ===
+      Seq("中华人民共和国", "中华人民", "中华", "华人",
+        "人民共和国", "人民", "共和国", "共和", "国国", "国歌"))
+    // smart-mode twin on the same input
+    assert(CjkSegmenter.segment(anthem, dictA, maxLen = 7) ===
+      Seq("中华人民共和国", "国歌"))
+
+    val dictB = Set("中国人", "中国", "国人")
+    assert(CjkSegmenter.segmentFull("我是中国人", dictB) ===
+      Seq("我", "是", "中国人", "中国", "国人"))
+  }
+
+  test("the documented FMM-vs-smart divergence is exactly as stated") {
+    val dict = Set("研究生", "研究", "生命", "起源")
+    // plain FMM: greedy 研究生 wins, stranding 命
+    assert(CjkSegmenter.segment("研究生命起源", dict) ===
+      Seq("研究生", "命", "起源"))
+    // max-word (the reference's mode): all overlaps surface, nothing
+    // is stranded or arbitrated away
+    assert(CjkSegmenter.segmentFull("研究生命起源", dict) ===
+      Seq("研究生", "研究", "生命", "起源"))
+  }
 }
 
 class NamesSpec extends AnyFunSuite {
