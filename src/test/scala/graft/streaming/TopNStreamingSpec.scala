@@ -15,12 +15,16 @@ import graft.TestSpark
   * global top-N), integer sums make the ranking arrival-order-free,
   * and ties break by ascending key exactly like the batch q19 shape.
   */
+object TopNStreamingSpec {
+  case class M(sku_id: Long, ts: Long, amount_cents: Long,
+               event_time: Timestamp = null)
+}
+
 class TopNStreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+  import TopNStreamingSpec.M
 
-  case class M(sku_id: Long, ts: Long, amount_cents: Long,
-               event_time: Timestamp = null)
   private def m(sku: Long, ts: Long, cents: Long): M =
     M(sku, ts, cents, new Timestamp(ts))
 
