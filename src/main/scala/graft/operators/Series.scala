@@ -160,14 +160,20 @@ object Series {
     // separate groupBy + join-back: every window shares the (key)
     // partitioning, so the whole operator is ONE exchange + sort over
     // one scan — the agg+join form costs a second scan, a second
-    // shuffle, and a join
-    val part = Window.partitionBy(col(keyCol))
-    val w = part.orderBy(col(tsCol), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // shuffle, and a join. The totals deliberately use the SAME
+    // (ts, id) ordering with an unbounded-following frame: an
+    // unordered partition window would plan its own Sort(key) beside
+    // the running windows' Sort(key, ts, id); sharing the ordering
+    // keeps the plan at exactly one Sort (pinned).
+    val ordered = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val whole = ordered.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
-      .withColumn("_n", count(lit(1)).over(part))
+      .withColumn("_n", count(lit(1)).over(whole))
       .withColumn("_tot",
-        sum(col("_cents").cast(DecimalType(38, 0))).over(part))
+        sum(col("_cents").cast(DecimalType(38, 0))).over(whole))
       .withColumn("_x",
         (col("_cents").cast(DecimalType(38, 0)) * col("_n") - col("_tot"))
           .cast(DecimalType(38, 0)))

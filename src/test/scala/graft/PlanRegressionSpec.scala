@@ -128,12 +128,18 @@ class PlanRegressionSpec extends AnyFunSuite {
       !p.contains("ScalaUDF"), p.take(1500))
   }
 
-  test("t16 bm25: broadcast stats joins and a TakeOrdered top-k") {
+  test("t16 bm25: one tokenize pass, one-row broadcasts, TakeOrdered top-k") {
     val p = plan("t16_bm25")
-    // df + corpus stats join back as broadcasts; the top-k must be
-    // per-partition heads, never a global sort
+    // the match side is ONE explode+aggregate exchange; the df
+    // aggregate consumes that SAME exchange, so the static plan prints
+    // the subtree twice (2 Generates) but exchange reuse runs the
+    // tokenize pass once — 3+ Generates would mean a genuinely new
+    // corpus pass appeared. df and corpus stats come back as one-row
+    // broadcast cross joins; the top-k must be per-partition heads,
+    // never a global sort.
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
-    assert(p.contains("BroadcastHashJoin"))
+    assert("""\(\d+\) Generate\b""".r.findAllIn(p).size == 2, p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
@@ -242,12 +248,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
-  test("s3 cusum: both windows ride ONE sort; the stats join is not forced") {
+  test("s3 cusum: all four windows ride ONE sort and ONE exchange") {
     val p = plan("s3_cusum")
-    // prefix-sum and running-min share the same (key, ts, id) sort —
-    // a second Sort appearing means the windows stopped co-planning
+    // per-key totals (whole-partition frames) AND the prefix-sum /
+    // running-min all share the (key, ts, id) sort under a single
+    // exchange — a Sort or Exchange appearing twice means either the
+    // totals stopped sharing the ordering or the groupBy+join form
+    // crept back
     assert("""\(\d+\) Sort\b""".r.findAllIn(p).size == 1, p.take(2000))
-    assert("""\(\d+\) Window\b""".r.findAllIn(p).size == 2, p.take(2000))
+    assert("""\(\d+\) Exchange\b""".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
   }
 
   test("t23 windowed heavy hitters: MG partials + broadcast verify") {
