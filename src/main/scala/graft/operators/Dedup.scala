@@ -701,6 +701,29 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 
+  /** Canonical-document selection — the step a dedup pipeline runs
+    * AFTER clustering: per near-dup cluster, keep the "best" member
+    * (argmax by `weight`, ties to the LOWEST id) and map every other
+    * member to it. The survivors (`is_canonical`) are the deduped
+    * corpus; the mapping rows are the provenance record.
+    *
+    * Input carries (idCol, clusterCol, weight) — typically clusterIds
+    * output joined with a doc-quality column (token count, quality
+    * score). The argmax is `max(struct(weight, −id))`: it PARTIAL-
+    * aggregates map-side (no window over raw members), and the
+    * negated id makes struct ordering break ties toward the smaller
+    * id. One cluster-keyed aggregate + one size-based join back.
+    */
+  def canonicalize(clusters: DataFrame, weight: Column,
+                   idCol: String = "doc_id",
+                   clusterCol: String = "cluster_id"): DataFrame = {
+    val canon = clusters.groupBy(col(clusterCol))
+      .agg(max(struct(weight.as("_w"), (-col(idCol)).as("_nid"))).as("_m"))
+      .select(col(clusterCol), (-col("_m._nid")).as("canonical_id"))
+    clusters.join(canon, clusterCol)
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+  }
+
   /** Incremental exact dedup: the rows of `fresh` whose content key
     * does not already exist in `reference` (yesterday's corpus),
     * themselves deduplicated (min id per key) — the daily-ingest

@@ -219,6 +219,37 @@ object Frequency {
     * count table is too fat, gate the input through [[heavyHitters]]
     * first — lift needs c_x, c_y ≥ minCount survivors only.
     */
+  /** Per-document unigram surprisal — the language-model-free
+    * perplexity surrogate a curation stack uses to flag gibberish
+    * (high surprisal) and boilerplate (low): each token scores
+    * ⌊log₂(N / ct(term))⌋ bits against the corpus's own unigram
+    * distribution, and the doc gets the total and the mean.
+    *
+    * Determinism discipline: a float log₂ would make boundary tokens
+    * engine-dependent in the last bit; ⌊log₂⌋ of a BIGINT is computed
+    * EXACTLY as `length(bin(N DIV ct)) − 1` — bit-length, no floating
+    * point anywhere until the final mean divide — so the scores
+    * hash-match any engine with integer division and binary
+    * formatting.
+    *
+    * Scale shape: token explode → vocabulary-sized count aggregate →
+    * size-based join back (broadcast while the vocab fits) → per-doc
+    * sum. The corpus total rides a broadcast 1-row frame.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String,
+                       toks: Column): DataFrame = {
+    val tok = docs.select(col(idCol), explode(toks).as("term"))
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("ct"))
+    val total = broadcast(counts.agg(sum(col("ct")).as("n_tok")))
+    tok.join(counts, "term").crossJoin(total)
+      .withColumn("bits", length(bin(expr("n_tok DIV ct"))) - 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).cast("long").as("bits_sum"))
+      .withColumn("avg_surprisal",
+        col("bits_sum").cast("double") / col("n_tokens"))
+  }
+
   def collocations(docs: DataFrame, idCol: String, textCol: String,
                    minCount: Long = 5L, topK: Int = 50): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")

@@ -51,4 +51,32 @@ object Skew {
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Key-distribution profile — the pre-flight a 100 TB job runs
+    * BEFORE choosing a partitioning/salting strategy for a keyed
+    * shuffle: the top-k hottest keys with their share of total rows,
+    * beside the key-space summary (key count, total, median and p99
+    * per-key row counts). `top1 share × total ≫ total / tasks` is the
+    * [[saltedJoin]] trigger; p99/p50 spread quantifies the tail.
+    *
+    * Shape: one key-count aggregate (partial map-side), a 1-row
+    * summary broadcast beside it, TakeOrdered for the top-k — the
+    * profiled table is scanned ONCE and never sorted globally.
+    * Exact percentiles over the per-key counts (a |keys|-sized frame,
+    * not the data); deterministic top-k tie-break (ct desc, key asc).
+    */
+  def keyProfile(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("ct"))
+    val summary = broadcast(counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("ct")).as("total"),
+      expr("percentile(ct, 0.5)").as("p50_ct"),
+      expr("percentile(ct, 0.99)").as("p99_ct")))
+    counts.orderBy(col("ct").desc, col("key")).limit(topK)
+      .crossJoin(summary)
+      .select(col("key"), col("ct"),
+        (col("ct").cast("double") / col("total")).as("share"),
+        col("n_keys"), col("total"), col("p50_ct"), col("p99_ct"))
+  }
 }

@@ -150,6 +150,23 @@ object DedupOps {
         maxDocFreq = 5L)
     },
 
+    // canonical selection after clustering: per near-dup cluster keep
+    // the longest member (ties → lowest id), map the rest to it — the
+    // survivors ARE the deduped corpus, the rows the provenance record
+    "d16_canonical" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val cl = Dedup.clusterIds(
+        Dedup.nearDupPairs(d, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b")))
+      val withLen = cl.join(
+        d.select(col("doc_id"),
+          graft.functions.TextFunctions.nTokens(col("text")).as("n_tokens")),
+        "doc_id")
+      Dedup.canonicalize(withLen, col("n_tokens"))
+        .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+          col("canonical_id"), col("is_canonical"))
+    },
+
     // the windowed twin of d5, anchoring the KmvStreaming family to an
     // oracle row: per-day KMV distinct-user sketch over events — below
     // k the count is exact (estimate null), at k the deterministic
@@ -514,6 +531,26 @@ object DedupOps {
       s"""WITH RECURSIVE ${sqlCandidatesFrom("documents")},
          |${sqlClusterCtes(0.5)}
          |SELECT doc_id, cluster_id FROM clus""".stripMargin,
+
+    // d6's clusters + per-cluster argmax by (n_tokens DESC, doc_id):
+    // the rank mirrors canonicalize's max(struct(weight, -id))
+    "d16_canonical" ->
+      s"""WITH RECURSIVE ${sqlCandidatesFrom("documents")},
+         |${sqlClusterCtes(0.5)},
+         |wl AS (
+         |  SELECT clus.doc_id, cluster_id,
+         |    len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+         |      AS n_tokens
+         |  FROM clus JOIN documents USING (doc_id)),
+         |canon AS (
+         |  SELECT cluster_id, doc_id AS canonical_id FROM (
+         |    SELECT cluster_id, doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |        ORDER BY n_tokens DESC, doc_id) AS rn
+         |    FROM wl) WHERE rn = 1)
+         |SELECT wl.doc_id, wl.cluster_id, wl.n_tokens, canon.canonical_id,
+         |  wl.doc_id = canon.canonical_id AS is_canonical
+         |FROM wl JOIN canon USING (cluster_id)""".stripMargin,
 
     "d4_simhash" -> {
       val votes = (0 until 16)

@@ -270,6 +270,14 @@ object Relational {
           col("sku_id"), col("amount"), col("rnk"))
     },
 
+    // ---- key-distribution profile: the pre-shuffle skew pre-flight -------
+    // top-5 hottest keys with their share of total rows beside the
+    // key-space summary — the numbers that decide salting/partitioning
+    // before a 100 TB keyed shuffle (see Skew.saltedJoin's crossover)
+    "q33_key_profile" -> { (s, dir) =>
+      graft.operators.Skew.keyProfile(ev(s, dir), "user_id", topK = 5)
+    },
+
     // ---- multi-dim enrichment over part/supplier -------------------------
     // nation broadcasts explicitly (25 rows, always); part/supplier get
     // no hint — they scale with the data, so join selection must stay
@@ -725,6 +733,24 @@ object Relational {
         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    // exact interpolated percentiles over the |keys|-sized count frame
+    // (quantile_cont ≡ Spark percentile, the t6 precedent); top-5
+    // tie-break (ct DESC, key) mirrors the TakeOrdered
+    "q33_key_profile" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, COUNT(*) AS ct FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(ct) AS BIGINT) AS total,
+        |    quantile_cont(ct, 0.5) AS p50_ct,
+        |    quantile_cont(ct, 0.99) AS p99_ct
+        |  FROM c),
+        |top AS (SELECT key, ct FROM c ORDER BY ct DESC, key LIMIT 5)
+        |SELECT key, ct, CAST(ct AS DOUBLE) / total AS share,
+        |  n_keys, total, p50_ct, p99_ct
+        |FROM top CROSS JOIN t""".stripMargin,
 
     // lag/lead gaps-and-islands mirror of the derived-entry + bounce
     // composition: entry ⇔ prev gap ≥ 4h, bounce ⇔ entry with the next

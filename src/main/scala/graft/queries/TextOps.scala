@@ -223,6 +223,15 @@ object TextOps {
             .as("top_lang_ct"))
     },
 
+    // ---- unigram surprisal: the LM-free perplexity surrogate -------------
+    // exact integer log2 via bit-length (length(bin(N DIV ct)) − 1) —
+    // no float log anywhere, so the per-doc bit totals hash-match; the
+    // mean is the single final divide
+    "t30_surprisal" -> { (s, dir) =>
+      graft.operators.Frequency.unigramSurprisal(
+        docs(s, dir), "doc_id", tokenize(lower(col("text"))))
+    },
+
     // ---- F6/A4: the CJK (FMM) tokenizer path, oracle-anchored ------------
     // the reference's one true UDF (`utils/KeywordUtil.java:13-35`) on
     // actual CJK text: deterministic CJK sentences are derived from
@@ -573,6 +582,21 @@ object TextOps {
          |    + (1.0 - least(CAST(punct_ct AS DOUBLE) / nullif(n_tokens, 0), 1.0)) * 0.2) AS max_q
          |FROM m GROUP BY pred_lang""".stripMargin
     },
+
+    "t30_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |c AS (SELECT term, COUNT(*) AS ct FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_tok FROM c)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(length(bin(n_tok // ct)) - 1) AS BIGINT) AS bits_sum,
+        |  CAST(SUM(length(bin(n_tok // ct)) - 1) AS DOUBLE) / COUNT(*)
+        |    AS avg_surprisal
+        |FROM tok JOIN c USING (term) CROSS JOIN t
+        |GROUP BY doc_id""".stripMargin,
 
     // FMM replay in SQL: `best` is the longest dictionary match at each
     // character position (ties impossible: one substring, one word);

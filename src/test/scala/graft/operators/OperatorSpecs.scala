@@ -1201,3 +1201,51 @@ class HammingKnnSpec extends AnyFunSuite {
     assert(capped === Set(1L, 2L))
   }
 }
+
+class Round10OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("unigramSurprisal: exact bit-length log2 against hand arithmetic") {
+    // corpus of 8 tokens: a x4, b x2, c x1, d x1 → N=8
+    // bits(a)=floor(log2(8/4))=1, b: log2(4)=2, c,d: log2(8)=3
+    val docs = Seq(
+      (1L, Seq("a", "a", "b", "c")), // 1+1+2+3 = 7 bits over 4 tokens
+      (2L, Seq("a", "a", "b", "d"))  // 1+1+2+3 = 7
+    ).toDF("doc_id", "toks")
+    val out = Frequency.unigramSurprisal(docs, "doc_id", col("toks"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, bits, avg) => id -> ((n, bits, avg)) }.toMap
+    assert(out(1L) === ((4L, 7L, 1.75)))
+    assert(out(2L) === ((4L, 7L, 1.75)))
+  }
+
+  test("canonicalize: argmax by weight, ties to the lowest id") {
+    val cl = Seq(
+      (10L, 1L, 5), (11L, 1L, 9), (12L, 1L, 9), // tie at 9 → 11 wins
+      (20L, 2L, 3)                              // singleton
+    ).toDF("doc_id", "cluster_id", "w")
+    val out = Dedup.canonicalize(cl, col("w"))
+      .select("doc_id", "canonical_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out === Set(
+      (10L, 11L, false), (11L, 11L, true), (12L, 11L, false),
+      (20L, 20L, true)))
+  }
+
+  test("keyProfile: hot-key shares and exact percentiles over key counts") {
+    // key counts: hot=6, w1..w3=2 each, null rows dropped
+    val rows = Seq.fill(6)("hot") ++ Seq("w1", "w1", "w2", "w2", "w3", "w3") ++
+      Seq(null.asInstanceOf[String])
+    val out = Skew.keyProfile(rows.toDF("k"), "k", topK = 2)
+      .as[(String, Long, Double, Long, Long, Double, Double)]
+      .collect().sortBy(-_._2).toSeq
+    assert(out.map(r => (r._1, r._2)) === Seq(("hot", 6L), ("w1", 2L)))
+    assert(out.head._3 === 0.5)           // 6 of 12
+    assert(out.head._4 === 4L)            // n_keys
+    assert(out.head._5 === 12L)           // total
+    assert(out.head._6 === 2.0)           // p50 of (6,2,2,2)
+    // p99 of (2,2,2,6) interpolated: index 2.97 → 2 + 0.97*(6-2)
+    assert(math.abs(out.head._7 - 5.88) < 1e-9)
+  }
+}
