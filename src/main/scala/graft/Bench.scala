@@ -26,31 +26,45 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def once(name: String): Double = {
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => spark.catalog.clearCache(); return -1.0 }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operator-internal persists (LSH bands, bloom builds, pagerank
-      // edge frames) are intra-query reuse; release them here so 110
-      // queries x 3 passes don't accumulate cache in one JVM, and so
-      // each timed pass pays its own cache-build cost (honest numbers)
-      spark.catalog.clearCache()
-      dt
+      (System.nanoTime() - t0) / 1e9
     }
-    names.foreach(once) // warmup pass (untimed)
-    // two timed passes, min per query: this host is a shared VM and a
-    // single pass swings ±60% with neighbor load — the min is the
-    // stable estimate of achievable steady-state
-    def better(a: Double, b: Double): Double =
-      if (a < 0) b else if (b < 0) a else math.min(a, b)
-    val pass1 = names.map(once)
-    val pass2 = names.map(once)
-    val results = names.lazyZip(pass1.lazyZip(pass2).map(better)).toSeq
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","mode":"steady-state (1 untimed warmup pass, min of 2 timed passes per query)"}"""
+    // Two timing modes per query, both reported:
+    //  - cold: cache cleared before every run — each run pays its own
+    //    operator-internal cache builds (LSH bands, bloom filters,
+    //    pagerank edge frames). The honest run-once-on-fresh-data
+    //    number, and the headline `value`.
+    //  - warm: timed immediately after the untimed warmup run, with
+    //    the warmup's caches still live — comparable to rounds <= 9,
+    //    whose passes shared caches across the whole sweep.
+    // Clearing between queries also keeps 116 queries x 4 runs from
+    // accumulating cache in one JVM (intra-query reuse is unaffected).
+    def measure(name: String): (Double, Double) = {
+      spark.catalog.clearCache()
+      timeOnce(name) // untimed: JIT + codegen + reader init + caches
+      val warm = timeOnce(name)
+      spark.catalog.clearCache()
+      val cold1 = timeOnce(name)
+      spark.catalog.clearCache()
+      val cold2 = timeOnce(name)
+      spark.catalog.clearCache()
+      // min of 2: this host is a shared VM and a single run swings
+      // ±60% with neighbor load
+      val cold =
+        if (cold1 < 0) cold2 else if (cold2 < 0) cold1
+        else math.min(cold1, cold2)
+      (cold, warm)
+    }
+    val results = names.map(n => (n, measure(n)))
+    def jmap(f: ((String, (Double, Double))) => Double): String =
+      results.map { case r @ (k, _) => "\"" + k + "\":" + f(r) }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val warmTotal = results.map(_._2._2).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2._1)},"warm_total":$warmTotal,"queries_warm":${jmap(_._2._2)},"sf":"$sfDir","mode":"cold-cache per timed run (min of 2) in `queries`/`value`; `queries_warm` keeps the warmup's caches live and is the number comparable to rounds <= 9"}"""
     println(json)
     // the driver's BENCH_r{N}.json capture head-truncates on long runs,
     // losing ~25 queries of cross-round comparison — persist the full

@@ -278,6 +278,22 @@ object Relational {
       graft.operators.Skew.keyProfile(ev(s, dir), "user_id", topK = 5)
     },
 
+    // ---- Z-order (Morton) clustering key ---------------------------------
+    // the write-side layout lever: interleaved (user, day) bits give
+    // BOTH dimensions file-level locality (LayoutSpec measures the
+    // pruning win; SCALING.md the narrative). The z-value is pure
+    // codegen'd bit arithmetic, hash-checked here bit-for-bit
+    "q34_zorder" -> { (s, dir) =>
+      val e = ev(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"),
+          col("user_id").bitwiseAND(lit(65535L)).as("u16"),
+          expr("unix_micros(ts) DIV 86400000000").bitwiseAND(lit(65535L))
+            .as("d16"))
+      e.select(col("event_id"), col("u16"), col("d16"),
+        graft.operators.Layout.zvalue(16, col("u16"), col("d16")).as("z"))
+    },
+
     // ---- multi-dim enrichment over part/supplier -------------------------
     // nation broadcasts explicitly (25 rows, always); part/supplier get
     // no hint — they scale with the data, so join selection must stay
@@ -751,6 +767,17 @@ object Relational {
         |SELECT key, ct, CAST(ct AS DOUBLE) / total AS share,
         |  n_keys, total, p50_ct, p99_ct
         |FROM top CROSS JOIN t""".stripMargin,
+
+    // the z-value formula is GENERATED from the same term list the
+    // Column expression unrolls — the two sides cannot drift
+    "q34_zorder" ->
+      s"""WITH e AS (
+         |  SELECT event_id, (user_id & 65535) AS u16,
+         |    ((epoch_us(ts) // 86400000000) & 65535) AS d16
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+         |SELECT event_id, u16, d16,
+         |  ${graft.operators.Layout.zvalueSql(16, "u16", "d16")} AS z
+         |FROM e""".stripMargin,
 
     // lag/lead gaps-and-islands mirror of the derived-entry + bounce
     // composition: entry ⇔ prev gap ≥ 4h, bounce ⇔ entry with the next
