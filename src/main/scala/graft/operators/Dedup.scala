@@ -291,10 +291,23 @@ object Dedup {
     * sketch is exact there; callers coalesce).
     */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 64): DataFrame =
+    kmvFinish(kmvSketches(df, groupCol, valueCol, k), groupCol, k)
+
+  /** The raw per-group sketch — the PRE-AGGREGATION surface: store
+    * these (group, ≤ k sorted hashes) rows in a rollup table and
+    * [[kmvMerge]] them into coarser groups later. Because the k-min of
+    * a union IS the k-min of the parts' k-mins, merged estimates are
+    * EXACTLY what a direct pass over the raw data would produce
+    * (spec-pinned) — the property that lets a 100 TB pipeline keep
+    * per-day sketch rows (k longs each) instead of re-scanning history
+    * for every weekly/monthly distinct count.
+    */
+  def kmvSketches(df: DataFrame, groupCol: String, valueCol: String,
                   k: Int = 64): DataFrame = {
     // k < 2 has no defined estimator and k = 0 would drive
     // element_at(_mins, 0) into an ANSI error — fail fast instead
-    require(k >= 2, s"kmvDistinct needs k >= 2, got $k")
+    require(k >= 2, s"kmv needs k >= 2, got $k")
     // 12 hex digits = 48 bits: fits a long exactly on both engines
     val h = conv(substring(md5(col(valueCol).cast(StringType)), 1, 12), 16, 10)
       .cast(LongType)
@@ -302,13 +315,37 @@ object Dedup {
     df.filter(col(valueCol).isNotNull)
       .select(col(groupCol), h.as("h"))
       .groupBy(col(groupCol))
-      .agg(sketch(col("h")).as("_mins"))
-      .select(col(groupCol),
-        size(col("_mins")).cast(LongType).as("distinct_le_k"),
-        when(size(col("_mins")) === k, element_at(col("_mins"), k)).as("kth"))
+      .agg(sketch(col("h")).as("kmv_mins"))
+  }
+
+  /** Merge fine-grained sketches into `groupCol` groups and finish to
+    * estimates — the rollup read path. The merge re-runs the same
+    * bounded fold over the parts' members (≤ k rows explode per input
+    * sketch), so partial-aggregation boundaries still move at most k
+    * longs per output group.
+    */
+  def kmvMerge(sketches: DataFrame, groupCol: String, k: Int = 64,
+               minsCol: String = "kmv_mins"): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val sketch = udaf(new KmvAgg(k))
+    kmvFinish(
+      sketches.select(col(groupCol), explode(col(minsCol)).as("h"))
+        .groupBy(col(groupCol)).agg(sketch(col("h")).as("kmv_mins")),
+      groupCol, k)
+  }
+
+  /** Shared estimator finishing, so direct and merged paths cannot
+    * diverge: exact count below k, the deterministic (k−1)·2⁴⁸/kth
+    * estimator at k.
+    */
+  private def kmvFinish(sketches: DataFrame, groupCol: String,
+                        k: Int): DataFrame =
+    sketches.select(col(groupCol),
+      size(col("kmv_mins")).cast(LongType).as("distinct_le_k"),
+      when(size(col("kmv_mins")) === k, element_at(col("kmv_mins"), k))
+        .as("kth"))
       .withColumn("kmv_estimate",
         lit((k - 1).toDouble) * lit(281474976710656.0) / col("kth"))
-  }
 
   /** Exact dedup: group on content hash, keep the smallest id. */
   def exact(docs: DataFrame, idCol: String = "doc_id",

@@ -180,6 +180,22 @@ object DedupOps {
         groupCol = "day", valueCol = "uid", k = 64)
     },
 
+    // the sketch ROLLUP read path: weekly distinct users from MERGED
+    // per-day sketches — never re-scanning the days. Exactness of the
+    // merge (k-min of union == k-min of the parts' k-mins) makes the
+    // oracle a DIRECT weekly pass: hash-equality here IS the
+    // pre-aggregation contract
+    "d17_kmv_rollup" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(expr("unix_millis(ts) DIV 86400000").as("day"),
+          col("user_id").cast("string").as("uid"))
+      val daily = Dedup.kmvSketches(ev, groupCol = "day",
+        valueCol = "uid", k = 64)
+      Dedup.kmvMerge(
+        daily.withColumn("week", expr("day DIV 7")), "week", k = 64)
+    },
+
     // centrality over the near-dup graph: integer-deterministic
     // PageRank (3 unrolled iterations) on the undirected ≥0.5-Jaccard
     // edges — ranks boilerplate hubs above incidental near-dups, the
@@ -452,6 +468,23 @@ object DedupOps {
         |  CAST(63 AS DOUBLE) * 281474976710656.0
         |    / MAX(CASE WHEN rnk = 64 THEN h END) AS kmv_estimate
         |FROM r WHERE rnk <= 64 GROUP BY day""".stripMargin,
+
+    // DIRECT weekly pass — the Spark side merges per-day sketches;
+    // hash-equality proves the rollup contract
+    "d17_kmv_rollup" ->
+      """WITH d AS (
+        |  SELECT DISTINCT ((epoch_ms(ts) // 86400000) // 7) AS week,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |      AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY week ORDER BY h) AS rnk
+        |  FROM d)
+        |SELECT week, COUNT(*) AS distinct_le_k,
+        |  CAST(MAX(CASE WHEN rnk = 64 THEN h END) AS BIGINT) AS kth,
+        |  CAST(63 AS DOUBLE) * 281474976710656.0
+        |    / MAX(CASE WHEN rnk = 64 THEN h END) AS kmv_estimate
+        |FROM r WHERE rnk <= 64 GROUP BY week""".stripMargin,
 
     "d5_kmv_distinct" ->
       """WITH d AS (

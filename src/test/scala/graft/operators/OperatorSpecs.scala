@@ -1249,3 +1249,37 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(math.abs(out.head._7 - 5.88) < 1e-9)
   }
 }
+
+class KmvRollupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("merged fine sketches equal the direct coarse sketch exactly") {
+    // 3 days x overlapping user sets, enough distinct users (>= 200)
+    // that the weekly sketch saturates k and the estimator branch runs
+    val rows = for {
+      day <- 0 to 2
+      u <- 0 until 150
+    } yield (day.toLong, s"u${(u * 7 + day * 50) % 220}")
+    val df = rows.toDF("day", "uid")
+    val direct = graft.operators.Dedup.kmvDistinct(
+        df.withColumn("week", lit(0L)), "week", "uid", k = 64)
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    val merged = graft.operators.Dedup.kmvMerge(
+        graft.operators.Dedup.kmvSketches(df, "day", "uid", k = 64)
+          .withColumn("week", lit(0L)),
+        "week", k = 64)
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    assert(merged === direct)
+    assert(direct.head._2 === 64L) // saturated: the estimator branch
+  }
+
+  test("below k the merge stays exact (estimate null)") {
+    val df = Seq((0L, "a"), (0L, "b"), (1L, "b"), (1L, "c")).toDF("day", "uid")
+    val merged = graft.operators.Dedup.kmvMerge(
+        graft.operators.Dedup.kmvSketches(df, "day", "uid", k = 64)
+          .withColumn("g", lit(0L)), "g", k = 64)
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSeq
+    assert(merged === Seq((0L, 3L, None, None))) // a,b,c exact, no kth
+  }
+}
