@@ -100,6 +100,44 @@ object Sinks {
                 transientCols: Seq[String] = Nil): Unit =
     df.drop(transientCols: _*).write.mode(SaveMode.Append).parquet(path)
 
+  /** Exactly-once `foreachBatch` append: a plain `mode("append")`
+    * inside foreachBatch is at-least-once — a crash AFTER the write
+    * but BEFORE the checkpoint commit replays the batch and duplicates
+    * its rows. This closes the window with the classic batch-id
+    * ledger: each batch writes to its OWN overwrite-mode subdir
+    * (`batch=<id>` — a replay rewrites the same files, idempotent),
+    * and the batch id is recorded in a ledger file via write-temp +
+    * atomic rename. Readers see `path` as one parquet dir (subdirs are
+    * plain partition dirs). Crash matrix: before write → replay
+    * rewrites; between write and ledger → replay OVERWRITES the same
+    * subdir, no duplicates; after ledger → replay short-circuits here.
+    *
+    * LOCAL-FS rename semantics by design, like [[upsertDim]]: on a
+    * cluster this contract is a Delta/Iceberg idempotent write
+    * (`txnAppId`/`txnVersion`), same call site.
+    */
+  def idempotentAppend(batch: DataFrame, batchId: Long, path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val ledger = new java.io.File(path, "_committed_batches")
+    def committed: Seq[String] =
+      if (ledger.exists())
+        java.nio.file.Files.readAllLines(ledger.toPath).asScala.toSeq
+      else Seq.empty
+    if (committed.contains(batchId.toString))
+      return // replay of a fully-committed batch: nothing to do
+    batch.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
+    val tmp = new java.io.File(path, s"._ledger_tmp_$batchId")
+    java.nio.file.Files.write(tmp.toPath,
+      (committed :+ batchId.toString).mkString("\n").getBytes("UTF-8"))
+    require(tmp.renameTo(ledger) || {
+      // rename-over-existing is not atomic-replace on every FS; fall
+      // back to REPLACE_EXISTING move, still a single visible swap
+      java.nio.file.Files.move(tmp.toPath, ledger.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      true
+    }, s"idempotentAppend: could not publish ledger for batch $batchId")
+  }
+
   /** Bucketed catalog table: the co-located-join strategy for fact/dim
     * tables that are joined on the same key repeatedly. Two tables
     * bucketed (and sorted) on the join key with the same bucket count

@@ -313,7 +313,7 @@ object Warehouse {
     val provinceQuery = "province_stats" -> provAgg
       .writeStream.option("checkpointLocation", ck("province_stats"))
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dimPath = s"${out("dim")}/dim_base_province"
         val dim =
           if (new java.io.File(dimPath).exists())
@@ -321,12 +321,17 @@ object Warehouse {
               .select(expr("try_cast(id AS BIGINT)").as("province_id"),
                 col("name").as("province_name"))
           else Seq.empty[(Long, String)].toDF("province_id", "province_name")
-        batch
-          .withColumn("stt", date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
-          .withColumn("edt", date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss"))
-          .drop("w")
-          .join(dim, Seq("province_id"), "left")
-          .write.mode("append").parquet(out("province_stats"))
+        // batch-ledger append: exactly-once even for a crash BETWEEN
+        // the write and the checkpoint commit (Sinks.idempotentAppend)
+        graft.sinks.Sinks.idempotentAppend(
+          batch
+            .withColumn("stt",
+              date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
+            .withColumn("edt",
+              date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss"))
+            .drop("w")
+            .join(dim, Seq("province_id"), "left"),
+          batchId, out("province_stats"))
         ()
       }.start()
 
@@ -389,8 +394,9 @@ object Warehouse {
           to_timestamp(col("create_time")).as("event_time"))
         .withWatermark("event_time", delay),
       width, n = 3, keyCol = "sku_id", centsCol = "amount_cents",
-      tsCol = "event_time") { (_, ranked) =>
-        ranked.write.mode("append").parquet(out("product_topn"))
+      tsCol = "event_time") { (batchId, ranked) =>
+        graft.sinks.Sinks.idempotentAppend(ranked, batchId,
+          out("product_topn"))
       }
       .option("checkpointLocation", ck("product_topn")).start()
 

@@ -65,4 +65,26 @@ class SinksSpec extends AnyFunSuite {
     val out = spark.read.parquet(s"$base/dim").collect()
     assert(out.length === 1) // no null-pk rows, no per-batch growth
   }
+
+  test("idempotentAppend: replays never duplicate, distinct batches append") {
+    val base = java.nio.file.Files.createTempDirectory("idem").toString + "/t"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.idempotentAppend(b0, 0L, base)
+    // full replay of a committed batch: short-circuits on the ledger
+    Sinks.idempotentAppend(b0, 0L, base)
+    assert(spark.read.parquet(base).count() === 2L)
+    // crash-between-write-and-ledger replay: same id, recomputed rows
+    // — the subdir is OVERWRITTEN, not appended beside the orphan
+    val ledger = new java.io.File(base, "_committed_batches")
+    val kept = java.nio.file.Files.readAllLines(ledger.toPath)
+    java.nio.file.Files.write(ledger.toPath, java.util.List.of[String]())
+    Sinks.idempotentAppend(b0, 0L, base)
+    assert(spark.read.parquet(base).count() === 2L)
+    assert(java.nio.file.Files.readAllLines(ledger.toPath) === kept)
+    // a genuinely new batch appends
+    Sinks.idempotentAppend(Seq((3L, "c")).toDF("id", "v"), 1L, base)
+    assert(spark.read.parquet(base).count() === 3L)
+    assert(spark.read.parquet(base).select("id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
 }
