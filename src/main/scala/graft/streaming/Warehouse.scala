@@ -266,6 +266,15 @@ object Warehouse {
       lit(1L).as("uj_ct"))
     val visitorStats = StatsJobs.visitorStats(Seq(pvLeg, uvLeg, ujLeg), width)
 
+    // ---- DWS sessions: native session_window over the fixed page
+    // stream — state is one merged [start, end) range per open
+    // session (never a row buffer); sessions seal when the watermark
+    // passes last_ts + gap
+    val sessions = StatsJobs.sessionStats(
+      keyedLeg("page_fixed").toDF(), keyCol = "mid",
+      tsCol = "event_time", gap = "30 minutes",
+      extraAggs = Seq(sum(col("during_time")).as("dur_sum")))
+
     // ---- DWS keyword: raw page search items → windowed keyword counts
     val keywordStats = StatsJobs.keywordStats(
       pageStream().withColumn("event_time", timestamp_millis(col("ts")))
@@ -409,6 +418,7 @@ object Warehouse {
       fileSink("unique_visit", uv.toDF()),
       fileSink("user_jump", uj.toDF()),
       fileSink("visitor_stats", visitorStats),
+      fileSink("sessions", sessions),
       fileSink("keyword_stats", keywordStats),
       fileSink("order_info", orderInfo),
       fileSink("order_detail", orderDetail),

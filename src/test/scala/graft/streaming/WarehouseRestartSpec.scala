@@ -72,8 +72,8 @@ class WarehouseRestartSpec extends AnyFunSuite {
   // no-data batches seal windows
   private val topo = Seq("page", "start", "display", "dirty", "page_fixed",
     "unique_visit", "user_jump", "order_info", "order_detail", "dims",
-    "visitor_stats", "keyword_stats", "province_stats", "product_stats",
-    "product_topn")
+    "visitor_stats", "sessions", "keyword_stats", "province_stats",
+    "product_stats", "product_topn")
 
   private def drain(qs: Map[String, org.apache.spark.sql.streaming.StreamingQuery],
                     sweeps: Int = 1): Unit =
@@ -200,6 +200,20 @@ class WarehouseRestartSpec extends AnyFunSuite {
     assert(vs === Set(
       ("2021-05-03 12:00:00", "1", 5L, 3L, 3L, 1L, 25000L),
       ("2021-05-04 12:00:00", "0", 1L, 0L, 1L, 0L, 5000L)))
+
+    // ---- DWS sessions: C's session SPANS the kill (entry pre-kill,
+    // follow-up post-restart — one merged session proves the
+    // session_window state recovered); A gets one session per day ----
+    val sess = spark.read.parquet(s"$outRoot/sessions")
+      .where("stt < '2021-05-05'")
+      .selectExpr("mid", "date_format(stt, 'yyyy-MM-dd HH:mm:ss') AS stt",
+        "ev_ct", "dur_sum")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(sess === Set(
+      ("mid_A", "2021-05-03 12:00:01", 2L, 10000L),
+      ("mid_B", "2021-05-03 12:00:02", 1L, 5000L),
+      ("mid_C", "2021-05-03 12:00:03", 2L, 10000L),
+      ("mid_A", "2021-05-04 12:00:01", 1L, 5000L)))
 
     // ---- DWS keyword ----------------------------------------------------
     val kw = spark.read.parquet(s"$outRoot/keyword_stats")
