@@ -393,6 +393,26 @@ object Warehouse {
       .withColumn("edt", date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss"))
       .drop("w")
 
+    // ---- DWS product distinct-order counts: the reference's
+    // Set-accumulator measure (bean/ProductStats order_ct), EXACT in
+    // streaming via the blessed multi-stateful chain — keyed
+    // dropDuplicatesWithinWatermark (state: one (sku, order) marker
+    // per watermark horizon) feeding the windowed count. StatsJobs'
+    // "distinct aggregates don't stream" caveat applies to
+    // countDistinct IN the aggregate; dedup-then-count is the
+    // streaming-native form of the same measure.
+    val orderCt = spark.readStream.schema(odSchema)
+      .parquet(out("order_detail"))
+      .select(col("sku_id"), col("order_id"),
+        to_timestamp(col("create_time")).as("event_time"))
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark("sku_id", "order_id")
+      .groupBy(window(col("event_time"), width).as("w"), col("sku_id"))
+      .agg(count(lit(1)).as("order_ct"))
+      .withColumn("stt", date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("edt", date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("w")
+
     // ---- DWS top-N: ranked top skus per window by order amount (the
     // q19 serving shape, incremental — TopNStreaming scaladoc)
     val topnQuery = "product_topn" -> TopNStreaming.windowedTopN(
@@ -423,6 +443,7 @@ object Warehouse {
       fileSink("order_info", orderInfo),
       fileSink("order_detail", orderDetail),
       fileSink("product_stats", productStats),
+      fileSink("product_order_ct", orderCt),
       dimQuery, provinceQuery, topnQuery)
   }
 }

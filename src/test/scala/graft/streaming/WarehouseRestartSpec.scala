@@ -73,7 +73,7 @@ class WarehouseRestartSpec extends AnyFunSuite {
   private val topo = Seq("page", "start", "display", "dirty", "page_fixed",
     "unique_visit", "user_jump", "order_info", "order_detail", "dims",
     "visitor_stats", "sessions", "keyword_stats", "province_stats",
-    "product_stats", "product_topn")
+    "product_stats", "product_order_ct", "product_topn")
 
   private def drain(qs: Map[String, org.apache.spark.sql.streaming.StreamingQuery],
                     sweeps: Int = 1): Unit =
@@ -246,6 +246,18 @@ class WarehouseRestartSpec extends AnyFunSuite {
       ("2021-05-03 12:05:00", 999L, 0L, 0L, 1L, 20.00),
       ("2021-05-03 12:05:30", 999L, 0L, 0L, 1L, 5.00),
       ("2021-05-03 12:06:00", 101L, 0L, 0L, 4L, 50.00)))
+
+    // ---- DWS distinct-order counts: order 1's TWO detail lines for
+    // sku 100 count ONCE (the dedup-then-count chain) ----------------------
+    val oc = spark.read.parquet(s"$outRoot/product_order_ct")
+      .where("stt < '2021-05-03 12:10:00'")
+      .select("stt", "sku_id", "order_ct")
+      .as[(String, Long, Long)].collect().toSet
+    assert(oc === Set(
+      ("2021-05-03 12:00:00", 100L, 1L),
+      ("2021-05-03 12:05:00", 999L, 1L),
+      ("2021-05-03 12:05:30", 999L, 1L),
+      ("2021-05-03 12:06:00", 101L, 1L)))
 
     // ---- DWS windowed top-N (rank-on-seal, q19's streaming twin) --------
     val topn = spark.read.parquet(s"$outRoot/product_topn")
