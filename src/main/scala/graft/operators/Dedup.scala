@@ -210,6 +210,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Split-leakage audit — the eval-integrity check a training
+    * pipeline runs after assigning train/val membership: near-dup
+    * pairs whose members land on OPPOSITE sides of the split are
+    * evaluation leakage (the val doc's near-copy is trained on), the
+    * failure mode deterministic per-doc splitting alone cannot
+    * prevent. Returns each crossing pair with both split labels and
+    * the verified Jaccard, for removal or reassignment.
+    *
+    * Scale shape: [[nearDupPairs]]'s bucketed candidate pipeline plus
+    * two id-keyed, size-based joins of the (id, split) projection —
+    * the split column is derived, never shuffled with the text.
+    */
+  def splitLeakage(docs: DataFrame, threshold: Double, split: Column,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   n: Int = 3, bands: Int = 2, rowsPerBand: Int = 4,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    val splits = docs.select(col(idCol), split.as("_split"))
+    nearDupPairs(docs, threshold, idCol, textCol, n, bands, rowsPerBand,
+        maxBucket)
+      .join(splits.select(col(idCol).as("doc_a"),
+        col("_split").as("split_a")), "doc_a")
+      .join(splits.select(col(idCol).as("doc_b"),
+        col("_split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+  }
+
   /** 16-bit SimHash over the distinct-word set. Per word, a 16-bit
     * md5-derived hash votes ±1 on each bit position; the signature bit
     * is 1 where the vote sum is positive. Integer votes make the value

@@ -180,6 +180,15 @@ object DedupOps {
         groupCol = "day", valueCol = "uid", k = 64)
     },
 
+    // eval-integrity audit: near-dup pairs CROSSING the t7 train/val
+    // split — the leakage deterministic per-doc splitting cannot
+    // prevent (a val doc's near-copy in train). Composes the d3
+    // pipeline with the t7 assignment; pair rows are the removal list
+    "d18_split_leakage" -> { (s, dir) =>
+      Dedup.splitLeakage(docs(s, dir), threshold = 0.5,
+        split = graft.functions.TextFunctions.stableSplit(col("doc_id")))
+    },
+
     // the sketch ROLLUP read path: weekly distinct users from MERGED
     // per-day sketches — never re-scanning the days. Exactness of the
     // merge (k-min of union == k-min of the parts' k-mins) makes the
@@ -468,6 +477,28 @@ object DedupOps {
         |  CAST(63 AS DOUBLE) * 281474976710656.0
         |    / MAX(CASE WHEN rnk = 64 THEN h END) AS kmv_estimate
         |FROM r WHERE rnk <= 64 GROUP BY day""".stripMargin,
+
+    // d3's verified pairs x t7's split assignment; only crossing
+    // pairs survive
+    "d18_split_leakage" ->
+      s"""$sqlCandidates,
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+         |           * 1000 < 900 * 65536
+         |      THEN 'train' ELSE 'val' END AS split
+         |  FROM documents)
+         |SELECT doc_a, doc_b, pa.split AS split_a, pb.split AS split_b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+         |FROM cand
+         |JOIN shingled sa ON sa.doc_id = doc_a
+         |JOIN shingled sb ON sb.doc_id = doc_b
+         |JOIN sp pa ON pa.doc_id = doc_a
+         |JOIN sp pb ON pb.doc_id = doc_b
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+         |  AND pa.split <> pb.split""".stripMargin,
 
     // DIRECT weekly pass — the Spark side merges per-day sketches;
     // hash-equality proves the rollup contract
