@@ -424,6 +424,15 @@ object Relational {
         "event_type", Seq("view", "click", "purchase"))
     },
 
+    // session-scoped funnel: conversion must complete WITHIN one 4h
+    // session — the product-analytics refinement of q25 (a purchase
+    // weeks after the view no longer converts); sid is the 1-based
+    // per-user session index, deterministic on both engines
+    "q35_session_funnel" -> { (s, dir) =>
+      graft.operators.Funnel.sessionFunnel(ev(s, dir), "user_id", "ts",
+        "event_id", "event_type", Seq("view", "click", "purchase"))
+    },
+
     // salted fact-dim join: demonstrates the explicit skew primitive
     // (for shuffles AQE can't split — stream-stream, keyed state);
     // results are identical to the plain equi-join, which is exactly
@@ -816,6 +825,38 @@ object Relational {
         |  FROM s1 LEFT JOIN e ON e.key = s1.key
         |  GROUP BY s1.key, t0, t1)
         |SELECT key AS user_id, make_timestamp(t0) AS view_ts,
+        |  make_timestamp(t1) AS click_ts, make_timestamp(t2) AS purchase_ts
+        |FROM s2""".stripMargin,
+
+    // q25's staged fold scoped to (key, sid); sessionization mirrors
+    // q30's lag + running-sum pair
+    "q35_session_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id AS key, epoch_us(ts)::BIGINT AS tus,
+        |    event_id AS id, event_type AS typ
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s AS (
+        |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w >= 14400000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY key ORDER BY tus, id)),
+        |g AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY key ORDER BY tus, id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |s0 AS (
+        |  SELECT key, sid, MIN(tus) AS t0 FROM g WHERE typ = 'view'
+        |  GROUP BY key, sid),
+        |s1 AS (
+        |  SELECT s0.key, s0.sid, t0,
+        |    MIN(CASE WHEN g.typ = 'click' AND g.tus >= t0 THEN g.tus END) AS t1
+        |  FROM s0 LEFT JOIN g ON g.key = s0.key AND g.sid = s0.sid
+        |  GROUP BY s0.key, s0.sid, t0),
+        |s2 AS (
+        |  SELECT s1.key, s1.sid, t0, t1,
+        |    MIN(CASE WHEN g.typ = 'purchase' AND g.tus >= t1 THEN g.tus END) AS t2
+        |  FROM s1 LEFT JOIN g ON g.key = s1.key AND g.sid = s1.sid
+        |  GROUP BY s1.key, s1.sid, t0, t1)
+        |SELECT key AS user_id, sid, make_timestamp(t0) AS view_ts,
         |  make_timestamp(t1) AS click_ts, make_timestamp(t2) AS purchase_ts
         |FROM s2""".stripMargin,
 

@@ -1005,6 +1005,34 @@ class FunnelSpec extends AnyFunSuite {
     // first click >= 10 is 20; first purchase >= 20 is 30
     assert(out === Map("F" -> (Some(10L), Some(20L), Some(30L))))
   }
+
+  test("sessionFunnel: conversion must complete within one session") {
+    val rows = Seq(
+      // session 1: full conversion inside the gap
+      ("A", 1L, 10L, "view"), ("A", 2L, 20L, "click"),
+      ("A", 3L, 30L, "purchase"),
+      // session 2 (an hour later with a 60s gap): the purchase is in a
+      // LATER session, so this view-click stalls where firstReached
+      // would have converted it
+      ("A", 4L, 4000L, "view"), ("A", 5L, 4010L, "click"),
+      ("A", 6L, 8000L, "purchase"))
+    val df = rows.map { case (k, id, sec, t) =>
+      (k, id, new java.sql.Timestamp(sec * 1000L), t)
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    val out = Funnel.sessionFunnel(df, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"),
+        gapMicros = 60000000L)
+      .selectExpr("user_id", "sid", "unix_micros(view_ts) DIV 1000000",
+        "unix_micros(click_ts) DIV 1000000",
+        "unix_micros(purchase_ts) DIV 1000000")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      ("A", 1L) -> ((Some(10L), Some(20L), Some(30L))),
+      ("A", 2L) -> ((Some(4000L), Some(4010L), None))))
+    // session 3 (the lone purchase) has no view -> absent
+    assert(!out.contains(("A", 3L)))
+  }
 }
 
 class SkewSpec extends AnyFunSuite {
