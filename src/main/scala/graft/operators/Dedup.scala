@@ -210,6 +210,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-source overlap matrix — the corpus-governance read a mixing
+    * decision rests on: for each ordered source pair,
+    * |shingles(A) ∩ shingles(B)| / |shingles(A)| — how much of A's
+    * content space B already covers (asymmetric, like d11's
+    * containment but at SOURCE granularity). High overlap argues for
+    * down-weighting one side in the mixture; near-zero overlap means
+    * the sources are complementary.
+    *
+    * Scale shape: distinct (source, shingle) rows are vocab-sized per
+    * source (never corpus-sized — the distinct collapses duplication
+    * before the join); the shingle equi-join joins ≤ |sources| rows
+    * per shingle, so the worst case is |vocab| × |sources|², with no
+    * per-document work anywhere.
+    */
+  def sourceOverlap(docs: DataFrame, groupCol: String = "source",
+                    textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, groupCol, textCol, n).distinct().persist()
+    val sizes = sh.groupBy(col(groupCol)).agg(count(lit(1)).as("sh_ct"))
+    sh.select(col(groupCol).as("src_a"), col("shingle"))
+      .join(sh.select(col(groupCol).as("src_b"), col("shingle")), "shingle")
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter_ct"))
+      .join(sizes.select(col(groupCol).as("src_a"),
+        col("sh_ct").as("size_a")), "src_a")
+      .select(col("src_a"), col("src_b"), col("inter_ct"), col("size_a"),
+        (col("inter_ct").cast(DoubleType) / col("size_a")).as("overlap"))
+  }
+
   /** Split-leakage audit — the eval-integrity check a training
     * pipeline runs after assigning train/val membership: near-dup
     * pairs whose members land on OPPOSITE sides of the split are

