@@ -230,6 +230,25 @@ object Similarity {
   }
 
   /** IVF probe-1 search: only candidates in the query's coarse cell. */
+  /** Filtered (metadata-constrained) kNN — the vector-serving staple
+    * "nearest neighbors WHERE <predicate>": the predicate restricts
+    * the candidate corpus BEFORE ranking, so every query still gets
+    * exactly k admissible matches. (Post-filtering a plain top-k — the
+    * tempting composition — silently returns < k whenever the
+    * predicate is selective, the classic filtered-ANN pitfall; that's
+    * why this is an operator and not a caller-side `.filter` on the
+    * result.) Exact pre-filter baseline; the serving-path composition
+    * is identical on the bucketed legs — filter the corpus side
+    * before [[ivfKnn]]/[[pqKnn]] cell assignment and the candidate
+    * join shrinks with the predicate instead of reranking inadmissible
+    * rows.
+    */
+  def filteredKnn(corpus: DataFrame, queries: DataFrame,
+                  predicate: Column, k: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    bruteForceKnn(corpus.filter(predicate), queries, k, idCol, vecCol)
+
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              cellCol: String = "label", idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {

@@ -41,6 +41,15 @@ object VectorOps {
       Similarity.bruteForceKnn(e, querySet(e), k = 3)
     },
 
+    // metadata-constrained kNN: candidates restricted to even labels
+    // BEFORE ranking, so each query gets exactly k admissible matches
+    // (post-filtering a plain top-k returns < k — the filtered-ANN
+    // pitfall the operator exists to prevent)
+    "v22_filtered_knn" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.filteredKnn(e, querySet(e), col("label") % 2 === 0, k = 3)
+    },
+
     "v2_knn_ivf" -> { (s, dir) =>
       val e = emb(s, dir)
       Similarity.ivfKnn(e, querySet(e), k = 3)
@@ -565,6 +574,11 @@ object VectorOps {
 
   def oracle: Map[String, String] = Map(
     "v1_knn_brute" -> sqlKnn("q.vec_id <> c.vec_id"),
+
+    // v1's mirror with the admissibility predicate on the candidate
+    // side of the join — pre-filter, exactly like the operator
+    "v22_filtered_knn" ->
+      sqlKnn("q.vec_id <> c.vec_id AND c.label % 2 = 0"),
 
     // sign signature = Σ 1<<d over dims with value > 0 (exact float
     // comparison, engine-independent); Hamming = bit_count(xor); the
