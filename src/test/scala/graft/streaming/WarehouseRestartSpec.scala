@@ -100,7 +100,9 @@ class WarehouseRestartSpec extends AnyFunSuite {
       log("mid_A", t0 + 1000, null, item = "spark streaming"),
       log("mid_A", t0 + 4000, "home", item = "100", itemType = "sku_id",
         displayItem = "100"),
-      log("mid_B", t0 + 2000, null), // entry, never followed up → bounce
+      // entry, never followed up → bounce; its CJK search drives the
+      // keyword job through the FMM segmenter (the one true UDF)
+      log("mid_B", t0 + 2000, null, item = "小米手机旗舰店"),
       log("mid_C", t0 + 3000, null), // follow-up arrives AFTER the restart
       "garbage not json"))
     feed(cdcDir, Seq(
@@ -219,7 +221,9 @@ class WarehouseRestartSpec extends AnyFunSuite {
     val kw = spark.read.parquet(s"$outRoot/keyword_stats")
       .where("stt = '2021-05-03 12:00:00'")
       .select("keyword", "ct").as[(String, Long)].collect().toSet
-    assert(kw === Set(("spark", 1L), ("streaming", 1L)))
+    // Latin whitespace path AND the CJK FMM path, in one streaming run
+    assert(kw === Set(("spark", 1L), ("streaming", 1L),
+      ("小米", 1L), ("手机", 1L), ("旗舰店", 1L)))
 
     // ---- DWS province: pre-kill window NOT re-emitted, later windows
     // sealed post-restart, dim join applied ------------------------------
