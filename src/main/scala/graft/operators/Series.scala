@@ -317,6 +317,27 @@ object Series {
     * same second) get null slope/intercept via the nullif'd
     * denominator, never a divide error.
     */
+  /** Per-key weekday seasonal profile — the baseline a monitoring
+    * stack subtracts before calling something drift (a Friday spike
+    * that happens every Friday is seasonality, not anomaly): per
+    * (key, weekday) event counts, exact-decimal value sums, and the
+    * mean. The weekday is the INTEGER formula
+    * `(epoch_day + 3) % 7` (0 = Monday; 1970-01-01 was a Thursday) —
+    * calendar functions disagree across engines on numbering, the
+    * arithmetic doesn't. One partial-aggregatable groupBy; the only
+    * float op is the final mean divide of an exact DECIMAL sum.
+    */
+  def weekdayProfile(events: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String): DataFrame = {
+    val e = events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+      graft.core.Graft.finite(col(valueCol)).isNotNull)
+    e.groupBy(col(keyCol),
+        ((expr(s"unix_millis($tsCol) DIV 86400000") + 3) % 7).as("wd"))
+      .agg(count(lit(1)).as("ev_ct"),
+        graft.core.Graft.moneySum(col(valueCol)).as("val_sum"))
+      .withColumn("val_mean", col("val_sum") / col("ev_ct"))
+  }
+
   def trend(events: DataFrame, keyCol: String, tsCol: String,
             valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

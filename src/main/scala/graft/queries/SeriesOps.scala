@@ -77,6 +77,14 @@ object SeriesOps {
     "s8_ewma" -> { (s, dir) =>
       Series.ewma(Tables.events(s, dir), keyCol = "user_id",
         idCol = "event_id", tsCol = "ts", valueCol = "value", horizon = 16)
+    },
+
+    // per-user weekday seasonal baseline: integer weekday formula
+    // (calendar functions number weekdays differently per engine),
+    // exact-decimal sums, one final mean divide
+    "s9_weekday_profile" -> { (s, dir) =>
+      Series.weekdayProfile(Tables.events(s, dir), keyCol = "user_id",
+        tsCol = "ts", valueCol = "value")
     })
 
   /** s8's lag-chain SQL, generated for the 16-term horizon: numerator
@@ -98,6 +106,18 @@ object SeriesOps {
   // epoch_us // on non-negative longs ≡ Spark DIV; cents sums are
   // DECIMAL-exact; L1 is integer — bit-identical across engines
   def oracle: Map[String, String] = Map(
+    "s9_weekday_profile" ->
+      """SELECT user_id,
+        |  ((epoch_ms(ts) // 86400000) + 3) % 7 AS wd,
+        |  COUNT(*) AS ev_ct,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |    AS val_mean
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  AND value IS NOT NULL AND isfinite(value) AND abs(value) < 1e16
+        |GROUP BY 1, 2""".stripMargin,
+
     "s1_series_similar" ->
       """WITH seg AS (
         |  SELECT event_type, epoch_us(ts)::BIGINT // 7200000000 AS seg,
