@@ -116,16 +116,30 @@ object Sinks {
     * cluster this contract is a Delta/Iceberg idempotent write
     * (`txnAppId`/`txnVersion`), same call site.
     */
-  def idempotentAppend(batch: DataFrame, batchId: Long, path: String): Unit = {
+  def idempotentAppend(batch: DataFrame, batchId: Long, path: String): Unit =
+    withBatchLedger(path, batchId) {
+      batch.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
+    }
+
+  /** The batch-id ledger shared by the exactly-once sinks: runs
+    * `write` only if `batchId` is not yet committed at `path`, then
+    * publishes the id via temp-write + atomic swap. `write` itself
+    * must be REDOABLE for the same batch id (overwrite a batch-keyed
+    * location, or rebuild a full-table swap) — the ledger converts
+    * redoable into exactly-once.
+    */
+  private def withBatchLedger(path: String, batchId: Long)
+                             (write: => Unit): Unit = {
     import scala.jdk.CollectionConverters._
+    new java.io.File(path).mkdirs()
     val ledger = new java.io.File(path, "_committed_batches")
-    def committed: Seq[String] =
+    val committed: Seq[String] =
       if (ledger.exists())
         java.nio.file.Files.readAllLines(ledger.toPath).asScala.toSeq
       else Seq.empty
     if (committed.contains(batchId.toString))
       return // replay of a fully-committed batch: nothing to do
-    batch.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
+    write
     val tmp = new java.io.File(path, s"._ledger_tmp_$batchId")
     java.nio.file.Files.write(tmp.toPath,
       (committed :+ batchId.toString).mkString("\n").getBytes("UTF-8"))
@@ -135,8 +149,64 @@ object Sinks {
       java.nio.file.Files.move(tmp.toPath, ledger.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       true
-    }, s"idempotentAppend: could not publish ledger for batch $batchId")
+    }, s"batch ledger: could not publish batch $batchId at $path")
   }
+
+  /** Incrementally-maintained ADDITIVE rollup — the K-family
+    * materialized-view shape: each micro-batch's pre-aggregated rows
+    * MERGE into the table by key, summing `sumCols` (matching keys
+    * add, new keys insert). Additive merges are NOT naturally
+    * idempotent (a replayed batch would double-count), so the write
+    * sits behind the same batch-id ledger as [[idempotentAppend]];
+    * the table rebuild itself is the [[upsertDim]] temp + swap, so a
+    * crash mid-rebuild leaves the prior table intact and the replay
+    * redoes the rebuild from it.
+    *
+    * At 100 TB the call site becomes a Delta/Iceberg MERGE with
+    * `txnVersion` — the contract (additive MERGE, exactly-once per
+    * batch id) is identical. Batches should arrive pre-aggregated by
+    * `keyCols` (the windowed-aggregate output shape); duplicate keys
+    * WITHIN one batch are summed here anyway.
+    */
+  def mergeAgg(spark: SparkSession, batch: DataFrame, path: String,
+               keyCols: Seq[String], sumCols: Seq[String],
+               batchId: Long): Unit =
+    withBatchLedger(path, batchId) {
+      val tablePath = s"$path/table"
+      // crash recovery BEFORE reading: a death between the two renames
+      // below leaves the only full table in .old_table — restore it,
+      // or the redo would rebuild from this batch alone and silently
+      // drop all history (the upsertDim recovery contract)
+      locally {
+        val dst0 = new java.io.File(tablePath)
+        val old0 = new java.io.File(path, ".old_table")
+        if (old0.exists() && !dst0.exists())
+          require(old0.renameTo(dst0),
+            s"mergeAgg: could not restore $tablePath from interrupted swap")
+      }
+      val agged = batch.groupBy(keyCols.map(col): _*)
+        .agg(sum(col(sumCols.head)).as(sumCols.head),
+          sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+      val merged =
+        if (new java.io.File(tablePath).exists()) {
+          val existing = spark.read.parquet(tablePath)
+          existing.unionByName(agged)
+            .groupBy(keyCols.map(col): _*)
+            .agg(sum(col(sumCols.head)).as(sumCols.head),
+              sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+        } else agged
+      val tmp = new java.io.File(path, ".tmp_table")
+      val old = new java.io.File(path, ".old_table")
+      if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+      val dst = new java.io.File(tablePath)
+      if (dst.exists()) {
+        require(dst.renameTo(old), s"mergeAgg: could not stage $tablePath")
+        require(tmp.renameTo(dst), s"mergeAgg: could not publish $tablePath")
+        org.apache.commons.io.FileUtils.deleteDirectory(old)
+      } else require(tmp.renameTo(dst),
+        s"mergeAgg: could not publish $tablePath")
+    }
 
   /** Bucketed catalog table: the co-located-join strategy for fact/dim
     * tables that are joined on the same key repeatedly. Two tables

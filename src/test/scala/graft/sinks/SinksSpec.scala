@@ -87,4 +87,36 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(base).select("id").as[Long]
       .collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("mergeAgg: additive rollup maintenance, exactly-once per batch") {
+    val base = java.nio.file.Files.createTempDirectory("magg").toString + "/r"
+    def table = spark.read.parquet(s"$base/table")
+      .as[(String, Long, Long)].collect().toSet
+    // batch 0: two provinces, pre-aggregated shape with a duplicate key
+    // inside the batch (must sum here)
+    Sinks.mergeAgg(spark,
+      Seq(("bj", 2L, 100L), ("sh", 1L, 50L), ("bj", 1L, 10L))
+        .toDF("prov", "ct", "amt"),
+      base, keyCols = Seq("prov"), sumCols = Seq("ct", "amt"), batchId = 0L)
+    assert(table === Set(("bj", 3L, 110L), ("sh", 1L, 50L)))
+    // replay of batch 0: the additive merge MUST NOT double-count
+    Sinks.mergeAgg(spark,
+      Seq(("bj", 2L, 100L), ("sh", 1L, 50L), ("bj", 1L, 10L))
+        .toDF("prov", "ct", "amt"),
+      base, keyCols = Seq("prov"), sumCols = Seq("ct", "amt"), batchId = 0L)
+    assert(table === Set(("bj", 3L, 110L), ("sh", 1L, 50L)))
+    // batch 1: existing key adds, new key inserts
+    Sinks.mergeAgg(spark,
+      Seq(("bj", 1L, 5L), ("gz", 4L, 40L)).toDF("prov", "ct", "amt"),
+      base, keyCols = Seq("prov"), sumCols = Seq("ct", "amt"), batchId = 1L)
+    assert(table === Set(("bj", 4L, 115L), ("sh", 1L, 50L), ("gz", 4L, 40L)))
+    // interrupted-swap recovery: table staged aside, dest missing —
+    // the next merge must restore history first, not rebuild from its
+    // own batch
+    assert(new java.io.File(s"$base/table")
+      .renameTo(new java.io.File(s"$base/.old_table")))
+    Sinks.mergeAgg(spark, Seq(("sh", 1L, 1L)).toDF("prov", "ct", "amt"),
+      base, keyCols = Seq("prov"), sumCols = Seq("ct", "amt"), batchId = 2L)
+    assert(table === Set(("bj", 4L, 115L), ("sh", 2L, 51L), ("gz", 4L, 40L)))
+  }
 }
