@@ -332,15 +332,25 @@ object Warehouse {
           else Seq.empty[(Long, String)].toDF("province_id", "province_name")
         // batch-ledger append: exactly-once even for a crash BETWEEN
         // the write and the checkpoint commit (Sinks.idempotentAppend)
-        graft.sinks.Sinks.idempotentAppend(
-          batch
-            .withColumn("stt",
-              date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
-            .withColumn("edt",
-              date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss"))
-            .drop("w")
-            .join(dim, Seq("province_id"), "left"),
-          batchId, out("province_stats"))
+        val enriched = batch
+          .withColumn("stt",
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"))
+          .withColumn("edt",
+            date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss"))
+          .drop("w")
+          .join(dim, Seq("province_id"), "left")
+        graft.sinks.Sinks.idempotentAppend(enriched, batchId,
+          out("province_stats"))
+        // ADS tier: the same sealed windows ALSO maintain the
+        // running per-province rollup (additive MERGE behind its own
+        // ledger — a crash between the two sinks redoes only the
+        // uncommitted one, so each stays exactly-once)
+        graft.sinks.Sinks.mergeAgg(spark,
+          enriched.select(col("province_id"), col("province_name"),
+            col("order_count"), col("order_amount")),
+          out("province_rollup"),
+          keyCols = Seq("province_id", "province_name"),
+          sumCols = Seq("order_count", "order_amount"), batchId = batchId)
         ()
       }.start()
 

@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.sum
+
 import graft.TestSpark
 
 /** The whole-warehouse restart e2e the reference deploys as
@@ -237,6 +239,22 @@ class WarehouseRestartSpec extends AnyFunSuite {
       ("2021-05-03 12:05:00", "Beijing", 1L, 20.00),
       ("2021-05-03 12:05:30", "Beijing", 1L, 5.00),
       ("2021-05-03 12:06:00", "Beijing", 1L, 50.00)))
+
+    // ---- ADS rollup: the running per-province totals maintained by
+    // the additive MERGE must equal the SUM over the windowed sink —
+    // the same batches fed both through separate ledgers, so equality
+    // IS the exactly-once-across-two-sinks proof
+    val winTotals = spark.read.parquet(s"$outRoot/province_stats")
+      .groupBy("province_id", "province_name")
+      .agg(sum("order_count").as("order_count"),
+        sum("order_amount").as("order_amount"))
+      .as[(Long, String, Long, java.math.BigDecimal)].collect()
+      .map(r => (r._1, r._2, r._3, r._4.doubleValue)).toSet
+    val rollup = spark.read.parquet(s"$outRoot/province_rollup/table")
+      .as[(Long, String, Long, java.math.BigDecimal)].collect()
+      .map(r => (r._1, r._2, r._3, r._4.doubleValue)).toSet
+    assert(rollup === winTotals)
+    assert(rollup.exists(r => r._1 == 2L && r._2 == "Beijing" && r._3 >= 4L))
 
     // ---- DWS product ----------------------------------------------------
     val ps = spark.read.parquet(s"$outRoot/product_stats")
