@@ -182,10 +182,14 @@ object Warehouse {
     *   page_fixed → uniqueVisitStreaming → unique_visit (keyed state)
     *   page_fixed → bounceStreaming → user_jump        (keyed state)
     *   page_fixed ∪ unique_visit ∪ user_jump → visitor_stats (window agg)
-    *   page    → keyword_stats                          (window agg)
+    *   page_fixed → sessions                     (native session_window)
+    *   page    → keyword_stats            (window agg, CJK-capable UDF)
     *   cdcDir  → route → order_info / order_detail + dim upserts
     *   order_info  (+ dim_base_province) → province_stats (window agg)
+    *     └ the same sealed windows → province_rollup (ADS additive MERGE)
     *   display ∪ page-clicks ∪ order_detail → product_stats (window agg)
+    *   order_detail → dedup → product_order_ct (EXACT distinct orders)
+    *   order_detail → product_topn              (rank-on-seal top-N)
     *
     * Streaming-measure caveat (documented at [[StatsJobs]]): the
     * distinct-order counts stay on the batch/oracle path; the streaming
