@@ -312,4 +312,31 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<event_id:bigint,ts:"))
     assert(p.contains("user_id:bigint,value:double"))
   }
+
+  test("q34 zorder: a pure codegen projection — no exchange anywhere") {
+    val p = plan("q34_zorder")
+    // the 32-term Morton interleave is shift/mask/or arithmetic inside
+    // one whole-stage span; an Exchange appearing means the bit math
+    // stopped being a map-side expression
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert(!p.contains("ScalaUDF"), p.take(1500))
+  }
+
+  test("q33 key profile: TakeOrdered top-k, never a global sort") {
+    val p = plan("q33_key_profile")
+    // the profiled table aggregates once (exchange reused for the
+    // summary); top-k is per-partition heads + merge, the summary is a
+    // one-row broadcast cross join
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert("""\(\d+\) Sort""".r.findAllIn(p).isEmpty, p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("t30 surprisal: vocab counts join back as a broadcast hash join") {
+    val p = plan("t30_surprisal")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
