@@ -1033,6 +1033,28 @@ class FunnelSpec extends AnyFunSuite {
     // session 3 (the lone purchase) has no view -> absent
     assert(!out.contains(("A", 3L)))
   }
+
+  test("with an infinite gap, sessionFunnel degenerates to firstReached") {
+    val rnd = new scala.util.Random(11)
+    val types = Seq("view", "click", "purchase", "error")
+    val rows = (1 to 120).map { i =>
+      (s"u${rnd.nextInt(6)}", i.toLong, rnd.nextInt(100000).toLong * 1000,
+        types(rnd.nextInt(types.size)))
+    }
+    val df = rows.map { case (k, id, ms, t) =>
+      (k, id, new java.sql.Timestamp(ms), t)
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    val stages = Seq("view", "click", "purchase")
+    val sess = Funnel.sessionFunnel(df, "user_id", "ts", "event_id",
+        "event_type", stages, gapMicros = Long.MaxValue / 4)
+      .drop("sid")
+      .as[(String, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp])].collect().toSet
+    val flat = Funnel.firstReached(df, "user_id", "ts", "event_type", stages)
+      .as[(String, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp])].collect().toSet
+    assert(sess === flat)
+  }
 }
 
 class SkewSpec extends AnyFunSuite {
