@@ -156,6 +156,37 @@ object Dedup {
       lshBuckets(docs, idCol, textCol, bands, rowsPerBand).persist(),
       idCol, maxBucket)
 
+  /** Cross-corpus LSH candidates — the RETRIEVAL shape of
+    * [[candidatePairs]]: find each query document's near-dup
+    * candidates IN a (different, usually much larger) corpus, as a
+    * directed (q_id, n_id) pair list. The self-join becomes a
+    * query-buckets × corpus-buckets equi-join: with a small query set
+    * the query side broadcasts and the corpus is probed once — the
+    * batch twin of [[streamingCandidatePairs]]' per-micro-batch
+    * contract, and the candidate tier under a "has this doc been seen
+    * before" service. `maxBucket` caps degenerate CORPUS buckets
+    * (boilerplate shingles), same discipline as the self-join.
+    */
+  def crossCandidatePairs(queries: DataFrame, corpus: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          bands: Int = 2, rowsPerBand: Int = 4,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
+    val qb = lshBuckets(queries, idCol, textCol, bands, rowsPerBand)
+    val cb0 = lshBuckets(corpus, idCol, textCol, bands, rowsPerBand)
+    val cb =
+      if (maxBucket == Int.MaxValue) cb0
+      else cb0.join(
+        cb0.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucket)
+          .select(col("band"), col("key")),
+        Seq("band", "key"), "left_semi")
+    qb.select(col("band"), col("key"), col(idCol).as("q_id"))
+      .join(cb.select(col("band"), col("key"), col(idCol).as("n_id")),
+        Seq("band", "key"))
+      .select(col("q_id"), col("n_id")).distinct()
+  }
+
   /** Exact Jaccard similarity over shingle sets — the verification pass
     * applied to LSH candidates only.
     */

@@ -180,6 +180,18 @@ object DedupOps {
         groupCol = "day", valueCol = "uid", k = 64)
     },
 
+    // retrieval-shaped LSH: src0's documents as the QUERY set probing
+    // the rest of the corpus for near-dup candidates — the directed
+    // cross-corpus twin of d2's self-join (and the batch twin of the
+    // streaming bucket-index probe)
+    "d20_cross_lsh" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val qSources = Seq("src0", "src1", "src2")
+      Dedup.crossCandidatePairs(
+        d.filter(col("source").isin(qSources: _*)),
+        d.filter(!col("source").isin(qSources: _*)))
+    },
+
     // corpus-governance overlap matrix: per ordered source pair, the
     // fraction of A's distinct shingle space B already covers — the
     // asymmetric redundancy read a mixing decision (t15) rests on
@@ -276,6 +288,14 @@ object DedupOps {
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
   private val sqlCandidates = s"WITH ${sqlCandidatesFrom("documents")}"
+
+  /** shingled → sigs → bands only (no cand self-join) — for oracles
+    * that join the band frame with their own pairing condition.
+    */
+  private val sqlCandidatesPrefix =
+    s"""WITH shingled AS (${sqlShingles("documents")}),
+       |sigs AS ($sqlSigs),
+       |bands AS ($sqlBands)""".stripMargin
 
   /** Jaccard-verified pairs → undirected edges → min-reachable-id
     * transitive closure: the CTE chain shared by the d6 oracle and the
@@ -484,6 +504,19 @@ object DedupOps {
         |  CAST(63 AS DOUBLE) * 281474976710656.0
         |    / MAX(CASE WHEN rnk = 64 THEN h END) AS kmv_estimate
         |FROM r WHERE rnk <= 64 GROUP BY day""".stripMargin,
+
+    // whole-table band frame split by source at the join: per-doc
+    // signatures are a pure function of the doc, so subsetting before
+    // or after banding is equivalent
+    "d20_cross_lsh" ->
+      s"""$sqlCandidatesPrefix,
+         |sp AS (SELECT doc_id, source FROM documents)
+         |SELECT DISTINCT a.doc_id AS q_id, b.doc_id AS n_id
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |JOIN sp qa ON qa.doc_id = a.doc_id
+         |JOIN sp qb ON qb.doc_id = b.doc_id
+         |WHERE qa.source IN ('src0', 'src1', 'src2')
+         |  AND qb.source NOT IN ('src0', 'src1', 'src2')""".stripMargin,
 
     // distinct (source, shingle) rows -> shingle equi-join across
     // sources -> ordered-pair counts over per-source sizes
