@@ -39,6 +39,18 @@ object Multimodal {
       .withColumn("sha", sha2(col(payloadCol), 256))
       .withColumn("header_hex", upper(hex(substring(col(payloadCol), 1, 4))))
 
+  /** Blob exact dedup — the tier-0 media dedup every multimodal
+    * pipeline runs before any perceptual pass: group payloads by
+    * content digest, keep the lowest id, count the copies. Bytes
+    * never shuffle — only (digest, id) pairs cross the exchange, and
+    * the digest is computed inside the scan projection (the d1 text
+    * contract applied to binary columns).
+    */
+  def blobDedup(df: DataFrame, idCol: String = "doc_id",
+                payloadCol: String = "payload"): DataFrame =
+    df.groupBy(sha2(col(payloadCol), 256).as("sha"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_ct"))
+
   /** Decoded-media row: what a real image decode would yield. */
   case class DecodedFrame(doc_id: Long, width: Int, height: Int,
       channels: Int, features: Array[Float])

@@ -25,6 +25,11 @@ object MultimodalOps {
         .select(col("doc_id"), col("byte_len"), col("sha"), col("header_hex"))
     },
 
+    // ---- tier-0 blob dedup: exact byte-digest groups ---------------------
+    "m6_blob_dedup" -> { (s, dir) =>
+      Multimodal.blobDedup(Multimodal.withPayload(docs(s, dir)))
+    },
+
     // ---- stubbed decode via mapPartitions --------------------------------
     "m2_decode_features" -> { (s, dir) =>
       Multimodal.decode(Multimodal.withPayload(docs(s, dir)))
@@ -61,6 +66,11 @@ object MultimodalOps {
     })
 
   def oracle: Map[String, String] = Map(
+    "m6_blob_dedup" ->
+      """SELECT sha256(text) AS sha, MIN(doc_id) AS keeper_id,
+        |  COUNT(*) AS dup_ct
+        |FROM documents GROUP BY 1""".stripMargin,
+
     // text is ASCII → byte length == char length; sha256/hex portable
     "m1_binary_meta" ->
       """SELECT doc_id,
