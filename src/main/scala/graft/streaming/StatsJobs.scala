@@ -39,12 +39,21 @@ object StatsJobs {
     * pv_ct/uv_ct/sv_ct/uj_ct/dur_sum; missing columns default 0 via
     * unionByName(allowMissingColumns).
     */
-  def visitorStats(inputs: Seq[DataFrame], width: String = "10 seconds"): DataFrame = {
-    val base = inputs.map { df =>
+  /** @param watermark when streaming, the delay for ONE watermark
+    *   applied AFTER the union: per-leg watermarks would hold the
+    *   query's global watermark at the min of independently-advancing
+    *   operators, and the bounce leg is inherently sparse — a quiet
+    *   uj topic would keep every visitor window open (the product-
+    *   stats lesson, SCALING.md round-10). Batch callers leave None.
+    */
+  def visitorStats(inputs: Seq[DataFrame], width: String = "10 seconds",
+                   watermark: Option[String] = None): DataFrame = {
+    val base0 = inputs.map { df =>
       Seq("pv_ct", "uv_ct", "sv_ct", "uj_ct", "dur_sum").foldLeft(df) {
         (d, c) => if (d.columns.contains(c)) d else d.withColumn(c, lit(0L))
       }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val base = watermark.fold(base0)(d => base0.withWatermark("event_time", d))
     windowBounds(
       base.groupBy(win("event_time", width).as("w"),
           col("vc"), col("ch"), col("ar"), col("is_new"))

@@ -191,12 +191,16 @@ object Warehouse {
     *   order_detail → dedup → product_order_ct (EXACT distinct orders)
     *   order_detail → product_topn              (rank-on-seal top-N)
     *
-    * Streaming-measure caveat (documented at [[StatsJobs]]): the
-    * distinct-order counts stay on the batch/oracle path; the streaming
-    * stats emit the sum/count measure surface, which needs no distinct
-    * state. The dim join for province runs per sealed micro-batch
-    * against the upserted dim table — the reference's J4 lookup-join
-    * shape (its ClickHouse sink is likewise at-least-once JDBC append).
+    * Streaming-measure notes: `product_stats` carries the sum/count
+    * surface (no distinct state); the EXACT distinct-order counts run
+    * as their own `product_order_ct` query via the dedup-then-count
+    * chain (the [[StatsJobs]] caveat applies only to `countDistinct`
+    * INSIDE a streaming aggregate). The dim join for province runs
+    * per sealed micro-batch against the upserted dim table — the
+    * reference's J4 lookup-join shape — and both province sinks sit
+    * behind batch-id ledgers ([[graft.sinks.Sinks.idempotentAppend]] /
+    * [[graft.sinks.Sinks.mergeAgg]]), upgrading the reference's
+    * at-least-once JDBC append to exactly-once.
     *
     * @return query-name → running [[StreamingQuery]]; stop them all and
     *         call again with the same roots to restart from checkpoints.
@@ -253,7 +257,19 @@ object Warehouse {
     val uj = StatefulOps.bounceStreaming(
       StatefulOps.watermarked(fixedStream(), delay), gapMillis)
 
-    // ---- DWS visitor: pv/sv/dur + uv + uj legs → one windowed agg
+    // ---- DWS visitor: pv/sv/dur + uv + uj legs → one windowed agg.
+    // Deliberately PER-LEG watermarks (min policy — Flink's channel-
+    // min semantics): the uj leg's rows are DERIVED and inherently
+    // late against wall progress (a bounce is decided gap+delay after
+    // its entry's event time, and carries the ENTRY's time so it
+    // lands in the entry's window, the reference's uj_ct contract). A
+    // single union watermark would advance on page traffic and drop
+    // every bounce as late. The cost is the documented converse: the
+    // min policy seals visitor windows only as fast as the SLOWEST
+    // leg's topic advances — which is correct for a derived leg (its
+    // watermark advances exactly when its pending decisions resolve),
+    // unlike the product legs, whose inputs are all primary streams
+    // and share one post-union watermark.
     def keyedLeg(dir: String) = spark.readStream.schema(keyedSchema)
       .parquet(out(dir)).withWatermark("event_time", delay)
     val pvLeg = keyedLeg("page_fixed").select(
@@ -275,8 +291,8 @@ object Warehouse {
     // session (never a row buffer); sessions seal when the watermark
     // passes last_ts + gap
     val sessions = StatsJobs.sessionStats(
-      keyedLeg("page_fixed").toDF(), keyCol = "mid",
-      tsCol = "event_time", gap = "30 minutes",
+      keyedLeg("page_fixed"),
+      keyCol = "mid", tsCol = "event_time", gap = "30 minutes",
       extraAggs = Seq(sum(col("during_time")).as("dur_sum")))
 
     // ---- DWS keyword: raw page search items → windowed keyword counts
