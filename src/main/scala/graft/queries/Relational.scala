@@ -856,7 +856,8 @@ object Relational {
         |    MIN(CASE WHEN g.typ = 'purchase' AND g.tus >= t1 THEN g.tus END) AS t2
         |  FROM s1 LEFT JOIN g ON g.key = s1.key AND g.sid = s1.sid
         |  GROUP BY s1.key, s1.sid, t0, t1)
-        |SELECT key AS user_id, sid, make_timestamp(t0) AS view_ts,
+        |SELECT key AS user_id, CAST(sid AS BIGINT) AS sid,
+        |  make_timestamp(t0) AS view_ts,
         |  make_timestamp(t1) AS click_ts, make_timestamp(t2) AS purchase_ts
         |FROM s2""".stripMargin,
 

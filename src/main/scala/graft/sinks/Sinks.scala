@@ -107,10 +107,16 @@ object Sinks {
     * ledger: each batch writes to its OWN overwrite-mode subdir
     * (`batch=<id>` — a replay rewrites the same files, idempotent),
     * and the batch id is recorded in a ledger file via write-temp +
-    * atomic rename. Readers see `path` as one parquet dir (subdirs are
-    * plain partition dirs). Crash matrix: before write → replay
+    * atomic rename. Crash matrix: before write → replay
     * rewrites; between write and ledger → replay OVERWRITES the same
     * subdir, no duplicates; after ledger → replay short-circuits here.
+    *
+    * READ CONSISTENCY: a plain `spark.read.parquet(path)` sees every
+    * `batch=<id>` subdir, INCLUDING a partially-written one left by a
+    * crash mid-write (read-uncommitted) — between the crash and the
+    * replay's overwrite, external readers can observe partial rows.
+    * Readers that need read-committed must go through
+    * [[committedView]], which filters to ledgered batch ids.
     *
     * LOCAL-FS rename semantics by design, like [[upsertDim]]: on a
     * cluster this contract is a Delta/Iceberg idempotent write
@@ -121,6 +127,42 @@ object Sinks {
       batch.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
     }
 
+  /** Read-committed view over an [[idempotentAppend]] table: only rows
+    * whose `batch` partition id is at or below the ledger's high-water
+    * mark are visible, so a partially-written subdir from a crashed
+    * batch is excluded until its replay commits. The filter is on the
+    * partition column — Catalyst prunes the uncommitted subdirs at the
+    * scan, no data files of theirs are read.
+    */
+  def committedView(spark: SparkSession, path: String): DataFrame = {
+    val hw = ledgerHighWater(path)
+    val df = spark.read.parquet(path)
+    hw match {
+      case Some(max) => df.filter(col("batch") <= max)
+      case None      => df.filter(lit(false))
+    }
+  }
+
+  /** Max committed batch id at `path`, if any. Batch ids from
+    * Structured Streaming's foreachBatch are strictly increasing and a
+    * failed batch is always retried before any later batch runs, so
+    * "committed" is exactly `id <= highWater` — the same contract as
+    * Delta's `txnVersion`. The ledger file stores just this high-water
+    * mark (one line), keeping per-batch ledger I/O O(1) instead of
+    * rereading/rewriting an ever-growing id list. Old-format ledgers
+    * (one id per line) parse fine: the max is the high-water mark.
+    */
+  private[sinks] def ledgerHighWater(path: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val ledger = new java.io.File(path, "_committed_batches")
+    if (!ledger.exists()) None
+    else {
+      val ids = java.nio.file.Files.readAllLines(ledger.toPath).asScala
+        .flatMap(l => l.trim.toLongOption)
+      if (ids.isEmpty) None else Some(ids.max)
+    }
+  }
+
   /** The batch-id ledger shared by the exactly-once sinks: runs
     * `write` only if `batchId` is not yet committed at `path`, then
     * publishes the id via temp-write + atomic swap. `write` itself
@@ -130,19 +172,14 @@ object Sinks {
     */
   private def withBatchLedger(path: String, batchId: Long)
                              (write: => Unit): Unit = {
-    import scala.jdk.CollectionConverters._
     new java.io.File(path).mkdirs()
-    val ledger = new java.io.File(path, "_committed_batches")
-    val committed: Seq[String] =
-      if (ledger.exists())
-        java.nio.file.Files.readAllLines(ledger.toPath).asScala.toSeq
-      else Seq.empty
-    if (committed.contains(batchId.toString))
+    if (ledgerHighWater(path).exists(_ >= batchId))
       return // replay of a fully-committed batch: nothing to do
     write
+    val ledger = new java.io.File(path, "_committed_batches")
     val tmp = new java.io.File(path, s"._ledger_tmp_$batchId")
     java.nio.file.Files.write(tmp.toPath,
-      (committed :+ batchId.toString).mkString("\n").getBytes("UTF-8"))
+      batchId.toString.getBytes("UTF-8"))
     require(tmp.renameTo(ledger) || {
       // rename-over-existing is not atomic-replace on every FS; fall
       // back to REPLACE_EXISTING move, still a single visible swap
@@ -151,6 +188,23 @@ object Sinks {
       true
     }, s"batch ledger: could not publish batch $batchId at $path")
   }
+
+  /** Batch-id stamp INSIDE a swapped table dir: written into the
+    * staging dir before the rename, so the swap publishes table and
+    * batch id in one atomic step. Underscore-prefixed → invisible to
+    * Spark's parquet reader.
+    */
+  private def readTableStamp(tableDir: String): Option[Long] = {
+    val f = new java.io.File(tableDir, "_last_batch")
+    if (!f.exists()) None
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .trim.toLongOption
+  }
+
+  private def writeTableStamp(tableDir: String, batchId: Long): Unit =
+    java.nio.file.Files.write(
+      new java.io.File(tableDir, "_last_batch").toPath,
+      batchId.toString.getBytes("UTF-8"))
 
   /** Incrementally-maintained ADDITIVE rollup — the K-family
     * materialized-view shape: each micro-batch's pre-aggregated rows
@@ -167,6 +221,17 @@ object Sinks {
     * batch id) is identical. Batches should arrive pre-aggregated by
     * `keyCols` (the windowed-aggregate output shape); duplicate keys
     * WITHIN one batch are summed here anyway.
+    *
+    * Crash matrix (additive = NOT redo-idempotent, so every window
+    * must be closed, not just narrowed): before the rebuild → redo
+    * rebuilds; mid-rebuild → prior table intact, redo rebuilds;
+    * between the two swap renames → table dir missing, `.old_table`
+    * restored below, redo rebuilds; AFTER the swap but BEFORE the
+    * ledger publish → the `_last_batch` stamp written INSIDE the
+    * staging dir pre-swap travels with the table, so the redo sees
+    * `stamp >= batchId`, skips the rebuild, and only (re)publishes
+    * the ledger — no double-count. Committed = max(table stamp,
+    * ledger high-water).
     */
   def mergeAgg(spark: SparkSession, batch: DataFrame, path: String,
                keyCols: Seq[String], sumCols: Seq[String],
@@ -184,29 +249,66 @@ object Sinks {
           require(old0.renameTo(dst0),
             s"mergeAgg: could not restore $tablePath from interrupted swap")
       }
-      val agged = batch.groupBy(keyCols.map(col): _*)
-        .agg(sum(col(sumCols.head)).as(sumCols.head),
-          sumCols.tail.map(c => sum(col(c)).as(c)): _*)
-      val merged =
-        if (new java.io.File(tablePath).exists()) {
-          val existing = spark.read.parquet(tablePath)
-          existing.unionByName(agged)
-            .groupBy(keyCols.map(col): _*)
-            .agg(sum(col(sumCols.head)).as(sumCols.head),
-              sumCols.tail.map(c => sum(col(c)).as(c)): _*)
-        } else agged
-      val tmp = new java.io.File(path, ".tmp_table")
-      val old = new java.io.File(path, ".old_table")
-      if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-      val dst = new java.io.File(tablePath)
-      if (dst.exists()) {
-        require(dst.renameTo(old), s"mergeAgg: could not stage $tablePath")
-        require(tmp.renameTo(dst), s"mergeAgg: could not publish $tablePath")
-        org.apache.commons.io.FileUtils.deleteDirectory(old)
-      } else require(tmp.renameTo(dst),
-        s"mergeAgg: could not publish $tablePath")
+      // swap-published-but-unledgered replay: the table already
+      // contains this batch (its stamp says so) — rebuilding would
+      // double-count; fall through so withBatchLedger records the id
+      if (!readTableStamp(tablePath).exists(_ >= batchId)) {
+        val agged = batch.groupBy(keyCols.map(col): _*)
+          .agg(sum(col(sumCols.head)).as(sumCols.head),
+            sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+        val merged =
+          if (new java.io.File(tablePath).exists()) {
+            val existing = spark.read.parquet(tablePath)
+            existing.unionByName(agged)
+              .groupBy(keyCols.map(col): _*)
+              .agg(sum(col(sumCols.head)).as(sumCols.head),
+                sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+          } else agged
+        val tmp = new java.io.File(path, ".tmp_table")
+        val old = new java.io.File(path, ".old_table")
+        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+        writeTableStamp(tmp.getPath, batchId) // rides the swap: atomic
+        val dst = new java.io.File(tablePath)
+        if (dst.exists()) {
+          require(dst.renameTo(old), s"mergeAgg: could not stage $tablePath")
+          require(tmp.renameTo(dst), s"mergeAgg: could not publish $tablePath")
+          org.apache.commons.io.FileUtils.deleteDirectory(old)
+        } else require(tmp.renameTo(dst),
+          s"mergeAgg: could not publish $tablePath")
+      }
     }
+
+  /** Race-safe snapshot of an [[upsertDim]] table for a CONCURRENT
+    * reader (e.g. a sibling streaming query's foreachBatch doing a
+    * per-batch dim join while the dims query swap-publishes the same
+    * dir). The swap window can surface a missing dir or vanished
+    * files mid-scan; this retries, falls back to the `.old_<table>`
+    * staging copy, and EAGERLY materializes the rows
+    * (`localCheckpoint`) so the returned frame is immune to any
+    * later swap. Dims are broadcast-sized by contract, so pinning
+    * the snapshot in block storage is cheap. Returns None when the
+    * table has never been created.
+    */
+  def readDimSnapshot(spark: SparkSession, baseDir: String, table: String,
+                      retries: Int = 5): Option[DataFrame] = {
+    var attempt = 0
+    while (true) {
+      val dst = new java.io.File(s"$baseDir/$table")
+      val old = new java.io.File(s"$baseDir/.old_$table")
+      try {
+        return if (dst.exists())
+          Some(spark.read.parquet(dst.getPath).localCheckpoint(true))
+        else if (old.exists()) // mid-swap: staged copy is the table
+          Some(spark.read.parquet(old.getPath).localCheckpoint(true))
+        else None
+      } catch {
+        case _: Exception if attempt < retries =>
+          Thread.sleep(50L << attempt); attempt += 1
+      }
+    }
+    None // unreachable
+  }
 
   /** Bucketed catalog table: the co-located-join strategy for fact/dim
     * tables that are joined on the same key repeatedly. Two tables

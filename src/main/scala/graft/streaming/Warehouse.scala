@@ -343,13 +343,15 @@ object Warehouse {
       .writeStream.option("checkpointLocation", ck("province_stats"))
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val dimPath = s"${out("dim")}/dim_base_province"
-        val dim =
-          if (new java.io.File(dimPath).exists())
-            spark.read.parquet(dimPath)
-              .select(expr("try_cast(id AS BIGINT)").as("province_id"),
-                col("name").as("province_name"))
-          else Seq.empty[(Long, String)].toDF("province_id", "province_name")
+        // the dims query swap-publishes this dir CONCURRENTLY with
+        // this read (independent streaming queries) — readDimSnapshot
+        // retries through the swap window and pins an eager snapshot
+        val dim = graft.sinks.Sinks
+          .readDimSnapshot(spark, out("dim"), "dim_base_province")
+          .map(_.select(expr("try_cast(id AS BIGINT)").as("province_id"),
+            col("name").as("province_name")))
+          .getOrElse(
+            Seq.empty[(Long, String)].toDF("province_id", "province_name"))
         // batch-ledger append: exactly-once even for a crash BETWEEN
         // the write and the checkpoint commit (Sinks.idempotentAppend)
         val enriched = batch

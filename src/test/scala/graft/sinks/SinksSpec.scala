@@ -119,4 +119,61 @@ class SinksSpec extends AnyFunSuite {
       base, keyCols = Seq("prov"), sumCols = Seq("ct", "amt"), batchId = 2L)
     assert(table === Set(("bj", 4L, 115L), ("sh", 2L, 51L), ("gz", 4L, 40L)))
   }
+
+  test("mergeAgg: death between table swap and ledger publish does not double-count on replay") {
+    val base = java.nio.file.Files.createTempDirectory("maggcrash")
+      .toString + "/r"
+    def table = spark.read.parquet(s"$base/table")
+      .as[(String, Long)].collect().toSet
+    Sinks.mergeAgg(spark, Seq(("bj", 10L)).toDF("prov", "ct"),
+      base, keyCols = Seq("prov"), sumCols = Seq("ct"), batchId = 0L)
+    Sinks.mergeAgg(spark, Seq(("bj", 5L)).toDF("prov", "ct"),
+      base, keyCols = Seq("prov"), sumCols = Seq("ct"), batchId = 1L)
+    assert(table === Set(("bj", 15L)))
+    // simulate the crash AFTER batch 1's swap completed (table merged,
+    // .old_table already cleaned) but BEFORE the ledger publish: roll
+    // the ledger back to batch 0's state
+    val ledger = new java.io.File(base, "_committed_batches")
+    java.nio.file.Files.write(ledger.toPath, "0".getBytes("UTF-8"))
+    // the replay of batch 1 must NOT re-add — the _last_batch stamp
+    // inside the table dir says the swap already published it
+    Sinks.mergeAgg(spark, Seq(("bj", 5L)).toDF("prov", "ct"),
+      base, keyCols = Seq("prov"), sumCols = Seq("ct"), batchId = 1L)
+    assert(table === Set(("bj", 15L)))
+    // and the ledger is healed, so batch 2 proceeds normally
+    assert(new String(java.nio.file.Files.readAllBytes(ledger.toPath),
+      "UTF-8").trim === "1")
+    Sinks.mergeAgg(spark, Seq(("bj", 1L)).toDF("prov", "ct"),
+      base, keyCols = Seq("prov"), sumCols = Seq("ct"), batchId = 2L)
+    assert(table === Set(("bj", 16L)))
+  }
+
+  test("committedView hides a partially-written (unledgered) batch dir") {
+    val base = java.nio.file.Files.createTempDirectory("rcview")
+      .toString + "/t"
+    Sinks.idempotentAppend(Seq((1L, "a")).toDF("id", "v"), 0L, base)
+    // a crash mid-write of batch 1 leaves an orphan subdir with data
+    // but no ledger entry — plain reads see it, committedView must not
+    Seq((2L, "partial")).toDF("id", "v")
+      .write.parquet(s"$base/batch=1")
+    assert(spark.read.parquet(base).count() === 2L) // read-uncommitted
+    assert(Sinks.committedView(spark, base).select("id").as[Long]
+      .collect().toSeq === Seq(1L))
+    // replay commits batch 1 → becomes visible
+    Sinks.idempotentAppend(Seq((2L, "b")).toDF("id", "v"), 1L, base)
+    assert(Sinks.committedView(spark, base).count() === 2L)
+  }
+
+  test("readDimSnapshot survives the upsertDim swap window") {
+    val base = java.nio.file.Files.createTempDirectory("dimsnap").toString
+    assert(Sinks.readDimSnapshot(spark, base, "dim").isEmpty)
+    Sinks.upsertDim(spark, Seq((1L, "a")).toDF("id", "v"), base, "dim")
+    // mid-swap state: table staged aside as .old_dim, dst not yet
+    // published — a concurrent reader must still get the rows
+    require(new java.io.File(s"$base/dim")
+      .renameTo(new java.io.File(s"$base/.old_dim")))
+    val snap = Sinks.readDimSnapshot(spark, base, "dim")
+    assert(snap.map(_.as[(Long, String)].collect().toSet) ===
+      Some(Set((1L, "a"))))
+  }
 }
