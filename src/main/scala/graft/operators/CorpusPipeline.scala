@@ -63,11 +63,26 @@ object CorpusPipeline {
                     benchmark: Option[DataFrame] = None,
                     decontamN: Int = 4)
 
+  /** Staging hook for [[curate]]'s heavy legs — the build/serve split
+    * ([[graft.core.Artifacts]]): `stage(name, build)` may serve a
+    * persisted table instead of running `build`'s lineage. The legs
+    * are `contam_hits` (benchmark gram join), `neardup_clusters` (LSH
+    * index + verify + closure), `dup_spans` (span shingling) — the
+    * three shuffling stages; everything else in the cascade is
+    * map-side scoring plus id-keyed joins. The default runs every leg
+    * inline (the t11/t11b oracle shape); callers staging must key by
+    * input fingerprint AND config, since each leg's rows depend on
+    * both.
+    */
+  type Stager = (String, () => DataFrame) => DataFrame
+  val inlineStager: Stager = (_, build) => build()
+
   /** Annotate `docs` (doc_id, text, …) with curation decisions.
     * Output adds: pred_lang, quality, drop_reason, cluster_id (null =
     * no near-dup), split, chunk_id (null for dropped rows).
     */
-  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  def curate(docs: DataFrame, cfg: Config = Config(),
+             stage: Stager = inlineStager): DataFrame = {
     val base = docs
       .withColumn("pred_lang", TextFunctions.langId(col("text")))
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
@@ -83,8 +98,9 @@ object CorpusPipeline {
     }
     val scored = cfg.benchmark match {
       case Some(bench) =>
-        val hits = Decontaminate.contaminationReport(
-            docs, bench, "doc_id", "text", cfg.decontamN)
+        val hits = stage("contam_hits", () =>
+            Decontaminate.contaminationReport(
+              docs, bench, "doc_id", "text", cfg.decontamN))
           .select(col("doc_id"), lit(true).as("_contam"))
         withRep.join(hits, Seq("doc_id"), "left")
           .withColumn("_contam", coalesce(col("_contam"), lit(false)))
@@ -103,10 +119,11 @@ object CorpusPipeline {
     val keepers = Dedup.exact(qualityOk, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"), lit(1).as("_exact_keep"))
     // near-dup clusters over the survivors; keep each cluster's min id
-    val clusters = Dedup.clusterIds(
-      Dedup.nearDupPairs(qualityOk, threshold = cfg.jaccard,
-        idCol = "doc_id", textCol = "text")
-        .select(col("doc_a"), col("doc_b")))
+    val clusters = stage("neardup_clusters", () =>
+      Dedup.clusterIds(
+        Dedup.nearDupPairs(qualityOk, threshold = cfg.jaccard,
+          idCol = "doc_id", textCol = "text")
+          .select(col("doc_a"), col("doc_b"))))
     val preAnnot = scored
       .join(keepers, Seq("doc_id"), "left")
       .join(clusters, Seq("doc_id"), "left")
@@ -120,7 +137,8 @@ object CorpusPipeline {
           .filter(col("_exact_keep").isNotNull &&
             (col("cluster_id").isNull || col("cluster_id") === col("doc_id")))
           .select(col("doc_id"), col("text"))
-        val ds = DupSpans.report(survivors, "doc_id", "text", cfg.dupSpanN)
+        val ds = stage("dup_spans", () =>
+            DupSpans.report(survivors, "doc_id", "text", cfg.dupSpanN))
           .select(col("doc_id"),
             coalesce(col("dup_frac") > t, lit(false)).as("_span_fail"))
         preAnnot.join(ds, Seq("doc_id"), "left")

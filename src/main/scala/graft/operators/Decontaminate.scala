@@ -73,19 +73,41 @@ object Decontaminate {
     */
   def contaminationReportBloom(corpus: DataFrame, bench: DataFrame,
                                idCol: String, textCol: String, n: Int,
-                               bitsLog2: Int = 20, k: Int = 5): DataFrame = {
-    require(bitsLog2 >= 6 && bitsLog2 <= 30,
-      s"bitsLog2 must be in [6, 30], got $bitsLog2")
-    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
-    val m = 1L << bitsLog2
+                               bitsLog2: Int = 20, k: Int = 5): DataFrame =
     // persisted: the eval-set-sized gram frame feeds BOTH the bit-
     // position collect and the exact-verify join — without the cache
     // the tokenize+explode+distinct lineage runs twice (the
     // candidatePairs persist rationale: AQE bypasses ReusedExchange)
-    val benchGrams = bench
+    contaminationReportBloomGrams(corpus,
+      benchGramSet(bench, textCol, n).persist(),
+      idCol, textCol, n, bitsLog2, k)
+
+  /** The benchmark's distinct n-gram set — the BUILD half of the
+    * decontamination build/serve split: in production this is staged
+    * once per benchmark release ([[graft.core.Artifacts]]) and every
+    * pipeline run serves it, instead of re-tokenizing the eval set
+    * per run. Feed it to [[contaminationReportBloomGrams]] /
+    * [[contaminationReportGrams]].
+    */
+  def benchGramSet(bench: DataFrame, textCol: String, n: Int): DataFrame =
+    bench
       .select(tokenize(col(textCol)).as("_w"))
       .select(explode(wordNgramsOf(col("_w"), n)).as("g"))
-      .distinct().persist()
+      .distinct()
+
+  /** [[contaminationReportBloom]] with a pre-built gram set (column
+    * `g`) — the SERVE half. `benchGrams` should be distinct; a staged
+    * artifact or the inline [[benchGramSet]] both qualify.
+    */
+  def contaminationReportBloomGrams(corpus: DataFrame,
+                                    benchGrams: DataFrame,
+                                    idCol: String, textCol: String, n: Int,
+                                    bitsLog2: Int = 20, k: Int = 5)
+      : DataFrame = {
+    require(bitsLog2 >= 6 && bitsLog2 <= 30,
+      s"bitsLog2 must be in [6, 30], got $bitsLog2")
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    val m = 1L << bitsLog2
     // probe i's position for gram g; seeding by prefix keeps the k
     // probes independent while reusing the codegen'd hash both sides
     def pos(g: Column, i: Int): Column =
@@ -131,12 +153,17 @@ object Decontaminate {
     */
   def contaminationReport(corpus: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String,
-                          n: Int): DataFrame = {
+                          n: Int): DataFrame =
     // eval-set sized: distinct grams then broadcast to every executor
-    val benchGrams = bench
-      .select(tokenize(col(textCol)).as("_w"))
-      .select(explode(wordNgramsOf(col("_w"), n)).as("g"))
-      .distinct()
+    contaminationReportGrams(corpus,
+      benchGramSet(bench, textCol, n), idCol, textCol, n)
+
+  /** [[contaminationReport]] with a pre-built distinct gram set
+    * (column `g`) — the SERVE half of the build/serve split.
+    */
+  def contaminationReportGrams(corpus: DataFrame, benchGrams: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int): DataFrame = {
     corpus
       // tokenize in its OWN projection so the gram lambda reads a
       // bound array, not the split expression (see wordNgramsOf);

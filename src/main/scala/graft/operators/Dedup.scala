@@ -254,10 +254,25 @@ object Dedup {
     * before the join); the shingle equi-join joins ≤ |sources| rows
     * per shingle, so the worst case is |vocab| × |sources|², with no
     * per-document work anywhere.
+    *
+    * @param maxSourceFreq stop-shingle cap (the d15 lever at SOURCE
+    *   granularity): shingles present in more than this many sources
+    *   are excluded END-TO-END (both the intersection counts and
+    *   |shingles(A)|), so the overlap is scored over the shingle
+    *   space that actually DISCRIMINATES between sources — ubiquitous
+    *   boilerplate carries no mixing signal but costs source-freq²
+    *   join rows apiece. Default ∞ = exact overlap over all shingles.
     */
   def sourceOverlap(docs: DataFrame, groupCol: String = "source",
-                    textCol: String = "text", n: Int = 3): DataFrame = {
-    val sh = shingleRows(docs, groupCol, textCol, n).distinct().persist()
+                    textCol: String = "text", n: Int = 3,
+                    maxSourceFreq: Long = Long.MaxValue): DataFrame = {
+    val sh0 = shingleRows(docs, groupCol, textCol, n).distinct().persist()
+    val sh =
+      if (maxSourceFreq == Long.MaxValue) sh0
+      else sh0.join(
+        sh0.groupBy(col("shingle")).agg(count(lit(1)).as("_sf"))
+          .filter(col("_sf") <= maxSourceFreq).select("shingle"),
+        "shingle")
     val sizes = sh.groupBy(col(groupCol)).agg(count(lit(1)).as("sh_ct"))
     sh.select(col(groupCol).as("src_a"), col("shingle"))
       .join(sh.select(col(groupCol).as("src_b"), col("shingle")), "shingle")

@@ -199,6 +199,15 @@ object DedupOps {
       Dedup.sourceOverlap(docs(s, dir))
     },
 
+    // d19 with the stop-shingle cap engaged (the d15 lever at source
+    // granularity): shingles in > 8 of the 20 sources leave BOTH the
+    // intersection counts and the per-source sizes — the variant a
+    // wide-mixture run deploys, since a ubiquitous shingle costs
+    // source-freq² join rows while carrying no mixing signal
+    "d21_source_overlap_capped" -> { (s, dir) =>
+      Dedup.sourceOverlap(docs(s, dir), maxSourceFreq = 8L)
+    },
+
     // eval-integrity audit: near-dup pairs CROSSING the t7 train/val
     // split — the leakage deterministic per-doc splitting cannot
     // prevent (a val doc's near-copy in train). Composes the d3
@@ -527,6 +536,29 @@ object DedupOps {
         |      range(1, greatest(len(w) - 2, 1) + 1),
         |      i -> array_to_string(w[i:i+2], ' ')))) AS shingle
         |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+        |sizes AS (SELECT source, COUNT(*) AS sh_ct FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter_ct
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.source <> b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter_ct, sz.sh_ct AS size_a,
+        |  CAST(inter_ct AS DOUBLE) / sz.sh_ct AS overlap
+        |FROM inter JOIN sizes sz ON sz.source = src_a""".stripMargin,
+
+    // d19 with shingles in > 8 sources excluded end-to-end (counts
+    // AND sizes) before scoring
+    "d21_source_overlap_capped" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(w) - 2, 1) + 1),
+        |      i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+        |keep AS (
+        |  SELECT shingle FROM sh0 GROUP BY shingle
+        |  HAVING COUNT(*) <= 8),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
         |sizes AS (SELECT source, COUNT(*) AS sh_ct FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter_ct

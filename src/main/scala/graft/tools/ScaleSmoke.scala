@@ -234,7 +234,13 @@ object ScaleSmoke {
         graft.operators.Graph.pagerank(
           pairs.union(pairs.select(col("doc_b"), col("doc_a")))
             .toDF("src", "dst"), iters = 3)
-      }))
+      }),
+      // d19: cross-source overlap matrix (capped variant — the
+      // deployed shape): the tagged fixture grows the vocab 10× with
+      // the source count fixed, so the distinct + shingle equi-join
+      // must track the vocab scan, not sources²·vocab
+      bench("d19", dt1x, dtNx,
+        d => Dedup.sourceOverlap(d, maxSourceFreq = 8L)))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)
