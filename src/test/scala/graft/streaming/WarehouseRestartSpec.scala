@@ -293,4 +293,103 @@ class WarehouseRestartSpec extends AnyFunSuite {
       ("2021-05-03 12:05:30", 999L, 500L, 1),
       ("2021-05-03 12:06:00", 101L, 5000L, 1)))
   }
+
+  test("mid-stream topic compaction: downstream sinks stay exactly-once across compaction AND restart") {
+    val logDir = Files.createTempDirectory("wc_log").toString
+    val cdcDir = Files.createTempDirectory("wc_cdc").toString
+    val outRoot = Files.createTempDirectory("wc_out").toString
+    val ckRoot = Files.createTempDirectory("wc_ck").toString
+    def start() = Warehouse.streaming(spark, logDir, cdcDir, config,
+      outRoot, ckRoot, width = "10 seconds", delay = "2 seconds",
+      gapMillis = 10000L)
+    val compacted = Seq("page", "page_fixed", "order_info", "order_detail")
+
+    // ---- phase 1: same shape as the restart e2e ------------------------
+    feed(logDir, Seq(
+      log("mid_A", t0 + 1000, null, item = "spark streaming"),
+      log("mid_A", t0 + 4000, "home", item = "100", itemType = "sku_id",
+        displayItem = "100"),
+      log("mid_B", t0 + 2000, null, item = "小米手机旗舰店"),
+      log("mid_C", t0 + 3000, null)))
+    feed(cdcDir, Seq(
+      cdc("base_province", "insert", "id" -> "2", "name" -> "Beijing",
+        "area_code" -> "110000"),
+      orderInfo(1, "99.50", "2021-05-03 12:00:05"),
+      orderDetail(11, 1, 100, 2, "40.00", "2021-05-03 12:00:05"),
+      orderDetail(12, 1, 100, 1, "59.50", "2021-05-03 12:00:06")))
+    val qs1 = start()
+    drain(qs1, sweeps = 2)
+    val pagePre = Compaction.topicView(spark, s"$outRoot/page").count()
+    assert(pagePre === 4L)
+
+    // ---- compact the chained topics while EVERY query keeps running.
+    // The drain barrier above plays the role of the age horizon: all
+    // downstream consumers have committed past these files.
+    compacted.foreach { t =>
+      assert(Compaction.compactTopic(spark, s"$outRoot/$t", horizonMs = 0L) > 0,
+        s"expected $t to have files to absorb")
+    }
+    // the view serves the absorbed rows from the segments, exactly once
+    assert(Compaction.topicView(spark, s"$outRoot/page").count() === pagePre)
+    qs1.foreach { case (qn, q) =>
+      assert(q.exception.isEmpty, s"$qn died during compaction: ${q.exception}") }
+
+    // ---- phase 2: NEW rows after compaction, consumed by the same
+    // running queries (their seen-file tracking must splice live files
+    // after the absorbed ones with no gap and no replay)
+    feed(logDir, Seq(
+      log("mid_C", t0 + 8000, "home"),
+      log("mid_A", t0 + day + 1000, "home", isNew = "1")))
+    feed(cdcDir, Seq(orderInfo(2, "50.00", "2021-05-03 12:06:00"),
+      orderDetail(21, 2, 101, 4, "50.00", "2021-05-03 12:06:00")))
+    drain(qs1)
+    qs1.values.foreach(_.stop())
+
+    // ---- restart AFTER compaction: sources must recover their seen
+    // sets from checkpoints without touching the deleted files, and a
+    // second compaction pass (now including phase-2 files) must hold
+    val qs2 = start()
+    compacted.foreach { t =>
+      assert(Compaction.compactTopic(spark, s"$outRoot/$t", horizonMs = 0L) > 0) }
+    feed(logDir, Seq(log("mid_FL1", d2, null, isNew = "0", displayItem = "777")))
+    feed(cdcDir, Seq(orderInfo(94, "1.00", "2021-05-03 12:10:00"),
+      orderDetail(95, 94, 998, 1, "1.00", "2021-05-03 12:10:00")))
+    drain(qs2)
+    feed(logDir, Seq(log("mid_FL2", d2 + 30000, null, isNew = "0")))
+    feed(cdcDir, Seq(orderInfo(96, "1.00", "2021-05-03 12:10:30"),
+      orderDetail(97, 96, 998, 1, "1.00", "2021-05-03 12:10:30")))
+    drain(qs2, sweeps = 3)
+    qs2.foreach { case (qn, q) =>
+      assert(q.exception.isEmpty, s"$qn died post-restart: ${q.exception}") }
+    qs2.values.foreach(_.stop())
+
+    // ---- exactly-once across two compactions + one restart -------------
+    // compacted topics are read through the VIEW (their _spark_metadata
+    // references absorbed files by design — Compaction scaladoc)
+    val page = Compaction.topicView(spark, s"$outRoot/page")
+    assert(page.count() === 8L) // 4 + C follow-up + A day-2 + FL×2
+    assert(page.select("common.mid", "ts").distinct().count() === 8L)
+    val fixed = Compaction.topicView(spark, s"$outRoot/page_fixed")
+    assert(fixed.count() === 8L)
+    assert(fixed.where(s"mid = 'mid_A' AND ts = ${t0 + day + 1000}")
+      .select("is_new").as[String].collect().toSeq === Seq("0"))
+    assert(Compaction.topicView(spark, s"$outRoot/order_info")
+      .select("id").as[String].collect().toSet ===
+      Set("1", "2", "94", "96"))
+
+    // downstream (uncompacted) sinks: exactly one row per key
+    val uv = spark.read.parquet(s"$outRoot/unique_visit")
+    assert(uv.select("mid", "ts").as[(String, Long)].collect().toSet === Set(
+      ("mid_A", t0 + 1000), ("mid_B", t0 + 2000), ("mid_C", t0 + 3000),
+      ("mid_A", t0 + day + 1000),
+      ("mid_FL1", d2), ("mid_FL2", d2 + 30000)))
+    val prov = spark.read.parquet(s"$outRoot/province_stats")
+      .where("stt < '2021-05-03 12:10:00'")
+      .select("stt", "province_name", "order_count", "order_amount")
+      .as[(String, String, Long, java.math.BigDecimal)].collect()
+      .map(r => (r._1, r._2, r._3, r._4.doubleValue)).toSet
+    assert(prov === Set(
+      ("2021-05-03 12:00:00", "Beijing", 1L, 99.50),
+      ("2021-05-03 12:06:00", "Beijing", 1L, 50.00)))
+  }
 }
