@@ -161,6 +161,45 @@ object StatefulOps {
   case class BounceState(entry: Option[KeyedEvent],
                          pending: Seq[KeyedEvent])
 
+  /** Reserved key for watermark-heartbeat rows on DERIVED topics —
+    * Flink's idle-channel watermark forwarding, re-expressed. A
+    * derived stream (bounce verdicts) emits rows stamped with their
+    * ORIGINAL event time, so its topic's event times trail the
+    * upstream watermark by construction; worse, when the derivation
+    * produces NO rows (no bounces all day), a downstream per-leg
+    * watermark never advances and every fan-in window stays open.
+    * Heartbeat rows close that liveness gap: each micro-batch the
+    * derivation also emits one control row carrying the stream's
+    * TRUE horizon (`upstream watermark − gap`: every entry older is
+    * decided, so no future verdict can be older), letting every
+    * downstream leg advance uniformly whether or not verdicts flow.
+    * Consumers aggregate heartbeats into a sentinel-keyed group with
+    * zero-valued measures and drop that group POST-aggregation (a
+    * pre-watermark filter would be pushed below the watermark
+    * operator and re-open the stall — the SCALING.md round-10
+    * lesson).
+    */
+  val heartbeatMid = "__hb__"
+
+  /** Inject one heartbeat-keyed marker row per non-empty partition —
+    * apply BEFORE `withWatermark` (the marker copies a data row's
+    * event time, so it never distorts the watermark) and before
+    * [[bounceStreaming]], whose state function turns the markers into
+    * heartbeat output rows. Without markers the bounce operator emits
+    * no heartbeats — the batch-twin-compatible default.
+    */
+  def withHeartbeatMarkers(events: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.mapPartitions { it =>
+      var injected = false
+      it.flatMap { e =>
+        if (!injected) { injected = true
+          Iterator(e, e.copy(mid = heartbeatMid))
+        } else Iterator.single(e)
+      }
+    }
+  }
+
   def bounceStreaming(events: Dataset[KeyedEvent],
                       gapMillis: Long = 10000L): Dataset[KeyedEvent] = {
     import events.sparkSession.implicits._
@@ -171,6 +210,22 @@ object StatefulOps {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (mid: String, rows: Iterator[KeyedEvent], state: GroupState[BounceState]) => {
+          if (mid == heartbeatMid) {
+            // control group ([[heartbeatMid]]): drain markers, emit the
+            // derived stream's horizon, and keep a standing timeout so
+            // the group wakes on every watermark advance — including
+            // no-data batches — for as long as the query lives
+            rows.foreach(_ => ())
+            val wm = state.getCurrentWatermarkMs()
+            state.update(BounceState(None, Nil))
+            state.setTimeoutTimestamp(wm + 1)
+            val horizon = wm - gapMillis
+            if (horizon > 0)
+              Iterator.single(KeyedEvent(heartbeatMid, horizon, "0",
+                null, null, new Timestamp(horizon),
+                heartbeatMid, heartbeatMid, heartbeatMid, 0L))
+            else Iterator.empty
+          } else {
           val st0 = state.getOption.getOrElse(BounceState(None, Nil))
           val wm = state.getCurrentWatermarkMs()
           val (ready, pending) = (st0.pending ++ rows)
@@ -204,6 +259,7 @@ object StatefulOps {
             state.setTimeoutTimestamp(math.max(wake, wm + 1))
           }
           out.iterator
+          }
         })
   }
 

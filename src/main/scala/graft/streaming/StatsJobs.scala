@@ -45,22 +45,39 @@ object StatsJobs {
     *   operators, and the bounce leg is inherently sparse — a quiet
     *   uj topic would keep every visitor window open (the product-
     *   stats lesson, SCALING.md round-10). Batch callers leave None.
+    * @param dropHeartbeats when a leg carries watermark-heartbeat
+    *   control rows ([[StatefulOps.heartbeatMid]]-keyed dims), drop
+    *   their sentinel group AFTER the aggregation. The drop predicate
+    *   deliberately references an AGGREGATED helper column (`_hb`),
+    *   never the raw dims: a deterministic dim filter would be pushed
+    *   below the `EventTimeWatermark` operator and the heartbeats
+    *   would stop advancing the very watermark they exist to advance
+    *   (the filter-below-watermark stall, SCALING.md round-10).
     */
   def visitorStats(inputs: Seq[DataFrame], width: String = "10 seconds",
-                   watermark: Option[String] = None): DataFrame = {
+                   watermark: Option[String] = None,
+                   dropHeartbeats: Boolean = false): DataFrame = {
     val base0 = inputs.map { df =>
       Seq("pv_ct", "uv_ct", "sv_ct", "uj_ct", "dur_sum").foldLeft(df) {
         (d, c) => if (d.columns.contains(c)) d else d.withColumn(c, lit(0L))
       }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val base = watermark.fold(base0)(d => base0.withWatermark("event_time", d))
-    windowBounds(
-      base.groupBy(win("event_time", width).as("w"),
-          col("vc"), col("ch"), col("ar"), col("is_new"))
-        .agg(
-          sum("uv_ct").as("uv_ct"), sum("pv_ct").as("pv_ct"),
+    val hbAgg =
+      if (dropHeartbeats)
+        Seq(max(when(col("vc") === StatefulOps.heartbeatMid, 1L)
+          .otherwise(0L)).as("_hb"))
+      else Seq.empty
+    val agged = base.groupBy(win("event_time", width).as("w"),
+        col("vc"), col("ch"), col("ar"), col("is_new"))
+      .agg(
+        sum("uv_ct").as("uv_ct"),
+        (Seq(sum("pv_ct").as("pv_ct"),
           sum("sv_ct").as("sv_ct"), sum("uj_ct").as("uj_ct"),
-          sum("dur_sum").as("dur_sum")))
+          sum("dur_sum").as("dur_sum")) ++ hbAgg): _*)
+    windowBounds(
+      if (dropHeartbeats) agged.filter(col("_hb") === 0L).drop("_hb")
+      else agged)
   }
 
   /** Gap-based sessionization via Spark-native `session_window`: per

@@ -251,25 +251,33 @@ object Warehouse {
     def fixedStream() = spark.readStream.schema(keyedSchema)
       .parquet(out("page_fixed")).as[KeyedEvent]
 
-    // ---- DWM: UV dedup + bounce detection (keyed state + watermark)
+    // ---- DWM: UV dedup + bounce detection (keyed state + watermark).
+    // The bounce stream carries heartbeat markers: its verdicts are
+    // DERIVED rows stamped with the ENTRY's event time (a bounce is
+    // decided gap+delay after its entry and must land in the entry's
+    // window — the reference's uj_ct contract), so the user_jump
+    // topic's own event times cannot advance a downstream watermark
+    // on time — and with no bounce traffic at all they'd never
+    // advance it. Heartbeat rows carry the stream's true horizon
+    // (upstream watermark − gap) every micro-batch, so the topic's
+    // watermark advances like any primary stream's
+    // ([[StatefulOps.heartbeatMid]]).
     val uv = StatefulOps.uniqueVisitStreaming(
       StatefulOps.watermarked(fixedStream(), delay))
     val uj = StatefulOps.bounceStreaming(
-      StatefulOps.watermarked(fixedStream(), delay), gapMillis)
+      StatefulOps.watermarked(
+        StatefulOps.withHeartbeatMarkers(fixedStream()), delay), gapMillis)
 
     // ---- DWS visitor: pv/sv/dur + uv + uj legs → one windowed agg.
-    // Deliberately PER-LEG watermarks (min policy — Flink's channel-
-    // min semantics): the uj leg's rows are DERIVED and inherently
-    // late against wall progress (a bounce is decided gap+delay after
-    // its entry's event time, and carries the ENTRY's time so it
-    // lands in the entry's window, the reference's uj_ct contract). A
-    // single union watermark would advance on page traffic and drop
-    // every bounce as late. The cost is the documented converse: the
-    // min policy seals visitor windows only as fast as the SLOWEST
-    // leg's topic advances — which is correct for a derived leg (its
-    // watermark advances exactly when its pending decisions resolve),
-    // unlike the product legs, whose inputs are all primary streams
-    // and share one post-union watermark.
+    // UNIFORM per-leg watermark policy (Flink's channel-min): every
+    // leg gets the same per-leg `withWatermark`, and the global
+    // watermark is their min. Pre-heartbeat the uj leg needed a
+    // special carve-out (its sparse derived rows couldn't keep up —
+    // commit 19811b5); with the heartbeat protocol each leg advances
+    // from its own topic uniformly, the derived leg via its horizon
+    // rows. Heartbeats aggregate into a sentinel group dropped
+    // post-agg (`dropHeartbeats` — see the StatsJobs scaladoc for why
+    // it must not be a pre-watermark filter).
     def keyedLeg(dir: String) = spark.readStream.schema(keyedSchema)
       .parquet(out(dir)).withWatermark("event_time", delay)
     val pvLeg = keyedLeg("page_fixed").select(
@@ -283,8 +291,12 @@ object Warehouse {
       lit(1L).as("uv_ct"))
     val ujLeg = keyedLeg("user_jump").select(
       col("vc"), col("ch"), col("ar"), col("is_new"), col("event_time"),
-      lit(1L).as("uj_ct"))
-    val visitorStats = StatsJobs.visitorStats(Seq(pvLeg, uvLeg, ujLeg), width)
+      // heartbeats contribute zero to the measure; their sentinel
+      // group dies post-agg, never in a pushable filter
+      when(col("mid") =!= StatefulOps.heartbeatMid, 1L).otherwise(0L)
+        .as("uj_ct"))
+    val visitorStats = StatsJobs.visitorStats(Seq(pvLeg, uvLeg, ujLeg),
+      width, dropHeartbeats = true)
 
     // ---- DWS sessions: native session_window over the fixed page
     // stream — state is one merged [start, end) range per open

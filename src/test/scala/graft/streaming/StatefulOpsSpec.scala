@@ -411,4 +411,109 @@ class StatefulOpsSpec extends AnyFunSuite {
       assert(out === Set(day1 + 1000L)) // bounced exactly once, post-restart
     } finally q2.stop()
   }
+
+  test("bounce heartbeats carry the derived-stream horizon (wm - gap) and leave verdicts intact") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val gap = 10000L
+    val query = StatefulOps.bounceStreaming(
+        StatefulOps.watermarked(
+          StatefulOps.withHeartbeatMarkers(input.toDS())), gap)
+      .writeStream.format("memory").queryName("bounce_hb")
+      .outputMode("append").start()
+    try {
+      // m1 bounces (entry, follow-up beyond gap); m2 does not
+      input.addData(
+        KeyedEvent.at("m1", day1 + 1000L, "1", "home", null),
+        KeyedEvent.at("m2", day1 + 2000L, "1", "home", null))
+      query.processAllAvailable()
+      input.addData(
+        KeyedEvent.at("m2", day1 + 5000L, "1", "detail", "home"),
+        KeyedEvent.at("m1", day1 + 50000L, "1", "detail", "home"))
+      query.processAllAvailable()
+      input.addData(KeyedEvent.at("m3", day1 + 200000L, "1", "p", "q"))
+      query.processAllAvailable()
+      val rows = spark.table("bounce_hb").as[KeyedEvent].collect()
+      // verdicts unchanged by the marker plumbing
+      assert(rows.filter(_.mid != StatefulOps.heartbeatMid)
+        .map(e => (e.mid, e.ts)).toSet === Set(("m1", day1 + 1000L)))
+      // heartbeats: sentinel dims, ts strictly at horizon = wm - gap —
+      // never ahead of it (a future verdict may still carry any time
+      // >= horizon), and advancing as the watermark does
+      val hbs = rows.filter(_.mid == StatefulOps.heartbeatMid)
+      assert(hbs.nonEmpty)
+      assert(hbs.forall(h => h.vc == StatefulOps.heartbeatMid &&
+        h.event_time.getTime == h.ts))
+      // final watermark = max event (day1+200000) − 0s delay; the last
+      // heartbeat must not exceed wm − gap and some heartbeat must
+      // have advanced past the first batch's horizon
+      assert(hbs.map(_.ts).max <= day1 + 200000L - gap)
+      assert(hbs.map(_.ts).max >= day1 + 50000L - gap)
+    } finally query.stop()
+  }
+
+  test("heartbeats keep visitor windows sealing when NO bounce ever occurs") {
+    import org.apache.spark.sql.functions._
+    // every entry is followed up within the gap → zero verdicts; the
+    // uj topic would otherwise never advance its leg's watermark and
+    // the visitor fan-in would hold every window open forever (the
+    // liveness gap the heartbeat protocol closes)
+    val root = java.nio.file.Files.createTempDirectory("hb_e2e").toString
+    val fixedDir = s"$root/page_fixed"; val ujDir = s"$root/user_jump"
+    new java.io.File(fixedDir).mkdirs(); new java.io.File(ujDir).mkdirs()
+    val gap = 10000L
+    val evs = Seq(
+      KeyedEvent("mA", day1 + 1000L, "1", "home", null,
+        new java.sql.Timestamp(day1 + 1000L), "v1", "web", "110000", 5000L),
+      KeyedEvent("mA", day1 + 3000L, "1", "detail", "home",
+        new java.sql.Timestamp(day1 + 3000L), "v1", "web", "110000", 5000L),
+      // flush traffic far ahead, itself followed up within the gap
+      KeyedEvent("mB", day1 + 60000L, "0", "home", null,
+        new java.sql.Timestamp(day1 + 60000L), "v1", "web", "110000", 1000L),
+      KeyedEvent("mB", day1 + 62000L, "0", "detail", "home",
+        new java.sql.Timestamp(day1 + 62000L), "v1", "web", "110000", 1000L))
+    val schema = evs.toDF().schema
+    evs.take(2).toDF().write.mode("append").parquet(fixedDir)
+    def fixedStream() = spark.readStream.schema(schema).parquet(fixedDir)
+      .as[KeyedEvent]
+    val bounceQ = StatefulOps.bounceStreaming(
+        StatefulOps.watermarked(
+          StatefulOps.withHeartbeatMarkers(fixedStream()), "2 seconds"),
+        gap)
+      .toDF().writeStream.format("parquet")
+      .option("path", ujDir).option("checkpointLocation", s"$root/ck_uj")
+      .outputMode("append").start()
+    val pvLeg = fixedStream().toDF()
+      .withWatermark("event_time", "2 seconds")
+      .select(col("vc"), col("ch"), col("ar"), col("is_new"),
+        col("event_time"), lit(1L).as("pv_ct"))
+    val ujLeg = spark.readStream.schema(schema).parquet(ujDir)
+      .withWatermark("event_time", "2 seconds")
+      .select(col("vc"), col("ch"), col("ar"), col("is_new"),
+        col("event_time"),
+        when(col("mid") =!= StatefulOps.heartbeatMid, 1L).otherwise(0L)
+          .as("uj_ct"))
+    val visitorQ = StatsJobs.visitorStats(Seq(pvLeg, ujLeg),
+        width = "10 seconds", dropHeartbeats = true)
+      .writeStream.format("memory").queryName("hb_visitor")
+      .option("checkpointLocation", s"$root/ck_vs")
+      .outputMode("append").start()
+    try {
+      bounceQ.processAllAvailable(); visitorQ.processAllAvailable()
+      evs.drop(2).toDF().write.mode("append").parquet(fixedDir)
+      // two sweeps: the flush rows advance the bounce op, whose
+      // heartbeats then advance the uj leg past the first window
+      (1 to 3).foreach { _ =>
+        bounceQ.processAllAvailable(); visitorQ.processAllAvailable() }
+      val out = spark.table("hb_visitor")
+        .select("stt", "is_new", "pv_ct", "uj_ct")
+        .as[(String, String, Long, Long)].collect().toSet
+      // the first window SEALED despite zero bounce verdicts — and no
+      // sentinel group leaked through
+      assert(out.contains(("2021-05-03 00:00:00", "1", 2L, 0L)))
+      assert(!out.exists(_._2 == StatefulOps.heartbeatMid))
+      assert(spark.read.parquet(ujDir)
+        .where(s"mid != '${StatefulOps.heartbeatMid}'").count() === 0L)
+    } finally { bounceQ.stop(); visitorQ.stop() }
+  }
 }

@@ -190,7 +190,11 @@ class WarehouseRestartSpec extends AnyFunSuite {
       ("mid_A", t0 + 1000), ("mid_B", t0 + 2000), ("mid_C", t0 + 3000),
       ("mid_A", t0 + day + 1000), // day rollover re-emits
       ("mid_FL1", d2), ("mid_FL2", d2 + 30000), ("mid_FL3", d2 + 60000)))
+    // the topic carries heartbeat control rows beside the verdicts
+    // (the derived-topic watermark protocol) — a data consumer reads
+    // past them by key
     val uj = spark.read.parquet(s"$outRoot/user_jump")
+      .where(s"mid != '${StatefulOps.heartbeatMid}'")
       .select("mid").as[String].collect().sorted.toSeq
     // B bounced; C was rescued POST-restart; A followed up pre-kill;
     // FL1/FL2 are the sealed flush bounces (FL3's entry is still open)
