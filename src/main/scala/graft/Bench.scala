@@ -43,20 +43,21 @@ object Bench {
     // Clearing between queries also keeps 116 queries x 4 runs from
     // accumulating cache in one JVM (intra-query reuse is unaffected).
     def measure(name: String): (Double, Double) = {
+      // min of 2 EVERYWHERE: this host is a shared VM and a single
+      // run swings ±60% with neighbor load — round 10's "warm 12×
+      // slower than cold" q10 outlier was exactly a single-sample
+      // warm mode eating one GC/neighbor spike with no retry
+      def min2(a: Double, b: Double): Double =
+        if (a < 0) b else if (b < 0) a else math.min(a, b)
       spark.catalog.clearCache()
       timeOnce(name) // untimed: JIT + codegen + reader init + caches
-      val warm = timeOnce(name)
+      val warm = min2(timeOnce(name), timeOnce(name))
       spark.catalog.clearCache()
       val cold1 = timeOnce(name)
       spark.catalog.clearCache()
       val cold2 = timeOnce(name)
       spark.catalog.clearCache()
-      // min of 2: this host is a shared VM and a single run swings
-      // ±60% with neighbor load
-      val cold =
-        if (cold1 < 0) cold2 else if (cold2 < 0) cold1
-        else math.min(cold1, cold2)
-      (cold, warm)
+      (min2(cold1, cold2), warm)
     }
     val results = names.map(n => (n, measure(n)))
     def jmap(f: ((String, (Double, Double))) => Double): String =

@@ -40,6 +40,58 @@ object Sources {
     "subscribe" -> spec.topic,
     "startingOffsets" -> spec.startingOffsets)
 
+  /** Kafka SINK seam (K1 fixed topic / K2 per-row dynamic topic —
+    * `utils/MyKafkaUtil.java:25-34`). With `defaultTopic` set the
+    * writer publishes every row there (K1); without it the frame must
+    * carry a `topic` column ([[graft.sinks.Sinks.toKafkaRecords]]) and
+    * each row routes itself (K2) — Spark's Kafka sink reads the
+    * column natively, so the reference's custom
+    * `KafkaSerializationSchema` collapses into a projection. Pure
+    * config, unit-tested like [[kafkaOptions]]; see [[kafkaWriterFor]]
+    * for the column contract check.
+    */
+  final case class KafkaSinkSpec(bootstrapServers: String,
+      defaultTopic: Option[String] = None)
+
+  def kafkaSinkOptions(spec: KafkaSinkSpec): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> spec.bootstrapServers) ++
+      spec.defaultTopic.map("topic" -> _)
+
+  /** Validates the frame ↔ spec contract and returns the exact
+    * (format, options) the writeStream would be configured with:
+    * K2 (no default topic) requires a `topic` column; both shapes
+    * require `value`. Fails fast at plan-build time, not at the
+    * broker.
+    */
+  def kafkaWriterFor(df: DataFrame, spec: KafkaSinkSpec)
+      : (String, Map[String, String]) = {
+    require(df.columns.contains("value"),
+      "kafka sink: frame must carry a `value` column (Sinks.toKafkaRecords)")
+    if (spec.defaultTopic.isEmpty)
+      require(df.columns.contains("topic"),
+        "kafka sink: per-row routing (no defaultTopic) needs a `topic` column")
+    ("kafka", kafkaSinkOptions(spec))
+  }
+
+  /** Trigger seam: the named trigger modes a deployment picks from,
+    * mapped to Spark's `Trigger` objects — `default` (micro-batch as
+    * fast as possible), `interval:<duration>` (ProcessingTime), and
+    * `availableNow` (catch-up-then-stop backfill, the batch-replay
+    * mode). One place so runbooks and specs name the same strings.
+    */
+  def triggerFor(mode: String): org.apache.spark.sql.streaming.Trigger = {
+    import org.apache.spark.sql.streaming.Trigger
+    mode match {
+      case "default"      => Trigger.ProcessingTime(0L)
+      case "availableNow" => Trigger.AvailableNow()
+      case m if m.startsWith("interval:") =>
+        Trigger.ProcessingTime(m.stripPrefix("interval:"))
+      case other => throw new IllegalArgumentException(
+        s"unknown trigger mode '$other' " +
+          "(default | availableNow | interval:<duration>)")
+    }
+  }
+
   /** JSON-lines stream/batch as `value: string`. */
   def read(spark: SparkSession, spec: SourceSpec): DataFrame = spec match {
     case k: KafkaTopic =>

@@ -339,4 +339,25 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q10 json extract: one pruned scan, one exchange, no UDF") {
+    // round-10's driver capture showed a 12× warm-mode outlier on this
+    // query; the plan itself is the minimal agg shape — pin it so any
+    // future slowdown must be environmental, not planning
+    val p = plan("q10_json_extract")
+    assert(p.contains("ReadSchema: struct<props:string>"), p.take(1500))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("ScalaUDF"), p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500)) // partial+final
+  }
+
+  test("q20 brand/supplier: dims broadcast, fact never re-shuffled before the agg") {
+    val p = plan("q20_brand_supplier")
+    // part/supplier/nation are all dim-sized: every join must be a
+    // broadcast hash join, so lineitem flows scan → joins → partial
+    // agg with its only exchange at the final (distinct-carrying) agg
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("ShuffledHashJoin"), p.take(2000))
+  }
 }
