@@ -67,9 +67,10 @@ object CorpusPipeline {
     * ([[graft.core.Artifacts]]): `stage(name, build)` may serve a
     * persisted table instead of running `build`'s lineage. The legs
     * are `contam_hits` (benchmark gram join), `neardup_clusters` (LSH
-    * index + verify + closure), `dup_spans` (span shingling) — the
-    * three shuffling stages; everything else in the cascade is
-    * map-side scoring plus id-keyed joins. The default runs every leg
+    * index + verify + closure), `dup_spans` (span shingling), and
+    * `exact_keepers` (the content-hash dedup shuffle) — the four
+    * shuffling stages; everything else in the cascade is map-side
+    * scoring plus id-keyed joins. The default runs every leg
     * inline (the t11/t11b oracle shape); callers staging must key by
     * input fingerprint AND config, since each leg's rows depend on
     * both.
@@ -116,8 +117,9 @@ object CorpusPipeline {
       col("quality").isNotNull && col("quality") >= cfg.minQuality &&
       !col("_rep_fail") && !col("_contam"))
     // exact dedup: keep the min doc_id per content hash
-    val keepers = Dedup.exact(qualityOk, "doc_id", "text")
-      .select(col("keeper_id").as("doc_id"), lit(1).as("_exact_keep"))
+    val keepers = stage("exact_keepers", () =>
+      Dedup.exact(qualityOk, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"), lit(1).as("_exact_keep")))
     // near-dup clusters over the survivors; keep each cluster's min id
     val clusters = stage("neardup_clusters", () =>
       Dedup.clusterIds(

@@ -153,6 +153,67 @@ object Mixing {
       .drop("_pr", "_st", "_oct", "_rk")
   }
 
+  /** Temperature-flattened mixture resampling at α = 0.5 — the
+    * multinomial-smoothing step a multilingual / multi-source
+    * training mix runs so head domains stop drowning the tail
+    * (the mBERT/XLM exponent-smoothing recipe): each domain's share
+    * of the token `budget` is ∝ √(its token mass), i.e. sampling
+    * weights n_d^α with α = 1/2, renormalized. Per-domain keep rates
+    * come out in permyriad and each doc keeps deterministically via
+    * the salted-hash predicate (the t9 discipline — stable across
+    * runs, engines, and repartitioning).
+    *
+    * EXACT cross-engine arithmetic: per-domain masses are integer
+    * sums; √ is `floor(IEEE sqrt)` (exact below ~4.5e15 — audited);
+    * shares and rates are two integer floor-divisions evaluated in
+    * BigInt on the driver (domains are bounded — the
+    * [[mixByTokenBudget]] phase-1 collect rationale), mirrored by
+    * HUGEINT division in the oracle. No FP sum anywhere, so the
+    * result is bit-stable at any parallelism.
+    *
+    * Scale shape: one partial-aggregated groupBy for the masses
+    * (domains-sized result), a literal when-chain rate lookup
+    * (no join), and a codegen'd hash predicate per row — the corpus
+    * is scanned twice, shuffled never (beyond the domains-sized agg).
+    *
+    * Output: input rows + `n_tokens` (the weight read), `rate_pmyr`,
+    * `kept`.
+    */
+  def temperatureMix(docs: DataFrame, domainCol: String, idCol: String,
+                     weight: Column, budget: Long,
+                     salt: String = "tm:"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val base = docs
+      .withColumn("_dom", coalesce(col(domainCol).cast(StringType), lit("")))
+      .withColumn("n_tokens", coalesce(weight.cast(LongType), lit(0L)))
+    val masses = base.groupBy(col("_dom"))
+      .agg(sum(col("n_tokens")).as("_n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w_d = floor(sqrt(n_d)): IEEE sqrt is correctly rounded, and
+    // below n ≈ 4.5e15 the rounding can never cross an integer
+    // boundary, so floor is exact and engine-agnostic
+    val roots = masses.view.mapValues(n =>
+      if (n <= 0L) 0L else math.floor(math.sqrt(n.toDouble)).toLong).toMap
+    val totalRoot = roots.values.map(BigInt(_)).sum
+    val rates: Map[String, Long] = masses.map { case (d, n) =>
+      val share =
+        if (totalRoot == 0) BigInt(0)
+        else BigInt(budget) * roots(d) / totalRoot // floor: positive ints
+      val r = if (n <= 0L) BigInt(0) else BigInt(10000) * share / n
+      d -> r.min(10000).toLong
+    }
+    val rateCol = rates.foldLeft(lit(0L): Column) {
+      case (acc, (d, r)) => when(col("_dom") === d, lit(r)).otherwise(acc)
+    }
+    base
+      .withColumn("rate_pmyr", rateCol)
+      // long arithmetic: 65535 × 10000 and 10000 × 65536 both ≪ 2^63
+      .withColumn("kept",
+        hashBucket(col(idCol), salt).cast(LongType) * 10000L <
+          col("rate_pmyr") * 65536L)
+      .drop("_dom")
+  }
+
   def mixByTokenBudget(docs: DataFrame, domainCol: String, idCol: String,
                        weight: Column, budgets: Map[String, Long],
                        defaultBudget: Long, buckets: Int = 16): DataFrame = {

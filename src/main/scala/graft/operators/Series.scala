@@ -338,6 +338,55 @@ object Series {
       .withColumn("val_mean", col("val_sum") / col("ev_ct"))
   }
 
+  /** Day-over-day categorical distribution drift — the pipeline
+    * health check a continuously-ingesting corpus runs so a schema
+    * break or upstream mix shift is caught as data (not as a model
+    * regression weeks later): per day, the total-variation distance
+    * between that day's category distribution and the previous
+    * day's, TV = ½ · Σ_t |p_t − q_t|. Days without a previous day
+    * are absent; categories missing on one side count as 0.
+    *
+    * EXACT cross-engine arithmetic (the s-family discipline): the
+    * natural Σ|n/N − m/M| is an order-dependent float sum, so the
+    * sum runs over the integer cross-products |n·M − m·N| instead
+    * (exact BIGINT), and TV = that one integer over 2·N·M in a
+    * single final divide — both operands below 2^53, so the divide
+    * is one correctly-rounded op and bit-equal on any engine at any
+    * parallelism. BIGINT cross-products hold to ~3e9 events/day;
+    * beyond that (a 100 TB firehose) swap the products to
+    * DECIMAL(38,0) — same plan, wider lanes.
+    *
+    * Scale shape: two partial-aggregatable groupBys (days × types,
+    * then days) and a self-join on (day, type) shifted by one day —
+    * all result sets are days-sized, never event-sized.
+    */
+  def distributionDrift(events: DataFrame, tsCol: String,
+                        typeCol: String): DataFrame = {
+    val counts = events
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .groupBy(expr(s"unix_millis($tsCol) DIV 86400000").as("day"),
+        col(typeCol).as("typ"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("day")).agg(sum(col("n")).as("nn"))
+    val prev = counts.select((col("day") + 1).as("day"), col("typ"),
+      col("n").as("m"))
+    // full outer on (day, typ): a category present on only one side
+    // still contributes its whole mass to the distance
+    val paired = counts.join(prev, Seq("day", "typ"), "full_outer")
+      .select(col("day"), col("typ"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("m"), lit(0L)).as("m"))
+    paired
+      .join(totals, Seq("day")) // keeps only days that exist...
+      .join(totals.select((col("day") + 1).as("day"),
+        col("nn").as("mm")), Seq("day")) // ...and have a previous day
+      .groupBy(col("day"), col("nn"), col("mm"))
+      .agg(sum(abs(col("n") * col("mm") - col("m") * col("nn"))).as("num"))
+      .select(col("day"),
+        (col("num").cast(DoubleType) /
+          (lit(2L) * col("nn") * col("mm")).cast(DoubleType)).as("tv"))
+  }
+
   def trend(events: DataFrame, keyCol: String, tsCol: String,
             valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -73,6 +73,23 @@ object QcOps {
     // src0 capped at 600 tokens, every other source at 1000 — keeps
     // roughly half the corpus, so both branches of the budget rule and
     // the keep/drop boundary are exercised
+    // ---- temperature-flattened mixture (alpha = 0.5) ---------------------
+    // budget 25806 ≈ 95% of the sf0.01 token mass: 2 of 20 sources
+    // cap at 10000 pmyr, the rest land 8900-9900 — both rate branches
+    // hash-checked. All-integer rate derivation (BigInt / HUGEINT),
+    // so the per-source summary is bit-stable cross-engine.
+    "t31_temperature_mix" -> { (s, dir) =>
+      Mixing.temperatureMix(docs(s, dir), "source", "doc_id",
+          graft.functions.TextFunctions.nTokens(col("text")),
+          budget = 25806L)
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("n_tokens"),
+          max(col("rate_pmyr")).as("rate_pmyr"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_ct"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+            .as("kept_tokens"))
+    },
+
     "t15_domain_mix" -> { (s, dir) =>
       Mixing.mixByTokenBudget(docs(s, dir), "source", "doc_id",
         nTokens(col("text")), Map("src0" -> 600L), defaultBudget = 1000L)
@@ -231,6 +248,36 @@ object QcOps {
     // single-window mirror of the two-phase keyed prefix sum: bucket
     // order is priority order (bucket = high bits of the hash), so one
     // window ordered by (pr, doc_id) per domain is the same prefix
+    // the alpha = 0.5 smoothing recipe replayed in HUGEINT: floor
+    // sqrt weights, two floor divisions, LEAST cap — every value
+    // integer until the (unused) end, so hashes match bit-for-bit
+    "t31_temperature_mix" ->
+      """WITH x AS (
+        |  SELECT doc_id, source,
+        |    COALESCE(len(list_filter(string_split(text,' '),
+        |      t -> len(t) > 0)), 0)::BIGINT AS tok,
+        |    CAST('0x' || substr(md5('tm:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |      AS INT) AS pr
+        |  FROM documents),
+        |m AS (SELECT source, SUM(tok)::BIGINT AS n FROM x GROUP BY 1),
+        |w AS (SELECT source, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS rt FROM m),
+        |tot AS (SELECT SUM(rt)::HUGEINT AS wsum FROM w),
+        |r AS (
+        |  SELECT source, n,
+        |    COALESCE(LEAST(10000::HUGEINT,
+        |      (10000::HUGEINT * ((25806::HUGEINT * rt) // NULLIF(wsum, 0)))
+        |        // NULLIF(n, 0)), 0) AS rate
+        |  FROM w, tot),
+        |k AS (
+        |  SELECT x.doc_id, x.source, x.tok, r.rate,
+        |    (pr::HUGEINT * 10000 < rate * 65536) AS kept
+        |  FROM x JOIN r USING (source))
+        |SELECT source, SUM(tok)::BIGINT AS n_tokens,
+        |  CAST(MAX(rate) AS BIGINT) AS rate_pmyr,
+        |  SUM(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS kept_ct,
+        |  SUM(CASE WHEN kept THEN tok ELSE 0 END)::BIGINT AS kept_tokens
+        |FROM k GROUP BY source""".stripMargin,
+
     "t15_domain_mix" ->
       """WITH x AS (
         |  SELECT doc_id, source,

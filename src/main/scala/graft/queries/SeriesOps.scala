@@ -85,6 +85,14 @@ object SeriesOps {
     "s9_weekday_profile" -> { (s, dir) =>
       Series.weekdayProfile(Tables.events(s, dir), keyCol = "user_id",
         tsCol = "ts", valueCol = "value")
+    },
+
+    // day-over-day categorical drift: total-variation distance via
+    // integer cross-products, one final divide — the ingest health
+    // check a continuously-growing corpus runs (Series scaladoc)
+    "s10_dist_drift" -> { (s, dir) =>
+      Series.distributionDrift(Tables.events(s, dir),
+        tsCol = "ts", typeCol = "event_type")
     })
 
   /** s8's lag-chain SQL, generated for the 16-term horizon: numerator
@@ -106,6 +114,29 @@ object SeriesOps {
   // epoch_us // on non-negative longs ≡ Spark DIV; cents sums are
   // DECIMAL-exact; L1 is integer — bit-identical across engines
   def oracle: Map[String, String] = Map(
+    // |n·M − m·N| summed in BIGINT, one double divide at the end —
+    // no order-dependent float sum anywhere
+    "s10_dist_drift" ->
+      """WITH c AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day, event_type AS typ,
+        |    COUNT(*)::BIGINT AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (SELECT day, SUM(n)::BIGINT AS nn FROM c GROUP BY 1),
+        |p AS (SELECT day + 1 AS day, typ, n AS m FROM c),
+        |f AS (
+        |  SELECT COALESCE(c.day, p.day) AS day,
+        |    COALESCE(c.typ, p.typ) AS typ,
+        |    COALESCE(c.n, 0) AS n, COALESCE(p.m, 0) AS m
+        |  FROM c FULL OUTER JOIN p ON c.day = p.day AND c.typ = p.typ)
+        |SELECT f.day,
+        |  CAST(SUM(abs(n * t2.mm - m * t1.nn)) AS DOUBLE)
+        |    / (2 * t1.nn * t2.mm) AS tv
+        |FROM f
+        |JOIN t t1 ON t1.day = f.day
+        |JOIN (SELECT day + 1 AS day, nn AS mm FROM t) t2 ON t2.day = f.day
+        |GROUP BY f.day, t1.nn, t2.mm""".stripMargin,
+
     "s9_weekday_profile" ->
       """SELECT user_id,
         |  ((epoch_ms(ts) // 86400000) + 3) % 7 AS wd,
