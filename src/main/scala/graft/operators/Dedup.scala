@@ -332,6 +332,82 @@ object Dedup {
       .select(col(idCol), sig.cast(IntegerType).as("simhash"))
   }
 
+  /** 48-bit SimHash (the [[simhash16]] vote fold at BIGINT-safe
+    * width): 12 md5 hex chars per distinct word vote ±1 on 48 bit
+    * positions. 48 bits is the widest signature whose every derived
+    * value (hash, band keys, XOR) stays inside a non-negative BIGINT
+    * on both engines — the oracle-portability bound; production runs
+    * wanting more headroom widen to 2×64-bit words, same fold.
+    */
+  def simhash48(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(TextFunctions.tokenSet(col(textCol))).as("w"))
+    val h = conv(substring(md5(col("w")), 1, 12), 16, 10).cast(LongType)
+    val votes = (0 until 48).map { j =>
+      sum((shiftright(h, j).bitwiseAND(lit(1L))) * 2 - 1).as(s"v$j")
+    }
+    val sig = (0 until 48).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    words.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), sig.cast(LongType).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs via Hamming-band LSH — the cheapest text
+    * near-dup join at corpus scale: ONE 48-bit signature per doc (one
+    * shuffle — contrast MinHash's bands × rows hash evaluations), and
+    * the pigeonhole guarantee makes banding EXACT, not probabilistic:
+    * split 48 bits into `maxHamming + 1` bands and any two signatures
+    * within Hamming distance `maxHamming` must agree on at least one
+    * whole band — so the band equi-join is a strict superset of every
+    * qualifying pair (zero false negatives, unlike MinHash banding),
+    * and the XOR popcount verify discards the rest.
+    *
+    * Scale shape: candidates come from an equi-self-join on
+    * (band index, band value) — never all-pairs; degenerate buckets
+    * (16M docs sharing a 12-bit band value at 100 TB) are bounded by
+    * `maxBucket`, the [[candidatePairs]] lever — and at that scale
+    * the real fix is a wider signature (more band bits), same plan.
+    * Verify is codegen'd `bit_count(xor)` on two longs.
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && 48 % (maxHamming + 1) == 0,
+      s"maxHamming + 1 must divide 48, got $maxHamming")
+    val bands = maxHamming + 1
+    val width = 48 / bands
+    val sigs = simhash48(docs, idCol, textCol)
+    val banded0 = sigs.select(col(idCol), col("simhash"),
+      explode(array((0 until bands).map(j => struct(
+        lit(j).as("b"),
+        shiftright(col("simhash"), j * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("v"))): _*)).as("bk"))
+      .select(col(idCol), col("simhash"),
+        col("bk.b").as("b"), col("bk.v").as("v"))
+      .persist()
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else banded0.join(
+        banded0.groupBy(col("b"), col("v"))
+          .agg(count(lit(1)).as("_ct")).filter(col("_ct") <= maxBucket)
+          .select("b", "v"),
+        Seq("b", "v"))
+    val cand = banded
+      .select(col("b"), col("v"), col(idCol).as("doc_a"),
+        col("simhash").as("sig_a"))
+      .join(banded.select(col("b"), col("v"), col(idCol).as("doc_b"),
+        col("simhash").as("sig_b")), Seq("b", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** The KMV sketch state: the ≤ k smallest DISTINCT hashes seen, as a
     * bounded sorted vector. reduce/merge keep the bound, so only k
     * longs per group cross each partial-aggregation boundary — a true

@@ -25,6 +25,14 @@ object DedupOps {
 
     "d4_simhash" -> { (s, dir) => Dedup.simhash16(docs(s, dir)) },
 
+    // Hamming-band near-dup join over 48-bit simhashes: banding is
+    // EXACT by pigeonhole (≤ 3 differing bits ⇒ one whole band
+    // agrees), so the oracle certifies both the signature fold and
+    // the band-join + popcount-verify pipeline end to end
+    "d22_simhash_neardup" -> { (s, dir) =>
+      Dedup.simhashNearDup(docs(s, dir), maxHamming = 3)
+    },
+
     // KMV sketch over per-source distinct content hashes: unlike HLL
     // the estimate is a deterministic function of the data (md5), so
     // both engines compute the identical value — exactly checkable
@@ -724,6 +732,39 @@ object DedupOps {
          |  FROM wx),
          |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id)
          |SELECT doc_id, CAST($bits AS INT) AS simhash FROM votes""".stripMargin
+    },
+
+    // the d4 fold at 48-bit width, then 4 × 12-bit bands → equi-join
+    // → exact popcount verify; every value stays in BIGINT
+    "d22_simhash_neardup" -> {
+      val votes = (0 until 48)
+        .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS v$j")
+        .mkString(",\n  ")
+      val bits = (0 until 48)
+        .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH wx AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_filter(
+         |      string_split(lower(text), ' '), x -> len(x) > 0))) AS w
+         |  FROM documents),
+         |hv AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
+         |  FROM wx),
+         |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id),
+         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM votes),
+         |b AS (
+         |  SELECT doc_id, sig, j AS b, (sig >> (12 * j)) & 4095 AS v
+         |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |    a.sig AS sa, b2.sig AS sb
+         |  FROM b a JOIN b b2 ON a.b = b2.b AND a.v = b2.v
+         |    AND a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
     }
   )
 }

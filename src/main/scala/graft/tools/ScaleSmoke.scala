@@ -240,7 +240,11 @@ object ScaleSmoke {
       // the source count fixed, so the distinct + shingle equi-join
       // must track the vocab scan, not sources²·vocab
       bench("d19", dt1x, dtNx,
-        d => Dedup.sourceOverlap(d, maxSourceFreq = 8L)))
+        d => Dedup.sourceOverlap(d, maxSourceFreq = 8L)),
+      // d22: simhash hamming-band join — tagged copies get distinct
+      // word sets, so signatures spread across the band space and the
+      // equi-join grows with docs, never docs²
+      bench("d22", dt1x, dtNx, d => Dedup.simhashNearDup(d)))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)

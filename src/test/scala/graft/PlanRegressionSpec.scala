@@ -351,6 +351,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(1500)) // partial+final
   }
 
+  test("d22 simhash near-dup: band equi-join, never all-pairs") {
+    val p = plan("d22_simhash_neardup")
+    // the candidate join must key on (band, value) — a cartesian or
+    // NL join here means the pigeonhole banding stopped pruning
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000)) // popcount is codegen'd
+  }
+
   test("q20 brand/supplier: dims broadcast, fact never re-shuffled before the agg") {
     val p = plan("q20_brand_supplier")
     // part/supplier/nation are all dim-sized: every join must be a
