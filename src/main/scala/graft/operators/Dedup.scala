@@ -296,13 +296,19 @@ object Dedup {
     * two id-keyed, size-based joins of the (id, split) projection —
     * the split column is derived, never shuffled with the text.
     */
+  /** @param pairs pre-built near-dup pairs (a staged index artifact —
+    *   must match this call's threshold/shingling config); None
+    *   builds [[nearDupPairs]] inline.
+    */
   def splitLeakage(docs: DataFrame, threshold: Double, split: Column,
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 3, bands: Int = 2, rowsPerBand: Int = 4,
-                   maxBucket: Int = Int.MaxValue): DataFrame = {
+                   maxBucket: Int = Int.MaxValue,
+                   pairs: Option[DataFrame] = None): DataFrame = {
     val splits = docs.select(col(idCol), split.as("_split"))
-    nearDupPairs(docs, threshold, idCol, textCol, n, bands, rowsPerBand,
-        maxBucket)
+    pairs.getOrElse(
+        nearDupPairs(docs, threshold, idCol, textCol, n, bands,
+          rowsPerBand, maxBucket))
       .join(splits.select(col(idCol).as("doc_a"),
         col("_split").as("split_a")), "doc_a")
       .join(splits.select(col(idCol).as("doc_b"),
