@@ -263,10 +263,15 @@ object Dedup {
     *   boilerplate carries no mixing signal but costs source-freq²
     *   join rows apiece. Default ∞ = exact overlap over all shingles.
     */
+  /** @param rows pre-built DISTINCT (group, shingle) rows — a staged
+    *   index artifact; None builds inline.
+    */
   def sourceOverlap(docs: DataFrame, groupCol: String = "source",
                     textCol: String = "text", n: Int = 3,
-                    maxSourceFreq: Long = Long.MaxValue): DataFrame = {
-    val sh0 = shingleRows(docs, groupCol, textCol, n).distinct().persist()
+                    maxSourceFreq: Long = Long.MaxValue,
+                    rows: Option[DataFrame] = None): DataFrame = {
+    val sh0 = rows.getOrElse(
+      shingleRows(docs, groupCol, textCol, n).distinct()).persist()
     val sh =
       if (maxSourceFreq == Long.MaxValue) sh0
       else sh0.join(
@@ -613,12 +618,17 @@ object Dedup {
     *   candidate rows). Default ∞ = exact containment over all
     *   shingles.
     */
+  /** @param rows pre-built (id, shingle) rows — a staged
+    *   [[shingleRows]] index artifact (must match `n`); None builds
+    *   inline.
+    */
   def containmentPairs(docs: DataFrame, threshold: Double,
                        idCol: String = "doc_id",
                        textCol: String = "text",
                        n: Int = 3,
-                       maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val sh0 = shingleRows(docs, idCol, textCol, n).persist()
+                       maxDocFreq: Long = Long.MaxValue,
+                       rows: Option[DataFrame] = None): DataFrame = {
+    val sh0 = rows.getOrElse(shingleRows(docs, idCol, textCol, n)).persist()
     val sh =
       if (maxDocFreq == Long.MaxValue) sh0
       else sh0.join(

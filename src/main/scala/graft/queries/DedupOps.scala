@@ -25,6 +25,25 @@ object DedupOps {
         graft.core.Artifacts.fingerprint(dir))(
       Dedup.nearDupPairs(docs(s, dir), threshold = 0.5))
 
+  /** Further staged index tables of the same discipline: the
+    * (doc, shingle) inverted index (d11/d15), the per-source distinct
+    * shingle space (d19/d21), and the minhash signature table (d12).
+    */
+  private def shingleRowsIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      s"shingle-rows|n=3|${graft.core.Artifacts.fingerprint(dir)}")(
+      Dedup.shingleRows(docs(s, dir)))
+
+  private def srcShinglesIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      s"src-shingles|n=3|${graft.core.Artifacts.fingerprint(dir)}")(
+      Dedup.shingleRows(docs(s, dir), "source").distinct())
+
+  private def signaturesIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      s"minhash-sigs|h=8|n=3|${graft.core.Artifacts.fingerprint(dir)}")(
+      Dedup.signatures(docs(s, dir)))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -133,7 +152,7 @@ object DedupOps {
       // one shingle+minhash pass serves the candidate generation AND
       // both signature sides; the shingle arrays persist across their
       // two join uses
-      val sig = Dedup.signatures(d).persist()
+      val sig = signaturesIdx(s, dir).persist()
       val sh = d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
         .persist()
       def side(suffix: String) = sig.columns.tail.foldLeft(
@@ -158,7 +177,8 @@ object DedupOps {
     // asymmetric containment |A∩B|/|A| ≥ 0.5: quote/extraction
     // near-dups symmetric Jaccard misses (the union washes them out)
     "d11_containment" -> { (s, dir) =>
-      Dedup.containmentPairs(docs(s, dir), threshold = 0.5)
+      Dedup.containmentPairs(docs(s, dir), threshold = 0.5,
+        rows = Some(shingleRowsIdx(s, dir)))
     },
 
     // the production lever against the Zipf head, hash-verified: same
@@ -169,7 +189,7 @@ object DedupOps {
     // d docs costs d² inverted-index rows)
     "d15_containment_capped" -> { (s, dir) =>
       Dedup.containmentPairs(docs(s, dir), threshold = 0.5,
-        maxDocFreq = 5L)
+        maxDocFreq = 5L, rows = Some(shingleRowsIdx(s, dir)))
     },
 
     // canonical selection after clustering: per near-dup cluster keep
@@ -217,7 +237,8 @@ object DedupOps {
     // fraction of A's distinct shingle space B already covers — the
     // asymmetric redundancy read a mixing decision (t15) rests on
     "d19_source_overlap" -> { (s, dir) =>
-      Dedup.sourceOverlap(docs(s, dir))
+      Dedup.sourceOverlap(docs(s, dir),
+        rows = Some(srcShinglesIdx(s, dir)))
     },
 
     // d19 with the stop-shingle cap engaged (the d15 lever at source
@@ -226,7 +247,8 @@ object DedupOps {
     // wide-mixture run deploys, since a ubiquitous shingle costs
     // source-freq² join rows while carrying no mixing signal
     "d21_source_overlap_capped" -> { (s, dir) =>
-      Dedup.sourceOverlap(docs(s, dir), maxSourceFreq = 8L)
+      Dedup.sourceOverlap(docs(s, dir), maxSourceFreq = 8L,
+        rows = Some(srcShinglesIdx(s, dir)))
     },
 
     // eval-integrity audit: near-dup pairs CROSSING the t7 train/val
