@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions.nTokens
-import graft.operators.{Bm25, Decontaminate, DupSpans, Mixing, Redact, Repetition}
+import graft.operators.{Bm25, Decontaminate, DupSpans, Mixing, Quantiles, Redact, Repetition}
 
 /** Corpus-QC operators over `documents`: repetition quality
   * (Gopher-rule signals), benchmark decontamination, pattern
@@ -95,6 +95,31 @@ object QcOps {
         nTokens(col("text")), Map("src0" -> 600L), defaultBudget = 1000L)
         .filter(col("kept"))
         .select(col("doc_id"), col("source"), col("tok_prefix"))
+    },
+
+    // ---- exact per-source token-count quantiles --------------------------
+    // percentile_disc semantics via the value-count + keyed-prefix-sum
+    // shape (state ∝ distinct token counts, never rows); rank
+    // thresholds ceil(q*n) derived in integer DIV on both engines, so
+    // the selected elements are bit-identical cross-engine
+    "t32_quantile_stats" -> { (s, dir) =>
+      Quantiles.groupQuantiles(docs(s, dir), "source",
+        nTokens(col("text")), Seq(250, 500, 750, 950))
+    },
+
+    // ---- percentile-gated quality filter ---------------------------------
+    // per-source adaptive threshold (Gopher's per-slice tail shedding):
+    // each source drops its own bottom decile by token count; the p10
+    // thresholds broadcast back onto the docs, raw rows never shuffle
+    "t33_quality_gate" -> { (s, dir) =>
+      Quantiles.percentileGate(docs(s, dir), "source",
+          nTokens(col("text")), qPermille = 100)
+        .groupBy(col("source"))
+        .agg(max(col("thr")).as("thr"),
+          count(lit(1)).as("total_ct"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_ct"),
+          sum(when(col("kept"), nTokens(col("text")).cast("long"))
+            .otherwise(0L)).as("kept_tokens"))
     },
 
     // ---- BM25 ranked retrieval (rational-idf variant) --------------------
@@ -292,6 +317,50 @@ object QcOps {
         |SELECT doc_id, source, CAST(tok_prefix AS BIGINT) AS tok_prefix
         |FROM p
         |WHERE tok_prefix < CASE WHEN source = 'src0' THEN 600 ELSE 1000 END""".stripMargin,
+
+    // the exact mirror of the value-count + prefix-sum selection:
+    // integer // for the rank threshold, so no float q*n boundary
+    "t32_quantile_stats" ->
+      """WITH x AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text,' '), t -> len(t) > 0))
+        |      AS BIGINT) AS v
+        |  FROM documents),
+        |vc AS (SELECT source, v, COUNT(*) AS c FROM x GROUP BY 1, 2),
+        |p AS (
+        |  SELECT source, v,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM vc)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum >= (n * 250 + 999) // 1000 THEN v END) AS BIGINT) AS p25,
+        |  CAST(MIN(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN v END) AS BIGINT) AS p50,
+        |  CAST(MIN(CASE WHEN cum >= (n * 750 + 999) // 1000 THEN v END) AS BIGINT) AS p75,
+        |  CAST(MIN(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN v END) AS BIGINT) AS p95
+        |FROM p GROUP BY source""".stripMargin,
+
+    "t33_quality_gate" ->
+      """WITH x AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text,' '), t -> len(t) > 0))
+        |      AS BIGINT) AS v
+        |  FROM documents),
+        |vc AS (SELECT source, v, COUNT(*) AS c FROM x GROUP BY 1, 2),
+        |p AS (
+        |  SELECT source, v,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM vc),
+        |thr AS (
+        |  SELECT source,
+        |    MIN(CASE WHEN cum >= (n * 100 + 999) // 1000 THEN v END) AS thr
+        |  FROM p GROUP BY source)
+        |SELECT x.source, CAST(MAX(thr) AS BIGINT) AS thr,
+        |  CAST(COUNT(*) AS BIGINT) AS total_ct,
+        |  CAST(SUM(CASE WHEN v >= thr THEN 1 ELSE 0 END) AS BIGINT) AS kept_ct,
+        |  CAST(SUM(CASE WHEN v >= thr THEN v ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM x JOIN thr USING (source)
+        |GROUP BY x.source""".stripMargin,
 
     // every float op mirrors Bm25.topK step for step (rational idf, no
     // ln — see the Scaladoc); constants are combined in-expression so
