@@ -384,13 +384,31 @@ object Dedup {
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
                      idCol: String = "doc_id", textCol: String = "text",
-                     maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(maxHamming >= 0 && 48 % (maxHamming + 1) == 0,
-      s"maxHamming + 1 must divide 48, got $maxHamming")
+                     maxBucket: Int = Int.MaxValue): DataFrame =
+    hammingBandPairs(simhash48(docs, idCol, textCol), idCol, "simhash",
+      bits = 48, maxHamming = maxHamming, maxBucket = maxBucket)
+
+  /** Generic Hamming-band near-dup join over any per-row bit
+    * signature (SimHash, perceptual image hashes, sign-bit embedding
+    * codes): the pigeonhole-exact banding documented on
+    * [[simhashNearDup]], factored so every signature family shares
+    * one plan shape. `sigCol` must be a non-negative BIGINT using the
+    * low `bits` bits; emits (doc_a, doc_b, hamming) for all pairs
+    * within `maxHamming`, candidates from a band equi-join (never
+    * all-pairs), `maxBucket` capping degenerate bands.
+    */
+  def hammingBandPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                       bits: Int, maxHamming: Int,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    require(maxHamming >= 0 && bits % (maxHamming + 1) == 0,
+      s"maxHamming + 1 must divide $bits, got $maxHamming")
     val bands = maxHamming + 1
-    val width = 48 / bands
-    val sigs = simhash48(docs, idCol, textCol)
-    val banded0 = sigs.select(col(idCol), col("simhash"),
+    val width = bits / bands
+    // rename in its own projection: the band keys below must reference
+    // a real input column, not a lateral alias from the same select
+    val named = sigs.select(col(idCol), col(sigCol).as("simhash"))
+    val banded0 = named.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map(j => struct(
         lit(j).as("b"),
         shiftright(col("simhash"), j * width)

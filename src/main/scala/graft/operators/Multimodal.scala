@@ -152,6 +152,66 @@ object Multimodal {
       }))
   }
 
+  /** 48-bit perceptual average-hash (aHash) of a binary payload: 48
+    * bytes sampled at evenly spaced offsets (the "downsample to a
+    * fixed grid" step), bit i set iff sample i is at or above the
+    * integer mean of the 48 samples — the classic aHash recipe
+    * (downsample → mean → threshold) on the byte domain. Re-encodes,
+    * crops and container-level rewrites that preserve most content
+    * bytes land within a few bits of each other; exact copies collide
+    * at distance 0. 48 bits (not pHash's 64) is the repo's
+    * oracle-portability bound: every derived value stays a
+    * non-negative BIGINT on both engines ([[graft.operators.Dedup.simhash48]]).
+    *
+    * All integer arithmetic (offsets via long floor-div, mean via
+    * integer DIV), pure builtin expressions inside one projection —
+    * no UDF, no shuffle; a production image pipeline swaps the byte
+    * samples for decoded luma pixels behind the same column contract.
+    */
+  def perceptualHash48(df: DataFrame, payloadCol: String = "payload",
+                       outCol: String = "phash"): DataFrame = {
+    val n = 48
+    val pay = col(payloadCol)
+    // sample i lives at byte offset floor(i * len / n) (0-based); the
+    // multiply is in LONG like sampleFrames — frame offsets on real
+    // media sizes clear Int.MaxValue
+    val samples = transform(sequence(lit(0), lit(n - 1)), i =>
+      when(length(pay) > 0,
+        conv(hex(pay.substr(
+          (floor(i.cast(LongType) * length(pay) / n) + 1).cast(IntegerType),
+          lit(1))), 16, 10).cast(LongType))
+        .otherwise(lit(0L)))
+    val mean = expr(s"aggregate(_ph_samples, 0L, (a, x) -> a + x) DIV $n")
+    df.withColumn("_ph_samples", samples)
+      .withColumn("_ph_mean", mean)
+      .withColumn(outCol, expr(
+        s"""aggregate(
+           |  zip_with(_ph_samples, sequence(0, ${n - 1}),
+           |    (s, i) -> IF(s >= _ph_mean, shiftleft(1L, i), 0L)),
+           |  0L, (a, x) -> a + x)""".stripMargin))
+      .drop("_ph_samples", "_ph_mean")
+  }
+
+  /** Perceptual near-duplicate pairs: payloads whose aHash-48
+    * signatures are within `maxHamming` bits — the content-level tier
+    * between [[blobDedup]] (exact bytes) and [[frameOverlapPairs]]
+    * (shared exact frames): it catches payloads where EVERY frame
+    * changed slightly (re-encode noise) so no digest matches, but the
+    * overall byte texture is preserved. Candidates come from the
+    * shared pigeonhole-exact Hamming band join
+    * ([[graft.operators.Dedup.hammingBandPairs]]) — one 48-bit
+    * signature per payload, band equi-join, popcount verify; never
+    * all-pairs.
+    */
+  def perceptualNearDup(df: DataFrame, maxHamming: Int = 3,
+                        idCol: String = "doc_id",
+                        payloadCol: String = "payload",
+                        maxBucket: Int = Int.MaxValue): DataFrame =
+    Dedup.hammingBandPairs(
+      perceptualHash48(df, payloadCol).select(col(idCol), col("phash")),
+      idCol, "phash", bits = 48, maxHamming = maxHamming,
+      maxBucket = maxBucket)
+
   /** Frame-overlap near-duplicate pairs: payloads sharing at least
     * `minShared` sampled-frame digests — how video/image dedup works
     * in practice (per-frame fingerprints; clips that share frames are

@@ -63,6 +63,17 @@ object MultimodalOps {
     "m5_frame_overlap" -> { (s, dir) =>
       Multimodal.frameOverlapPairs(
         Multimodal.withPayload(docs(s, dir)), n = 4, minShared = 1L)
+    },
+
+    // ---- perceptual (aHash) near-dup: content-texture tier ---------------
+    // 48-bit average-hash per payload, pairs within Hamming 7 via the
+    // shared pigeonhole-exact band join (8 bands x 6 bits); maxHamming
+    // = 7 is where the synthetic corpus yields a meaty pair set (227
+    // pairs at sf0.01) — the oracle replays sample/mean/threshold
+    // bit-for-bit and verifies with an all-pairs popcount
+    "m7_phash_neardup" -> { (s, dir) =>
+      Multimodal.perceptualNearDup(
+        Multimodal.withPayload(docs(s, dir)), maxHamming = 7)
     })
 
   def oracle: Map[String, String] = Map(
@@ -119,6 +130,26 @@ object MultimodalOps {
         |  COUNT(*) AS shared_frames
         |FROM fd a JOIN fd b ON a.dg = b.dg AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
-        |HAVING COUNT(*) >= 1""".stripMargin
+        |HAVING COUNT(*) >= 1""".stripMargin,
+
+    // the aHash recipe replayed literally (integer offsets // 48,
+    // integer mean, << bit fold), then an all-pairs popcount — the
+    // oracle may brute-force what the Spark side bands
+    "m7_phash_neardup" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(48), i -> CASE WHEN strlen(text) = 0 THEN 0
+        |      ELSE ord(substr(text, CAST(i * strlen(text) // 48 AS INT) + 1, 1)) END) AS sm
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_sum(sm) // 48 AS mean, sm FROM s),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(48),
+        |      i -> CASE WHEN sm[i+1] >= mean THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS ph
+        |  FROM h)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 7""".stripMargin
   )
 }

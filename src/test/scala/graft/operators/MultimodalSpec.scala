@@ -114,4 +114,58 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(capped === Set((6L, 7L, 4L)))
   }
+
+  /** Plain-Scala replica of perceptualHash48: sample 48 evenly spaced
+    * bytes, integer mean, threshold bits.
+    */
+  private def phashRef(s: String): Long = {
+    val bytes = s.getBytes("UTF-8")
+    val samples = (0 until 48).map { i =>
+      if (bytes.isEmpty) 0L
+      else (bytes((i.toLong * bytes.length / 48).toInt) & 0xff).toLong
+    }
+    val mean = samples.sum / 48
+    samples.zipWithIndex.map { case (v, i) =>
+      if (v >= mean) 1L << i else 0L
+    }.sum
+  }
+
+  test("perceptualHash48 matches the plain-Scala aHash replica") {
+    val rows = Seq((1L, "the quick brown fox jumps over the lazy dog " * 3),
+      (2L, "abcdefgh" * 12), (3L, "zzzz"), (4L, ""))
+    val got = Multimodal.perceptualHash48(
+        rows.toDF("doc_id", "text")
+          .select($"doc_id", $"text".cast("binary").as("payload")))
+      .select($"doc_id", $"phash").as[(Long, Long)].collect().toMap
+    for ((id, s) <- rows) assert(got(id) === phashRef(s), s"doc $id")
+  }
+
+  test("perceptual near-dup: exact copies at distance 0, banding is exact") {
+    // a and b are byte-identical -> distance 0; c differs in a couple
+    // of sampled regions; d is unrelated noise
+    val base = "spark engine row batch shuffle partition " * 4
+    val rows = Seq((1L, base), (2L, base),
+      (3L, base.replace("shuffle", "shuffIe")),
+      (4L, "qqq www eee rrr ttt yyy uuu iii ooo ppp " * 4))
+    val df = rows.toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val got = Multimodal.perceptualNearDup(df, maxHamming = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute-force reference over the replica hashes
+    val sigs = rows.map { case (id, s) => id -> phashRef(s) }
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 7
+    } yield (a, b, d.toLong)).toSet
+    assert(got === want)
+    assert(want.contains((1L, 2L, 0L)), "exact copies must collide at 0")
+  }
+
+  test("hammingBandPairs rejects invalid band splits and sign-bit widths") {
+    val sigs = Seq((1L, 5L)).toDF("doc_id", "sig")
+    intercept[IllegalArgumentException](
+      Dedup.hammingBandPairs(sigs, "doc_id", "sig", bits = 48, maxHamming = 4))
+    intercept[IllegalArgumentException](
+      Dedup.hammingBandPairs(sigs, "doc_id", "sig", bits = 64, maxHamming = 3))
+  }
 }
