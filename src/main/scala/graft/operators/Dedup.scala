@@ -423,18 +423,21 @@ object Dedup {
           .agg(count(lit(1)).as("_ct")).filter(col("_ct") <= maxBucket)
           .select("b", "v"),
         Seq("b", "v"))
-    val cand = banded
+    // popcount-verify BEFORE deduplicating candidates: the xor is
+    // codegen'd and nearly free per band hit, while a pre-verify
+    // distinct would shuffle every candidate row (bands × pairs — the
+    // dominant row count when band values saturate); verifying first
+    // shrinks the distinct's input to the qualifying pairs only
+    banded
       .select(col("b"), col("v"), col(idCol).as("doc_a"),
         col("simhash").as("sig_a"))
       .join(banded.select(col("b"), col("v"), col(idCol).as("doc_b"),
         col("simhash").as("sig_b")), Seq("b", "v"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
-    cand
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
   }
 
   /** The KMV sketch state: the ≤ k smallest DISTINCT hashes seen, as a

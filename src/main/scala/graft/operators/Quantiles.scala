@@ -63,14 +63,30 @@ object Quantiles {
     *   [1, 1000]; e.g. Seq(250, 500, 750, 950) = p25/p50/p75/p95
     */
   def groupQuantiles(df: DataFrame, groupCol: String, value: Column,
-                     qsPermille: Seq[Int]): DataFrame = {
+                     qsPermille: Seq[Int]): DataFrame =
+    fromCounts(
+      df.groupBy(col(groupCol), value.cast(LongType).as("_v"))
+        .agg(count(lit(1)).as("_c")),
+      groupCol, "_v", "_c", qsPermille)
+
+  /** The counts→quantiles finisher: discrete quantiles per group from
+    * an already-reduced (group, value, count) table. Split out because
+    * the value-count state is ADDITIVE — a streaming job maintains it
+    * incrementally with the exactly-once additive-MERGE sink and this
+    * finisher serves quantiles from the compacted counts
+    * ([[graft.streaming.QuantileStreaming]]); rollup tiers (per-day
+    * counts → weekly quantiles) sum counts then finish the same way.
+    */
+  def fromCounts(counts: DataFrame, groupCol: String, valueCol: String,
+                 countCol: String, qsPermille: Seq[Int]): DataFrame = {
     require(qsPermille.nonEmpty, "need at least one quantile fraction")
     require(qsPermille.forall(q => q >= 1 && q <= 1000),
       s"permille fractions must be in [1, 1000], got $qsPermille")
     require(qsPermille.distinct.size == qsPermille.size,
       s"duplicate fractions in $qsPermille")
-    val vc = df.groupBy(col(groupCol), value.cast(LongType).as("_v"))
-      .agg(count(lit(1)).as("_c"))
+    val vc = counts.select(col(groupCol),
+      col(valueCol).cast(LongType).as("_v"),
+      col(countCol).cast(LongType).as("_c"))
     // both windows partition on the group key: one exchange, and the
     // unordered total rides the ordered window's sort
     val byGroup = Window.partitionBy(groupCol)

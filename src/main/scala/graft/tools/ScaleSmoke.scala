@@ -244,7 +244,13 @@ object ScaleSmoke {
       // d22: simhash hamming-band join — tagged copies get distinct
       // word sets, so signatures spread across the band space and the
       // equi-join grows with docs, never docs²
-      bench("d22", dt1x, dtNx, d => Dedup.simhashNearDup(d)))
+      bench("d22", dt1x, dtNx, d => Dedup.simhashNearDup(d)),
+      // t32: exact quantiles — the raw scan dominates; the windowed
+      // part runs over the value-count reduction, whose size is the
+      // distinct token-count range (constant across copies)
+      bench("t32", d1x, dNx, d => graft.operators.Quantiles.groupQuantiles(
+        d, "source", graft.functions.TextFunctions.nTokens(col("text")),
+        Seq(250, 500, 750, 950))))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)

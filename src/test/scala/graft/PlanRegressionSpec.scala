@@ -360,6 +360,31 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), p.take(2000)) // popcount is codegen'd
   }
 
+  test("t32 quantiles: pruned scan, partial value-count agg, no cartesian") {
+    val p = plan("t32_quantile_stats")
+    // the only pass over raw rows is the (source, value) count — it
+    // must map-side combine (partial HashAggregate) before any window
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"),
+      p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  test("t33 percentile gate: thresholds broadcast back, fact never shuffled by the gate") {
+    val p = plan("t33_quality_gate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("m7 perceptual near-dup: band equi-join, signature scan carries no payload") {
+    val p = plan("m7_phash_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000)) // aHash + popcount codegen'd
+  }
+
   test("q20 brand/supplier: dims broadcast, fact never re-shuffled before the agg") {
     val p = plan("q20_brand_supplier")
     // part/supplier/nation are all dim-sized: every join must be a
