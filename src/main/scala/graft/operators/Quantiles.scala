@@ -69,6 +69,24 @@ object Quantiles {
         .agg(count(lit(1)).as("_c")),
       groupCol, "_v", "_c", qsPermille)
 
+  /** Weighted discrete quantiles: quantile q is the smallest value v
+    * whose cumulative WEIGHT reaches ceil(q × total-weight) — e.g.
+    * "the doc-length median by token mass", where a 10k-token doc
+    * counts 10k× a one-token doc (the distribution a token-budget
+    * mixing decision actually cares about; row-counted quantiles
+    * over-weight short docs). Same value-count reduction shape as
+    * [[groupQuantiles]] with `sum(weight)` as the count; output `n`
+    * is the group's total weight. Zero-weight rows never shift a
+    * selection (they add nothing to any cumulative sum).
+    */
+  def groupQuantilesWeighted(df: DataFrame, groupCol: String, value: Column,
+                             weight: Column,
+                             qsPermille: Seq[Int]): DataFrame =
+    fromCounts(
+      df.groupBy(col(groupCol), value.cast(LongType).as("_v"))
+        .agg(sum(weight.cast(LongType)).as("_c")),
+      groupCol, "_v", "_c", qsPermille)
+
   /** The counts→quantiles finisher: discrete quantiles per group from
     * an already-reduced (group, value, count) table. Split out because
     * the value-count state is ADDITIVE — a streaming job maintains it

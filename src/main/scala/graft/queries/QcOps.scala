@@ -107,6 +107,16 @@ object QcOps {
         nTokens(col("text")), Seq(250, 500, 750, 950))
     },
 
+    // ---- token-weighted doc-length quantiles -----------------------------
+    // "what doc length does the median TOKEN live in" — the
+    // distribution a token-budget decision reads; a 10k-token doc
+    // counts 10k x a short one (row-counted quantiles over-weight
+    // short docs)
+    "t34_weighted_quantiles" -> { (s, dir) =>
+      Quantiles.groupQuantilesWeighted(docs(s, dir), "source",
+        col("n_chars"), nTokens(col("text")), Seq(500, 950))
+    },
+
     // ---- percentile-gated quality filter ---------------------------------
     // per-source adaptive threshold (Gopher's per-slice tail shedding):
     // each source drops its own bottom decile by token count; the p10
@@ -336,6 +346,25 @@ object QcOps {
         |  CAST(MIN(CASE WHEN cum >= (n * 250 + 999) // 1000 THEN v END) AS BIGINT) AS p25,
         |  CAST(MIN(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN v END) AS BIGINT) AS p50,
         |  CAST(MIN(CASE WHEN cum >= (n * 750 + 999) // 1000 THEN v END) AS BIGINT) AS p75,
+        |  CAST(MIN(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN v END) AS BIGINT) AS p95
+        |FROM p GROUP BY source""".stripMargin,
+
+    // same prefix-sum mirror with SUM(weight) as the count; n = total
+    // token mass per source
+    "t34_weighted_quantiles" ->
+      """WITH x AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(len(list_filter(string_split(text,' '), t -> len(t) > 0))
+        |      AS BIGINT) AS w
+        |  FROM documents),
+        |vc AS (SELECT source, v, SUM(w) AS c FROM x GROUP BY 1, 2),
+        |p AS (
+        |  SELECT source, v,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM vc)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN v END) AS BIGINT) AS p50,
         |  CAST(MIN(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN v END) AS BIGINT) AS p95
         |FROM p GROUP BY source""".stripMargin,
 

@@ -74,6 +74,36 @@ class QuantilesSpec extends AnyFunSuite {
     assert(b5.getBoolean(b5.fieldIndex("kept")))
   }
 
+  test("weighted quantiles match a plain-Scala replica; weight=1 == unweighted") {
+    // expand each (v, w) into w copies and take the discrete quantile
+    def wdisc(vw: Seq[(Long, Long)], q: Int): Long =
+      disc(vw.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }, q)
+    val rows = Seq(("a", 10L, 3L), ("a", 20L, 1L), ("a", 30L, 6L),
+      ("b", 1L, 1L), ("b", 2L, 0L), ("b", 5L, 9L))
+    val got = Quantiles.groupQuantilesWeighted(
+        rows.toDF("g", "v", "w"), "g", col("v"), col("w"), Seq(500, 950))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((g, vw) <- rows.groupBy(_._1)) {
+      val pairs = vw.map(t => (t._2, t._3))
+      val row = got(g)
+      assert(row.getLong(row.fieldIndex("n")) === pairs.map(_._2).sum)
+      assert(row.getLong(row.fieldIndex("p50")) === wdisc(pairs, 500), s"$g p50")
+      assert(row.getLong(row.fieldIndex("p95")) === wdisc(pairs, 950), s"$g p95")
+    }
+    // zero-weight value 2 in group b is never selected
+    assert(got("b").getLong(got("b").fieldIndex("p50")) === 5L)
+    // unit weights reproduce the unweighted operator exactly
+    val uw = Quantiles.groupQuantilesWeighted(
+        data.toDF("g", "v"), "g", col("v"), lit(1L), Seq(250, 750))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val plain = Quantiles.groupQuantiles(
+        data.toDF("g", "v"), "g", col("v"), Seq(250, 750))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(uw === plain)
+  }
+
   test("rejects empty, out-of-range, and duplicate fractions") {
     val df = data.toDF("g", "v")
     intercept[IllegalArgumentException](
