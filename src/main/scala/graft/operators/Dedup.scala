@@ -544,6 +544,59 @@ object Dedup {
       groupCol, k)
   }
 
+  /** Sketch-algebra source overlap — the KMV answer to
+    * [[sourceOverlap]]'s exact matrix: per source pair, the distinct-
+    * shingle UNION estimate from merged sketches (the k-min of a union
+    * is the k-min of the parts' k-mins, so the pairwise merge is pure
+    * array algebra on ≤ k longs — no second pass over data) and the
+    * INTERSECTION estimate by inclusion–exclusion
+    * (est(A) + est(B) − est(A∪B), floored at 0). The exact
+    * intersection count rides along as the eval column (the v11/d9
+    * recall-row pattern): at 100 TB you run ONLY the sketch path —
+    * S sketches of k longs replace d19's vocab-wide shingle equi-join —
+    * and this query is the calibration that says what that buys.
+    *
+    * The S×S pair frame is built from SKETCH rows (S sources, k longs
+    * each), never data rows — a broadcast nested-loop over a
+    * dim-sized side, the one place a non-equi join is the right call.
+    * Every estimate is a deterministic function of the md5 hash set
+    * (no RNG), so the whole matrix is hash-checkable cross-engine.
+    */
+  def kmvSetOps(docs: DataFrame, groupCol: String = "source",
+                textCol: String = "text", n: Int = 3, k: Int = 64,
+                rows: Option[DataFrame] = None): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val sh = rows.getOrElse(
+      shingleRows(docs, groupCol, textCol, n).distinct()).persist()
+    val sketches = kmvSketches(sh, groupCol, "shingle", k)
+    def est(mins: Column): Column =
+      when(size(mins) < k, size(mins).cast(DoubleType))
+        .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /
+          element_at(mins, k))
+    val a = sketches.select(col(groupCol).as("src_a"),
+      col("kmv_mins").as("_ma"))
+    val b = sketches.select(col(groupCol).as("src_b"),
+      col("kmv_mins").as("_mb"))
+    val merged = a.join(b, col("src_a") < col("src_b"))
+      .withColumn("_mu",
+        slice(array_sort(array_distinct(concat(col("_ma"), col("_mb")))),
+          1, k))
+    val exact = sh.select(col(groupCol).as("src_a"), col("shingle"))
+      .join(sh.select(col(groupCol).as("src_b"),
+        col("shingle").as("_s2")), col("shingle") === col("_s2") &&
+        col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    merged
+      .select(col("src_a"), col("src_b"),
+        est(col("_ma")).as("est_a"), est(col("_mb")).as("est_b"),
+        est(col("_mu")).as("est_union"))
+      .withColumn("est_inter",
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+      .join(exact, Seq("src_a", "src_b"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+  }
+
   /** Shared estimator finishing, so direct and merged paths cannot
     * diverge: exact count below k, the deterministic (k−1)·2⁴⁸/kth
     * estimator at k.

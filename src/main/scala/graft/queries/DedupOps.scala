@@ -251,6 +251,15 @@ object DedupOps {
         rows = Some(srcShinglesIdx(s, dir)))
     },
 
+    // sketch-algebra overlap: the d19 matrix from MERGED KMV sketches
+    // (union = array algebra on k-min lists, intersection by
+    // inclusion-exclusion) with the exact intersection alongside as
+    // the calibration column — at 100 TB only the sketch path runs
+    "d23_kmv_setops" -> { (s, dir) =>
+      Dedup.kmvSetOps(docs(s, dir),
+        rows = Some(srcShinglesIdx(s, dir)))
+    },
+
     // eval-integrity audit: near-dup pairs CROSSING the t7 train/val
     // split — the leakage deterministic per-doc splitting cannot
     // prevent (a val doc's near-copy in train). Composes the d3
@@ -665,6 +674,66 @@ object DedupOps {
         |  CAST(63 AS DOUBLE) * 281474976710656.0
         |    / MAX(CASE WHEN rnk = 64 THEN h END) AS kmv_estimate
         |FROM r WHERE rnk <= 64 GROUP BY source""".stripMargin,
+
+    // the sketch algebra replayed in SQL: per-source k-mins by window
+    // rank, pair union = distinct of both k-min lists re-ranked and
+    // cut at k, the d5 estimator on each, inclusion-exclusion floored
+    // at 0; exact intersection from the same shingle CTE
+    "d23_kmv_setops" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(w) - 2, 1) + 1),
+        |      i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+        |d AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) AS h
+        |  FROM sh),
+        |r AS (
+        |  SELECT source, h,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk
+        |  FROM d),
+        |km AS (SELECT source, h, rnk FROM r WHERE rnk <= 64),
+        |se AS (
+        |  SELECT source, COUNT(*) AS c,
+        |    MAX(CASE WHEN rnk = 64 THEN h END) AS kth
+        |  FROM km GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb
+        |  FROM se a JOIN se b ON a.source < b.source),
+        |uh AS (
+        |  SELECT DISTINCT p.sa, p.sb, k.h
+        |  FROM pairs p JOIN km k ON k.source = p.sa OR k.source = p.sb),
+        |ur AS (
+        |  SELECT sa, sb, h,
+        |    ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rnk
+        |  FROM uh),
+        |ue AS (
+        |  SELECT sa, sb, COUNT(*) AS c,
+        |    MAX(CASE WHEN rnk = 64 THEN h END) AS kth
+        |  FROM ur WHERE rnk <= 64 GROUP BY sa, sb),
+        |ex AS (
+        |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS ci
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT p.sa, p.sb,
+        |    CASE WHEN ea.c < 64 THEN CAST(ea.c AS DOUBLE)
+        |      ELSE CAST(63 AS DOUBLE) * 281474976710656.0 / ea.kth END AS est_a,
+        |    CASE WHEN eb.c < 64 THEN CAST(eb.c AS DOUBLE)
+        |      ELSE CAST(63 AS DOUBLE) * 281474976710656.0 / eb.kth END AS est_b,
+        |    CASE WHEN u.c < 64 THEN CAST(u.c AS DOUBLE)
+        |      ELSE CAST(63 AS DOUBLE) * 281474976710656.0 / u.kth END AS est_union
+        |  FROM pairs p
+        |  JOIN se ea ON ea.source = p.sa
+        |  JOIN se eb ON eb.source = p.sb
+        |  JOIN ue u ON u.sa = p.sa AND u.sb = p.sb)
+        |SELECT est.sa AS src_a, est.sb AS src_b, est_a, est_b, est_union,
+        |  GREATEST(CAST(0 AS DOUBLE), est_a + est_b - est_union) AS est_inter,
+        |  CAST(COALESCE(ex.ci, 0) AS BIGINT) AS exact_inter
+        |FROM est LEFT JOIN ex ON ex.sa = est.sa AND ex.sb = est.sb""".stripMargin,
 
     // NOT EXISTS (not NOT IN): a null hash in either side must behave
     // like Spark's left_anti (null keys never match, rows kept) —
