@@ -24,6 +24,43 @@ import graft.functions.TextFunctions.tokenize
   */
 object Decontaminate {
 
+  /** Codegen-friendly (id, gram) ROWS — the corpus-scan gram path.
+    *
+    * Higher-order-function lambdas (`transform`/`filter`) are
+    * CodegenFallback expressions: any stage containing them runs
+    * interpreted, and everything that collapses into that stage
+    * (including an otherwise codegen-able bloom-probe filter above
+    * the explode — measured ~0.25 s PER PROBE at sf0.1) pays
+    * microseconds-per-row eval instead of nanoseconds. This
+    * formulation keeps the whole scan→gram→filter chain inside
+    * whole-stage codegen: normalize whitespace once
+    * (`regexp_replace(trim(text), ' +', ' ')` — exactly
+    * [[graft.functions.TextFunctions.tokenize]]'s token sequence,
+    * since that splits on single spaces and drops empties), explode a
+    * position `sequence`, and slice gram i with two
+    * `substring_index` calls — all codegen'd builtins, no lambdas.
+    *
+    * Emits every gram SLOT (per-doc duplicates included) — consumers
+    * that need per-doc distinct semantics dedup at their aggregation
+    * (`countDistinct`), which runs on join survivors, not the corpus.
+    */
+  def gramRows(df: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val norm = regexp_replace(trim(col(textCol)), " +", " ")
+    df.select(col(idCol), norm.as("_t"))
+      .select(col(idCol), col("_t"),
+        explode(when(col("_t") =!= "" &&
+            size(split(col("_t"), " ")) >= n,
+          sequence(lit(1), size(split(col("_t"), " ")) - (n - 1))))
+          .as("_i"))
+      .select(col(idCol),
+        call_function("substring_index",
+          call_function("substring_index", col("_t"), lit(" "),
+            col("_i") + lit(n - 1)),
+          lit(" "), lit(-n)).as("g"))
+  }
+
   /** Sliding word n-grams over an ALREADY-TOKENIZED array column.
     * `words` must be a bound attribute (a projected column), not an
     * expression tree: the `transform` lambda below evaluates `words`
@@ -108,10 +145,20 @@ object Decontaminate {
       s"bitsLog2 must be in [6, 30], got $bitsLog2")
     require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
     val m = 1L << bitsLog2
-    // probe i's position for gram g; seeding by prefix keeps the k
-    // probes independent while reusing the codegen'd hash both sides
+    // TWO hashes per gram, k positions derived by shift-xor (the
+    // Kirsch–Mitzenmacher two-hash scheme, xor/shift so ANSI-mode
+    // arithmetic can't overflow). Per-probe hashing (k concats +
+    // xxhash64s per gram) measured ~0.25 s/probe over a 255k-gram
+    // scan, and expression-level CSE did NOT reliably share the
+    // repeated hashes across the k predicates — so the probe side
+    // hoists h1/h2 into their own projected columns and each probe is
+    // plain integer ops on them. Build and probe share this position
+    // function, so the bit positions agree by construction.
+    def posFrom(h1: Column, h2: Column, i: Int): Column =
+      pmod(h1.bitwiseXOR(
+        call_function("shiftright", h2, lit(i * 3 + 1))), lit(m))
     def pos(g: Column, i: Int): Column =
-      pmod(xxhash64(concat(lit(s"b$i:"), g)), lit(m))
+      posFrom(xxhash64(g), xxhash64(lit("b:"), g), i)
     // build: positions (not grams) come back to the driver — k × |bench
     // grams| longs, eval-set sized
     val setBits = benchGrams
@@ -122,28 +169,50 @@ object Decontaminate {
     setBits.foreach { p =>
       words((p >>> 6).toInt) |= (1L << (p & 63L))
     }
-    val bits = typedLit(words.toSeq)
-    val hit = (g: Column) => (0 until k)
-      .map { i =>
-        val p = pos(g, i)
-        // bitwiseAND, not % 2: arithmetic shiftright keeps the sign
-        // bit, and Spark's % is a remainder (-3 % 2 = -1) — a set bit
-        // in a negative word would read as unset under % 2 = 1
-        (call_function("shiftright",
-          element_at(bits, (p / 64 + 1).cast("int")),
-          (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1)
+    // the bit array rides an EXPLICIT spark broadcast read by a
+    // two-long UDF — not an ARRAY<BIGINT> literal probed with
+    // element_at: a 16K-long literal in the expression tree costs
+    // ~0.7 s extra per run at sf0.1 (its per-task/per-eval handling
+    // scales with literal size), where the broadcast is shipped once
+    // per executor and the closure probes a primitive long[]. The
+    // hashes STAY native codegen'd columns; only the k integer
+    // probes cross the UDF boundary (the repo's UDF bar: measured,
+    // and no builtin shape beats it).
+    val bc = corpus.sparkSession.sparkContext.broadcast(words)
+    val kk = k
+    val mm = m
+    val hitUdf = udf { (h1: Long, h2: Long) =>
+      val w = bc.value
+      var i = 0
+      var ok = true
+      while (ok && i < kk) {
+        val x = h1 ^ (h2 >> (i * 3 + 1))
+        val p = ((x % mm) + mm) % mm // pmod: same convention as build
+        ok = ((w((p >>> 6).toInt) >>> (p & 63L).toInt) & 1L) == 1L
+        i += 1
       }
-      .reduce(_ && _)
-    corpus
-      .select(col(idCol), tokenize(col(textCol)).as("_w"))
-      .select(col(idCol),
-        explode(array_distinct(wordNgramsOf(col("_w"), n))).as("g"))
-      .filter(hit(col("g")))
-      // exact verify over the survivors; deliberately NOT broadcast —
-      // see scaladoc (AQE may still choose broadcast when small)
-      .join(benchGrams, "g")
+      ok
+    }
+    val hit = hitUdf(col("_h1"), col("_h2"))
+    // gramRows keeps this whole scan→gram→probe chain in ONE
+    // whole-stage-codegen span (see its scaladoc); per-doc gram
+    // dedup moves to the countDistinct over join SURVIVORS
+    gramRows(corpus, idCol, textCol, n)
+      .withColumn("_h1", xxhash64(col("g")))
+      .withColumn("_h2", xxhash64(lit("b:"), col("g")))
+      .filter(hit)
+      .drop("_h1", "_h2")
+      // exact verify over the survivors — LEFT SEMI, not inner: the
+      // verify is an existence test, and the semi form both says so
+      // and plans drastically better (the inner-join form let the
+      // planner pick BuildLeft — broadcasting the post-bloom CORPUS
+      // side — and re-evaluate the probe chain; measured 2.2 s vs
+      // 0.5 s at sf0.1). Bench side is the build side explicitly;
+      // for bench sets too big to broadcast even hashed, drop the
+      // hint and take the shuffled semi join.
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("hit_ct"))
+      .agg(countDistinct(col("g")).as("hit_ct"))
   }
 
   /** Per-corpus-doc contamination report: (id, hit_ct) where hit_ct =
@@ -164,15 +233,14 @@ object Decontaminate {
   def contaminationReportGrams(corpus: DataFrame, benchGrams: DataFrame,
                                idCol: String, textCol: String,
                                n: Int): DataFrame = {
-    corpus
-      // tokenize in its OWN projection so the gram lambda reads a
-      // bound array, not the split expression (see wordNgramsOf);
-      // array_distinct BEFORE explode: per-doc dedup happens in the
-      // row, so repeated grams never reach the join
-      .select(col(idCol), tokenize(col(textCol)).as("_w"))
-      .select(col(idCol), explode(array_distinct(wordNgramsOf(col("_w"), n))).as("g"))
-      .join(broadcast(benchGrams), "g")
+    // gramRows keeps the corpus scan codegen'd end-to-end (HOF
+    // lambdas are CodegenFallback — see its scaladoc); per-doc gram
+    // dedup happens at the countDistinct over join survivors, so
+    // repeated grams cost join probes (cheap) but never inflate
+    // hit_ct
+    gramRows(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("hit_ct"))
+      .agg(countDistinct(col("g")).as("hit_ct"))
   }
 }

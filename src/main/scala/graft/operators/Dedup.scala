@@ -171,9 +171,25 @@ object Dedup {
                           idCol: String = "doc_id",
                           textCol: String = "text",
                           bands: Int = 2, rowsPerBand: Int = 4,
-                          maxBucket: Int = Int.MaxValue): DataFrame = {
-    val qb = lshBuckets(queries, idCol, textCol, bands, rowsPerBand)
-    val cb0 = lshBuckets(corpus, idCol, textCol, bands, rowsPerBand)
+                          maxBucket: Int = Int.MaxValue): DataFrame =
+    crossCandidatePairsFromSignatures(
+      signatures(queries, idCol, textCol, bands * rowsPerBand),
+      signatures(corpus, idCol, textCol, bands * rowsPerBand),
+      idCol, bands, rowsPerBand, maxBucket)
+
+  /** [[crossCandidatePairs]] from ALREADY-COMPUTED signature frames —
+    * the serve path when the corpus signature table is a staged
+    * artifact (built once per corpus release): probing a new query
+    * batch then skips the corpus's shingle + minhash pass entirely
+    * and pays only the query-side signatures plus the bucket join.
+    */
+  def crossCandidatePairsFromSignatures(qSigs: DataFrame, cSigs: DataFrame,
+                                        idCol: String = "doc_id",
+                                        bands: Int = 2, rowsPerBand: Int = 4,
+                                        maxBucket: Int = Int.MaxValue)
+      : DataFrame = {
+    val qb = bandFrame(qSigs, idCol, bands, rowsPerBand)
+    val cb0 = bandFrame(cSigs, idCol, bands, rowsPerBand)
     val cb =
       if (maxBucket == Int.MaxValue) cb0
       else cb0.join(

@@ -226,11 +226,15 @@ object DedupOps {
     // cross-corpus twin of d2's self-join (and the batch twin of the
     // streaming bucket-index probe)
     "d20_cross_lsh" -> { (s, dir) =>
-      val d = docs(s, dir)
+      // serve path: both sides' signatures come from the staged
+      // minhash index (h=8 == bands 2 x rows 4) filtered by source
+      // membership — no shingle/minhash pass at query time
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      val sigs = signaturesIdx(s, dir).join(src, "doc_id")
       val qSources = Seq("src0", "src1", "src2")
-      Dedup.crossCandidatePairs(
-        d.filter(col("source").isin(qSources: _*)),
-        d.filter(!col("source").isin(qSources: _*)))
+      Dedup.crossCandidatePairsFromSignatures(
+        sigs.filter(col("source").isin(qSources: _*)).drop("source"),
+        sigs.filter(!col("source").isin(qSources: _*)).drop("source"))
     },
 
     // corpus-governance overlap matrix: per ordered source pair, the
