@@ -138,6 +138,25 @@ object RoutingOps {
         .withColumn("is_current", col("valid_to").isNull)
     },
 
+    // ---- CDC schema-drift observation ------------------------------------
+    // the upstream "ALTER TABLE ADD COLUMN" mid-stream: a `discount`
+    // key starts appearing in purchase/view payloads (simulated by the
+    // deterministic user_id % 3 rule) that no route's sinkColumns
+    // declares — the config-driven pruning would silently drop it;
+    // this report makes the drift observable per (table, column) with
+    // first-seen change id and declaredness
+    "r6_schema_drift" -> { (s, dir) =>
+      val rows = ev(s, dir)
+        .withColumn("after", map_concat(
+          map(lit("event_id"), col("event_id").cast(StringType)),
+          map(lit("user_id"), col("user_id").cast(StringType)),
+          when(col("user_id") % 3 === 0,
+            map(lit("discount"), (col("user_id") % 7).cast(StringType)))
+            .otherwise(expr("map()").cast(MapType(StringType, StringType)))))
+      CdcRouter.schemaDrift(rows, configDf(s), tableCol = "event_type",
+        afterCol = "after", idCol = "event_id")
+    },
+
     // ---- P4: config-driven column pruning --------------------------------
     // (delete rows drop out at the route join, as in r2)
     "r3_column_prune" -> { (s, dir) =>
@@ -200,6 +219,32 @@ object RoutingOps {
         |  LEAD(ts) OVER w IS NULL AS is_current
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    // per-key UNION ALL replays the conditional map construction; the
+    // declared set replays sinkColumns splitting
+    "r6_schema_drift" ->
+      s"""WITH k AS (
+         |  SELECT event_type, event_id, 'event_id' AS column_name FROM events
+         |  UNION ALL
+         |  SELECT event_type, event_id, 'user_id' FROM events
+         |  UNION ALL
+         |  SELECT event_type, event_id, 'discount' FROM events
+         |  WHERE user_id % 3 = 0),
+         |agg AS (
+         |  SELECT event_type AS source_table, column_name,
+         |    CAST(COUNT(*) AS BIGINT) AS ct,
+         |    CAST(MIN(event_id) AS BIGINT) AS first_seen
+         |  FROM k GROUP BY 1, 2),
+         |decl AS (
+         |  SELECT DISTINCT source_table, column_name FROM (
+         |    SELECT sourceTable AS source_table,
+         |      unnest(string_split(sinkColumns, ',')) AS column_name
+         |    FROM $sqlConfig))
+         |SELECT a.source_table, a.column_name, a.ct, a.first_seen,
+         |  (d.column_name IS NOT NULL) AS is_declared
+         |FROM agg a
+         |LEFT JOIN decl d ON d.source_table = a.source_table
+         |  AND d.column_name = a.column_name""".stripMargin,
 
     "r3_column_prune" ->
       s"""WITH x AS (

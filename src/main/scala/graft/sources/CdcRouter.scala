@@ -140,4 +140,40 @@ object CdcRouter {
         (orderCols ++ Seq(opCol) ++ payload.filterNot(_ == opCol))
           .map(c => col(s"_last.$c").as(c)): _*)
   }
+
+  /** Schema-drift observation — what a CDC consumer runs BEFORE the
+    * upstream's ALTER TABLE breaks it: per (source table, payload
+    * column), how many change rows carried the column, the first
+    * change id that did, and whether the routing config declares it.
+    * Undeclared columns (`is_declared = false`) are the drift report:
+    * a new upstream column starts appearing in `after` maps long
+    * before anyone updates `sinkColumns`, and this is the feed for an
+    * auto-DDL extension (add nullable column + extend the allowlist)
+    * or an alert. The reference's config-driven pruning
+    * (`TableProcessFunction.java:165-184`) silently DROPS such
+    * columns — this makes the drop observable.
+    *
+    * Scale shape: `map_keys` + explode is a map-side projection
+    * (~payload-width rows per change row, strings of column NAMES
+    * only — payload values never leave the row), the per-(table,
+    * column) aggregate partial-aggregates to a schema-sized frame,
+    * and the config joins broadcast. No payload bytes shuffle.
+    */
+  def schemaDrift(rows: DataFrame, config: DataFrame,
+                  tableCol: String = "tableName",
+                  afterCol: String = "after",
+                  idCol: String = "id"): DataFrame = {
+    val keys = rows.select(col(tableCol).as("source_table"),
+      col(idCol).as("_id"),
+      explode(map_keys(col(afterCol))).as("column_name"))
+    val declared = config.select(col("sourceTable").as("source_table"),
+      explode(split(col("sinkColumns"), ",")).as("column_name"))
+      .distinct()
+      .withColumn("_decl", lit(true))
+    keys.groupBy(col("source_table"), col("column_name"))
+      .agg(count(lit(1)).as("ct"), min(col("_id")).as("first_seen"))
+      .join(broadcast(declared), Seq("source_table", "column_name"), "left")
+      .withColumn("is_declared", coalesce(col("_decl"), lit(false)))
+      .drop("_decl")
+  }
 }

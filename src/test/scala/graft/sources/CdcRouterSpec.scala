@@ -88,4 +88,28 @@ class CdcRouterSpec extends AnyFunSuite {
         .sortBy(_._1).toSeq
     assert(run(feed) === run(feed.repartition(13)))
   }
+
+  test("schemaDrift reports undeclared payload columns with first-seen id") {
+    import org.apache.spark.sql.functions._
+    val config = Seq(("t1", "insert", "kafka", "s1", "id,name"))
+      .toDF("sourceTable", "operateType", "sinkType", "sinkTable",
+        "sinkColumns")
+    // change 3 is where upstream's ALTER adds `age` to t1
+    val rows = Seq(
+      (1L, "t1", Map("id" -> "1", "name" -> "a")),
+      (2L, "t1", Map("id" -> "2", "name" -> "b")),
+      (3L, "t1", Map("id" -> "3", "name" -> "c", "age" -> "9")),
+      (4L, "t1", Map("id" -> "4", "age" -> "8")),
+      (5L, "t2", Map("id" -> "5"))
+    ).toDF("id", "tableName", "after")
+    val out = CdcRouter.schemaDrift(rows, config)
+      .select("source_table", "column_name", "ct", "first_seen",
+        "is_declared")
+      .as[(String, String, Long, Long, Boolean)].collect().toSet
+    assert(out === Set(
+      ("t1", "id", 4L, 1L, true),
+      ("t1", "name", 3L, 1L, true),
+      ("t1", "age", 2L, 3L, false), // the drift row
+      ("t2", "id", 1L, 5L, false))) // whole table undeclared
+  }
 }
