@@ -62,6 +62,11 @@ object Artifacts {
       val tmp = new java.io.File(root,
         s".tmp_${md5(key)}_${ProcessHandle.current().pid()}")
       build.write.mode("overwrite").parquet(tmp.getPath)
+      // the raw key rides inside the artifact so stale GENERATIONS
+      // (same logical artifact, older input fingerprint) are
+      // identifiable after the dir name is hashed
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_key").toPath, key)
       require(new java.io.File(tmp, "_done").createNewFile(),
         s"artifact: could not mark $key complete")
       if (!tmp.renameTo(dir)) {
@@ -70,7 +75,35 @@ object Artifacts {
         require(done.exists(), s"artifact: could not publish $key")
         org.apache.commons.io.FileUtils.deleteDirectory(tmp)
       }
+      pruneStale(key)
     }
     spark.read.parquet(dir.getPath)
+  }
+
+  /** After publishing a new generation, drop older generations of the
+    * SAME logical artifact: any sibling whose key shares this key's
+    * prefix up to the final `|`-segment (the input fingerprint, by
+    * the class-doc keying convention) but differs in full. Without
+    * this the artifact root grows without bound across input
+    * regenerations — the staged tables of testdata that no longer
+    * exists. Runs only on the (rare) build path. LOCAL-FS caveat
+    * (same as upsertDim): a process still serving a stale generation
+    * when its input was regenerated would lose files mid-read; on a
+    * cluster this is the table-format's snapshot-expiry operation
+    * (`VACUUM` / `expire_snapshots`), which handles live readers.
+    */
+  private def pruneStale(key: String): Unit = {
+    val cut = key.lastIndexOf('|')
+    if (cut <= 0) return
+    val prefix = key.substring(0, cut + 1)
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .foreach { d =>
+        val kf = new java.io.File(d, "_key")
+        if (d.isDirectory && kf.exists()) {
+          val k = java.nio.file.Files.readString(kf.toPath)
+          if (k != key && k.startsWith(prefix))
+            org.apache.commons.io.FileUtils.deleteDirectory(d)
+        }
+      }
   }
 }

@@ -385,6 +385,16 @@ object Warehouse {
           out("province_rollup"),
           keyCols = Seq("province_id", "province_name"),
           sumCols = Seq("order_count", "order_amount"), batchId = batchId)
+        // ADS quantile tier: per-province window-amount DISTRIBUTION,
+        // maintained as additive value counts behind a third ledger
+        // (QuantileStreaming) — exact percentiles served with plain
+        // SQL over the compacted counts table at any time. Amounts
+        // quantize to cents (the t32 integral-metric lever).
+        QuantileStreaming.mergeBatch(spark,
+          enriched.select(col("province_id"),
+            (col("order_amount") * 100).cast("long").as("amt_cents")),
+          "province_id", col("amt_cents"),
+          out("province_amount_quantiles"), batchId)
         ()
       }.start()
 

@@ -41,6 +41,24 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(Artifacts.fingerprint(dir) === fp2) // stable when unchanged
   }
 
+  test("publishing a new generation prunes the stale one, sparing strangers") {
+    val stem = s"gen|cfg|${java.util.UUID.randomUUID()}"
+    val other = s"other|${java.util.UUID.randomUUID()}"
+    def dirOf(key: String) = new java.io.File(Artifacts.root,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    Artifacts.table(spark, s"$stem|fp1")(Seq(1L).toDF("x"))
+    Artifacts.table(spark, other)(Seq(7L).toDF("x"))
+    assert(dirOf(s"$stem|fp1").exists())
+    // input regenerated -> new fingerprint: old generation is GC'd
+    val out = Artifacts.table(spark, s"$stem|fp2")(Seq(2L).toDF("x"))
+    assert(out.as[Long].collect().toSeq === Seq(2L))
+    assert(!dirOf(s"$stem|fp1").exists(), "stale generation must be pruned")
+    assert(dirOf(s"$stem|fp2").exists())
+    // unrelated artifact untouched
+    assert(dirOf(other).exists())
+  }
+
   test("a pre-marker leftover dir is rebuilt, not served") {
     val key = s"spec|${java.util.UUID.randomUUID()}"
     // simulate a foreign/incomplete dir at the artifact's location:

@@ -46,6 +46,29 @@ class QuantileStreamingSpec extends AnyFunSuite {
     assert(served(root) === batchTwin(b0 ++ b1 ++ b2))
   }
 
+  test("streaming-maintained thresholds reproduce the batch percentile gate") {
+    val root = Files.createTempDirectory("qgate").toString
+    val b0 = Seq(("a", 5L), ("a", 1L), ("a", 9L), ("b", 10L), ("b", 2L))
+    val b1 = Seq(("a", 7L), ("b", 4L), ("b", 6L), ("b", 8L))
+    QuantileStreaming.mergeBatch(spark, b0.toDF("g", "v"), "g", col("v"),
+      root, batchId = 0L)
+    QuantileStreaming.mergeBatch(spark, b1.toDF("g", "v"), "g", col("v"),
+      root, batchId = 1L)
+    // gate the full corpus with thresholds served from the streamed
+    // counts table — must equal the one-shot batch gate
+    val all = (b0 ++ b1).toDF("g", "v")
+    val thr = QuantileStreaming.serve(spark, root, "g", Seq(500))
+      .select(col("g"), col("p50").as("thr"))
+    val streamed = all.join(thr, Seq("g"))
+      .withColumn("kept", col("v") >= col("thr"))
+      .select("g", "v", "kept").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    val batch = Quantiles.percentileGate(all, "g", col("v"), 500)
+      .select("g", "v", "kept").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("maintain() drives the same merge from a real streaming query") {
     val root = Files.createTempDirectory("qstream2").toString
     val ck = Files.createTempDirectory("qstream2ck").toString

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.functions.sum
+import org.apache.spark.sql.functions.{col, sum}
 
 import graft.TestSpark
 
@@ -259,6 +259,23 @@ class WarehouseRestartSpec extends AnyFunSuite {
       .map(r => (r._1, r._2, r._3, r._4.doubleValue)).toSet
     assert(rollup === winTotals)
     assert(rollup.exists(r => r._1 == 2L && r._2 == "Beijing" && r._3 >= 4L))
+
+    // ---- ADS quantile tier: exact per-province amount percentiles
+    // served from the streamed value-count table must equal the batch
+    // operator over the windowed sink's rows — across the SAME kill +
+    // restart, through a third independent ledger
+    val servedQ = QuantileStreaming.serve(spark,
+        s"$outRoot/province_amount_quantiles", "province_id",
+        Seq(500, 1000))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batchQ = graft.operators.Quantiles.groupQuantiles(
+        spark.read.parquet(s"$outRoot/province_stats")
+          .select(col("province_id"),
+            (col("order_amount") * 100).cast("long").as("amt_cents")),
+        "province_id", col("amt_cents"), Seq(500, 1000))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(servedQ === batchQ)
+    assert(servedQ.nonEmpty)
 
     // ---- DWS product ----------------------------------------------------
     val ps = spark.read.parquet(s"$outRoot/product_stats")
