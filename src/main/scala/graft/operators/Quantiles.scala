@@ -48,7 +48,7 @@ object Quantiles {
     * percent (`p25`, `p50`), others keep the permille suffix (`p995m`
     * = 99.5%).
     */
-  private[operators] def qName(permille: Int): String =
+  private[graft] def qName(permille: Int): String =
     if (permille % 10 == 0) s"p${permille / 10}" else s"p${permille}m"
 
   /** Exact per-group discrete quantiles of an integral metric.

@@ -250,7 +250,19 @@ object ScaleSmoke {
       // distinct token-count range (constant across copies)
       bench("t32", d1x, dNx, d => graft.operators.Quantiles.groupQuantiles(
         d, "source", graft.functions.TextFunctions.nTokens(col("text")),
-        Seq(250, 500, 750, 950))))
+        Seq(250, 500, 750, 950))),
+      // d23: sketch set algebra — pair frame is sources² (constant
+      // across copies), the scan is the shingle reduction; the exact-
+      // intersection eval column is the only vocab-bound join
+      bench("d23", dt1x, dtNx, d => Dedup.kmvSetOps(d)),
+      // m7: perceptual near-dup at maxHamming=3 (4 bands × 12 bits:
+      // 4096 band values, sparse at this scale). The driver query's
+      // radius-7 variant has 6-bit bands that SATURATE beyond ~10⁵
+      // payloads — the documented signature-width lever, not a smoke
+      // candidate (its candidate growth is by design at fixed width)
+      bench("m7", dt1x, dtNx, d => graft.operators.Multimodal
+        .perceptualNearDup(graft.operators.Multimodal.withPayload(d),
+          maxHamming = 3)))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)

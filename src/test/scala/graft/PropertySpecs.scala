@@ -371,4 +371,51 @@ class PropertySpecs extends AnyFunSuite {
     val z0 = out.head._3
     assert(out.length === 500 && z0 >= 0L)
   }
+
+  test("groupQuantiles equals the sorted-index reference on generated multisets") {
+    // heavy ties + spread + negatives: values from a small domain
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.oneOf(Gen.chooseNum(-5L, 5L), Gen.chooseNum(-1000L, 1000L))
+    } yield (g, v)
+    val rows = sample(rowGen, 400)
+    val qs = Seq(1, 137, 250, 499, 500, 501, 750, 999, 1000)
+    def ref(vs: Seq[Long], q: Int): Long = {
+      val sorted = vs.sorted
+      sorted(((q.toLong * sorted.size + 999) / 1000 - 1).toInt.max(0))
+    }
+    val got = graft.operators.Quantiles
+      .groupQuantiles(rows.toDF("g", "v"), "g", col("v"), qs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((g, grp) <- rows.groupBy(_._1); vs = grp.map(_._2)) {
+      val row = got(g)
+      assert(row.getLong(row.fieldIndex("n")) === vs.size.toLong)
+      for (q <- qs)
+        assert(row.getLong(row.fieldIndex(
+          graft.operators.Quantiles.qName(q))) === ref(vs, q), s"$g q=$q")
+    }
+  }
+
+  test("hammingBandPairs equals brute-force popcount for generated signatures") {
+    // random 48-bit signatures plus planted near-pairs at each radius
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 120).map(i => i.toLong -> (rnd.nextLong() & ((1L << 48) - 1)))
+    val planted = (0 until 16).map { i =>
+      val (_, sig) = base(i)
+      // flip i%4 distinct bits -> hamming i%4 from base(i)
+      val flipped = (0 until i % 4).foldLeft(sig)((s, j) => s ^ (1L << (j * 11)))
+      (1000L + i) -> flipped
+    }
+    val all = base ++ planted
+    for (maxH <- Seq(0, 3, 7)) {
+      val got = Dedup.hammingBandPairs(all.toDF("doc_id", "sig"),
+          "doc_id", "sig", bits = 48, maxHamming = maxH)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (a, sa) <- all; (b, sb) <- all if a < b
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= maxH
+      } yield (a, b, d.toLong)).toSet
+      assert(got === want, s"maxHamming=$maxH")
+    }
+  }
 }
