@@ -236,6 +236,18 @@ object Sinks {
   def mergeAgg(spark: SparkSession, batch: DataFrame, path: String,
                keyCols: Seq[String], sumCols: Seq[String],
                batchId: Long): Unit =
+    mergeAgg(spark, batch, path, keyCols, sumCols, Nil, Nil, batchId)
+
+  /** [[mergeAgg]] generalized to the mergeable-monoid columns an
+    * incremental report needs beyond sums: `minCols`/`maxCols` merge
+    * by MIN/MAX (commutative AND idempotent — e.g. a first-seen
+    * change id, a latest-seen timestamp). Same ledger, same swap, one
+    * merge expression per column class.
+    */
+  def mergeAgg(spark: SparkSession, batch: DataFrame, path: String,
+               keyCols: Seq[String], sumCols: Seq[String],
+               minCols: Seq[String], maxCols: Seq[String],
+               batchId: Long): Unit =
     withBatchLedger(path, batchId) {
       val tablePath = s"$path/table"
       // crash recovery BEFORE reading: a death between the two renames
@@ -253,16 +265,19 @@ object Sinks {
       // contains this batch (its stamp says so) — rebuilding would
       // double-count; fall through so withBatchLedger records the id
       if (!readTableStamp(tablePath).exists(_ >= batchId)) {
-        val agged = batch.groupBy(keyCols.map(col): _*)
-          .agg(sum(col(sumCols.head)).as(sumCols.head),
-            sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+        require(sumCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty,
+          "mergeAgg needs at least one merge column")
+        def aggOf(df: DataFrame) = {
+          val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+            minCols.map(c => min(col(c)).as(c)) ++
+            maxCols.map(c => max(col(c)).as(c))
+          df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        }
+        val agged = aggOf(batch)
         val merged =
           if (new java.io.File(tablePath).exists()) {
             val existing = spark.read.parquet(tablePath)
-            existing.unionByName(agged)
-              .groupBy(keyCols.map(col): _*)
-              .agg(sum(col(sumCols.head)).as(sumCols.head),
-                sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+            aggOf(existing.unionByName(agged))
           } else agged
         val tmp = new java.io.File(path, ".tmp_table")
         val old = new java.io.File(path, ".old_table")

@@ -159,6 +159,45 @@ object CdcRouter {
     * column) aggregate partial-aggregates to a schema-sized frame,
     * and the config joins broadcast. No payload bytes shuffle.
     */
+  /** Streaming maintenance of the [[schemaDrift]] report: per
+    * micro-batch the batch's (table, column) observations MERGE into
+    * a compacted table behind the batch-id ledger — `ct` is additive,
+    * `first_seen` merges by MIN (both mergeable monoids, so the
+    * served report is bit-identical to the batch operator over the
+    * same rows at any batch slicing or crash-replay — the
+    * QuantileStreaming pattern on a second report shape). Call from
+    * `foreachBatch`; read back with [[schemaDriftServe]].
+    */
+  def schemaDriftMergeBatch(spark: org.apache.spark.sql.SparkSession,
+                            batch: DataFrame, path: String, batchId: Long,
+                            tableCol: String = "tableName",
+                            afterCol: String = "after",
+                            idCol: String = "id"): Unit =
+    graft.sinks.Sinks.mergeAgg(spark,
+      batch.select(col(tableCol).as("source_table"),
+          col(idCol).as("_id"),
+          explode(map_keys(col(afterCol))).as("column_name"))
+        .groupBy(col("source_table"), col("column_name"))
+        .agg(count(lit(1)).as("ct"), min(col("_id")).as("first_seen")),
+      path, keyCols = Seq("source_table", "column_name"),
+      sumCols = Seq("ct"), minCols = Seq("first_seen"), maxCols = Nil,
+      batchId = batchId)
+
+  /** Current drift report from the maintained table (+ declaredness
+    * against the routing config, as in [[schemaDrift]]).
+    */
+  def schemaDriftServe(spark: org.apache.spark.sql.SparkSession,
+                       path: String, config: DataFrame): DataFrame = {
+    val declared = config.select(col("sourceTable").as("source_table"),
+      explode(split(col("sinkColumns"), ",")).as("column_name"))
+      .distinct()
+      .withColumn("_decl", lit(true))
+    spark.read.parquet(s"$path/table")
+      .join(broadcast(declared), Seq("source_table", "column_name"), "left")
+      .withColumn("is_declared", coalesce(col("_decl"), lit(false)))
+      .drop("_decl")
+  }
+
   def schemaDrift(rows: DataFrame, config: DataFrame,
                   tableCol: String = "tableName",
                   afterCol: String = "after",

@@ -112,4 +112,30 @@ class CdcRouterSpec extends AnyFunSuite {
       ("t1", "age", 2L, 3L, false), // the drift row
       ("t2", "id", 1L, 5L, false))) // whole table undeclared
   }
+
+  test("streaming drift maintenance == batch report, replay-safe") {
+    import org.apache.spark.sql.functions._
+    val config = Seq(("t1", "insert", "kafka", "s1", "id,name"))
+      .toDF("sourceTable", "operateType", "sinkType", "sinkTable",
+        "sinkColumns")
+    val b0 = Seq((1L, "t1", Map("id" -> "1", "name" -> "a")),
+      (2L, "t1", Map("id" -> "2", "name" -> "b")))
+    val b1 = Seq((3L, "t1", Map("id" -> "3", "age" -> "9")),
+      (4L, "t2", Map("id" -> "4")))
+    val root = java.nio.file.Files.createTempDirectory("drift").toString
+    def dfOf(rows: Seq[(Long, String, Map[String, String])]) =
+      rows.toDF("id", "tableName", "after")
+    CdcRouter.schemaDriftMergeBatch(spark, dfOf(b0), root, batchId = 0L)
+    CdcRouter.schemaDriftMergeBatch(spark, dfOf(b1), root, batchId = 1L)
+    // crash-replay of batch 1: ct must not double, first_seen stable
+    CdcRouter.schemaDriftMergeBatch(spark, dfOf(b1), root, batchId = 1L)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("source_table", "column_name", "ct", "first_seen",
+        "is_declared")
+      .as[(String, String, Long, Long, Boolean)].collect().toSet
+    val served = canon(CdcRouter.schemaDriftServe(spark, root, config))
+    val batch = canon(CdcRouter.schemaDrift(dfOf(b0 ++ b1), config))
+    assert(served === batch)
+    assert(served.contains(("t1", "age", 1L, 3L, false)))
+  }
 }
