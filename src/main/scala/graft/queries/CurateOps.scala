@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions.langProfiles
-import graft.operators.CorpusPipeline
+import graft.operators.{CorpusPipeline, Sharding}
 
 /** End-state oracle for the full corpus-curation composition
   * ([[graft.operators.CorpusPipeline.curate]]): per document, the first
@@ -71,6 +71,16 @@ object CurateOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- epoch shuffle + exact-balanced shards ---------------------------
+    // the corpus -> training-loader step: a reproducible pseudo-random
+    // permutation (md5(seed || id)) with contiguous equal shards,
+    // computed by the two-phase rank (bucket counts -> broadcast
+    // offsets -> local windows) - never a global single-task sort
+    "t35_epoch_shards" -> { (s, dir) =>
+      Sharding.epochShards(Tables.load(s, dir, "documents"),
+        "doc_id", numShards = 7, seed = "epoch0")
+    },
+
     "t11_curate" -> { (s, dir) =>
       stageSelect(
         CorpusPipeline.curate(Tables.load(s, dir, "documents"), cfg,
@@ -85,6 +95,19 @@ object CurateOps {
     })
 
   def oracle: Map[String, String] = Map(
+    // single-window mirror of the two-phase rank: global ROW_NUMBER
+    // over (md5, id); shard = integer rank*S // total
+    "t35_epoch_shards" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      - 1 AS rank,
+        |    COUNT(*) OVER () AS total
+        |  FROM documents)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+        |  CAST((rank * 7) // total AS INT) AS shard
+        |FROM r""".stripMargin,
+
     "t11_curate" -> {
       val scores = langProfiles.map { case (l, p) =>
         s"len(list_intersect(${TextOps.sqlTokenSet}, ${TextOps.sqlProfile(p)})) AS s_$l"
