@@ -77,4 +77,54 @@ object DupSpans {
         (col("dup_grams").cast("double") / col("n_grams").cast("double"))
           .as("dup_frac"))
   }
+
+  /** Duplicated-span REMOVAL — the rewrite step [[report]] only
+    * measures (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": cross-doc duplicated spans are cut from
+    * the text, not used to drop whole documents). A token is removed
+    * iff it is covered by at least one n-gram occurring in ≥ 2
+    * distinct documents; surviving tokens rejoin in order. Emits one
+    * row per doc: (id, n_tokens, n_removed, cleaned_text) —
+    * `cleaned_text` null for null input text.
+    *
+    * Scale shape: the gram/dup-set legs are [[report]]'s (hash-keyed,
+    * vocab-sized, never span text across a shuffle); the only new
+    * state is the per-doc duplicated-START-POSITION list, bounded by
+    * the doc's own length, aggregated back onto the doc row where a
+    * per-row lambda erases covered tokens — removal is map-side work
+    * on each doc, never a cross-doc operation.
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 2, s"gram width must be >= 2 words, got $n")
+    val toks = docs
+      .select(col(idCol), col(textCol), tokenize(col(textCol)).as("w"))
+    val grams = toks
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("w")) - (n - 1)),
+        i => struct(i.as("i"),
+          gramKey(array_join(slice(col("w"), i, lit(n)), " ")).as("gh"))))
+        .as("p"))
+      .select(col(idCol), col("p.i").as("i"), col("p.gh").as("gh"))
+    // grams in >= 2 distinct docs (the report's dup rule)
+    val dup = grams.select(col(idCol), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("gh"))
+    val starts = grams.join(dup, "gh")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("i"))).as("_starts"))
+    toks.join(starts, Seq(idCol), "left")
+      .withColumn("_starts",
+        coalesce(col("_starts"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(filter(col("w"), (_, j) =>
+          !exists(col("_starts"), s =>
+            s <= j + 1 && j + 1 <= s + (n - 1))))).cast("long")
+          .as("n_removed"),
+        array_join(filter(col("w"), (_, j) =>
+          !exists(col("_starts"), s =>
+            s <= j + 1 && j + 1 <= s + (n - 1))), " ").as("cleaned_text"))
+  }
 }

@@ -156,6 +156,14 @@ object QcOps {
       DupSpans.report(docs(s, dir), "doc_id", "text", n = 4)
     },
 
+    // ---- duplicated-span REMOVAL (the rewrite t18 only measures) ---------
+    // tokens covered by any cross-doc-duplicated 4-gram are cut and
+    // the survivors rejoin — Lee et al.'s span-level dedup; n=4 for
+    // the same signal-bearing level as t18
+    "t36_dup_span_removal" -> { (s, dir) =>
+      DupSpans.removeDupSpans(docs(s, dir), "doc_id", "text", n = 4)
+    },
+
     // ---- hybrid retrieval: BM25 + dense cosine, RRF-fused ----------------
     // the RAG retrieval staple: lexical (t16's ranking) and dense
     // (vec 0 as the query embedding; doc_id ≡ vec_id in the harness)
@@ -442,6 +450,43 @@ object QcOps {
         |  CAST(COALESCE(a.dup_ct, 0) AS BIGINT) AS dup_grams,
         |  CAST(a.dup_ct AS DOUBLE) / CAST(a.n_grams AS DOUBLE) AS dup_frac
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // positions covered by any dup-gram start [i, i+3] drop; survivors
+    // string_agg back in order. Engine nuance mirrored explicitly:
+    // empty token lists rejoin to '' (not NULL), null text stays NULL
+    "t36_dup_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 3, 0) + 1)) AS i
+        |  FROM toks WHERE len(w) >= 4),
+        |grams AS (
+        |  SELECT doc_id, i,
+        |    substr(md5(array_to_string(w[i:i+3], ' ')), 1, 16) AS gh
+        |  FROM g0),
+        |dup AS (
+        |  SELECT gh FROM (
+        |    SELECT gh, COUNT(*) AS nd FROM (
+        |      SELECT DISTINCT doc_id, gh FROM grams) GROUP BY gh)
+        |  WHERE nd >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, j FROM (
+        |    SELECT g.doc_id, unnest(range(g.i, g.i + 4)) AS j
+        |    FROM grams g JOIN dup USING (gh))),
+        |pos AS (
+        |  SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS j FROM toks),
+        |kept AS (
+        |  SELECT p.doc_id, COUNT(*) AS kept_ct,
+        |    string_agg(p.w[p.j], ' ' ORDER BY p.j) AS cleaned
+        |  FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.j = p.j
+        |  WHERE c.j IS NULL GROUP BY p.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.w) - COALESCE(k.kept_ct, 0) AS BIGINT) AS n_removed,
+        |  CASE WHEN t.w IS NULL THEN NULL
+        |    ELSE COALESCE(k.cleaned, '') END AS cleaned_text
+        |FROM toks t LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     // lexical leg = t16's mirror verbatim (nested CTE); dense leg =
     // single-query cosine top-20; RRF terms sum lexical-then-dense

@@ -336,6 +336,42 @@ class DupSpansSpec extends AnyFunSuite {
       .orderBy("doc_id").collect()
     assert(r(0).getLong(2) === 0 && r(1).getLong(2) === 0)
   }
+
+  test("removal cuts exactly the tokens covered by cross-doc 4-grams") {
+    val df = Seq(
+      (1L, "a b p q r s c d"),   // shares "p q r s" with doc 2
+      (2L, "zz p q r s yy"),
+      (3L, "a b c"),             // too short: untouched
+      (4L, "m n o w m n o w"))   // intra-doc repeat only: untouched
+      .toDF("doc_id", "text")
+    val out = DupSpans.removeDupSpans(df, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 8L, 4L, "a b c d")))
+    assert(out(1) === ((2L, 6L, 4L, "zz yy")))
+    assert(out(2) === ((3L, 3L, 0L, "a b c")))
+    assert(out(3) === ((4L, 8L, 0L, "m n o w m n o w")))
+    // consistency: n_removed == n_tokens - tokens(cleaned)
+    out.foreach { case (_, n, rm, txt) =>
+      assert(n - rm === txt.split(" ").count(_.nonEmpty).toLong)
+    }
+  }
+
+  test("removal: overlapping dup grams erase the union of their spans") {
+    // docs share "p q r s" AND "q r s t": doc 1's covered region is
+    // positions 1..5 (the union), leaving only the tail
+    val df = Seq(
+      (1L, "p q r s t end"),
+      (2L, "p q r s"),
+      (3L, "q r s t"))
+      .toDF("doc_id", "text")
+    val out = DupSpans.removeDupSpans(df, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 6L, 5L, "end")))
+    assert(out(1) === ((2L, 4L, 4L, "")))
+    assert(out(2) === ((3L, 4L, 4L, "")))
+  }
 }
 
 class ChunkingSpec extends AnyFunSuite {
