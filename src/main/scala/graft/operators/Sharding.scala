@@ -36,6 +36,58 @@ object Sharding {
     *                   256 = one hash byte suits harness scale, 65536 at
     *                   corpus scale)
     */
+  /** [[epochShards]] balanced by a WEIGHT (token mass) instead of row
+    * count: shard boundaries fall where cumulative weight crosses
+    * multiples of `total/S`, so each data-loader worker receives
+    * near-equal TOKENS rather than near-equal documents — the split a
+    * heterogeneous-length corpus actually wants (doc-balanced shards
+    * can differ by whole factors in token work). Same two-phase exact
+    * rank; phase 1 additionally carries per-bucket weight sums, and
+    * the per-row offset is the cumulative weight BEFORE the row.
+    * Zero-weight rows are allowed (LEAST-clamped into the last
+    * shard at the tail).
+    */
+  def epochShardsByWeight(df: DataFrame, idCol: String,
+                          weight: org.apache.spark.sql.Column,
+                          numShards: Int, seed: String = "epoch0",
+                          buckets: Int = 256): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    require(buckets == 256 || buckets == 65536,
+      s"buckets must be 256 or 65536 (whole hash bytes), got $buckets")
+    val hexDigits = if (buckets == 256) 2 else 4
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val withB = df.select(col(idCol), weight.cast(LongType).as("_wt"),
+        h.as("_h"))
+      .withColumn("_b", conv(substring(col("_h"), 1, hexDigits), 16, 10)
+        .cast("int"))
+    val counts = withB.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_c"), sum(col("_wt")).as("_s"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    val totalW = counts.map(_._3).sum
+    if (counts.isEmpty || totalW <= 0L)
+      return withB.select(col(idCol), lit(0L).as("rank"),
+        lit(0).as("shard")).limit(0)
+    val offsets = counts.scanLeft((0, 0L, 0L, 0L, 0L)) {
+      case ((_, _, accC, _, accW), (b, c, s)) =>
+        (b, accC, accC + c, accW, accW + s)
+    }.drop(1).map { case (b, offC, _, offW, _) => (b, offC, offW) }
+    val w = Window.partitionBy(col("_b")).orderBy(col("_h"), col(idCol))
+    withB
+      .join(broadcast(offsets.toSeq.toDF("_b", "_offc", "_offw")), Seq("_b"))
+      .withColumn("rank",
+        (row_number().over(w).cast(LongType) - 1L) + col("_offc"))
+      // cumulative weight BEFORE this row = bucket offset + local
+      // cumsum minus own weight
+      .withColumn("_cumBefore",
+        sum(col("_wt")).over(w) - col("_wt") + col("_offw"))
+      .withColumn("shard",
+        least(expr(s"CAST((_cumBefore * $numShards) DIV $totalW AS INT)"),
+          lit(numShards - 1)))
+      .select(col(idCol), col("rank"), col("shard"))
+  }
+
   def epochShards(df: DataFrame, idCol: String, numShards: Int,
                   seed: String = "epoch0", buckets: Int = 256): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")

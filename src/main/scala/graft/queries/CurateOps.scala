@@ -81,6 +81,17 @@ object CurateOps {
         "doc_id", numShards = 7, seed = "epoch0")
     },
 
+    // ---- token-balanced shards -------------------------------------------
+    // shard boundaries at multiples of total-tokens/S along the epoch
+    // order: each loader worker gets near-equal token WORK, not
+    // near-equal doc counts (heterogeneous doc lengths skew t35's
+    // doc-balanced shards by whole factors)
+    "t37_token_shards" -> { (s, dir) =>
+      Sharding.epochShardsByWeight(Tables.load(s, dir, "documents"),
+        "doc_id", graft.functions.TextFunctions.nTokens(col("text")),
+        numShards = 5, seed = "epoch0")
+    },
+
     "t11_curate" -> { (s, dir) =>
       stageSelect(
         CorpusPipeline.curate(Tables.load(s, dir, "documents"), cfg,
@@ -106,6 +117,26 @@ object CurateOps {
         |  FROM documents)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank,
         |  CAST((rank * 7) // total AS INT) AS shard
+        |FROM r""".stripMargin,
+
+    // window mirror: cumulative tokens BEFORE the row along the md5
+    // epoch order; shard = least((cum*S)//total, S-1)
+    "t37_token_shards" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), t -> len(t) > 0))
+        |      AS BIGINT) AS wt,
+        |    md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, wt,
+        |    ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS rank,
+        |    COALESCE(SUM(wt) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+        |    SUM(wt) OVER () AS total
+        |  FROM x)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+        |  CAST(LEAST((cumb * 5) // total, 4) AS INT) AS shard
         |FROM r""".stripMargin,
 
     "t11_curate" -> {

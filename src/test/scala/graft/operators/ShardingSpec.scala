@@ -41,6 +41,39 @@ class ShardingSpec extends AnyFunSuite {
     assert(run(df, "epoch0") !== run(df, "epoch1"))
   }
 
+  test("weight-balanced shards: token mass within one max-doc of even") {
+    // heterogeneous weights: doc i weighs (i % 50) + 1
+    val rows = (0L until 400L).map(i => (i, (i % 50) + 1))
+    val df = rows.toDF("doc_id", "wt")
+    val out = Sharding.epochShardsByWeight(df, "doc_id", col("wt"),
+      numShards = 5).as[(Long, Long, Int)].collect()
+    val wts = rows.toMap
+    val total = wts.values.sum
+    val byShard = out.groupBy(_._3).view
+      .mapValues(_.map(r => wts(r._1)).sum).toMap
+    assert(byShard.keySet === (0 until 5).toSet)
+    // each shard's token mass within one max doc weight of total/S
+    val ideal = total / 5.0
+    byShard.values.foreach(w => assert(math.abs(w - ideal) <= 50.0,
+      s"shard mass $w vs ideal $ideal"))
+    // shards are contiguous along the epoch order
+    val ordered = out.sortBy(_._2).map(_._3)
+    assert(ordered.sameElements(ordered.sorted))
+    // rank is the same permutation as the unweighted operator
+    val plain = Sharding.epochShards(df.select("doc_id"), "doc_id", 5)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    out.foreach { case (id, rank, _) => assert(plain(id) === rank) }
+  }
+
+  test("zero-weight tail rows clamp into the last shard") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, 7L), (4L, 0L))
+      .toDF("doc_id", "wt")
+    val out = Sharding.epochShardsByWeight(df, "doc_id", col("wt"), 3)
+      .as[(Long, Long, Int)].collect()
+    assert(out.map(_._3).forall(s => s >= 0 && s < 3))
+    assert(out.map(_._2).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("empty input yields an empty, well-typed frame") {
     val out = Sharding.epochShards(
       Seq.empty[Long].toDF("doc_id"), "doc_id", 3)
