@@ -13,17 +13,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cold-started run pays a small parquet read instead of re-shingling
   * the corpus.
   *
-  * Content keying: the caller's key should fold in [[fingerprint]] of
-  * every input dir plus the config values the leg depends on, so a
-  * regenerated input or a changed threshold REBUILDS instead of
-  * serving stale rows. Publication is atomic (build into a tmp dir, a
-  * `_done` marker rides the rename), so a crashed build leaves no
-  * half-artifact and concurrent builders converge on one copy.
+  * Content keying is EXPLICIT: callers pass a `logicalId` (what the
+  * artifact is — operator name + every config value the leg depends
+  * on) and a `generation` (which input version it was built from —
+  * [[fingerprint]] of the input dir, or a table snapshot id on a
+  * cluster). A regenerated input or a changed threshold REBUILDS
+  * instead of serving stale rows, and publishing a new generation
+  * prunes older generations of the SAME logicalId only — sibling
+  * artifacts that merely share a key prefix are never touched (the
+  * failure mode of inferring the generation from key syntax).
+  * Publication is atomic (build into a tmp dir, a `_done` marker
+  * rides the rename), so a crashed build leaves no half-artifact and
+  * concurrent builders converge on one copy.
   */
 object Artifacts {
 
-  def root: String = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
-    s"${System.getProperty("java.io.tmpdir")}/graft-artifacts")
+  /** System property first (test isolation), then env, then tmpdir. */
+  def root: String = sys.props.getOrElse("graft.artifacts.root",
+    sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
+      s"${System.getProperty("java.io.tmpdir")}/graft-artifacts"))
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -44,12 +52,15 @@ object Artifacts {
     md5(entries.mkString("|"))
   }
 
-  /** Serve the artifact for `key`, building it first if absent. The
-    * build's result is written as parquet and re-read, so the served
-    * frame scans files (a real staged table), never the build lineage.
+  /** Serve the artifact for (logicalId, generation), building it first
+    * if absent. The build's result is written as parquet and re-read,
+    * so the served frame scans files (a real staged table), never the
+    * build lineage. On publish, older generations of the same
+    * logicalId are pruned (see [[pruneStale]]).
     */
-  def table(spark: SparkSession, key: String)(build: => DataFrame)
-      : DataFrame = {
+  def table(spark: SparkSession, logicalId: String, generation: String)
+      (build: => DataFrame): DataFrame = {
+    val key = s"$logicalId|$generation"
     val dir = new java.io.File(root, md5(key))
     val done = new java.io.File(dir, "_done")
     if (dir.exists() && !done.exists()) {
@@ -60,50 +71,97 @@ object Artifacts {
     if (!done.exists()) {
       new java.io.File(root).mkdirs()
       val tmp = new java.io.File(root,
-        s".tmp_${md5(key)}_${ProcessHandle.current().pid()}")
+        s".tmp_${md5(key)}_${ProcessHandle.current().pid()}_" +
+          s"${Thread.currentThread().getId}")
       build.write.mode("overwrite").parquet(tmp.getPath)
-      // the raw key rides inside the artifact so stale GENERATIONS
-      // (same logical artifact, older input fingerprint) are
+      // the raw identity rides inside the artifact so stale
+      // GENERATIONS (same logicalId, older generation) are
       // identifiable after the dir name is hashed
       java.nio.file.Files.writeString(
         new java.io.File(tmp, "_key").toPath, key)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_logical").toPath, logicalId)
       require(new java.io.File(tmp, "_done").createNewFile(),
         s"artifact: could not mark $key complete")
       if (!tmp.renameTo(dir)) {
-        // lost a build race: another process published first — serve
+        // lost a build race: another builder published first — serve
         // theirs, drop ours
         require(done.exists(), s"artifact: could not publish $key")
         org.apache.commons.io.FileUtils.deleteDirectory(tmp)
       }
-      pruneStale(key)
+      pruneStale(logicalId, key)
     }
+    // serve = access: refresh the marker's mtime so evict()'s LRU
+    // order reflects reads, not just builds
+    done.setLastModified(System.currentTimeMillis())
     spark.read.parquet(dir.getPath)
   }
 
-  /** After publishing a new generation, drop older generations of the
-    * SAME logical artifact: any sibling whose key shares this key's
-    * prefix up to the final `|`-segment (the input fingerprint, by
-    * the class-doc keying convention) but differs in full. Without
-    * this the artifact root grows without bound across input
-    * regenerations — the staged tables of testdata that no longer
-    * exists. Runs only on the (rare) build path. LOCAL-FS caveat
-    * (same as upsertDim): a process still serving a stale generation
-    * when its input was regenerated would lose files mid-read; on a
-    * cluster this is the table-format's snapshot-expiry operation
-    * (`VACUUM` / `expire_snapshots`), which handles live readers.
+  /** One-off artifact with no generation lineage (specs, ad-hoc
+    * staging): no pruning ever applies to or from it.
     */
-  private def pruneStale(key: String): Unit = {
-    val cut = key.lastIndexOf('|')
-    if (cut <= 0) return
-    val prefix = key.substring(0, cut + 1)
+  def table(spark: SparkSession, key: String)(build: => DataFrame)
+      : DataFrame = table(spark, key, "")(build)
+
+  /** After publishing a new generation, drop older generations of the
+    * SAME logical artifact: any sibling whose recorded `_logical` id
+    * matches exactly but whose full key differs. Without this the
+    * artifact root grows without bound across input regenerations —
+    * the staged tables of testdata that no longer exists. Matching on
+    * the recorded logicalId (not key-prefix syntax) means artifacts
+    * whose keys merely share a prefix — e.g. the curate pipeline's
+    * per-leg tables `curate|tag|fp|cfg|<leg>` — are provably never
+    * pruned by a sibling's publish. Runs only on the (rare) build
+    * path. LOCAL-FS caveat (same as upsertDim): a process still
+    * serving a stale generation when its input was regenerated would
+    * lose files mid-read; on a cluster this is the table-format's
+    * snapshot-expiry operation (`VACUUM` / `expire_snapshots`), which
+    * handles live readers.
+    */
+  private def pruneStale(logicalId: String, key: String): Unit =
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .foreach { d =>
         val kf = new java.io.File(d, "_key")
-        if (d.isDirectory && kf.exists()) {
+        val lf = new java.io.File(d, "_logical")
+        // dot-dirs are in-flight builders' tmp space — never prune a
+        // build out from under a concurrent loser-to-be
+        if (d.isDirectory && !d.getName.startsWith(".") &&
+            kf.exists() && lf.exists()) {
           val k = java.nio.file.Files.readString(kf.toPath)
-          if (k != key && k.startsWith(prefix))
+          val l = java.nio.file.Files.readString(lf.toPath)
+          if (l == logicalId && k != key)
             org.apache.commons.io.FileUtils.deleteDirectory(d)
         }
       }
+
+  /** Size-capped eviction: delete least-recently-SERVED artifacts
+    * (by `_done` mtime, refreshed on every serve) until the root's
+    * total size is ≤ `maxBytes`. Generation pruning bounds growth
+    * across input versions; this bounds it across DISTINCT logical
+    * artifacts, so a long-lived deployment sweeping many corpora
+    * can't fill the artifact volume. Returns the evicted dir count.
+    * Only completed artifacts are candidates (tmp dirs belong to
+    * in-flight builders).
+    */
+  def evict(maxBytes: Long): Int = {
+    val dirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && !d.getName.startsWith(".") &&
+        new java.io.File(d, "_done").exists())
+      .map { d =>
+        val size = org.apache.commons.io.FileUtils.sizeOfDirectory(d)
+        (d, size, new java.io.File(d, "_done").lastModified())
+      }
+    var total = dirs.map(_._2).sum
+    var evicted = 0
+    // oldest-served first
+    dirs.sortBy(_._3).foreach { case (d, size, _) =>
+      if (total > maxBytes) {
+        org.apache.commons.io.FileUtils.deleteDirectory(d)
+        total -= size
+        evicted += 1
+      }
+    }
+    evicted
   }
 }

@@ -93,7 +93,7 @@ object Tables {
     val src = s"$dir/$name.parquet"
     if (dims(name)) spark.read.parquet(src)
     else Artifacts.table(spark,
-      s"relayout|$name|p=32|${Artifacts.fingerprint(dir)}")(
+      s"relayout|$name|p=32", Artifacts.fingerprint(dir))(
       spark.read.parquet(src).repartition(32))
   }
 

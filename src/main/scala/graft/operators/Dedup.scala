@@ -709,8 +709,16 @@ object Dedup {
     *   shingles.
     */
   /** @param rows pre-built (id, shingle) rows — a staged
-    *   [[shingleRows]] index artifact (must match `n`); None builds
-    *   inline.
+    *   [[shingleRows]] index artifact (must match `n`; if the cap was
+    *   already applied at index-build time, pass the capped rows and
+    *   leave `maxDocFreq` at its default). None builds inline.
+    *
+    * No internal persist: a staged `rows` frame is a parquet scan
+    * (re-reading it per use is cheap and pushdown-friendly), and an
+    * inline build re-derives the map-side shingle explode — either is
+    * preferable to a cached frame this lazy API could never safely
+    * unpersist (a long-lived session sweeping corpora would
+    * accumulate orphaned cache entries).
     */
   def containmentPairs(docs: DataFrame, threshold: Double,
                        idCol: String = "doc_id",
@@ -718,7 +726,7 @@ object Dedup {
                        n: Int = 3,
                        maxDocFreq: Long = Long.MaxValue,
                        rows: Option[DataFrame] = None): DataFrame = {
-    val sh0 = rows.getOrElse(shingleRows(docs, idCol, textCol, n)).persist()
+    val sh0 = rows.getOrElse(shingleRows(docs, idCol, textCol, n))
     val sh =
       if (maxDocFreq == Long.MaxValue) sh0
       else sh0.join(

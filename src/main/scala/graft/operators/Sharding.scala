@@ -45,7 +45,10 @@ object Sharding {
     * rank; phase 1 additionally carries per-bucket weight sums, and
     * the per-row offset is the cumulative weight BEFORE the row.
     * Zero-weight rows are allowed (LEAST-clamped into the last
-    * shard at the tail).
+    * shard at the tail); an ALL-zero-weight corpus carries no token
+    * signal to balance by, so it falls back to row-count sharding
+    * ([[epochShards]] semantics, same permutation) rather than
+    * silently dropping rows.
     */
   def epochShardsByWeight(df: DataFrame, idCol: String,
                           weight: org.apache.spark.sql.Column,
@@ -66,9 +69,13 @@ object Sharding {
       .agg(count(lit(1)).as("_c"), sum(col("_wt")).as("_s"))
       .as[(Int, Long, Long)].collect().sortBy(_._1)
     val totalW = counts.map(_._3).sum
-    if (counts.isEmpty || totalW <= 0L)
+    if (counts.isEmpty)
       return withB.select(col(idCol), lit(0L).as("rank"),
         lit(0).as("shard")).limit(0)
+    if (totalW <= 0L)
+      // rows exist but no weight mass: row-balanced fallback (the
+      // permutation is identical — same seed, same hash)
+      return epochShards(df, idCol, numShards, seed, buckets)
     val offsets = counts.scanLeft((0, 0L, 0L, 0L, 0L)) {
       case ((_, _, accC, _, accW), (b, c, s)) =>
         (b, accC, accC + c, accW, accW + s)

@@ -64,10 +64,15 @@ object CurateOps {
     */
   private def stager(s: SparkSession, dir: String, tag: String,
                      c: CorpusPipeline.Config): CorpusPipeline.Stager = {
-    val key0 = s"curate|$tag|${graft.core.Artifacts.fingerprint(dir)}|" +
-      c.copy(benchmark = None).toString
+    // logicalId = pipeline tag + config + LEG NAME; generation = the
+    // input dir's fingerprint. Keeping the fingerprint out of the
+    // logicalId means a regenerated corpus GCs each leg's old
+    // generation — and sibling legs (distinct logicalIds) are provably
+    // untouched by a leg's publish.
+    val cfg = c.copy(benchmark = None).toString
+    val fp = graft.core.Artifacts.fingerprint(dir)
     (name, build) =>
-      graft.core.Artifacts.table(s, s"$key0|$name")(build())
+      graft.core.Artifacts.table(s, s"curate|$tag|$cfg|$name", fp)(build())
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

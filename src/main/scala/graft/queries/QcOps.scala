@@ -54,7 +54,7 @@ object QcOps {
     "t26_bloom_decontam" -> { (s, dir) =>
       val d = docs(s, dir)
       val grams = graft.core.Artifacts.table(s,
-        s"t26grams|n=4|src1|${graft.core.Artifacts.fingerprint(dir)}")(
+        "t26grams|n=4|src1", graft.core.Artifacts.fingerprint(dir))(
         Decontaminate.benchGramSet(
           d.filter(col("source") === "src1"), "text", n = 4))
       Decontaminate.contaminationReportBloomGrams(

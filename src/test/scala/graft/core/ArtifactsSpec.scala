@@ -8,6 +8,10 @@ class ArtifactsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  private def dirOf(key: String) = new java.io.File(Artifacts.root,
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+
   test("table builds once, then serves the staged parquet") {
     val key = s"spec|${java.util.UUID.randomUUID()}"
     var builds = 0
@@ -42,21 +46,40 @@ class ArtifactsSpec extends AnyFunSuite {
   }
 
   test("publishing a new generation prunes the stale one, sparing strangers") {
-    val stem = s"gen|cfg|${java.util.UUID.randomUUID()}"
+    val logical = s"gen|cfg|${java.util.UUID.randomUUID()}"
     val other = s"other|${java.util.UUID.randomUUID()}"
-    def dirOf(key: String) = new java.io.File(Artifacts.root,
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString)
-    Artifacts.table(spark, s"$stem|fp1")(Seq(1L).toDF("x"))
+    Artifacts.table(spark, logical, "fp1")(Seq(1L).toDF("x"))
     Artifacts.table(spark, other)(Seq(7L).toDF("x"))
-    assert(dirOf(s"$stem|fp1").exists())
-    // input regenerated -> new fingerprint: old generation is GC'd
-    val out = Artifacts.table(spark, s"$stem|fp2")(Seq(2L).toDF("x"))
+    assert(dirOf(s"$logical|fp1").exists())
+    assert(dirOf(s"$other|").exists())
+    // input regenerated -> new generation: old generation is GC'd
+    val out = Artifacts.table(spark, logical, "fp2")(Seq(2L).toDF("x"))
     assert(out.as[Long].collect().toSeq === Seq(2L))
-    assert(!dirOf(s"$stem|fp1").exists(), "stale generation must be pruned")
-    assert(dirOf(s"$stem|fp2").exists())
+    assert(!dirOf(s"$logical|fp1").exists(), "stale generation must be pruned")
+    assert(dirOf(s"$logical|fp2").exists())
     // unrelated artifact untouched
-    assert(dirOf(other).exists())
+    assert(dirOf(s"$other|").exists())
+  }
+
+  test("publishing one leg never prunes a sibling leg sharing a key prefix") {
+    // the curate-stager shape that motivated explicit generation
+    // keying: per-leg keys share a long prefix and end in the leg
+    // NAME. Under prefix-inference pruning, publishing legB deleted
+    // legA's directory and the downstream join died on a missing
+    // parquet; under explicit (logicalId, generation) the legs are
+    // distinct logical artifacts and must both survive.
+    val stem = s"curate|t|cfg${java.util.UUID.randomUUID()}"
+    val a = Artifacts.table(spark, s"$stem|legA", "fp")(Seq(1L).toDF("x"))
+    Artifacts.table(spark, s"$stem|legB", "fp")(Seq(2L).toDF("x"))
+    assert(dirOf(s"$stem|legA|fp").exists(),
+      "sibling leg pruned by legB's publish")
+    // and the already-obtained frame still reads (the empirical
+    // failure was FileNotFoundException on collect)
+    assert(a.as[Long].collect().toSeq === Seq(1L))
+    // generation GC still works per leg
+    Artifacts.table(spark, s"$stem|legA", "fp2")(Seq(3L).toDF("x"))
+    assert(!dirOf(s"$stem|legA|fp").exists())
+    assert(dirOf(s"$stem|legB|fp").exists(), "other leg's generation GC'd")
   }
 
   test("a pre-marker leftover dir is rebuilt, not served") {
@@ -65,11 +88,68 @@ class ArtifactsSpec extends AnyFunSuite {
     // build once to find the path, then strip the _done marker and
     // corrupt the content
     Artifacts.table(spark, key)(Seq(1L).toDF("x"))
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val dir = new java.io.File(Artifacts.root, md5)
-    require(new java.io.File(dir, "_done").delete())
+    require(new java.io.File(dirOf(s"$key|"), "_done").delete())
     val out = Artifacts.table(spark, key)(Seq(9L).toDF("x"))
     assert(out.as[Long].collect().toSeq === Seq(9L)) // rebuilt
+  }
+
+  test("two concurrent builders of one key converge on a single copy") {
+    // the `_done`-rides-rename claim, exercised: both callers must get
+    // correct data whichever build wins the rename, and exactly one
+    // published dir remains
+    val logical = s"race|${java.util.UUID.randomUUID()}"
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Long]]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        try {
+          gate.await()
+          val df = Artifacts.table(spark, logical, "fp") {
+            // both builders produce the same logical content (the
+            // contract: key identifies content)
+            Seq(1L, 2L, 3L).toDF("x")
+          }
+          results.put(i, df.as[Long].collect().toSeq.sorted)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing builder threw: ${errs.peek()}")
+    assert(results.get(0) === Seq(1L, 2L, 3L))
+    assert(results.get(1) === Seq(1L, 2L, 3L))
+    assert(dirOf(s"$logical|fp").exists())
+    // no orphaned tmp dirs for this key remain
+    val md5 = dirOf(s"$logical|fp").getName
+    val leftovers = Option(new java.io.File(Artifacts.root).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith(s".tmp_$md5"))
+    assert(leftovers.isEmpty, "losing builder must clean its tmp dir")
+  }
+
+  test("evict drops least-recently-served artifacts down to the cap") {
+    // isolated root: eviction math must not see (or delete) the
+    // suite-shared staged tables
+    val isoRoot = java.nio.file.Files.createTempDirectory("aevict").toString
+    System.setProperty("graft.artifacts.root", isoRoot)
+    try {
+      Artifacts.table(spark, "ev|a")(Seq.fill(100)(1L).toDF("x"))
+      Thread.sleep(1100) // FS mtime granularity can be a full second
+      Artifacts.table(spark, "ev|b")(Seq.fill(100)(2L).toDF("x"))
+      Thread.sleep(1100)
+      // re-serve a: it becomes the most recently used
+      Artifacts.table(spark, "ev|a")(sys.error("must serve, not build"))
+      val total = Option(new java.io.File(isoRoot).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.isDirectory)
+        .map(org.apache.commons.io.FileUtils.sizeOfDirectory).sum
+      // cap just below the total: exactly the LRU artifact (b) must go
+      assert(Artifacts.evict(total - 1) === 1)
+      assert(dirOf("ev|a|").exists(),
+        "most-recently-served artifact evicted before older ones")
+      assert(!dirOf("ev|b|").exists(), "LRU artifact must be evicted")
+      // cap 0 clears the rest
+      assert(Artifacts.evict(0L) === 1)
+      assert(!dirOf("ev|a|").exists())
+    } finally System.clearProperty("graft.artifacts.root")
   }
 }
