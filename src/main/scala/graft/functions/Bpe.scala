@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokenize
+
+/** Deterministic byte-pair-encoding token counting — the unit every
+  * token-budget decision (domain mixing, weighted quantiles, sequence
+  * packing, token-balanced sharding) actually runs on in a training
+  * pipeline: real data loaders budget BPE tokens, not whitespace
+  * words, and a long word can be 5 BPE tokens while a frequent one is
+  * 1.
+  *
+  * Algorithm: the published greedy merge loop (Sennrich et al. 2016;
+  * the per-word encode is tiktoken's variant — repeatedly merge the
+  * single LEFTMOST occurrence of the lowest-rank adjacent pair until
+  * no pair is in the merges table). Start tokens are the word's code
+  * points. The merge loop is deterministic: rank order is total, ties
+  * on rank can't occur (one rank per pair), ties on position resolve
+  * leftmost.
+  *
+  * The merges table is a FIXTURE derived from the harness corpus by
+  * standard BPE training (most-frequent pair per step over
+  * word-frequency-weighted counts; lexicographic tie-break) and
+  * frozen here, the way a production tokenizer's `merges.txt` is
+  * trained once and shipped versioned with the model. Both the Spark
+  * side and the DuckDB oracle consume the SAME list ([[sqlMergesList]]
+  * renders it for SQL), so counts are engine-exact.
+  *
+  * Scale shape: the sequential merge fold is a Scala function (a UDF —
+  * sanctioned here by the repo's UDF bar because the loop is
+  * inherently order-dependent per word, inexpressible as builtin
+  * columns), but it runs ONLY over the DISTINCT-WORD relation
+  * (vocabulary-sized — Heaps-law sublinear in corpus size), never per
+  * occurrence: per-doc word multiplicities join the per-word token
+  * lengths back by a broadcast of the vocabulary. At 100 TB the
+  * vocabulary table is itself a staged artifact rebuilt per tokenizer
+  * version.
+  */
+object Bpe {
+
+  /** Trained merges in rank order (rank = index; lower merges first). */
+  val merges: Vector[(String, String)] = Vector(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("s", "mall"), ("g", "e"), ("l", "ow"))
+
+  private val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+
+  /** The merges as a DuckDB list literal of "a|b" strings whose
+    * 1-based `list_position` IS the rank — single source of truth for
+    * the oracle's recursive replay ('|' never occurs inside a token:
+    * tokens are substrings of whitespace-split words).
+    */
+  def sqlMergesList: String =
+    merges.map { case (a, b) => s"'$a|$b'" }.mkString("[", ", ", "]")
+
+  /** Greedy BPE of one word: code points → repeat{merge leftmost
+    * lowest-rank adjacent pair} → token list.
+    */
+  def encode(word: String): Vector[String] = {
+    var t = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    var done = false
+    while (!done) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < t.length - 1) {
+        rank.get((t(i), t(i + 1))) match {
+          case Some(r) if r < best => best = r; bi = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else t = (t.take(bi) :+ (t(bi) + t(bi + 1))) ++ t.drop(bi + 2)
+    }
+    t
+  }
+
+  /** BPE token count of one word. */
+  def countTokens(word: String): Int = encode(word).length
+
+  /** The vocabulary-relation UDF (see class doc for why a UDF and why
+    * it never touches corpus-sized data).
+    */
+  private val countUdf = udf((w: String) =>
+    if (w == null) 0 else countTokens(w))
+
+  /** Per-word BPE lengths for the distinct words of `words` (a
+    * one-column relation) — the vocabulary table.
+    */
+  def vocabLengths(words: DataFrame): DataFrame =
+    words.distinct()
+      .withColumn("bpe_len", countUdf(col(words.columns.head)).cast("long"))
+
+  /** Per-doc BPE token counts: (id, n_words, bpe_tokens), zero for
+    * docs with no tokens. One shuffle to (id, word) multiplicities,
+    * one vocabulary-sized UDF pass, one broadcast join back.
+    */
+  def docTokenCounts(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val wc = docs
+      .select(col(idCol), explode(tokenize(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("ct"))
+    val vocab = vocabLengths(wc.select("word"))
+    val agg = wc.join(broadcast(vocab), "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("ct")).as("n_words"),
+        sum(col("ct") * col("bpe_len")).as("bpe_tokens"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.tokenize
@@ -94,6 +95,67 @@ object DupSpans {
     * per-row lambda erases covered tokens — removal is map-side work
     * on each doc, never a cross-doc operation.
     */
+  /** Exact duplicate substrings of length ≥ `minLen` tokens — the
+    * published exact-substring dedup rule (Lee et al. 2022 §4.1 run
+    * their suffix-array EXACTSUBSTR at 50 tokens): report every
+    * maximal token range of a document whose every `minLen`-token
+    * window also occurs verbatim in at least one OTHER document.
+    * Complements [[report]]/[[removeDupSpans]] (short-gram coverage):
+    * the length threshold makes this precise — boilerplate sentences
+    * shorter than `minLen` are untouched — at the cost of missing
+    * short duplicates, which is exactly the published trade-off.
+    *
+    * Method: fingerprint every `minLen`-token window ([[gramKey]] of
+    * the window text — the relational stand-in for the suffix-array
+    * pass, identical output on collision-free data), keep windows
+    * whose fingerprint occurs in ≥ 2 distinct docs, and merge each
+    * doc's surviving window starts into maximal spans (two windows
+    * merge iff their covered token ranges overlap or touch:
+    * s₂ ≤ s₁ + minLen). The gaps-and-islands pass runs per doc over
+    * its own duplicated starts — bounded by doc length, never
+    * cross-doc. Shuffles carry 16-hex window keys and integer starts
+    * only; a window in d docs costs d rows, never d².
+    *
+    * @return (id, span_start, span_end, span_tokens, n_windows), one
+    *         row per maximal duplicated span; token positions 1-based
+    *         inclusive. Docs with no duplicated window emit no rows.
+    */
+  def exactSubstrings(docs: DataFrame, idCol: String, textCol: String,
+                      minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2 tokens, got $minLen")
+    val wins = docs
+      .select(col(idCol), tokenize(col(textCol)).as("w"))
+      .filter(size(col("w")) >= minLen)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("w")) - (minLen - 1)),
+        i => struct(i.as("s"),
+          gramKey(array_join(slice(col("w"), i, lit(minLen)), " "))
+            .as("wh")))).as("p"))
+      .select(col(idCol), col("p.s").as("s"), col("p.wh").as("wh"))
+    val dup = wins.select(col(idCol), col("wh")).distinct()
+      .groupBy(col("wh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select("wh")
+    // distinct starts: a window text repeated at two starts of one doc
+    // contributes both starts once each
+    val starts = wins.join(dup, "wh").select(col(idCol), col("s")).distinct()
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    starts
+      // new island iff this window's range no longer touches the
+      // previous one's: s > prev_s + minLen (first row: null → 0)
+      .withColumn("_nw",
+        when(col("s") > lag(col("s"), 1).over(byDoc) + minLen, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("_isl", sum(col("_nw")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("s")).cast("long").as("span_start"),
+        (max(col("s")) + (minLen - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"),
+        col("n_windows"))
+  }
+
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      n: Int): DataFrame = {
     require(n >= 2, s"gram width must be >= 2 words, got $n")

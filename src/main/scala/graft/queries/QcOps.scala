@@ -164,6 +164,17 @@ object QcOps {
       DupSpans.removeDupSpans(docs(s, dir), "doc_id", "text", n = 4)
     },
 
+    // ---- exact duplicate substrings >= 50 tokens (Lee et al. 2022) -------
+    // the published EXACTSUBSTR rule at its published threshold: every
+    // maximal token range whose 50-token windows all recur verbatim in
+    // another doc (the synthetic corpus embeds ~280 distinct 50-token
+    // cross-doc runs, so the row set is meaty); shorter duplicates are
+    // untouched by construction — the precision/recall trade the
+    // length threshold buys over t18's 4-gram coverage
+    "t38_exact_substring" -> { (s, dir) =>
+      DupSpans.exactSubstrings(docs(s, dir), "doc_id", "text", minLen = 50)
+    },
+
     // ---- hybrid retrieval: BM25 + dense cosine, RRF-fused ----------------
     // the RAG retrieval staple: lexical (t16's ranking) and dense
     // (vec 0 as the query embedding; doc_id ≡ vec_id in the harness)
@@ -429,6 +440,39 @@ object QcOps {
     // grouping key = substr(md5(gram),1,16) on both engines, so the
     // hash-keyed counts mirror exactly; dup_frac stays null for docs
     // with no 4-gram slots (left-join nulls divide to null)
+    // window fingerprints (md5-16 of the 50-token window) -> >= 2
+    // distinct docs -> per-doc gaps-and-islands over surviving starts
+    // (new island iff s > prev + 50); spans = island extents
+    "t38_exact_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(range(1, len(w) - 50 + 2)) AS s, w
+        |  FROM toks WHERE len(w) >= 50),
+        |wh AS (
+        |  SELECT doc_id, s,
+        |    substr(md5(array_to_string(w[s:s+49], ' ')), 1, 16) AS wh
+        |  FROM wins),
+        |dup AS (
+        |  SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM wh)
+        |  GROUP BY wh HAVING COUNT(*) >= 2),
+        |st AS (SELECT DISTINCT doc_id, s FROM wh JOIN dup USING (wh)),
+        |fl AS (
+        |  SELECT doc_id, s,
+        |    CASE WHEN s > LAG(s) OVER (PARTITION BY doc_id ORDER BY s) + 50
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM st),
+        |isl AS (
+        |  SELECT doc_id, s,
+        |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM fl)
+        |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+        |  CAST(MAX(s) + 49 AS BIGINT) AS span_end,
+        |  CAST(MAX(s) + 50 - MIN(s) AS BIGINT) AS span_tokens,
+        |  COUNT(*) AS n_windows
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+
     "t18_dup_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
+import graft.operators.Mixing
 
 /** Text-analysis operators over the `documents` table: keyword stats
   * (A4/F6 in SURVEY.md §2), language ID, quality scoring, token
@@ -51,6 +52,34 @@ object TextOps {
           count(lit(1)).as("doc_ct"),
           sum(nTokens(col("text"))).as("ws_tokens"),
           sum(regexTokenCount(col("text"))).as("re_tokens"))
+    },
+
+    // ---- deterministic BPE token counting --------------------------------
+    // the unit token-budget decisions actually run on: greedy BPE
+    // (tiktoken's leftmost-lowest-rank merge loop) over the corpus-
+    // trained fixture merges table. The sequential fold runs on the
+    // DISTINCT-WORD vocabulary only; per-doc counts come from a
+    // broadcast join of word multiplicities against the vocab lengths.
+    // The oracle REPLAYS the merge loop as a DuckDB recursive CTE over
+    // the same merges literal, so counts are engine-exact end to end.
+    "t39_bpe_tokens" -> { (s, dir) =>
+      graft.functions.Bpe.docTokenCounts(docs(s, dir))
+    },
+
+    // ---- token-budget mixing re-run on BPE weights -----------------------
+    // t15's budget-filling mix weighted by what a loader really
+    // consumes: BPE tokens (a 1-token frequent word no longer costs a
+    // 5-token rare one); budgets cap src0 at ~half its BPE mass and
+    // the rest at ~70%, so both budget branches and the keep/drop
+    // boundary fire on every source
+    "t40_bpe_domain_mix" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val bpe = graft.functions.Bpe.docTokenCounts(d)
+        .select(col("doc_id"), col("bpe_tokens"))
+      Mixing.mixByTokenBudget(d.join(bpe, "doc_id"), "source", "doc_id",
+          col("bpe_tokens"), Map("src0" -> 1800L), defaultBudget = 2500L)
+        .filter(col("kept"))
+        .select(col("doc_id"), col("source"), col("tok_prefix"))
     },
 
     // ---- rolling-hash document fingerprint -------------------------------
@@ -329,6 +358,48 @@ object TextOps {
         |SELECT doc_id, source FROM p
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY pr, doc_id) <= 5""".stripMargin
 
+  /** Recursive-CTE replay of [[graft.functions.Bpe]]'s greedy merge
+    * loop over the distinct-word vocabulary, from the SAME merges
+    * literal: per step, rank every adjacent pair via `list_position`
+    * on the rank-ordered pair list (0 = absent → nullif → sentinel),
+    * merge the leftmost minimum, recurse while a pair ranks; the
+    * terminal token count per word is MIN(len) over the chain. `bt`
+    * serves per-doc (n_words, bpe_tokens) via the word-multiplicity
+    * join — exactly docTokenCounts' shape.
+    */
+  private lazy val sqlBpeCtes: String = {
+    val m = graft.functions.Bpe.sqlMergesList
+    s"""tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |wc AS (
+       |  SELECT doc_id, word, COUNT(*) AS ct
+       |  FROM (SELECT doc_id, unnest(w) AS word FROM tk) GROUP BY 1, 2),
+       |vocab AS (SELECT DISTINCT word FROM wc),
+       |bpe(word, toks) AS (
+       |  SELECT word, list_transform(range(1, len(word) + 1), i -> word[i:i])
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT word, toks[1:p-1] || [toks[p] || toks[p+1]] || toks[p+2:len(toks)]
+       |  FROM (
+       |    SELECT word, toks,
+       |      list_position(rk, list_min(rk)) AS p, list_min(rk) AS m
+       |    FROM (
+       |      SELECT word, toks,
+       |        list_transform(range(1, len(toks)), i ->
+       |          coalesce(nullif(
+       |            list_position($m, toks[i] || '|' || toks[i+1]), 0),
+       |            999999)) AS rk
+       |      FROM bpe) rr) ss
+       |  WHERE m < 999999),
+       |wlen AS (SELECT word, MIN(len(toks)) AS n FROM bpe GROUP BY word),
+       |bt AS (
+       |  SELECT wc.doc_id, SUM(wc.ct) AS n_words,
+       |    SUM(wc.ct * wlen.n) AS bpe_tokens
+       |  FROM wc JOIN wlen USING (word) GROUP BY wc.doc_id)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "t1_keyword_stats" ->
       """SELECT keyword, source, COUNT(*) AS ct
@@ -371,6 +442,30 @@ object TextOps {
          |  END AS quality
          |FROM m""".stripMargin
     },
+
+    "t39_bpe_tokens" ->
+      s"""WITH RECURSIVE $sqlBpeCtes
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(bt.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(bt.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+         |FROM documents d LEFT JOIN bt USING (doc_id)""".stripMargin,
+
+    // t15's prefix-budget mirror with the BPE recursive replay as the
+    // weight source
+    "t40_bpe_domain_mix" ->
+      s"""WITH RECURSIVE $sqlBpeCtes,
+         |x AS (
+         |  SELECT d.doc_id, d.source, COALESCE(bt.bpe_tokens, 0) AS tok,
+         |    CAST('0x' || substr(md5('m:' || CAST(d.doc_id AS VARCHAR)), 1, 4) AS INT) AS pr
+         |  FROM documents d LEFT JOIN bt USING (doc_id)),
+         |p AS (
+         |  SELECT doc_id, source,
+         |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY pr, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_prefix
+         |  FROM x)
+         |SELECT doc_id, source, CAST(tok_prefix AS BIGINT) AS tok_prefix
+         |FROM p
+         |WHERE tok_prefix < CASE WHEN source = 'src0' THEN 1800 ELSE 2500 END""".stripMargin,
 
     "t4_token_count" ->
       s"""SELECT source, COUNT(*) AS doc_ct,

@@ -121,3 +121,58 @@ class NamesSpec extends AnyFunSuite {
     assert(Names.snakeToCamel("___") === "___")
   }
 }
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("encode follows the greedy leftmost-lowest-rank merge order") {
+    // "stream": s t r e a m → st (rank 4) → st r e a m; "e r"? no
+    // adjacent e,r ("e","a") — remaining pairs unranked → terminal
+    assert(Bpe.encode("stream") === Vector("st", "r", "e", "a", "m"))
+    // "merge": m e r g e → er (rank 0, leftmost) → m er g e →
+    // "m er" (rank 5) → mer g e → "g e" (rank 38) → mer ge
+    assert(Bpe.encode("merge") === Vector("mer", "ge"))
+    // full collapse: every trained frequent word reaches 1 token
+    for (w <- Seq("join", "hash", "batch", "scan", "column", "customer",
+        "filter", "row", "small", "a"))
+      assert(Bpe.encode(w).length === 1, s"$w -> ${Bpe.encode(w)}")
+    // untrained word: stays at code points
+    assert(Bpe.encode("zzz") === Vector("z", "z", "z"))
+  }
+
+  test("encode matches an order-free reference replica on the vocab") {
+    // reference: repeatedly scan for the global min-rank pair and
+    // merge its leftmost occurrence — same rule, independent code
+    val rank = Bpe.merges.zipWithIndex.toMap
+    def ref(w: String): Int = {
+      var t = w.map(_.toString).toList
+      var go = true
+      while (go) {
+        val ranked = t.zip(t.drop(1)).zipWithIndex
+          .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+        if (ranked.isEmpty) go = false
+        else {
+          val (_, i) = ranked.min
+          t = t.take(i) ::: (t(i) + t(i + 1)) :: t.drop(i + 2)
+        }
+      }
+      t.length
+    }
+    for (w <- Seq("stream", "table", "vector", "window", "query", "group",
+        "order", "spark", "value", "merge", "slow", "low", "lowercase",
+        "partition", "hashing", "rows", "xyzzy", "sts"))
+      assert(Bpe.countTokens(w) === ref(w), w)
+  }
+
+  test("docTokenCounts = multiplicity-weighted vocab lengths; empty = 0") {
+    val df = Seq(
+      (1L, "stream stream merge"), // 5 + 5 + 2
+      (2L, "a"),                   // 1
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Bpe.docTokenCounts(df).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L, 12L), (2L, 1L, 1L), (3L, 0L, 0L)))
+  }
+}

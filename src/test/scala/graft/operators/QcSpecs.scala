@@ -372,6 +372,55 @@ class DupSpansSpec extends AnyFunSuite {
     assert(out(1) === ((2L, 4L, 4L, "")))
     assert(out(2) === ((3L, 4L, 4L, "")))
   }
+
+  private def spans(df: org.apache.spark.sql.DataFrame, minLen: Int) =
+    DupSpans.exactSubstrings(df, "doc_id", "text", minLen)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("exactSubstrings: >= minLen shared runs found, shorter untouched") {
+    val df = Seq(
+      (1L, "x1 x2 a b c d e f y1 y2"), // shared 6-run at tokens 3..8
+      (2L, "z1 a b c d e f z2"),       // same run at tokens 2..7
+      (3L, "p q r s completely other stuff here"), // 4-token overlap only
+      (4L, "p q r s different tail words now"))
+      .toDF("doc_id", "text")
+    val out = spans(df, minLen = 5)
+    // overlapping windows (starts 3,4 / 2,3) merge into ONE maximal
+    // span of 6 tokens per doc; the 4-token "p q r s" overlap is
+    // below the threshold and reports nothing
+    assert(out === Seq(
+      (1L, 3L, 8L, 6L, 2L),
+      (2L, 2L, 7L, 6L, 2L)))
+  }
+
+  test("exactSubstrings: touching ranges merge, gapped ranges split") {
+    val df = Seq(
+      (7L, "a b c d e f g h i j"),     // runs adjacent: one 10-token span
+      (8L, "a b c d e X f g h i j"))   // same runs split by X: two spans
+      .toDF("doc_id", "text")
+    val out = spans(df, minLen = 5)
+    assert(out === Seq(
+      (7L, 1L, 10L, 10L, 2L),          // starts {1,6}: 6 <= 1+5 -> merged
+      (8L, 1L, 5L, 5L, 1L),            // starts {1,7}: 7 > 1+5 -> split
+      (8L, 7L, 11L, 5L, 1L)))
+  }
+
+  test("exactSubstrings: intra-doc repeats alone are not duplication") {
+    val df = Seq(
+      (9L, "a b c d e a b c d e"),     // window repeats within ONE doc
+      (10L, "totally unrelated words with no overlap at all ok"))
+      .toDF("doc_id", "text")
+    assert(spans(df, minLen = 5).isEmpty)
+  }
+
+  test("exactSubstrings: a doc shorter than minLen can never report") {
+    val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(spans(df, minLen = 5).isEmpty)
+    // at minLen = 3 the same pair IS an exact duplicate
+    assert(spans(df, minLen = 3) === Seq(
+      (1L, 1L, 3L, 3L, 1L), (2L, 1L, 3L, 3L, 1L)))
+  }
 }
 
 class ChunkingSpec extends AnyFunSuite {
