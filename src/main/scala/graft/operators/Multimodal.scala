@@ -111,6 +111,125 @@ object Multimodal {
       .toDF()
   }
 
+  /** Synthesize a VALID binary PPM (P6) payload from a text row: header
+    * `P6\n<w> <h>\n255\n` + the first w·h·3 text bytes as raw RGB
+    * data. Dims derive deterministically from the text length
+    * (w = 1 + len % 7, h = (len DIV 3) DIV w), so the DuckDB oracle
+    * can replay the exact construction — while the DECODER
+    * ([[decodePpm]]) sees only bytes and must genuinely parse them.
+    * The binary-media analogue of [[withPayload]].
+    */
+  def withPpmPayload(df: DataFrame, textCol: String = "text",
+                     payloadCol: String = "payload"): DataFrame = {
+    val len = length(col(textCol))
+    val w = lit(1) + pmod(len, lit(7))
+    val h = expr(s"(length($textCol) DIV 3) DIV (1 + length($textCol) % 7)")
+    df.withColumn(payloadCol,
+      when(col(textCol).isNotNull,
+        concat(lit("P6\n"), w.cast(StringType), lit(" "),
+          h.cast(StringType), lit("\n255\n"),
+          col(textCol).substr(lit(1), w * h * 3))
+        .cast(BinaryType)))
+  }
+
+  /** One really-decoded PPM frame: dims and maxval parsed from the
+    * header, per-channel integer pixel sums from the raw data.
+    * Integer means (`sum DIV n_pixels`) keep the features
+    * engine-exact.
+    */
+  case class PpmFrame(doc_id: Long, ok: Boolean, width: Int, height: Int,
+      maxval: Int, n_pixels: Long,
+      mean_r: Option[Long], mean_g: Option[Long], mean_b: Option[Long])
+
+  /** A REAL pure-JVM decoder for the P6 (binary PPM) container: parse
+    * the magic, the whitespace/comment-separated header ints, the
+    * single whitespace after maxval, then read w·h RGB triples.
+    * Returns None for anything malformed (wrong magic, bad ints,
+    * maxval outside 1..255, truncated pixel data) — the row surfaces
+    * as ok=false rather than poisoning the partition.
+    */
+  private[operators] def parsePpm(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Long, Long, Long)] = {
+    if (bytes == null || bytes.length < 2 ||
+        bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    // whitespace + '#'-to-end-of-line comments between header tokens
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        if (isWs(bytes(i))) i += 1
+        else if (bytes(i) == '#') {
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+        } else go = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWs()
+      var v = 0L
+      var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); any = true; i += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (any) Some(v.toInt) else None
+    }
+    for {
+      w <- readInt()
+      h <- readInt()
+      mv <- readInt()
+      if w >= 0 && h >= 0 && mv >= 1 && mv <= 255
+      // exactly ONE whitespace byte separates maxval from raster data
+      if i < bytes.length && isWs(bytes(i))
+      _ = { i += 1 }
+      n = w.toLong * h
+      if bytes.length - i >= n * 3
+    } yield {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var p = 0L
+      while (p < n) {
+        val o = i + (p * 3).toInt
+        sr += bytes(o) & 0xff
+        sg += bytes(o + 1) & 0xff
+        sb += bytes(o + 2) & 0xff
+        p += 1
+      }
+      (w, h, mv, sr, sg, sb)
+    }
+  }
+
+  /** Batch PPM decode through the same mapPartitions seam as
+    * [[decode]] — per-partition init, fixed-size batches, rows
+    * streamed — but with [[parsePpm]] doing real byte-level work
+    * where [[decodeStub]] fakes it. Null/malformed payloads emit
+    * ok=false rows (zero dims, null means).
+    */
+  def decodePpm(df: DataFrame, idCol: String = "doc_id",
+                payloadCol: String = "payload",
+                batchSize: Int = 256): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .filter(col(idCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            parsePpm(bytes) match {
+              case Some((w, h, mv, sr, sg, sb)) =>
+                val n = w.toLong * h
+                def mean(s: Long) = if (n > 0) Some(s / n) else None
+                PpmFrame(id, ok = true, w, h, mv, n,
+                  mean(sr), mean(sg), mean(sb))
+              case None =>
+                PpmFrame(id, ok = false, 0, 0, 0, 0L, None, None, None)
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Resize a decoded frame to target dimensions. The pixel resample is
     * the stubbed part (production: codec/SIMD resample behind the same
     * signature); the Spark-side contract is real — output schema keeps

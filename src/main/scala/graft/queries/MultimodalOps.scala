@@ -74,9 +74,57 @@ object MultimodalOps {
     "m7_phash_neardup" -> { (s, dir) =>
       Multimodal.perceptualNearDup(
         Multimodal.withPayload(docs(s, dir)), maxHamming = 7)
+    },
+
+    // ---- REAL container decode: P6 (binary PPM) --------------------------
+    // the m2 seam with an actual decoder in it: a valid PPM payload is
+    // synthesized per doc (header + text bytes as raw RGB), and
+    // decodePpm PARSES the bytes — magic, comment-tolerant header
+    // ints, raster triples — emitting dims + integer per-channel
+    // means. The oracle replays the CONSTRUCTION math (it never sees
+    // the bytes), so a green row proves the parser inverted the
+    // encoder exactly
+    "m8_decode_real" -> { (s, dir) =>
+      Multimodal.decodePpm(
+          Multimodal.withPpmPayload(
+            docs(s, dir).filter(col("text").isNotNull)))
+        .select(col("doc_id"), col("ok"), col("width"), col("height"),
+          col("maxval"), col("n_pixels"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
     })
 
   def oracle: Map[String, String] = Map(
+    // construction math only: w = 1 + len % 7, h = (len//3)//w, pixel
+    // i's byte = ord of text char i, channel = (i-1) % 3; integer
+    // means via //. ASCII text → byte == ord
+    "m8_decode_real" ->
+      """WITH m AS (
+        |  SELECT doc_id, 1 + strlen(text) % 7 AS w,
+        |    (strlen(text) // 3) // (1 + strlen(text) % 7) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |px AS (
+        |  SELECT m.doc_id,
+        |    unnest(range(1, w * h * 3 + 1)) AS i, w, h
+        |  FROM m),
+        |v AS (
+        |  SELECT px.doc_id, (i - 1) % 3 AS ch,
+        |    ord(substr(d.text, CAST(i AS INT), 1)) AS b
+        |  FROM px JOIN documents d USING (doc_id)),
+        |sums AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN ch = 0 THEN b ELSE 0 END) AS sr,
+        |    SUM(CASE WHEN ch = 1 THEN b ELSE 0 END) AS sg,
+        |    SUM(CASE WHEN ch = 2 THEN b ELSE 0 END) AS sb
+        |  FROM v GROUP BY doc_id)
+        |SELECT m.doc_id, TRUE AS ok,
+        |  CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height,
+        |  CAST(255 AS INT) AS maxval,
+        |  CAST(m.w * m.h AS BIGINT) AS n_pixels,
+        |  CAST(s.sr // nullif(m.w * m.h, 0) AS BIGINT) AS mean_r,
+        |  CAST(s.sg // nullif(m.w * m.h, 0) AS BIGINT) AS mean_g,
+        |  CAST(s.sb // nullif(m.w * m.h, 0) AS BIGINT) AS mean_b
+        |FROM m LEFT JOIN sums s USING (doc_id)""".stripMargin,
+
     "m6_blob_dedup" ->
       """SELECT sha256(text) AS sha, MIN(doc_id) AS keeper_id,
         |  COUNT(*) AS dup_ct

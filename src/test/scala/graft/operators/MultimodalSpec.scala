@@ -169,3 +169,80 @@ class MultimodalSpec extends AnyFunSuite {
       Dedup.hammingBandPairs(sigs, "doc_id", "sig", bits = 64, maxHamming = 3))
   }
 }
+
+class PpmDecodeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ppm(header: String, pixels: Array[Byte]): Array[Byte] =
+    header.getBytes("UTF-8") ++ pixels
+
+  test("parsePpm reads a well-formed P6 exactly") {
+    // 2x1 pixels: (10,20,30), (40,50,60)
+    val bytes = ppm("P6\n2 1\n255\n",
+      Array[Byte](10, 20, 30, 40, 50, 60))
+    assert(Multimodal.parsePpm(bytes) === Some((2, 1, 255, 50L, 70L, 90L)))
+  }
+
+  test("parsePpm tolerates comments, extra whitespace, and high bytes") {
+    val bytes = ppm("P6 # a comment\n # another\n 2\t1 \r\n200\n",
+      Array[Byte](-1, 0, 127, 1, 2, 3)) // 0xff must read as 255
+    assert(Multimodal.parsePpm(bytes) === Some((2, 1, 200, 256L, 2L, 130L)))
+  }
+
+  test("parsePpm rejects malformed containers") {
+    // wrong magic
+    assert(Multimodal.parsePpm("P5\n1 1\n255\n xyz".getBytes) === None)
+    // truncated raster (header promises 2 pixels, data has 1)
+    assert(Multimodal.parsePpm(
+      ppm("P6\n2 1\n255\n", Array[Byte](1, 2, 3))) === None)
+    // maxval out of the 1-byte range
+    assert(Multimodal.parsePpm(
+      ppm("P6\n1 1\n999\n", Array[Byte](1, 2, 3))) === None)
+    // missing header int
+    assert(Multimodal.parsePpm("P6\n2\n255\n".getBytes) === None)
+    assert(Multimodal.parsePpm(null) === None)
+    assert(Multimodal.parsePpm(Array.emptyByteArray) === None)
+  }
+
+  test("decodePpm inverts withPpmPayload; malformed rows surface ok=false") {
+    val df = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz0123456789 abcdefghijk"), // 48 chars
+      (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodePpm(Multimodal.withPpmPayload(df))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    val len = 48
+    val w = 1 + len % 7 // 7
+    val h = (len / 3) / w // 2
+    assert(r1.getBoolean(1) === true)
+    assert(r1.getInt(2) === w && r1.getInt(3) === h)
+    assert(r1.getLong(5) === w.toLong * h)
+    // channel means from the construction: pixel bytes are the first
+    // w*h*3 chars, channel = index % 3
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789 abcdefghijk"
+    val px = text.take(w * h * 3).getBytes("UTF-8")
+    def mean(c: Int) = px.zipWithIndex.collect {
+      case (b, i) if i % 3 == c => (b & 0xff).toLong
+    }.sum / (w * h)
+    assert(r1.getLong(6) === mean(0))
+    assert(r1.getLong(7) === mean(1))
+    assert(r1.getLong(8) === mean(2))
+    // null payload → ok=false, null means
+    val r2 = out(2L)
+    assert(r2.getBoolean(1) === false && r2.isNullAt(6))
+  }
+
+  test("decodePpm is batch-shape invariant") {
+    val many = (1L to 40L)
+      .map(i => (i, ("word " * (10 + (i % 13)).toInt).trim))
+      .toDF("doc_id", "text")
+    def run(bs: Int) =
+      Multimodal.decodePpm(Multimodal.withPpmPayload(many), batchSize = bs)
+        .select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+        .as[(Long, Int, Int, Option[Long], Option[Long], Option[Long])]
+        .collect().toSet
+    assert(run(256) === run(3))
+  }
+}
