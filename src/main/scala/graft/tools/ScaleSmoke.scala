@@ -262,7 +262,22 @@ object ScaleSmoke {
       // candidate (its candidate growth is by design at fixed width)
       bench("m7", dt1x, dtNx, d => graft.operators.Multimodal
         .perceptualNearDup(graft.operators.Multimodal.withPayload(d),
-          maxHamming = 3)))
+          maxHamming = 3)),
+      // t38: exact-substring spans — tagged copies keep the 50-token
+      // windows disjoint across copies (new content), so the
+      // fingerprint join and the per-doc island merge grow with docs
+      bench("t38", dt1x, dtNx, d => graft.operators.DupSpans
+        .exactSubstrings(d, "doc_id", "text", minLen = 50)),
+      // t39: BPE counts — the tagged fixture grows the VOCABULARY 10×
+      // (every word distinct per copy), stressing exactly the
+      // sequential-UDF relation; the multiplicity shuffle grows with
+      // rows. Untagged copies would grow rows but not vocab.
+      bench("t39", dt1x, dtNx,
+        d => graft.functions.Bpe.docTokenCounts(d)),
+      // m8: real PPM decode — map-side parse, zero shuffle; must track
+      // the payload scan exactly
+      bench("m8", d1x, dNx, d => graft.operators.Multimodal.decodePpm(
+        graft.operators.Multimodal.withPpmPayload(d))))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)

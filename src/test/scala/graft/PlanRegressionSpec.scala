@@ -385,6 +385,58 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), p.take(2000)) // aHash + popcount codegen'd
   }
 
+  // ---- round-11 relayout/codegen movers (4–15× wins) pinned ------------
+
+  test("d2 LSH: one banding pass cached, pair join is a hash equi-join") {
+    val p = plan("d2_lsh_candidates")
+    // both join sides must read the SAME cached band relation (losing
+    // the cache re-runs shingle+minhash per side — the pre-round-11
+    // 2.18s shape); the pairing must stay an equi-join on (band, key)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("d13 pagerank serves the staged pair artifact — no inline shingling") {
+    val p = plan("d13_pagerank")
+    // edges come from the neardup-pairs artifact (a parquet read);
+    // re-deriving them would put the shingle explode + minhash back
+    // into every query (the 9.89s pre-staging shape)
+    assert(!p.contains("shingle"), p.take(2000))
+    assert(!p.contains("split(text"), p.take(2000))
+    assert(p.contains(graft.core.Artifacts.root), p.take(2000))
+  }
+
+  test("d6 clusters: in-core union-find path yields a local result at spec scale") {
+    // the size-adaptive claim: below the edge threshold the component
+    // labels are computed in-core and the query is a LocalTableScan,
+    // not a distributed fixpoint
+    assert(plan("d6_dedup_clusters").contains("LocalTableScan"))
+  }
+
+  test("t26 bloom decontam: semi probe, codegen gram arithmetic, staged grams") {
+    val p = plan("t26_bloom_decontam")
+    // the verify join must stay left-semi against a broadcast build of
+    // the staged gram set (the inner form re-materialized the probe
+    // chain; a shuffled join would move the corpus grams)
+    assert(p.contains("BroadcastHashJoin LeftSemi"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // grams must derive via substring_index arithmetic (codegen), not
+    // a HOF lambda over a materialized token array (CodegenFallback)
+    assert(p.contains("substring_index"), p.take(2000))
+    assert(p.contains(graft.core.Artifacts.root), p.take(2000))
+  }
+
+  test("t11b curate: staged legs join back by broadcast — no inline shingling") {
+    val p = plan("t11b_curate_gated")
+    // the three shuffling legs (near-dup index, span report, decontam)
+    // are staged artifacts; the final composition must join them as
+    // broadcast builds onto the doc scan, never re-shingle
+    assert(!p.contains("shingle"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains(graft.core.Artifacts.root), p.take(2000))
+  }
+
   test("q20 brand/supplier: dims broadcast, fact never re-shuffled before the agg") {
     val p = plan("q20_brand_supplier")
     // part/supplier/nation are all dim-sized: every join must be a
