@@ -221,9 +221,15 @@ object DedupOps {
     // a pure function of the capped shingle space, so both engines
     // derive identical sets; one summary row per cap value.
     "d24_containment_recall" -> { (s, dir) =>
-      val exact = Dedup.containmentPairs(docs(s, dir), threshold = 0.5,
-        rows = Some(shingleRowsIdx(s, dir)))
-        .select(col("doc_a"), col("doc_b")).persist()
+      // the exact pair set is the eval's TRUTH table, reused across
+      // all three cap legs and every rerun — staged once (d11 stays
+      // the honest-lineage build of the same pipeline)
+      val exact = graft.core.Artifacts.table(s,
+        "containment-pairs|thr=0.5|n=3",
+        graft.core.Artifacts.fingerprint(dir))(
+        Dedup.containmentPairs(docs(s, dir), threshold = 0.5,
+            rows = Some(shingleRowsIdx(s, dir)))
+          .select(col("doc_a"), col("doc_b")))
       val caps = Seq(3L, 5L, 10L)
       caps.map { c =>
         val capped = Dedup.containmentPairs(docs(s, dir), threshold = 0.5,
