@@ -156,6 +156,55 @@ object DupSpans {
         col("n_windows"))
   }
 
+  /** [[exactSubstrings]]' REMOVAL twin with keep-first semantics —
+    * Lee et al. remove all but one occurrence of each duplicated
+    * substring: a window is removable from doc d iff the same window
+    * text occurs in a LOWER-id doc (the canonical copy survives
+    * where [[removeDupSpans]] obliterates every occurrence). Tokens
+    * covered by any removable window are cut; survivors rejoin in
+    * order. Output matches removeDupSpans: (id, n_tokens, n_removed,
+    * cleaned_text).
+    *
+    * Same scale shape as exactSubstrings, plus one keeper aggregate:
+    * min(doc_id) per window key is partial-aggregatable; the
+    * removable-start lists aggregate back per doc (bounded by doc
+    * length) and the cut is a per-row lambda.
+    */
+  def removeExactSubstrings(docs: DataFrame, idCol: String,
+                            textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2 tokens, got $minLen")
+    val toks = docs
+      .select(col(idCol), col(textCol), tokenize(col(textCol)).as("w"))
+    val wins = toks
+      .filter(size(col("w")) >= minLen)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("w")) - (minLen - 1)),
+        i => struct(i.as("s"),
+          gramKey(array_join(slice(col("w"), i, lit(minLen)), " "))
+            .as("wh")))).as("p"))
+      .select(col(idCol), col("p.s").as("s"), col("p.wh").as("wh"))
+    // keeper = lowest doc id holding the window; removable elsewhere
+    val keeper = wins.groupBy(col("wh"))
+      .agg(min(col(idCol)).as("_keep"))
+    val starts = wins.join(keeper, "wh")
+      .filter(col(idCol) > col("_keep"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("s"))).as("_starts"))
+    toks.join(starts, Seq(idCol), "left")
+      .withColumn("_starts",
+        coalesce(col("_starts"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(filter(col("w"), (_, j) =>
+          !exists(col("_starts"), s =>
+            s <= j + 1 && j + 1 <= s + (minLen - 1))))).cast("long")
+          .as("n_removed"),
+        array_join(filter(col("w"), (_, j) =>
+          !exists(col("_starts"), s =>
+            s <= j + 1 && j + 1 <= s + (minLen - 1))), " ")
+          .as("cleaned_text"))
+  }
+
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      n: Int): DataFrame = {
     require(n >= 2, s"gram width must be >= 2 words, got $n")

@@ -230,6 +230,117 @@ object Multimodal {
       .toDF()
   }
 
+  /** Synthesize a VALID 16-bit mono PCM WAV payload from a text row:
+    * a constant RIFF/WAVE header (PCM, 1 channel, 8 kHz, 16-bit,
+    * 16 frames = 32 data bytes) + the first 32 text bytes as
+    * little-endian samples. Header bytes ride `unhex` so every byte
+    * is exact (a string literal would UTF-8-mangle 0x80+). The audio
+    * tier of [[withPpmPayload]]'s contract: construction the oracle
+    * replays, bytes the decoder must genuinely parse.
+    */
+  def withWavPayload(df: DataFrame, textCol: String = "text",
+                     payloadCol: String = "payload"): DataFrame = {
+    val headerHex =
+      "52494646" + "44000000" + "57415645" + // RIFF <68> WAVE
+        "666d7420" + "10000000" +            // fmt  <16>
+        "0100" + "0100" +                    // PCM, 1 channel
+        "401f0000" + "803e0000" +            // 8000 Hz, 16000 B/s
+        "0200" + "1000" +                    // block align 2, 16 bit
+        "64617461" + "20000000"              // data <32>
+    df.withColumn(payloadCol,
+      when(col(textCol).isNotNull && length(col(textCol)) >= 32,
+        concat(unhex(lit(headerHex)),
+          col(textCol).substr(1, 32).cast(BinaryType))))
+  }
+
+  /** One decoded PCM clip: fmt-chunk fields + integer sample stats
+    * (sum and peak |amplitude| — no division, so values are
+    * engine-exact even for negative samples).
+    */
+  case class WavClip(doc_id: Long, ok: Boolean, channels: Int,
+      sample_rate: Int, bits_per_sample: Int, n_samples: Long,
+      sum_amp: Option[Long], peak_amp: Option[Long])
+
+  /** A REAL RIFF/WAVE parser: verify the RIFF magic and WAVE form,
+    * WALK the chunk list (skipping unknown chunks, honoring RIFF's
+    * odd-size pad byte), read the fmt chunk (must be integer PCM,
+    * 16-bit), then fold the data chunk's little-endian signed
+    * samples. None for anything malformed or truncated.
+    */
+  private[operators] def parseWav(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Long, Long, Long)] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    if (le32(4) + 8 > bytes.length) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // format, ch, rate, bits
+    var data: Option[(Int, Int)] = None          // offset, size
+    while (i + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(i)
+      val sz = le32(i + 4)
+      if (sz < 0 || i + 8 + sz > bytes.length) return None
+      val szi = sz.toInt
+      if (id == "fmt ") {
+        if (szi < 16) return None
+        fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12).toInt,
+          le16(i + 22)))
+      } else if (id == "data") {
+        data = Some((i + 8, szi))
+      }
+      i += 8 + szi + (szi & 1) // RIFF pads odd chunks to even
+    }
+    for {
+      (format, ch, rate, bits) <- fmt
+      (off, size) <- data
+      if format == 1 && bits == 16 && ch >= 1 && size % (2 * ch) == 0
+    } yield {
+      val n = size / 2 // samples across channels
+      var sum = 0L
+      var peak = 0L
+      var k = 0
+      while (k < n) {
+        val v = le16(off + 2 * k).toShort.toLong // signed
+        sum += v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        k += 1
+      }
+      (ch, rate, bits, (n / ch).toLong, sum, peak)
+    }
+  }
+
+  /** Batched WAV decode through the shared mapPartitions seam (the m2
+    * economics; [[decodePpm]]'s audio sibling). Malformed/null
+    * payloads emit ok=false rows.
+    */
+  def decodeWav(df: DataFrame, idCol: String = "doc_id",
+                payloadCol: String = "payload",
+                batchSize: Int = 256): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .filter(col(idCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            parseWav(bytes) match {
+              case Some((ch, rate, bits, n, sum, peak)) =>
+                WavClip(id, ok = true, ch, rate, bits, n,
+                  Some(sum), Some(peak))
+              case None =>
+                WavClip(id, ok = false, 0, 0, 0, 0L, None, None)
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Resize a decoded frame to target dimensions. The pixel resample is
     * the stubbed part (production: codec/SIMD resample behind the same
     * signature); the Spark-side contract is real — output schema keeps

@@ -97,6 +97,19 @@ object CurateOps {
         numShards = 5, seed = "epoch0")
     },
 
+    // ---- BPE-token-balanced shards ----------------------------------------
+    // t37 re-run on the weight a data loader actually budgets: shard
+    // boundaries at multiples of total BPE tokens / S along the same
+    // epoch permutation (the staged bpe-counts artifact serves the
+    // weights; the two-phase rank is weight-agnostic)
+    "t41_bpe_token_shards" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .join(TextOps.bpeCountsIdx(s, dir)
+          .select(col("doc_id"), col("bpe_tokens")), "doc_id")
+      Sharding.epochShardsByWeight(d, "doc_id", col("bpe_tokens"),
+        numShards = 5, seed = "epoch0")
+    },
+
     "t11_curate" -> { (s, dir) =>
       stageSelect(
         CorpusPipeline.curate(Tables.load(s, dir, "documents"), cfg,
@@ -111,6 +124,23 @@ object CurateOps {
     })
 
   def oracle: Map[String, String] = Map(
+    // t37's window mirror with the BPE recursive replay as the weight
+    "t41_bpe_token_shards" ->
+      s"""WITH RECURSIVE ${TextOps.sqlBpeCtes},
+         |x AS (
+         |  SELECT d.doc_id, COALESCE(bt.bpe_tokens, 0) AS wt,
+         |    md5('epoch0:' || CAST(d.doc_id AS VARCHAR)) AS h
+         |  FROM documents d LEFT JOIN bt USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id, wt,
+         |    ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS rank,
+         |    COALESCE(SUM(wt) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+         |    SUM(wt) OVER () AS total
+         |  FROM x)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+         |  CAST(LEAST((cumb * 5) // total, 4) AS INT) AS shard
+         |FROM r""".stripMargin,
     // single-window mirror of the two-phase rank: global ROW_NUMBER
     // over (md5, id); shard = integer rank*S // total
     "t35_epoch_shards" ->

@@ -91,6 +91,23 @@ object MultimodalOps {
         .select(col("doc_id"), col("ok"), col("width"), col("height"),
           col("maxval"), col("n_pixels"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+    },
+
+    // ---- REAL container decode, audio tier: RIFF/WAVE PCM ----------------
+    // the m8 contract on a second modality: a valid 16-bit mono WAV is
+    // synthesized per doc (constant header + 16 LE samples from text
+    // bytes) and decodeWav WALKS THE CHUNK LIST — magic, fmt fields,
+    // pad rules, truncation checks — emitting integer sample stats
+    // (sum + peak |amplitude|, no division). Oracle replays the
+    // construction math only
+    "m9_decode_wav" -> { (s, dir) =>
+      Multimodal.decodeWav(
+          Multimodal.withWavPayload(
+            docs(s, dir).filter(col("text").isNotNull &&
+              length(col("text")) >= 32)))
+        .select(col("doc_id"), col("ok"), col("channels"),
+          col("sample_rate"), col("bits_per_sample"), col("n_samples"),
+          col("sum_amp"), col("peak_amp"))
     })
 
   def oracle: Map[String, String] = Map(
@@ -124,6 +141,30 @@ object MultimodalOps {
         |  CAST(s.sg // nullif(m.w * m.h, 0) AS BIGINT) AS mean_g,
         |  CAST(s.sb // nullif(m.w * m.h, 0) AS BIGINT) AS mean_b
         |FROM m LEFT JOIN sums s USING (doc_id)""".stripMargin,
+
+    // construction math: sample i (0-based) = ord(char 2i+1) +
+    // 256·ord(char 2i+2), sign-folded at 32768 (ASCII data never
+    // trips it — the spec covers negative samples with crafted bytes)
+    "m9_decode_wav" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest(range(0, 16)) AS i FROM documents
+        |  WHERE text IS NOT NULL AND strlen(text) >= 32),
+        |v AS (
+        |  SELECT s.doc_id,
+        |    ord(substr(d.text, CAST(2 * i + 1 AS INT), 1))
+        |      + 256 * ord(substr(d.text, CAST(2 * i + 2 AS INT), 1)) AS raw
+        |  FROM s JOIN documents d USING (doc_id)),
+        |sv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+        |  FROM v)
+        |SELECT doc_id, TRUE AS ok, CAST(1 AS INT) AS channels,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(16 AS BIGINT) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sum_amp,
+        |  CAST(MAX(abs(v)) AS BIGINT) AS peak_amp
+        |FROM sv GROUP BY doc_id""".stripMargin,
 
     "m6_blob_dedup" ->
       """SELECT sha256(text) AS sha, MIN(doc_id) AS keeper_id,

@@ -175,6 +175,16 @@ object QcOps {
       DupSpans.exactSubstrings(docs(s, dir), "doc_id", "text", minLen = 50)
     },
 
+    // ---- exact-substring REMOVAL, keep-first (Lee et al.) ---------------
+    // the rewrite t38 only measures: duplicated >= 50-token runs are
+    // cut from every doc EXCEPT the lowest-id holder (one canonical
+    // copy survives — dedup, not obliteration; contrast t36, which
+    // cuts every occurrence of its short grams)
+    "t42_exact_substring_dedup" -> { (s, dir) =>
+      DupSpans.removeExactSubstrings(docs(s, dir), "doc_id", "text",
+        minLen = 50)
+    },
+
     // ---- hybrid retrieval: BM25 + dense cosine, RRF-fused ----------------
     // the RAG retrieval staple: lexical (t16's ranking) and dense
     // (vec 0 as the query embedding; doc_id ≡ vec_id in the harness)
@@ -440,6 +450,41 @@ object QcOps {
     // grouping key = substr(md5(gram),1,16) on both engines, so the
     // hash-keyed counts mirror exactly; dup_frac stays null for docs
     // with no 4-gram slots (left-join nulls divide to null)
+    // window fingerprints -> keeper = MIN(doc_id) per window text ->
+    // removable starts (doc > keeper) -> covered positions cut, the
+    // survivors string_agg back in order
+    "t42_exact_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(range(1, len(w) - 50 + 2)) AS s, w
+        |  FROM toks WHERE len(w) >= 50),
+        |wh AS (
+        |  SELECT doc_id, s,
+        |    substr(md5(array_to_string(w[s:s+49], ' ')), 1, 16) AS wh
+        |  FROM wins),
+        |k AS (SELECT wh, MIN(doc_id) AS keep FROM wh GROUP BY wh),
+        |rm AS (
+        |  SELECT wh.doc_id, wh.s FROM wh JOIN k USING (wh)
+        |  WHERE wh.doc_id > k.keep),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(range(s, s + 50)) AS pos FROM rm),
+        |tp AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w FROM toks),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.pos, tp.w[CAST(tp.pos AS INT)] AS tok,
+        |    cov.pos IS NULL AS keep
+        |  FROM tp LEFT JOIN cov USING (doc_id, pos))
+        |SELECT t.doc_id,
+        |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.w) - COUNT(*) FILTER (WHERE kept.keep) AS BIGINT)
+        |    AS n_removed,
+        |  COALESCE(string_agg(kept.tok, ' ' ORDER BY kept.pos)
+        |    FILTER (WHERE kept.keep), '') AS cleaned_text
+        |FROM toks t LEFT JOIN kept ON kept.doc_id = t.doc_id
+        |GROUP BY t.doc_id, len(t.w)""".stripMargin,
+
     // window fingerprints (md5-16 of the 50-token window) -> >= 2
     // distinct docs -> per-doc gaps-and-islands over surviving starts
     // (new island iff s > prev + 50); spans = island extents

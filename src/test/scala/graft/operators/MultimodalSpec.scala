@@ -246,3 +246,61 @@ class PpmDecodeSpec extends AnyFunSuite {
     assert(run(256) === run(3))
   }
 }
+
+class WavDecodeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def wav(samples: Seq[Int], rate: Int = 8000, ch: Int = 1,
+                  extraChunk: Boolean = false): Array[Byte] = {
+    val data = samples.flatMap(le16).toArray
+    val junk = if (extraChunk) "JUNK".getBytes ++ le32(3) ++
+      Array[Byte](1, 2, 3, 0) else Array.emptyByteArray // odd size + pad
+    val body = junk ++ "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++
+      le32(rate) ++ le32(rate * 2 * ch) ++ le16((2 * ch)) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+  }
+
+  test("parseWav reads fmt fields and signed sample stats exactly") {
+    val out = Multimodal.parseWav(wav(Seq(100, -200, 32767, -32768, 0)))
+    assert(out === Some((1, 8000, 16, 5L, 100L - 200L + 32767L - 32768L, 32768L)))
+  }
+
+  test("parseWav walks unknown chunks honoring the odd-size pad byte") {
+    val out = Multimodal.parseWav(wav(Seq(5, -5), extraChunk = true))
+    assert(out === Some((1, 8000, 16, 2L, 0L, 5L)))
+  }
+
+  test("parseWav rejects malformed containers") {
+    assert(Multimodal.parseWav(null) === None)
+    assert(Multimodal.parseWav("RIFX1234WAVE".getBytes) === None)
+    // truncated data chunk (header promises 4 bytes, has 2)
+    val good = wav(Seq(1, 2))
+    assert(Multimodal.parseWav(good.dropRight(2)) === None)
+    // non-PCM format code
+    val nonPcm = good.clone()
+    nonPcm(20) = 3 // fmt format field
+    assert(Multimodal.parseWav(nonPcm) === None)
+  }
+
+  test("decodeWav inverts withWavPayload on ASCII text rows") {
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 >= 32 chars
+    val df = Seq((1L, text), (2L, "short")).toDF("doc_id", "text")
+    val out = Multimodal.decodeWav(Multimodal.withWavPayload(df))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getBoolean(1) === true)
+    assert(r1.getInt(2) === 1 && r1.getInt(3) === 8000 && r1.getInt(4) === 16)
+    assert(r1.getLong(5) === 16L)
+    val samples = text.take(32).getBytes.grouped(2)
+      .map { case Array(lo, hi) => (lo & 0xff) + 256 * (hi & 0xff) }.toSeq
+    assert(r1.getLong(6) === samples.map(_.toLong).sum)
+    assert(r1.getLong(7) === samples.max.toLong)
+    // too-short text -> null payload -> ok=false
+    assert(out(2L).getBoolean(1) === false && out(2L).isNullAt(6))
+  }
+}

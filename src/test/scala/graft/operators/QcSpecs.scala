@@ -421,6 +421,30 @@ class DupSpansSpec extends AnyFunSuite {
     assert(spans(df, minLen = 3) === Seq(
       (1L, 1L, 3L, 3L, 1L), (2L, 1L, 3L, 3L, 1L)))
   }
+
+  test("removeExactSubstrings: keep-first — the lowest-id copy survives") {
+    val df = Seq(
+      (1L, "a b c d e tail1 x"),   // canonical holder of "a b c d e"
+      (2L, "pre a b c d e post"),  // duplicate: run cut
+      (3L, "a b c d e"))           // duplicate: whole doc cut
+      .toDF("doc_id", "text")
+    val out = DupSpans.removeExactSubstrings(df, "doc_id", "text", minLen = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 7L, 0L, "a b c d e tail1 x"), // keeper untouched
+      (2L, 7L, 5L, "pre post"),
+      (3L, 5L, 5L, "")))
+  }
+
+  test("removeExactSubstrings: shorter-than-minLen overlaps untouched") {
+    val df = Seq(
+      (1L, "p q r s one two three"),
+      (2L, "p q r s four five six"))  // only a 4-token overlap
+      .toDF("doc_id", "text")
+    val out = DupSpans.removeExactSubstrings(df, "doc_id", "text", minLen = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.forall(_._3 == 0L), out.toString)
+  }
 }
 
 class ChunkingSpec extends AnyFunSuite {
