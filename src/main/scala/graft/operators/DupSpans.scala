@@ -123,21 +123,23 @@ object DupSpans {
   def exactSubstrings(docs: DataFrame, idCol: String, textCol: String,
                       minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2 tokens, got $minLen")
-    val wins = docs
-      .select(col(idCol), tokenize(col(textCol)).as("w"))
-      .filter(size(col("w")) >= minLen)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("w")) - (minLen - 1)),
-        i => struct(i.as("s"),
-          gramKey(array_join(slice(col("w"), i, lit(minLen)), " "))
-            .as("wh")))).as("p"))
-      .select(col(idCol), col("p.s").as("s"), col("p.wh").as("wh"))
+    val wins = windowRows(docs, idCol, textCol, minLen)
     val dup = wins.select(col(idCol), col("wh")).distinct()
       .groupBy(col("wh")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2).select("wh")
     // distinct starts: a window text repeated at two starts of one doc
     // contributes both starts once each
     val starts = wins.join(dup, "wh").select(col(idCol), col("s")).distinct()
+    islandSpans(starts, idCol, minLen)
+  }
+
+  /** Gaps-and-islands merge of duplicated window starts into maximal
+    * spans — shared by the batch operator and the streaming twin. Input
+    * is distinct (id, s) rows; per-doc window state is bounded by the
+    * doc's own duplicated-start count.
+    */
+  private def islandSpans(starts: DataFrame, idCol: String,
+                          minLen: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("s"))
     starts
       // new island iff this window's range no longer touches the
@@ -154,6 +156,85 @@ object DupSpans {
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"),
         col("n_windows"))
+  }
+
+  /** Window-fingerprint rows of a (possibly tiny, batch-sized) doc
+    * frame: (id, s, wh) for every minLen-token window.
+    */
+  private def windowRows(docs: DataFrame, idCol: String, textCol: String,
+                         minLen: Int): DataFrame =
+    docs
+      .select(col(idCol), tokenize(col(textCol)).as("w"))
+      .filter(size(col("w")) >= minLen)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("w")) - (minLen - 1)),
+        i => struct(i.as("s"),
+          gramKey(array_join(slice(col("w"), i, lit(minLen)), " "))
+            .as("wh")))).as("p"))
+      .select(col(idCol), col("p.s").as("s"), col("p.wh").as("wh"))
+
+  /** Streaming [[exactSubstrings]] against a growing window-fingerprint
+    * index — the bucket-index recipe of
+    * [[Dedup.streamingCandidatePairs]] applied to exact-substring
+    * detection: per micro-batch, a doc's window is duplicated iff the
+    * same window text occurs in ANOTHER doc of this batch or anywhere
+    * in the accumulated index; duplicated starts merge into maximal
+    * spans ([[islandSpans]]) and `onBatch` receives the batch's span
+    * rows. The batch's distinct (wh, id) rows then append to the
+    * index under a `batch_id=N` partition — Overwrite per partition,
+    * so a replayed batch rewrites its own rows instead of
+    * double-counting (exactly-once detection under at-least-once
+    * foreachBatch). All data in one batch ≡ the batch operator;
+    * across batches, detection happens at ARRIVAL time (the later
+    * copy reports the span), the same directionality as the LSH
+    * bucket-index probe.
+    *
+    * Scale: per batch, one equi-join of batch window keys against the
+    * index (a window in d docs costs d rows) plus the per-doc island
+    * merge; index reads prune to `batch_id < current` via partition
+    * pruning.
+    */
+  def streamingExactSubstrings(stream: DataFrame, indexDir: String,
+      onBatch: (Long, DataFrame) => Unit,
+      idCol: String = "doc_id", textCol: String = "text",
+      minLen: Int = 50)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(minLen >= 2, s"minLen must be >= 2 tokens, got $minLen")
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val wins = windowRows(batch, idCol, textCol, minLen).persist()
+      val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // within-batch rule: same window text in >= 2 batch docs
+      val dupLocal = wins.select(col(idCol), col("wh")).distinct()
+        .groupBy(col("wh")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= 2).select("wh")
+      val dupKeys =
+        if (!fs.exists(indexPath)) dupLocal
+        else {
+          val index = spark.read.option("basePath", indexDir)
+            .parquet(indexDir)
+          require(index.columns.contains("batch_id"),
+            s"$indexDir is not a batch_id-partitioned window index; " +
+              "rebuild it (no in-place migration from other layouts)")
+          // strictly-prior batches only: a replayed batch must not
+          // probe its own half-written keys
+          dupLocal.unionByName(
+            index.filter(col("batch_id") < batchId).select("wh"))
+            .distinct()
+        }
+      val starts = wins.join(dupKeys, "wh")
+        .select(col(idCol), col("s")).distinct()
+      onBatch(batchId, islandSpans(starts, idCol, minLen))
+      wins.select(col("wh"), col(idCol)).distinct()
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(indexDir)
+      wins.unpersist()
+      () // pin the Unit-returning foreachBatch overload
+    }
   }
 
   /** [[exactSubstrings]]' REMOVAL twin with keep-first semantics —
@@ -175,14 +256,7 @@ object DupSpans {
     require(minLen >= 2, s"minLen must be >= 2 tokens, got $minLen")
     val toks = docs
       .select(col(idCol), col(textCol), tokenize(col(textCol)).as("w"))
-    val wins = toks
-      .filter(size(col("w")) >= minLen)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("w")) - (minLen - 1)),
-        i => struct(i.as("s"),
-          gramKey(array_join(slice(col("w"), i, lit(minLen)), " "))
-            .as("wh")))).as("p"))
-      .select(col(idCol), col("p.s").as("s"), col("p.wh").as("wh"))
+    val wins = windowRows(docs, idCol, textCol, minLen)
     // keeper = lowest doc id holding the window; removable elsewhere
     val keeper = wins.groupBy(col("wh"))
       .agg(min(col(idCol)).as("_keep"))

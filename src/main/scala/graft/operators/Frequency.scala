@@ -250,6 +250,67 @@ object Frequency {
         col("bits_sum").cast("double") / col("n_tokens"))
   }
 
+  /** Per-document BIGRAM conditional surprisal — [[unigramSurprisal]]
+    * upgraded to a first-order LM: token i ≥ 2 scores
+    * ⌊log₂(ct(w_{i−1}) / ct(w_{i−1}, w_i))⌋ bits against the corpus's
+    * own bigram conditionals p(w_i | w_{i−1}), and each doc's FIRST
+    * token falls back to the unigram score (the start-context rule) —
+    * so gibberish word ORDER now raises surprisal even when every
+    * individual word is common, the failure mode a unigram surrogate
+    * can't see.
+    *
+    * Same determinism discipline as t30: ⌊log₂⌋ of a BIGINT quotient
+    * via bit-length (`length(bin(x DIV y)) − 1`), no floating point
+    * until the final mean divide.
+    *
+    * Scale shape: position-tagged token explode → ONE tagged shuffle
+    * counts unigrams and bigrams together (the [[collocations]]
+    * trick — w2 null = unigram row; state bounded by vocab + observed
+    * bigrams); the three count joins are equi-joins that broadcast
+    * while the count tables fit; per-doc sum is the only other
+    * exchange.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String,
+                      toks: Column): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val tok = docs.select(col(idCol), toks.as("_w"))
+      .filter(size(col("_w")) >= 1)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(0, size(_w) - 1),
+          |  i -> struct(_w[i] AS term,
+          |              IF(i > 0, _w[i-1], CAST(NULL AS STRING)) AS prev))"""
+          .stripMargin)).as("p"))
+      .select(col(idCol), col("p.term").as("term"), col("p.prev").as("prev"))
+    val uniRow = struct(col("term").as("w1"),
+      lit(null).cast(StringType).as("w2"))
+    val counted = tok.select(explode(
+        when(col("prev").isNotNull,
+          array(uniRow, struct(col("prev").as("w1"), col("term").as("w2"))))
+          .otherwise(array(uniRow))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val uni = counted.filter(col("w2").isNull)
+      .select(col("w1").as("w"), col("c"))
+    val bi = counted.filter(col("w2").isNotNull)
+      .select(col("w1").as("bw1"), col("w2").as("bw2"), col("c").as("cxy"))
+    val total = broadcast(uni.agg(sum(col("c")).as("n_tok")))
+    tok
+      .join(uni.select(col("w").as("term"), col("c").as("ct")), "term")
+      .join(uni.select(col("w").as("prev"), col("c").as("cx")),
+        Seq("prev"), "left")
+      .join(bi, col("prev") === col("bw1") && col("term") === col("bw2"),
+        "left")
+      .crossJoin(total)
+      .withColumn("bits",
+        when(col("prev").isNull, length(bin(expr("n_tok DIV ct"))) - 1)
+          .otherwise(length(bin(expr("cx DIV cxy"))) - 1))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).cast("long").as("bits_sum"))
+      .withColumn("avg_surprisal",
+        col("bits_sum").cast("double") / col("n_tokens"))
+  }
+
   def collocations(docs: DataFrame, idCol: String, textCol: String,
                    minCount: Long = 5L, topK: Int = 50): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")

@@ -269,6 +269,16 @@ object TextOps {
         docs(s, dir), "doc_id", tokenize(lower(col("text"))))
     },
 
+    // ---- bigram conditional surprisal: order-aware LM surrogate ----------
+    // t30's upgrade to a first-order LM: tokens score against
+    // p(w|prev) (first token: unigram fallback), so scrambled word
+    // order now raises surprisal even over common words; same integer
+    // bit-length log2 discipline
+    "t43_bigram_surprisal" -> { (s, dir) =>
+      graft.operators.Frequency.bigramSurprisal(
+        docs(s, dir), "doc_id", tokenize(lower(col("text"))))
+    },
+
     // ---- F6/A4: the CJK (FMM) tokenizer path, oracle-anchored ------------
     // the reference's one true UDF (`utils/KeywordUtil.java:13-35`) on
     // actual CJK text: deterministic CJK sentences are derived from
@@ -700,6 +710,40 @@ object TextOps {
         |    AS avg_surprisal
         |FROM tok JOIN c USING (term) CROSS JOIN t
         |GROUP BY doc_id""".stripMargin,
+
+    // conditional mirror: cx // cxy for tokens with a predecessor,
+    // n_tok // ct for each doc's first token
+    "t43_bigram_surprisal" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w
+        |  FROM w WHERE len(w) >= 1),
+        |tr AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS term,
+        |    CASE WHEN i > 1 THEN w[CAST(i - 1 AS INT)] END AS prev
+        |  FROM tok),
+        |c1 AS (SELECT term, COUNT(*) AS ct FROM tr GROUP BY 1),
+        |c2 AS (
+        |  SELECT prev, term, COUNT(*) AS cxy FROM tr
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_tok FROM c1)
+        |SELECT tr.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN tr.prev IS NULL
+        |    THEN length(bin(t.n_tok // u.ct)) - 1
+        |    ELSE length(bin(cu.ct // c2.cxy)) - 1 END) AS BIGINT) AS bits_sum,
+        |  CAST(SUM(CASE WHEN tr.prev IS NULL
+        |    THEN length(bin(t.n_tok // u.ct)) - 1
+        |    ELSE length(bin(cu.ct // c2.cxy)) - 1 END) AS DOUBLE) / COUNT(*)
+        |    AS avg_surprisal
+        |FROM tr
+        |JOIN c1 u ON u.term = tr.term
+        |LEFT JOIN c1 cu ON cu.term = tr.prev
+        |LEFT JOIN c2 ON c2.prev = tr.prev AND c2.term = tr.term
+        |CROSS JOIN t
+        |GROUP BY tr.doc_id""".stripMargin,
 
     // FMM replay in SQL: `best` is the longest dictionary match at each
     // character position (ties impossible: one substring, one word);

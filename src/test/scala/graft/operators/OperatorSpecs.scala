@@ -1270,6 +1270,40 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out(2L) === ((4L, 7L, 1.75)))
   }
 
+  test("bigramSurprisal: conditional bits with unigram first-token fallback") {
+    // corpus: doc1 = a b a b, doc2 = a b b a
+    // unigrams: a x4, b x4, N=8; bigrams: (a,b) x3, (b,a) x2, (b,b) x1
+    // doc1 tokens: a(first: 8//4=2 -> 1 bit), b|a (4//3=1 -> 0),
+    //              a|b (4//2=2 -> 1), b|a (0) => 2 bits / 4 tokens
+    // doc2: a(1), b|a(0), b|b (4//1=4 -> 2), a|b (1) => 4 bits
+    val docs = Seq(
+      (1L, Seq("a", "b", "a", "b")),
+      (2L, Seq("a", "b", "b", "a"))
+    ).toDF("doc_id", "toks")
+    val out = Frequency.bigramSurprisal(docs, "doc_id", col("toks"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, bits, avg) => id -> ((n, bits, avg)) }.toMap
+    assert(out(1L) === ((4L, 2L, 0.5)))
+    assert(out(2L) === ((4L, 4L, 1.0)))
+  }
+
+  test("bigramSurprisal flags scrambled word order a unigram score misses") {
+    // every word equally common; doc 20 scrambles the dominant order
+    val fluent = Seq("the", "cat", "sat")
+    val docs = (1L to 9L).map(i => (i, fluent)) :+ (20L, Seq("sat", "the", "cat"))
+    val df = docs.toDF("doc_id", "toks")
+    val uni = Frequency.unigramSurprisal(df, "doc_id", col("toks"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val bi = Frequency.bigramSurprisal(df, "doc_id", col("toks"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // unigram: identical scores (same words)
+    assert(uni(20L) === uni(1L))
+    // bigram: the scrambled doc scores strictly higher
+    assert(bi(20L) > bi(1L), s"bi(20)=${bi(20L)} bi(1)=${bi(1L)}")
+  }
+
   test("canonicalize: argmax by weight, ties to the lowest id") {
     val cl = Seq(
       (10L, 1L, 5), (11L, 1L, 9), (12L, 1L, 9), // tie at 9 → 11 wins

@@ -546,3 +546,72 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(kept >= 5 && kept <= 10, s"kept $kept")
   }
 }
+
+class StreamingExactSubstrSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def collectSpans(
+      buf: scala.collection.mutable.Set[(Long, Long, Long, Long, Long)])
+      (id: Long, df: org.apache.spark.sql.DataFrame): Unit =
+    buf ++= df.as[(Long, Long, Long, Long, Long)].collect()
+
+  test("one batch equals the batch operator exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("t38s").toString + "/idx"
+    val rows = Seq(
+      (1L, "x1 x2 a b c d e f y1 y2"),
+      (2L, "z1 a b c d e f z2"),
+      (3L, "p q r s completely other stuff here"))
+    val found = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    val input = MemoryStream[(Long, String)]
+    val q = DupSpans.streamingExactSubstrings(
+        input.toDF().toDF("doc_id", "text"), indexDir,
+        collectSpans(found), minLen = 5)
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = DupSpans.exactSubstrings(
+        rows.toDF("doc_id", "text"), "doc_id", "text", minLen = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(found.toSet === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("cross-batch: a later copy reports the span against history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("t38s2").toString
+    val found = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    val input = MemoryStream[(Long, String)]
+    def start() = DupSpans.streamingExactSubstrings(
+        input.toDF().toDF("doc_id", "text"), s"$base/idx",
+        collectSpans(found), minLen = 5)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    val q1 = start()
+    try {
+      input.addData((1L, "x1 x2 a b c d e f y1 y2"),
+        (9L, "totally unrelated words with no overlap whatsoever ok"))
+      q1.processAllAvailable()
+      assert(found.isEmpty) // nothing duplicated within batch 1
+      input.addData((2L, "z1 a b c d e f z2"))
+      q1.processAllAvailable()
+      // only the LATER copy reports (arrival-time detection): tokens
+      // 2..7 of doc 2, merged from starts {2,3}
+      assert(found.toSet === Set((2L, 2L, 7L, 6L, 2L)))
+    } finally q1.stop()
+    // restart from the checkpoint: the index survives, a third copy
+    // still sees the full history
+    found.clear()
+    val q2 = start()
+    try {
+      input.addData((3L, "a b c d e f"))
+      q2.processAllAvailable()
+      assert(found.toSet === Set((3L, 1L, 6L, 6L, 2L)))
+    } finally q2.stop()
+  }
+}
