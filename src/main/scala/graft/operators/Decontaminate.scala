@@ -243,4 +243,45 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(countDistinct(col("g")).as("hit_ct"))
   }
+
+  /** DENSE per-doc overlap-fraction verdict — the filter DECISION on
+    * top of [[contaminationReport]]'s sparse hit counts: every corpus
+    * doc gets (n_grams, hit_ct, overlap_frac, keep), where
+    * overlap_frac = |distinct doc grams ∩ bench grams| / |distinct
+    * doc grams| and keep = overlap_frac ≤ maxFrac. This is the
+    * PaLM-style fractional rule (a doc is dropped when ≥X% of its
+    * n-grams are seen in an eval set); maxFrac = 0 degenerates to the
+    * GPT-3 any-collision rule. Docs too short to have a single n-gram
+    * have zero grams and are kept (nothing measurable leaked).
+    *
+    * Scale shape: one corpus gram scan (codegen'd, never shuffled)
+    * into a broadcast LEFT join marking hits, ONE per-doc aggregation
+    * computing both distinct counts (Catalyst plans the two distinct
+    * aggs over one child with a single expand — still one exchange),
+    * then a broadcast-able join back onto the doc spine for the dense
+    * zero rows. The fraction divides two per-doc ints — deterministic
+    * IEEE, safe to hash cross-engine.
+    */
+  def overlapDecontam(corpus: DataFrame, bench: DataFrame,
+                      idCol: String, textCol: String,
+                      n: Int, maxFrac: Double): DataFrame = {
+    require(maxFrac >= 0.0 && maxFrac <= 1.0,
+      s"maxFrac must be in [0,1], got $maxFrac")
+    val benchGrams = benchGramSet(bench, textCol, n)
+      .withColumn("_hit", lit(true))
+    val agg = gramRows(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_grams"),
+        countDistinct(when(col("_hit"), col("g"))).as("hit_ct"))
+    corpus.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("hit_ct"), lit(0L)).as("hit_ct"))
+      .withColumn("overlap_frac",
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(col("hit_ct").cast("double") / col("n_grams")))
+      .withColumn("keep", col("overlap_frac") <= maxFrac)
+  }
 }

@@ -62,6 +62,17 @@ object QcOps {
         "doc_id", "text", n = 4)
     },
 
+    // PaLM-style fractional verdict on the t13 eval set: DENSE per-doc
+    // overlap fraction + keep/drop at maxFrac = 5% of distinct
+    // 4-grams (at sf0.01: 472 keep / 3 drop — both branches live)
+    "t44_overlap_decontam" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Decontaminate.overlapDecontam(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"),
+        "doc_id", "text", n = 4, maxFrac = 0.05)
+    },
+
     // ---- rule-based redaction with per-rule counts -----------------------
     "t14_redact" -> { (s, dir) =>
       Redact.redact(docs(s, dir), "text", corpusRules)
@@ -300,6 +311,36 @@ object QcOps {
         |FROM grams JOIN bench USING (g)
         |WHERE source <> 'src1'
         |GROUP BY doc_id""".stripMargin,
+
+    // dense spine via LEFT JOIN; fraction = double division of the two
+    // BIGINT counts (identical IEEE result), zero-gram docs keep
+    "t44_overlap_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(len(w) - 3),
+        |      i -> list_aggregate(w[i+1:i+4], 'string_agg', ' ')))) AS g
+        |  FROM toks WHERE len(w) >= 4),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        |agg AS (
+        |  SELECT gr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hit_ct
+        |  FROM grams gr LEFT JOIN bench b USING (g)
+        |  WHERE gr.source <> 'src0'
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_grams, 0) AS n_grams,
+        |  COALESCE(a.hit_ct, 0) AS hit_ct,
+        |  CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0
+        |    ELSE CAST(a.hit_ct AS DOUBLE) / a.n_grams END AS overlap_frac,
+        |  (CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0
+        |    ELSE CAST(a.hit_ct AS DOUBLE) / a.n_grams END) <= 0.05 AS keep
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.source <> 'src0'""".stripMargin,
 
     "t14_redact" ->
       """SELECT doc_id,

@@ -279,6 +279,43 @@ object TextOps {
         docs(s, dir), "doc_id", tokenize(lower(col("text"))))
     },
 
+    // ---- CCNet perplexity buckets: head / middle / tail terciles ---------
+    // the published LM-filter recipe (CCNet §4.3): score docs with an
+    // LM (here t43's bigram surprisal as the deterministic surrogate),
+    // cut the corpus into terciles, tag each doc head/middle/tail so
+    // downstream sampling can weight buckets. Surprisal quantizes to
+    // integer permille (bits_sum*1000 DIV n_tokens) so the tercile
+    // cuts ride the exact value-count quantile machinery (t32) —
+    // state ∝ distinct permille values, never a global row sort
+    "t46_ppl_buckets" -> { (s, dir) =>
+      val sur = graft.operators.Frequency.bigramSurprisal(
+          docs(s, dir), "doc_id", tokenize(lower(col("text"))))
+        .withColumn("_g", lit(0))
+        .withColumn("ppm", expr("(bits_sum * 1000) DIV n_tokens"))
+      val cuts = graft.operators.Quantiles.groupQuantiles(
+          sur, "_g", col("ppm"), Seq(333, 667))
+        .select(col("p333m").as("_c1"), col("p667m").as("_c2"))
+      sur.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("ppm"),
+          when(col("ppm") <= col("_c1"), "head")
+            .when(col("ppm") <= col("_c2"), "middle")
+            .otherwise("tail").as("bucket"))
+    },
+
+    // ---- trained quality filter: NB log-odds classifier ------------------
+    // the CCNet/fastText tier above the rule gates: train a
+    // multinomial-NB linear model on a labeled seed (lang='en' plays
+    // the wiki-side seed on this corpus) and score every doc; all
+    // log2 terms are integer bit-lengths, so the model and scores are
+    // bit-exact cross-engine
+    "t45_nb_quality" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val toks = tokenize(lower(col("text")))
+      val model = graft.operators.Classify.nbTrain(
+        d, toks, col("lang") === "en")
+      graft.operators.Classify.nbScore(d, "doc_id", toks, model)
+    },
+
     // ---- F6/A4: the CJK (FMM) tokenizer path, oracle-anchored ------------
     // the reference's one true UDF (`utils/KeywordUtil.java:13-35`) on
     // actual CJK text: deterministic CJK sentences are derived from
@@ -744,6 +781,79 @@ object TextOps {
         |LEFT JOIN c2 ON c2.prev = tr.prev AND c2.term = tr.term
         |CROSS JOIN t
         |GROUP BY tr.doc_id""".stripMargin,
+
+    // t43's bits core -> permille quantize -> the t33 integer
+    // ceil-rank tercile selection over a value-count reduction
+    "t46_ppl_buckets" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w
+        |  FROM w WHERE len(w) >= 1),
+        |tr AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS term,
+        |    CASE WHEN i > 1 THEN w[CAST(i - 1 AS INT)] END AS prev
+        |  FROM tok),
+        |c1 AS (SELECT term, COUNT(*) AS ct FROM tr GROUP BY 1),
+        |c2 AS (
+        |  SELECT prev, term, COUNT(*) AS cxy FROM tr
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_tok FROM c1),
+        |s AS (
+        |  SELECT tr.doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(CASE WHEN tr.prev IS NULL
+        |      THEN length(bin(t.n_tok // u.ct)) - 1
+        |      ELSE length(bin(cu.ct // c2.cxy)) - 1 END) AS BIGINT) AS bits_sum
+        |  FROM tr
+        |  JOIN c1 u ON u.term = tr.term
+        |  LEFT JOIN c1 cu ON cu.term = tr.prev
+        |  LEFT JOIN c2 ON c2.prev = tr.prev AND c2.term = tr.term
+        |  CROSS JOIN t
+        |  GROUP BY tr.doc_id),
+        |q AS (SELECT doc_id, (bits_sum * 1000) // n_tokens AS ppm FROM s),
+        |vc AS (SELECT ppm, COUNT(*) AS c FROM q GROUP BY 1),
+        |p AS (SELECT ppm, SUM(c) OVER (ORDER BY ppm) AS cum,
+        |             SUM(c) OVER () AS n FROM vc),
+        |cut AS (
+        |  SELECT MIN(CASE WHEN cum >= (n * 333 + 999) // 1000 THEN ppm END) AS c1v,
+        |         MIN(CASE WHEN cum >= (n * 667 + 999) // 1000 THEN ppm END) AS c2v
+        |  FROM p)
+        |SELECT q.doc_id, q.ppm,
+        |  CASE WHEN q.ppm <= cut.c1v THEN 'head'
+        |       WHEN q.ppm <= cut.c2v THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM q CROSS JOIN cut""".stripMargin,
+
+    // NB replay: per-term class counts -> bit-length log-odds with the
+    // folded Laplace normalizers -> per-doc instance-weighted sum
+    "t45_nb_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang = 'en' AS pos,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, pos, unnest(w) AS term FROM w),
+        |c AS (
+        |  SELECT term,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS ctp,
+        |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS ctn
+        |  FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ctp) AS BIGINT) AS np,
+        |             CAST(SUM(ctn) AS BIGINT) AS nn,
+        |             CAST(COUNT(*) AS BIGINT) AS v FROM c),
+        |m AS (
+        |  SELECT term, CAST((length(bin(ctp + 1)) - 1)
+        |    - (length(bin(ctn + 1)) - 1)
+        |    - (length(bin(np + v)) - 1)
+        |    + (length(bin(nn + v)) - 1) AS BIGINT) AS w_bits
+        |  FROM c CROSS JOIN t)
+        |SELECT tok.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(m.w_bits) AS BIGINT) AS score_bits,
+        |  CAST(SUM(m.w_bits) AS DOUBLE) / COUNT(*) AS avg_bits,
+        |  CAST(SUM(m.w_bits) AS BIGINT) >= 0 AS pred
+        |FROM tok JOIN m USING (term)
+        |GROUP BY 1""".stripMargin,
 
     // FMM replay in SQL: `best` is the longest dictionary match at each
     // character position (ties impossible: one substring, one word);

@@ -1367,3 +1367,44 @@ class KmvRollupSpec extends AnyFunSuite {
     assert(merged === Seq((0L, 3L, None, None))) // a,b,c exact, no kth
   }
 }
+
+class ClassifySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Classify
+
+  test("nbTrain: hand-computed bit-length log-odds, normalizers fold") {
+    // pos "good good fine", neg "bad bad fine":
+    // good ctp=2 ctn=0 -> bits(3)-bits(1)=1; fine 1/1 -> bits(2)-bits(2)=0;
+    // bad 0/2 -> -1; np=nn=3, v=3 -> normalizers cancel
+    val docs = Seq((1L, true, Seq("good", "good", "fine")),
+      (2L, false, Seq("bad", "bad", "fine"))).toDF("doc_id", "pos", "toks")
+    val m = Classify.nbTrain(docs, col("toks"), col("pos"))
+      .as[(String, Long)].collect().toMap
+    assert(m === Map("good" -> 1L, "fine" -> 0L, "bad" -> -1L))
+  }
+
+  test("nbScore: instance-weighted sums, balanced-prior verdicts") {
+    val docs = Seq((1L, true, Seq("good", "good", "fine")),
+      (2L, false, Seq("bad", "bad", "fine"))).toDF("doc_id", "pos", "toks")
+    val m = Classify.nbTrain(docs, col("toks"), col("pos"))
+    val out = Classify.nbScore(docs, "doc_id", col("toks"), m)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5))).toMap
+    assert(out(1L) === ((3L, 2L, true)))   // 1+1+0
+    assert(out(2L) === ((3L, -2L, false))) // -1-1+0
+  }
+
+  test("unseen tokens score the smoothed floor from the SAME totals") {
+    // pos "a a a a" (np=4), neg "b" (nn=1), v=2:
+    // unseen = bits(1+2) - bits(4+2) = 1 - 2 = -1
+    val train = Seq((1L, true, Seq("a", "a", "a", "a")),
+      (2L, false, Seq("b"))).toDF("doc_id", "pos", "toks")
+    val unseen = Classify.unseenBits(train, col("toks"), col("pos"))
+    val m = Classify.nbTrain(train, col("toks"), col("pos"))
+    val fresh = Seq((9L, Seq("z", "z"))).toDF("doc_id", "toks")
+    val out = Classify.nbScore(fresh, "doc_id", col("toks"), m, unseen)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(out === Array((9L, 2L, -2L, -1.0, false)))
+  }
+}

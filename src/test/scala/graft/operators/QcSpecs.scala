@@ -110,6 +110,37 @@ class DecontaminateSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(tiny === exact)
   }
+
+  test("overlapDecontam: dense fractional verdict, zero-gram docs keep") {
+    val bench = Seq((100L, "p q r s")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "p q r s t"),   // 3 distinct 3-grams, 2 hit -> 2/3 > 0.5: drop
+      (2L, "p q r x y z"), // 4 distinct, 1 hit -> 0.25 <= 0.5: keep
+      (3L, "x y z w"),     // 2 distinct, 0 hit -> 0.0: keep
+      (4L, "a b")          // too short: 0 grams, frac 0.0, keep
+    ).toDF("doc_id", "text")
+    val r = Decontaminate
+      .overlapDecontam(corpus, bench, "doc_id", "text", n = 3,
+        maxFrac = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(r === Array(
+      (1L, 3L, 2L, 2.0 / 3.0, false),
+      (2L, 4L, 1L, 0.25, true),
+      (3L, 2L, 0L, 0.0, true),
+      (4L, 0L, 0L, 0.0, true)))
+  }
+
+  test("overlapDecontam at maxFrac = 0 is the any-collision rule") {
+    val bench = Seq((100L, "p q r")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "p q r t"), (2L, "t u v w")).toDF("doc_id", "text")
+    val keep = Decontaminate
+      .overlapDecontam(corpus, bench, "doc_id", "text", n = 3,
+        maxFrac = 0.0)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(keep === Map(1L -> false, 2L -> true))
+  }
 }
 
 class RedactSpec extends AnyFunSuite {
