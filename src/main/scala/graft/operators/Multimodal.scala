@@ -149,7 +149,30 @@ object Multimodal {
     * as ok=false rather than poisoning the partition.
     */
   private[operators] def parsePpm(bytes: Array[Byte])
-      : Option[(Int, Int, Int, Long, Long, Long)] = {
+      : Option[(Int, Int, Int, Long, Long, Long)] =
+    parsePpmRaster(bytes).map { case (w, h, mv, off) =>
+      val n = w.toLong * h
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var p = 0L
+      while (p < n) {
+        val o = off + (p * 3).toInt
+        sr += bytes(o) & 0xff
+        sg += bytes(o + 1) & 0xff
+        sb += bytes(o + 2) & 0xff
+        p += 1
+      }
+      (w, h, mv, sr, sg, sb)
+    }
+
+  /** The shared P6 header walk: magic, whitespace/comment-separated
+    * header ints, the single whitespace after maxval, raster-length
+    * validation. Returns (w, h, maxval, rasterOffset) or None for
+    * anything malformed. [[parsePpm]] and [[ppmBlockHash]] consume
+    * the same walk so the two decoders can never disagree about what
+    * parses.
+    */
+  private[operators] def parsePpmRaster(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 2 ||
         bytes(0) != 'P' || bytes(1) != '6') return None
     var i = 2
@@ -182,21 +205,49 @@ object Multimodal {
       // exactly ONE whitespace byte separates maxval from raster data
       if i < bytes.length && isWs(bytes(i))
       _ = { i += 1 }
-      n = w.toLong * h
-      if bytes.length - i >= n * 3
-    } yield {
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var p = 0L
-      while (p < n) {
-        val o = i + (p * 3).toInt
-        sr += bytes(o) & 0xff
-        sg += bytes(o + 1) & 0xff
-        sb += bytes(o + 2) & 0xff
-        p += 1
-      }
-      (w, h, mv, sr, sg, sb)
-    }
+      if bytes.length - i >= w.toLong * h * 3
+    } yield (w, h, mv, i)
   }
+
+  /** Block-mean luma aHash over the DECODED raster: split the pixel
+    * sequence into `blocks` contiguous runs (pixel p → block
+    * ⌊p·blocks/n⌋), mean each block's luma (r+g+b, integer DIV), set
+    * bit j iff block j is non-empty and its mean is ≥ the global
+    * integer mean. This is [[perceptualHash48]]'s contract moved from
+    * encoded BYTES to decoded PIXELS — the signature survives header
+    * rewrites, comment insertion, and any container-level change that
+    * leaves the raster alone, which byte-sampling cannot. All-integer
+    * arithmetic: bit-reproducible and oracle-replayable from the
+    * construction math.
+    */
+  private[operators] def ppmBlockHash(bytes: Array[Byte],
+                                      blocks: Int): Option[(Long, Long)] =
+    parsePpmRaster(bytes).map { case (w, h, _, off) =>
+      val n = w.toLong * h
+      if (n == 0L) (0L, 0L)
+      else {
+        val bsum = new Array[Long](blocks)
+        val bcnt = new Array[Long](blocks)
+        var tot = 0L
+        var p = 0L
+        while (p < n) {
+          val o = off + (p * 3).toInt
+          val luma = (bytes(o) & 0xff) + (bytes(o + 1) & 0xff) +
+            (bytes(o + 2) & 0xff)
+          val j = (p * blocks / n).toInt
+          bsum(j) += luma; bcnt(j) += 1; tot += luma
+          p += 1
+        }
+        val gm = tot / n
+        var sig = 0L
+        var j = 0
+        while (j < blocks) {
+          if (bcnt(j) > 0 && bsum(j) / bcnt(j) >= gm) sig |= 1L << j
+          j += 1
+        }
+        (n, sig)
+      }
+    }
 
   /** Batch PPM decode through the same mapPartitions seam as
     * [[decode]] — per-partition init, fixed-size batches, rows
@@ -229,6 +280,54 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** One decoded-raster perceptual signature row. */
+  case class PpmHash(doc_id: Long, ok: Boolean, n_pixels: Long, phash: Long)
+
+  /** Batch [[ppmBlockHash]] through the same mapPartitions seam as
+    * [[decodePpm]]: (id, ok, n_pixels, phash) per payload, ok=false
+    * for malformed bytes.
+    */
+  def decodedPhash(df: DataFrame, idCol: String = "doc_id",
+                   payloadCol: String = "payload", blocks: Int = 48,
+                   batchSize: Int = 256): DataFrame = {
+    require(blocks >= 1 && blocks <= 62,
+      s"blocks must be in [1, 62], got $blocks")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .filter(col(idCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            ppmBlockHash(bytes, blocks) match {
+              case Some((n, sig)) => PpmHash(id, ok = true, n, sig)
+              case None => PpmHash(id, ok = false, 0L, 0L)
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Decoded-CONTENT near-duplicate pairs: [[decodedPhash]] signatures
+    * within `maxHamming` bits via the shared pigeonhole-exact band
+    * join — [[perceptualNearDup]] upgraded from byte texture to
+    * decoded pixels. Empty rasters (n_pixels = 0, all signatures 0)
+    * are excluded: they would form one degenerate all-pairs bucket
+    * while sharing no content.
+    */
+  def decodedNearDup(df: DataFrame, maxHamming: Int = 5,
+                     idCol: String = "doc_id",
+                     payloadCol: String = "payload",
+                     maxBucket: Int = Int.MaxValue): DataFrame =
+    Dedup.hammingBandPairs(
+      decodedPhash(df, idCol, payloadCol)
+        .filter(col("ok") && col("n_pixels") > 0L)
+        .select(col(idCol), col("phash")),
+      idCol, "phash", bits = 48, maxHamming = maxHamming,
+      maxBucket = maxBucket)
 
   /** Synthesize a VALID 16-bit mono PCM WAV payload from a text row:
     * a constant RIFF/WAVE header (PCM, 1 channel, 8 kHz, 16-bit,

@@ -108,6 +108,19 @@ object MultimodalOps {
         .select(col("doc_id"), col("ok"), col("channels"),
           col("sample_rate"), col("bits_per_sample"), col("n_samples"),
           col("sum_amp"), col("peak_amp"))
+    },
+
+    // ---- decoded-CONTENT near-dup: m7's contract on real pixels ----------
+    // block-mean luma aHash over the DECODED raster (through the m8
+    // parser), paired by the shared Hamming band join (6 bands x 8
+    // bits at maxHamming = 5 -> 16 pairs at sf0.01: 7 exact copies at
+    // distance 0 plus 9 near misses). Byte-level m7 dies on a header
+    // rewrite; this survives anything that leaves the raster alone
+    "m10_decoded_neardup" -> { (s, dir) =>
+      Multimodal.decodedNearDup(
+        Multimodal.withPpmPayload(
+          docs(s, dir).filter(col("text").isNotNull)),
+        maxHamming = 5)
     })
 
   def oracle: Map[String, String] = Map(
@@ -224,6 +237,37 @@ object MultimodalOps {
     // the aHash recipe replayed literally (integer offsets // 48,
     // integer mean, << bit fold), then an all-pairs popcount — the
     // oracle may brute-force what the Spark side bands
+    // construction -> pixel lumas -> block/global integer means ->
+    // 48-bit signature -> all-pairs popcount (band join is
+    // pigeonhole-exact, so brute force IS the contract)
+    "m10_decoded_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, 1 + strlen(text) % 7 AS w,
+        |    (strlen(text) // 3) // (1 + strlen(text) % 7) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, text, w * h AS n FROM m WHERE w * h > 0),
+        |px AS (SELECT doc_id, n, unnest(range(n)) AS p, text FROM d),
+        |lu AS (
+        |  SELECT doc_id, n, (p * 48) // n AS j,
+        |    ord(substr(text, CAST(3 * p + 1 AS INT), 1))
+        |    + ord(substr(text, CAST(3 * p + 2 AS INT), 1))
+        |    + ord(substr(text, CAST(3 * p + 3 AS INT), 1)) AS luma
+        |  FROM px),
+        |blk AS (
+        |  SELECT doc_id, j, SUM(luma) // COUNT(*) AS bm
+        |  FROM lu GROUP BY 1, 2),
+        |gm AS (SELECT doc_id, SUM(luma) // MAX(n) AS g FROM lu GROUP BY 1),
+        |sig AS (
+        |  SELECT blk.doc_id,
+        |    CAST(SUM(CASE WHEN blk.bm >= gm.g
+        |      THEN CAST(1 AS BIGINT) << CAST(blk.j AS INT)
+        |      ELSE 0 END) AS BIGINT) AS ph
+        |  FROM blk JOIN gm USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 5""".stripMargin,
+
     "m7_phash_neardup" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -304,3 +304,69 @@ class WavDecodeSpec extends AnyFunSuite {
     assert(out(2L).getBoolean(1) === false && out(2L).isNullAt(6))
   }
 }
+
+class DecodedPhashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ppm(header: String, pixels: Array[Byte]): Array[Byte] =
+    header.getBytes("UTF-8") ++ pixels
+
+  test("ppmBlockHash: hand-computed block bits at blocks = 4") {
+    // 2x2 pixels, lumas 0/30/60/90 -> gm = 45; blocks map 1:1 to
+    // pixels -> bits at p2 (60) and p3 (90): sig = 0b1100 = 12
+    val bytes = ppm("P6\n2 2\n255\n", Array[Byte](
+      0, 0, 0, 10, 10, 10, 20, 20, 20, 30, 30, 30))
+    assert(Multimodal.ppmBlockHash(bytes, 4) === Some((4L, 12L)))
+  }
+
+  test("decoded phash survives a header rewrite; byte phash does not") {
+    val px = Array.tabulate[Byte](30)(i => (i * 7 % 101).toByte)
+    val a = ppm("P6\n5 2\n255\n", px)
+    val b = ppm("P6 # re-encoded\n# by another tool\n 5  2\n255\n", px)
+    assert(a.toSeq !== b.toSeq)
+    assert(Multimodal.ppmBlockHash(a, 48) === Multimodal.ppmBlockHash(b, 48))
+    // the byte-level sampler sees the header noise
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "payload")
+    val bytePh = Multimodal.perceptualHash48(df)
+      .select("phash").as[Long].collect()
+    assert(bytePh(0) !== bytePh(1))
+  }
+
+  test("malformed payloads surface ok=false; empty raster hashes 0") {
+    val rows = Seq(
+      (1L, "not a ppm".getBytes),
+      (2L, ppm("P6\n0 5\n255\n", Array.empty[Byte])))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodedPhash(rows)
+      .as[(Long, Boolean, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array((1L, false, 0L, 0L), (2L, true, 0L, 0L)))
+  }
+
+  test("decodedNearDup: banded pairs equal brute force; empties excluded") {
+    val rnd = new scala.util.Random(7)
+    def raster(seed: Int): Array[Byte] =
+      Array.tabulate[Byte](48)(i => ((i * seed + seed) % 97).toByte)
+    val payloads = (1L to 12L).map { i =>
+      (i, ppm("P6\n4 4\n255\n", raster(rnd.nextInt(3) + 1)))
+    } :+ (13L, ppm("P6\n0 3\n255\n", Array.empty[Byte])) :+
+      (14L, ppm("P6\n0 3\n255\n", Array.empty[Byte]))
+    val df = payloads.toDF("doc_id", "payload")
+    val banded = Multimodal.decodedNearDup(df, maxHamming = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over the same signatures
+    val sigs = payloads.flatMap { case (id, b) =>
+      Multimodal.ppmBlockHash(b, 48).collect {
+        case (n, s) if n > 0 => (id, s)
+      }
+    }
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 5
+    } yield (ia, ib, h.toLong)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty)
+    // the two empty rasters never pair despite identical signatures
+    assert(!banded.exists(p => p._1 == 13L || p._2 == 13L || p._2 == 14L))
+  }
+}
