@@ -316,6 +316,26 @@ object TextOps {
       graft.operators.Classify.nbScore(d, "doc_id", toks, model)
     },
 
+    // ---- DSIR importance resampling (Xie et al. 2023) --------------------
+    // the seed-only cousin of t45: hashed unigram+bigram buckets
+    // (B=256 — the model is bucket-sized, never vocabulary-sized),
+    // target (lang='en') vs RAW bucket log-odds in integer bits, and
+    // a per-source exact priority resample (k=3) where the weight
+    // 2^score_bits makes the sampling key an integer SHIFT — the
+    // whole draw replays bit-exactly in the oracle
+    "t47_dsir_sample" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val toks = tokenize(lower(col("text")))
+      val B = 256
+      val m = graft.operators.Dsir.model(d, toks, col("lang") === "en", B)
+      val sc = graft.operators.Dsir.scores(d, "doc_id", toks, m, B)
+      graft.operators.Dsir.resample(
+          sc.join(d.select(col("doc_id"), col("source")), Seq("doc_id")),
+          "source", "doc_id", k = 3)
+        .select(col("doc_id"), col("source"), col("n_grams"),
+          col("score_bits"))
+    },
+
     // ---- F6/A4: the CJK (FMM) tokenizer path, oracle-anchored ------------
     // the reference's one true UDF (`utils/KeywordUtil.java:13-35`) on
     // actual CJK text: deterministic CJK sentences are derived from
@@ -854,6 +874,58 @@ object TextOps {
         |  CAST(SUM(m.w_bits) AS BIGINT) >= 0 AS pred
         |FROM tok JOIN m USING (term)
         |GROUP BY 1""".stripMargin,
+
+    // the whole DSIR draw replayed exactly: hashed gram buckets (md5
+    // 16-bit % 256), Laplace bit-length log-odds vs the raw corpus,
+    // per-doc score sums, and the shift-key priority sample — every
+    // value BIGINT, so ROW_NUMBER ties equal Spark's
+    "t47_dsir_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, lang,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, lang, unnest(list_concat(w,
+        |    CASE WHEN len(w) >= 2
+        |      THEN list_transform(range(1, len(w)),
+        |             i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)])
+        |      ELSE [] END)) AS gram
+        |  FROM w WHERE len(w) >= 1),
+        |b AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST('0x' || substr(md5('d:' || gram), 1, 4) AS BIGINT) % 256
+        |      AS bucket
+        |  FROM g),
+        |cnt AS (
+        |  SELECT bucket,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ctt,
+        |    COUNT(*) AS ctr
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ctt) AS BIGINT) AS nt,
+        |               CAST(SUM(ctr) AS BIGINT) AS nr FROM cnt),
+        |m AS (
+        |  SELECT bucket, CAST((length(bin(ctt + 1)) - 1)
+        |    - (length(bin(ctr + 1)) - 1)
+        |    - (length(bin(nt + 256)) - 1)
+        |    + (length(bin(nr + 256)) - 1) AS BIGINT) AS wb
+        |  FROM cnt CROSS JOIN tot),
+        |sc AS (
+        |  SELECT b.doc_id, b.source, COUNT(*) AS n_grams,
+        |    CAST(SUM(m.wb) AS BIGINT) AS score_bits
+        |  FROM b JOIN m USING (bucket) GROUP BY 1, 2),
+        |mx AS (SELECT source, MAX(score_bits) AS smax FROM sc GROUP BY 1),
+        |ky AS (
+        |  SELECT sc.doc_id, sc.source, sc.n_grams, sc.score_bits,
+        |    (CAST('0x' || substr(md5('r:' || CAST(sc.doc_id AS VARCHAR)),
+        |       1, 4) AS BIGINT) + 1)
+        |    * (CAST(1 AS BIGINT)
+        |       << CAST(LEAST(mx.smax - sc.score_bits, 40) AS INT)) AS k
+        |  FROM sc JOIN mx USING (source)),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY source ORDER BY k, doc_id) AS rk FROM ky)
+        |SELECT doc_id, source, n_grams, score_bits FROM r
+        |WHERE rk <= 3""".stripMargin,
 
     // FMM replay in SQL: `best` is the longest dictionary match at each
     // character position (ties impossible: one substring, one word);
