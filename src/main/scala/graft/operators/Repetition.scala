@@ -67,4 +67,44 @@ object Repetition {
       (topBigramCount(col(textCol)).cast(DoubleType) /
         nullif(greatest(n - 1, lit(0)), lit(0))).as("top_bigram_frac"))
   }
+
+  /** WITHIN-doc duplicate-chunk removal, keep-first: split the doc
+    * into fixed `n`-word chunks (the `Dedup.chunkDedup` grid — same
+    * trailing-partial rule) and keep only each chunk's FIRST
+    * occurrence inside its own document. This is the repair twin of
+    * the [[report]] signals — the "remove repeated lines/paragraphs
+    * within a page" rule (C4 dedups repeated lines; MassiveText
+    * filters on within-doc repetition) — and the LOCAL complement of
+    * the corpus-wide `Dedup.chunkDedup` (which keeps one copy
+    * GLOBALLY; run this first so boilerplate repeated inside a page
+    * doesn't hand the global keep to whichever doc sorts first).
+    *
+    * keep-first per row: chunk i survives iff `array_position`
+    * (FIRST index of that value) equals i — a pure higher-order
+    * filter on the chunk array. O(chunks²) comparisons per row, all
+    * inside whole-stage codegen, and like everything in this object
+    * a pure map: ZERO shuffle at any corpus size. Emits the
+    * deduplicated text plus kept/dropped counts (d10's report
+    * shape).
+    */
+  def dedupWithin(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val chunks = transform(
+      sequence(lit(0),
+        ceil(size(col("_w")).cast(DoubleType) / n).cast(LongType) - 1),
+      j => concat_ws(" ",
+        slice(col("_w"), (j * n + 1).cast(IntegerType), lit(n))))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
+      .withColumn("_c", chunks)
+      .withColumn("_k",
+        filter(col("_c"), (c, i) => array_position(col("_c"), c) === i + 1))
+      .select(col(idCol),
+        array_join(col("_k"), " ").as("clean_text"),
+        size(col("_k")).cast(LongType).as("kept_chunks"),
+        (size(col("_c")) - size(col("_k"))).cast(LongType)
+          .as("dropped_chunks"))
+  }
 }

@@ -336,6 +336,14 @@ object TextOps {
           col("score_bits"))
     },
 
+    // ---- within-doc duplicate-chunk removal (keep-first) -----------------
+    // the LOCAL complement of d10's corpus-wide chunk dedup: repeated
+    // chunks inside one page are cut before any global pass — a pure
+    // map (zero shuffle), all higher-order array functions
+    "t48_intradoc_dedup" -> { (s, dir) =>
+      graft.operators.Repetition.dedupWithin(docs(s, dir))
+    },
+
     // ---- F6/A4: the CJK (FMM) tokenizer path, oracle-anchored ------------
     // the reference's one true UDF (`utils/KeywordUtil.java:13-35`) on
     // actual CJK text: deterministic CJK sentences are derived from
@@ -926,6 +934,30 @@ object TextOps {
         |        (PARTITION BY source ORDER BY k, doc_id) AS rk FROM ky)
         |SELECT doc_id, source, n_grams, score_bits FROM r
         |WHERE rk <= 3""".stripMargin,
+
+    // d10's chunk grid, keep-first WITHIN each doc: list_position is
+    // the first index of the value, so `= i` (DuckDB lambdas index
+    // 1-based; Spark's filter 0-based, hence `= i + 1` there) keeps
+    // exactly the first occurrence
+    "t48_intradoc_dedup" ->
+      """WITH wd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |ch AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT)),
+        |      j -> array_to_string(
+        |             w[CAST(j*3+1 AS INT) : CAST(j*3+3 AS INT)], ' '))
+        |      AS c
+        |  FROM wd),
+        |k AS (
+        |  SELECT doc_id, c,
+        |    list_filter(c, (x, i) -> list_position(c, x) = i) AS kc
+        |  FROM ch)
+        |SELECT doc_id, array_to_string(kc, ' ') AS clean_text,
+        |  CAST(len(kc) AS BIGINT) AS kept_chunks,
+        |  CAST(len(c) - len(kc) AS BIGINT) AS dropped_chunks
+        |FROM k""".stripMargin,
 
     // FMM replay in SQL: `best` is the longest dictionary match at each
     // character position (ties impossible: one substring, one word);

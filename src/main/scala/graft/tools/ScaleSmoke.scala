@@ -277,7 +277,46 @@ object ScaleSmoke {
       // m8: real PPM decode — map-side parse, zero shuffle; must track
       // the payload scan exactly
       bench("m8", d1x, dNx, d => graft.operators.Multimodal.decodePpm(
-        graft.operators.Multimodal.withPpmPayload(d))))
+        graft.operators.Multimodal.withPpmPayload(d))),
+      // t43: bigram surprisal — one tagged unigram+bigram count
+      // shuffle + three count joins; tagged copies grow the vocab 10×
+      // so the count tables (and the joins) must track it
+      bench("t43", dt1x, dtNx, d => graft.operators.Frequency
+        .bigramSurprisal(d, "doc_id",
+          graft.functions.TextFunctions.tokenize(lower(col("text"))))),
+      // t45: NB classifier — train (vocab-sized count shuffle) +
+      // score (model join + per-doc sum); vocab grows with the tagged
+      // fixture, exercising the model join's growth path
+      bench("t45", dt1x, dtNx, { d =>
+        val toks = graft.functions.TextFunctions.tokenize(
+          lower(col("text")))
+        graft.operators.Classify.nbScore(d, "doc_id", toks,
+          graft.operators.Classify.nbTrain(d, toks,
+            col("source") === "src1"))
+      }),
+      // t47: DSIR — the model is BUCKET-sized (256 rows) no matter
+      // the vocab, so only the gram scans and the per-doc sum grow;
+      // the resample is a per-stratum rank window over scored docs
+      bench("t47", dt1x, dtNx, { d =>
+        val toks = graft.functions.TextFunctions.tokenize(
+          lower(col("text")))
+        val m = graft.operators.Dsir.model(
+          d, toks, col("source") === "src1", 256)
+        graft.operators.Dsir.resample(
+          graft.operators.Dsir.scores(d, "doc_id", toks, m, 256)
+            .join(d.select(col("doc_id"), col("source")), Seq("doc_id")),
+          "source", "doc_id", k = 5)
+      }),
+      // t48: within-doc chunk dedup — a pure map (higher-order array
+      // ops on the row), zero shuffle; must track the scan exactly
+      bench("t48", d1x, dNx,
+        d => graft.operators.Repetition.dedupWithin(d)),
+      // m10: decoded-raster perceptual near-dup — decode is map-side;
+      // tagged copies give distinct rasters, so the Hamming band join
+      // grows with payloads, never payloads²
+      bench("m10", dt1x, dtNx, d => graft.operators.Multimodal
+        .decodedNearDup(graft.operators.Multimodal.withPpmPayload(d),
+          maxHamming = 5)))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)

@@ -446,4 +446,49 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
     assert(!p.contains("ShuffledHashJoin"), p.take(2000))
   }
+
+  // ---- round-12 newcomers pinned ---------------------------------------
+
+  test("t43 bigram surprisal: count tables join back as broadcasts") {
+    val p = plan("t43_bigram_surprisal")
+    // unigram/bigram counts are vocab-sized — they must broadcast
+    // onto the token stream, never shuffle it
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  test("t45 NB classifier: model joins the token stream as a broadcast") {
+    val p = plan("t45_nb_quality")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  test("t47 DSIR: bucket model broadcasts, resample rank is group-limited") {
+    val p = plan("t47_dsir_sample")
+    // the 256-row model and the per-stratum maxima must broadcast;
+    // the top-k rank window must prune per task before the sort
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  test("t48 within-doc dedup is a pure map: zero exchanges, all codegen") {
+    val p = plan("t48_intradoc_dedup")
+    // the whole point: higher-order array ops on the row, no shuffle
+    // at any corpus size — an Exchange appearing means the local op
+    // grew a global stage
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).isEmpty, p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  test("m10 decoded near-dup: band equi-join over the decode seam") {
+    val p = plan("m10_decoded_neardup")
+    // signatures come out of the mapPartitions decode seam, pairs out
+    // of the pigeonhole band join — never an all-pairs product
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }

@@ -46,6 +46,36 @@ class RepetitionSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.getInt(3) === 2)
   }
+
+  test("dedupWithin keeps first chunk occurrence, preserves order") {
+    // n=3 chunks of doc 1: [a b c, d e f, a b c, g] -> drop the repeat
+    val df = Seq(
+      (1L, "a b c d e f a b c g"),
+      (2L, "x y z"),
+      (3L, "p p p p p p")) // chunks [p p p, p p p] -> one survives
+      .toDF("doc_id", "text")
+    val r = Repetition.dedupWithin(df)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(r(0) === ((1L, "a b c d e f g", 3L, 1L)))
+    assert(r(1) === ((2L, "x y z", 1L, 0L)))
+    assert(r(2) === ((3L, "p p p", 1L, 1L)))
+  }
+
+  test("dedupWithin is local: cross-doc repeats are untouched") {
+    val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = Repetition.dedupWithin(df)
+      .select("clean_text").as[String].collect()
+    assert(r.toSeq === Seq("a b c", "a b c"))
+  }
+
+  test("dedupWithin: null text dropped, trailing partial chunk distinct") {
+    // "a b c a b" -> chunks [a b c, a b]: partial tail is NOT the
+    // same chunk as the full one
+    val df = Seq((1L, "a b c a b"), (2L, null)).toDF("doc_id", "text")
+    val r = Repetition.dedupWithin(df)
+      .as[(Long, String, Long, Long)].collect()
+    assert(r.toSeq === Seq((1L, "a b c a b", 2L, 0L)))
+  }
 }
 
 class DecontaminateSpec extends AnyFunSuite {
