@@ -336,6 +336,25 @@ object TextOps {
           col("score_bits"))
     },
 
+    // ---- tokenizer fertility by language ---------------------------------
+    // the tokenizer-eval metric every multilingual pipeline reports:
+    // BPE tokens per whitespace word, per language — high fertility
+    // means the tokenizer fragments that language (costs context
+    // budget and training FLOPs). Served from the staged per-doc BPE
+    // counts (t39's artifact), so this is one dim join + one
+    // lang-sized aggregate over an already-materialized frame
+    "t49_bpe_fertility" -> { (s, dir) =>
+      bpeCountsIdx(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast(LongType).as("n_words"),
+          sum(col("bpe_tokens")).cast(LongType).as("bpe_tokens"))
+        .withColumn("fertility",
+          col("bpe_tokens").cast(DoubleType) /
+            nullif(col("n_words"), lit(0L)).cast(DoubleType))
+    },
+
     // ---- within-doc duplicate-chunk removal (keep-first) -----------------
     // the LOCAL complement of d10's corpus-wide chunk dedup: repeated
     // chunks inside one page are cut before any global pass — a pure
@@ -934,6 +953,19 @@ object TextOps {
         |        (PARTITION BY source ORDER BY k, doc_id) AS rk FROM ky)
         |SELECT doc_id, source, n_grams, score_bits FROM r
         |WHERE rk <= 3""".stripMargin,
+
+    // t39's recursive-CTE BPE replay, aggregated per language; the
+    // division is int-sum / int-sum in DOUBLE on both engines
+    "t49_bpe_fertility" ->
+      s"""WITH RECURSIVE $sqlBpeCtes
+         |SELECT d.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(COALESCE(bt.n_words, 0)) AS BIGINT) AS n_words,
+         |  CAST(SUM(COALESCE(bt.bpe_tokens, 0)) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(COALESCE(bt.bpe_tokens, 0)) AS DOUBLE)
+         |    / nullif(CAST(SUM(COALESCE(bt.n_words, 0)) AS BIGINT), 0)
+         |    AS fertility
+         |FROM documents d LEFT JOIN bt USING (doc_id)
+         |GROUP BY 1""".stripMargin,
 
     // d10's chunk grid, keep-first WITHIN each doc: list_position is
     // the first index of the value, so `= i` (DuckDB lambdas index
