@@ -101,15 +101,22 @@ object Dsir {
   /** Per-doc importance score: (id, n_grams, score_bits) with
     * score_bits = Σ over gram instances of w_bits[bucket(gram)].
     * Token-less docs (and null ids) don't appear — they have no
-    * features and can't be resampled.
+    * features and can't be resampled. Buckets absent from the model
+    * (impossible when scoring the training corpus; possible when a
+    * STREAM drifts past it) weigh `unseenW` — the formula's
+    * ct_t = ct_r = 0 floor is −⌊log₂(N_t+B)⌋ + ⌊log₂(N_r+B)⌋, which
+    * callers scoring out-of-train data derive from the training
+    * totals (the [[graft.operators.Classify.unseenBits]] pattern).
     */
   def scores(docs: DataFrame, idCol: String, toks: Column,
-             model: DataFrame, buckets: Int): DataFrame =
+             model: DataFrame, buckets: Int,
+             unseenW: Column = lit(0L)): DataFrame =
     bucketRows(docs.filter(col(idCol).isNotNull), col(idCol), toks, buckets)
-      .join(broadcast(model), Seq("bucket"))
+      .join(broadcast(model), Seq("bucket"), "left")
       .groupBy(col("_k").as(idCol))
       .agg(count(lit(1)).as("n_grams"),
-        sum(col("w_bits")).cast(LongType).as("score_bits"))
+        sum(coalesce(col("w_bits"), unseenW)).cast(LongType)
+          .as("score_bits"))
 
   /** Sample `k` rows per stratum WITHOUT replacement, with inclusion
     * probability ∝ 2^score_bits — sequential-Poisson (priority)

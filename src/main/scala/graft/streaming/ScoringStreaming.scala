@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.functions.TextFunctions.tokenize
+import graft.operators.{Classify, Dsir}
+
+/** Train-once / score-forever: the streaming serve side of the trained
+  * selectors ([[graft.operators.Classify]] NB quality, t45;
+  * [[graft.operators.Dsir]] importance weights, t47). The model is fit
+  * ONCE over a batch corpus (and staged per (corpus, version) via
+  * `core/Artifacts` in a real deployment); arriving documents are
+  * scored against that FROZEN model inside `foreachBatch` — the same
+  * batch operators, so there is no train/serve skew by construction
+  * (spec-pinned: stream scores ≡ batch scores, bit-equal).
+  *
+  * Scale/exactly-once shape: scoring is STATELESS per document — a
+  * token/gram explode, a broadcast model join, a per-doc sum, all
+  * batch-local (each doc is one input row, so its whole feature bag
+  * lives in the batch that carries it; no keyed state, no watermark,
+  * nothing grows with stream history). That statelessness makes
+  * per-doc scores a pure function of (doc, model): replayed batches
+  * recompute identical rows, so any idempotent sink (the batch-id
+  * ledger of `Warehouse`, a keyed upsert, dynamic partition
+  * overwrite) gives exactly-once for free. Model drift is the
+  * caller's lever: swap the staged artifact between restarts — scores
+  * before/after are two model generations, exactly like a tokenizer
+  * version bump in [[graft.functions.Bpe]]'s economics.
+  *
+  * Out-of-train drift: tokens (NB) or hashed buckets (DSIR) the model
+  * never saw weigh `unseenW` — pass the training-total floor
+  * ([[Classify.unseenBits]]; the DSIR analogue is documented on
+  * [[Dsir.scores]]) so drifted content scores conservatively instead
+  * of being dropped. With DSIR's B=256 buckets, an unseen bucket
+  * means the TRAINING corpus never hashed a gram there — rare beyond
+  * toy corpora; the NB vocabulary case is the one that matters.
+  */
+object ScoringStreaming {
+
+  /** Score a document stream against a frozen NB model
+    * ([[Classify.nbTrain]] output). `onBatch` receives
+    * [[Classify.nbScore]] rows (id, n_tokens, score_bits, avg_bits,
+    * pred) for each micro-batch.
+    */
+  def nbScoreStream(stream: DataFrame, model: DataFrame,
+                    onBatch: (Long, DataFrame) => Unit,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    unseenW: Column = lit(0L)): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(batchId, Classify.nbScore(
+        batch, idCol, tokenize(lower(col(textCol))), model, unseenW))
+      ()
+    }
+
+  /** Score a document stream against a frozen DSIR bucket model
+    * ([[Dsir.model]] output, same `buckets`). `onBatch` receives
+    * [[Dsir.scores]] rows (id, n_grams, score_bits) per micro-batch —
+    * the importance weights; selection over a stream is the caller's
+    * policy (a fixed bits threshold replaces the batch resample,
+    * since a stream has no final corpus to draw k from).
+    */
+  def dsirScoreStream(stream: DataFrame, model: DataFrame, buckets: Int,
+                      onBatch: (Long, DataFrame) => Unit,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      unseenW: Column = lit(0L)): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(batchId, Dsir.scores(
+        batch, idCol, tokenize(lower(col(textCol))), model, buckets,
+        unseenW))
+      ()
+    }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextFunctions.tokenize
+import graft.operators.{Classify, Dsir}
+
+/** Train-once/score-forever: the streaming scorers must equal their
+  * batch twins bit-for-bit, independently of micro-batch slicing
+  * (scoring is stateless per doc), and out-of-train tokens must weigh
+  * the documented unseen floor rather than dropping rows.
+  */
+class ScoringStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val train = Seq(
+    (1L, "good clean prose with varied words", true),
+    (2L, "more curated text of fine quality", true),
+    (3L, "spam spam spam buy buy buy", false),
+    (4L, "click here buy spam now", false))
+
+  private def trainDf = train.toDF("doc_id", "text", "pos")
+
+  private val arriving = Seq(
+    (10L, "varied clean prose arrives here"),
+    (11L, "buy spam now"),
+    (12L, "words of fine quality"))
+
+  test("NB stream scores equal the batch op regardless of batch slicing") {
+    val model = Classify.nbTrain(
+      trainDf, tokenize(lower(col("text"))), col("pos"))
+    val unseen = Classify.unseenBits(
+      trainDf, tokenize(lower(col("text"))), col("pos"))
+    val batchScores = Classify.nbScore(
+        arriving.toDF("doc_id", "text"), "doc_id",
+        tokenize(lower(col("text"))), model, unseen)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+
+    for (slices <- Seq(Seq(arriving), arriving.grouped(1).toSeq)) {
+      implicit val sq = spark.sqlContext
+      val got = scala.collection.mutable
+        .Set[(Long, Long, Long, Double, Boolean)]()
+      val input = MemoryStream[(Long, String)]
+      val q = ScoringStreaming.nbScoreStream(
+          input.toDF().toDF("doc_id", "text"), model,
+          (_, df) => got ++=
+            df.as[(Long, Long, Long, Double, Boolean)].collect(),
+          unseenW = unseen)
+        .start()
+      try {
+        slices.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      } finally q.stop()
+      assert(got.toSet === batchScores, s"slicing=${slices.size} batches")
+    }
+    assert(batchScores.nonEmpty)
+  }
+
+  test("DSIR stream scores equal the batch op; drift weighs the floor") {
+    val B = 16
+    val toks = tokenize(lower(col("text")))
+    val model = Dsir.model(trainDf, toks, col("pos"), B)
+    // doc 13 is pure out-of-train vocabulary: with a tiny train
+    // corpus some of its hashed buckets are unseen -> they weigh the
+    // floor (here 0), and the doc still scores instead of dropping
+    val drifted = arriving :+ (13L, "zq zr zs zt zu zv zw zx")
+    val batchScores = Dsir.scores(
+        drifted.toDF("doc_id", "text"), "doc_id", toks, model, B)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batchScores.exists(_._1 == 13L))
+
+    implicit val sq = spark.sqlContext
+    val got = scala.collection.mutable.Set[(Long, Long, Long)]()
+    val input = MemoryStream[(Long, String)]
+    val q = ScoringStreaming.dsirScoreStream(
+        input.toDF().toDF("doc_id", "text"), model, B,
+        (_, df) => got ++= df.as[(Long, Long, Long)].collect())
+      .start()
+    try {
+      input.addData(drifted.take(2): _*); q.processAllAvailable()
+      input.addData(drifted.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet === batchScores)
+  }
+}
