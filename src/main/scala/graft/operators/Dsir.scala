@@ -69,6 +69,54 @@ object Dsir {
       .select(col("_k"), explode(gramExpr).as("_g"))
       .select(col("_k"), bucketOf(col("_g"), buckets).as("bucket"))
 
+  /** Featurized gram-instance rows (id, tgt, bucket) — the frame both
+    * [[modelFromRows]] and [[scoresFromRows]] aggregate. Stage it ONCE
+    * per (corpus, buckets, target) via `core/Artifacts`: featurization
+    * (tokenize → grams → md5 buckets) is the only pass that touches
+    * text bytes, so serving both legs from the staged parquet halves
+    * the corpus scans and both consumers stay map-side aggregations
+    * of a compact 3-column frame.
+    */
+  def featureRows(docs: DataFrame, idCol: String, toks: Column,
+                  target: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), target.as("tgt"), toks.as("_w"))
+      .filter(size(col("_w")) >= 1)
+      .select(col(idCol), col("tgt"), explode(gramExpr).as("_g"))
+      .select(col(idCol), col("tgt"),
+        bucketOf(col("_g"), buckets).as("bucket"))
+  }
+
+  /** [[model]] from staged [[featureRows]]: identical output (spec-
+    * pinned), one bucket-keyed partial-aggregated shuffle over the
+    * staged frame.
+    */
+  def modelFromRows(rows: DataFrame, buckets: Int): DataFrame = {
+    val counts = rows.groupBy(col("bucket"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ctt"),
+        count(lit(1)).as("ctr"))
+    val tot = counts.agg(sum(col("ctt")).as("nt"), sum(col("ctr")).as("nr"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (bits(col("ctt") + 1) - bits(col("ctr") + 1)
+          - bits(col("nt") + buckets) + bits(col("nr") + buckets))
+          .cast(LongType).as("w_bits"))
+  }
+
+  /** [[scores]] from staged [[featureRows]]: identical output (spec-
+    * pinned), no second pass over text.
+    */
+  def scoresFromRows(rows: DataFrame, idCol: String, model: DataFrame,
+                     unseenW: Column = lit(0L)): DataFrame =
+    rows.select(col(idCol), col("bucket"))
+      .join(broadcast(model), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("w_bits"), unseenW)).cast(LongType)
+          .as("score_bits"))
+
   /** Fit the hashed-bucket importance model: (bucket, w_bits) with
     * w_bits[b] = ⌊log₂(ct_t[b]+1)⌋ − ⌊log₂(ct_r[b]+1)⌋
     *           − ⌊log₂(N_t+B)⌋ + ⌊log₂(N_r+B)⌋
@@ -86,16 +134,9 @@ object Dsir {
             buckets: Int): DataFrame = {
     require(buckets >= 2 && buckets <= 65536,
       s"buckets must be in [2, 65536], got $buckets")
-    val counts = bucketRows(docs, target, toks, buckets)
-      .groupBy(col("bucket"))
-      .agg(sum(when(col("_k"), 1L).otherwise(0L)).as("ctt"),
-        count(lit(1)).as("ctr"))
-    val tot = counts.agg(sum(col("ctt")).as("nt"), sum(col("ctr")).as("nr"))
-    counts.crossJoin(broadcast(tot))
-      .select(col("bucket"),
-        (bits(col("ctt") + 1) - bits(col("ctr") + 1)
-          - bits(col("nt") + buckets) + bits(col("nr") + buckets))
-          .cast(LongType).as("w_bits"))
+    modelFromRows(
+      bucketRows(docs, target, toks, buckets).withColumnRenamed("_k", "tgt"),
+      buckets)
   }
 
   /** Per-doc importance score: (id, n_grams, score_bits) with
@@ -111,12 +152,10 @@ object Dsir {
   def scores(docs: DataFrame, idCol: String, toks: Column,
              model: DataFrame, buckets: Int,
              unseenW: Column = lit(0L)): DataFrame =
-    bucketRows(docs.filter(col(idCol).isNotNull), col(idCol), toks, buckets)
-      .join(broadcast(model), Seq("bucket"), "left")
-      .groupBy(col("_k").as(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("w_bits"), unseenW)).cast(LongType)
-          .as("score_bits"))
+    scoresFromRows(
+      bucketRows(docs.filter(col(idCol).isNotNull), col(idCol), toks,
+        buckets).withColumnRenamed("_k", idCol),
+      idCol, model, unseenW)
 
   /** Sample `k` rows per stratum WITHOUT replacement, with inclusion
     * probability ∝ 2^score_bits — sequential-Poisson (priority)

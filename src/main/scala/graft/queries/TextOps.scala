@@ -325,10 +325,16 @@ object TextOps {
     // whole draw replays bit-exactly in the oracle
     "t47_dsir_sample" -> { (s, dir) =>
       val d = docs(s, dir)
-      val toks = tokenize(lower(col("text")))
       val B = 256
-      val m = graft.operators.Dsir.model(d, toks, col("lang") === "en", B)
-      val sc = graft.operators.Dsir.scores(d, "doc_id", toks, m, B)
+      // featurization (the only pass over text bytes) staged once per
+      // (corpus, B, target); model and scores both aggregate the
+      // staged 3-column frame map-side
+      val rows = graft.core.Artifacts.table(s, "dsir-rows|B=256|tgt=lang-en",
+        graft.core.Artifacts.fingerprint(dir))(
+        graft.operators.Dsir.featureRows(d, "doc_id",
+          tokenize(lower(col("text"))), col("lang") === "en", B))
+      val m = graft.operators.Dsir.modelFromRows(rows, B)
+      val sc = graft.operators.Dsir.scoresFromRows(rows, "doc_id", m)
       graft.operators.Dsir.resample(
           sc.join(d.select(col("doc_id"), col("source")), Seq("doc_id")),
           "source", "doc_id", k = 3)

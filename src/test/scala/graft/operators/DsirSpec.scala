@@ -123,6 +123,23 @@ class DsirSpec extends AnyFunSuite {
     assert(keep === Set(1L, 2L, 3L)) // k covers all: clamp can't drop rows
   }
 
+  test("staged featureRows path equals the direct path exactly") {
+    val rows = Dsir.featureRows(df, "doc_id", toks,
+      col("lang") === "en", B)
+    val mDirect = Dsir.model(df, toks, col("lang") === "en", B)
+      .as[(Long, Long)].collect().toMap
+    val mRows = Dsir.modelFromRows(rows, B)
+      .as[(Long, Long)].collect().toMap
+    assert(mRows === mDirect)
+    val sDirect = Dsir.scores(df, "doc_id", toks,
+        Dsir.model(df, toks, col("lang") === "en", B), B)
+      .as[(Long, Long, Long)].collect().toSet
+    val sRows = Dsir.scoresFromRows(rows, "doc_id",
+        Dsir.modelFromRows(rows, B))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sRows === sDirect)
+  }
+
   test("parameter validation") {
     val d = df
     intercept[IllegalArgumentException](Dsir.model(d, toks, lit(true), 1))
