@@ -127,6 +127,15 @@ object TextFunctions {
   /** Stable 32-char content fingerprint for exact dedup. */
   def contentHash(text: Column): Column = md5(text)
 
+  /** Canonical text for "fuzzy-exact" dedup: casefold, collapse every
+    * non-alphanumeric run (punctuation, whitespace, any non-ASCII) to
+    * one space, trim. Pure codegen'd string ops; the DuckDB oracle
+    * replays it with the same regex (with the 'g' flag — DuckDB
+    * replaces first-match by default where Spark replaces all).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** Deterministic dataset-split assignment: a document's split is a
     * pure function of its key's md5 (first 4 hex digits as a uniform
     * 0..65535 value), so train/val membership is stable across runs,

@@ -632,6 +632,22 @@ object Dedup {
     docs.groupBy(TextFunctions.contentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_ct"))
 
+  /** [[exact]] over NORMALIZED text — casefold, collapse every
+    * non-alphanumeric run to one space, trim — the "fuzzy-exact" tier
+    * every production pipeline runs between byte-exact dedup and
+    * MinHash (C4 and friends dedup normalized content: two crawls of
+    * the same page differing only in case/punctuation/whitespace ARE
+    * the same document, yet byte-exact d1 misses them and they waste
+    * a near-dup candidate). Same scale shape as [[exact]]: the
+    * normalization is map-side inside the scan projection, the only
+    * exchange is the partial-aggregated groupBy on the 16-byte hash.
+    */
+  def exactNormalized(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.groupBy(
+        md5(TextFunctions.normalizeText(col(textCol))).as("norm_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_ct"))
+
   /** Corpus-wide duplicate-chunk removal (C4/RefinedWeb-style "line
     * dedup", with fixed `n`-word chunks standing in for lines since
     * the harness text has no newlines): split each doc into

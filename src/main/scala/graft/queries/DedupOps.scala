@@ -69,6 +69,12 @@ object DedupOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> { (s, dir) => Dedup.exact(docs(s, dir)) },
 
+    // the "fuzzy-exact" tier between d1 and MinHash: dedup after
+    // casefold + punctuation/whitespace collapse (C4's normalization)
+    "d25_normalized_dedup" -> { (s, dir) =>
+      Dedup.exactNormalized(docs(s, dir))
+    },
+
     "d2_lsh_candidates" -> { (s, dir) => Dedup.candidatePairs(docs(s, dir)) },
 
     "d3_jaccard_neardup" -> { (s, dir) =>
@@ -544,6 +550,15 @@ object DedupOps {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
         | COUNT(*) AS dup_ct
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // same aggregate over the canonical form; 'g' flag: DuckDB's
+    // regexp_replace is first-match by default, Spark's replaces all
+    "d25_normalized_dedup" ->
+      """SELECT
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |    AS norm_hash,
+        |  MIN(doc_id) AS keeper_id, COUNT(*) AS dup_ct
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // non-overlapping 3-word chunks (1-based inclusive slice), first
     // occurrence per distinct chunk by (doc_id, idx), docs rebuilt by

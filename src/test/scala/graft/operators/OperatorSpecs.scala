@@ -23,6 +23,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Set((1L, 2L), (3L, 1L), (4L, 1L)))
   }
 
+  test("normalized dedup unifies case/punct/whitespace variants only") {
+    val df = Seq(
+      (1L, "The quick,  brown FOX!"),
+      (2L, "the quick brown fox"),      // normalized dup of 1
+      (3L, "the  quick...brown --- fox"), // normalized dup of 1
+      (4L, "the quick brown foxes"),    // NOT a dup (different token)
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(df)
+      .as[(String, Long, Long)].collect()
+      .map { case (_, keeper, ct) => (keeper, ct) }.toSet
+    // byte-exact dedup would find NO groups here
+    assert(Dedup.exact(df).as[(String, Long, Long)].collect()
+      .forall(_._3 == 1L))
+    assert(out === Set((1L, 3L), (4L, 1L), (5L, 1L)))
+  }
+
   test("LSH candidates include the exact pair; near pair found by jaccard") {
     val cand = Dedup.candidatePairs(docs).as[(Long, Long)].collect().toSet
     assert(cand.contains((1L, 2L)))
