@@ -58,14 +58,23 @@ object Mixing {
     * full slice is ever sorted. Rows with null/≤0 weight or null id
     * can't be sampled and are excluded.
     */
+  /** The sequential-Poisson priority: salted-md5 48-bit uniform (a
+    * pure function of the id — exact in BIGINT and DOUBLE on every
+    * engine) over the weight. Exposed so streaming twins rank with
+    * the IDENTICAL key and their samples stay bit-equal to the batch
+    * operators'.
+    */
+  def priorityOf(id: Column, weight: Column): Column = {
+    val u = conv(substring(md5(concat(lit("p:"),
+      id.cast(StringType))), 1, 12), 16, 10).cast(LongType)
+    u.cast(DoubleType) / weight.cast(DoubleType)
+  }
+
   def prioritySample(docs: DataFrame, strataCol: String, idCol: String,
                      weight: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // 48-bit uniform: exact in BIGINT and DOUBLE on every engine
-    val u = conv(substring(md5(concat(lit("p:"),
-        col(idCol).cast(StringType))), 1, 12), 16, 10).cast(LongType)
     val w = weight.cast(DoubleType)
-    val pr = u.cast(DoubleType) / w
+    val pr = priorityOf(col(idCol), weight)
     val win = Window.partitionBy(col(strataCol))
       .orderBy(col("_pr").asc, col(idCol))
     docs
@@ -103,12 +112,10 @@ object Mixing {
                                 idCol: String, weight: Column,
                                 k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val u = conv(substring(md5(concat(lit("p:"),
-        col(idCol).cast(StringType))), 1, 12), 16, 10).cast(LongType)
     val w = weight.cast(DoubleType)
     val base = docs
       .filter(col(idCol).isNotNull && w.isNotNull && w > 0)
-      .withColumn("_pr", u.cast(DoubleType) / w)
+      .withColumn("_pr", priorityOf(col(idCol), weight))
       // string stratum key for the broadcast cutoff map; null strata
       // group under the same sentinel the map uses (the
       // mixByTokenBudget convention)
