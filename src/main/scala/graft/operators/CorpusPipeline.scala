@@ -45,11 +45,29 @@ object CorpusPipeline {
     * @param dupSpanN     gram width for the span gate
     * @param benchmark    decontamination gate: drop docs sharing any
     *   `decontamN`-gram with this eval set (None = off)
+    * @param maxIntradocDupFrac within-doc repetition gate over
+    *   [[Repetition.dupChunkFrac]] (`intradocN`-word chunk grid):
+    *   drop docs whose duplicated-chunk fraction exceeds this (None =
+    *   off; chunk-less/null docs pass — "no signal"). A pure map.
+    * @param nbSeed + @param minNbAvgBits trained-classifier gate: fit
+    *   [[Classify.nbTrain]] on the INPUT corpus with `nbSeed` as the
+    *   positive label and drop docs whose length-normalized log-odds
+    *   `avg_bits` falls below the threshold (both must be set;
+    *   docs with no tokens pass). The CCNet/fastText tier inside the
+    *   cascade; the model leg stages as `nb_scores`.
+    * @param pplTailCutPermille perplexity-tail gate (CCNet §4.3
+    *   inverted: DROP the worst tail rather than bucket it): compute
+    *   [[Frequency.bigramSurprisal]] over the input corpus, quantize
+    *   to integer permille, cut at this permille rank via the exact
+    *   value-count quantiles, drop docs ABOVE the cut (None = off;
+    *   token-less docs pass). The scores leg stages as `ppl_scores`.
     *
-    * The three QC gates default OFF, so the base pipeline's oracle
-    * contract (t11) is byte-identical with a default Config; each gate
-    * adds only its own operator's cost when enabled (a pure map for
-    * repetition, the t18/t13 shuffles for spans/decontamination).
+    * The QC gates default OFF, so the base pipeline's oracle contract
+    * (t11) is byte-identical with a default Config; each gate adds
+    * only its own operator's cost when enabled (a pure map for
+    * repetition/intradoc, the t18/t13 shuffles for spans and
+    * decontamination, the t45/t43 count shuffles for the trained
+    * gates).
     */
   case class Config(minQuality: Double = 0.3,
                     jaccard: Double = 0.5,
@@ -61,7 +79,12 @@ object CorpusPipeline {
                     maxDupSpanFrac: Option[Double] = None,
                     dupSpanN: Int = 4,
                     benchmark: Option[DataFrame] = None,
-                    decontamN: Int = 4)
+                    decontamN: Int = 4,
+                    maxIntradocDupFrac: Option[Double] = None,
+                    intradocN: Int = 3,
+                    nbSeed: Option[org.apache.spark.sql.Column] = None,
+                    minNbAvgBits: Option[Double] = None,
+                    pplTailCutPermille: Option[Int] = None)
 
   /** Staging hook for [[curate]]'s heavy legs — the build/serve split
     * ([[graft.core.Artifacts]]): `stage(name, build)` may serve a
@@ -97,15 +120,54 @@ object CorpusPipeline {
         base.withColumn("_rep_fail", coalesce(frac > t, lit(false)))
       case None => base.withColumn("_rep_fail", lit(false))
     }
+    // within-doc repetition: a pure column, no join
+    val withIntra = cfg.maxIntradocDupFrac match {
+      case Some(t) => withRep.withColumn("_intra_fail",
+        coalesce(Repetition.dupChunkFrac(col("text"), cfg.intradocN) > t,
+          lit(false)))
+      case None => withRep.withColumn("_intra_fail", lit(false))
+    }
+    // trained NB gate: model fit on the INPUT corpus with the seed
+    // label, scores staged; docs outside the token stream pass
+    val withNb = (cfg.nbSeed, cfg.minNbAvgBits) match {
+      case (Some(seed), Some(t)) =>
+        val toks = TextFunctions.tokenize(lower(col("text")))
+        val nb = stage("nb_scores", () =>
+            Classify.nbScore(docs, "doc_id", toks,
+              Classify.nbTrain(docs, toks, seed))
+              .select(col("doc_id"), col("avg_bits")))
+        withIntra.join(nb, Seq("doc_id"), "left")
+          .withColumn("_nb_fail", coalesce(col("avg_bits") < t, lit(false)))
+          .drop("avg_bits")
+      case _ => withIntra.withColumn("_nb_fail", lit(false))
+    }
+    // perplexity tail: staged surprisal permilles, exact quantile cut
+    val withPpl = cfg.pplTailCutPermille match {
+      case Some(cut) =>
+        val ppl = stage("ppl_scores", () =>
+            Frequency.bigramSurprisal(docs, "doc_id",
+              TextFunctions.tokenize(lower(col("text"))))
+              .select(col("doc_id"),
+                expr("(bits_sum * 1000) DIV n_tokens").as("_ppm")))
+        val cutVal = Quantiles.groupQuantiles(
+            ppl.withColumn("_g", lit(0)), "_g", col("_ppm"), Seq(cut))
+          .select(col(Quantiles.qName(cut)).as("_ppl_cut"))
+        withNb.join(ppl, Seq("doc_id"), "left")
+          .crossJoin(broadcast(cutVal))
+          .withColumn("_ppl_fail",
+            coalesce(col("_ppm") > col("_ppl_cut"), lit(false)))
+          .drop("_ppm", "_ppl_cut")
+      case None => withNb.withColumn("_ppl_fail", lit(false))
+    }
     val scored = cfg.benchmark match {
       case Some(bench) =>
         val hits = stage("contam_hits", () =>
             Decontaminate.contaminationReport(
               docs, bench, "doc_id", "text", cfg.decontamN))
           .select(col("doc_id"), lit(true).as("_contam"))
-        withRep.join(hits, Seq("doc_id"), "left")
+        withPpl.join(hits, Seq("doc_id"), "left")
           .withColumn("_contam", coalesce(col("_contam"), lit(false)))
-      case None => withRep.withColumn("_contam", lit(false))
+      case None => withPpl.withColumn("_contam", lit(false))
     }
     // dedup runs on the gate-surviving set: a cluster whose min id
     // failed an earlier gate must not claim (and then drop) its
@@ -115,7 +177,8 @@ object CorpusPipeline {
     val qualityOk = scored.filter(col("text").isNotNull &&
       length(col("text")) > 0 &&
       col("quality").isNotNull && col("quality") >= cfg.minQuality &&
-      !col("_rep_fail") && !col("_contam"))
+      !col("_rep_fail") && !col("_intra_fail") && !col("_nb_fail") &&
+      !col("_ppl_fail") && !col("_contam"))
     // exact dedup: keep the min doc_id per content hash
     val keepers = stage("exact_keepers", () =>
       Dedup.exact(qualityOk, "doc_id", "text")
@@ -153,6 +216,9 @@ object CorpusPipeline {
           .when(col("quality").isNull || col("quality") < cfg.minQuality,
             "quality")
           .when(col("_rep_fail"), "repetition")
+          .when(col("_intra_fail"), "intradoc_rep")
+          .when(col("_nb_fail"), "nb_quality")
+          .when(col("_ppl_fail"), "ppl_tail")
           .when(col("_contam"), "contaminated")
           .when(col("_exact_keep").isNull, "exact_dup")
           .when(col("cluster_id").isNotNull &&
@@ -161,7 +227,8 @@ object CorpusPipeline {
           .when(!TextFunctions.stratifiedKeep(col("doc_id"),
             col("pred_lang"), cfg.sampleRates, cfg.defaultRate), "sampled")
           .otherwise(lit(null).cast("string")))
-      .drop("_exact_keep", "_rep_fail", "_span_fail", "_contam")
+      .drop("_exact_keep", "_rep_fail", "_intra_fail", "_nb_fail",
+        "_ppl_fail", "_span_fail", "_contam")
       .withColumn("split",
         when(col("drop_reason").isNull,
           TextFunctions.stableSplit(col("doc_id"), cfg.trainPermille)))

@@ -87,6 +87,26 @@ object Repetition {
     * deduplicated text plus kept/dropped counts (d10's report
     * shape).
     */
+  /** WITHIN-doc duplicated-chunk fraction as a pure column:
+    * (chunks − distinct chunks) / chunks over the [[dedupWithin]]
+    * grid — the gate form of that operator (null for docs with no
+    * chunks: "no signal"). `array_distinct` instead of the keep-first
+    * filter because only the COUNT matters here, and the distinct
+    * count is the same set size.
+    */
+  def dupChunkFrac(textCol: Column, n: Int = 3): Column = {
+    val w = split(textCol, " ")
+    val chunks = transform(
+      sequence(lit(0),
+        ceil(size(w).cast(DoubleType) / n).cast(LongType) - 1),
+      j => concat_ws(" ", slice(w, (j * n + 1).cast(IntegerType), lit(n))))
+    // null text guarded OUTSIDE the sequence: size(null) = -1 would
+    // make sequence(0, -1) step downward, not produce empty
+    when(textCol.isNotNull,
+      (size(chunks) - size(array_distinct(chunks))).cast(DoubleType) /
+        nullif(size(chunks), lit(0)))
+  }
+
   def dedupWithin(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")

@@ -40,6 +40,24 @@ object CurateOps {
     dupSpanN = 4,
     decontamN = 4)
 
+  /** t11c: the ROUND-12 full cascade — t11b's gates plus the
+    * within-doc repetition gate, the trained NB classifier gate, and
+    * the perplexity-tail gate. Thresholds sit where the sf0.01 corpus
+    * has mass (intradoc dup p>0 on a handful of docs; NB avg_bits
+    * p5 ≈ −0.67; surprisal p900 cuts ~10%), so every new drop_reason
+    * bucket is non-empty and the full eleven-stage cascade is
+    * hash-checked end to end.
+    */
+  private val intraT = 0.01
+  private val nbT = -0.22
+  private val pplCut = 900
+  private val cfgFull = cfgGated.copy(
+    maxIntradocDupFrac = Some(intraT),
+    intradocN = 3,
+    nbSeed = Some(col("lang") === "en"),
+    minNbAvgBits = Some(nbT),
+    pplTailCutPermille = Some(pplCut))
+
   private def stageSelect(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
       coalesce(col("drop_reason"), lit("kept")).as("stage"),
@@ -121,6 +139,13 @@ object CurateOps {
       stageSelect(CorpusPipeline.curate(
         d.filter(col("source") =!= "src0"), c,
         stage = stager(s, dir, "t11b", c)))
+    },
+    "t11c_curate_full" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val c = cfgFull.copy(benchmark = Some(d.filter(col("source") === "src0")))
+      stageSelect(CorpusPipeline.curate(
+        d.filter(col("source") =!= "src0"), c,
+        stage = stager(s, dir, "t11c", c)))
     })
 
   def oracle: Map[String, String] = Map(
@@ -248,7 +273,20 @@ object CurateOps {
     // SURVIVORS — see CorpusPipeline.Config) mirrors in the pipeline's
     // gate order: empty → quality → repetition → contaminated →
     // exact_dup → near_dup → dup_spans → sampled
-    "t11b_curate_gated" -> {
+    "t11b_curate_gated" -> curateGatedOracle(full = false),
+    "t11c_curate_full" -> curateGatedOracle(full = true)
+  )
+
+  /** Shared mirror of the gated curate cascade. `full = false` is
+    * t11b (quality/repetition/decontam/dedup/span gates); `full =
+    * true` adds the round-12 tiers — within-doc repetition
+    * (list_distinct over the d10 chunk grid), the NB classifier
+    * (t45's replay re-rooted on the curated corpus), and the
+    * perplexity tail (t43's replay + the t46 ceil-rank permille cut).
+    * One builder, two bindings: the t11b contract can never drift
+    * from t11c's shared stages.
+    */
+  private def curateGatedOracle(full: Boolean): String = {
       val scores = langProfiles.map { case (l, p) =>
         s"len(list_intersect(${TextOps.sqlTokenSet}, ${TextOps.sqlProfile(p)})) AS s_$l"
       }.mkString(",\n  ")
@@ -268,6 +306,77 @@ object CurateOps {
         s"""SELECT doc_id, unnest(list_transform(range(len(w) - 3),
            |    i -> list_aggregate(w[i+1:i+4], 'string_agg', ' '))) AS g
            |  FROM $toks WHERE len(w) >= 4""".stripMargin
+      // ---- round-12 gate fragments (t11c only) ---------------------------
+      // intradoc: the d10/t48 chunk grid + list_distinct fraction;
+      // nb: the t45 replay re-rooted on src; ppl: the t43 replay plus
+      // the t46 ceil-rank permille cut. All pre-stripped flush text —
+      // the outer stripMargin leaves lines without a margin bar alone.
+      val extraCtes = if (!full) "" else
+        s"""iw AS (SELECT doc_id, string_split(text, ' ') AS w2 FROM src
+WHERE text IS NOT NULL),
+ich AS (SELECT doc_id,
+  list_transform(range(0, CAST(ceil(len(w2) / 3.0) AS BIGINT)),
+    j -> array_to_string(w2[CAST(j*3+1 AS INT) : CAST(j*3+3 AS INT)], ' '))
+  AS c FROM iw),
+intra AS (SELECT doc_id,
+  CAST(len(c) - len(list_distinct(c)) AS DOUBLE) / nullif(len(c), 0)
+  AS ifrac FROM ich),
+nbtok AS (SELECT doc_id, lang = 'en' AS pos,
+  unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0))
+  AS term FROM src),
+nbc AS (SELECT term,
+  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS ctp,
+  CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS ctn
+  FROM nbtok GROUP BY 1),
+nbt AS (SELECT CAST(SUM(ctp) AS BIGINT) AS np,
+  CAST(SUM(ctn) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS v FROM nbc),
+nbm AS (SELECT term, CAST((length(bin(ctp + 1)) - 1)
+  - (length(bin(ctn + 1)) - 1) - (length(bin(np + v)) - 1)
+  + (length(bin(nn + v)) - 1) AS BIGINT) AS wb FROM nbc CROSS JOIN nbt),
+nb AS (SELECT nbtok.doc_id, CAST(SUM(nbm.wb) AS DOUBLE) / COUNT(*)
+  AS avg_bits FROM nbtok JOIN nbm USING (term) GROUP BY 1),
+ptr AS (SELECT doc_id, w[CAST(i AS INT)] AS term,
+  CASE WHEN i > 1 THEN w[CAST(i - 1 AS INT)] END AS prev
+  FROM (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w
+        FROM (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> len(x) > 0)
+                AS w FROM src)
+        WHERE len(w) >= 1)),
+pc1 AS (SELECT term, COUNT(*) AS ct FROM ptr GROUP BY 1),
+pc2 AS (SELECT prev, term, COUNT(*) AS cxy FROM ptr
+  WHERE prev IS NOT NULL GROUP BY 1, 2),
+pt AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_tok FROM pc1),
+ps AS (SELECT ptr.doc_id, COUNT(*) AS n_tokens,
+  CAST(SUM(CASE WHEN ptr.prev IS NULL
+    THEN length(bin(pt.n_tok // u.ct)) - 1
+    ELSE length(bin(cu.ct // pc2.cxy)) - 1 END) AS BIGINT) AS bits_sum
+  FROM ptr JOIN pc1 u ON u.term = ptr.term
+  LEFT JOIN pc1 cu ON cu.term = ptr.prev
+  LEFT JOIN pc2 ON pc2.prev = ptr.prev AND pc2.term = ptr.term
+  CROSS JOIN pt GROUP BY ptr.doc_id),
+pplq AS (SELECT doc_id, (bits_sum * 1000) // n_tokens AS ppm FROM ps),
+pvc AS (SELECT ppm, COUNT(*) AS c FROM pplq GROUP BY 1),
+pp AS (SELECT ppm, SUM(c) OVER (ORDER BY ppm) AS cum,
+  SUM(c) OVER () AS n FROM pvc),
+pcut AS (SELECT MIN(CASE WHEN cum >= (n * $pplCut + 999) // 1000
+  THEN ppm END) AS cv FROM pp),
+"""
+      val extraJoins = if (!full) "" else
+        s"""LEFT JOIN intra it ON it.doc_id = m.doc_id
+  LEFT JOIN nb ON nb.doc_id = m.doc_id
+  LEFT JOIN pplq pq ON pq.doc_id = m.doc_id
+  CROSS JOIN pcut pc
+  """
+      val extraFilter = if (!full) "" else
+        s"""
+    AND NOT COALESCE(it.ifrac > $intraT, FALSE)
+    AND NOT COALESCE(nb.avg_bits < $nbT, FALSE)
+    AND NOT COALESCE(pq.ppm > pc.cv, FALSE)"""
+      val extraCases = if (!full) "" else
+        s"""WHEN COALESCE(it.ifrac > $intraT, FALSE) THEN 'intradoc_rep'
+      WHEN COALESCE(nb.avg_bits < $nbT, FALSE) THEN 'nb_quality'
+      WHEN COALESCE(pq.ppm > pc.cv, FALSE) THEN 'ppl_tail'
+      """
       s"""WITH RECURSIVE src AS (SELECT * FROM documents WHERE source <> 'src0'),
          |sc AS (
          |  SELECT doc_id, text, $scores,
@@ -299,14 +408,14 @@ object CurateOps {
          |cgrams AS (SELECT DISTINCT doc_id, g FROM (${grams4("rtoks")})),
          |bgrams AS (SELECT DISTINCT g FROM (${grams4("btoks")})),
          |contam AS (SELECT DISTINCT doc_id FROM cgrams JOIN bgrams USING (g)),
-         |ok AS (
+         |${extraCtes}ok AS (
          |  SELECT m.doc_id, m.text FROM m
          |  LEFT JOIN rep r ON r.doc_id = m.doc_id
          |  LEFT JOIN contam c ON c.doc_id = m.doc_id
-         |  WHERE m.text IS NOT NULL AND len(m.text) > 0
+         |  ${extraJoins}WHERE m.text IS NOT NULL AND len(m.text) > 0
          |    AND m.quality IS NOT NULL AND m.quality >= $minQ
          |    AND NOT COALESCE(r.tbf > $repT, FALSE)
-         |    AND c.doc_id IS NULL),
+         |    AND c.doc_id IS NULL$extraFilter),
          |${DedupOps.sqlCandidatesFrom("ok")},
          |${DedupOps.sqlClusterCtes(cfgGated.jaccard)},
          |keep AS (SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY md5(text)),
@@ -331,7 +440,7 @@ object CurateOps {
          |      WHEN m.text IS NULL OR len(m.text) = 0 THEN 'empty'
          |      WHEN m.quality IS NULL OR m.quality < $minQ THEN 'quality'
          |      WHEN COALESCE(r.tbf > $repT, FALSE) THEN 'repetition'
-         |      WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |      ${extraCases}WHEN c.doc_id IS NOT NULL THEN 'contaminated'
          |      WHEN k.doc_id IS NULL THEN 'exact_dup'
          |      WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> m.doc_id THEN 'near_dup'
          |      WHEN COALESCE(sp.dup_frac > $spanT, FALSE) THEN 'dup_spans'
@@ -344,7 +453,8 @@ object CurateOps {
          |  LEFT JOIN contam c ON c.doc_id = m.doc_id
          |  LEFT JOIN keep k ON k.doc_id = m.doc_id
          |  LEFT JOIN clus cl ON cl.doc_id = m.doc_id
-         |  LEFT JOIN span sp ON sp.doc_id = m.doc_id),
+         |  LEFT JOIN span sp ON sp.doc_id = m.doc_id
+         |  $extraJoins),
          |pk AS (
          |  SELECT doc_id,
          |    CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
@@ -362,5 +472,5 @@ object CurateOps {
          |  COALESCE(pk.chunk_id, -1) AS chunk_id,
          |  COALESCE(d.cluster_id, -1) AS cluster_id
          |FROM dr d LEFT JOIN pk ON pk.doc_id = d.doc_id""".stripMargin
-    })
+  }
 }

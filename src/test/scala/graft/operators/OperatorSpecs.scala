@@ -664,6 +664,49 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(out(2L) === Some("exact_dup"))
     assert(out(3L) === None)
   }
+
+  test("round-12 gates: intradoc, NB, and ppl-tail fire in cascade order") {
+    // doc 1: heavy within-doc chunk repetition (same 3-chunk 4×);
+    // doc 2: pure negative-seed vocabulary (NB drops it);
+    // doc 3: scrambled rare-word salad — highest bigram surprisal;
+    // docs 4..9: seed-like filler so the model and the ppl quantile
+    // have mass. Seed = ids >= 4 (the filler) plays the "target"
+    // label, so docs 1-3 are the out-of-seed side.
+    // rotations of one token cycle: distinct texts (no exact_dup),
+    // near-identical bigram statistics (a flat ppl tier)
+    val cyc = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val filler = (4L to 9L).map { i =>
+      val r = (i % 10).toInt
+      (i, (cyc.drop(r) ++ cyc.take(r)).mkString(" "))
+    }
+    val docs = (Seq(
+      (1L, "rep rep rep rep rep rep rep rep rep rep rep rep"),
+      (2L, "junk spam junk spam junk spam junk spam junk spam"),
+      (3L, "theta alpha zeta gamma beta delta eta epsilon beta alpha"))
+      ++ filler).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(docs, CorpusPipeline.Config(
+        minQuality = 0.0,
+        jaccard = 0.99, // the rotated fillers ARE near-dups at 0.5
+        maxIntradocDupFrac = Some(0.5),
+        nbSeed = Some(col("doc_id") >= 4L),
+        minNbAvgBits = Some(-0.5),
+        // 9 scored docs: ceil-rank p800 cuts at the 8th smallest ppm
+        // (the filler tier), leaving only the salad doc above it —
+        // p900 would select the max itself and nothing sits above
+        pplTailCutPermille = Some(800)))
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === Some("intradoc_rep")) // fires before nb/ppl
+    assert(out(2L) === Some("nb_quality"))
+    assert(out(3L) === Some("ppl_tail"))
+    assert((4L to 9L).forall(out(_).isEmpty))
+    // every gate off -> all kept (the t11 contract untouched)
+    val off = CorpusPipeline.curate(docs,
+        CorpusPipeline.Config(minQuality = 0.0, jaccard = 0.99))
+      .filter(col("drop_reason").isNotNull).count()
+    assert(off === 0L)
+  }
 }
 
 class PackingSpec extends AnyFunSuite {
