@@ -361,6 +361,30 @@ object TextOps {
             nullif(col("n_words"), lit(0L)).cast(DoubleType))
     },
 
+    // ---- context-length truncation-waste sweep ---------------------------
+    // the "pick max_seq_len" eval: for each candidate context length,
+    // how many docs truncate and what fraction of the corpus's tokens
+    // fall past the boundary (truncation-style loading; packing t10
+    // is the alternative this quantifies against). One explode of a
+    // 3-literal array over the per-doc token counts — map-side until
+    // the 3-row aggregate
+    "t50_truncation_sweep" -> { (s, dir) =>
+      val L = Seq(64, 128, 256)
+      docs(s, dir)
+        .select(nTokens(col("text")).cast(LongType).as("_n"))
+        .select(col("_n"), explode(typedLit(L)).as("ctx_len"))
+        .groupBy(col("ctx_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("_n") > col("ctx_len"), 1L).otherwise(0L))
+            .as("docs_truncated"),
+          sum(col("_n")).cast(LongType).as("total_tokens"),
+          sum(greatest(col("_n") - col("ctx_len"), lit(0L)))
+            .cast(LongType).as("tokens_lost"))
+        .withColumn("loss_frac",
+          col("tokens_lost").cast(DoubleType) /
+            nullif(col("total_tokens"), lit(0L)).cast(DoubleType))
+    },
+
     // ---- within-doc duplicate-chunk removal (keep-first) -----------------
     // the LOCAL complement of d10's corpus-wide chunk dedup: repeated
     // chunks inside one page are cut before any global pass — a pure
@@ -959,6 +983,25 @@ object TextOps {
         |        (PARTITION BY source ORDER BY k, doc_id) AS rk FROM ky)
         |SELECT doc_id, source, n_grams, score_bits FROM r
         |WHERE rk <= 3""".stripMargin,
+
+    // token counts exploded over the literal length sweep; CASE
+    // instead of greatest() so null-text docs contribute 0 lost
+    // tokens under both engines' null rules
+    "t50_truncation_sweep" ->
+      """WITH n AS (
+        |  SELECT len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |    AS _n
+        |  FROM documents),
+        |e AS (SELECT _n, unnest([64, 128, 256]) AS ctx_len FROM n)
+        |SELECT ctx_len, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN _n > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_truncated,
+        |  CAST(SUM(_n) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CASE WHEN _n > ctx_len THEN _n - ctx_len ELSE 0 END)
+        |    AS BIGINT) AS tokens_lost,
+        |  CAST(SUM(CASE WHEN _n > ctx_len THEN _n - ctx_len ELSE 0 END)
+        |    AS DOUBLE) / nullif(CAST(SUM(_n) AS BIGINT), 0) AS loss_frac
+        |FROM e GROUP BY 1""".stripMargin,
 
     // t39's recursive-CTE BPE replay, aggregated per language; the
     // division is int-sum / int-sum in DOUBLE on both engines

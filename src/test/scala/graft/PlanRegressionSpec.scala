@@ -484,6 +484,36 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("d25 normalized dedup: map-side canonicalization, one partial agg") {
+    val p = plan("d25_normalized_dedup")
+    assert(p.contains("HashAggregate"), p.take(2000)) // partial+final
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(2000))
+  }
+
+  test("t49 fertility serves the staged BPE counts, dims broadcast") {
+    val p = plan("t49_bpe_fertility")
+    assert(p.contains(graft.core.Artifacts.root), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("t11c full cascade: staged legs, no inline shingling") {
+    val p = plan("t11c_curate_full")
+    assert(!p.contains("shingle"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains(graft.core.Artifacts.root), p.take(2000))
+  }
+
+  test("t50 truncation sweep: pruned scan, one exchange") {
+    val p = plan("t50_truncation_sweep")
+    assert(p.contains("ReadSchema: struct<text:string>"), p.take(2000))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
   test("m10 decoded near-dup: band equi-join over the decode seam") {
     val p = plan("m10_decoded_neardup")
     // signatures come out of the mapPartitions decode seam, pairs out
