@@ -361,12 +361,22 @@ object Series {
     * all result sets are days-sized, never event-sized.
     */
   def distributionDrift(events: DataFrame, tsCol: String,
-                        typeCol: String): DataFrame = {
-    val counts = events
+                        typeCol: String): DataFrame =
+    driftFromCounts(events
       .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
       .groupBy(expr(s"unix_millis($tsCol) DIV 86400000").as("day"),
         col(typeCol).as("typ"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The counts→drift finisher: day-over-day TV distance from an
+    * already-reduced (day, typ, n) table. Split out because the
+    * count state is ADDITIVE — a streaming job maintains it
+    * incrementally through the exactly-once additive-MERGE sink and
+    * this finisher serves drift bit-identical to the batch twin
+    * ([[graft.streaming.DriftStreaming]]) — the same build/serve
+    * split as `Quantiles.fromCounts`.
+    */
+  def driftFromCounts(counts: DataFrame): DataFrame = {
     val totals = counts.groupBy(col("day")).agg(sum(col("n")).as("nn"))
     val prev = counts.select((col("day") + 1).as("day"), col("typ"),
       col("n").as("m"))
