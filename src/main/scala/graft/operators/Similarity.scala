@@ -310,6 +310,78 @@ object Similarity {
       col("q_id") =!= col("n_id")), k)
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — diversified top-k: greedily pick, per query, the
+    * candidate maximizing λ·rel(q, c) − (1−λ)·max_{s∈selected}
+    * sim(c, s), so near-duplicate hits don't crowd the result list
+    * (the retrieval-side complement of v10's semantic dedup; the
+    * standard RAG-context diversifier). Candidates are the exact
+    * top-`n` by cosine (`n` smalls the quadratic term: the pairwise
+    * sims computed are n·k per query, never corpus-sized).
+    *
+    * The greedy loop UNROLLS into the plan (k is small by meaning):
+    * step 1 is an argmax over relevance; step i joins the remaining
+    * candidates against the i−1 selected rows, takes the per-
+    * candidate max similarity (exact doubles — the same codegen'd
+    * fold both engines replay), scores, and rank-picks one row per
+    * query. Ties break by candidate id, so the whole selection is
+    * deterministic. Output: (q_id, step, n_id, score) with step 1's
+    * score = relevance and later steps the MMR objective.
+    *
+    * Scale shape: one broadcast-query corpus scan for candidates
+    * (the [[bruteForceKnn]] shape — swap in an IVF/LSH candidate
+    * source at 100 TB, the re-rank is source-agnostic), then k−1
+    * joins over queries×n rows — retrieval-sized, never corpus-sized.
+    */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, n: Int, k: Int,
+                lambda: Double, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= k && k >= 1, s"need n >= k >= 1, got n=$n k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+    val cand = q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+      .withColumn("rel", dot(col("q_vec"), col("n_vec")) /
+        nullif(col("q_nrm") * col("n_nrm"), lit(0.0)))
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("rel").desc, col("n_id"))))
+      .filter(col("rnk") <= n)
+      .select(col("q_id"), col("n_id"), col("n_vec"), col("n_nrm"),
+        col("rel"))
+      .persist() // k small joins reuse this tiny frame
+    def top1(scored: DataFrame, scoreCol: Column, step: Int): DataFrame =
+      scored
+        .withColumn("_s", scoreCol)
+        .withColumn("_r", row_number().over(
+          w.orderBy(col("_s").desc, col("n_id"))))
+        .filter(col("_r") === 1)
+        .select(col("q_id"), lit(step).as("step"), col("n_id"),
+          col("n_vec"), col("n_nrm"), col("rel"), col("_s").as("score"))
+    var selected = top1(cand, col("rel"), 1)
+    for (step <- 2 to k) {
+      val remaining = cand.join(
+        selected.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"),
+        "left_anti")
+      val maxSim = remaining.join(
+          selected.select(col("q_id"), col("n_vec").as("s_vec"),
+            col("n_nrm").as("s_nrm")), Seq("q_id"))
+        .withColumn("_sim", dot(col("n_vec"), col("s_vec")) /
+          nullif(col("n_nrm") * col("s_nrm"), lit(0.0)))
+        .groupBy(col("q_id"), col("n_id"))
+        .agg(first(col("n_vec")).as("n_vec"), first(col("n_nrm")).as("n_nrm"),
+          first(col("rel")).as("rel"), max(col("_sim")).as("_msim"))
+      selected = selected.unionByName(
+        top1(maxSim,
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("_msim"),
+          step).select(selected.columns.map(col): _*))
+    }
+    selected.select(col("q_id"), col("step"), col("n_id"), col("score"))
+  }
+
   private def rank(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = pairs.withColumn("cos_sim",

@@ -41,6 +41,15 @@ object VectorOps {
       Similarity.bruteForceKnn(e, querySet(e), k = 3)
     },
 
+    // MMR-diversified retrieval: exact top-8 candidates, then the
+    // unrolled greedy λ·rel − (1−λ)·max-sim-to-selected pick of 3 —
+    // near-duplicate hits can't crowd a result list (the RAG-context
+    // diversifier; retrieval-side complement of v10's semantic dedup)
+    "v23_mmr_diverse" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.mmrSelect(e, querySet(e), n = 8, k = 3, lambda = 0.7)
+    },
+
     // metadata-constrained kNN: candidates restricted to even labels
     // BEFORE ranking, so each query gets exactly k admissible matches
     // (post-filtering a plain top-k returns < k — the filtered-ANN
@@ -574,6 +583,69 @@ object VectorOps {
 
   def oracle: Map[String, String] = Map(
     "v1_knn_brute" -> sqlKnn("q.vec_id <> c.vec_id"),
+
+    // the greedy MMR loop unrolled to its 3 steps: argmax relevance,
+    // then two argmaxes of λ·rel − (1−λ)·max-sim-to-selected; the
+    // (1−λ) literal is interpolated from the SAME Scala double the
+    // operator uses (1.0 − 0.7 is NOT 0.3 in binary), so scores are
+    // bit-equal; ties break by candidate id on both sides
+    "v23_mmr_diverse" -> {
+      val l = 0.7
+      val l1 = 1.0 - l
+      def mmr(relExpr: String, msimExpr: String) =
+        s"$l * $relExpr - $l1 * $msimExpr"
+      s"""WITH e AS ($sqlWithNorm),
+         |cand AS (
+         |  SELECT q_id, n_id, n_vec, n_nrm, rel FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      c.embedding AS n_vec, c.nrm AS n_nrm,
+         |      ${sqlCos("q.embedding", "c.embedding", "q.nrm", "c.nrm")}
+         |        AS rel,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCos("q.embedding", "c.embedding",
+                   "q.nrm", "c.nrm")} DESC, c.vec_id) AS rnk
+         |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id % 50 = 0)
+         |  WHERE rnk <= 8),
+         |s1 AS (
+         |  SELECT q_id, n_id, n_vec, n_nrm, rel, rel AS score FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY rel DESC, n_id) AS r FROM cand)
+         |  WHERE r = 1),
+         |m2 AS (
+         |  SELECT c.q_id, c.n_id, c.n_vec, c.n_nrm, c.rel,
+         |    ${sqlCos("c.n_vec", "s.n_vec", "c.n_nrm", "s.n_nrm")} AS msim
+         |  FROM cand c JOIN s1 s ON s.q_id = c.q_id AND c.n_id <> s.n_id),
+         |s2 AS (
+         |  SELECT q_id, n_id, n_vec, n_nrm, rel, score FROM (
+         |    SELECT *, ${mmr("rel", "msim")} AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY ${mmr("rel", "msim")} DESC, n_id) AS r
+         |    FROM m2) WHERE r = 1),
+         |sel12 AS (
+         |  SELECT q_id, n_id, n_vec, n_nrm FROM s1
+         |  UNION ALL SELECT q_id, n_id, n_vec, n_nrm FROM s2),
+         |rem3 AS (
+         |  SELECT c.* FROM cand c
+         |  LEFT JOIN sel12 x ON x.q_id = c.q_id AND x.n_id = c.n_id
+         |  WHERE x.n_id IS NULL),
+         |m3 AS (
+         |  SELECT r.q_id, r.n_id, r.rel,
+         |    MAX(${sqlCos("r.n_vec", "s.n_vec", "r.n_nrm", "s.n_nrm")})
+         |      AS msim
+         |  FROM rem3 r JOIN sel12 s ON s.q_id = r.q_id
+         |  GROUP BY 1, 2, 3),
+         |s3 AS (
+         |  SELECT q_id, n_id, score FROM (
+         |    SELECT *, ${mmr("rel", "msim")} AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY ${mmr("rel", "msim")} DESC, n_id) AS r
+         |    FROM m3) WHERE r = 1)
+         |SELECT q_id, CAST(1 AS INT) AS step, n_id, score FROM s1
+         |UNION ALL SELECT q_id, CAST(2 AS INT), n_id, score FROM s2
+         |UNION ALL SELECT q_id, CAST(3 AS INT), n_id, score FROM s3"""
+        .stripMargin
+    },
 
     // v1's mirror with the admissibility predicate on the candidate
     // side of the join — pre-filter, exactly like the operator

@@ -793,6 +793,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out === Set((1L, 1), (3L, 2)))
   }
 
+  test("mmr diversifies: the near-duplicate runner-up is demoted") {
+    // query [1,0]; candidates: two near-copies of each other at high
+    // relevance (1, 4) and one moderately relevant but diverse (5).
+    // Plain top-2 = {1, 4}; at a diversity-weighted λ = 0.3 MMR's
+    // step 2 must prefer the diverse 5 (score4 = .3·.9925 − .7·.9999
+    // ≈ −.402 < score5 = .3·.7071 − .7·.7809 ≈ −.334)
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (4L, Array(0.89f, 0.11f), 0),
+      (5L, Array(0.5f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val q = vs.filter($"vec_id" === 0)
+    val plain = Similarity.bruteForceKnn(vs, q, k = 2)
+      .select("n_id").as[Long].collect().toSet
+    assert(plain === Set(1L, 4L))
+    val mmr = Similarity.mmrSelect(vs, q, n = 3, k = 2, lambda = 0.3)
+      .orderBy("step").select("step", "n_id").as[(Int, Long)].collect()
+    assert(mmr.toSeq === Seq((1, 1L), (2, 5L)))
+    // lambda = 1 degenerates to pure relevance = the plain top-k
+    val rel = Similarity.mmrSelect(vs, q, n = 3, k = 2, lambda = 1.0)
+      .select("n_id").as[Long].collect().toSet
+    assert(rel === plain)
+  }
+
+  test("mmr emits exactly k steps per query, deterministically") {
+    val out1 = Similarity.mmrSelect(vecs, vecs.filter($"vec_id" <= 1),
+      n = 3, k = 3, lambda = 0.5).collect().map(_.toSeq).toSet
+    val out2 = Similarity.mmrSelect(
+      vecs.repartition(7), vecs.filter($"vec_id" <= 1),
+      n = 3, k = 3, lambda = 0.5).collect().map(_.toSeq).toSet
+    assert(out1 === out2)
+    assert(out1.size === 6) // 2 queries x 3 steps
+  }
+
   test("ivf knn only searches the query's cell") {
     val out = Similarity.ivfKnn(vecs, vecs.filter($"vec_id" === 0), k = 2)
       .select("n_id").as[Long].collect().toSet
