@@ -395,6 +395,19 @@ object Warehouse {
             (col("order_amount") * 100).cast("long").as("amt_cents")),
           "province_id", col("amt_cents"),
           out("province_amount_quantiles"), batchId)
+        // ADS drift tier: day-over-day PROVINCE-MIX drift — per-(day,
+        // province) order counts maintained additively behind a
+        // FOURTH ledger (the DriftStreaming state shape); TV
+        // distances served anytime by `Series.driftFromCounts` over
+        // the compacted table, bit-equal to the batch operator over
+        // the windowed sink (restart-spec-pinned)
+        graft.sinks.Sinks.mergeAgg(spark,
+          batch.select(
+              expr("unix_millis(w.start) DIV 86400000").as("day"),
+              col("province_id").as("typ"), col("order_count").as("n"))
+            .groupBy(col("day"), col("typ")).agg(sum(col("n")).as("n")),
+          out("province_mix_drift"), keyCols = Seq("day", "typ"),
+          sumCols = Seq("n"), batchId = batchId)
         ()
       }.start()
 

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.functions.{col, expr, sum}
 
 import graft.TestSpark
 
@@ -162,6 +162,14 @@ class WarehouseRestartSpec extends AnyFunSuite {
     feed(cdcDir, Seq(orderInfo(96, "1.00", "2021-05-03 12:10:30"),
       orderDetail(97, 96, 998, 1, "1.00", "2021-05-03 12:10:30")))
     drain(qs2)
+    // day-2 orders: a second calendar day for the drift tier (98's
+    // window sealed by 99's far-future flush; 99's own stays open)
+    feed(cdcDir, Seq(orderInfo(98, "30.00", "2021-05-04 12:00:00"),
+      orderDetail(99, 98, 998, 1, "30.00", "2021-05-04 12:00:00")))
+    drain(qs2)
+    feed(cdcDir, Seq(orderInfo(100, "1.00", "2021-05-04 12:30:00"),
+      orderDetail(101, 100, 998, 1, "1.00", "2021-05-04 12:30:00")))
+    drain(qs2)
     feed(logDir, Seq(log("mid_FL3", d2 + 60000, null, isNew = "0",
       displayItem = "777")))
     drain(qs2, sweeps = 3)
@@ -276,6 +284,24 @@ class WarehouseRestartSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(servedQ === batchQ)
     assert(servedQ.nonEmpty)
+
+    // ---- ADS drift tier: day-over-day province-mix TV distances
+    // served from the streamed (day, province) counts must equal the
+    // batch finisher over the windowed sink — a FOURTH independent
+    // ledger across the same kill; the day-2 orders make day 2's
+    // drift row exist (mix shifted Beijing-heavy → 998-province day)
+    val servedD = graft.operators.Series.driftFromCounts(
+        spark.read.parquet(s"$outRoot/province_mix_drift/table"))
+      .as[(Long, Double)].collect().toSet
+    val batchD = graft.operators.Series.driftFromCounts(
+        spark.read.parquet(s"$outRoot/province_stats")
+          .select(expr("unix_millis(to_timestamp(stt)) DIV 86400000")
+            .as("day"), col("province_id").as("typ"),
+            col("order_count").as("n"))
+          .groupBy("day", "typ").agg(sum("n").as("n")))
+      .as[(Long, Double)].collect().toSet
+    assert(servedD === batchD)
+    assert(servedD.nonEmpty)
 
     // ---- DWS product ----------------------------------------------------
     val ps = spark.read.parquet(s"$outRoot/product_stats")
