@@ -316,7 +316,15 @@ object ScaleSmoke {
       // grows with payloads, never payloads²
       bench("m10", dt1x, dtNx, d => graft.operators.Multimodal
         .decodedNearDup(graft.operators.Multimodal.withPpmPayload(d),
-          maxHamming = 5)))
+          maxHamming = 5)),
+      // d25: normalized exact dedup — map-side canonicalization, one
+      // hash-keyed partial agg; must track the scan like d1
+      bench("d25", d1x, dNx, d => Dedup.exactNormalized(d)),
+      // v23: MMR re-rank — candidate scan grows with the corpus, the
+      // greedy joins stay retrieval-sized (queries × n)
+      bench("v23", e1x, eNx,
+        e => Similarity.mmrSelect(e, queries, n = 8, k = 3,
+          lambda = 0.7)))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)
