@@ -418,4 +418,49 @@ class PropertySpecs extends AnyFunSuite {
       assert(got === want, s"maxHamming=$maxH")
     }
   }
+
+  test("mmrSelect equals an in-memory greedy replica on generated vectors") {
+    // random unit-ish float vectors; the unrolled-join implementation
+    // must reproduce the sequential greedy argmax exactly, including
+    // (score, id) tie order, for several lambdas
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(6)((rnd.nextInt(21) - 10) / 10.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val qIds = Seq(0L, 7L, 13L)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+      val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (d == 0.0) Double.NaN else dot(a, b) / d
+    }
+    for (lambda <- Seq(0.3, 0.7, 1.0)) {
+      val got = graft.operators.Similarity.mmrSelect(
+          df, df.filter(col("vec_id").isin(qIds: _*)),
+          n = 6, k = 3, lambda = lambda)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val want = qIds.flatMap { q =>
+        val qv = vecs(q.toInt)._2
+        val cand = vecs.filter(_._1 != q)
+          .map { case (id, v) => (id, v, cos(qv, v)) }
+          .filter(!_._3.isNaN)
+          .sortBy { case (id, _, rel) => (-rel, id) }.take(6)
+        var sel = List.empty[(Long, Array[Float], Double)] // id, vec, score
+        for (step <- 1 to 3) {
+          val rem = cand.filterNot(c => sel.exists(_._1 == c._1))
+          val scored = rem.map { case (id, v, rel) =>
+            val s =
+              if (step == 1) rel
+              else lambda * rel -
+                (1.0 - lambda) * sel.map(x => cos(v, x._2)).max
+            (id, v, s)
+          }
+          val pick = scored.minBy { case (id, _, s) => (-s, id) }
+          sel = sel :+ pick
+        }
+        sel.zipWithIndex.map { case ((id, _, s), i) => (q, i + 1, id, s) }
+      }.toSet
+      assert(got === want, s"lambda=$lambda")
+    }
+  }
 }
