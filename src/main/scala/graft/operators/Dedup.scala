@@ -257,6 +257,75 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT Jaccard-threshold similarity join via prefix filtering —
+    * the AllPairs/PPJoin family (Bayardo et al., WWW 2007; Xiao et
+    * al., WWW 2008). The deterministic complement of [[nearDupPairs]]:
+    * LSH candidates are probabilistic (d9 measures what they miss);
+    * prefix filtering is a LOSSLESS filter, so the output is exactly
+    * every pair with Jaccard ≥ threshold — at the cost of exact-join
+    * candidate generation instead of banded hashing.
+    *
+    * The pruning argument: order every doc's shingles by ascending
+    * document frequency (rarest first, ties by shingle — one global
+    * canonical order). For J(A,B) ≥ t the FIRST shared shingle in
+    * that order sits within the first |X| − ⌈t·|X|⌉ + 1 shingles of
+    * BOTH docs (all earlier shingles are unshared, and ≥ ⌈t·|X|⌉
+    * shared ones must still follow). So an equi-join on PREFIX
+    * shingles alone finds every qualifying pair — and because
+    * prefixes are built from the RAREST shingles, the Zipf head that
+    * makes a naive shingle join df²-quadratic (the d11 problem)
+    * never generates a candidate. A length filter (t·|A| ≤ |B|)
+    * prunes the survivors before verification.
+    *
+    * Scale shape: document-frequency counts are vocab-sized; the
+    * per-doc rank is one window over the doc's own shingle rows; the
+    * candidate join touches prefix rows only (≈ (1−t)·corpus rows,
+    * each with bounded df on the rare end of the vocabulary); the
+    * verify leg is the shared intersection-count join restricted by
+    * a semi-join to candidates. All thresholds integer (permille),
+    * so the pair set replays bit-exactly cross-engine.
+    */
+  def prefixFilterPairs(docs: DataFrame, tauPermille: Long,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        n: Int = 3): DataFrame = {
+    require(tauPermille > 0 && tauPermille <= 1000,
+      s"tauPermille must be in (0, 1000], got $tauPermille")
+    val sr = shingleRows(docs, idCol, textCol, n).persist()
+    val dfreq = sr.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))
+    val szW = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    // rank + size in one pass over the df-joined rows; prefix length
+    // p = n − ceil(t·n) + 1 with ceil in integer arithmetic
+    val pref = sr.join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(szW))
+      .filter(col("rnk") <=
+        expr(s"n_sh - (n_sh * $tauPermille + 999) DIV 1000 + 1"))
+      .select(col(idCol), col("shingle"), col("n_sh"))
+    val cand = pref.select(col(idCol).as("doc_a"), col("shingle"),
+        col("n_sh").as("n_a"))
+      .join(pref.select(col(idCol).as("doc_b"), col("shingle"),
+        col("n_sh").as("n_b")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter: t·max ≤ min ⇒ t·|A| ≤ |B| and t·|B| ≤ |A|
+      .filter(col("n_a") * tauPermille <= col("n_b") * 1000 &&
+        col("n_b") * tauPermille <= col("n_a") * 1000)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .distinct()
+    val inter = cand.select(col("doc_a"), col("doc_b"))
+      .join(sr.select(col(idCol).as("doc_a"), col("shingle")), "doc_a")
+      .join(sr.select(col(idCol).as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"))
+      .filter(col("inter") * 1000 >=
+        (col("n_a") + col("n_b") - col("inter")) * tauPermille)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+  }
+
   /** Cross-source overlap matrix — the corpus-governance read a mixing
     * decision rests on: for each ordered source pair,
     * |shingles(A) ∩ shingles(B)| / |shingles(A)| — how much of A's

@@ -36,6 +36,33 @@ object Redact {
     Rule("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
     Rule("phone", "\\+?[0-9][0-9()\\-. ]{7,}[0-9]", "<PHONE>"))
 
+  /** C4-style bad-words blocklist gate (Raffel et al. 2020 §2.2 drop
+    * any page containing a blocklisted word): per-doc total and
+    * distinct occurrence counts of blocklisted tokens (case-folded
+    * whitespace tokens, the same unit every other text op counts) and
+    * the keep verdict `hit_ct == 0`.
+    *
+    * Scale shape: pure map — the blocklist rides as an array literal
+    * (real blocklists are a few hundred words; the lambda probe is
+    * CodegenFallback but the row stays in one stage and nothing
+    * shuffles). A corpus-sized blocklist would instead explode tokens
+    * and broadcast-join the list — the t13 decontam shape — but for
+    * the published use case the literal is the right plan at any
+    * corpus size.
+    */
+  def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
+                    blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "need at least one blocklisted word")
+    val bl = lit(blocklist.map(_.toLowerCase).distinct.toArray)
+    val toks = graft.functions.TextFunctions.tokenize(lower(col(textCol)))
+    val hits = filter(toks, t => array_contains(bl, t))
+    docs.select(col(idCol),
+      coalesce(size(hits), lit(0)).cast("long").as("hit_ct"),
+      coalesce(size(array_distinct(hits)), lit(0)).cast("long")
+        .as("distinct_hit_ct"),
+      coalesce(size(hits) === 0, lit(true)).as("kept"))
+  }
+
   /** Adds one `<name>_ct` column per rule plus `redacted`. */
   def redact(docs: DataFrame, textCol: String,
              rules: Seq[Rule] = piiRules): DataFrame = {

@@ -61,7 +61,11 @@ object Sharding {
     val spark = df.sparkSession
     import spark.implicits._
     val h = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
-    val withB = df.select(col(idCol), weight.cast(LongType).as("_wt"),
+    // a null id has no deterministic place in an id-keyed permutation
+    // (null hash, null tie-break) — and would decode as a null bucket
+    // in the phase-1 counts; excluded, like asofJoin's null keys
+    val withB = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), weight.cast(LongType).as("_wt"),
         h.as("_h"))
       .withColumn("_b", conv(substring(col("_h"), 1, hexDigits), 16, 10)
         .cast("int"))
@@ -104,7 +108,8 @@ object Sharding {
     val spark = df.sparkSession
     import spark.implicits._
     val h = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
-    val withB = df.select(col(idCol), h.as("_h"))
+    // null ids excluded — see epochShardsByWeight
+    val withB = df.filter(col(idCol).isNotNull).select(col(idCol), h.as("_h"))
       .withColumn("_b", conv(substring(col("_h"), 1, hexDigits), 16, 10)
         .cast("int"))
     // phase 1: bucket counts → prefix offsets (driver math over

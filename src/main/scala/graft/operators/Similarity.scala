@@ -605,6 +605,42 @@ object Similarity {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
   }
 
+  /** DataComp/LAION-style centroid-similarity quality gate (Gadre et
+    * al. 2023's CLIP-score filtering shape): pool a trusted SEED set
+    * to one centroid, score every corpus vector by cosine to it, keep
+    * rows at or above `tau`. The embedding-space analog of the t45
+    * trained-classifier gate — no labels needed beyond "these seed
+    * rows look like what we want more of".
+    *
+    * Determinism: the centroid comes from [[meanPool]]'s floor-
+    * quantized exact-decimal sums (bit-identical on any engine at any
+    * parallelism), and the per-row score is the same literal-centroid
+    * dot/norm fold every serving leg uses — so scores, and therefore
+    * the keep verdict at any threshold, replay bit-exactly.
+    *
+    * Scale shape: one seed-sized aggregate, a dims-sized collect (the
+    * model), then a map-side corpus scan against the literal centroid
+    * — no join, no shuffle of vectors, the [[assignModel]] plan with
+    * one cell. Wrong-width and null vectors are excluded (they have
+    * no score under this gate); zero vectors score null and drop.
+    */
+  def centroidQuality(corpus: DataFrame, seed: DataFrame, dims: Int,
+                      tau: Double, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val pooled = meanPool(seed.select(lit(0).as("_g"), col(vecCol)),
+      "_g", dims, vecCol).collect()
+    require(pooled.nonEmpty,
+      "centroidQuality: seed set has no valid vectors of the given dims")
+    val cent = pooled.head.getSeq[Double](1).toVector
+    val cn = math.sqrt(cent.foldLeft(0.0)((a, x) => a + x * x))
+    corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol),
+        (dot(col(vecCol), typedLit(cent)) /
+          nullif(norm(col(vecCol)) * lit(cn), lit(0.0))).as("cos"))
+      .withColumn("kept", coalesce(col("cos") >= tau, lit(false)))
+  }
+
   // -----------------------------------------------------------------
   // Scalar-quantized (int8) search
   // -----------------------------------------------------------------

@@ -67,6 +67,72 @@ object Temporal {
       .drop("_bucket")
   }
 
+  /** Nearest-event join: for every left row, the single right row on
+    * the same key minimizing |rts − lts|, ties broken toward the
+    * EARLIER right row (the at-or-before side). The bidirectional
+    * complement of [[asofJoin]] — sensor alignment, "closest
+    * measurement to this event" — where as-of's backward-only rule
+    * would miss a reading 1s in the future in favor of one 10min old.
+    *
+    * Same scale shape as [[asofJoin]]: union the sides, ONE shuffle on
+    * key, one ordered partition scan serving two running frames — the
+    * last right at-or-before (running `last ignoreNulls`) and the
+    * first right strictly-after (forward `first ignoreNulls`) — then a
+    * per-row arithmetic pick. Never a pairwise product, O(n log n) at
+    * any history depth. Both window frames reuse the SAME sort order,
+    * so the physical plan is one Exchange + one Sort with two Window
+    * ops over it.
+    *
+    * Null handling mirrors [[asofJoin]]: null-key/null-ts right rows
+    * never match; null-key/null-ts left rows pass through with a null
+    * `_nearest`. The carry struct gains the matched right timestamp as
+    * `_rts` (callers need the gap; also makes the pick auditable).
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+                  keyL: String, keyR: String,
+                  leftTs: String, rightTs: String,
+                  rightCarry: Seq[String]): DataFrame = {
+    val carryStruct = struct(
+      col(rightTs).as("_rts") +: rightCarry.map(col): _*)
+    val leftCols = left.columns.toSeq
+    val r = right
+      .filter(col(keyR).isNotNull && col(rightTs).isNotNull)
+      .select(col(keyR).as(keyL), col(rightTs).as(leftTs),
+        carryStruct.as("_carry"), lit(0).as("_side"))
+    val l = left.withColumn("_carry",
+        lit(null).cast(r.schema("_carry").dataType))
+      .withColumn("_side", lit(1))
+      .select(r.columns.map(col) ++
+        leftCols.filterNot(c => c == keyL || c == leftTs).map(col): _*)
+    // right rows sort before left at equal ts ⇒ an equal-ts right is
+    // in the BACKWARD frame with gap 0 — which also implements the
+    // tie-break (a gap-0 prev always beats any next)
+    val ord = Seq(col(leftTs), col("_side"))
+    val wPrev = Window.partitionBy(col(keyL)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(keyL)).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevC = col("_prev")
+    val nextC = col("_next")
+    val gapPrev = unix_micros(col(leftTs).cast("timestamp")) -
+      unix_micros(prevC.getField("_rts").cast("timestamp"))
+    val gapNext = unix_micros(nextC.getField("_rts").cast("timestamp")) -
+      unix_micros(col(leftTs).cast("timestamp"))
+    l.unionByName(r.select(r.columns.map(col): _*), allowMissingColumns = true)
+      .withColumn("_prev", last(col("_carry"), ignoreNulls = true).over(wPrev))
+      .withColumn("_next", first(col("_carry"), ignoreNulls = true).over(wNext))
+      .filter(col("_side") === 1)
+      .withColumn("_nearest",
+        // guard FIRST: a null-ts left row sorts nulls-first, where the
+        // forward frame would otherwise hand it the earliest right row
+        when(col(leftTs).isNull, lit(null).cast(r.schema("_carry").dataType))
+          .when(prevC.isNull, nextC)
+          .when(nextC.isNull, prevC)
+          .when(gapPrev <= gapNext, prevC)
+          .otherwise(nextC))
+      .select(leftCols.map(col) :+ col("_nearest"): _*)
+  }
+
   /** @param leftTs  left event-time column (same type as rightTs)
     * @param rightTs right event-time column
     * @param rightCarry right-side columns carried onto each left row

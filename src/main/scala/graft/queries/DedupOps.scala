@@ -81,6 +81,15 @@ object DedupOps {
       Dedup.nearDupPairs(docs(s, dir), threshold = 0.5)
     },
 
+    // EXACT Jaccard >= 0.5 join via prefix filtering (AllPairs/PPJoin)
+    // — the lossless alternative to d3's LSH candidates: the oracle is
+    // the UNFILTERED all-pairs truth (every pair sharing a shingle,
+    // verified), so a green row proves the rarest-first prefix join
+    // misses nothing, not merely that verification works
+    "d26_prefix_filter" -> { (s, dir) =>
+      Dedup.prefixFilterPairs(docs(s, dir), tauPermille = 500)
+    },
+
     "d6_dedup_clusters" -> { (s, dir) =>
       Dedup.clusterIds(
         neardupPairs05(s, dir).select(col("doc_a"), col("doc_b")))
@@ -662,6 +671,24 @@ object DedupOps {
          |  abs(CAST(m.matches AS DOUBLE) / 8.0
          |      - CAST(j.inter AS DOUBLE) / CAST(j.uni AS DOUBLE)) AS abs_err
          |FROM j JOIN m ON m.doc_a = j.doc_a AND m.doc_b = j.doc_b""".stripMargin,
+
+    // the UNFILTERED truth: every pair sharing >= 1 shingle, exact
+    // Jaccard, integer-permille threshold — no prefix/banding modeled,
+    // so a hash match proves the prefix filter is lossless
+    "d26_prefix_filter" ->
+      s"""WITH shingled AS (${sqlShingles("documents")}),
+         |sr AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM shingled),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM sr a JOIN sr b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+         |FROM inter
+         |JOIN sz na ON na.doc_id = doc_a
+         |JOIN sz nb ON nb.doc_id = doc_b
+         |WHERE i * 1000 >= 500 * (na.n + nb.n - i)""".stripMargin,
 
     "d3_jaccard_neardup" ->
       s"""$sqlCandidates

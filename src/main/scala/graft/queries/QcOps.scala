@@ -196,6 +196,15 @@ object QcOps {
         minLen = 50)
     },
 
+    // ---- C4 bad-words blocklist gate -------------------------------------
+    // "dup" is the corpus's one rare term (26 occurrences), "slow" a
+    // common one — together they split the corpus ~4:1 drop:keep, so
+    // the keep verdict, total and distinct counts all carry signal
+    "t51_blocklist" -> { (s, dir) =>
+      Redact.blocklistGate(docs(s, dir), "doc_id", "text",
+        blocklist = Seq("dup", "slow"))
+    },
+
     // ---- hybrid retrieval: BM25 + dense cosine, RRF-fused ----------------
     // the RAG retrieval staple: lexical (t16's ranking) and dense
     // (vec 0 as the query embedding; doc_id ≡ vec_id in the harness)
@@ -256,6 +265,19 @@ object QcOps {
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "t51_blocklist" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |      t -> len(t) > 0 AND t IN ('dup', 'slow')) AS hits
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(COALESCE(len(hits), 0) AS BIGINT) AS hit_ct,
+        |  CAST(COALESCE(len(list_distinct(hits)), 0) AS BIGINT)
+        |    AS distinct_hit_ct,
+        |  COALESCE(len(hits) = 0, TRUE) AS kept
+        |FROM h""".stripMargin,
+
     "t12_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w

@@ -93,6 +93,35 @@ object SeriesOps {
     "s10_dist_drift" -> { (s, dir) =>
       Series.distributionDrift(Tables.events(s, dir),
         tsCol = "ts", typeCol = "event_type")
+    },
+
+    // nearest-event join (bidirectional as-of): each view matched to
+    // the CLOSEST purchase by the same user in either direction, tie
+    // to the earlier one — q22's as-of would miss a purchase 1s later
+    // in favor of one 10min earlier. Right side pre-deduped per
+    // (user, ts) exactly like q22 so the winner is deterministic;
+    // integer microsecond gap, so the pick replays bit-exactly
+    "s11_nearest_join" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val e = Tables.events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val w = Window.partitionBy(col("p_uid"), col("p_ts"))
+        .orderBy(col("p_id").desc)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      graft.operators.Temporal.nearestJoin(views, purchases,
+          keyL = "user_id", keyR = "p_uid", leftTs = "ts", rightTs = "p_ts",
+          rightCarry = Seq("p_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("_nearest.p_id").as("np_id"),
+          col("_nearest._rts").as("np_ts"),
+          abs(unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("_nearest._rts").cast("timestamp"))).as("gap_us"))
     })
 
   /** s8's lag-chain SQL, generated for the 16-term horizon: numerator
@@ -114,6 +143,44 @@ object SeriesOps {
   // epoch_us // on non-negative longs ≡ Spark DIV; cents sums are
   // DECIMAL-exact; L1 is integer — bit-identical across engines
   def oracle: Map[String, String] = Map(
+    // an INDEPENDENT formulation: two native ASOF joins (backward /
+    // forward) + the same integer-gap pick, tie to the earlier side —
+    // agreeing with Spark's union + two-running-frames plan proves the
+    // nearest semantics, not just the plumbing
+    "s11_nearest_join" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id AS p_uid, ts AS p_ts, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1),
+        |b AS (
+        |  SELECT v.event_id, p.p_id AS b_id, p.p_ts AS b_ts
+        |  FROM v ASOF LEFT JOIN p
+        |    ON v.user_id = p.p_uid AND v.ts >= p.p_ts),
+        |f AS (
+        |  SELECT v.event_id, p.p_id AS f_id, p.p_ts AS f_ts
+        |  FROM v ASOF LEFT JOIN p
+        |    ON v.user_id = p.p_uid AND v.ts <= p.p_ts)
+        |SELECT v.event_id, v.user_id, v.ts,
+        |  CASE WHEN b_id IS NULL THEN f_id
+        |    WHEN f_id IS NULL THEN b_id
+        |    WHEN epoch_us(v.ts) - epoch_us(b_ts)
+        |      <= epoch_us(f_ts) - epoch_us(v.ts) THEN b_id
+        |    ELSE f_id END AS np_id,
+        |  CASE WHEN b_id IS NULL THEN f_ts
+        |    WHEN f_id IS NULL THEN b_ts
+        |    WHEN epoch_us(v.ts) - epoch_us(b_ts)
+        |      <= epoch_us(f_ts) - epoch_us(v.ts) THEN b_ts
+        |    ELSE f_ts END AS np_ts,
+        |  abs(epoch_us(v.ts) - epoch_us(CASE WHEN b_id IS NULL THEN f_ts
+        |    WHEN f_id IS NULL THEN b_ts
+        |    WHEN epoch_us(v.ts) - epoch_us(b_ts)
+        |      <= epoch_us(f_ts) - epoch_us(v.ts) THEN b_ts
+        |    ELSE f_ts END)) AS gap_us
+        |FROM v JOIN b USING (event_id) JOIN f USING (event_id)""".stripMargin,
+
     // |n·M − m·N| summed in BIGINT, one double divide at the end —
     // no order-dependent float sum anywhere
     "s10_dist_drift" ->

@@ -50,6 +50,16 @@ object VectorOps {
       Similarity.mmrSelect(e, querySet(e), n = 8, k = 3, lambda = 0.7)
     },
 
+    // centroid-similarity quality gate (the DataComp CLIP-score
+    // filtering shape): label-0 rows play the trusted seed set, the
+    // corpus is scored by cosine to their pooled centroid; tau = 0.1
+    // keeps 139/500 at sf0.01, so both verdict branches carry signal
+    "v24_embed_quality" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.centroidQuality(e, e.filter(col("label") === 0),
+        dims = 64, tau = 0.1)
+    },
+
     // metadata-constrained kNN: candidates restricted to even labels
     // BEFORE ranking, so each query gets exactly k admissible matches
     // (post-filtering a plain top-k returns < k — the filtered-ANN
@@ -751,6 +761,34 @@ object VectorOps {
     // floor instead of a decimal cast because odd-multiple-of-2⁻¹³
     // floats tie exactly at digit 13, where the engines' rounding
     // modes (HALF_UP vs HALF_EVEN) disagree; floor has no tie
+    // centroid = v18's floor-quantized mean restricted to the label-0
+    // seed (bit-equal to the collected literal on the Spark side);
+    // score = the standard dot/norm fold against it. kept is a pure
+    // function of the bit-equal score, so the gate replays exactly
+    "v24_embed_quality" ->
+      s"""WITH x AS (
+         |  SELECT unnest(range(len(embedding))) AS pos,
+         |    unnest(list_transform(embedding,
+         |      v -> CAST(floor(CAST(v AS DOUBLE) * 1e12) AS DECIMAL(38,0)))) AS q
+         |  FROM embeddings
+         |  WHERE label = 0 AND embedding IS NOT NULL AND len(embedding) = 64),
+         |m AS (
+         |  SELECT pos, (CAST(SUM(q) AS DOUBLE) / COUNT(*)) / 1e12 AS m
+         |  FROM x GROUP BY pos),
+         |c AS (
+         |  SELECT list(m ORDER BY pos) AS cent,
+         |    sqrt(${sqlDot("list(m ORDER BY pos)", "list(m ORDER BY pos)")}) AS cn
+         |  FROM m),
+         |s AS (
+         |  SELECT vec_id,
+         |    ${sqlDot("e.embedding", "c.cent")}
+         |      / nullif(sqrt(${sqlDot("e.embedding", "e.embedding")}) * c.cn, 0.0)
+         |      AS cos
+         |  FROM embeddings e CROSS JOIN c
+         |  WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64)
+         |SELECT vec_id, cos, COALESCE(cos >= 0.1, FALSE) AS kept
+         |FROM s""".stripMargin,
+
     "v18_mean_pool" ->
       """WITH x AS (
         |  SELECT label,

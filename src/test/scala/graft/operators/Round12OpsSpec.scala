@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-12 session additions: prefix-filter exact similarity join,
+  * nearest-event join, centroid quality gate, blocklist gate, and the
+  * null-id sharding guard.
+  */
+class PrefixFilterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Plain-Scala truth: every pair with integer-rule Jaccard >= tau. */
+  private def brute(docs: Seq[(Long, String)], n: Int,
+                    tauPm: Long): Set[(Long, Long)] = {
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ").toVector
+      if (w.length < n) Set(w.mkString(" "))
+      else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> sh(t) }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      if inter * 1000 >= tauPm * (sa.size + sb.size - inter)
+    } yield (a, b)).toSet
+  }
+
+  test("prefix-filter join equals brute force on a mixed corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val base = (1L to 20L).map { i =>
+      (i, Vector.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // near-dups of the first five (one word changed) + one exact dup
+    val variants = base.take(5).map { case (id, t) =>
+      val w = t.split(" ").toVector
+      (id + 100L, w.updated(3, "omega").mkString(" "))
+    } :+ (200L, base.head._2)
+    val docs = base ++ variants
+    val got = Dedup.prefixFilterPairs(docs.toDF("doc_id", "text"),
+        tauPermille = 500)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === brute(docs, n = 3, tauPm = 500))
+  }
+
+  test("integer threshold rule: boundary pair at exactly tau kept") {
+    // doc sets: A has 4 shingles, B has 4, inter 8/3... construct via
+    // texts: 6-word docs -> 4 shingles; share exactly 2 -> J = 2/6 = 1/3
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d x y")).toDF("doc_id", "text")
+    // shared shingles: "a b c","b c d" => inter=2, union=6, J=1/3
+    val at333 = Dedup.prefixFilterPairs(docs, tauPermille = 333)
+      .as[(Long, Long, Double)].collect()
+    assert(at333.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    val at334 = Dedup.prefixFilterPairs(docs, tauPermille = 334)
+    assert(at334.count() === 0)
+  }
+
+  test("tau=1000 finds only identical shingle sets") {
+    val docs = Seq(
+      (1L, "one two three four"),
+      (2L, "one two three four"),
+      (3L, "one two three five")).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterPairs(docs, tauPermille = 1000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+}
+
+class NearestJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val right = Seq(
+    (1L, ts("2020-01-01 00:00:00"), 10L),
+    (1L, ts("2020-01-01 00:01:00"), 11L),
+    (2L, ts("2020-01-01 00:00:30"), 20L))
+    .toDF("k", "rts", "rid")
+
+  private def run(left: Seq[(Long, java.sql.Timestamp, Long)]) =
+    Temporal.nearestJoin(left.toDF("k", "lts", "lid"), right,
+        keyL = "k", keyR = "k", leftTs = "lts", rightTs = "rts",
+        rightCarry = Seq("rid"))
+      .select(col("lid"), col("_nearest.rid"))
+      .as[(Long, Option[Long])].collect().toMap
+
+  test("picks whichever side is closer, either direction") {
+    val out = run(Seq(
+      (1L, ts("2020-01-01 00:00:10"), 100L),   // prev at 10s, next at 50s
+      (1L, ts("2020-01-01 00:00:50"), 101L)))  // prev at 50s, next at 10s
+    assert(out(100L) === Some(10L))
+    assert(out(101L) === Some(11L))
+  }
+
+  test("exact tie goes to the earlier right row") {
+    val out = run(Seq((1L, ts("2020-01-01 00:00:30"), 100L)))
+    assert(out(100L) === Some(10L))
+  }
+
+  test("equal-timestamp right row matches with gap zero") {
+    val out = run(Seq((1L, ts("2020-01-01 00:01:00"), 100L)))
+    assert(out(100L) === Some(11L))
+  }
+
+  test("no same-key right rows -> null; null left ts -> null") {
+    val out = run(Seq(
+      (9L, ts("2020-01-01 00:00:10"), 100L),
+      (1L, null.asInstanceOf[java.sql.Timestamp], 101L)))
+    assert(out(100L) === None)
+    assert(out(101L) === None)
+  }
+
+  test("one-sided keys fall back to the only direction available") {
+    val out = run(Seq(
+      (2L, ts("2020-01-01 00:00:00"), 100L),   // only a LATER right row
+      (2L, ts("2020-01-01 00:09:00"), 101L)))  // only an EARLIER right row
+    assert(out(100L) === Some(20L))
+    assert(out(101L) === Some(20L))
+  }
+}
+
+class CentroidQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hand arithmetic: centroid of seed, cosine gate on corpus") {
+    val seed = Seq(
+      (900L, Seq(1.0f, 0.0f)),
+      (901L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(1.0f, 1.0f)),    // cos vs [0.5,0.5] = 1.0
+      (2L, Seq(1.0f, 0.0f)),    // cos = 1/sqrt(2) ~ 0.707
+      (3L, Seq(-1.0f, -1.0f)),  // cos = -1
+      (4L, Seq(0.0f, 0.0f)),    // zero vector: null cos, dropped
+      (5L, Seq(1.0f, 2.0f, 3.0f)), // wrong width: excluded entirely
+      (6L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.centroidQuality(corpus, seed, dims = 2, tau = 0.7)
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(math.abs(out(1L)._1.get - 1.0) < 1e-9 && out(1L)._2)
+    assert(math.abs(out(2L)._1.get - math.sqrt(0.5)) < 1e-9 && out(2L)._2)
+    assert(out(3L)._1.get < 0 && !out(3L)._2)
+    assert(out(4L)._1.isEmpty && !out(4L)._2)
+  }
+
+  test("empty seed raises a clear error") {
+    val e = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.centroidQuality(e, e.limit(0), dims = 2, tau = 0.5)
+    }
+    assert(err.getMessage.contains("seed"))
+  }
+}
+
+class BlocklistSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("total vs distinct counts, case-folded matching, keep verdict") {
+    val docs = Seq(
+      (1L, "Bad BAD worse fine"),
+      (2L, "all clean words here"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Redact.blocklistGate(docs, "doc_id", "text",
+        blocklist = Seq("bad", "worse"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((3L, 2L, false)))
+    assert(out(2L) === ((0L, 0L, true)))
+    assert(out(3L) === ((0L, 0L, true)))
+    assert(out(4L) === ((0L, 0L, true)))
+  }
+}
+
+class ShardingNullIdSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("null-id rows are excluded; survivors still rank contiguously") {
+    val df = (Seq[java.lang.Long](1L, 2L, 3L, null, 4L, null))
+      .toDF("id")
+    val out = Sharding.epochShards(df, "id", numShards = 2)
+      .as[(Long, Long, Int)].collect()
+    assert(out.length === 4)
+    assert(out.map(_._2).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    val w = Sharding.epochShardsByWeight(df, "id", lit(5L), numShards = 2)
+      .as[(Long, Long, Int)].collect()
+    assert(w.length === 4)
+    assert(w.map(_._2).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+}
