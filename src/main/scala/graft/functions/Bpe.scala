@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.functions.TextFunctions.tokenize
 
@@ -109,6 +110,79 @@ object Bpe {
   def vocabLengths(words: DataFrame): DataFrame =
     words.distinct()
       .withColumn("bpe_len", countUdf(col(words.columns.head)).cast("long"))
+
+  /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn
+    * the `nMerges` highest-count merges from the corpus itself — the
+    * step that produced the frozen [[merges]] fixture, as an operator.
+    *
+    * State is the word-frequency relation (vocabulary-sized, Heaps-law
+    * sublinear — the same "train on word counts, not occurrences"
+    * factoring as the original BPE paper and every production
+    * trainer). A word's working tokenization is a SPACE-FRAMED string:
+    * `"low"` → `" l  o  w "` (each token wrapped in its own spaces),
+    * so one merge round is pure builtin column work —
+    *   pair counts:  split on the double-space seam → adjacent pairs
+    *                 exploded with the word's count as weight;
+    *   apply:        `replace(s, " a  b ", " ab ")`, whose left-to-
+    *                 right non-overlapping scan IS the BPE apply rule.
+    * Each round is one vocabulary-sized partial aggregation + a 1-row
+    * TakeOrdered (count DESC, pair ASC — total order, engine-exact
+    * on binary string collation) + a map-side rewrite; the collected
+    * winner is the only driver-side data (one row per round).
+    *
+    * Stops early when no pair reaches `minCount` (merging noise pairs
+    * below 2 can never help). Output: one row per learned merge —
+    * (merge_rank, lhs, rhs, pair_ct), rank 0 merges first.
+    *
+    * Scale shape: the corpus is scanned ONCE (the word-count
+    * aggregation); every round after that touches only the vocabulary
+    * frame, persisted between rounds so round k does not replay
+    * rounds 0..k−1. At 100 TB the vocabulary (with a count floor) is
+    * bounded, and a trained merges table is a staged artifact
+    * rebuilt per tokenizer release.
+    */
+  def train(docs: DataFrame, nMerges: Int,
+            textCol: String = "text", minCount: Long = 2L): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs.select(explode(tokenize(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).cast(LongType).as("ct"))
+    var state = wc.select(col("ct"),
+        regexp_replace(col("word"), "(.)", " $1 ").as("s"))
+      .persist()
+    val learned = Vector.newBuilder[(Int, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val withT = state.select(col("ct"), split(trim(col("s")), "  ").as("t"))
+        .filter(size(col("t")) >= 2)
+      val pairs = withT
+        .select(col("ct"), explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("a"),
+            element_at(col("t"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("ct")).as("pct"))
+      val best = pairs.orderBy(col("pct").desc, col("a"), col("b"))
+        .limit(1).as[(String, String, Long)].collect()
+      best.headOption match {
+        case Some((a, b, pct)) if pct >= minCount =>
+          learned += ((r, a, b, pct))
+          val next = state.select(col("ct"),
+              replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"))
+            .persist()
+          next.count() // materialize before dropping the parent cache
+          state.unpersist()
+          state = next
+          r += 1
+        case _ => done = true
+      }
+    }
+    state.unpersist()
+    learned.result()
+      .toDF("merge_rank", "lhs", "rhs", "pair_ct")
+  }
 
   /** Per-doc BPE token counts: (id, n_words, bpe_tokens), zero for
     * docs with no tokens. One shuffle to (id, word) multiplicities,

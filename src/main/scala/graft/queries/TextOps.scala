@@ -90,6 +90,15 @@ object TextOps {
         .select(col("doc_id"), col("source"), col("tok_prefix"))
     },
 
+    // ---- BPE tokenizer TRAINING (the step that froze t39's fixture) ------
+    // learn the top-10 merges from the corpus's own word counts; the
+    // oracle replays all ten rounds as unrolled SQL stages (pair
+    // counts → argmax with the same total tie-break → string-replace
+    // apply), so ranks, pairs, AND counts must match bit-for-bit
+    "t52_bpe_train" -> { (s, dir) =>
+      graft.functions.Bpe.train(docs(s, dir), nMerges = 10)
+    },
+
     // ---- rolling-hash document fingerprint -------------------------------
     "t5_fingerprint" -> { (s, dir) =>
       docs(s, dir).select(
@@ -499,6 +508,52 @@ object TextOps {
     * serves per-doc (n_words, bpe_tokens) via the word-multiplicity
     * join — exactly docTokenCounts' shape.
     */
+  /** t52's mirror: BPE TRAINING unrolled to `m` literal SQL stages.
+    * Stage r: pair counts over state s{r} (double-space seam split →
+    * adjacent pairs weighted by word count), argmax b{r} with the
+    * (pct DESC, a, b) total tie-break, and the next state via
+    * replace() — left-to-right non-overlapping on both engines, i.e.
+    * the BPE apply rule. Generated by the same loop shape the Spark
+    * side runs, from the same constants. Every stage CTE is
+    * MATERIALIZED: DuckDB inlines CTEs by default and each stage
+    * references its parent ~3× (state + two argmax scalar
+    * subqueries), so the inlined expression tree grows 3^stages —
+    * materialization makes the chain linear (0.08 s at sf0.01).
+    */
+  private lazy val sqlBpeTrain: String = {
+    val m = 10
+    val stages = (0 until m).map { r =>
+      val pair =
+        s"""p$r AS MATERIALIZED (
+           |  SELECT t[i] AS a, t[i+1] AS b, SUM(ct) AS pct
+           |  FROM (SELECT ct, t, unnest(range(1, len(t))) AS i
+           |        FROM (SELECT ct, string_split(trim(s), '  ') AS t FROM s$r))
+           |  GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (SELECT a, b, pct FROM p$r ORDER BY pct DESC, a, b LIMIT 1)""".stripMargin
+      val next =
+        if (r == m - 1) ""
+        else
+          s""",
+             |s${r + 1} AS MATERIALIZED (
+             |  SELECT ct, replace(s,
+             |    (SELECT ' ' || a || '  ' || b || ' ' FROM b$r),
+             |    (SELECT ' ' || a || b || ' ' FROM b$r)) AS s
+             |  FROM s$r)""".stripMargin
+      pair + next
+    }.mkString(",\n")
+    val union = (0 until m)
+      .map(r => s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, pct AS pair_ct FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wc AS (
+       |  SELECT word, COUNT(*)::BIGINT AS ct FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS word
+       |    FROM documents)
+       |  GROUP BY word),
+       |s0 AS MATERIALIZED (SELECT ct, regexp_replace(word, '(.)', ' \\1 ', 'g') AS s FROM wc),
+       |$stages
+       |$union""".stripMargin
+  }
+
   private[queries] lazy val sqlBpeCtes: String = {
     val m = graft.functions.Bpe.sqlMergesList
     s"""tk AS (
@@ -574,6 +629,12 @@ object TextOps {
          |  END AS quality
          |FROM m""".stripMargin
     },
+
+    // ten unrolled training rounds: each stage re-derives pair counts
+    // from the previous state, picks the (pct DESC, a, b) argmax, and
+    // applies it with replace() — whose left-to-right non-overlapping
+    // scan is exactly the BPE apply rule on both engines
+    "t52_bpe_train" -> sqlBpeTrain,
 
     "t39_bpe_tokens" ->
       s"""WITH RECURSIVE $sqlBpeCtes

@@ -183,6 +183,55 @@ class BlocklistSpec extends AnyFunSuite {
   }
 }
 
+class BpeTrainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("learns the hand-computed merge sequence with tie-breaks") {
+    // counts: "low" x3, "lower" x2, "newest" x1
+    // round 0 pairs: (l,o)=5 (o,w)=5 (w,e)=2 (e,r)=2 (n,e)=1 (e,w)=1
+    //   (w,s)... newest: n e w e s t -> (n,e)(e,w)(w,e)(e,s)(s,t)
+    //   tie (l,o)=(o,w)=5 -> lexicographic: (l,o)
+    // round 1: (lo,w)=5 wins
+    // round 2: (low,e)=2 vs (e,r)=2 vs (w,e)=1... tie -> (e,r)
+    val docs = Seq(
+      (1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val got = graft.functions.Bpe.train(docs, nMerges = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0, "l", "o", 5L),
+      (1, "lo", "w", 5L),
+      (2, "e", "r", 2L)))
+  }
+
+  test("left-to-right non-overlapping apply: aaa merges to [aa, a]") {
+    // one word "aaa" x2: round 0 pair (a,a)=4 (two overlapping slots
+    // per word); after merging, state is [aa, a] so round 1 sees
+    // (aa,a)=2 — the apply rule, not a regex-overlap artifact
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val got = graft.functions.Bpe.train(docs, nMerges = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((0, "a", "a", 4L), (1, "aa", "a", 2L)))
+  }
+
+  test("stops early below minCount") {
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    // every pair has count 1 < minCount=2 -> zero merges learned
+    assert(graft.functions.Bpe.train(docs, nMerges = 5).count() === 0L)
+  }
+
+  test("training on the harness corpus reproduces the frozen fixture prefix") {
+    // the fixture was frozen from sf0.01 (sf0.001's Zipf order differs
+    // in ranks 1-3 — merge order is corpus-specific, as it should be)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val got = graft.functions.Bpe.train(docs, nMerges = 5)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    assert(got === graft.functions.Bpe.merges.take(5).toSeq)
+  }
+}
+
 class ShardingNullIdSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
