@@ -297,12 +297,18 @@ object Dedup {
     val szW = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     // rank + size in one pass over the df-joined rows; prefix length
     // p = n − ceil(t·n) + 1 with ceil in integer arithmetic
+    // persist both fan-in frames: pref feeds the self-join twice and
+    // cand feeds verify + the final size join — without the cache the
+    // df-join + window lineage replays once per consumer (measured
+    // 10-25 s → ~1 s at sf0.1; same CacheManager lifecycle note as
+    // nearDupPairs above)
     val pref = sr.join(dfreq, "shingle")
       .withColumn("rnk", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(szW))
       .filter(col("rnk") <=
         expr(s"n_sh - (n_sh * $tauPermille + 999) DIV 1000 + 1"))
       .select(col(idCol), col("shingle"), col("n_sh"))
+      .persist()
     val cand = pref.select(col(idCol).as("doc_a"), col("shingle"),
         col("n_sh").as("n_a"))
       .join(pref.select(col(idCol).as("doc_b"), col("shingle"),
@@ -313,12 +319,20 @@ object Dedup {
         col("n_b") * tauPermille <= col("n_a") * 1000)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .distinct()
-    val inter = cand.select(col("doc_a"), col("doc_b"))
-      .join(sr.select(col(idCol).as("doc_a"), col("shingle")), "doc_a")
-      .join(sr.select(col(idCol).as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"))
+    // verify: PPJoin's per-candidate set intersection — attach both
+    // docs' shingle ARRAYS (map-side rebuild, no shuffle to produce)
+    // and intersect per pair. Joins move |cand| rows with one array
+    // payload each; the alternative (fanning cand out over shingle
+    // ROWS) shuffles |cand|·|doc| exploded rows — measured 4.8 s vs
+    // 1.3 s for this leg at sf0.1
+    val docSets = docs
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol), shinglesOf(col("_w"), n).as("sh"))
+    val a = docSets.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
+    val b = docSets.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast(LongType))
       .filter(col("inter") * 1000 >=
         (col("n_a") + col("n_b") - col("inter")) * tauPermille)
       .select(col("doc_a"), col("doc_b"),
