@@ -324,7 +324,35 @@ object ScaleSmoke {
       // greedy joins stay retrieval-sized (queries × n)
       bench("v23", e1x, eNx,
         e => Similarity.mmrSelect(e, queries, n = 8, k = 3,
-          lambda = 0.7)))
+          lambda = 0.7)),
+      // d26: prefix-filter exact similarity join — tagged copies keep
+      // shingles disjoint (new content), so df stays constant and the
+      // prefix self-join + per-pair array verify grow with docs; an
+      // accidental fall-back to all-pairs behavior shows as ~factor²
+      bench("d26", dt1x, dtNx,
+        d => Dedup.prefixFilterPairs(d, tauPermille = 500)),
+      // s11: nearest-event join — users remapped per copy, so the one
+      // union sort grows by key count with per-key history fixed
+      bench("s11", v1x, vNx, { v =>
+        val views = v.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = v.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_uid"), col("ts").as("p_ts"),
+            col("event_id").as("p_id"))
+        graft.operators.Temporal.nearestJoin(views, purchases,
+          keyL = "user_id", keyR = "p_uid", leftTs = "ts",
+          rightTs = "p_ts", rightCarry = Seq("p_id"))
+      }),
+      // t52: BPE training (5 rounds) — the tagged fixture grows the
+      // VOCABULARY 10×, which is the training state itself; each
+      // round's pair count + argmax + rewrite must track it
+      benchAction("t52", dt1x, dtNx, d => {
+        graft.functions.Bpe.train(d, nMerges = 5); ()
+      }),
+      // v24: centroid gate — seed fixed (the query-set convention),
+      // scoring is a shuffle-free corpus scan that must track it
+      bench("v24", e1x, eNx, e => Similarity.centroidQuality(
+        e, e1x.filter(col("label") === 0), dims = 64, tau = 0.1)))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)

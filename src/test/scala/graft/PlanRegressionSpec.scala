@@ -521,4 +521,43 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("d26 prefix filter: per-pair array verify, never a row fan-out") {
+    val p = plan("d26_prefix_filter")
+    // the verify leg intersects the two docs' shingle ARRAYS per
+    // candidate row; losing this (back to exploding candidates over
+    // shingle rows) re-shuffles |cand|·|doc| rows — measured 3.7× at
+    // sf0.1
+    assert(p.contains("array_intersect"), p.take(2000))
+    // candidate generation is an equi-join on the prefix shingle
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("s11 nearest join: one sort serves both direction frames") {
+    val p = plan("s11_nearest_join")
+    // prev (running last) and next (forward first) share one
+    // partition+order ⇒ ONE Window over ONE Exchange+Sort; the
+    // purchase dedup adds its own rank-limited window — 2 exchanges
+    // total, and the rank prunes before the full sort
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 2, p.take(2000))
+    assert("""\(\d+\) Window\b""".r.findAllIn(p).size == 2, p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("v24 centroid gate is one codegen'd map over a pruned scan") {
+    val p = plan("v24_embed_quality")
+    // the centroid is a collected literal: scoring must stay a
+    // shuffle-free scan in a single codegen span
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(embedding)"), p.take(2000))
+    // one codegen span end to end (FormattedMode tags each operator)
+    assert("""codegen id : (\d+)""".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet == Set("1"), p.take(2000))
+  }
+
+  test("t51 blocklist gate is a pure map — zero exchanges") {
+    val p = plan("t51_blocklist")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
 }
