@@ -367,7 +367,33 @@ object Multimodal {
     * samples. None for anything malformed or truncated.
     */
   private[operators] def parseWav(bytes: Array[Byte])
-      : Option[(Int, Int, Int, Long, Long, Long)] = {
+      : Option[(Int, Int, Int, Long, Long, Long)] =
+    wavPcmLayout(bytes).map { case (ch, rate, bits, off, size) =>
+      def u8(i: Int) = bytes(i) & 0xff
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      val n = size / 2 // samples across channels
+      var sum = 0L
+      var peak = 0L
+      var k = 0
+      while (k < n) {
+        val v = le16(off + 2 * k).toShort.toLong // signed
+        sum += v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        k += 1
+      }
+      (ch, rate, bits, (n / ch).toLong, sum, peak)
+    }
+
+  /** The shared RIFF/WAVE chunk walk: verify magic and form, skip
+    * unknown chunks (honoring RIFF's odd-size pad byte), read the fmt
+    * chunk (must be integer PCM, 16-bit), locate the data chunk.
+    * Returns (channels, rate, bits, dataOffset, dataSize) or None for
+    * anything malformed or truncated. [[parseWav]] and
+    * [[parseWavSamples]] both consume this walk, so the stats decoder
+    * and the fingerprint decoder can never disagree about what parses.
+    */
+  private def wavPcmLayout(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 12) return None
     def u8(i: Int) = bytes(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -397,19 +423,7 @@ object Multimodal {
       (format, ch, rate, bits) <- fmt
       (off, size) <- data
       if format == 1 && bits == 16 && ch >= 1 && size % (2 * ch) == 0
-    } yield {
-      val n = size / 2 // samples across channels
-      var sum = 0L
-      var peak = 0L
-      var k = 0
-      while (k < n) {
-        val v = le16(off + 2 * k).toShort.toLong // signed
-        sum += v
-        if (math.abs(v) > peak) peak = math.abs(v)
-        k += 1
-      }
-      (ch, rate, bits, (n / ch).toLong, sum, peak)
-    }
+    } yield (ch, rate, bits, off, size)
   }
 
   /** Batched WAV decode through the shared mapPartitions seam (the m2
@@ -439,6 +453,103 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Block-mean AMPLITUDE hash over decoded PCM — [[ppmBlockHash]]'s
+    * audio sibling: split the sample stream into `blocks` contiguous
+    * runs, mean each run's |amplitude| (integer DIV), set bit j iff
+    * the run is non-empty and its mean is ≥ the global integer mean.
+    * The coarse loudness-envelope fingerprint; survives any
+    * container-level rewrite that leaves the PCM alone. All-integer,
+    * oracle-replayable from construction math.
+    */
+  private[operators] def wavBlockHash(bytes: Array[Byte],
+                                      blocks: Int): Option[(Long, Long)] =
+    parseWavSamples(bytes).map { amps =>
+      val n = amps.length.toLong
+      if (n == 0L) (0L, 0L)
+      else {
+        val bsum = new Array[Long](blocks)
+        val bcnt = new Array[Long](blocks)
+        var tot = 0L
+        var k = 0
+        while (k < amps.length) {
+          val j = (k.toLong * blocks / n).toInt
+          bsum(j) += amps(k); bcnt(j) += 1; tot += amps(k)
+          k += 1
+        }
+        val gm = tot / n
+        var sig = 0L
+        var j = 0
+        while (j < blocks) {
+          if (bcnt(j) > 0 && bsum(j) / bcnt(j) >= gm) sig |= 1L << j
+          j += 1
+        }
+        (n, sig)
+      }
+    }
+
+  /** The |amplitude| stream of a valid PCM16 WAV (all channels,
+    * interleaved order) — the same [[wavPcmLayout]] walk as
+    * [[parseWav]], so the two can never disagree about what parses.
+    */
+  private def parseWavSamples(bytes: Array[Byte]): Option[Array[Long]] =
+    wavPcmLayout(bytes).map { case (_, _, _, off, size) =>
+      def u8(i: Int) = bytes(i) & 0xff
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      val n = size / 2
+      val amps = new Array[Long](n)
+      var k = 0
+      while (k < n) {
+        amps(k) = math.abs(le16(off + 2 * k).toShort.toLong)
+        k += 1
+      }
+      amps
+    }
+
+  /** One decoded audio-fingerprint row. */
+  case class WavHash(doc_id: Long, ok: Boolean, n_samples: Long, ahash: Long)
+
+  /** Batch [[wavBlockHash]] through the shared mapPartitions seam. */
+  def audioPhash(df: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload", blocks: Int = 16,
+                 batchSize: Int = 256): DataFrame = {
+    require(blocks >= 1 && blocks <= 62,
+      s"blocks must be in [1, 62], got $blocks")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .filter(col(idCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            wavBlockHash(bytes, blocks) match {
+              case Some((n, sig)) => WavHash(id, ok = true, n, sig)
+              case None => WavHash(id, ok = false, 0L, 0L)
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Audio near-duplicate pairs over decoded PCM: [[audioPhash]]
+    * envelope signatures within `maxHamming` bits via the shared
+    * pigeonhole-exact band join — [[decodedNearDup]]'s audio tier,
+    * completing the multimodal dedup ladder (m6 exact bytes → m7
+    * byte texture → m10 decoded pixels → this, decoded audio).
+    * Empty clips excluded (degenerate all-zero bucket).
+    */
+  def audioNearDup(df: DataFrame, blocks: Int = 16, maxHamming: Int = 3,
+                   idCol: String = "doc_id",
+                   payloadCol: String = "payload",
+                   maxBucket: Int = Int.MaxValue): DataFrame =
+    Dedup.hammingBandPairs(
+      audioPhash(df, idCol, payloadCol, blocks)
+        .filter(col("ok") && col("n_samples") > 0L)
+        .select(col(idCol), col("ahash")),
+      idCol, "ahash", bits = blocks, maxHamming = maxHamming,
+      maxBucket = maxBucket)
 
   /** Resize a decoded frame to target dimensions. The pixel resample is
     * the stubbed part (production: codec/SIMD resample behind the same

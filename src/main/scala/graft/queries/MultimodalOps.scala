@@ -121,6 +121,18 @@ object MultimodalOps {
         Multimodal.withPpmPayload(
           docs(s, dir).filter(col("text").isNotNull)),
         maxHamming = 5)
+    },
+
+    // ---- decoded-AUDIO near-dup: the m10 contract on PCM samples ---------
+    // block-mean amplitude-envelope hash over decoded PCM16 (through
+    // the m9 chunk walk), paired by the shared Hamming band join
+    // (4 bands x 4 bits at maxHamming = 3). Completes the multimodal
+    // dedup ladder: m6 exact bytes -> m7 byte texture -> m10 decoded
+    // pixels -> m11 decoded audio
+    "m11_audio_neardup" -> { (s, dir) =>
+      Multimodal.audioNearDup(
+        Multimodal.withWavPayload(docs(s, dir)),
+        blocks = 16, maxHamming = 3)
     })
 
   def oracle: Map[String, String] = Map(
@@ -267,6 +279,35 @@ object MultimodalOps {
         |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ph, b.ph)) <= 5""".stripMargin,
+
+    // construction math through the m9 sample derivation (raw =
+    // little-endian char pair, sign-folded then |·|); blocks = n = 16
+    // so block j holds exactly sample j — bit j iff amp_j >= the
+    // integer global mean; pairs at hamming <= 3 over the 16-bit sigs
+    "m11_audio_neardup" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest(range(0, 16)) AS i, text FROM documents
+        |  WHERE text IS NOT NULL AND strlen(text) >= 32),
+        |v AS (
+        |  SELECT doc_id, i,
+        |    ord(substr(text, CAST(2 * i + 1 AS INT), 1))
+        |      + 256 * ord(substr(text, CAST(2 * i + 2 AS INT), 1)) AS raw
+        |  FROM s),
+        |a AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN raw >= 32768 THEN abs(raw - 65536) ELSE raw END AS amp
+        |  FROM v),
+        |g AS (SELECT doc_id, SUM(amp) // 16 AS gm FROM a GROUP BY 1),
+        |sig AS (
+        |  SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN amp >= gm
+        |      THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+        |      ELSE 0 END) AS BIGINT) AS ah
+        |  FROM a JOIN g USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ah, b.ah)) <= 3""".stripMargin,
 
     "m7_phash_neardup" ->
       """WITH s AS (

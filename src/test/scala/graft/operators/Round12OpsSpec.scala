@@ -232,6 +232,80 @@ class BpeTrainSpec extends AnyFunSuite {
   }
 }
 
+class AudioNearDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Plain-Scala replica of the 16-block amplitude hash over the
+    * withWavPayload construction (chars 2i, 2i+1 → LE sample i).
+    */
+  private def expectedSig(text: String): Long = {
+    val amps = (0 until 16).map { i =>
+      val raw = text.charAt(2 * i).toInt + 256 * text.charAt(2 * i + 1).toInt
+      math.abs(if (raw >= 32768) raw - 65536 else raw).toLong
+    }
+    val gm = amps.sum / 16
+    amps.zipWithIndex.collect { case (a, j) if a >= gm => 1L << j }
+      .foldLeft(0L)(_ | _)
+  }
+
+  private val t1 = "abcdefghijklmnopqrstuvwxyzABCDEF"
+  private val t2 = "AAAAAAAAAAAAAAAAzzzzzzzzzzzzzzzz"
+
+  test("decoded signature matches the plain-Scala replica") {
+    val df = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    val sigs = Multimodal.audioPhash(Multimodal.withWavPayload(df))
+      .as[(Long, Boolean, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(sigs(1L) === expectedSig(t1))
+    assert(sigs(2L) === expectedSig(t2))
+  }
+
+  test("exact copies pair at distance 0; dissimilar envelopes do not pair") {
+    val df = Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
+    val pairs = Multimodal.audioNearDup(Multimodal.withWavPayload(df))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("signature survives a container rewrite the byte hash dies on") {
+    // same PCM, but an extra ignorable LIST chunk before data
+    def wav(extraChunk: Boolean): Array[Byte] = {
+      val b = collection.mutable.ArrayBuffer[Byte]()
+      def ascii(s: String) = b ++= s.getBytes("US-ASCII")
+      def le32(v: Int) = b ++= Array[Byte]((v & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 24) & 0xff).toByte)
+      def le16(v: Int) = b ++= Array[Byte]((v & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte)
+      ascii("RIFF"); le32(0); ascii("WAVE")
+      ascii("fmt "); le32(16); le16(1); le16(1); le32(8000)
+      le32(16000); le16(2); le16(16)
+      if (extraChunk) { ascii("LIST"); le32(4); ascii("INFO") }
+      ascii("data"); le32(32)
+      (0 until 16).foreach(i => le16(i * 100))
+      val out = b.toArray
+      // patch RIFF size
+      val sz = out.length - 8
+      out(4) = (sz & 0xff).toByte; out(5) = ((sz >> 8) & 0xff).toByte
+      out(6) = ((sz >> 16) & 0xff).toByte; out(7) = ((sz >> 24) & 0xff).toByte
+      out
+    }
+    val df = Seq((1L, wav(false)), (2L, wav(true)))
+      .toDF("doc_id", "payload")
+    val sigs = Multimodal.audioPhash(df)
+      .as[(Long, Boolean, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(sigs(1L) === sigs(2L))
+    // the byte-level m7 hash sees different bytes
+    val m7 = Multimodal.perceptualHash48(
+        df.withColumn("payload", col("payload").cast("string")), "payload")
+      .select(col("doc_id"), col("phash"))
+      .as[(Long, Long)].collect().toMap
+    assert(m7(1L) !== m7(2L))
+  }
+}
+
 class ShardingNullIdSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
