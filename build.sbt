@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // the 164-query bench sweep generates thousands of whole-stage-codegen
+  // classes in one JVM; the JDK default 240m code cache fills mid-sweep
+  // and the JIT stops compiling — late-alphabet queries then run
+  // interpreted and report 2-3x their isolated times
+  "-XX:ReservedCodeCacheSize=512m",
 )

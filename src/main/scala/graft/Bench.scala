@@ -25,7 +25,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local-iteration filter: comma-separated query names; unset = all
+    // (the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Pre-stage pass: CONSTRUCTING each query eagerly builds every
     // staged artifact it serves (relayouts, shingle/signature indexes,
     // curate legs — Artifacts.table builds at plan-construction time).

@@ -18,7 +18,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var nestedViolations = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter, same contract as Bench (driver never sets
+    // it): comma-separated query names; unset = all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // Harness contract: the driver canonicalizes rows via pandas,
