@@ -685,4 +685,68 @@ object Multimodal {
       .agg(count(lit(1)).as("shared_frames"))
       .filter(col("shared_frames") >= minShared)
   }
+
+  /** Scene-change detection WITHIN one video: sample `n` frames
+    * ([[sampleFrames]]'s evenly-spaced offset model), hash each frame's
+    * first `bytesPerFrame` bytes with the aHash recipe (bit j iff byte
+    * j ≥ the frame's integer mean — [[perceptualHash48]] applied
+    * per-frame instead of per-payload), then mark a boundary wherever
+    * consecutive frame hashes differ by more than `maxHamming` bits —
+    * the classic shot-boundary histogram-difference method on the byte
+    * domain. One transition row per (payload, frame i≥1).
+    *
+    * Scale shape: the ENTIRE operator is one projection + one
+    * generator — frame hashes build inside a nested higher-order
+    * expression (no per-frame rows until the final posexplode of n−1
+    * small ints), so payload bytes are read exactly once in the scan
+    * task that owns them and nothing but (id, idx, hamming) ever
+    * crosses an exchange. Zero shuffles at any corpus size; a real
+    * deployment swaps the byte window for decoded luma behind the same
+    * column contract (the m2/m8 seam).
+    *
+    * All-integer math (LONG offset multiply like [[sampleFrames]],
+    * integer-DIV mean), so every value is oracle-replayable. Bytes
+    * past the end of a short payload read as 0, matching the oracle's
+    * bounds CASE.
+    */
+  def sceneChanges(df: DataFrame, n: Int, bytesPerFrame: Int = 16,
+                   maxHamming: Int = 4, idCol: String = "doc_id",
+                   payloadCol: String = "payload"): DataFrame = {
+    require(n >= 2, s"need >= 2 frames for transitions, got $n")
+    require(bytesPerFrame >= 1 && bytesPerFrame <= 62,
+      s"bytesPerFrame must be in [1, 62], got $bytesPerFrame")
+    val w = bytesPerFrame
+    val pay = col(payloadCol)
+    // frame f's byte j (0-based): payload[floor(f*len/n) + j], 0 when
+    // past the end — LONG multiply before the divide (sampleFrames)
+    val frameBytes = transform(sequence(lit(0), lit(n - 1)), f => {
+      val off = floor(f.cast(LongType) * length(pay) / n).cast(IntegerType)
+      transform(sequence(lit(0), lit(w - 1)), j =>
+        when(off + j + 1 <= length(pay),
+          conv(hex(pay.substr(off + j + 1, lit(1))), 16, 10)
+            .cast(LongType))
+          .otherwise(lit(0L)))
+    })
+    // per-frame integer mean once, then the threshold fold — two
+    // aligned higher-order passes instead of a quadratic inner mean
+    val means = expr(
+      s"transform(_fb, bs -> aggregate(bs, 0L, (a, x) -> a + x) DIV $w)")
+    val hashes = expr(
+      s"""zip_with(_fb, _fm, (bs, m) ->
+         |  aggregate(
+         |    zip_with(bs, sequence(0, ${w - 1}),
+         |      (b, j) -> IF(b >= m, shiftleft(1L, j), 0L)),
+         |    0L, (a, x) -> a + x))""".stripMargin)
+    df.filter(pay.isNotNull)
+      .withColumn("_fb", frameBytes)
+      .withColumn("_fm", means)
+      .withColumn("_fh", hashes)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(1, ${n - 1}), i ->
+           |  bit_count(element_at(_fh, i + 1) ^ element_at(_fh, i)))"""
+          .stripMargin)))
+      .select(col(idCol), (col("pos") + 1).cast(IntegerType).as("frame_idx"),
+        col("col").cast(LongType).as("hamming"),
+        (col("col") > maxHamming).as("new_scene"))
+  }
 }

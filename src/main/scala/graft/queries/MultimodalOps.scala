@@ -133,6 +133,17 @@ object MultimodalOps {
       Multimodal.audioNearDup(
         Multimodal.withWavPayload(docs(s, dir)),
         blocks = 16, maxHamming = 3)
+    },
+
+    // ---- scene-change detection WITHIN a video ---------------------------
+    // 8 sampled frames, 16-byte per-frame aHash, boundary where
+    // consecutive hashes differ by > 4 bits — the shot-boundary
+    // histogram-difference method; one projection + one generator,
+    // zero shuffles at any corpus size
+    "m12_scene_change" -> { (s, dir) =>
+      Multimodal.sceneChanges(
+        Multimodal.withPayload(docs(s, dir).filter(col("text").isNotNull)),
+        n = 8, bytesPerFrame = 16, maxHamming = 4)
     })
 
   def oracle: Map[String, String] = Map(
@@ -308,6 +319,32 @@ object MultimodalOps {
         |  CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ah, b.ah)) <= 3""".stripMargin,
+
+    // construction math replay: frame f's byte j sits at 1-based
+    // position (f*len)//8 + j + 1 (0 past the end); per-frame integer
+    // mean, bit j iff byte >= mean, transitions pair frame i with i-1
+    "m12_scene_change" ->
+      """WITH b AS (
+        |  SELECT d.doc_id, f.i AS fi, j.i AS j,
+        |    CASE WHEN (f.i * strlen(d.text)) // 8 + j.i + 1 <= strlen(d.text)
+        |      THEN ord(substr(d.text,
+        |        CAST((f.i * strlen(d.text)) // 8 + j.i + 1 AS INT), 1))
+        |      ELSE 0 END AS v
+        |  FROM documents d
+        |  CROSS JOIN generate_series(0, 7) AS f(i)
+        |  CROSS JOIN generate_series(0, 15) AS j(i)
+        |  WHERE d.text IS NOT NULL),
+        |m AS (SELECT doc_id, fi, SUM(v) // 16 AS mn FROM b GROUP BY 1, 2),
+        |h AS (
+        |  SELECT b.doc_id, b.fi,
+        |    SUM(CASE WHEN v >= mn THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+        |      ELSE 0 END) AS fh
+        |  FROM b JOIN m USING (doc_id, fi) GROUP BY 1, 2)
+        |SELECT a.doc_id, CAST(t.fi AS INT) AS frame_idx,
+        |  CAST(bit_count(xor(a.fh, t.fh)) AS BIGINT) AS hamming,
+        |  bit_count(xor(a.fh, t.fh)) > 4 AS new_scene
+        |FROM h a JOIN h t ON a.doc_id = t.doc_id AND t.fi = a.fi + 1"""
+        .stripMargin,
 
     "m7_phash_neardup" ->
       """WITH s AS (
