@@ -569,4 +569,62 @@ object Series {
       .filter(col("l1") <= maxL1Cents)
       .select(col("key_a"), col("w_a"), col("key_b"), col("w_b"), col("l1"))
   }
+
+  /** Classic additive seasonal decomposition of the per-type daily
+    * volume series: `ev_ct = trend + seasonal + residual`, where trend
+    * is the centered (2·halfWindow+1)-row moving mean, seasonal is the
+    * per-(type, weekday) mean of the detrended series, and residual is
+    * what monitoring actually alarms on — s6 (drift rate), s9 (weekday
+    * baseline), and s7 (outlier gate) fused into the one decomposition
+    * a volume-health dashboard plots. Weekday is the integer formula
+    * `(epoch_day + 3) % 7` (s9's discipline — calendar functions
+    * disagree across engines, arithmetic doesn't).
+    *
+    * EXACT cross-engine arithmetic: both means are floor(Σ/n) with the
+    * divide in double (operands day-count-sized, far under 2^53, so
+    * the quotient is one correctly-rounded op) — floor, not integer
+    * DIV, because detrended sums go negative and Spark's DIV truncates
+    * toward zero while DuckDB's `//` floors.
+    *
+    * Scale shape: one partial-aggregatable groupBy reduces the event
+    * stream to (types × days) rows; the window, the seasonal re-agg
+    * and the final join all run on that tiny frame (the seasonal side
+    * is types × 7 rows — a guaranteed broadcast). At 100 TB the only
+    * full-data pass is the first count.
+    */
+  def seasonalDecompose(events: DataFrame, typeCol: String, tsCol: String,
+                        halfWindow: Int = 3): DataFrame =
+    seasonalFromCounts(events
+      .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("typ"),
+        expr(s"unix_millis($tsCol) DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("ev_ct")), halfWindow)
+
+  /** The counts→decomposition finisher: [[seasonalDecompose]] from an
+    * already-reduced (typ, day, ev_ct) table. Split out because the
+    * count state is ADDITIVE — the SAME compacted (day, typ, n) table
+    * the streaming drift monitor maintains ([[driftFromCounts]] /
+    * `graft.streaming.DriftStreaming`) serves this decomposition
+    * bit-identical to the batch twin; one ledger, two monitoring
+    * surfaces.
+    */
+  def seasonalFromCounts(daily: DataFrame, halfWindow: Int = 3)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
+    val w = Window.partitionBy(col("typ")).orderBy(col("day"))
+      .rowsBetween(-halfWindow, halfWindow)
+    val trended = daily
+      .withColumn("trend", floor(sum(col("ev_ct")).over(w)
+        .cast(DoubleType) / count(lit(1)).over(w)).cast(LongType))
+      .withColumn("detrended", col("ev_ct") - col("trend"))
+      .withColumn("wd", (col("day") + 3) % 7)
+    val seasonal = trended.groupBy(col("typ"), col("wd"))
+      .agg(floor(sum(col("detrended")).cast(DoubleType) /
+        count(lit(1))).cast(LongType).as("seasonal"))
+    trended.join(seasonal, Seq("typ", "wd"))
+      .select(col("typ"), col("day"), col("wd"), col("ev_ct"), col("trend"),
+        col("seasonal"),
+        (col("detrended") - col("seasonal")).as("residual"))
+  }
 }

@@ -122,6 +122,15 @@ object SeriesOps {
           col("_nearest._rts").as("np_ts"),
           abs(unix_micros(col("ts").cast("timestamp")) -
             unix_micros(col("_nearest._rts").cast("timestamp"))).as("gap_us"))
+    },
+
+    // additive seasonal decomposition of per-type daily volume:
+    // ev_ct = trend (7-row centered moving mean) + seasonal (per-
+    // weekday mean of detrended) + residual — the series the volume
+    // dashboard alarms on; all-integer outputs (floor-means)
+    "s12_seasonal" -> { (s, dir) =>
+      Series.seasonalDecompose(Tables.events(s, dir),
+        typeCol = "event_type", tsCol = "ts", halfWindow = 3)
     })
 
   /** s8's lag-chain SQL, generated for the 16-term horizon: numerator
@@ -147,6 +156,35 @@ object SeriesOps {
     // forward) + the same integer-gap pick, tie to the earlier side —
     // agreeing with Spark's union + two-running-frames plan proves the
     // nearest semantics, not just the plumbing
+    // floor() on a double quotient on BOTH engines (Spark DIV
+    // truncates toward zero, DuckDB // floors — detrended sums go
+    // negative, so neither integer division is portable)
+    "s12_seasonal" ->
+      """WITH daily AS (
+        |  SELECT event_type AS typ, epoch_ms(ts) // 86400000 AS day,
+        |    COUNT(*) AS ev_ct
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT typ, day, ev_ct,
+        |    CAST(floor(CAST(SUM(ev_ct) OVER w AS DOUBLE)
+        |      / COUNT(*) OVER w) AS BIGINT) AS trend
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY typ ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (
+        |  SELECT typ, day, ev_ct, trend, ev_ct - trend AS detrended,
+        |    (day + 3) % 7 AS wd
+        |  FROM tr),
+        |se AS (
+        |  SELECT typ, wd,
+        |    CAST(floor(CAST(SUM(detrended) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |      AS seasonal
+        |  FROM dt GROUP BY 1, 2)
+        |SELECT dt.typ, dt.day, dt.wd, dt.ev_ct, dt.trend, se.seasonal,
+        |  dt.detrended - se.seasonal AS residual
+        |FROM dt JOIN se USING (typ, wd)""".stripMargin,
+
     "s11_nearest_join" ->
       """WITH v AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),

@@ -54,4 +54,16 @@ object DriftStreaming {
   /** Serve current day-over-day drift from the compacted counts. */
   def serve(spark: SparkSession, path: String): DataFrame =
     Series.driftFromCounts(spark.read.parquet(s"$path/table"))
+
+  /** Serve the s12 seasonal decomposition from the SAME compacted
+    * counts table — the drift ledger's (day, typ, n) state is exactly
+    * the daily-volume series, so one maintenance query feeds both
+    * monitoring surfaces (bit-identical to the batch twin; spec-pinned).
+    */
+  def serveSeasonal(spark: SparkSession, path: String,
+                    halfWindow: Int = 3): DataFrame =
+    Series.seasonalFromCounts(
+      spark.read.parquet(s"$path/table")
+        .select(col("typ"), col("day"), col("n").as("ev_ct")),
+      halfWindow)
 }

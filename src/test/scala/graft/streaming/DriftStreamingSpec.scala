@@ -55,6 +55,23 @@ class DriftStreamingSpec extends AnyFunSuite {
     assert(got !== batchTwin(b0 ++ b1))
   }
 
+  test("served SEASONAL decomposition ≡ batch twin from the same ledger") {
+    val root = Files.createTempDirectory("driftseasonal").toString
+    def df(rows: Seq[(Timestamp, String)]) = rows.toDF("ts", "event_type")
+    DriftStreaming.mergeBatch(spark, df(b0), "ts", "event_type", root, 0L)
+    DriftStreaming.mergeBatch(spark, df(b1), "ts", "event_type", root, 1L)
+    // replay must not shift the decomposition either
+    DriftStreaming.mergeBatch(spark, df(b1), "ts", "event_type", root, 1L)
+    DriftStreaming.mergeBatch(spark, df(b2), "ts", "event_type", root, 2L)
+    val got = DriftStreaming.serveSeasonal(spark, root)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val want = Series.seasonalDecompose(
+        (b0 ++ b1 ++ b2).toDF("ts", "event_type"), "event_type", "ts")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("maintain() drives the same merge from a real streaming query") {
     implicit val sq = spark.sqlContext
     val root = Files.createTempDirectory("driftstream2").toString
