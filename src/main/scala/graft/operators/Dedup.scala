@@ -422,6 +422,39 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** [[splitLeakage]]'s REPAIR: the audit's crossing pairs turned into
+    * a corrected assignment — every val doc with a near-copy in train
+    * moves to train (the deterministic rule that keeps eval clean
+    * without discarding training data; exactly one side of a crossing
+    * pair is val by construction). Output is one row per doc:
+    * (id, split, repaired_split, was_leaked) — the frame a curation
+    * pipeline writes back as the split column of record.
+    *
+    * Scale shape: the leak list is pair-derived and id-distinct (≤
+    * crossing-pair count, ≪ corpus); the repair itself is one
+    * broadcast-sized left join against the (id, split) projection —
+    * text never moves.
+    */
+  def splitRepair(docs: DataFrame, threshold: Double, split: Column,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  n: Int = 3, bands: Int = 2, rowsPerBand: Int = 4,
+                  maxBucket: Int = Int.MaxValue,
+                  pairs: Option[DataFrame] = None): DataFrame = {
+    val leaks = splitLeakage(docs, threshold, split, idCol, textCol,
+      n, bands, rowsPerBand, maxBucket, pairs)
+    val leaked = leaks
+      .select(when(col("split_a") === "val", col("doc_a"))
+        .otherwise(col("doc_b")).as(idCol))
+      .distinct()
+      .withColumn("_lk", lit(true))
+    docs.select(col(idCol), split.as("split"))
+      .join(leaked, Seq(idCol), "left")
+      .select(col(idCol), col("split"),
+        when(col("_lk"), lit("train")).otherwise(col("split"))
+          .as("repaired_split"),
+        coalesce(col("_lk"), lit(false)).as("was_leaked"))
+  }
+
   /** 16-bit SimHash over the distinct-word set. Per word, a 16-bit
     * md5-derived hash votes ±1 on each bit position; the signature bit
     * is 1 where the vote sum is positive. Integer votes make the value

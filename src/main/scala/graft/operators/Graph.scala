@@ -74,4 +74,57 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_units"),
       (col("r").cast(DoubleType) / lit(TotalMass.toDouble)).as("rank"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over an undirected edge list, made DETERMINISTIC: every
+    * node starts labeled with itself; each round, every node
+    * simultaneously adopts the most frequent label among its
+    * NEIGHBORS, ties broken by the smallest label (count DESC, label
+    * ASC — a total order, where the published algorithm breaks ties
+    * randomly). Fixed `iters` rounds of unrolled lineage, like
+    * [[pagerank]] — sync LP can oscillate on bipartite structure, so a
+    * convergence loop would not even terminate; fixed-round semantics
+    * are what an oracle can replay.
+    *
+    * Community detection is NOT connected components
+    * (`Dedup.clusterIds`): label prop is density-sensitive — two
+    * cliques joined by one bridge edge keep their own labels, where
+    * components would merge them.
+    *
+    * Scale shape: each round is one equi-join of the edge list against
+    * the label frame (both partitioned by the join key) + one
+    * partial-aggregatable count + one per-node top-1 (WindowGroupLimit
+    * keeps it a streaming rank, never a full sort of the count frame).
+    * The edge list is persisted once and reused across rounds;
+    * per-round state is one (node, label) row per node. At 1000
+    * executors every round is 2 bounded shuffles of node-sized frames.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       srcCol: String = "src", dstCol: String = "dst")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1 && iters <= 6,
+      s"iters must be in [1, 6] (unrolled lineage), got $iters")
+    val e0 = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // symmetrize: every node appears as src, so src alone spans nodes
+    val e = e0.union(e0.select(col("dst"), col("src")))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("ct").desc, col("lbl").asc)
+    for (_ <- 0 until iters) {
+      labels = e
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("ct"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("src").as("node"), col("lbl"))
+    }
+    // e stays persisted for the plan's lifetime (it is read once per
+    // round in the returned lineage — eager unpersist here would force
+    // 4 recomputes at execution time; same convention as pagerank)
+    labels.withColumnRenamed("lbl", "label")
+  }
 }

@@ -345,6 +345,15 @@ object DedupOps {
         pairs = Some(neardupPairs05(s, dir)))
     },
 
+    // d18's REPAIR: leaked val docs move to train (one row per doc,
+    // the split column of record) — audit and fix from the same
+    // staged pair artifact
+    "d28_split_repair" -> { (s, dir) =>
+      Dedup.splitRepair(docs(s, dir), threshold = 0.5,
+        split = graft.functions.TextFunctions.stableSplit(col("doc_id")),
+        pairs = Some(neardupPairs05(s, dir)))
+    },
+
     // the sketch ROLLUP read path: weekly distinct users from MERGED
     // per-day sketches — never re-scanning the days. Exactness of the
     // merge (k-min of union == k-min of the parts' k-mins) makes the
@@ -372,6 +381,16 @@ object DedupOps {
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
       graft.operators.Graph.pagerank(edges, iters = 3)
+    },
+
+    // community detection over the same near-dup graph — density-
+    // sensitive labels (vs d6's connectivity-only components): 3
+    // synchronized rounds, most-frequent neighbor label, ties to the
+    // smallest; the staged pair artifact serves the edge list
+    "d27_label_prop" -> { (s, dir) =>
+      graft.operators.Graph.labelPropagation(
+        neardupPairs05(s, dir).select(col("doc_a"), col("doc_b")),
+        iters = 3, srcCol = "doc_a", dstCol = "doc_b")
     },
 
     // snapshot audit: old = ids ∉ 7ℤ, new = ids ∉ 5ℤ with every 3rd
@@ -506,6 +525,41 @@ object DedupOps {
        |FROM r3""".stripMargin
   }
 
+  /** d27's unrolled synchronous label propagation: mirrors
+    * Graph.labelPropagation round-for-round — per round, each node
+    * takes the most frequent neighbor label (count DESC, label ASC —
+    * the same total order), so three rounds are bit-identical across
+    * engines. Window-over-aggregate runs in a subquery (the rank is
+    * evaluated after the GROUP BY, same as Spark's row_number over the
+    * count frame).
+    */
+  private lazy val sqlLabelProp: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""l$k AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.src AS node, l.lbl, ROW_NUMBER() OVER (
+         |      PARTITION BY e.src ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+         |    FROM edges e JOIN l${k - 1} l ON l.node = e.dst
+         |    GROUP BY e.src, l.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$sqlCandidates,
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN shingled sa ON sa.doc_id = doc_a
+       |  JOIN shingled sb ON sb.doc_id = doc_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |$rounds
+       |SELECT node, lbl AS label FROM l3""".stripMargin
+  }
+
   /** d24: exact containment pairs + capped pair sets at each cap value,
     * one summary row per cap. The capped sets re-derive sizes AND
     * shared counts over the df≤cap shingle space, mirroring the staged
@@ -554,6 +608,7 @@ object DedupOps {
 
   def oracle: Map[String, String] = Map(
     "d13_pagerank" -> sqlPagerank,
+    "d27_label_prop" -> sqlLabelProp,
     "d24_containment_recall" -> sqlContainmentRecall,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
@@ -792,6 +847,33 @@ object DedupOps {
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |    / len(list_distinct(sa.sh || sb.sh)) >= 0.5
          |  AND pa.split <> pb.split""".stripMargin,
+
+    // d18's crossing pairs -> distinct leaked val ids -> one row per
+    // doc with the corrected split
+    "d28_split_repair" ->
+      s"""$sqlCandidates,
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+         |           * 1000 < 900 * 65536
+         |      THEN 'train' ELSE 'val' END AS split
+         |  FROM documents),
+         |lk AS (
+         |  SELECT DISTINCT CASE WHEN pa.split = 'val' THEN doc_a
+         |    ELSE doc_b END AS doc_id
+         |  FROM cand
+         |  JOIN shingled sa ON sa.doc_id = doc_a
+         |  JOIN shingled sb ON sb.doc_id = doc_b
+         |  JOIN sp pa ON pa.doc_id = doc_a
+         |  JOIN sp pb ON pb.doc_id = doc_b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+         |    AND pa.split <> pb.split)
+         |SELECT sp.doc_id, sp.split,
+         |  CASE WHEN lk.doc_id IS NOT NULL THEN 'train' ELSE sp.split END
+         |    AS repaired_split,
+         |  lk.doc_id IS NOT NULL AS was_leaked
+         |FROM sp LEFT JOIN lk ON lk.doc_id = sp.doc_id""".stripMargin,
 
     // DIRECT weekly pass — the Spark side merges per-day sketches;
     // hash-equality proves the rollup contract
