@@ -122,6 +122,21 @@ object RoutingOps {
         orderCols = Seq("ts", "event_id"))
     },
 
+    // ---- point-in-time "AS OF" read --------------------------------------
+    // table state at 2024-01-15T00:00Z: keys whose last change at the
+    // cutoff is a delete are absent, keys first created after it
+    // don't exist yet — r5's latest read with the cutoff pushed into
+    // the scan
+    "r7_time_travel" -> { (s, dir) =>
+      val rows = ev(s, dir)
+        .withColumn("op", CdcRouter.normalizeOp(opCol))
+        .select(col("user_id"), col("ts"), col("event_id"), col("op"),
+          col("event_type"), col("value"))
+      CdcRouter.stateAsOf(rows, keyCols = Seq("user_id"),
+        orderCols = Seq("ts", "event_id"),
+        cutoff = lit("2024-01-15 00:00:00").cast("timestamp"))
+    },
+
     // ---- SCD2 dimension versioning ---------------------------------------
     // change rows → type-2 validity intervals: each row's valid_to is
     // the key's next change (null = current version), the layout q22's
@@ -206,6 +221,21 @@ object RoutingOps {
          |    event_type, value
          |  FROM (SELECT *, $sqlOp AS op FROM events)
          |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM feed)
+         |SELECT user_id, ts, event_id, op, event_type, value
+         |FROM ranked WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+
+    "r7_time_travel" ->
+      s"""WITH feed AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN op IN ('create','bootstrap-insert') THEN 'insert' ELSE op END AS op,
+         |    event_type, value
+         |  FROM (SELECT *, $sqlOp AS op FROM events)
+         |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+         |    AND ts <= TIMESTAMP '2024-01-15 00:00:00'),
          |ranked AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
          |    ORDER BY ts DESC, event_id DESC) AS rn

@@ -141,6 +141,22 @@ object CdcRouter {
           .map(c => col(s"_last.$c").as(c)): _*)
   }
 
+  /** Point-in-time state ("AS OF" read): [[latestState]] over only the
+    * changes at or before `cutoff` on the primary order column — the
+    * time-travel read a CDC-fed warehouse serves (what did this table
+    * look like last Tuesday?). A key deleted before the cutoff is
+    * absent; a key first created after it does not exist yet. The
+    * cutoff is a pushable scan predicate, so at a partitioned 100 TB
+    * changelog the read prunes to the ≤cutoff partitions before the
+    * same keys-sized max-struct aggregate as the latest read.
+    */
+  def stateAsOf(rows: DataFrame, keyCols: Seq[String],
+                orderCols: Seq[String], cutoff: Column,
+                opCol: String = "op", deleteOp: String = "delete")
+      : DataFrame =
+    latestState(rows.filter(col(orderCols.head) <= cutoff),
+      keyCols, orderCols, opCol, deleteOp)
+
   /** Schema-drift observation — what a CDC consumer runs BEFORE the
     * upstream's ALTER TABLE breaks it: per (source table, payload
     * column), how many change rows carried the column, the first

@@ -306,6 +306,214 @@ class AudioNearDupSpec extends AnyFunSuite {
   }
 }
 
+class SceneChangeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Plain-Scala replica of the per-frame aHash over ASCII payloads. */
+  private def frameHash(text: String, n: Int, f: Int, w: Int = 16): Long = {
+    val len = text.length
+    val off = (f.toLong * len / n).toInt
+    val bytes = (0 until w).map(j =>
+      if (off + j + 1 <= len) text.charAt(off + j).toLong else 0L)
+    val mn = bytes.sum / w
+    bytes.zipWithIndex.collect { case (b, j) if b >= mn => 1L << j }
+      .foldLeft(0L)(_ | _)
+  }
+
+  private def run(texts: (Long, String)*): Map[(Long, Int), (Long, Boolean)] =
+    Multimodal.sceneChanges(
+        Multimodal.withPayload(texts.toDF("doc_id", "text")), n = 8)
+      .as[(Long, Int, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+  test("hamming transitions match the plain-Scala replica") {
+    val t = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ!?"
+    val got = run(1L -> t)
+    (1 until 8).foreach { i =>
+      val want = java.lang.Long.bitCount(
+        frameHash(t, 8, i) ^ frameHash(t, 8, i - 1)).toLong
+      assert(got((1L, i))._1 === want, s"frame $i")
+    }
+  }
+
+  test("a mid-payload texture shift is the one detected boundary") {
+    // frames 0-3 read constant bytes (hash 0xFFFF: every byte == mean);
+    // frames 4-7 read a 2-cycle alternation ('A'=65 < mean 93 <= 'z'=122
+    // -> hash 0xAAAA); the only >4-bit jump is the 0xFFFF->0xAAAA seam
+    val t = "a" * 64 + "Az" * 32
+    val got = run(1L -> t)
+    assert((1 until 8).map(i => got((1L, i))._2) ===
+      Seq(false, false, false, true, false, false, false))
+    assert(got((1L, 4))._1 === 8L) // xor 0x5555
+  }
+
+  test("whole operator is shuffle-free: one projection + one generator") {
+    val p = Multimodal.sceneChanges(
+        Multimodal.withPayload(Seq((1L, "x" * 64)).toDF("doc_id", "text")),
+        n = 8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), p.take(1200))
+  }
+}
+
+class SeasonalDecomposeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 14 days, one type, counts with a weekly pattern + a step: the
+  // plain-Scala replica recomputes the whole decomposition
+  private val counts: Seq[Long] =
+    Seq(10, 12, 11, 10, 30, 31, 9, 10, 12, 11, 10, 30, 31, 9).map(_.toLong)
+
+  private def replica: Map[Long, (Long, Long, Long)] = {
+    val n = counts.length
+    val trend = (0 until n).map { i =>
+      val lo = math.max(0, i - 3); val hi = math.min(n - 1, i + 3)
+      val win = counts.slice(lo, hi + 1)
+      math.floor(win.sum.toDouble / win.length).toLong
+    }
+    val det = counts.zip(trend).map { case (c, t) => c - t }
+    val seas = (0 until n).groupBy(i => (i + 3) % 7).map { case (wd, is) =>
+      wd.toLong ->
+        math.floor(is.map(det).sum.toDouble / is.length).toLong
+    }
+    (0 until n).map { i =>
+      i.toLong -> (trend(i), seas((i + 3) % 7), det(i) - seas((i + 3) % 7))
+    }.toMap
+  }
+
+  test("decomposition matches the hand replica on a 14-day fixture") {
+    // day d gets `counts(d)` events at noon of that epoch day
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0L until c).map(k => ("click", new java.sql.Timestamp(
+        d * 86400000L + 43200000L + k)))
+    }
+    val got = graft.operators.Series.seasonalDecompose(
+        rows.toDF("event_type", "ts"), "event_type", "ts")
+      .select(col("day"), col("ev_ct"), col("trend"), col("seasonal"),
+        col("residual"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val want = replica
+    (0 until counts.length).foreach { d =>
+      val (tr, se, re) = want(d.toLong)
+      assert(got(d.toLong) === ((counts(d), tr, se, re)), s"day $d")
+    }
+  }
+
+  test("identity: ev_ct == trend + seasonal + residual on real data") {
+    val dec = graft.operators.Series.seasonalDecompose(
+      graft.core.Tables.events(spark, "/root/testdata/sf0.001"),
+      "event_type", "ts")
+    assert(dec.filter(
+      col("ev_ct") =!= col("trend") + col("seasonal") + col("residual"))
+      .count() === 0L)
+    assert(dec.count() > 0L)
+  }
+}
+
+class LabelPropagationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(iters: Int, edges: (Long, Long)*): Map[Long, Long] =
+    graft.operators.Graph.labelPropagation(
+        edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("two cliques over one bridge keep separate labels (3 rounds, hand-traced)") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4 — connected components
+    // would merge everything to 1; density-sensitive LP must not
+    val got = run(3, 1L -> 2L, 1L -> 3L, 2L -> 3L,
+      4L -> 5L, 4L -> 6L, 5L -> 6L, 3L -> 4L)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("round 1 is the most-frequent-neighbor label with min tie-break") {
+    // star: center 10 with leaves 2,3,4 — each leaf sees only {10};
+    // the center sees {2,3,4} all once -> tie -> 2
+    val got = run(1, 10L -> 2L, 10L -> 3L, 10L -> 4L)
+    assert(got === Map(10L -> 2L, 2L -> 10L, 3L -> 10L, 4L -> 10L))
+  }
+
+  test("every node gets exactly one label drawn from the node set") {
+    val got = run(2, 1L -> 2L, 2L -> 3L, 3L -> 4L, 5L -> 6L)
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got.values.toSet.subsetOf(got.keySet))
+  }
+}
+
+class SplitRepairSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("leaked val docs move to train; clean docs keep their split") {
+    // pair (1,2) crosses: 1=train, 2=val -> 2 is the leaked side;
+    // 3 (val) and 4 (train) are untouched; pair (3,5) is val-val in
+    // the split below so it must NOT trigger a repair... use (4,5):
+    // train-val crossing -> 5 moves
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "c"))
+      .toDF("doc_id", "text")
+    val split = when(col("doc_id").isin(1L, 4L), "train").otherwise("val")
+    val pairs = Seq((1L, 2L, 1.0), (4L, 5L, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = graft.operators.Dedup.splitRepair(docs, threshold = 0.5,
+        split = split, pairs = Some(pairs))
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === Map(
+      1L -> (("train", "train", false)),
+      2L -> (("val", "train", true)),
+      3L -> (("val", "val", false)),
+      4L -> (("train", "train", false)),
+      5L -> (("val", "train", true))))
+  }
+
+  test("val-val near-dups are not leakage and repair nothing") {
+    val docs = Seq((2L, "a"), (3L, "a")).toDF("doc_id", "text")
+    val split = lit("val")
+    val pairs = Seq((2L, 3L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val got = graft.operators.Dedup.splitRepair(docs, 0.5, split,
+        pairs = Some(pairs))
+      .as[(Long, String, String, Boolean)].collect()
+    assert(got.forall(r => r._3 == "val" && !r._4))
+  }
+}
+
+class StateAsOfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // key A: insert@1, update@2, delete@3 | B: insert@2 | C: insert@5
+  // D: delete@1 then re-insert@2
+  private def feed = Seq(
+    ("A", 1L, "insert", 10), ("A", 2L, "update", 11),
+    ("A", 3L, "delete", 0),
+    ("B", 2L, "insert", 20),
+    ("C", 5L, "insert", 30),
+    ("D", 1L, "delete", 0), ("D", 2L, "insert", 40))
+    .toDF("k", "seq", "op", "v")
+
+  test("state at cutoff=4: deleted keys absent, future keys not yet born") {
+    val got = graft.sources.CdcRouter.stateAsOf(feed, Seq("k"),
+        Seq("seq"), cutoff = lit(4L))
+      .select(col("k"), col("v"))
+      .as[(String, Int)].collect().toMap
+    assert(got === Map("B" -> 20, "D" -> 40)) // A deleted, C unborn
+  }
+
+  test("state at cutoff=2 sees A's update; at cutoff=1 A's insert") {
+    def at(c: Long) = graft.sources.CdcRouter.stateAsOf(feed, Seq("k"),
+        Seq("seq"), cutoff = lit(c))
+      .select(col("k"), col("v")).as[(String, Int)].collect().toMap
+    assert(at(2L) === Map("A" -> 11, "B" -> 20, "D" -> 40))
+    assert(at(1L) === Map("A" -> 10)) // D's delete@1 tombstones it
+  }
+}
+
 class ShardingNullIdSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
