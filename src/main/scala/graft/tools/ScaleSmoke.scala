@@ -352,7 +352,30 @@ object ScaleSmoke {
       // v24: centroid gate — seed fixed (the query-set convention),
       // scoring is a shuffle-free corpus scan that must track it
       bench("v24", e1x, eNx, e => Similarity.centroidQuality(
-        e, e1x.filter(col("label") === 0), dims = 64, tau = 0.1)))
+        e, e1x.filter(col("label") === 0), dims = 64, tau = 0.1)),
+      // m11: decoded-audio near-dup — the WAV walk is map-side; tagged
+      // copies give distinct PCM envelopes, so the Hamming band join
+      // grows with payloads, never payloads²
+      bench("m11", dt1x, dtNx, d => graft.operators.Multimodal
+        .audioNearDup(graft.operators.Multimodal.withWavPayload(d))),
+      // m12: scene-change detection — one projection + one generator,
+      // zero shuffle; must track the payload scan exactly
+      bench("m12", d1x, dNx, d => graft.operators.Multimodal
+        .sceneChanges(graft.operators.Multimodal.withPayload(d), n = 8)),
+      // s12: seasonal decomposition — the event scan dominates; the
+      // window + seasonal legs run on the days×types reduction
+      // (constant across copies)
+      bench("s12", v1x, vNx,
+        v => Series.seasonalDecompose(v, "event_type", "ts")),
+      // d27: label propagation — per-round edge join + count + top-1
+      // over node-sized frames; tagged copies keep the edge list
+      // linear in copies (the d13 convention)
+      bench("d27", dt1x, dtNx, { d =>
+        val pairs = Dedup.nearDupPairs(d, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        graft.operators.Graph.labelPropagation(pairs, iters = 3,
+          srcCol = "doc_a", dstCol = "doc_b")
+      }))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)
