@@ -587,10 +587,10 @@ object Series {
     * toward zero while DuckDB's `//` floors.
     *
     * Scale shape: one partial-aggregatable groupBy reduces the event
-    * stream to (types × days) rows; the window, the seasonal re-agg
-    * and the final join all run on that tiny frame (the seasonal side
-    * is types × 7 rows — a guaranteed broadcast). At 100 TB the only
-    * full-data pass is the first count.
+    * stream to (types × days) rows; the trend window and the seasonal
+    * whole-partition window both run on that tiny frame in ONE
+    * pipeline (no join — see [[seasonalFromCounts]]). At 100 TB the
+    * only full-data pass is the first count.
     */
   def seasonalDecompose(events: DataFrame, typeCol: String, tsCol: String,
                         halfWindow: Int = 3): DataFrame =
@@ -614,15 +614,19 @@ object Series {
     require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
     val w = Window.partitionBy(col("typ")).orderBy(col("day"))
       .rowsBetween(-halfWindow, halfWindow)
-    val trended = daily
+    // the seasonal mean is a whole-partition WINDOW over (typ, wd),
+    // not a re-aggregation joined back: a groupBy+join formulation
+    // duplicates the entire daily lineage (Spark cannot reuse a
+    // self-joined subplan) and scans the event table TWICE — the
+    // window form is one scan, one pipeline
+    val ws = Window.partitionBy(col("typ"), col("wd"))
+    daily
       .withColumn("trend", floor(sum(col("ev_ct")).over(w)
         .cast(DoubleType) / count(lit(1)).over(w)).cast(LongType))
       .withColumn("detrended", col("ev_ct") - col("trend"))
       .withColumn("wd", (col("day") + 3) % 7)
-    val seasonal = trended.groupBy(col("typ"), col("wd"))
-      .agg(floor(sum(col("detrended")).cast(DoubleType) /
-        count(lit(1))).cast(LongType).as("seasonal"))
-    trended.join(seasonal, Seq("typ", "wd"))
+      .withColumn("seasonal", floor(sum(col("detrended")).over(ws)
+        .cast(DoubleType) / count(lit(1)).over(ws)).cast(LongType))
       .select(col("typ"), col("day"), col("wd"), col("ev_ct"), col("trend"),
         col("seasonal"),
         (col("detrended") - col("seasonal")).as("residual"))

@@ -177,13 +177,14 @@ object SeriesOps {
         |    (day + 3) % 7 AS wd
         |  FROM tr),
         |se AS (
-        |  SELECT typ, wd,
-        |    CAST(floor(CAST(SUM(detrended) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |  SELECT typ, day, wd, ev_ct, trend, detrended,
+        |    CAST(floor(CAST(SUM(detrended) OVER (PARTITION BY typ, wd)
+        |      AS DOUBLE) / COUNT(*) OVER (PARTITION BY typ, wd)) AS BIGINT)
         |      AS seasonal
-        |  FROM dt GROUP BY 1, 2)
-        |SELECT dt.typ, dt.day, dt.wd, dt.ev_ct, dt.trend, se.seasonal,
-        |  dt.detrended - se.seasonal AS residual
-        |FROM dt JOIN se USING (typ, wd)""".stripMargin,
+        |  FROM dt)
+        |SELECT typ, day, wd, ev_ct, trend, seasonal,
+        |  detrended - seasonal AS residual
+        |FROM se""".stripMargin,
 
     "s11_nearest_join" ->
       """WITH v AS (

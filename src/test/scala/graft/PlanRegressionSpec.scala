@@ -560,4 +560,29 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(2000))
     assert(!p.contains("Join"), p.take(2000))
   }
+
+  test("s12 decomposition is one scan, one pipeline — never a self-join") {
+    val p = plan("s12_seasonal")
+    // the seasonal leg is a whole-partition window, not a re-agg
+    // joined back: a join would duplicate the daily lineage and scan
+    // the event table twice
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    // count agg + trend window + seasonal window = 3 exchanges max
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 3, p.take(2000))
+  }
+
+  test("r7 time travel pushes the cutoff into the scan") {
+    val p = plan("r7_time_travel")
+    assert(p.contains("LessThanOrEqual(ts,"), p.take(2000))
+    // the latest read stays the keys-sized max-struct aggregate: one
+    // exchange, no per-key row_number sort of the full feed
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("m12 scene-change driver query plans with zero exchanges") {
+    val p = plan("m12_scene_change")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("Generate"), p.take(2000)) // the one posexplode
+  }
 }
