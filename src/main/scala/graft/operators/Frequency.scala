@@ -353,4 +353,54 @@ object Frequency {
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Vocabulary-growth (Heaps' law) curve: cumulative distinct-word
+    * count at `bins` evenly spaced corpus prefixes (by id order),
+    * beside the cumulative doc and token counts — the curve whose
+    * V ≈ K·nᵝ fit forecasts how a vocabulary-bound state (BPE
+    * training, inverted indexes, n-gram models) grows when the corpus
+    * does, i.e. the planning input for every "state ∝ vocabulary"
+    * scale claim in this repo.
+    *
+    * Exactness: a word's contribution to prefix k is decided by its
+    * FIRST-occurrence id (`min(id)` — order-independent), and bin
+    * edges are pure integer arithmetic `((max_id+1)·k) DIV bins − 1`,
+    * so every value replays engine-exact.
+    *
+    * Scale shape: one explode + min-agg reduces the corpus to one row
+    * per distinct word; the per-prefix counts are broadcast
+    * nested-loop joins of that reduction (and the doc-level token
+    * counts) against a bins-sized edge frame — ≤ bins-fold
+    * replication of already-reduced rows, never of text. At 100 TB
+    * the only full-data pass is the tokenize scan.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", bins: Int = 8): DataFrame = {
+    require(bins >= 1 && bins <= 64, s"bins must be in [1, 64], got $bins")
+    val d = docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+    val edges = broadcast(
+      d.agg(max(col("id")).as("mx"))
+        .select(explode(sequence(lit(1), lit(bins))).as("bin"), col("mx"))
+        .select(col("bin").cast("int").as("bin"),
+          (expr(s"((mx + 1) * bin) DIV $bins") - 1).as("id_le")))
+    val firstSeen = d
+      .select(col("id"),
+        explode(graft.functions.TextFunctions.tokenSet(col("text")))
+          .as("w"))
+      .groupBy(col("w")).agg(min(col("id")).as("first_id"))
+    val docToks = d.select(col("id"),
+      graft.functions.TextFunctions.nTokens(col("text")).cast("long")
+        .as("nt"))
+    val vocabCum = firstSeen.join(edges, col("first_id") <= col("id_le"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("vocab_cum"))
+    val tokCum = docToks.join(edges, col("id") <= col("id_le"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("docs_cum"),
+        sum(col("nt")).as("tokens_cum"))
+    edges.join(tokCum, Seq("bin"), "left").join(vocabCum, Seq("bin"), "left")
+      .select(col("bin"), col("id_le"),
+        coalesce(col("docs_cum"), lit(0L)).as("docs_cum"),
+        coalesce(col("tokens_cum"), lit(0L)).as("tokens_cum"),
+        coalesce(col("vocab_cum"), lit(0L)).as("vocab_cum"))
+  }
 }

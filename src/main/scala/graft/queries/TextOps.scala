@@ -152,6 +152,14 @@ object TextOps {
         docs(s, dir), "doc_id", "text", minCount = 5L, topK = 50)
     },
 
+    // ---- vocabulary-growth (Heaps' law) curve -----------------------------
+    // cumulative distinct words at 8 corpus prefixes — the planning
+    // input for every vocabulary-bound state (BPE, inverted indexes,
+    // n-gram models); first-occurrence ids make it order-independent
+    "t53_vocab_growth" -> { (s, dir) =>
+      graft.operators.Frequency.vocabGrowth(docs(s, dir), bins = 8)
+    },
+
     // ---- per-window exact heavy hitters (batch twin of the streaming
     // windowed MG sketch) ---------------------------------------------------
     // day windows over events, heavy users per day at > 1/50 of the
@@ -699,6 +707,37 @@ object TextOps {
     // counts exact; lift is the IDENTICAL left-to-right double
     // expression (cxy·N·N / (B·cx·cy)) on both engines, and the tie-
     // break is the bigram's bytewise string order
+    // first-occurrence min(doc_id) per distinct lowercase word;
+    // integer bin edges ((mx+1)*k)//8 - 1 on both engines
+    "t53_vocab_growth" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |mx AS (SELECT MAX(id) AS mx FROM d),
+         |edges AS (
+         |  SELECT CAST(g.k AS INT) AS bin,
+         |    ((mx + 1) * g.k) // 8 - 1 AS id_le
+         |  FROM mx CROSS JOIN generate_series(1, 8) AS g(k)),
+         |fs AS (
+         |  SELECT w, MIN(id) AS first_id FROM (
+         |    SELECT id, unnest(list_distinct(list_filter(
+         |      string_split(lower(text), ' '), x -> len(x) > 0))) AS w
+         |    FROM d) GROUP BY w),
+         |tc AS (
+         |  SELECT e.bin, COUNT(*) AS docs_cum,
+         |    CAST(SUM($sqlNTokens) AS BIGINT) AS tokens_cum
+         |  FROM edges e JOIN d ON d.id <= e.id_le GROUP BY 1),
+         |vc AS (
+         |  SELECT e.bin, COUNT(*) AS vocab_cum
+         |  FROM edges e JOIN fs ON fs.first_id <= e.id_le GROUP BY 1)
+         |SELECT e.bin, e.id_le,
+         |  COALESCE(tc.docs_cum, 0) AS docs_cum,
+         |  COALESCE(tc.tokens_cum, 0) AS tokens_cum,
+         |  COALESCE(vc.vocab_cum, 0) AS vocab_cum
+         |FROM edges e
+         |LEFT JOIN tc ON tc.bin = e.bin
+         |LEFT JOIN vc ON vc.bin = e.bin""".stripMargin,
+
     "t27_collocations" ->
       """WITH toks AS (
         |  SELECT doc_id,

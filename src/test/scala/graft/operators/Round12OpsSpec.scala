@@ -514,6 +514,39 @@ class StateAsOfSpec extends AnyFunSuite {
   }
 }
 
+class VocabGrowthSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cumulative vocab/doc/token counts match a hand fixture") {
+    // ids 0..3, bins=4 -> edges at id_le = 0,1,2,3
+    val docs = Seq(
+      (0L, "a b a"),        // vocab {a,b}, 3 tokens
+      (1L, "b c"),          // +{c}, 2 tokens
+      (2L, "a"),            // +{}, 1 token
+      (3L, "d d B"))        // +{d} (B lowercases to b), 3 tokens
+      .toDF("doc_id", "text")
+    val got = graft.operators.Frequency.vocabGrowth(docs, bins = 4)
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got === Map(
+      1 -> ((0L, 1L, 3L, 2L)),
+      2 -> ((1L, 2L, 5L, 3L)),
+      3 -> ((2L, 3L, 6L, 3L)),
+      4 -> ((3L, 4L, 9L, 4L))))
+  }
+
+  test("vocab is first-occurrence based: permuting ids permutes the curve") {
+    // same texts, reversed ids: word 'c' now first appears at id 2
+    val docs = Seq((3L, "a b a"), (2L, "b c"), (1L, "a"), (0L, "d d B"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Frequency.vocabGrowth(docs, bins = 4)
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(got === Map(1 -> 2L, 2 -> 3L, 3 -> 4L, 4 -> 4L))
+  }
+}
+
 class ShardingNullIdSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
