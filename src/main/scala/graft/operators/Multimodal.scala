@@ -686,6 +686,63 @@ object Multimodal {
       .filter(col("shared_frames") >= minShared)
   }
 
+  /** One dispatched-decode row: the container kind sniffed from the
+    * payload's magic number, the matching real decoder's output in a
+    * modality-unified shape (stat1/stat2 = the decoder's exact integer
+    * summary stats: total channel sum + maxval for rasters, signed
+    * sample sum + peak |amplitude| for PCM).
+    */
+  case class MediaRow(doc_id: Long, kind: String, ok: Boolean,
+      width: Int, height: Int, channels: Int, sample_rate: Int,
+      n_units: Long, stat1: Option[Long], stat2: Option[Long])
+
+  /** Magic-number decode DISPATCH — what a real ingest pipeline runs
+    * over a mixed blob column: sniff each payload's leading bytes
+    * (`P6` → PPM raster, `RIFF` → WAVE PCM, else unknown) and run the
+    * matching REAL parser ([[parsePpm]] / [[parseWav]]) in the same
+    * mapPartitions batch; a payload that *claims* a container but
+    * fails its parse keeps the sniffed kind with ok=false (the
+    * corrupt-file row a quality report needs), unknown magic is
+    * kind=unknown. One pass, per-partition decoder state, blobs never
+    * shuffle — only (id, small-struct) rows leave the scan task.
+    */
+  def decodeDispatch(df: DataFrame, idCol: String = "doc_id",
+                     payloadCol: String = "payload",
+                     batchSize: Int = 256): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    import df.sparkSession.implicits._
+    def m(b: Array[Byte], i: Int, c: Char) = b(i) == c.toByte
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .filter(col(idCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, b) =>
+            if (b != null && b.length >= 2 && m(b, 0, 'P') && m(b, 1, '6'))
+              parsePpm(b) match {
+                case Some((w, h, mv, sr, sg, sb)) =>
+                  MediaRow(id, "ppm", ok = true, w, h, 3, 0, w.toLong * h,
+                    Some(sr + sg + sb), Some(mv.toLong))
+                case None =>
+                  MediaRow(id, "ppm", ok = false, 0, 0, 0, 0, 0L, None, None)
+              }
+            else if (b != null && b.length >= 4 && m(b, 0, 'R') &&
+                m(b, 1, 'I') && m(b, 2, 'F') && m(b, 3, 'F'))
+              parseWav(b) match {
+                case Some((ch, rate, _, n, sum, peak)) =>
+                  MediaRow(id, "wav", ok = true, 0, 0, ch, rate, n,
+                    Some(sum), Some(peak))
+                case None =>
+                  MediaRow(id, "wav", ok = false, 0, 0, 0, 0, 0L, None, None)
+              }
+            else
+              MediaRow(id, "unknown", ok = false, 0, 0, 0, 0, 0L, None, None)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Scene-change detection WITHIN one video: sample `n` frames
     * ([[sampleFrames]]'s evenly-spaced offset model), hash each frame's
     * first `bytesPerFrame` bytes with the aHash recipe (bit j iff byte

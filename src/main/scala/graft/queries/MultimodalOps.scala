@@ -135,6 +135,24 @@ object MultimodalOps {
         blocks = 16, maxHamming = 3)
     },
 
+    // ---- magic-number decode DISPATCH over a MIXED blob column -----------
+    // doc_id % 3 routes each doc to a PPM payload, a WAV payload, or
+    // junk bytes (0x00-prefixed, guaranteed non-magic); the one-pass
+    // dispatcher sniffs the magic and runs the matching real parser.
+    // WAV-leg docs with text < 32 chars get a NULL payload -> unknown
+    "m13_decode_dispatch" -> { (s, dir) =>
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val ppm = Multimodal.withPpmPayload(d.filter(col("doc_id") % 3 === 0))
+      val wav = Multimodal.withWavPayload(d.filter(col("doc_id") % 3 === 1))
+      val raw = d.filter(col("doc_id") % 3 === 2)
+        .withColumn("payload",
+          concat(unhex(lit("00")), col("text").cast("binary")))
+      Multimodal.decodeDispatch(
+        ppm.select(col("doc_id"), col("payload"))
+          .unionByName(wav.select(col("doc_id"), col("payload")))
+          .unionByName(raw.select(col("doc_id"), col("payload"))))
+    },
+
     // ---- scene-change detection WITHIN a video ---------------------------
     // 8 sampled frames, 16-byte per-frame aHash, boundary where
     // consecutive hashes differ by > 4 bits — the shot-boundary
@@ -319,6 +337,61 @@ object MultimodalOps {
         |  CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ah, b.ah)) <= 3""".stripMargin,
+
+    // three construction replays unioned by the id-mod route: the m8
+    // raster math (stat1 = total channel sum, stat2 = maxval), the m9
+    // PCM math (stat1 = signed sample sum, stat2 = peak |amplitude|),
+    // and the unknown rows (junk leg + short-text WAV leg)
+    "m13_decode_dispatch" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, strlen(text) AS len FROM documents
+        |  WHERE text IS NOT NULL),
+        |pm AS (
+        |  SELECT doc_id, len, 1 + len % 7 AS w,
+        |    (len // 3) // (1 + len % 7) AS h
+        |  FROM base WHERE doc_id % 3 = 0),
+        |px AS (SELECT pm.doc_id, unnest(range(1, w * h * 3 + 1)) AS i
+        |       FROM pm),
+        |ps AS (
+        |  SELECT px.doc_id,
+        |    SUM(ord(substr(b.text, CAST(i AS INT), 1))) AS s
+        |  FROM px JOIN base b USING (doc_id) GROUP BY 1),
+        |ppm AS (
+        |  SELECT pm.doc_id, 'ppm' AS kind, TRUE AS ok,
+        |    CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |    CAST(3 AS INT) AS channels, CAST(0 AS INT) AS sample_rate,
+        |    CAST(w * h AS BIGINT) AS n_units,
+        |    CAST(COALESCE(ps.s, 0) AS BIGINT) AS stat1,
+        |    CAST(255 AS BIGINT) AS stat2
+        |  FROM pm LEFT JOIN ps USING (doc_id)),
+        |wi AS (
+        |  SELECT doc_id, unnest(range(0, 16)) AS i, text FROM base
+        |  WHERE doc_id % 3 = 1 AND len >= 32),
+        |wsv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+        |  FROM (SELECT doc_id,
+        |      ord(substr(text, CAST(2 * i + 1 AS INT), 1))
+        |        + 256 * ord(substr(text, CAST(2 * i + 2 AS INT), 1)) AS raw
+        |    FROM wi)),
+        |wav AS (
+        |  SELECT doc_id, 'wav' AS kind, TRUE AS ok,
+        |    CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+        |    CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
+        |    CAST(16 AS BIGINT) AS n_units,
+        |    CAST(SUM(v) AS BIGINT) AS stat1,
+        |    CAST(MAX(abs(v)) AS BIGINT) AS stat2
+        |  FROM wsv GROUP BY doc_id),
+        |unk AS (
+        |  SELECT doc_id, 'unknown' AS kind, FALSE AS ok,
+        |    CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+        |    CAST(0 AS INT) AS channels, CAST(0 AS INT) AS sample_rate,
+        |    CAST(0 AS BIGINT) AS n_units,
+        |    CAST(NULL AS BIGINT) AS stat1, CAST(NULL AS BIGINT) AS stat2
+        |  FROM base
+        |  WHERE doc_id % 3 = 2 OR (doc_id % 3 = 1 AND len < 32))
+        |SELECT * FROM ppm UNION ALL SELECT * FROM wav
+        |UNION ALL SELECT * FROM unk""".stripMargin,
 
     // construction math replay: frame f's byte j sits at 1-based
     // position (f*len)//8 + j + 1 (0 past the end); per-frame integer

@@ -547,6 +547,62 @@ class VocabGrowthSpec extends AnyFunSuite {
   }
 }
 
+class DecodeDispatchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(rows: (Long, Array[Byte])*)
+      : Map[Long, (String, Boolean)] =
+    Multimodal.decodeDispatch(rows.toDF("doc_id", "payload"))
+      .select(col("doc_id"), col("kind"), col("ok"))
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("magic sniffing routes each payload to the right parser") {
+    val ppm = ("P6 1 1 255\n" + "abc").getBytes("US-ASCII")
+    val junk = Array[Byte](0, 1, 2, 3)
+    val truncatedPpm = "P6 9 9 255\nxy".getBytes("US-ASCII") // claims 9x9
+    val fakeRiff = "RIFFxxxxJUNK".getBytes("US-ASCII") // magic, no WAVE
+    val got = run(1L -> ppm, 2L -> junk, 3L -> truncatedPpm, 4L -> fakeRiff)
+    assert(got(1L) === (("ppm", true)))
+    assert(got(2L) === (("unknown", false)))
+    assert(got(3L) === (("ppm", false)))   // sniffed kind kept, parse fails
+    assert(got(4L) === (("wav", false)))
+  }
+
+  test("dispatched stats equal the dedicated decoders' stats") {
+    val texts = Seq((10L, "abcdefghijklmnopqrstuvwxyzABCDEF"))
+      .toDF("doc_id", "text")
+    val wav = Multimodal.withWavPayload(texts)
+      .select(col("doc_id"), col("payload"))
+    val viaDispatch = Multimodal.decodeDispatch(wav)
+      .select(col("doc_id"), col("n_units"), col("stat1"), col("stat2"))
+      .as[(Long, Long, Long, Long)].collect().head
+    val viaDecoder = Multimodal.decodeWav(wav)
+      .select(col("doc_id"), col("n_samples"), col("sum_amp"),
+        col("peak_amp"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(viaDispatch === viaDecoder)
+  }
+
+  test("fuzz: arbitrary byte payloads never throw, always one row each") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 200L).map { i =>
+      val len = rnd.nextInt(64)
+      val b = new Array[Byte](len); rnd.nextBytes(b)
+      // force magic prefixes on a third of them to stress the parsers
+      if (i % 3 == 0 && len >= 2) { b(0) = 'P'; b(1) = '6' }
+      if (i % 3 == 1 && len >= 4) {
+        b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+      }
+      (i, b)
+    }
+    val out = Multimodal.decodeDispatch(rows.toDF("doc_id", "payload"))
+      .collect()
+    assert(out.length === 200)
+  }
+}
+
 class ShardingNullIdSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
