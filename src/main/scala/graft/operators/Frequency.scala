@@ -311,6 +311,99 @@ object Frequency {
         col("bits_sum").cast("double") / col("n_tokens"))
   }
 
+  /** Per-document TRIGRAM surprisal with backoff — [[bigramSurprisal]]
+    * upgraded to the train/score split a real LM filter runs: n-gram
+    * counts come from the TRAIN side only, every doc is scored against
+    * them, and tokens whose trigram (or bigram, or unigram) was never
+    * seen in training BACK OFF one level at a +1-bit penalty per level
+    * — a power-of-two Stupid Backoff (Brants et al. 2007 use factor
+    * 0.4; 0.5 = exactly one bit keeps every score an integer
+    * bit-length, the repo's engine-exactness discipline). OOV tokens
+    * score ⌊log₂ N⌋ (the count-1 ceiling) plus the full backoff
+    * penalty and are counted separately.
+    *
+    * Scoring against held-out counts is what makes backoff REAL: a
+    * corpus scored against its own counts never sees a zero (every
+    * occurrence counts itself — the t43 shape), so val-side docs here
+    * are where unseen trigrams, bigrams, and OOV words actually fire.
+    *
+    * Scale shape: one position-tagged explode; ONE tagged shuffle
+    * counts unigrams, bigrams and trigrams together off the train
+    * side (state bounded by observed grams); scoring is five
+    * equi-joins against those count tables plus a per-doc sum.
+    */
+  def backoffSurprisal(docs: DataFrame, idCol: String, toks: Column,
+                       isTrain: Column): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val tok = docs.select(col(idCol), isTrain.as("_tr"), toks.as("_w"))
+      .filter(size(col("_w")) >= 1)
+      .select(col(idCol), col("_tr"), explode(expr(
+        """transform(sequence(0, size(_w) - 1),
+          |  i -> struct(_w[i] AS term,
+          |              IF(i > 0, _w[i-1], CAST(NULL AS STRING)) AS prev,
+          |              IF(i > 1, _w[i-2], CAST(NULL AS STRING)) AS prev2))"""
+          .stripMargin)).as("p"))
+      .select(col(idCol), col("_tr"), col("p.term").as("term"),
+        col("p.prev").as("prev"), col("p.prev2").as("prev2"))
+    val nul = lit(null).cast(StringType)
+    val uniRow = struct(col("term").as("w1"), nul.as("w2"), nul.as("w3"))
+    val biRow = struct(col("prev").as("w1"), col("term").as("w2"),
+      nul.as("w3"))
+    val triRow = struct(col("prev2").as("w1"), col("prev").as("w2"),
+      col("term").as("w3"))
+    val counted = tok.filter(col("_tr"))
+      .select(explode(
+        when(col("prev2").isNotNull, array(uniRow, biRow, triRow))
+          .when(col("prev").isNotNull, array(uniRow, biRow))
+          .otherwise(array(uniRow))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("c"))
+    val uni = counted.filter(col("w2").isNull)
+      .select(col("w1").as("w"), col("c"))
+    val bi = counted.filter(col("w2").isNotNull && col("w3").isNull)
+    val tri = counted.filter(col("w3").isNotNull)
+    val total = broadcast(uni.agg(sum(col("c")).as("n_tok")))
+    tok
+      .join(uni.select(col("w").as("term"), col("c").as("c1t")),
+        Seq("term"), "left")
+      .join(uni.select(col("w").as("prev"), col("c").as("c1p")),
+        Seq("prev"), "left")
+      .join(bi.select(col("w1").as("prev"), col("w2").as("term"),
+        col("c").as("c2pt")), Seq("prev", "term"), "left")
+      .join(bi.select(col("w1").as("prev2"), col("w2").as("prev"),
+        col("c").as("c2ctx")), Seq("prev2", "prev"), "left")
+      .join(tri.select(col("w1").as("prev2"), col("w2").as("prev"),
+        col("w3").as("term"), col("c").as("c3")),
+        Seq("prev2", "prev", "term"), "left")
+      .crossJoin(total)
+      // a seen trigram implies its context bigram (c2ctx) was seen,
+      // and a seen bigram implies its left unigram (c1p) — quotients
+      // are always >= 1 where the branch fires
+      .withColumn("bits", expr(
+        """CASE
+          |  WHEN prev2 IS NOT NULL AND c3 IS NOT NULL
+          |    THEN length(bin(c2ctx DIV c3)) - 1
+          |  WHEN prev IS NOT NULL AND c2pt IS NOT NULL
+          |    THEN length(bin(c1p DIV c2pt)) - 1
+          |         + IF(prev2 IS NOT NULL, 1, 0)
+          |  WHEN c1t IS NOT NULL
+          |    THEN length(bin(n_tok DIV c1t)) - 1
+          |         + CASE WHEN prev2 IS NOT NULL THEN 2
+          |                WHEN prev IS NOT NULL THEN 1 ELSE 0 END
+          |  ELSE length(bin(n_tok)) - 1
+          |       + CASE WHEN prev2 IS NOT NULL THEN 2
+          |              WHEN prev IS NOT NULL THEN 1 ELSE 0 END
+          |END""".stripMargin))
+      .groupBy(col(idCol), col("_tr"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).cast("long").as("bits_sum"),
+        sum(when(col("c1t").isNull, 1L).otherwise(0L)).as("oov_ct"))
+      .withColumnRenamed("_tr", "is_train")
+      .withColumn("avg_surprisal",
+        col("bits_sum").cast("double") / col("n_tokens"))
+  }
+
   def collocations(docs: DataFrame, idCol: String, textCol: String,
                    minCount: Long = 5L, topK: Int = 50): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")

@@ -152,6 +152,17 @@ object TextOps {
         docs(s, dir), "doc_id", "text", minCount = 5L, topK = 50)
     },
 
+    // ---- trigram surprisal with backoff (train/score split) --------------
+    // counts from the t7 train split only; val docs are where unseen
+    // trigrams/bigrams/OOV actually fire (+1 bit per backoff level —
+    // power-of-two Stupid Backoff, engine-exact)
+    "t54_backoff_surprisal" -> { (s, dir) =>
+      graft.operators.Frequency.backoffSurprisal(
+        docs(s, dir), "doc_id", tokenize(lower(col("text"))),
+        isTrain = graft.functions.TextFunctions.stableSplit(col("doc_id"))
+          === "train")
+    },
+
     // ---- vocabulary-growth (Heaps' law) curve -----------------------------
     // cumulative distinct words at 8 corpus prefixes — the planning
     // input for every vocabulary-bound state (BPE, inverted indexes,
@@ -927,6 +938,63 @@ object TextOps {
 
     // conditional mirror: cx // cxy for tokens with a predecessor,
     // n_tok // ct for each doc's first token
+    // t43's machinery + a third gram level, counts restricted to the
+    // t7 train split, CASE ladder = the exact backoff rule (trigram →
+    // bigram +1 → unigram +2 → OOV ceiling +levels)
+    "t54_backoff_surprisal" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+        |      * 1000 < 900 * 65536 AS is_train,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, is_train, unnest(range(1, len(w) + 1)) AS i, w
+        |  FROM w WHERE len(w) >= 1),
+        |tr AS (
+        |  SELECT doc_id, is_train, w[CAST(i AS INT)] AS term,
+        |    CASE WHEN i > 1 THEN w[CAST(i - 1 AS INT)] END AS prev,
+        |    CASE WHEN i > 2 THEN w[CAST(i - 2 AS INT)] END AS prev2
+        |  FROM tok),
+        |c1 AS (SELECT term, COUNT(*) AS c FROM tr WHERE is_train GROUP BY 1),
+        |c2 AS (
+        |  SELECT prev, term, COUNT(*) AS c FROM tr
+        |  WHERE is_train AND prev IS NOT NULL GROUP BY 1, 2),
+        |c3 AS (
+        |  SELECT prev2, prev, term, COUNT(*) AS c FROM tr
+        |  WHERE is_train AND prev2 IS NOT NULL GROUP BY 1, 2, 3),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM c1),
+        |sc AS (
+        |  SELECT tr.doc_id, tr.is_train,
+        |    CASE
+        |      WHEN tr.prev2 IS NOT NULL AND g3.c IS NOT NULL
+        |        THEN length(bin(x2.c // g3.c)) - 1
+        |      WHEN tr.prev IS NOT NULL AND g2.c IS NOT NULL
+        |        THEN length(bin(p1.c // g2.c)) - 1
+        |             + CASE WHEN tr.prev2 IS NOT NULL THEN 1 ELSE 0 END
+        |      WHEN u.c IS NOT NULL
+        |        THEN length(bin(t.n_tok // u.c)) - 1
+        |             + CASE WHEN tr.prev2 IS NOT NULL THEN 2
+        |                    WHEN tr.prev IS NOT NULL THEN 1 ELSE 0 END
+        |      ELSE length(bin(t.n_tok)) - 1
+        |           + CASE WHEN tr.prev2 IS NOT NULL THEN 2
+        |                  WHEN tr.prev IS NOT NULL THEN 1 ELSE 0 END
+        |    END AS bits,
+        |    CASE WHEN u.c IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tr
+        |  LEFT JOIN c1 u ON u.term = tr.term
+        |  LEFT JOIN c1 p1 ON p1.term = tr.prev
+        |  LEFT JOIN c2 g2 ON g2.prev = tr.prev AND g2.term = tr.term
+        |  LEFT JOIN c2 x2 ON x2.prev = tr.prev2 AND x2.term = tr.prev
+        |  LEFT JOIN c3 g3 ON g3.prev2 = tr.prev2 AND g3.prev = tr.prev
+        |    AND g3.term = tr.term
+        |  CROSS JOIN t)
+        |SELECT doc_id, is_train, COUNT(*) AS n_tokens,
+        |  CAST(SUM(bits) AS BIGINT) AS bits_sum,
+        |  CAST(SUM(oov) AS BIGINT) AS oov_ct,
+        |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS avg_surprisal
+        |FROM sc GROUP BY 1, 2""".stripMargin,
+
     "t43_bigram_surprisal" ->
       """WITH w AS (
         |  SELECT doc_id,

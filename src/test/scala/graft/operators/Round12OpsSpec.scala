@@ -603,6 +603,44 @@ class DecodeDispatchSpec extends AnyFunSuite {
   }
 }
 
+class BackoffSurprisalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // train doc "a b c a b c": N=6; uni a/b/c=2; bi (a,b)=2 (b,c)=2
+  // (c,a)=1; tri (a,b,c)=2 (b,c,a)=1 (c,a,b)=1
+  private def run(valText: String) = {
+    val docs = Seq((0L, "a b c a b c"), (1L, valText))
+      .toDF("doc_id", "text")
+    graft.operators.Frequency.backoffSurprisal(docs, "doc_id",
+        graft.functions.TextFunctions.tokenize(lower(col("text"))),
+        isTrain = col("doc_id") === 0L)
+      .select(col("doc_id"), col("n_tokens"), col("bits_sum"),
+        col("oov_ct"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+  }
+
+  test("hand-traced backoff ladder on a val doc") {
+    // "a b c d b": a=⌊lg 6/2⌋=1; (a,b)=⌊lg 2/2⌋=0; (a,b,c)=⌊lg 2/2⌋=0;
+    // d: tri+bi miss, OOV → ⌊lg 6⌋+2 = 4; b after (c,d): tri+bi miss,
+    // uni b → ⌊lg 6/2⌋+2 = 3. Σ=8, oov=1
+    val got = run("a b c d b")
+    assert(got(1L) === ((5L, 8L, 1L)))
+    // the train doc against its own counts: 1,0,0,⌊lg 2/1⌋ wait —
+    // (b,c,a): c2ctx(b,c)=2, c3=1 → 1; (c,a,b): c2ctx(c,a)=1, c3=1 → 0;
+    // (a,b,c) → 0. Σ = 1+0+0+1+0+0 = 2
+    assert(got(0L) === ((6L, 2L, 0L)))
+  }
+
+  test("an unseen bigram backs off at exactly one bit") {
+    // "b a": b=1 bit; (b,a) unseen bigram (only (c,a) trains), uni
+    // a=2 → ⌊lg(6/2)⌋ + 1 = 2. Σ=3, oov=0
+    val got = run("b a")
+    assert(got(1L) === ((2L, 3L, 0L)))
+  }
+}
+
 class ShardingNullIdSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
