@@ -375,7 +375,24 @@ object ScaleSmoke {
           .select(col("doc_a"), col("doc_b"))
         graft.operators.Graph.labelPropagation(pairs, iters = 3,
           srcCol = "doc_a", dstCol = "doc_b")
-      }))
+      }),
+      // t53: vocab growth — tagged copies grow the vocabulary 10×,
+      // which is the min-agg reduction itself; the prefix joins are
+      // bins-sized broadcasts over it
+      bench("t53", dt1x, dtNx,
+        d => Frequency.vocabGrowth(d, bins = 8)),
+      // t54: backoff surprisal — tagged copies grow the observed
+      // uni/bi/trigram tables 10×; the one tagged count shuffle and
+      // the five scoring equi-joins must track that
+      bench("t54", dt1x, dtNx, d => Frequency.backoffSurprisal(
+        d, "doc_id", graft.functions.TextFunctions.tokenize(
+          lower(col("text"))),
+        isTrain = col("doc_id") % 2 === 0)),
+      // m13: decode dispatch — map-side sniff + parse, zero shuffle;
+      // must track the payload scan exactly
+      bench("m13", d1x, dNx, d => graft.operators.Multimodal
+        .decodeDispatch(graft.operators.Multimodal.withPpmPayload(d)
+          .select(col("doc_id"), col("payload")))))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)
