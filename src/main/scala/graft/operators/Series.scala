@@ -631,4 +631,34 @@ object Series {
         col("seasonal"),
         (col("detrended") - col("seasonal")).as("residual"))
   }
+
+  /** The alarm on top of [[seasonalDecompose]]: days whose residual —
+    * the volume left after trend AND weekly seasonality are removed —
+    * sits more than k×MAD from the per-type residual median. This is
+    * what closes the monitoring loop: a Friday spike every Friday is
+    * seasonal (s9's lesson), a ramp is trend, and what survives both
+    * is the thing worth paging on; s7's raw-value MAD gate would page
+    * on all three. Exact medians over the days-sized decomposition
+    * frame (whole-partition windows riding the decomposition's own
+    * typ partitioning — no extra exchange), integer k as a permille
+    * so the gate replays engine-exact.
+    */
+  def seasonalOutliers(events: DataFrame, typeCol: String, tsCol: String,
+                       halfWindow: Int = 3,
+                       kPermille: Long = 3000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kPermille > 0, s"kPermille must be positive, got $kPermille")
+    val part = Window.partitionBy(col("typ"))
+    seasonalDecompose(events, typeCol, tsCol, halfWindow)
+      .withColumn("med", expr("percentile(residual, 0.5)").over(part))
+      .withColumn("dev", abs(col("residual") - col("med")))
+      .withColumn("mad", expr("percentile(dev, 0.5)").over(part))
+      // integer-permille gate: dev and mad are exact (medians of
+      // integers are x.0 or x.5 — exact in double), so the comparison
+      // replays bit-for-bit
+      .filter(col("dev") * 1000 > lit(kPermille) * col("mad"))
+      .select(col("typ"), col("day"), col("ev_ct"), col("trend"),
+        col("seasonal"), col("residual"), col("med").as("resid_median"),
+        col("mad").as("resid_mad"))
+  }
 }

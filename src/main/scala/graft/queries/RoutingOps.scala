@@ -137,6 +137,21 @@ object RoutingOps {
         cutoff = lit("2024-01-15 00:00:00").cast("timestamp"))
     },
 
+    // ---- changelog compaction (nightly partition rewrite) -----------------
+    // one row per (user, epoch day): the day's LAST change, deletes
+    // kept as tombstones — replaying a day then costs |keys touched|,
+    // not |changes| (r5 is the serving read and drops deletes; a
+    // compacted PARTITION must keep them)
+    "r8_compaction" -> { (s, dir) =>
+      val rows = ev(s, dir)
+        .withColumn("op", CdcRouter.normalizeOp(opCol))
+        .select(col("user_id"), col("ts"), col("event_id"), col("op"),
+          col("event_type"), col("value"))
+      CdcRouter.compactChangelog(rows, keyCols = Seq("user_id"),
+        orderCols = Seq("ts", "event_id"),
+        bucket = expr("unix_millis(ts) DIV 86400000"), bucketName = "day")
+    },
+
     // ---- SCD2 dimension versioning ---------------------------------------
     // change rows → type-2 validity intervals: each row's valid_to is
     // the key's next change (null = current version), the layout q22's
@@ -227,6 +242,21 @@ object RoutingOps {
          |  FROM feed)
          |SELECT user_id, ts, event_id, op, event_type, value
          |FROM ranked WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+
+    "r8_compaction" ->
+      s"""WITH feed AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN op IN ('create','bootstrap-insert') THEN 'insert' ELSE op END AS op,
+         |    event_type, value,
+         |    epoch_ms(ts) // 86400000 AS day
+         |  FROM (SELECT *, $sqlOp AS op FROM events)
+         |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+         |    ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM feed)
+         |SELECT user_id, day, ts, event_id, op, event_type, value
+         |FROM ranked WHERE rn = 1""".stripMargin,
 
     "r7_time_travel" ->
       s"""WITH feed AS (

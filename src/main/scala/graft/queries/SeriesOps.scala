@@ -131,6 +131,17 @@ object SeriesOps {
     "s12_seasonal" -> { (s, dir) =>
       Series.seasonalDecompose(Tables.events(s, dir),
         typeCol = "event_type", tsCol = "ts", halfWindow = 3)
+    },
+
+    // the alarm on the decomposition: days whose residual exceeds
+    // 2×MAD of the per-type residuals — trend ramps and weekly spikes
+    // are already removed, so the flags are genuine volume anomalies
+    // (k=2.0 because the fixture's residuals are well-behaved; 3×MAD
+    // flags nothing at sf0.01, a dead gate the oracle can't certify)
+    "s13_residual_outliers" -> { (s, dir) =>
+      Series.seasonalOutliers(Tables.events(s, dir),
+        typeCol = "event_type", tsCol = "ts", halfWindow = 3,
+        kPermille = 2000L)
     })
 
   /** s8's lag-chain SQL, generated for the 16-term horizon: numerator
@@ -185,6 +196,48 @@ object SeriesOps {
         |SELECT typ, day, wd, ev_ct, trend, seasonal,
         |  detrended - seasonal AS residual
         |FROM se""".stripMargin,
+
+    // s12's pipeline + per-type residual median/MAD (quantile_cont ≡
+    // Spark's percentile on integer inputs: medians land on x.0/x.5,
+    // exact in double) + the integer-permille gate
+    "s13_residual_outliers" ->
+      """WITH daily AS (
+        |  SELECT event_type AS typ, epoch_ms(ts) // 86400000 AS day,
+        |    COUNT(*) AS ev_ct
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT typ, day, ev_ct,
+        |    CAST(floor(CAST(SUM(ev_ct) OVER w AS DOUBLE)
+        |      / COUNT(*) OVER w) AS BIGINT) AS trend
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY typ ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (
+        |  SELECT typ, day, ev_ct, trend, ev_ct - trend AS detrended,
+        |    (day + 3) % 7 AS wd
+        |  FROM tr),
+        |se AS (
+        |  SELECT typ, day, ev_ct, trend, detrended,
+        |    CAST(floor(CAST(SUM(detrended) OVER (PARTITION BY typ, wd)
+        |      AS DOUBLE) / COUNT(*) OVER (PARTITION BY typ, wd)) AS BIGINT)
+        |      AS seasonal
+        |  FROM dt),
+        |rs AS (
+        |  SELECT typ, day, ev_ct, trend, seasonal,
+        |    detrended - seasonal AS residual
+        |  FROM se),
+        |med AS (SELECT typ, quantile_cont(residual, 0.5) AS med
+        |        FROM rs GROUP BY typ),
+        |dv AS (
+        |  SELECT rs.*, med.med, abs(rs.residual - med.med) AS dev
+        |  FROM rs JOIN med USING (typ)),
+        |md AS (SELECT typ, quantile_cont(dev, 0.5) AS mad
+        |       FROM dv GROUP BY typ)
+        |SELECT dv.typ, dv.day, dv.ev_ct, dv.trend, dv.seasonal,
+        |  dv.residual, dv.med AS resid_median, md.mad AS resid_mad
+        |FROM dv JOIN md USING (typ)
+        |WHERE dv.dev * 1000 > 2000 * md.mad""".stripMargin,
 
     "s11_nearest_join" ->
       """WITH v AS (

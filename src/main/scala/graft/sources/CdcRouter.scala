@@ -157,6 +157,42 @@ object CdcRouter {
     latestState(rows.filter(col(orderCols.head) <= cutoff),
       keyCols, orderCols, opCol, deleteOp)
 
+  /** Changelog COMPACTION: one row per (key, bucket) — the key's last
+    * change within that bucket (same max-struct read as
+    * [[latestState]], keyed by (key, bucket)), with deletes KEPT as
+    * tombstone rows rather than filtered: a compacted partition must
+    * still tell its consumer "this key ended the day deleted", which
+    * the latest-state read (serving, not storage) rightly drops. This
+    * is the nightly partition-rewrite a CDC-fed lake runs so replaying
+    * a day costs |keys touched that day|, not |changes|.
+    *
+    * Scale shape: one partial-aggregatable max-struct groupBy on
+    * (key…, bucket) — the shuffle carries ≤ one row per key per
+    * bucket; at a date-partitioned 100 TB changelog each partition
+    * compacts independently (the bucket is in the grouping key, so
+    * partition-local input never crosses partitions).
+    *
+    * @param bucket the compaction granularity expression (e.g. the
+    *               epoch day of the change timestamp)
+    */
+  def compactChangelog(rows: DataFrame, keyCols: Seq[String],
+                       orderCols: Seq[String], bucket: Column,
+                       bucketName: String = "bucket",
+                       opCol: String = "op"): DataFrame = {
+    val payload = rows.columns.toSeq
+      .filterNot(keyCols.contains).filterNot(orderCols.contains)
+    val ordered = struct(
+      (orderCols.map(col) ++ (opCol +: payload.filterNot(_ == opCol))
+        .map(col)): _*)
+    rows
+      .filter(orderCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy((keyCols.map(col) :+ bucket.as(bucketName)): _*)
+      .agg(max(ordered).as("_last"))
+      .select(keyCols.map(col) ++ Seq(col(bucketName)) ++
+        (orderCols ++ Seq(opCol) ++ payload.filterNot(_ == opCol))
+          .map(c => col(s"_last.$c").as(c)): _*)
+  }
+
   /** Schema-drift observation — what a CDC consumer runs BEFORE the
     * upstream's ALTER TABLE breaks it: per (source table, payload
     * column), how many change rows carried the column, the first

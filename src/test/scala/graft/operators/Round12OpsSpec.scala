@@ -641,6 +641,89 @@ class BackoffSurprisalSpec extends AnyFunSuite {
   }
 }
 
+class CompactChangelogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("one row per (key, bucket): the bucket's last change, tombstones kept") {
+    // bucket = seq DIV 10
+    val feed = Seq(
+      ("A", 1L, "insert", 10), ("A", 2L, "update", 11), // bucket 0
+      ("A", 13L, "update", 12),                         // bucket 1
+      ("D", 1L, "delete", 0), ("D", 12L, "insert", 40)) // tombstone kept
+      .toDF("k", "seq", "op", "v")
+    val got = graft.sources.CdcRouter.compactChangelog(feed, Seq("k"),
+        Seq("seq"), bucket = expr("seq DIV 10"), bucketName = "day")
+      .select(col("k"), col("day"), col("seq"), col("op"), col("v"))
+      .as[(String, Long, Long, String, Int)].collect().toSet
+    assert(got === Set(
+      ("A", 0L, 2L, "update", 11),
+      ("A", 1L, 13L, "update", 12),
+      ("D", 0L, 1L, "delete", 0),   // the tombstone row r5 would drop
+      ("D", 1L, 12L, "insert", 40)))
+  }
+
+  test("replaying compacted buckets through latestState equals the full feed") {
+    val feed = Seq(
+      ("A", 1L, "insert", 10), ("A", 2L, "update", 11),
+      ("A", 13L, "delete", 0),
+      ("B", 3L, "insert", 20), ("B", 14L, "update", 21))
+      .toDF("k", "seq", "op", "v")
+    val compacted = graft.sources.CdcRouter.compactChangelog(feed,
+      Seq("k"), Seq("seq"), bucket = expr("seq DIV 10"))
+    def latest(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.CdcRouter.latestState(
+          df.select(col("k"), col("seq"), col("op"), col("v")),
+          Seq("k"), Seq("seq"))
+        .select(col("k"), col("v")).as[(String, Int)].collect().toMap
+    assert(latest(compacted) === latest(feed))
+    assert(latest(feed) === Map("B" -> 21)) // A ends deleted
+  }
+}
+
+class SeasonalOutliersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("flags exactly the days the plain-Scala replica flags") {
+    // the SeasonalDecomposeSpec counts plus one injected anomaly day
+    val counts: Seq[Long] =
+      Seq(10, 12, 11, 10, 30, 31, 9, 10, 12, 200, 10, 30, 31, 9)
+        .map(_.toLong)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0L until c).map(k => ("click", new java.sql.Timestamp(
+        d * 86400000L + 43200000L + k)))
+    }
+    val got = graft.operators.Series.seasonalOutliers(
+        rows.toDF("event_type", "ts"), "event_type", "ts",
+        kPermille = 2000L)
+      .select(col("day")).as[Long].collect().toSet
+
+    // replica: decomposition + median/MAD gate
+    val n = counts.length
+    val trend = (0 until n).map { i =>
+      val win = counts.slice(math.max(0, i - 3), math.min(n - 1, i + 3) + 1)
+      math.floor(win.sum.toDouble / win.length).toLong
+    }
+    val det = counts.zip(trend).map { case (c, t) => c - t }
+    val seas = (0 until n).groupBy(i => (i + 3) % 7).map { case (wd, is) =>
+      wd -> math.floor(is.map(det).sum.toDouble / is.length).toLong
+    }
+    val resid = (0 until n).map(i => (det(i) - seas((i + 3) % 7)).toDouble)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val med = median(resid)
+    val mad = median(resid.map(r => math.abs(r - med)))
+    val want = (0 until n).filter(i =>
+      math.abs(resid(i) - med) * 1000 > 2000 * mad).map(_.toLong).toSet
+    assert(got === want)
+    assert(got.contains(9L)) // the injected 200-count day must alarm
+  }
+}
+
 class ShardingNullIdSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
