@@ -130,6 +130,54 @@ object Dedup {
     * Distinct (a < b) so each pair appears once however many bands
     * collide.
     */
+  /** One (bands, rowsPerBand) candidate with its S-curve quality:
+    * `fn` = the miss mass above the threshold (pairs LSH should catch
+    * but won't), `fp` = the candidate mass below it (pairs LSH wastes
+    * a verify on), both as the integral of |P(s) − step_t(s)| over the
+    * respective side of the unit interval, where
+    * P(s) = 1 − (1 − s^r)^b is the classic banding catch probability.
+    */
+  case class LshPlan(bands: Int, rowsPerBand: Int,
+                     fn: Double, fp: Double) {
+    def cost(fnWeight: Double): Double = fnWeight * fn + fp
+  }
+
+  /** Choose (bands, rowsPerBand) for a Jaccard threshold — the
+    * planning step every LSH deployment runs before the d2 pipeline:
+    * enumerate every (b, r) with b·r ≤ `maxSignature` (signature width
+    * is the storage/shuffle budget — 8 here costs 8 md5s per doc) and
+    * pick the curve minimizing `fnWeight·fn + fp`, misses weighted
+    * heavier than wasted verifies because a missed duplicate ships to
+    * training while a false candidate only costs one array intersect.
+    * Deterministic (stable ordering on ties: fewer rows first, then
+    * more bands); the d12 calibration row is the empirical check that
+    * the analytic curve matches this corpus.
+    */
+  def lshPlan(threshold: Double, maxSignature: Int = 8,
+              fnWeight: Double = 4.0): LshPlan = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0, 1), got $threshold")
+    require(maxSignature >= 1, s"maxSignature must be >= 1")
+    val grid = 1000
+    val plans = for {
+      r <- 1 to maxSignature
+      b <- 1 to (maxSignature / r)
+    } yield {
+      var fn = 0.0
+      var fp = 0.0
+      var i = 0
+      while (i < grid) {
+        val s = (i + 0.5) / grid
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s >= threshold) fn += (1.0 - p) / grid
+        else fp += p / grid
+        i += 1
+      }
+      LshPlan(b, r, fn, fp)
+    }
+    plans.sortBy(p => (p.cost(fnWeight), p.rowsPerBand, -p.bands)).head
+  }
+
   /** Candidate pairs from an ALREADY-COMPUTED signature frame (the
     * [[signatures]] output) — for consumers that also read the
     * signatures themselves (the d12 calibration eval): one shingle +

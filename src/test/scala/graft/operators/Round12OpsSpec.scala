@@ -724,6 +724,33 @@ class SeasonalOutliersSpec extends AnyFunSuite {
   }
 }
 
+class LshPlanSpec extends AnyFunSuite {
+
+  test("threshold 0.5 at width 8 picks the flatter (b=4, r=2) curve") {
+    // the deployed d2 config (b=2, r=4) has its S-curve midpoint at
+    // (1/b)^(1/r) ≈ 0.84 — it under-recalls at 0.5 and leans on the
+    // d3 verify; the planner's (4, 2) midpoint ≈ 0.5 catches 3.3×
+    // more of the above-threshold mass for ~2.3× the verify load
+    val p = graft.operators.Dedup.lshPlan(threshold = 0.5,
+      maxSignature = 8)
+    assert((p.bands, p.rowsPerBand) === ((4, 2)))
+    assert(p.fn < 0.05 && p.fp < 0.2)
+  }
+
+  test("higher thresholds pick steeper curves (more rows per band)") {
+    val lo = graft.operators.Dedup.lshPlan(0.2, maxSignature = 16)
+    val hi = graft.operators.Dedup.lshPlan(0.9, maxSignature = 16)
+    assert(hi.rowsPerBand > lo.rowsPerBand)
+  }
+
+  test("a wider signature budget never yields a worse plan") {
+    val w = 4.0
+    val small = graft.operators.Dedup.lshPlan(0.5, maxSignature = 4, w)
+    val big = graft.operators.Dedup.lshPlan(0.5, maxSignature = 16, w)
+    assert(big.cost(w) <= small.cost(w))
+  }
+}
+
 class ShardingNullIdSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
