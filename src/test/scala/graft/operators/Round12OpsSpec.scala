@@ -749,6 +749,22 @@ class LshPlanSpec extends AnyFunSuite {
     val big = graft.operators.Dedup.lshPlan(0.5, maxSignature = 16, w)
     assert(big.cost(w) <= small.cost(w))
   }
+
+  test("empirical: the planner's curve recalls at least as many true pairs") {
+    // the analytic claim checked on real data — the planner's (4, 2)
+    // banding must catch >= the 0.5-threshold pairs the deployed
+    // steeper (2, 4) curve catches on the sf0.001 corpus
+    val spark = TestSpark.spark
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def caught(b: Int, r: Int): Long =
+      graft.operators.Dedup.nearDupPairs(docs, threshold = 0.5,
+        bands = b, rowsPerBand = r).count()
+    val p = graft.operators.Dedup.lshPlan(0.5, maxSignature = 8)
+    val planned = caught(p.bands, p.rowsPerBand)
+    val deployed = caught(2, 4)
+    assert(planned >= deployed, s"planned $planned < deployed $deployed")
+    assert(planned > 0L)
+  }
 }
 
 class ShardingNullIdSpec extends AnyFunSuite {
