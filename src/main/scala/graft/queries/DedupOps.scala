@@ -345,6 +345,30 @@ object DedupOps {
         pairs = Some(neardupPairs05(s, dir)))
     },
 
+    // the lshPlan sweep MEASURED: for every (b, r) banding of the
+    // staged 8-hash signatures, candidate volume and recall against
+    // the EXACT >= 0.5 pair set (d26's lossless prefix-filter join —
+    // not LSH-limited) — the data the planner's analytic S-curve
+    // integral predicts; one summary row per config
+    "d29_lsh_plan_sweep" -> { (s, dir) =>
+      val sig = signaturesIdx(s, dir)
+      val truth = Dedup.prefixFilterPairs(docs(s, dir), tauPermille = 500)
+        .select(col("doc_a"), col("doc_b"))
+      val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
+      Seq((1, 8), (2, 4), (4, 2), (8, 1)).map { case (b, r) =>
+        val cand = Dedup.candidatePairsFromSignatures(sig,
+          bands = b, rowsPerBand = r)
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val nCaught = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_caught"))
+        nCand.crossJoin(nCaught).crossJoin(nTrue)
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("n_candidates"), col("n_true"), col("n_caught"),
+            when(col("n_true") > 0, col("n_caught").cast("double") /
+              col("n_true").cast("double")).as("recall"))
+      }.reduce(_.unionByName(_))
+    },
+
     // d18's REPAIR: leaked val docs move to train (one row per doc,
     // the split column of record) — audit and fix from the same
     // staged pair artifact
@@ -560,6 +584,51 @@ object DedupOps {
        |SELECT node, lbl AS label FROM l3""".stripMargin
   }
 
+  /** d29: every (b, r) banding of the 8-hash signatures, candidates +
+    * recall against the exact ≥0.5 pair truth — band keys replay
+    * Spark's md5(concat_ws("|", h…)) exactly.
+    */
+  private lazy val sqlLshSweep: String = {
+    def bandsFor(b: Int, r: Int): String =
+      (0 until b).map { k =>
+        val cols = (0 until r).map(i => s"h${k * r + i}")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $k AS band, md5($cols) AS key FROM sigs"
+      }.mkString("\nUNION ALL\n")
+    def cfg(b: Int, r: Int): String =
+      s"""bd${b}_$r AS (
+         |${bandsFor(b, r)}),
+         |cd${b}_$r AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bd${b}_$r a JOIN bd${b}_$r b
+         |    ON a.band = b.band AND a.key = b.key
+         |      AND a.doc_id < b.doc_id),
+         |sm${b}_$r AS (
+         |  SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cd${b}_$r)
+         |      AS n_candidates,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_true,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tp
+         |       JOIN cd${b}_$r c
+         |       ON c.doc_a = tp.doc_a AND c.doc_b = tp.doc_b) AS n_caught)"""
+        .stripMargin
+    val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+    s"""WITH shingled AS (${sqlShingles("documents")}),
+       |sigs AS ($sqlSigs),
+       |tp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) * 1000
+       |    >= 500 * len(list_distinct(a.sh || b.sh))),
+       |${configs.map { case (b, r) => cfg(b, r) }.mkString(",\n")}
+       |${configs.map { case (b, r) =>
+            s"""SELECT bands, rows_per_band, n_candidates, n_true, n_caught,
+               |  CASE WHEN n_true > 0
+               |    THEN CAST(n_caught AS DOUBLE) / n_true END AS recall
+               |FROM sm${b}_$r""".stripMargin
+          }.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** d24: exact containment pairs + capped pair sets at each cap value,
     * one summary row per cap. The capped sets re-derive sizes AND
     * shared counts over the df≤cap shingle space, mirroring the staged
@@ -609,6 +678,7 @@ object DedupOps {
   def oracle: Map[String, String] = Map(
     "d13_pagerank" -> sqlPagerank,
     "d27_label_prop" -> sqlLabelProp,
+    "d29_lsh_plan_sweep" -> sqlLshSweep,
     "d24_containment_recall" -> sqlContainmentRecall,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
