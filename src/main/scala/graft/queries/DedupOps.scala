@@ -63,6 +63,18 @@ object DedupOps {
       "minhash-sigs|h=8|n=3", graft.core.Artifacts.fingerprint(dir))(
       Dedup.signatures(docs(s, dir)))
 
+  /** The EXACT ≥0.5 Jaccard pair set (d26's lossless prefix-filter
+    * join) staged as the eval-truth artifact — d29's four banding
+    * recalls all measure against this one table instead of each
+    * cold run re-paying the exact join (the d24 truth-table
+    * discipline). d26 itself stays the honest-lineage build.
+    */
+  private def exactPairsIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      "exact-pairs|tau=500|n=3", graft.core.Artifacts.fingerprint(dir))(
+      Dedup.prefixFilterPairs(docs(s, dir), tauPermille = 500)
+        .select(col("doc_a"), col("doc_b")))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -352,8 +364,7 @@ object DedupOps {
     // integral predicts; one summary row per config
     "d29_lsh_plan_sweep" -> { (s, dir) =>
       val sig = signaturesIdx(s, dir)
-      val truth = Dedup.prefixFilterPairs(docs(s, dir), tauPermille = 500)
-        .select(col("doc_a"), col("doc_b"))
+      val truth = exactPairsIdx(s, dir)
       val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
       Seq((1, 8), (2, 4), (4, 2), (8, 1)).map { case (b, r) =>
         val cand = Dedup.candidatePairsFromSignatures(sig,
