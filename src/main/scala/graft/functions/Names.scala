@@ -20,7 +20,7 @@ object Names {
     else {
       val parts = rest.split("_")
       lead + (parts.head +: parts.tail.map(p =>
-        if (p.isEmpty) p else p.head.toUpper + p.tail)).mkString
+        if (p.isEmpty) p else s"${p.head.toUpper}${p.tail}")).mkString
     }
   }
 
@@ -29,9 +29,9 @@ object Names {
 
   /** Rename every column of a frame snake_case → camelCase. */
   def camelized(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(snakeToCamel): _*)
+    df.toDF(df.columns.toIndexedSeq.map(snakeToCamel): _*)
 
   /** Rename every column of a frame camelCase → snake_case. */
   def snaked(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(camelToSnake): _*)
+    df.toDF(df.columns.toIndexedSeq.map(camelToSnake): _*)
 }

@@ -377,7 +377,7 @@ object Similarity {
       selected = selected.unionByName(
         top1(maxSim,
           lit(lambda) * col("rel") - lit(1.0 - lambda) * col("_msim"),
-          step).select(selected.columns.map(col): _*))
+          step).select(selected.columns.toIndexedSeq.map(col): _*))
     }
     selected.select(col("q_id"), col("step"), col("n_id"), col("score"))
   }

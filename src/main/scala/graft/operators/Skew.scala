@@ -44,7 +44,7 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salt: Int, saltOn: Option[Column] = None): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
-    val fp = saltOn.getOrElse(struct(left.columns.map(col): _*))
+    val fp = saltOn.getOrElse(struct(left.columns.toIndexedSeq.map(col): _*))
     val l = left.withColumn("_salt",
       pmod(xxhash64(fp), lit(salt.toLong)))
     val r = right.withColumn("_salt",

@@ -102,7 +102,7 @@ object Temporal {
     val l = left.withColumn("_carry",
         lit(null).cast(r.schema("_carry").dataType))
       .withColumn("_side", lit(1))
-      .select(r.columns.map(col) ++
+      .select(r.columns.toIndexedSeq.map(col) ++
         leftCols.filterNot(c => c == keyL || c == leftTs).map(col): _*)
     // right rows sort before left at equal ts ⇒ an equal-ts right is
     // in the BACKWARD frame with gap 0 — which also implements the
@@ -118,7 +118,7 @@ object Temporal {
       unix_micros(prevC.getField("_rts").cast("timestamp"))
     val gapNext = unix_micros(nextC.getField("_rts").cast("timestamp")) -
       unix_micros(col(leftTs).cast("timestamp"))
-    l.unionByName(r.select(r.columns.map(col): _*), allowMissingColumns = true)
+    l.unionByName(r.select(r.columns.toIndexedSeq.map(col): _*), allowMissingColumns = true)
       .withColumn("_prev", last(col("_carry"), ignoreNulls = true).over(wPrev))
       .withColumn("_next", first(col("_carry"), ignoreNulls = true).over(wNext))
       .filter(col("_side") === 1)
@@ -162,14 +162,14 @@ object Temporal {
     val l = left.withColumn("_carry",
         lit(null).cast(r.schema("_carry").dataType))
       .withColumn("_side", lit(1))
-      .select(r.columns.map(col) ++
+      .select(r.columns.toIndexedSeq.map(col) ++
         leftCols.filterNot(c => c == keyL || c == leftTs).map(col): _*)
     // right rows sort before left rows at the same timestamp, so an
     // equal-ts right row IS visible to the left row ("at or before")
     val w = Window.partitionBy(col(keyL))
       .orderBy(col(leftTs), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r.select(r.columns.map(col): _*), allowMissingColumns = true)
+    l.unionByName(r.select(r.columns.toIndexedSeq.map(col): _*), allowMissingColumns = true)
       .withColumn("_asof", last(col("_carry"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(leftCols.map(col) :+ col("_asof"): _*)

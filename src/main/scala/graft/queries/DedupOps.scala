@@ -50,7 +50,7 @@ object DedupOps {
         sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
           .filter(col("_df") <= maxDf).select("shingle"),
         "shingle")
-        .select(sh.columns.map(col): _*)
+        .select(sh.columns.toIndexedSeq.map(col): _*)
     }
 
   private def srcShinglesIdx(s: SparkSession, dir: String): DataFrame =

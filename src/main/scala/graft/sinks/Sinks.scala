@@ -22,7 +22,7 @@ object Sinks {
     */
   def toKafkaRecords(df: DataFrame, topicCol: String): DataFrame =
     df.select(col(topicCol).as("topic"),
-      to_json(struct(df.columns.filterNot(_ == topicCol).map(col): _*))
+      to_json(struct(df.columns.toIndexedSeq.filterNot(_ == topicCol).map(col): _*))
         .as("value"))
 
   /** Idempotent MERGE-by-pk upsert of `batch` into `baseDir/table`:
