@@ -527,7 +527,14 @@ object TextOps {
     * serves per-doc (n_words, bpe_tokens) via the word-multiplicity
     * join — exactly docTokenCounts' shape.
     */
-  /** t52's mirror: BPE TRAINING unrolled to `m` literal SQL stages.
+  /** t52's mirror: BPE TRAINING unrolled to `m` literal SQL stages,
+    * including Bpe.train's minCount early stop: each argmax stage is
+    * filtered `WHERE pct >= 2`, so an exhausted round yields an empty
+    * b-row, the union omits that rank, and the COALESCE(chr(1))
+    * sentinel keeps replace() a no-op (chr(1) never occurs in the
+    * space-framed state) — state is frozen exactly like the operator's
+    * `done` flag. pct is cast to BIGINT (DuckDB SUM returns HUGEINT,
+    * which pandas would widen to float64 and break the dtype hash).
     * Stage r: pair counts over state s{r} (double-space seam split →
     * adjacent pairs weighted by word count), argmax b{r} with the
     * (pct DESC, a, b) total tie-break, and the next state via
@@ -544,19 +551,19 @@ object TextOps {
     val stages = (0 until m).map { r =>
       val pair =
         s"""p$r AS MATERIALIZED (
-           |  SELECT t[i] AS a, t[i+1] AS b, SUM(ct) AS pct
+           |  SELECT t[i] AS a, t[i+1] AS b, SUM(ct)::BIGINT AS pct
            |  FROM (SELECT ct, t, unnest(range(1, len(t))) AS i
            |        FROM (SELECT ct, string_split(trim(s), '  ') AS t FROM s$r))
            |  GROUP BY 1, 2),
-           |b$r AS MATERIALIZED (SELECT a, b, pct FROM p$r ORDER BY pct DESC, a, b LIMIT 1)""".stripMargin
+           |b$r AS MATERIALIZED (SELECT a, b, pct FROM p$r WHERE pct >= 2 ORDER BY pct DESC, a, b LIMIT 1)""".stripMargin
       val next =
         if (r == m - 1) ""
         else
           s""",
              |s${r + 1} AS MATERIALIZED (
              |  SELECT ct, replace(s,
-             |    (SELECT ' ' || a || '  ' || b || ' ' FROM b$r),
-             |    (SELECT ' ' || a || b || ' ' FROM b$r)) AS s
+             |    COALESCE((SELECT ' ' || a || '  ' || b || ' ' FROM b$r), chr(1)),
+             |    COALESCE((SELECT ' ' || a || b || ' ' FROM b$r), chr(1))) AS s
              |  FROM s$r)""".stripMargin
       pair + next
     }.mkString(",\n")

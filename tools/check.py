@@ -69,6 +69,26 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # HUGEINT guard (VERDICT r12 item 2): DuckDB SUM(BIGINT) returns
+    # HUGEINT, which pandas widens to float64 while Spark emits int64 —
+    # the driver's dtype-sensitive hash then mismatches on values that
+    # are identical (the t52/q35 class). DESCRIBE every oracle and fail
+    # on any HUGEINT/UHUGEINT output column so the class can't recur;
+    # authors must cast (`SUM(x)::BIGINT AS ...`).
+    for name, sql in sorted(oracle.items()):
+        try:
+            types = con.execute(f"DESCRIBE {sql}").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: describe error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        huge = [(r["column_name"], r["column_type"])
+                for _, r in types.iterrows()
+                if "HUGEINT" in str(r["column_type"]).upper()]
+        if huge:
+            print(f"FAIL {name}: uncast HUGEINT output column(s) {huge} — "
+                  "cast to BIGINT in the oracle SQL")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         try:
             ocols, orows = canon(con, sql)
