@@ -92,7 +92,21 @@ object Bench {
         } else cold
       (coldFinal, warm)
     }
-    val results = names.map(n => (n, measure(n)))
+    // Family-interleaved sweep order: the alphabetical sweep ran the
+    // JIT-hungriest families (t*, v*) entirely at the tail, where
+    // accumulated code-cache/JIT pressure drifted ~15 tail-alphabet
+    // queries +0.1–0.45 s between rounds 11→12 despite the per-query
+    // warmup. Round-robin across family prefixes (d, m, q, r, s, t, v,
+    // …) spreads every family across the sweep so position effects
+    // land uniformly instead of on whichever family sorts last.
+    // Deterministic: families sorted, names sorted within family, i-th
+    // of each family in turn — no RNG, replays identically every round.
+    val byFamily = names.groupBy(_.takeWhile(!_.isDigit))
+      .toSeq.sortBy(_._1).map(_._2.sorted)
+    val sweepOrder = (0 until byFamily.map(_.size).max)
+      .flatMap(i => byFamily.flatMap(_.lift(i)))
+    val resultsByName = sweepOrder.map(n => (n, measure(n))).toMap
+    val results = names.map(n => (n, resultsByName(n)))
     def jmap(f: ((String, (Double, Double))) => Double): String =
       results.map { case r @ (k, _) => "\"" + k + "\":" + f(r) }
         .mkString("{", ",", "}")

@@ -336,27 +336,74 @@ object Dedup {
   def prefixFilterPairs(docs: DataFrame, tauPermille: Long,
                         idCol: String = "doc_id", textCol: String = "text",
                         n: Int = 3): DataFrame = {
+    val sr = shingleRows(docs, idCol, textCol, n).persist()
+    prefixFilterPairsFrom(sr,
+      sr.groupBy(col("shingle")).agg(count(lit(1)).as("df")),
+      docs, tauPermille, idCol, textCol, n)
+  }
+
+  /** [[prefixFilterPairs]] served from PRE-STAGED frames — the d15
+    * staged-artifact recipe: `sr` is the (id, shingle) inverted index
+    * and `dfreq` its (shingle, df) document-frequency table, both
+    * normally parquet-backed [[graft.core.Artifacts]] tables built once
+    * per corpus version, so a cold run of the exact join pays two small
+    * parquet scans instead of re-shingling the corpus (the round-12
+    * verdict's d26 cost driver). The self-joined prefix frame is still
+    * persisted here — it is query-internal fan-in, not a reusable
+    * artifact.
+    */
+  def prefixFilterPairsFrom(sr: DataFrame, dfreq: DataFrame,
+                            docs: DataFrame, tauPermille: Long,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            n: Int = 3): DataFrame =
+    pairsFromPrefixIndex(
+      prefixIndex(sr, dfreq, tauPermille, idCol).persist(),
+      docs, tauPermille, idCol, textCol, n)
+
+  /** The PREFIX INDEX — the table AllPairs/PPJoin systems materialize:
+    * each doc's shingles ranked rarest-first (df asc, shingle asc —
+    * one global canonical order) and cut to the prefix
+    * p = |X| − ⌈t·|X|⌉ + 1, carrying the doc's shingle-set size.
+    * Depends only on (corpus version, n, τ), so it stages as an
+    * [[graft.core.Artifacts]] table like the capped inverted index:
+    * built once per corpus release, served read-only by every exact
+    * similarity-join run.
+    *
+    * rank + size in one pass over the df-joined rows; prefix length
+    * with ceil in integer arithmetic so the cut replays bit-exactly
+    * cross-engine.
+    */
+  def prefixIndex(sr: DataFrame, dfreq: DataFrame, tauPermille: Long,
+                  idCol: String = "doc_id"): DataFrame = {
     require(tauPermille > 0 && tauPermille <= 1000,
       s"tauPermille must be in (0, 1000], got $tauPermille")
-    val sr = shingleRows(docs, idCol, textCol, n).persist()
-    val dfreq = sr.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))
     val szW = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    // rank + size in one pass over the df-joined rows; prefix length
-    // p = n − ceil(t·n) + 1 with ceil in integer arithmetic
-    // persist both fan-in frames: pref feeds the self-join twice and
-    // cand feeds verify + the final size join — without the cache the
-    // df-join + window lineage replays once per consumer (measured
-    // 10-25 s → ~1 s at sf0.1; same CacheManager lifecycle note as
-    // nearDupPairs above)
-    val pref = sr.join(dfreq, "shingle")
+    sr.join(dfreq, "shingle")
       .withColumn("rnk", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(szW))
       .filter(col("rnk") <=
         expr(s"n_sh - (n_sh * $tauPermille + 999) DIV 1000 + 1"))
       .select(col(idCol), col("shingle"), col("n_sh"))
-      .persist()
+  }
+
+  /** The exact-join QUERY leg over a served [[prefixIndex]]: prefix
+    * equi-join → length filter → PPJoin per-pair intersection verify.
+    * `pref` is normally a parquet-backed staged artifact (its two
+    * consumers below are then two cheap file scans — no persist
+    * needed); callers building it inline should persist it first
+    * (the df-join + double-window lineage otherwise replays per
+    * consumer — measured 10-25 s → ~1 s at sf0.1).
+    */
+  def pairsFromPrefixIndex(pref: DataFrame, docs: DataFrame,
+                           tauPermille: Long,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           n: Int = 3): DataFrame = {
+    require(tauPermille > 0 && tauPermille <= 1000,
+      s"tauPermille must be in (0, 1000], got $tauPermille")
     val cand = pref.select(col(idCol).as("doc_a"), col("shingle"),
         col("n_sh").as("n_a"))
       .join(pref.select(col(idCol).as("doc_b"), col("shingle"),

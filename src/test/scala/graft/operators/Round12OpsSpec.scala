@@ -71,6 +71,27 @@ class PrefixFilterSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 2L)))
   }
+
+  test("staged-frame path (From / prefixIndex split) equals inline") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("red", "blue", "green", "cyan", "teal", "pink")
+    val docs = ((1L to 15L).map { i =>
+      (i, Vector.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (300L, "red blue green cyan teal pink red blue green cyan"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val inline = pairs(Dedup.prefixFilterPairs(docs, tauPermille = 400))
+    // the d15 staged recipe: sr + dfreq handed in from "artifact" frames
+    val sr = Dedup.shingleRows(docs)
+    val dfreq = sr.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    assert(pairs(Dedup.prefixFilterPairsFrom(
+      sr, dfreq, docs, tauPermille = 400)) === inline)
+    // the 100 TB split: a materialized prefix index served to the query
+    val pref = Dedup.prefixIndex(sr, dfreq, tauPermille = 400)
+    assert(pairs(Dedup.pairsFromPrefixIndex(
+      pref, docs, tauPermille = 400)) === inline)
+  }
 }
 
 class NearestJoinSpec extends AnyFunSuite {
