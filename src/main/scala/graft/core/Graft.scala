@@ -49,6 +49,20 @@ object Graft {
   /** Order-independent exact sum of a money column, surfaced as double. */
   def moneySum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
 
+  /** FLOOR division of a BIGINT SQL expression by a positive constant
+    * — all integer arithmetic, total over the full long range. Spark's
+    * `DIV` truncates toward zero while DuckDB's `//` floors, so a
+    * plain `epoch DIV 86400000` day bucket diverges cross-engine for
+    * pre-1970 timestamps (negative epochs); `(e − pmod(e, d)) DIV d`
+    * floors on both (pmod is the non-negative remainder), with no
+    * double rounding anywhere. Every epoch→bucket site routes through
+    * this.
+    */
+  def floorDivExpr(e: String, d: Long): Column = {
+    require(d > 0, s"divisor must be positive, got $d")
+    expr(s"(($e) - pmod(($e), ${d}L)) DIV ${d}L")
+  }
+
   /** Castability guard: NaN/±Infinity AND finite values outside
     * DECIMAL(18,2)'s range (|x| ≥ 10¹⁶) → null BEFORE any decimal
     * cast. Under Spark 4's ANSI default the cast ABORTS on both

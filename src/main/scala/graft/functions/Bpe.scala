@@ -66,7 +66,15 @@ object Bpe {
   /** Greedy BPE of one word: code points → repeat{merge leftmost
     * lowest-rank adjacent pair} → token list.
     */
-  def encode(word: String): Vector[String] = {
+  def encode(word: String): Vector[String] = encodeWith(rank)(word)
+
+  /** [[encode]] against an ARBITRARY rank table — the serve side of
+    * [[train]]: a trained merges table (collected once, model-sized)
+    * becomes the rank map and every word encodes against that frozen
+    * tokenizer version, exactly how a production `merges.txt` ships.
+    */
+  def encodeWith(ranks: Map[(String, String), Int])
+                (word: String): Vector[String] = {
     var t = {
       val b = Vector.newBuilder[String]
       var i = 0
@@ -83,7 +91,7 @@ object Bpe {
       var bi = -1
       var i = 0
       while (i < t.length - 1) {
-        rank.get((t(i), t(i + 1))) match {
+        ranks.get((t(i), t(i + 1))) match {
           case Some(r) if r < best => best = r; bi = i
           case _ =>
         }
@@ -189,12 +197,47 @@ object Bpe {
     * one vocabulary-sized UDF pass, one broadcast join back.
     */
   def docTokenCounts(docs: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text"): DataFrame =
+    docTokenCountsBy(docs, countUdf, idCol, textCol)
+
+  /** [[docTokenCounts]] against a TRAINED merges list ([[train]]
+    * output, rank order) — the serve leg of train-once/score-forever:
+    * the merges are a staged model artifact (nMerges rows — collect
+    * once at job setup, broadcast in the UDF closure), and per-doc
+    * counts are a pure function of (doc, tokenizer version), so the
+    * same call scores a batch corpus or each micro-batch of a stream
+    * with zero train/serve skew.
+    */
+  def docTokenCountsWith(docs: DataFrame,
+                         trained: Seq[(String, String)],
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val ranks = trained.zipWithIndex.toMap
+    val u = udf((w: String) =>
+      if (w == null) 0 else encodeWith(ranks)(w).length)
+    docTokenCountsBy(docs, u, idCol, textCol)
+  }
+
+  /** Collect a [[train]] result into the rank-ordered merges list the
+    * encode side consumes — model-sized (one row per learned merge).
+    */
+  def mergesOf(trained: DataFrame): Vector[(String, String)] =
+    trained.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .orderBy(col("merge_rank"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .toVector
+
+  private def docTokenCountsBy(
+      docs: DataFrame,
+      lenUdf: org.apache.spark.sql.expressions.UserDefinedFunction,
+      idCol: String, textCol: String): DataFrame = {
     val wc = docs
       .select(col(idCol), explode(tokenize(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("ct"))
-    val vocab = vocabLengths(wc.select("word"))
+    val vocab = wc.select("word").distinct()
+      .withColumn("bpe_len", lenUdf(col("word")).cast("long"))
     val agg = wc.join(broadcast(vocab), "word")
       .groupBy(col(idCol))
       .agg(sum(col("ct")).as("n_words"),

@@ -667,6 +667,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
   }
 
+  /** Hamming-band CANDIDATE pairs at an arbitrary band count — the
+    * measurable knob behind [[hammingBandPairs]]: split the `bits`-bit
+    * signature into `bands` equal slices and emit every distinct
+    * id-pair sharing at least one slice value. With bands > h the join
+    * is pigeonhole-exact for Hamming ≤ h (what [[hammingBandPairs]]
+    * runs, bands = h+1); with bands ≤ h it can miss pairs — the
+    * recall/candidate-volume trade a banding sweep (d30) measures per
+    * config against the exact truth, exactly as d29 does for MinHash
+    * bandings. Candidates only (no popcount verify, distinct applied):
+    * the sweep's n_candidates is the cost a production run would pay
+    * in verify work at that config.
+    */
+  def hammingBandCandidates(sigs: DataFrame, idCol: String, sigCol: String,
+                            bits: Int, bands: Int,
+                            maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    require(bands >= 1 && bits % bands == 0,
+      s"bands must divide $bits, got $bands")
+    val width = bits / bands
+    val named = sigs.select(col(idCol), col(sigCol).as("simhash"))
+    val banded0 = named.select(col(idCol),
+      explode(array((0 until bands).map(j => struct(
+        lit(j).as("b"),
+        shiftright(col("simhash"), j * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("v"))): _*)).as("bk"))
+      .select(col(idCol), col("bk.b").as("b"), col("bk.v").as("v"))
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else banded0.join(
+        banded0.groupBy(col("b"), col("v"))
+          .agg(count(lit(1)).as("_ct")).filter(col("_ct") <= maxBucket)
+          .select("b", "v"),
+        Seq("b", "v"))
+    banded.select(col("b"), col("v"), col(idCol).as("doc_a"))
+      .join(banded.select(col("b"), col("v"), col(idCol).as("doc_b")),
+        Seq("b", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
   /** The KMV sketch state: the ≤ k smallest DISTINCT hashes seen, as a
     * bounded sorted vector. reduce/merge keep the bound, so only k
     * longs per group cross each partial-aggregation boundary — a true

@@ -332,7 +332,8 @@ object Series {
     val e = events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
       graft.core.Graft.finite(col(valueCol)).isNotNull)
     e.groupBy(col(keyCol),
-        ((expr(s"unix_millis($tsCol) DIV 86400000") + 3) % 7).as("wd"))
+        ((graft.core.Graft.floorDivExpr(s"unix_millis($tsCol)", 86400000L)
+          + 3) % 7).as("wd"))
       .agg(count(lit(1)).as("ev_ct"),
         graft.core.Graft.moneySum(col(valueCol)).as("val_sum"))
       .withColumn("val_mean", col("val_sum") / col("ev_ct"))
@@ -364,7 +365,9 @@ object Series {
                         typeCol: String): DataFrame =
     driftFromCounts(events
       .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
-      .groupBy(expr(s"unix_millis($tsCol) DIV 86400000").as("day"),
+      .groupBy(
+        graft.core.Graft.floorDivExpr(s"unix_millis($tsCol)", 86400000L)
+          .as("day"),
         col(typeCol).as("typ"))
       .agg(count(lit(1)).as("n")))
 
@@ -596,8 +599,13 @@ object Series {
                         halfWindow: Int = 3): DataFrame =
     seasonalFromCounts(events
       .filter(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      // FLOOR day bucket, same hazard as the means below: Spark DIV
+      // truncates toward zero, DuckDB `//` floors — a pre-1970
+      // timestamp would land on different days (all-integer floor
+      // division via Graft.floorDivExpr, total over the long range).
       .groupBy(col(typeCol).as("typ"),
-        expr(s"unix_millis($tsCol) DIV 86400000").as("day"))
+        graft.core.Graft.floorDivExpr(s"unix_millis($tsCol)", 86400000L)
+          .as("day"))
       .agg(count(lit(1)).as("ev_ct")), halfWindow)
 
   /** The counts→decomposition finisher: [[seasonalDecompose]] from an

@@ -89,6 +89,23 @@ object DedupOps {
         docs(s, dir), tauPermille = 500)
         .select(col("doc_a"), col("doc_b")))
 
+  /** The 48-bit SimHash signature table and the exact Hamming ≤ 3 pair
+    * truth it implies, both staged — the d29 discipline applied to the
+    * SimHash family: the truth build is the 4-band pigeonhole-EXACT
+    * join (oracle-proven lossless by d22 every round, not LSH-limited),
+    * so d30's banding recalls measure real misses.
+    */
+  private def simhash48Idx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      "simhash-48", graft.core.Artifacts.fingerprint(dir))(
+      Dedup.simhash48(docs(s, dir)))
+
+  private def hammingTruthIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      "simhash-pairs|h=3|bits=48", graft.core.Artifacts.fingerprint(dir))(
+      Dedup.hammingBandPairs(simhash48Idx(s, dir), "doc_id", "simhash",
+        bits = 48, maxHamming = 3).select(col("doc_a"), col("doc_b")))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -325,7 +342,9 @@ object DedupOps {
       val ev = Tables.events(s, dir)
         .filter(col("ts").isNotNull && col("user_id").isNotNull)
       Dedup.kmvDistinct(
-        ev.select(expr("unix_millis(ts) DIV 86400000").as("day"),
+        ev.select(
+          graft.core.Graft.floorDivExpr("unix_millis(ts)", 86400000L)
+            .as("day"),
           col("user_id").cast("string").as("uid")),
         groupCol = "day", valueCol = "uid", k = 64)
     },
@@ -406,6 +425,31 @@ object DedupOps {
       }.reduce(_.unionByName(_))
     },
 
+    // the SimHash twin of d29: for every band count over the staged
+    // 48-bit signatures, candidate volume and recall against the
+    // EXACT Hamming <= 3 truth (the 4-band pigeonhole join — lossless
+    // by construction, oracle-proven by d22). bands > 3 must show
+    // recall 1.0 with candidate volume growing in the band count;
+    // bands <= 3 show the measured miss rate — the table a deployment
+    // reads to pick its band count.
+    "d30_hamming_band_sweep" -> { (s, dir) =>
+      val sig = simhash48Idx(s, dir)
+      val truth = hammingTruthIdx(s, dir)
+      val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
+      Seq(1, 2, 3, 4, 6, 8).map { b =>
+        val cand = Dedup.hammingBandCandidates(sig, "doc_id", "simhash",
+          bits = 48, bands = b)
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val nCaught = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_caught"))
+        nCand.crossJoin(nCaught).crossJoin(nTrue)
+          .select(lit(b).as("bands"), lit(48 / b).as("band_bits"),
+            col("n_candidates"), col("n_true"), col("n_caught"),
+            when(col("n_true") > 0, col("n_caught").cast("double") /
+              col("n_true").cast("double")).as("recall"))
+      }.reduce(_.unionByName(_))
+    },
+
     // d18's REPAIR: leaked val docs move to train (one row per doc,
     // the split column of record) — audit and fix from the same
     // staged pair artifact
@@ -423,12 +467,15 @@ object DedupOps {
     "d17_kmv_rollup" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .filter(col("ts").isNotNull && col("user_id").isNotNull)
-        .select(expr("unix_millis(ts) DIV 86400000").as("day"),
+        .select(
+          graft.core.Graft.floorDivExpr("unix_millis(ts)", 86400000L)
+            .as("day"),
           col("user_id").cast("string").as("uid"))
       val daily = Dedup.kmvSketches(ev, groupCol = "day",
         valueCol = "uid", k = 64)
       Dedup.kmvMerge(
-        daily.withColumn("week", expr("day DIV 7")), "week", k = 64)
+        daily.withColumn("week",
+          graft.core.Graft.floorDivExpr("day", 7L)), "week", k = 64)
     },
 
     // centrality over the near-dup graph: integer-deterministic
@@ -666,6 +713,68 @@ object DedupOps {
           }.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** d30: every band count over the 48-bit simhashes, candidates +
+    * recall against the exact Hamming ≤ 3 truth (computed via the
+    * 4-band pigeonhole join + popcount — lossless, so `truth` is the
+    * real pair set, not an LSH-limited one). Mirrors d22's signature
+    * CTEs bit-for-bit; every count cast to BIGINT.
+    */
+  private lazy val sqlHammingSweep: String = {
+    val votes = (0 until 48)
+      .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS v$j")
+      .mkString(",\n  ")
+    val bits = (0 until 48)
+      .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val configs = Seq(1, 2, 3, 4, 6, 8)
+    def bandCtes(k: Int): String = {
+      val w = 48 / k
+      val mask = (1L << w) - 1
+      s"""bb$k AS (
+         |  SELECT doc_id, j AS b, (sig >> (${w} * j)) & $mask AS v
+         |  FROM s CROSS JOIN
+         |    (SELECT unnest([${(0 until k).mkString(", ")}]) AS j) bands),
+         |cc$k AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bb$k a JOIN bb$k b2
+         |    ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id)"""
+        .stripMargin
+    }
+    def summary(k: Int): String =
+      s"""ss$k AS (
+         |  SELECT CAST($k AS INT) AS bands, CAST(${48 / k} AS INT)
+         |      AS band_bits,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cc$k) AS n_candidates,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t JOIN cc$k c
+         |       ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_caught)"""
+        .stripMargin
+    s"""WITH wx AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_filter(
+       |      string_split(lower(text), ' '), x -> len(x) > 0))) AS w
+       |  FROM documents),
+       |hv AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
+       |  FROM wx),
+       |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id),
+       |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM votes),
+       |${configs.map(bandCtes).mkString(",\n")},
+       |truth AS (
+       |  SELECT c.doc_a, c.doc_b FROM cc4 c
+       |  JOIN s sa ON sa.doc_id = c.doc_a
+       |  JOIN s sb ON sb.doc_id = c.doc_b
+       |  WHERE bit_count(xor(sa.sig, sb.sig)) <= 3),
+       |${configs.map(summary).mkString(",\n")}
+       |${configs.map { k =>
+            s"""SELECT bands, band_bits, n_candidates, n_true, n_caught,
+               |  CASE WHEN n_true > 0
+               |    THEN CAST(n_caught AS DOUBLE) / n_true END AS recall
+               |FROM ss$k""".stripMargin
+          }.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** d24: exact containment pairs + capped pair sets at each cap value,
     * one summary row per cap. The capped sets re-derive sizes AND
     * shared counts over the df≤cap shingle space, mirroring the staged
@@ -716,6 +825,7 @@ object DedupOps {
     "d13_pagerank" -> sqlPagerank,
     "d27_label_prop" -> sqlLabelProp,
     "d29_lsh_plan_sweep" -> sqlLshSweep,
+    "d30_hamming_band_sweep" -> sqlHammingSweep,
     "d24_containment_recall" -> sqlContainmentRecall,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,

@@ -206,7 +206,8 @@ object Relational {
         col("event_id"),
         to_date(col("ts")).as("create_date"),
         hour(col("ts")).as("create_hour"),
-        expr("unix_micros(ts) DIV 1000").as("create_ts"))
+        graft.core.Graft.floorDivExpr("unix_micros(ts)", 1000L)
+          .as("create_ts"))
     },
 
     // ---- A1 union: VisitorStats fed by a union of derived streams --------
@@ -248,7 +249,8 @@ object Relational {
     // input row; stt converts back to a timestamp only on the final
     // ~1k ranked rows
     "q19_window_topn" -> { (s, dir) =>
-      val wk = expr("unix_date(CAST(l_shipdate AS DATE)) DIV 7")
+      val wk = graft.core.Graft.floorDivExpr(
+        "unix_date(CAST(l_shipdate AS DATE))", 7L)
       // repartition on wk ONLY: HashPartitioning(wk) satisfies both the
       // (wk, sku) aggregate's clustering AND the rank window's (wk)
       // distribution, so one exchange of the raw rows serves the whole
@@ -288,8 +290,8 @@ object Relational {
         .filter(col("ts").isNotNull && col("user_id").isNotNull)
         .select(col("event_id"),
           col("user_id").bitwiseAND(lit(65535L)).as("u16"),
-          expr("unix_micros(ts) DIV 86400000000").bitwiseAND(lit(65535L))
-            .as("d16"))
+          graft.core.Graft.floorDivExpr("unix_micros(ts)", 86400000000L)
+            .bitwiseAND(lit(65535L)).as("d16"))
       e.select(col("event_id"), col("u16"), col("d16"),
         graft.operators.Layout.zvalue(16, col("u16"), col("d16")).as("z"))
     },

@@ -149,7 +149,8 @@ object RoutingOps {
           col("event_type"), col("value"))
       CdcRouter.compactChangelog(rows, keyCols = Seq("user_id"),
         orderCols = Seq("ts", "event_id"),
-        bucket = expr("unix_millis(ts) DIV 86400000"), bucketName = "day")
+        bucket = graft.core.Graft.floorDivExpr("unix_millis(ts)", 86400000L),
+        bucketName = "day")
     },
 
     // ---- SCD2 dimension versioning ---------------------------------------

@@ -180,7 +180,9 @@ object TextOps {
       val e = graft.core.Tables.events(s, dir)
         .filter(col("ts").isNotNull) // symmetric with the oracle's WHERE
       graft.operators.Frequency.windowedHeavyHitters(
-        e.select(expr("unix_millis(ts) DIV 86400000").as("day"),
+        e.select(
+          graft.core.Graft.floorDivExpr("unix_millis(ts)", 86400000L)
+            .as("day"),
           col("user_id").cast("string").as("user_id")),
         windowCol = col("day") * 86400000L,
         valueCol = "user_id", k = 64, num = 1L, den = 50L)

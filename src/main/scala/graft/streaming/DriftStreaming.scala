@@ -35,7 +35,9 @@ object DriftStreaming {
                  typeCol: String, path: String, batchId: Long): Unit =
     Sinks.mergeAgg(spark,
       batch.filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
-        .groupBy(expr(s"unix_millis($tsCol) DIV 86400000").as("day"),
+        .groupBy(
+          graft.core.Graft.floorDivExpr(s"unix_millis($tsCol)", 86400000L)
+            .as("day"),
           col(typeCol).as("typ"))
         .agg(count(lit(1)).as("n")),
       path, keyCols = Seq("day", "typ"), sumCols = Seq("n"),

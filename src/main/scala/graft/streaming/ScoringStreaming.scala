@@ -71,4 +71,25 @@ object ScoringStreaming {
         unseenW))
       ()
     }
+
+  /** Count BPE tokens of a document stream against a FROZEN trained
+    * merges list ([[graft.functions.Bpe.train]] →
+    * [[graft.functions.Bpe.mergesOf]], staged per tokenizer version
+    * like the NB/DSIR models above). `onBatch` receives
+    * `(id, n_words, bpe_tokens)` rows per micro-batch — stateless per
+    * doc (the whole feature bag rides the row), so stream counts equal
+    * the batch op under any slicing and any idempotent sink gives
+    * exactly-once. A tokenizer version bump = swap the staged merges
+    * between restarts.
+    */
+  def bpeCountStream(stream: DataFrame, merges: Seq[(String, String)],
+                     onBatch: (Long, DataFrame) => Unit,
+                     idCol: String = "doc_id", textCol: String = "text")
+      : DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(batchId,
+        graft.functions.Bpe.docTokenCountsWith(batch, merges, idCol,
+          textCol))
+      ()
+    }
 }

@@ -403,7 +403,8 @@ object Warehouse {
         // the windowed sink (restart-spec-pinned)
         graft.sinks.Sinks.mergeAgg(spark,
           batch.select(
-              expr("unix_millis(w.start) DIV 86400000").as("day"),
+              graft.core.Graft.floorDivExpr("unix_millis(w.start)",
+                86400000L).as("day"),
               col("province_id").as("typ"), col("order_count").as("n"))
             .groupBy(col("day"), col("typ")).agg(sum(col("n")).as("n")),
           out("province_mix_drift"), keyCols = Seq("day", "typ"),

@@ -392,7 +392,28 @@ object ScaleSmoke {
       // must track the payload scan exactly
       bench("m13", d1x, dNx, d => graft.operators.Multimodal
         .decodeDispatch(graft.operators.Multimodal.withPpmPayload(d)
-          .select(col("doc_id"), col("payload")))))
+          .select(col("doc_id"), col("payload")))),
+      // d29 (sweep leg): MinHash candidates at all four bandings over
+      // freshly-built signatures — the tagged fixture keeps shingles
+      // disjoint so band buckets don't accumulate cross-copy pairs;
+      // each banding's equi-join must grow with docs, never docs²
+      bench("d29", dt1x, dtNx, { d =>
+        val sig = Dedup.signatures(d)
+        Seq((1, 8), (2, 4), (4, 2), (8, 1)).map { case (b, r) =>
+          Dedup.candidatePairsFromSignatures(sig, bands = b,
+            rowsPerBand = r).select(col("doc_a"))
+        }.reduce(_.unionByName(_))
+      }),
+      // d30 (sweep leg): SimHash candidates at every band count —
+      // tagged copies give distinct signatures, so each of the six
+      // band joins grows with docs (band count is constant)
+      bench("d30", dt1x, dtNx, { d =>
+        val sig = Dedup.simhash48(d)
+        Seq(1, 2, 3, 4, 6, 8).map(b =>
+          Dedup.hammingBandCandidates(sig, "doc_id", "simhash",
+            bits = 48, bands = b).select(col("doc_a")))
+          .reduce(_.unionByName(_))
+      }))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)

@@ -168,6 +168,34 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.hammingBandPairs(sigs, "doc_id", "sig", bits = 64, maxHamming = 3))
   }
+
+  test("hammingBandCandidates: pigeonhole guarantee and measured miss") {
+    // 8-bit signatures, pairs at known Hamming distances
+    val sigs = Seq(
+      (1L, 0xF0L),            // 1111 0000
+      (2L, 0xF1L),            // hamming(1,2) = 1
+      (3L, 0x0FL),            // hamming(1,3) = 8
+      (4L, 0xC3L))            // hamming(1,4) = 4 (2 per 4-bit half)
+      .toDF("doc_id", "sig")
+    def cand(bands: Int): Set[(Long, Long)] =
+      Dedup.hammingBandCandidates(sigs, "doc_id", "sig",
+          bits = 8, bands = bands)
+        .as[(Long, Long)].collect().toSet
+    // bands=2 (width 4): catches hamming<=1 by pigeonhole — (1,2)
+    // shares the high nibble; (1,4) differs in BOTH nibbles -> missed
+    val two = cand(2)
+    assert(two.contains((1L, 2L)))
+    assert(!two.contains((1L, 4L)), "both bands differ -> no candidate")
+    // bands=4 (width 2): (1,4)'s diffs are 1 bit per nibble but 2 of
+    // the 4 two-bit bands still agree -> candidate appears
+    assert(cand(4).contains((1L, 4L)))
+    // bands=1: whole-signature equality only
+    assert(cand(1) === Set.empty)
+    // bands must divide bits
+    intercept[IllegalArgumentException](
+      Dedup.hammingBandCandidates(sigs, "doc_id", "sig", bits = 8,
+        bands = 3))
+  }
 }
 
 class PpmDecodeSpec extends AnyFunSuite {

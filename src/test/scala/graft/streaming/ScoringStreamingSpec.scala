@@ -85,4 +85,40 @@ class ScoringStreamingSpec extends AnyFunSuite {
     } finally q.stop()
     assert(got.toSet === batchScores)
   }
+
+  test("BPE stream counts equal the batch op for a TRAINED tokenizer") {
+    import graft.functions.Bpe
+    // train a tokenizer on the corpus itself (t52's operator), then
+    // freeze its merges and serve them — the production economics
+    val corpus = Seq(
+      (1L, "lower lowest low low lower"),
+      (2L, "newer newest new new newer"),
+      (3L, "low new lower newer"),
+      (4L, ""))
+    val merges = Bpe.mergesOf(
+      Bpe.train(corpus.toDF("doc_id", "text"), nMerges = 6))
+    assert(merges.nonEmpty && merges.size <= 6)
+    val batchCounts = Bpe.docTokenCountsWith(
+        corpus.toDF("doc_id", "text"), merges)
+      .as[(Long, Long, Long)].collect().toSet
+    // the trained tokenizer must actually compress: fewer BPE tokens
+    // than characters for the repetitive words
+    assert(batchCounts.exists { case (_, nw, bt) => nw > 0 && bt < nw * 3 })
+    assert(batchCounts.contains((4L, 0L, 0L)), "empty doc scores zero")
+
+    for (slices <- Seq(Seq(corpus), corpus.grouped(1).toSeq,
+        corpus.grouped(3).toSeq)) {
+      implicit val sq = spark.sqlContext
+      val got = scala.collection.mutable.Set[(Long, Long, Long)]()
+      val input = MemoryStream[(Long, String)]
+      val q = ScoringStreaming.bpeCountStream(
+          input.toDF().toDF("doc_id", "text"), merges,
+          (_, df) => got ++= df.as[(Long, Long, Long)].collect())
+        .start()
+      try {
+        slices.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      } finally q.stop()
+      assert(got.toSet === batchCounts, s"slicing=${slices.size} batches")
+    }
+  }
 }
