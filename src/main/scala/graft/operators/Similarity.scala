@@ -276,10 +276,6 @@ object Similarity {
                        centroids: DataFrame, k: Int, nprobe: Int,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
-    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    import org.apache.spark.sql.expressions.Window
-    val cc = broadcast(centroids.select(col(idCol).as("c_id"),
-      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_nrm")))
     val c = corpus
       .select(col(idCol), col(vecCol).as("n_vec"),
         norm(col(vecCol)).as("n_nrm"))
@@ -287,9 +283,29 @@ object Similarity {
         .select(col(idCol), col("cell").as("n_cell")), Seq(idCol))
       .select(col(idCol).as("n_id"), col("n_vec"), col("n_nrm"),
         col("n_cell"))
-    // query side is broadcast-sized: a rank window over its |Q|×k
-    // centroid cosines is cheap; ties break to the lowest centroid id,
-    // matching assignCells
+    val q = broadcast(probeCells(queries, centroids, nprobe, idCol,
+      vecCol))
+    // a corpus vector lives in exactly one cell and probe cells are
+    // distinct, so no candidate surfaces twice
+    rank(q.join(c, col("q_cell") === col("n_cell") &&
+      col("q_id") =!= col("n_id")), k)
+  }
+
+  /** The per-query probe set behind [[ivfMultiprobeKnn]], exposed so
+    * an nprobe SWEEP (v25) can price each config's candidate volume
+    * from the same ranking the search runs: one row per (query,
+    * probe cell) — (q_id, q_vec, q_nrm, q_cell), the query's `nprobe`
+    * highest-cosine centroids, ties to the lowest centroid id
+    * (matching [[assignCells]]). Query-side only and broadcast-sized:
+    * |Q|×|centroids| cosines, never a corpus touch.
+    */
+  def probeCells(queries: DataFrame, centroids: DataFrame, nprobe: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    import org.apache.spark.sql.expressions.Window
+    val cc = broadcast(centroids.select(col(idCol).as("c_id"),
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_nrm")))
     val scoredQ = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         norm(col(vecCol)).as("q_nrm"))
@@ -300,14 +316,10 @@ object Similarity {
         col("c_id"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("ccos").desc, col("c_id"))
-    val q = broadcast(scoredQ.withColumn("_r", row_number().over(w))
+    scoredQ.withColumn("_r", row_number().over(w))
       .filter(col("_r") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("q_nrm"),
-        col("c_id").as("q_cell")))
-    // a corpus vector lives in exactly one cell and probe cells are
-    // distinct, so no candidate surfaces twice
-    rank(q.join(c, col("q_cell") === col("n_cell") &&
-      col("q_id") =!= col("n_id")), k)
+        col("c_id").as("q_cell"))
   }
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein

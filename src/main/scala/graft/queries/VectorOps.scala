@@ -250,6 +250,39 @@ object VectorOps {
       val brute = Similarity.bruteForceKnn(e, querySet(e), k = 3)
       val ivf = Similarity.ivfKnn(e, querySet(e), k = 3)
       recallAgainst(brute, ivf, k = 3)
+    },
+
+    // the IVF family's measured sweep (the d29/d30 discipline on the
+    // third candidate-generation family): for every nprobe, candidate
+    // volume (corpus rows a probe-config actually scans) and recall of
+    // the probed cells against the exact brute-force top-3 truth —
+    // nprobe = |centroids| probes every cell, so its recall row must
+    // read 1.0 and its candidate count prices exhaustive search;
+    // the table a deployment reads to pick its probe count
+    "v25_ivf_nprobe_sweep" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+      val corpusCells = Similarity.assignCells(e, cents)
+        .select(col("vec_id").as("n_id"), col("cell").as("n_cell"))
+      val truth = Similarity.bruteForceKnn(e, querySet(e), k = 3)
+        .select(col("q_id"), col("n_id"))
+      val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
+      Seq(1, 2, 4, 8).map { np =>
+        val cand = broadcast(
+          Similarity.probeCells(querySet(e), cents, nprobe = np)
+            .select(col("q_id"), col("q_cell")))
+          .join(corpusCells, col("q_cell") === col("n_cell"))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"))
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val nCaught = truth.join(cand, Seq("q_id", "n_id"), "left_semi")
+          .agg(count(lit(1)).as("n_caught"))
+        nCand.crossJoin(nCaught).crossJoin(nTrue)
+          .select(lit(np).as("nprobe"),
+            col("n_candidates"), col("n_true"), col("n_caught"),
+            when(col("n_true") > 0, col("n_caught").cast("double") /
+              col("n_true").cast("double")).as("recall"))
+      }.reduce(_.unionByName(_))
     })
 
   /** SQL mirror of Similarity.dot: strict left fold over the zipped
@@ -851,6 +884,49 @@ object VectorOps {
          |SELECT a.vec_id, a.cell,
          |  CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of
          |FROM asg a LEFT JOIN dup d ON d.x_id = a.vec_id""".stripMargin,
+
+    // nprobe sweep: corpus assignment + probe ranking share one rk
+    // CTE (the v15 mirror); per config, candidates = probe cells
+    // joined to cell assignment, recall counted against the brute
+    // top-3 CTE. Counts cast to BIGINT (the HUGEINT discipline).
+    "v25_ivf_nprobe_sweep" -> {
+      val configs = Seq(1, 2, 4, 8)
+      def cand(np: Int) =
+        s"""cand$np AS (
+           |  SELECT p.vec_id AS q_id, a.n_id
+           |  FROM rk p JOIN asg a ON a.cell = p.cell
+           |  WHERE p.rnk <= $np AND p.vec_id % 50 = 0
+           |    AND a.n_id <> p.vec_id)""".stripMargin
+      def summary(np: Int) =
+        s"""ss$np AS (
+           |  SELECT CAST($np AS INT) AS nprobe,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$np)
+           |      AS n_candidates,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_true,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM b t JOIN cand$np c
+           |       ON c.q_id = t.q_id AND c.n_id = t.n_id) AS n_caught)"""
+          .stripMargin
+      s"""WITH e AS ($sqlWithNorm),
+         |cent AS (SELECT * FROM e WHERE vec_id < 8),
+         |rk AS (
+         |  SELECT v.vec_id, c.vec_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
+         |               c.vec_id) AS rnk
+         |  FROM e v CROSS JOIN cent c),
+         |asg AS (SELECT vec_id AS n_id, cell FROM rk WHERE rnk = 1),
+         |b AS (
+         |${sqlKnn("q.vec_id <> c.vec_id")}
+         |),
+         |${configs.map(cand).mkString(",\n")},
+         |${configs.map(summary).mkString(",\n")}
+         |${configs.map { np =>
+              s"""SELECT nprobe, n_candidates, n_true, n_caught,
+                 |  CASE WHEN n_true > 0
+                 |    THEN CAST(n_caught AS DOUBLE) / n_true END AS recall
+                 |FROM ss$np""".stripMargin
+            }.mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     // recall@3: both knn mirrors nested as CTEs, counted per query
     "v11_ann_recall" ->

@@ -353,11 +353,17 @@ object ScaleSmoke {
       // scoring is a shuffle-free corpus scan that must track it
       bench("v24", e1x, eNx, e => Similarity.centroidQuality(
         e, e1x.filter(col("label") === 0), dims = 64, tau = 0.1)),
-      // m11: decoded-audio near-dup — the WAV walk is map-side; tagged
-      // copies give distinct PCM envelopes, so the Hamming band join
-      // grows with payloads, never payloads²
+      // m11: decoded-audio near-dup — the WAV walk is map-side. The
+      // 16-bit envelope hash holds only 4-bit bands (16 values), so by
+      // pigeonhole the UNCAPPED band join saturates once the corpus
+      // outgrows the signature's entropy (measured 273× at factor=100,
+      // 50k payloads — real physics, not a plan bug). The production
+      // posture at that corpus size is the capped join (the d15/d21
+      // stop-shingle discipline; the other lever is widening blocks),
+      // so the gate runs the cap
       bench("m11", dt1x, dtNx, d => graft.operators.Multimodal
-        .audioNearDup(graft.operators.Multimodal.withWavPayload(d))),
+        .audioNearDup(graft.operators.Multimodal.withWavPayload(d),
+          maxBucket = 64)),
       // m12: scene-change detection — one projection + one generator,
       // zero shuffle; must track the payload scan exactly
       bench("m12", d1x, dNx, d => graft.operators.Multimodal
@@ -404,14 +410,16 @@ object ScaleSmoke {
             rowsPerBand = r).select(col("doc_a"))
         }.reduce(_.unionByName(_))
       }),
-      // d30 (sweep leg): SimHash candidates at every band count —
-      // tagged copies give distinct signatures, so each of the six
-      // band joins grows with docs (band count is constant)
+      // d30 (sweep leg): SimHash candidates at every band count. The
+      // narrow-band configs (6/8 bands = 8/6-bit values) saturate by
+      // pigeonhole once docs outgrow 2^band_bits (measured 59.7×
+      // uncapped at factor=100) — exactly the trade the d30 sweep
+      // prices; the gate runs the capped production posture
       bench("d30", dt1x, dtNx, { d =>
         val sig = Dedup.simhash48(d)
         Seq(1, 2, 3, 4, 6, 8).map(b =>
           Dedup.hammingBandCandidates(sig, "doc_id", "simhash",
-            bits = 48, bands = b).select(col("doc_a")))
+            bits = 48, bands = b, maxBucket = 256).select(col("doc_a")))
           .reduce(_.unionByName(_))
       }))
 

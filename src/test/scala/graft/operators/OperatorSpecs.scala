@@ -864,6 +864,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(1) === Set((0L, 1)))
   }
 
+  test("probeCells: exactly nprobe distinct cells per query, top-1 = assignCells") {
+    val centroids = vecs.filter($"vec_id".isin(0L, 2L))
+    val p2 = Similarity.probeCells(vecs, centroids, nprobe = 2)
+      .select("q_id", "q_cell").as[(Long, Long)].collect()
+    assert(p2.groupBy(_._1).forall { case (_, rows) =>
+      rows.length == 2 && rows.map(_._2).distinct.length == 2
+    })
+    // the probe-1 cell is the assignment cell for every vector
+    val p1 = Similarity.probeCells(vecs, centroids, nprobe = 1)
+      .select("q_id", "q_cell").as[(Long, Long)].collect().toMap
+    val asg = Similarity.assignCells(vecs, centroids)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(p1 === asg)
+    intercept[IllegalArgumentException](
+      Similarity.probeCells(vecs, centroids, nprobe = 0))
+  }
+
   test("hard negatives are the nearest WRONG-label vectors, ranked") {
     // nearest overall to vec 0 is same-label vec 1 — it must be
     // excluded; the negatives are the other-label vectors by cosine
