@@ -428,15 +428,18 @@ object DedupOps {
     // the SimHash twin of d29: for every band count over the staged
     // 48-bit signatures, candidate volume and recall against the
     // EXACT Hamming <= 3 truth (the 4-band pigeonhole join — lossless
-    // by construction, oracle-proven by d22). bands > 3 must show
-    // recall 1.0 with candidate volume growing in the band count;
-    // bands <= 3 show the measured miss rate — the table a deployment
-    // reads to pick its band count.
+    // by construction, oracle-proven by d22). bands = 4 must show
+    // recall 1.0 (pigeonhole); bands <= 3 show the measured miss rate
+    // — the table a deployment reads to pick its band count. Configs
+    // stop at the pigeonhole point: wider-than-needed bands (6/8) are
+    // still exact but their narrow values saturate by entropy
+    // (SCALING.md's measured 59.7× cliff) — they price nothing a
+    // deployment would run, so the sweep doesn't pay for them.
     "d30_hamming_band_sweep" -> { (s, dir) =>
       val sig = simhash48Idx(s, dir)
       val truth = hammingTruthIdx(s, dir)
       val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
-      Seq(1, 2, 3, 4, 6, 8).map { b =>
+      Seq(1, 2, 3, 4).map { b =>
         val cand = Dedup.hammingBandCandidates(sig, "doc_id", "simhash",
           bits = 48, bands = b)
         val nCand = cand.agg(count(lit(1)).as("n_candidates"))
@@ -726,7 +729,7 @@ object DedupOps {
     val bits = (0 until 48)
       .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
-    val configs = Seq(1, 2, 3, 4, 6, 8)
+    val configs = Seq(1, 2, 3, 4)
     def bandCtes(k: Int): String = {
       val w = 48 / k
       val mask = (1L << w) - 1

@@ -410,14 +410,14 @@ object ScaleSmoke {
             rowsPerBand = r).select(col("doc_a"))
         }.reduce(_.unionByName(_))
       }),
-      // d30 (sweep leg): SimHash candidates at every band count. The
-      // narrow-band configs (6/8 bands = 8/6-bit values) saturate by
-      // pigeonhole once docs outgrow 2^band_bits (measured 59.7×
-      // uncapped at factor=100) — exactly the trade the d30 sweep
-      // prices; the gate runs the capped production posture
+      // d30 (sweep leg): SimHash candidates at the sweep's band counts
+      // (1..4, matching the query — wider bands saturate by entropy,
+      // measured 59.7× at factor=100, and are excluded there too);
+      // capped like the production posture so the gate tracks docs,
+      // not signature-skew pileups
       bench("d30", dt1x, dtNx, { d =>
         val sig = Dedup.simhash48(d)
-        Seq(1, 2, 3, 4, 6, 8).map(b =>
+        Seq(1, 2, 3, 4).map(b =>
           Dedup.hammingBandCandidates(sig, "doc_id", "simhash",
             bits = 48, bands = b, maxBucket = 256).select(col("doc_a")))
           .reduce(_.unionByName(_))
