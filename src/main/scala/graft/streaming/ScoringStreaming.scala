@@ -72,6 +72,29 @@ object ScoringStreaming {
       ()
     }
 
+  /** Serve ANN retrieval for an arriving QUERY-vector stream against
+    * a frozen index — the vector-family leg of train-once/serve-
+    * forever: `corpus` and `centroids` are the staged index tables
+    * (cell assignment precomputed at ingest, the
+    * [[graft.operators.Similarity.ivfMultiprobeKnn]] economics), and
+    * each micro-batch of arriving queries probes its `nprobe` best
+    * cells. Stateless per query row (the probe set is a pure function
+    * of (query, centroids)), so stream results equal the batch search
+    * under any slicing and replays are idempotent under any keyed
+    * sink. Index drift = swap the staged corpus/centroid generation
+    * between restarts, exactly like a tokenizer version bump.
+    */
+  def knnScoreStream(stream: DataFrame, corpus: DataFrame,
+                     centroids: DataFrame, k: Int, nprobe: Int,
+                     onBatch: (Long, DataFrame) => Unit,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(batchId, graft.operators.Similarity.ivfMultiprobeKnn(
+        corpus, batch, centroids, k, nprobe, idCol, vecCol))
+      ()
+    }
+
   /** Count BPE tokens of a document stream against a FROZEN trained
     * merges list ([[graft.functions.Bpe.train]] →
     * [[graft.functions.Bpe.mergesOf]], staged per tokenizer version

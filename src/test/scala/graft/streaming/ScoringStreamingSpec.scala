@@ -86,6 +86,44 @@ class ScoringStreamingSpec extends AnyFunSuite {
     assert(got.toSet === batchScores)
   }
 
+  test("ANN stream results equal the batch multiprobe search per slicing") {
+    import graft.operators.Similarity
+    // frozen index: 4 corpus vectors, centroids = vectors 0 and 2
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val centroids = corpus.filter(col("vec_id").isin(0L, 2L))
+    // arriving queries (ids disjoint from the corpus — a query stream)
+    val arrivingQ = Seq(
+      (100L, Array(0.8f, 0.2f)),
+      (101L, Array(0.2f, 0.8f)),
+      (102L, Array(0.7f, 0.7f)))
+    val batchRes = Similarity.ivfMultiprobeKnn(
+        corpus, arrivingQ.toDF("vec_id", "embedding"), centroids,
+        k = 2, nprobe = 2)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(batchRes.nonEmpty)
+
+    for (slices <- Seq(Seq(arrivingQ), arrivingQ.grouped(1).toSeq)) {
+      implicit val sq = spark.sqlContext
+      val got = scala.collection.mutable.Set[(Long, Long, Int)]()
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = ScoringStreaming.knnScoreStream(
+          input.toDF().toDF("vec_id", "embedding"), corpus, centroids,
+          k = 2, nprobe = 2,
+          (_, df) => got ++=
+            df.select("q_id", "n_id", "rnk")
+              .as[(Long, Long, Int)].collect())
+        .start()
+      try {
+        slices.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      } finally q.stop()
+      assert(got.toSet === batchRes, s"slicing=${slices.size} batches")
+    }
+  }
+
   test("BPE stream counts equal the batch op for a TRAINED tokenizer") {
     import graft.functions.Bpe
     // train a tokenizer on the corpus itself (t52's operator), then
