@@ -116,13 +116,19 @@ object Bench {
     println(json)
     // the driver's BENCH_r{N}.json capture head-truncates on long runs,
     // losing ~25 queries of cross-round comparison — persist the full
-    // line locally so every round's numbers survive verbatim
-    try {
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(sys.env.getOrElse(
-          "SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json + "\n")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
+    // line locally so every round's numbers survive verbatim. The
+    // default path is written only by UNFILTERED sweeps: a targeted
+    // SPARK_GRAFT_ONLY run silently overwriting the committed full
+    // sweep with a 3-query JSON is exactly the round-13 clobber this
+    // guards against (an explicit SPARK_GRAFT_BENCH_OUT still wins).
+    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH_LOCAL.json") else None)
+    benchOut.foreach { path =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: $e")
+      }
     }
     spark.stop()
   }
