@@ -103,7 +103,7 @@ object Bench {
     // of each family in turn — no RNG, replays identically every round.
     val byFamily = names.groupBy(_.takeWhile(!_.isDigit))
       .toSeq.sortBy(_._1).map(_._2.sorted)
-    val sweepOrder = (0 until byFamily.map(_.size).max)
+    val sweepOrder = (0 until byFamily.map(_.size).maxOption.getOrElse(0))
       .flatMap(i => byFamily.flatMap(_.lift(i)))
     val resultsByName = sweepOrder.map(n => (n, measure(n))).toMap
     val results = names.map(n => (n, resultsByName(n)))

@@ -50,13 +50,19 @@ object Graft {
   def moneySum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
 
   /** FLOOR division of a BIGINT SQL expression by a positive constant
-    * — all integer arithmetic, total over the full long range. Spark's
+    * — all integer arithmetic, no double rounding anywhere. Spark's
     * `DIV` truncates toward zero while DuckDB's `//` floors, so a
     * plain `epoch DIV 86400000` day bucket diverges cross-engine for
     * pre-1970 timestamps (negative epochs); `(e − pmod(e, d)) DIV d`
-    * floors on both (pmod is the non-negative remainder), with no
-    * double rounding anywhere. Every epoch→bucket site routes through
-    * this.
+    * floors on both (pmod is the non-negative remainder). Every
+    * epoch→bucket site routes through this.
+    *
+    * Caveats: `e` must be DETERMINISTIC — it is interpolated twice
+    * (once per side of the subtraction), so a nondeterministic
+    * expression would evaluate to two different values. And the
+    * subtraction overflows (aborting under Spark 4's ANSI default)
+    * for `e` within `d` of Long.MinValue — unreachable for epoch
+    * inputs (|epoch µs| < 2⁶³⁄10⁴), but not total over all longs.
     */
   def floorDivExpr(e: String, d: Long): Column = {
     require(d > 0, s"divisor must be positive, got $d")

@@ -623,6 +623,17 @@ object Dedup {
     * low `bits` bits; emits (doc_a, doc_b, hamming) for all pairs
     * within `maxHamming`, candidates from a band equi-join (never
     * all-pairs), `maxBucket` capping degenerate bands.
+    *
+    * CACHE LIFETIME: the banded frame is persisted (both self-join
+    * sides and the bucket-cap count read it; unpersisted, the
+    * signature lineage — often a per-doc groupBy over exploded words —
+    * replays per reader). The result is lazy, so the entry CANNOT be
+    * released inside this call; it lives until the caller runs
+    * `spark.catalog.clearCache()` (what Verify/Bench do between
+    * queries) or unpersists it. Long-lived library callers issuing
+    * many of these must clear between calls or cache entries accrete
+    * — pinned in PlanRegressionSpec ("hammingBandPairs cache
+    * lifetime").
     */
   def hammingBandPairs(sigs: DataFrame, idCol: String, sigCol: String,
                        bits: Int, maxHamming: Int,

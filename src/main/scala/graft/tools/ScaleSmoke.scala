@@ -412,9 +412,13 @@ object ScaleSmoke {
       }),
       // d30 (sweep leg): SimHash candidates at the sweep's band counts
       // (1..4, matching the query — wider bands saturate by entropy,
-      // measured 59.7× at factor=100, and are excluded there too);
-      // capped like the production posture so the gate tracks docs,
-      // not signature-skew pileups
+      // measured 59.7× at factor=100, and are excluded there too).
+      // NOTE: the gate runs maxBucket=256 — the CAPPED production
+      // posture — while the d30 query itself runs uncapped, so this
+      // ratio bounds the deployed configuration, not the query as
+      // shipped: the uncapped bands=1 whole-signature join can still
+      // pile up on signature skew (that cliff is measured and
+      // documented in SCALING.md, not gated here)
       bench("d30", dt1x, dtNx, { d =>
         val sig = Dedup.simhash48(d)
         Seq(1, 2, 3, 4).map(b =>

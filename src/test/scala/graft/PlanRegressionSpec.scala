@@ -585,4 +585,21 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(2000))
     assert(p.contains("Generate"), p.take(2000)) // the one posexplode
   }
+
+  test("hammingBandPairs cache lifetime: entry outlives the call, clearCache releases it") {
+    // the documented contract (Dedup.hammingBandPairs scaladoc): the
+    // banded frame stays persisted after the action — a long-lived
+    // caller must clearCache/unpersist between calls; Verify/Bench do.
+    // Pinning BOTH halves: the cache exists (losing it re-runs the
+    // signature lineage per join side) and clearCache fully drains it.
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    graft.operators.Dedup.simhashNearDup(docs, maxHamming = 3).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "banded frame should be cached for the action's lifetime")
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "clearCache must release the banded frame — nothing accretes")
+  }
 }
