@@ -275,14 +275,51 @@ object Similarity {
   def ivfMultiprobeKnn(corpus: DataFrame, queries: DataFrame,
                        centroids: DataFrame, k: Int, nprobe: Int,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
-    val c = corpus
-      .select(col(idCol), col(vecCol).as("n_vec"),
-        norm(col(vecCol)).as("n_nrm"))
+                       vecCol: String = "embedding"): DataFrame =
+    ivfMultiprobeKnnIndexed(indexCells(corpus, centroids, idCol, vecCol),
+      queries, centroids, k, nprobe, idCol, vecCol)
+
+  /** The (id, vector, nrm, cell) INDEX rows an IVF deployment stages
+    * at ingest: one row per corpus vector with its precomputed norm
+    * and its one cell under `centroids`. This is what
+    * [[ivfMultiprobeKnn]] builds inline, what
+    * [[graft.streaming.ScoringStreaming.cellIndexStream]] maintains
+    * incrementally per micro-batch, and what
+    * [[ivfMultiprobeKnnIndexed]] serves — one schema across the
+    * batch-build, stream-maintain, and serve paths.
+    *
+    * With `codebook` set, each row also carries its PQ `codes`
+    * ([[pqEncode]], m codeword ids) — the IVF-PQ ingest shape: the
+    * compressed representation is computed once at index time and
+    * [[pqScoreCodes]] serves it without ever touching raw vectors.
+    */
+  def indexCells(corpus: DataFrame, centroids: DataFrame,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 codebook: Option[PqCodebook] = None): DataFrame = {
+    val base = corpus
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    codebook.fold(base)(cb =>
+        base.withColumn("codes", pqEncode(col(vecCol), cb)))
       .join(assignCells(corpus, centroids, idCol, vecCol)
-        .select(col(idCol), col("cell").as("n_cell")), Seq(idCol))
-      .select(col(idCol).as("n_id"), col("n_vec"), col("n_nrm"),
-        col("n_cell"))
+        .select(col(idCol), col("cell")), Seq(idCol))
+  }
+
+  /** [[ivfMultiprobeKnn]] over a PRE-ASSIGNED corpus index
+    * ([[indexCells]] rows, however they were materialized — a staged
+    * artifact or the stream-maintained parquet dir served by
+    * [[graft.streaming.ScoringStreaming.servedCellIndex]]): the
+    * corpus-side cell assignment and norms were paid at INGEST, so a
+    * serve touches the index only through the probe-cell equi-join —
+    * the corpus never shuffles and is never re-assigned per query
+    * batch.
+    */
+  def ivfMultiprobeKnnIndexed(index: DataFrame, queries: DataFrame,
+                              centroids: DataFrame, k: Int, nprobe: Int,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val c = index.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col("nrm").as("n_nrm"), col("cell").as("n_cell"))
     val q = broadcast(probeCells(queries, centroids, nprobe, idCol,
       vecCol))
     // a corpus vector lives in exactly one cell and probe cells are
@@ -301,7 +338,20 @@ object Similarity {
     */
   def probeCells(queries: DataFrame, centroids: DataFrame, nprobe: Int,
                  idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
+                 vecCol: String = "embedding"): DataFrame =
+    probeCellsRanked(queries, centroids, nprobe, idCol, vecCol)
+      .drop("probe_rank")
+
+  /** [[probeCells]] with the probe RANK retained (`probe_rank`,
+    * 1-based, 1 = the query's best cell): a sweep prices EVERY
+    * nprobe ≤ the max in one pass — rank ≤ np reproduces the np-probe
+    * set exactly, so one ranked frame + one conditional aggregate
+    * replaces per-config probe/join/count replays (v25's four union
+    * legs each re-ran the probe window and the cell join before this).
+    */
+  def probeCellsRanked(queries: DataFrame, centroids: DataFrame,
+                       nprobe: Int, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     import org.apache.spark.sql.expressions.Window
     val cc = broadcast(centroids.select(col(idCol).as("c_id"),
@@ -319,7 +369,7 @@ object Similarity {
     scoredQ.withColumn("_r", row_number().over(w))
       .filter(col("_r") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("q_nrm"),
-        col("c_id").as("q_cell"))
+        col("c_id").as("q_cell"), col("_r").as("probe_rank"))
   }
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein

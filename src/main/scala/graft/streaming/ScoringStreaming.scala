@@ -95,6 +95,64 @@ object ScoringStreaming {
       ()
     }
 
+  /** Maintain the IVF cell-assignment INDEX from an arriving
+    * vector INSERT stream — the corpus-side half of
+    * [[knnScoreStream]]'s train-once/serve-forever economics, so the
+    * "frozen" index becomes a MAINTAINED one: per micro-batch,
+    * arriving vectors get their one cell + norm (and, with `codebook`
+    * set, their PQ codes — the IVF-PQ ingest shape) against the frozen
+    * centroids ([[graft.operators.Similarity.indexCells]] — the exact
+    * batch builder, so there is no build/maintain skew by
+    * construction) and land in a batch_id-partitioned parquet dir,
+    * the same recipe as the LSH bucket index
+    * ([[graft.operators.Dedup.streamingCandidatePairs]]).
+    *
+    * Exactly-once WITHOUT a ledger: each batch writes its OWN
+    * partition dir (`batch_id=N`) with mode Overwrite, so an
+    * at-least-once replay rewrites identical rows in place instead of
+    * appending a duplicate copy — the partition id IS the batch id.
+    * Assignment is stateless per vector (a pure function of
+    * (vector, centroids)), so the served index equals the batch
+    * [[graft.operators.Similarity.indexCells]] over the union of all
+    * arrived vectors under any slicing and any kill/restart point
+    * (spec-pinned). Long-running streams compact the partition dirs
+    * with [[graft.operators.Dedup.compactIndex]] — it is
+    * schema-agnostic over any batch_id-partitioned dir. A centroid
+    * generation bump = a new indexDir (the staged-artifact
+    * economics), exactly like a tokenizer version swap.
+    */
+  def cellIndexStream(stream: DataFrame, centroids: DataFrame,
+                      indexDir: String, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      codebook: Option[graft.operators.Similarity.PqCodebook]
+                        = None)
+      : DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.Similarity
+        .indexCells(batch, centroids, idCol, vecCol, codebook)
+        .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+      ()
+    }
+
+  /** Serve the index [[cellIndexStream]] maintains: (id, vector, nrm,
+    * cell) rows ready for
+    * [[graft.operators.Similarity.ivfMultiprobeKnnIndexed]] — the
+    * corpus-side assignment is never recomputed at serve time. Same
+    * read contract as the LSH bucket index: batch_id=N partition dirs
+    * ONLY (fail loudly otherwise); a concurrent in-flight batch could
+    * be transiently half-visible mid-write — a Delta/Iceberg-backed
+    * index makes that window atomic, the parquet-dir contract here
+    * documents it instead.
+    */
+  def servedCellIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): DataFrame = {
+    val df = spark.read.option("basePath", indexDir).parquet(indexDir)
+    require(df.columns.contains("batch_id"),
+      s"$indexDir is not a batch_id-partitioned cell index; " +
+        "rebuild it (no in-place migration from other layouts)")
+    df.drop("batch_id")
+  }
+
   /** Count BPE tokens of a document stream against a FROZEN trained
     * merges list ([[graft.functions.Bpe.train]] →
     * [[graft.functions.Bpe.mergesOf]], staged per tokenizer version

@@ -586,6 +586,23 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p.take(2000)) // the one posexplode
   }
 
+  test("v25 sweep: one ranked probe window, staged truth/cells — no per-config replay") {
+    val p = plan("v25_ivf_nprobe_sweep")
+    // ONE ranked probe set serves all four nprobe configs
+    // (probe_rank <= np is the np-probe set); the candidate frame is
+    // deliberately unpersisted, so its probe window appears exactly
+    // twice (once per count aggregate — broadcast joins over staged
+    // reads, no cache entry left behind). More means the per-config
+    // union-leg replay came back (the round-13 1.9s plan defect:
+    // Catalyst does not dedupe subplans across unions). \b excludes
+    // WindowGroupLimit nodes.
+    assert("""\(\d+\) Window\b""".r.findAllIn(p).size == 2, p.take(2000))
+    // brute-force truth and corpus cell assignment are SERVED staged
+    // (the d30 Artifacts.table discipline), never rebuilt inline
+    assert(p.contains(graft.core.Artifacts.root), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("hammingBandPairs cache lifetime: entry outlives the call, clearCache releases it") {
     // the documented contract (Dedup.hammingBandPairs scaladoc): the
     // banded frame stays persisted after the action — a long-lived
