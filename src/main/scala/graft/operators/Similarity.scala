@@ -964,6 +964,52 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"), col("dist"))
   }
 
+  /** The full IVF-PQ SERVE over a maintained/staged index: ADC top-k
+    * restricted to each query's `nprobe` best cells. `index` carries
+    * (id, cell, codes) — [[indexCells]] rows built with a codebook,
+    * however materialized (a staged artifact or
+    * [[graft.streaming.ScoringStreaming.servedCellIndex]]). The
+    * coarse quantizer prunes (probe-cell equi-join — the corpus never
+    * shuffles, |Q|×nprobe×cell rows scanned instead of |Q|×|corpus|),
+    * the product quantizer compresses what's left (m table lookups
+    * per pair — raw vectors never touched at serve time): the FAISS
+    * IVFPQ deployment shape, now servable end-to-end from the
+    * stream-maintained index. With nprobe = |centroids| every cell is
+    * probed and the result equals the exhaustive [[pqScoreCodes]]
+    * scan (spec-pinned).
+    */
+  def pqScoreCodesIndexed(index: DataFrame, queries: DataFrame,
+                          centroids: DataFrame, cb: PqCodebook, k: Int,
+                          nprobe: Int, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val sub = cb.head.head.size
+    val probes = probeCells(queries, centroids, nprobe, idCol, vecCol)
+    // per-query ADC table computed once on the broadcast side (the
+    // pqScoreCodes economics), riding with the query's probe rows
+    val q = broadcast(probes
+      .select(col("q_id"), col("q_cell"),
+        array(cb.zipWithIndex.map { case (codewords, mi) =>
+          array(codewords.map(cw =>
+            sqDist(slice(col("q_vec"), mi * sub + 1, sub),
+              typedLit(cw))): _*)
+        }: _*).as("tbl")))
+    val c = index.select(col(idCol).as("n_id"),
+      col("cell").as("n_cell"), col("codes"))
+    val dist = cb.indices.map { mi =>
+      element_at(element_at(col("tbl"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    val scored = q.join(c, col("q_cell") === col("n_cell") &&
+        col("q_id") =!= col("n_id"))
+      .withColumn("dist", dist)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("dist"))
+  }
+
   def pqKnn(corpus: DataFrame, queries: DataFrame, cb: PqCodebook, k: Int,
             idCol: String = "vec_id",
             vecCol: String = "embedding",

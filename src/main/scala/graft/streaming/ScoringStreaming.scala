@@ -95,6 +95,32 @@ object ScoringStreaming {
       ()
     }
 
+  /** [[knnScoreStream]] against a PRE-ASSIGNED index
+    * ([[graft.operators.Similarity.indexCells]] rows — a staged
+    * artifact or the dir [[cellIndexStream]] maintains,
+    * read via [[servedCellIndex]]): per micro-batch the arriving
+    * queries probe their `nprobe` best cells through
+    * [[graft.operators.Similarity.ivfMultiprobeKnnIndexed]], so the
+    * corpus-side cell assignment is NEVER recomputed per batch — the
+    * plain [[knnScoreStream]] re-derives it from raw vectors every
+    * micro-batch, which is correct but pays the corpus × centroids
+    * cross per batch; against a 100 TB index only this indexed form
+    * is deployable. Stateless per query row, so stream ≡ batch under
+    * any slicing (spec-pinned) and replays are idempotent under any
+    * keyed sink.
+    */
+  def knnScoreStreamIndexed(stream: DataFrame, index: DataFrame,
+                            centroids: DataFrame, k: Int, nprobe: Int,
+                            onBatch: (Long, DataFrame) => Unit,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding")
+      : DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(batchId, graft.operators.Similarity.ivfMultiprobeKnnIndexed(
+        index, batch, centroids, k, nprobe, idCol, vecCol))
+      ()
+    }
+
   /** Maintain the IVF cell-assignment INDEX from an arriving
     * vector INSERT stream — the corpus-side half of
     * [[knnScoreStream]]'s train-once/serve-forever economics, so the

@@ -123,6 +123,80 @@ class CellIndexStreamSpec extends AnyFunSuite {
         cb, k = 2)))
   }
 
+  test("indexed query-stream serve equals the batch search per slicing") {
+    // build the maintained index once, then stream QUERIES against it
+    // — the knnScoreStreamIndexed path never re-assigns the corpus
+    implicit val sq = spark.sqlContext
+    val idx = Files.createTempDirectory("cellidx_qserve").toString
+    val vin = MemoryStream[(Long, Array[Float])]
+    val maintain = ScoringStreaming.cellIndexStream(
+      vin.toDF().toDF("vec_id", "embedding"), centroids, idx).start()
+    try { vin.addData(vecs: _*); maintain.processAllAvailable() }
+    finally maintain.stop()
+    val index = ScoringStreaming.servedCellIndex(spark, idx)
+
+    val arrivingQ = Seq(
+      (100L, Array(0.8f, 0.2f)),
+      (101L, Array(0.2f, 0.8f)),
+      (102L, Array(0.7f, 0.7f)))
+    val batchRes = Similarity.ivfMultiprobeKnn(
+        vecs.toDF("vec_id", "embedding"), arrivingQ.toDF("vec_id", "embedding"),
+        centroids, k = 2, nprobe = 2)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(batchRes.nonEmpty)
+    for (slices <- Seq(Seq(arrivingQ), arrivingQ.grouped(1).toSeq)) {
+      val got = scala.collection.mutable.Set[(Long, Long, Int)]()
+      val qin = MemoryStream[(Long, Array[Float])]
+      val q = ScoringStreaming.knnScoreStreamIndexed(
+          qin.toDF().toDF("vec_id", "embedding"), index, centroids,
+          k = 2, nprobe = 2,
+          (_, df) => got ++= df.select("q_id", "n_id", "rnk")
+            .as[(Long, Long, Int)].collect())
+        .start()
+      try slices.foreach { s => qin.addData(s: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(got.toSet === batchRes, s"slicing=${slices.size} batches")
+    }
+  }
+
+  test("IVF-PQ serve over the maintained index: full probe equals the exhaustive ADC scan") {
+    implicit val sq = spark.sqlContext
+    val cb: Similarity.PqCodebook =
+      Seq(Seq(Seq(0.0), Seq(1.0)), Seq(Seq(0.0), Seq(1.0)))
+    val idx = Files.createTempDirectory("cellidx_ivfpq").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = ScoringStreaming.cellIndexStream(
+      input.toDF().toDF("vec_id", "embedding"), centroids, idx,
+      codebook = Some(cb)).start()
+    try { input.addData(vecs: _*); q.processAllAvailable() }
+    finally q.stop()
+    val index = ScoringStreaming.servedCellIndex(spark, idx)
+    val queries = Seq(
+      (100L, Array(0.8f, 0.2f)),
+      (101L, Array(0.2f, 0.8f))).toDF("vec_id", "embedding")
+    def res(df: DataFrame) = df.select("q_id", "n_id", "rnk", "dist")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // nprobe = |centroids| probes every cell -> the cell pruning is a
+    // no-op and the indexed serve must equal the exhaustive scan
+    val full = res(Similarity.pqScoreCodes(
+      index.select(col("vec_id").as("n_id"), col("codes")), queries, cb,
+      k = 3))
+    assert(full.nonEmpty)
+    assert(res(Similarity.pqScoreCodesIndexed(index, queries, centroids,
+      cb, k = 3, nprobe = 2)) === full)
+    // nprobe = 1 restricts candidates to the query's best cell: every
+    // returned neighbor must live in exactly that cell
+    val pruned = res(Similarity.pqScoreCodesIndexed(index, queries,
+      centroids, cb, k = 3, nprobe = 1))
+    val probe1 = Similarity.probeCells(queries, centroids, nprobe = 1)
+      .select(col("q_id"), col("q_cell")).as[(Long, Long)].collect().toMap
+    val cellOf = index.select(col("vec_id"), col("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(pruned.nonEmpty)
+    assert(pruned.forall { case (qid, nid, _, _) =>
+      cellOf(nid) == probe1(qid) })
+  }
+
   test("kill + restart: index intact; compaction preserves every row") {
     val srcDir = Files.createTempDirectory("cellsrc").toString
     val ck = Files.createTempDirectory("cellck").toString
