@@ -276,7 +276,15 @@ object Similarity {
                        centroids: DataFrame, k: Int, nprobe: Int,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame =
-    ivfMultiprobeKnnIndexed(indexCells(corpus, centroids, idCol, vecCol),
+    // maxInlineCentroids = 0: this convenience FUSES build and serve
+    // into one plan, and the literal-centroid ingest projection fused
+    // into the probe join measured 2× slower than the assignCells
+    // equi-join (the giant literal expression lands in the join
+    // stage's codegen). A deployment stages indexCells and serves via
+    // [[ivfMultiprobeKnnIndexed]], where the inline build never
+    // shares a stage with the serve.
+    ivfMultiprobeKnnIndexed(indexCells(corpus, centroids, idCol, vecCol,
+        maxInlineCentroids = 0),
       queries, centroids, k, nprobe, idCol, vecCol)
 
   /** The (id, vector, nrm, cell) INDEX rows an IVF deployment stages
@@ -292,16 +300,51 @@ object Similarity {
     * ([[pqEncode]], m codeword ids) — the IVF-PQ ingest shape: the
     * compressed representation is computed once at index time and
     * [[pqScoreCodes]] serves it without ever touching raw vectors.
+    *
+    * Ingest is ONE corpus projection when the centroid set is small
+    * (the common IVF case, and the only case where literal-centroid
+    * codegen stays compact): norms, codes, and the cell all compute
+    * map-side against literal centroids — no corpus shuffle, no
+    * self-join. `take(maxInlineCentroids + 1)` proves the set fits
+    * (one extra row back means it doesn't), and a larger codebook
+    * falls back to the [[assignCells]] equi-join, which carries
+    * centroids as data. Both paths produce bit-identical cells:
+    * [[graft.functions.VecDot]] promotes every element to double
+    * before multiplying, so a float centroid column and its exact
+    * double literal score identically, and ties break to the lowest
+    * centroid id either way.
     */
   def indexCells(corpus: DataFrame, centroids: DataFrame,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding",
-                 codebook: Option[PqCodebook] = None): DataFrame = {
-    val base = corpus
+                 codebook: Option[PqCodebook] = None,
+                 maxInlineCentroids: Int = 64): DataFrame = {
+    val base0 = corpus
       .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
-    codebook.fold(base)(cb =>
-        base.withColumn("codes", pqEncode(col(vecCol), cb)))
-      .join(assignCells(corpus, centroids, idCol, vecCol)
+    val base = codebook.fold(base0)(cb =>
+      base0.withColumn("codes", pqEncode(col(vecCol), cb)))
+    val probe = centroids
+      .select(col(idCol).cast("long"), col(vecCol))
+      .take(maxInlineCentroids + 1)
+    if (probe.nonEmpty && probe.length <= maxInlineCentroids) {
+      val scored = probe.toSeq.map { r =>
+        val cid = r.getLong(0)
+        val cv: Seq[Double] = r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }
+        // driver-side strict left fold: same op order as norm()'s
+        // codegen fold (the argmaxCell discipline)
+        val cn = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+        struct(
+          (dot(col(vecCol), typedLit(cv)) /
+            nullif(col("nrm") * lit(cn), lit(0.0))).as("cos"),
+          lit(-cid).as("neg_id"))
+      }
+      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+      base.withColumn("cell", -best.getField("neg_id"))
+    } else
+      base.join(assignCells(corpus, centroids, idCol, vecCol)
         .select(col(idCol), col("cell")), Seq(idCol))
   }
 

@@ -50,6 +50,23 @@ object VectorOps {
         .select(col("vec_id").as("n_id"), col("cell").as("n_cell"))
     })
 
+  /** The full code-carrying IVF-PQ index under the standard
+    * deterministic centroids (first 8) and the v9 codebook (first 16,
+    * 4×16), staged: this is the table `cellIndexStream` maintains and
+    * a deployment serves — built once at ingest, read-only at query
+    * time. Serving from parquet (not the build lineage) also keeps
+    * the serve stage's codegen small: fusing the literal-centroid +
+    * literal-codeword ingest projection into the probe join was
+    * measured 2.7× slower than scanning the staged rows.
+    */
+  private def pqIndexIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      "ivfpq-index|c=8|m=4|k=16", graft.core.Artifacts.fingerprint(dir))({
+      val e = emb(s, dir)
+      Similarity.indexCells(e, e.filter(col("vec_id") < 8),
+        codebook = Some(Similarity.pqCodebook(e, m = 4, k = 16)))
+    })
+
   /** recall@k counting: per query, how many of `truth`'s (q_id, n_id)
     * pairs `approx` reproduced. ONE implementation for every eval
     * (v11/v14/v16/v21 and v17's two-leg variant) — the denominator,
@@ -320,6 +337,23 @@ object VectorOps {
           col("n_caught"),
           when(col("n_true") > 0, col("n_caught").cast("double") /
             col("n_true").cast("double")).as("recall"))
+    },
+
+    // the full IVF-PQ SERVE (the FAISS IVFPQ deployment shape) as one
+    // oracle-checked query: coarse cells from the v15 centroid
+    // convention (first 8 vectors, nprobe = 2), PQ codes from the v9
+    // codebook (first 16 vectors, 4×16). The index is SERVED STAGED
+    // (the d30/v25 artifact discipline) — its rows are exactly what
+    // cellIndexStream maintains incrementally, so this query
+    // oracle-checks the serve path of the maintained index end to
+    // end: coarse quantizer prunes via the probe-cell equi-join,
+    // product quantizer scores via per-query ADC tables, raw corpus
+    // vectors untouched at serve time
+    "v26_ivfpq_serve" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqScoreCodesIndexed(
+        pqIndexIdx(s, dir), querySet(e), e.filter(col("vec_id") < 8),
+        Similarity.pqCodebook(e, m = 4, k = 16), k = 3, nprobe = 2)
     })
 
   /** SQL mirror of Similarity.dot: strict left fold over the zipped
@@ -524,6 +558,72 @@ object VectorOps {
     * refined sub-sliced codewords. Every float op is the same strict
     * fold as the Spark side.
     */
+  /** Full CTE mirror of `pqScoreCodesIndexed(indexCells(e, cents,
+    * codebook = cb), querySet, cents, cb, 3, nprobe = 2)`: the coarse
+    * half is v15's rk/asg/probe CTEs (cosine cell ranks over the
+    * first-8 centroids, ties → lowest centroid id), the compressed
+    * half is sqlPqKnn's cb/enc/encp CTEs (argmin codewords, ADC
+    * subspace folds summed left-assoc). Candidates are the probe-cell
+    * equi-join (a corpus vector lives in exactly one cell and probe
+    * cells are distinct, so no pair surfaces twice); every float op
+    * is the same strict fold as the Spark side, so the top-k agrees
+    * bit-for-bit.
+    */
+  private def sqlIvfPqServe(k: Int = 3, nprobe: Int = 2): String = {
+    val d = (0 until 4).map { m =>
+      sqlSqDist(s"q.embedding[${m * 16 + 1}:${(m + 1) * 16}]",
+        s"b$m.cv[${m * 16 + 1}:${(m + 1) * 16}]")
+    }
+    val dist = s"(((${d(0)} + ${d(1)}) + ${d(2)}) + ${d(3)})"
+    val encD = sqlSqDist("e.embedding[ms.m*16+1 : ms.m*16+16]",
+      "cb.cv[ms.m*16+1 : ms.m*16+16]")
+    s"""WITH en AS ($sqlWithNorm),
+       |cent AS (SELECT * FROM en WHERE vec_id < 8),
+       |rk AS (
+       |  SELECT v.vec_id, c.vec_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
+       |               c.vec_id) AS rnk
+       |  FROM en v CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, cell FROM rk WHERE rnk = 1),
+       |probe AS (
+       |  SELECT vec_id, cell FROM rk
+       |  WHERE rnk <= $nprobe AND vec_id % 50 = 0),
+       |cb AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |enc AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT e.vec_id, ms.m, cb.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, ms.m
+       |        ORDER BY $encD ASC, cb.cid) AS rnk
+       |    FROM embeddings e CROSS JOIN range(0,4) ms(m) CROSS JOIN cb)
+       |  WHERE rnk = 1),
+       |encp AS (
+       |  SELECT vec_id,
+       |    MAX(CASE WHEN m=0 THEN cid END) AS c0,
+       |    MAX(CASE WHEN m=1 THEN cid END) AS c1,
+       |    MAX(CASE WHEN m=2 THEN cid END) AS c2,
+       |    MAX(CASE WHEN m=3 THEN cid END) AS c3
+       |  FROM enc GROUP BY vec_id),
+       |sc AS (
+       |  SELECT q.vec_id AS q_id, x.vec_id AS n_id, $dist AS dist
+       |  FROM embeddings q
+       |  JOIN probe p ON p.vec_id = q.vec_id
+       |  JOIN asg a ON a.cell = p.cell AND a.vec_id <> q.vec_id
+       |  JOIN encp x ON x.vec_id = a.vec_id
+       |  JOIN cb b0 ON b0.cid = x.c0
+       |  JOIN cb b1 ON b1.cid = x.c1
+       |  JOIN cb b2 ON b2.cid = x.c2
+       |  JOIN cb b3 ON b3.cid = x.c3)
+       |SELECT q_id, n_id, rnk, dist FROM (
+       |  SELECT q_id, n_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $k""".stripMargin
+  }
+
   private def sqlPqRefinedKnn(k: Int = 3): String = {
     val encSeedD = sqlSqDist("e.embedding[ms.m*16+1 : ms.m*16+16]",
       "cb.cv[ms.m*16+1 : ms.m*16+16]")
@@ -826,6 +926,10 @@ object VectorOps {
          |GROUP BY b.q_id""".stripMargin,
 
     "v9_knn_pq" -> sqlPqKnn(),
+
+    // coarse cells (v15's rk/asg/probe) × PQ codes (v9's cb/enc) —
+    // the composed IVF-PQ serve mirror
+    "v26_ivfpq_serve" -> sqlIvfPqServe(),
 
     // per-(label, pos) mean over floor(x·1e12)-quantized components —
     // floor instead of a decimal cast because odd-multiple-of-2⁻¹³

@@ -121,6 +121,31 @@ object ScoringStreaming {
       ()
     }
 
+  /** The IVF-PQ twin of [[knnScoreStreamIndexed]]: arriving queries
+    * score the maintained/staged CODE-carrying index
+    * ([[cellIndexStream]] with a codebook, or a staged
+    * [[graft.operators.Similarity.indexCells]] artifact) through
+    * [[graft.operators.Similarity.pqScoreCodesIndexed]] — coarse
+    * cells prune via the probe equi-join, the per-query ADC tables
+    * score the m codeword ids, and the index's raw vectors are never
+    * touched at serve time (the v26 query's shape, streamed).
+    * Stateless per query row, so stream ≡ batch under any slicing
+    * (spec-pinned) and replays are idempotent under any keyed sink.
+    */
+  def pqScoreStreamIndexed(stream: DataFrame, index: DataFrame,
+                           centroids: DataFrame,
+                           cb: graft.operators.Similarity.PqCodebook,
+                           k: Int, nprobe: Int,
+                           onBatch: (Long, DataFrame) => Unit,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding")
+      : DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(batchId, graft.operators.Similarity.pqScoreCodesIndexed(
+        index, batch, centroids, cb, k, nprobe, idCol, vecCol))
+      ()
+    }
+
   /** Maintain the IVF cell-assignment INDEX from an arriving
     * vector INSERT stream — the corpus-side half of
     * [[knnScoreStream]]'s train-once/serve-forever economics, so the

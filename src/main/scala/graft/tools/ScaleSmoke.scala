@@ -159,6 +159,19 @@ object ScaleSmoke {
         (persist(Similarity.indexCells(e1x, cents8), "knnidx1"),
           persist(Similarity.indexCells(eNx, cents8), s"knnidx$factor"))
       else (null, null)
+    // ivfpqserve: the full IVF-PQ serve (v26) against code-carrying
+    // staged indexes; the codebook is FROZEN from the base corpus (a
+    // model artifact — it doesn't grow with data)
+    val pqCb =
+      if (legOn("ivfpqserve")) Similarity.pqCodebook(e1x, m = 4, k = 16)
+      else null
+    val (pqIdx1, pqIdxN) =
+      if (legOn("ivfpqserve"))
+        (persist(Similarity.indexCells(e1x, cents8,
+            codebook = Some(pqCb)), "pqidx1"),
+          persist(Similarity.indexCells(eNx, cents8,
+            codebook = Some(pqCb)), s"pqidx$factor"))
+      else (null, null)
     // bpeserve: the per-micro-batch body of bpeCountStream with merges
     // FROZEN from the base corpus (a tokenizer version doesn't grow
     // with data); the tagged fixture grows rows AND vocabulary, so the
@@ -492,6 +505,13 @@ object ScaleSmoke {
       bench("knnserve", e1x, eNx, e =>
         Similarity.ivfMultiprobeKnnIndexed(
           if (e eq e1x) knnIdx1 else knnIdxN, queries, cents8,
+          k = 3, nprobe = 2)),
+      // ivfpqserve: cell-pruned ADC over the staged code index (the
+      // v26 serve) — probe equi-join + m table lookups per pair, raw
+      // vectors untouched; must track the index scan
+      bench("ivfpqserve", e1x, eNx, e =>
+        Similarity.pqScoreCodesIndexed(
+          if (e eq e1x) pqIdx1 else pqIdxN, queries, cents8, pqCb,
           k = 3, nprobe = 2)),
       // bpeserve: frozen-tokenizer counting over the grown corpus —
       // stateless per doc, must track the scan + multiplicity shuffle

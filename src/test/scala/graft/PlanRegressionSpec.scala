@@ -603,6 +603,24 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("v26 ivf-pq serve: probe-cell equi-join prunes, ADC scores, rank-limit tops") {
+    val p = plan("v26_ivfpq_serve")
+    // the index is SERVED STAGED (Artifacts parquet — the ingest-time
+    // build never fuses into the serve stage), candidates come from
+    // the probe-cell EQUI-join (broadcast query side), and the only
+    // NL product allowed is the ×|centroids| query probe-ranking
+    // cross: a second NL join, a sort-merge join, or a cartesian
+    // means the staged serve or the coarse pruning was lost.
+    assert(p.contains(graft.core.Artifacts.root), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size <= 1,
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // per-query top-k prunes through the rank window
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("hammingBandPairs cache lifetime: entry outlives the call, clearCache releases it") {
     // the documented contract (Dedup.hammingBandPairs scaladoc): the
     // banded frame stays persisted after the action — a long-lived

@@ -123,6 +123,19 @@ class CellIndexStreamSpec extends AnyFunSuite {
         cb, k = 2)))
   }
 
+  test("indexCells inline-centroid cells equal the assignCells join fallback") {
+    // maxInlineCentroids = 0 forces the large-codebook equi-join path;
+    // the default takes the one-projection literal-centroid path —
+    // VecDot promotes floats to double before multiplying, so both
+    // must agree exactly (including norms), not approximately
+    val src = vecs.toDF("vec_id", "embedding")
+    val inline = canon(Similarity.indexCells(src, centroids))
+    val joined = canon(Similarity.indexCells(src, centroids,
+      maxInlineCentroids = 0))
+    assert(inline.nonEmpty)
+    assert(inline === joined)
+  }
+
   test("indexed query-stream serve equals the batch search per slicing") {
     // build the maintained index once, then stream QUERIES against it
     // — the knnScoreStreamIndexed path never re-assigns the corpus
@@ -184,6 +197,24 @@ class CellIndexStreamSpec extends AnyFunSuite {
     assert(full.nonEmpty)
     assert(res(Similarity.pqScoreCodesIndexed(index, queries, centroids,
       cb, k = 3, nprobe = 2)) === full)
+    // the streaming twin must reproduce the batch serve under any
+    // slicing (stateless per query row)
+    val qRows = Seq(
+      (100L, Array(0.8f, 0.2f)),
+      (101L, Array(0.2f, 0.8f)))
+    for (slices <- Seq(Seq(qRows), qRows.grouped(1).toSeq)) {
+      val got = scala.collection.mutable.Set[(Long, Long, Int, Double)]()
+      val qin = MemoryStream[(Long, Array[Float])]
+      val qs = ScoringStreaming.pqScoreStreamIndexed(
+          qin.toDF().toDF("vec_id", "embedding"), index, centroids, cb,
+          k = 3, nprobe = 2,
+          (_, df) => got ++= df.select("q_id", "n_id", "rnk", "dist")
+            .as[(Long, Long, Int, Double)].collect())
+        .start()
+      try slices.foreach { s => qin.addData(s: _*); qs.processAllAvailable() }
+      finally qs.stop()
+      assert(got.toSet === full, s"slicing=${slices.size} batches")
+    }
     // nprobe = 1 restricts candidates to the query's best cell: every
     // returned neighbor must live in exactly that cell
     val pruned = res(Similarity.pqScoreCodesIndexed(index, queries,
