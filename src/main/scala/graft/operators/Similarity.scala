@@ -667,6 +667,56 @@ object Similarity {
         .as("m"))
   }
 
+  /** The DCG rank discounts 1/log₂(r+1) for r = 1..k, computed ONCE
+    * driver-side — exposed so the SQL oracle interpolates the SAME
+    * doubles (a double's shortest decimal round-trips exactly, so
+    * both engines sum identical constants).
+    */
+  def dcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** Ranked-retrieval quality eval — MRR@k and binary-relevance
+    * NDCG@k (Järvelin & Kekäläinen 2002) of a ranked result list
+    * against an exact truth set: the eval a serving deployment runs
+    * per index/config release, completing the family recall@k
+    * (v11/v14/v16/v21) starts. `truth` carries the relevant
+    * (q_id, n_id) pairs (e.g. brute-force top-k), `ranked` the
+    * (q_id, n_id, rnk) list under eval.
+    *
+    * Float determinism: the DCG is NOT a fp sum over rows in
+    * partition order (addition isn't associative) — hits pivot into
+    * per-rank 0/1 flags (max-aggregated, order-free) and the DCG is
+    * one FIXED left-assoc expression h₁·d₁ + … + h_k·d_k, so two
+    * runs (and two engines) agree bit-for-bit. IDCG = prefix sum of
+    * the first min(n_rel, k) discounts, same fixed fold.
+    *
+    * Scale shape: one equi-join truth⋈ranked on (q_id, n_id) + one
+    * partial-aggregatable groupBy(q_id) — eval-set sized, never
+    * corpus-sized. Output: (q_id, n_rel, mrr, dcg, ndcg).
+    */
+  def retrievalEval(truth: DataFrame, ranked: DataFrame,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val disc = dcgDiscounts(k)
+    val prefix = disc.scanLeft(0.0)(_ + _).tail
+    val rel = truth.select(col("q_id"), col("n_id"))
+      .join(ranked.select(col("q_id"), col("n_id"), col("rnk")),
+        Seq("q_id", "n_id"), "left")
+    val hits = (1 to k).map(r =>
+      max(when(col("rnk") === r, 1).otherwise(0)).as(s"h$r"))
+    val aggs = Seq(count(lit(1)).as("n_rel"),
+      min(col("rnk")).as("first_hit")) ++ hits
+    val dcg = (1 to k).map(r =>
+      col(s"h$r").cast("double") * lit(disc(r - 1))).reduce(_ + _)
+    rel.groupBy(col("q_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("q_id"), col("n_rel"),
+        coalesce(lit(1.0) / col("first_hit"), lit(0.0)).as("mrr"),
+        dcg.as("dcg"))
+      .withColumn("ndcg", col("dcg") /
+        element_at(typedLit(prefix),
+          least(col("n_rel"), lit(k.toLong)).cast("int")))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): keep
     * one representative per group of embedding-near-duplicates, where
     * candidate pairs are bounded to a k-means cell instead of the full

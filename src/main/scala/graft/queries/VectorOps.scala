@@ -354,6 +354,20 @@ object VectorOps {
       Similarity.pqScoreCodesIndexed(
         pqIndexIdx(s, dir), querySet(e), e.filter(col("vec_id") < 8),
         Similarity.pqCodebook(e, m = 4, k = 16), k = 3, nprobe = 2)
+    },
+
+    // ranked-retrieval quality of the v26 IVF-PQ serve against the
+    // staged brute-force truth: MRR@3 + binary-relevance NDCG@3 per
+    // query — the per-release eval a serving deployment reads next
+    // to the v25 candidate-volume sweep (recall says WHETHER the
+    // truth surfaced; MRR/NDCG say WHERE it ranked)
+    "v27_retrieval_eval" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.retrievalEval(knnTruthIdx(s, dir),
+        Similarity.pqScoreCodesIndexed(pqIndexIdx(s, dir), querySet(e),
+          e.filter(col("vec_id") < 8),
+          Similarity.pqCodebook(e, m = 4, k = 16), k = 3, nprobe = 2),
+        k = 3)
     })
 
   /** SQL mirror of Similarity.dot: strict left fold over the zipped
@@ -930,6 +944,44 @@ object VectorOps {
     // coarse cells (v15's rk/asg/probe) × PQ codes (v9's cb/enc) —
     // the composed IVF-PQ serve mirror
     "v26_ivfpq_serve" -> sqlIvfPqServe(),
+
+    // MRR/NDCG of the v26 serve vs the brute top-3: hits pivot into
+    // per-rank flags (order-free MAX), the DCG is one fixed
+    // left-assoc fold over discounts interpolated from the SAME
+    // driver-computed doubles as the Spark side (shortest-decimal
+    // round-trip is exact), so every float agrees bit-for-bit
+    "v27_retrieval_eval" -> {
+      val d = Similarity.dcgDiscounts(3)
+      val p = d.scanLeft(0.0)(_ + _).tail
+      val dcg = s"(CAST(h1 AS DOUBLE) * ${d(0)} + " +
+        s"CAST(h2 AS DOUBLE) * ${d(1)}) + CAST(h3 AS DOUBLE) * ${d(2)}"
+      s"""WITH tr AS (
+         |${sqlKnn("q.vec_id <> c.vec_id")}
+         |),
+         |ap AS (
+         |${sqlIvfPqServe()}
+         |),
+         |rel AS (
+         |  SELECT t.q_id, a.rnk
+         |  FROM tr t LEFT JOIN ap a
+         |    ON a.q_id = t.q_id AND a.n_id = t.n_id),
+         |pq AS (
+         |  SELECT q_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rel,
+         |    MIN(rnk) AS first_hit,
+         |    MAX(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS h1,
+         |    MAX(CASE WHEN rnk = 2 THEN 1 ELSE 0 END) AS h2,
+         |    MAX(CASE WHEN rnk = 3 THEN 1 ELSE 0 END) AS h3
+         |  FROM rel GROUP BY q_id)
+         |SELECT q_id, n_rel,
+         |  COALESCE(CAST(1.0 AS DOUBLE) / first_hit,
+         |           CAST(0.0 AS DOUBLE)) AS mrr,
+         |  $dcg AS dcg,
+         |  ($dcg) / (CASE LEAST(n_rel, 3)
+         |    WHEN 1 THEN ${p(0)} WHEN 2 THEN ${p(1)}
+         |    WHEN 3 THEN ${p(2)} END) AS ndcg
+         |FROM pq""".stripMargin
+    },
 
     // per-(label, pos) mean over floor(x·1e12)-quantized components —
     // floor instead of a decimal cast because odd-multiple-of-2⁻¹³
