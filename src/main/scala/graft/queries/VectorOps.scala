@@ -356,6 +356,31 @@ object VectorOps {
         Similarity.pqCodebook(e, m = 4, k = 16), k = 3, nprobe = 2)
     },
 
+    // the PQ family's measured planning table (the d29/d30/v25
+    // discipline on the fourth tunable family): for every (m, k)
+    // codebook shape, recall@3 of the ADC search against the staged
+    // brute truth next to its bytes/vector — the compression-vs-
+    // recall table a deployment reads to size its product quantizer.
+    // m sweeps the byte budget at fixed k; the (4, 8) leg prices a
+    // halved codebook at the standard budget
+    "v28_pq_sweep" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val truth = knnTruthIdx(s, dir)
+      val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
+      Seq((2, 16), (4, 8), (4, 16), (8, 16)).map { case (m, kc) =>
+        val approx = Similarity.pqKnn(e, querySet(e),
+            Similarity.pqCodebook(e, m = m, k = kc), k = 3)
+          .select(col("q_id"), col("n_id"))
+        truth.join(approx, Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("n_caught"))
+          .crossJoin(nTrue)
+          .select(lit(m).as("m"), lit(kc).as("k_codewords"),
+            lit(m).as("bytes_per_vec"), col("n_true"), col("n_caught"),
+            when(col("n_true") > 0, col("n_caught").cast("double") /
+              col("n_true").cast("double")).as("recall"))
+      }.reduce(_.unionByName(_))
+    },
+
     // ranked-retrieval quality of the v26 IVF-PQ serve against the
     // staged brute-force truth: MRR@3 + binary-relevance NDCG@3 per
     // query — the per-release eval a serving deployment reads next
@@ -636,6 +661,55 @@ object VectorOps {
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id) AS rnk
        |  FROM sc)
        |WHERE rnk <= $k""".stripMargin
+  }
+
+  /** One config leg of the v28 (m, k) PQ sweep: sqlPqKnn's cb/enc/
+    * encp/score CTEs generalized over subspace count `m` (sub =
+    * 64/m) and codebook size `kc`, names prefixed `$t` so four legs
+    * coexist in one WITH. Emits (CTE text, top-pairs CTE name).
+    */
+  private def sqlPqCfg(t: String, m: Int, kc: Int): (String, String) = {
+    val sub = 64 / m
+    val d = (0 until m).map { mi =>
+      sqlSqDist(s"q.embedding[${mi * sub + 1}:${(mi + 1) * sub}]",
+        s"$t$mi.cv[${mi * sub + 1}:${(mi + 1) * sub}]")
+    }
+    val dist = d.reduce((a, b) => s"($a + $b)")
+    val encD = sqlSqDist(s"e.embedding[ms.m*$sub+1 : ms.m*$sub+$sub]",
+      s"cb.cv[ms.m*$sub+1 : ms.m*$sub+$sub]")
+    val pivot = (0 until m).map(mi =>
+      s"MAX(CASE WHEN m=$mi THEN cid END) AS c$mi").mkString(",\n    ")
+    val joins = (0 until m).map(mi =>
+      s"JOIN ${t}cb $t$mi ON $t$mi.cid = x.c$mi").mkString("\n  ")
+    val cte =
+      s"""${t}cb AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings ORDER BY vec_id LIMIT $kc),
+         |${t}enc AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT e.vec_id, ms.m, cb.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, ms.m
+         |        ORDER BY $encD ASC, cb.cid) AS rnk
+         |    FROM embeddings e CROSS JOIN range(0,$m) ms(m)
+         |    CROSS JOIN ${t}cb cb)
+         |  WHERE rnk = 1),
+         |${t}encp AS (
+         |  SELECT vec_id,
+         |    $pivot
+         |  FROM ${t}enc GROUP BY vec_id),
+         |${t}top AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY dist ASC, n_id) AS rnk
+         |    FROM (
+         |      SELECT q.vec_id AS q_id, x.vec_id AS n_id, $dist AS dist
+         |      FROM embeddings q JOIN ${t}encp x ON q.vec_id <> x.vec_id
+         |      $joins
+         |      WHERE q.vec_id % 50 = 0))
+         |  WHERE rnk <= 3)""".stripMargin
+    (cte, s"${t}top")
   }
 
   private def sqlPqRefinedKnn(k: Int = 3): String = {
@@ -944,6 +1018,34 @@ object VectorOps {
     // coarse cells (v15's rk/asg/probe) × PQ codes (v9's cb/enc) —
     // the composed IVF-PQ serve mirror
     "v26_ivfpq_serve" -> sqlIvfPqServe(),
+
+    // (m, k) PQ sweep: per config the sqlPqKnn CTE set generalized
+    // (distinct prefixes), hits counted against the shared brute
+    // top-3 CTE; counts BIGINT (the HUGEINT discipline), recall the
+    // same double division as the Spark side
+    "v28_pq_sweep" -> {
+      val configs = Seq((2, 16), (4, 8), (4, 16), (8, 16))
+      val legs = configs.zipWithIndex.map { case ((m, kc), i) =>
+        (m, kc, sqlPqCfg(s"g$i", m, kc))
+      }
+      val summaries = legs.map { case (m, kc, (_, top)) =>
+        s"""SELECT CAST($m AS INT) AS m, CAST($kc AS INT) AS k_codewords,
+           |  CAST($m AS INT) AS bytes_per_vec,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_true,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b t JOIN $top c
+           |     ON c.q_id = t.q_id AND c.n_id = t.n_id) AS n_caught,
+           |  CASE WHEN (SELECT COUNT(*) FROM b) > 0
+           |    THEN CAST((SELECT COUNT(*) FROM b t JOIN $top c
+           |                 ON c.q_id = t.q_id AND c.n_id = t.n_id)
+           |         AS DOUBLE) / (SELECT CAST(COUNT(*) AS BIGINT) FROM b)
+           |  END AS recall""".stripMargin
+      }
+      s"""WITH b AS (
+         |${sqlKnn("q.vec_id <> c.vec_id")}
+         |),
+         |${legs.map(_._3._1).mkString(",\n")}
+         |${summaries.mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     // MRR/NDCG of the v26 serve vs the brute top-3: hits pivot into
     // per-rank flags (order-free MAX), the DCG is one fixed

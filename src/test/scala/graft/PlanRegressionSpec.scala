@@ -621,6 +621,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("v28 pq sweep: staged truth, four independent ADC legs, no replay") {
+    val p = plan("v28_pq_sweep")
+    // the brute-force truth is SERVED staged (read once per leg from
+    // Artifacts parquet), never rebuilt inline — the v25 lesson
+    assert(p.contains(graft.core.Artifacts.root), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // each config leg tops through its own rank window (WindowGroupLimit)
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("hammingBandPairs cache lifetime: entry outlives the call, clearCache releases it") {
     // the documented contract (Dedup.hammingBandPairs scaladoc): the
     // banded frame stays persisted after the action — a long-lived
