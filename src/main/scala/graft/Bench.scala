@@ -112,7 +112,16 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val warmTotal = results.map(_._2._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2._1)},"warm_total":$warmTotal,"queries_warm":${jmap(_._2._2)},"sf":"$sfDir","mode":"cold-cache per timed run (min of 2) in `queries`/`value`; `queries_warm` keeps the warmup's caches live and is the number comparable to rounds <= 9"}"""
+    // Designated host-speed controls: stable, mid-cost queries whose
+    // plans haven't changed in rounds — this host is a shared VM that
+    // swings ~±60% between rounds, so a cross-round comparison should
+    // first normalize by the control ratio (round A control / round B
+    // control) before reading per-query movement as real.
+    val controls = Seq("d11_containment", "d15_containment_capped")
+      .filter(names.contains)
+    val controlsJson =
+      controls.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2._1)},"warm_total":$warmTotal,"queries_warm":${jmap(_._2._2)},"controls":$controlsJson,"sf":"$sfDir","mode":"cold-cache per timed run (min of 2) in `queries`/`value`; `queries_warm` keeps the warmup's caches live and is the number comparable to rounds <= 9; normalize cross-round comparisons by the `controls` queries' ratio first (shared-VM host noise)"}"""
     println(json)
     // the driver's BENCH_r{N}.json capture head-truncates on long runs,
     // losing ~25 queries of cross-round comparison — persist the full
