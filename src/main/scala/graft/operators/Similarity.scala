@@ -323,6 +323,31 @@ object Similarity {
       .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
     val base = codebook.fold(base0)(cb =>
       base0.withColumn("codes", pqEncode(col(vecCol), cb)))
+    inlineCellColumn(base, centroids, idCol, vecCol, maxInlineCentroids)
+      .getOrElse(
+        base.join(assignCells(corpus, centroids, idCol, vecCol)
+          .select(col(idCol), col("cell")), Seq(idCol)))
+  }
+
+  /** The inline-centroid half of [[indexCells]], factored out so
+    * [[indexChangelog]] shares it: Some(df + `cell`) — a pure map-side
+    * projection against literal centroids — when the centroid set fits
+    * `maxInlineCentroids`, None when it doesn't (callers fall back to
+    * the [[assignCells]] equi-join). `df` must already carry the
+    * vector's `nrm` column (the cosine denominator). Works row-wise,
+    * so duplicate ids (a changelog with updates) are fine here — only
+    * the join fallback needs a unique key.
+    *
+    * `maxInlineCentroids <= 0` short-circuits to None WITHOUT running
+    * the `take` probe: the forced-join path stays fully lazy (a
+    * DataFrame-construction-time Spark job inside a per-micro-batch
+    * body would fire once per batch for nothing).
+    */
+  private def inlineCellColumn(df: DataFrame, centroids: DataFrame,
+                               idCol: String, vecCol: String,
+                               maxInlineCentroids: Int)
+      : Option[DataFrame] = {
+    if (maxInlineCentroids <= 0) return None
     val probe = centroids
       .select(col(idCol).cast("long"), col(vecCol))
       .take(maxInlineCentroids + 1)
@@ -342,11 +367,94 @@ object Similarity {
           lit(-cid).as("neg_id"))
       }
       val best = if (scored.size == 1) scored.head else greatest(scored: _*)
-      base.withColumn("cell", -best.getField("neg_id"))
-    } else
-      base.join(assignCells(corpus, centroids, idCol, vecCol)
-        .select(col(idCol), col("cell")), Seq(idCol))
+      Some(df.withColumn("cell", -best.getField("neg_id")))
+    } else None
   }
+
+  /** The CHANGELOG form of [[indexCells]] — the missing half of a
+    * maintained ANN index: a real serving corpus doesn't only grow, it
+    * takes vector UPDATES and DELETES (the reference's own dim
+    * pipeline propagates updates — `utils/DimUtil.java:52-60`). Input
+    * is an op-carrying vector feed (`idCol`, `vecCol`, `opCol`,
+    * `seqCol`) where `seqCol` sequences changes per id (unique per
+    * (id, seq) — a CDC change position). Output is one INDEX row per
+    * change row:
+    *  - non-delete ops get the full [[indexCells]] treatment — norm,
+    *    cell, and (with `codebook`) PQ codes, all paid at INGEST so a
+    *    serve never touches raw math;
+    *  - deletes become TOMBSTONE rows (null vector/nrm/codes/cell,
+    *    op preserved) — storage keeps them so any replay or
+    *    compaction window still knows the key ended deleted
+    *    ([[graft.sources.CdcRouter.compactChangelog]] keeps them for
+    *    exactly this reason; the serve-time read drops them).
+    *
+    * Serving reads [[latestIndexState]] over these rows: last change
+    * per id wins, tombstones excluded. Because every index column is
+    * a pure per-row function of the vector, indexing-then-resolving
+    * equals resolving-then-indexing: `latestIndexState(
+    * indexChangelog(feed))` ≡ `indexCells(latestState(feed))`
+    * bit-for-bit (spec-pinned under stream slicing + kill/restart).
+    *
+    * Scale shape: the live half is the same map-side literal-centroid
+    * projection as [[indexCells]] (no shuffle); above
+    * `maxInlineCentroids` the fallback equi-join keys on a synthetic
+    * (id, seq) composite — a changelog repeats ids, so the plain
+    * id-keyed [[assignCells]] join would fan out update×insert rows.
+    */
+  def indexChangelog(feed: DataFrame, centroids: DataFrame,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     opCol: String = "op", seqCol: String = "seq",
+                     deleteOp: String = "delete",
+                     codebook: Option[PqCodebook] = None,
+                     maxInlineCentroids: Int = 64): DataFrame = {
+    val keep = Seq(col(idCol), col(vecCol), col(opCol), col(seqCol))
+    val live0 = feed.filter(!(col(opCol) <=> deleteOp))
+      .select(keep :+ norm(col(vecCol)).as("nrm"): _*)
+    val live1 = codebook.fold(live0)(cb =>
+      live0.withColumn("codes", pqEncode(col(vecCol), cb)))
+    val live = inlineCellColumn(live1, centroids, idCol, vecCol,
+        maxInlineCentroids)
+      .getOrElse {
+        // composite-keyed assignment: ids repeat across a key's change
+        // history, (id, seq) is unique by contract
+        val ck = concat_ws(":", col(idCol).cast("string"),
+          col(seqCol).cast("string"))
+        val asg = assignCells(
+          feed.filter(!(col(opCol) <=> deleteOp))
+            .select(ck.as(idCol), col(vecCol)),
+          centroids, idCol, vecCol)
+          .select(col(idCol).as("_ck"), col("cell"))
+        live1.withColumn("_ck", ck).join(asg, "_ck").drop("_ck")
+      }
+    val codesType = codebook.map(_ =>
+      live.schema("codes").dataType).getOrElse(NullType)
+    val deadCols = Seq(col(idCol),
+        lit(null).cast(feed.schema(vecCol).dataType).as(vecCol),
+        col(opCol), col(seqCol),
+        lit(null).cast(DoubleType).as("nrm")) ++
+      codebook.map(_ => lit(null).cast(codesType).as("codes")).toSeq :+
+      lit(null).cast(LongType).as("cell")
+    val dead = feed.filter(col(opCol) <=> deleteOp).select(deadCols: _*)
+    live.unionByName(dead)
+  }
+
+  /** Serve-time resolution of an [[indexChangelog]] frame: the LATEST
+    * index row per id with delete tombstones excluded — exactly
+    * [[graft.sources.CdcRouter.latestState]] on (`idCol`) ordered by
+    * `seqCol` (one partial-aggregatable max-struct — the shuffle
+    * carries ≤ |keys| rows, never the changelog). The result is
+    * serve-ready [[indexCells]] rows (plus the op/seq audit columns,
+    * which every serve path ignores by selecting its columns by name):
+    * feed it straight to [[ivfMultiprobeKnnIndexed]] /
+    * [[pqScoreCodesIndexed]].
+    */
+  def latestIndexState(changelog: DataFrame,
+                       idCol: String = "vec_id", seqCol: String = "seq",
+                       opCol: String = "op",
+                       deleteOp: String = "delete"): DataFrame =
+    graft.sources.CdcRouter.latestState(changelog, Seq(idCol),
+      Seq(seqCol), opCol, deleteOp)
 
   /** [[ivfMultiprobeKnn]] over a PRE-ASSIGNED corpus index
     * ([[indexCells]] rows, however they were materialized — a staged
@@ -693,15 +801,27 @@ object Similarity {
     * Scale shape: one equi-join truth⋈ranked on (q_id, n_id) + one
     * partial-aggregatable groupBy(q_id) — eval-set sized, never
     * corpus-sized. Output: (q_id, n_rel, mrr, dcg, ndcg).
+    *
+    * Robustness contracts (both matter when `ranked` is deeper or
+    * dirtier than the top-k the caller means to eval):
+    *  - MRR@k is GATED on k: a relevant doc whose first appearance is
+    *    past rank k contributes 0, exactly like the DCG's per-rank
+    *    flags (an uncapped 1/min(rnk) would let a rank-50 hit leak
+    *    into an @3 metric).
+    *  - `ranked` is deduplicated to its BEST rank per (q_id, n_id)
+    *    before the join: a doc listed at two ranks must not fan out
+    *    truth rows (inflating n_rel and deflating NDCG through the
+    *    IDCG index) nor double-count gain at two DCG positions.
     */
   def retrievalEval(truth: DataFrame, ranked: DataFrame,
                     k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val disc = dcgDiscounts(k)
     val prefix = disc.scanLeft(0.0)(_ + _).tail
+    val bestRank = ranked.select(col("q_id"), col("n_id"), col("rnk"))
+      .groupBy(col("q_id"), col("n_id")).agg(min(col("rnk")).as("rnk"))
     val rel = truth.select(col("q_id"), col("n_id"))
-      .join(ranked.select(col("q_id"), col("n_id"), col("rnk")),
-        Seq("q_id", "n_id"), "left")
+      .join(bestRank, Seq("q_id", "n_id"), "left")
     val hits = (1 to k).map(r =>
       max(when(col("rnk") === r, 1).otherwise(0)).as(s"h$r"))
     val aggs = Seq(count(lit(1)).as("n_rel"),
@@ -710,7 +830,9 @@ object Similarity {
       col(s"h$r").cast("double") * lit(disc(r - 1))).reduce(_ + _)
     rel.groupBy(col("q_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("q_id"), col("n_rel"),
-        coalesce(lit(1.0) / col("first_hit"), lit(0.0)).as("mrr"),
+        // null first_hit (no hit at all) falls to the otherwise-0 leg
+        when(col("first_hit") <= k, lit(1.0) / col("first_hit"))
+          .otherwise(lit(0.0)).as("mrr"),
         dcg.as("dcg"))
       .withColumn("ndcg", col("dcg") /
         element_at(typedLit(prefix),

@@ -1063,9 +1063,12 @@ object VectorOps {
          |ap AS (
          |${sqlIvfPqServe()}
          |),
+         |apd AS (
+         |  SELECT q_id, n_id, MIN(rnk) AS rnk
+         |  FROM ap GROUP BY q_id, n_id),
          |rel AS (
          |  SELECT t.q_id, a.rnk
-         |  FROM tr t LEFT JOIN ap a
+         |  FROM tr t LEFT JOIN apd a
          |    ON a.q_id = t.q_id AND a.n_id = t.n_id),
          |pq AS (
          |  SELECT q_id,
@@ -1076,8 +1079,9 @@ object VectorOps {
          |    MAX(CASE WHEN rnk = 3 THEN 1 ELSE 0 END) AS h3
          |  FROM rel GROUP BY q_id)
          |SELECT q_id, n_rel,
-         |  COALESCE(CAST(1.0 AS DOUBLE) / first_hit,
-         |           CAST(0.0 AS DOUBLE)) AS mrr,
+         |  CASE WHEN first_hit <= 3
+         |    THEN CAST(1.0 AS DOUBLE) / first_hit
+         |    ELSE CAST(0.0 AS DOUBLE) END AS mrr,
          |  $dcg AS dcg,
          |  ($dcg) / (CASE LEAST(n_rel, 3)
          |    WHEN 1 THEN ${p(0)} WHEN 2 THEN ${p(1)}

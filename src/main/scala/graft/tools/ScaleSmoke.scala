@@ -119,14 +119,19 @@ object ScaleSmoke {
 
     def bench(name: String, small: DataFrame, big: DataFrame,
               run: DataFrame => DataFrame): (String, Double) =
-      benchAction(name, small, big, in => { run(in).count(); () })
+      benchAction[DataFrame](name, small, big, in => { run(in).count(); () })
 
     // for shapes whose output is a driver-side model (v17's codebook),
-    // not a DataFrame — the action itself must force the computation
-    def benchAction(name: String, small: DataFrame, big: DataFrame,
-                    run: DataFrame => Unit): (String, Double) = {
+    // not a DataFrame — the action itself must force the computation.
+    // Generic in the input so serving legs pass their (1x, Nx) STAGED
+    // indexes explicitly instead of dispatching on reference equality
+    // of the raw frame (an `e eq e1x` test silently scores the 1x
+    // index for any derived/re-read frame — the gate would measure
+    // nothing)
+    def benchAction[T](name: String, small: T, big: T,
+                       run: T => Unit): (String, Double) = {
       if (only.exists(!_.contains(name))) return name -> 0.0 // filtered out
-      def once(in: DataFrame): Double = {
+      def once(in: T): Double = {
         // operators persist intermediates internally (LSH buckets, HH
         // inputs); a cache surviving from the warmup would serve the 1×
         // timed run a partially-cached pipeline while the 10× run pays
@@ -246,7 +251,7 @@ object ScaleSmoke {
       }),
       // v17: refined PQ training — per round one corpus scan + one
       // m×k×sub partial-aggregated shuffle; growth must track the scan
-      benchAction("v17", e1x, eNx, e => {
+      benchAction[DataFrame]("v17", e1x, eNx, e => {
         Similarity.pqCodebookRefined(e, m = 4, k = 16, iters = 2); ()
       }),
       // d10: chunk dedup — map-side chunking + one hash exchange on the
@@ -396,7 +401,7 @@ object ScaleSmoke {
       // t52: BPE training (5 rounds) — the tagged fixture grows the
       // VOCABULARY 10×, which is the training state itself; each
       // round's pair count + argmax + rewrite must track it
-      benchAction("t52", dt1x, dtNx, d => {
+      benchAction[DataFrame]("t52", dt1x, dtNx, d => {
         graft.functions.Bpe.train(d, nMerges = 5); ()
       }),
       // v24: centroid gate — seed fixed (the query-set convention),
@@ -502,16 +507,15 @@ object ScaleSmoke {
       }),
       // knnserve: query-stream serving against the staged index —
       // the probe-side broadcast join scans the grown index once
-      bench("knnserve", e1x, eNx, e =>
-        Similarity.ivfMultiprobeKnnIndexed(
-          if (e eq e1x) knnIdx1 else knnIdxN, queries, cents8,
+      // (the staged index pair IS the bench input — no dispatch)
+      bench("knnserve", knnIdx1, knnIdxN, idx =>
+        Similarity.ivfMultiprobeKnnIndexed(idx, queries, cents8,
           k = 3, nprobe = 2)),
       // ivfpqserve: cell-pruned ADC over the staged code index (the
       // v26 serve) — probe equi-join + m table lookups per pair, raw
       // vectors untouched; must track the index scan
-      bench("ivfpqserve", e1x, eNx, e =>
-        Similarity.pqScoreCodesIndexed(
-          if (e eq e1x) pqIdx1 else pqIdxN, queries, cents8, pqCb,
+      bench("ivfpqserve", pqIdx1, pqIdxN, idx =>
+        Similarity.pqScoreCodesIndexed(idx, queries, cents8, pqCb,
           k = 3, nprobe = 2)),
       // bpeserve: frozen-tokenizer counting over the grown corpus —
       // stateless per doc, must track the scan + multiplicity shuffle
@@ -519,10 +523,13 @@ object ScaleSmoke {
         graft.functions.Bpe.docTokenCountsWith(d, frozenMerges)),
       // d26s: the exact similarity join SERVED from the parquet prefix
       // artifact (build untimed above) — prefix equi-join + length
-      // filter + per-pair verify, tracking the index scan
-      bench("d26s", dt1x, dtNx, d =>
-        Dedup.pairsFromPrefixIndex(
-          if (d eq dt1x) pref1 else prefN, d, tauPermille = 500)))
+      // filter + per-pair verify, tracking the index scan; the
+      // (index, docs) pair travels together so the big leg can never
+      // silently score the 1x index
+      benchAction[(DataFrame, DataFrame)]("d26s", (pref1, dt1x),
+        (prefN, dtNx), { case (p, d) =>
+          Dedup.pairsFromPrefixIndex(p, d, tauPermille = 500).count(); ()
+        }))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)

@@ -85,8 +85,10 @@ class AnnPropertySpecs extends AnyFunSuite {
     val qGen = Gen.chooseNum(1L, 8L)
     val truthRows = sample(Gen.zip(qGen, Gen.chooseNum(0L, 20L)), 60,
       seed = 303L).distinct
+    // ranked lists DEEPER than k (ranks 1..5): hits past the cut must
+    // score 0 in MRR@3, mirroring the DCG's per-rank flags
     val rankedRows = sample(qGen, 30, seed = 404L).distinct.flatMap(q =>
-      sample(Gen.pick(3, 0L to 20L), 1, seed = 500L + q).flatMap(ns =>
+      sample(Gen.pick(5, 0L to 20L), 1, seed = 500L + q).flatMap(ns =>
         ns.toSeq.sorted.zipWithIndex.map { case (n, i) => (q, n, i + 1) }))
     val got = Similarity.retrievalEval(
         truthRows.toDF("q_id", "n_id"),
@@ -99,7 +101,8 @@ class AnnPropertySpecs extends AnyFunSuite {
     assert(got.keySet === byQ.keySet)
     byQ.foreach { case (qid, ts) =>
       val ranks = ts.flatMap { case (q, n) => rankOf.get((q, n)) }
-      val mrr = if (ranks.isEmpty) 0.0 else 1.0 / ranks.min
+      val inK = ranks.filter(_ <= 3)
+      val mrr = if (inK.isEmpty) 0.0 else 1.0 / inK.min
       // the operator's fixed fold: ((h1*d1) + (h2*d2)) + (h3*d3)
       val hs = (1 to 3).map(r => if (ranks.contains(r)) 1.0 else 0.0)
       val dcg = hs.zip(discs).map { case (h, d) => h * d }.reduce(_ + _)

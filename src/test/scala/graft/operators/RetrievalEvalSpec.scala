@@ -56,4 +56,36 @@ class RetrievalEvalSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Double)].collect()
     assert(got.toSeq === Seq((7L, 2L, 0.0, 0.0)))
   }
+
+  test("MRR@k gates on k: a first hit past rank k scores 0, not 1/rank") {
+    // the ranked list is DEEPER than k — the @k metric must ignore
+    // anything below the cut, exactly like the DCG's per-rank flags
+    val truth = Seq((1L, 10L), (2L, 20L)).toDF("q_id", "n_id")
+    val ranked = Seq(
+      (1L, 10L, 5), // relevant, but first surfaces at rank 5 > k=3
+      (2L, 20L, 2)) // in-window control
+      .toDF("q_id", "n_id", "rnk")
+    val got = Similarity.retrievalEval(truth, ranked, k = 3)
+      .select("q_id", "mrr", "dcg", "ndcg")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 0.0, 0.0, 0.0)))
+    assert(got(2L) === ((2L, 0.5, d(1), d(1) / d(0))))
+  }
+
+  test("duplicate ranked rows collapse to their best rank: n_rel and DCG stable") {
+    val truth = Seq((1L, 10L), (1L, 11L)).toDF("q_id", "n_id")
+    // doc 10 listed at ranks 1 AND 3 (a dirty ranked list): it must
+    // count once at rank 1 — not fan n_rel to 3, not flag h3
+    val dup = Seq((1L, 10L, 1), (1L, 10L, 3), (1L, 11L, 2))
+      .toDF("q_id", "n_id", "rnk")
+    val clean = Seq((1L, 10L, 1), (1L, 11L, 2))
+      .toDF("q_id", "n_id", "rnk")
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      Similarity.retrievalEval(truth, r, k = 3)
+        .select("q_id", "n_rel", "mrr", "dcg", "ndcg")
+        .as[(Long, Long, Double, Double, Double)].collect().toSet
+    assert(rows(dup) === rows(clean))
+    assert(rows(dup).head._2 === 2L)
+  }
 }
