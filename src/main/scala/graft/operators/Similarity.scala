@@ -1100,11 +1100,24 @@ object Similarity {
   }
 
   /** Per-row PQ encoding: for each subspace, the argmin-distance
-    * codeword id (ties → lowest id). Map-side only — m×k codegen'd
-    * folds per row against literal codewords, no join, no shuffle:
-    * the 100 TB corpus compresses to m bytes/vector in one scan.
+    * codeword id (ties → lowest id). Map-side only — one native
+    * kernel per row with the codebook as a REFERENCE OBJECT
+    * ([[graft.functions.PqCodes]]), no join, no shuffle: the 100 TB
+    * corpus compresses to m bytes/vector in one scan. The composed
+    * form ([[pqEncodeComposed]]) unrolled m×k literal kernel calls
+    * into one 12–26 KB generated method — past HotSpot's 8,000-byte
+    * JIT ceiling, so THE INGEST SCAN RAN INTERPRETED; the kernel is
+    * bit-identical (spec-pinned, including null/short-vector edges)
+    * and compiles.
     */
-  def pqEncode(vec: Column, cb: PqCodebook): Column = {
+  def pqEncode(vec: Column, cb: PqCodebook): Column =
+    graft.functions.PqCodes(vec, cb)
+
+  /** The macro-expanded reference form of [[pqEncode]] — what the
+    * kernel must reproduce bit-for-bit (and what the SQL oracle
+    * mirrors term-by-term). Kept for the equivalence spec only.
+    */
+  private[graft] def pqEncodeComposed(vec: Column, cb: PqCodebook): Column = {
     val sub = cb.head.head.size
     array(cb.zipWithIndex.map { case (codewords, mi) =>
       val s = slice(vec, mi * sub + 1, sub)
@@ -1112,6 +1125,26 @@ object Similarity {
         struct(sqDist(s, typedLit(cw)).as("d"), lit(ci).as("cid"))
       }
       least(scored: _*).getField("cid")
+    }: _*)
+  }
+
+  /** The per-query ADC distance table tbl[mi][ci] = ‖q⁽ᵐⁱ⁾ − cb[mi][ci]‖²
+    * as one native expression ([[graft.functions.AdcTable]]) — same
+    * JIT-ceiling story as [[pqEncode]] (the composed array-of-arrays
+    * form generated an 11,937-byte method). Query-side only; rides the
+    * broadcast row.
+    */
+  private def adcTable(vec: Column, cb: PqCodebook): Column =
+    graft.functions.AdcTable(vec, cb)
+
+  /** Composed reference form of [[adcTable]], for the equivalence
+    * spec only.
+    */
+  private[graft] def adcTableComposed(vec: Column, cb: PqCodebook): Column = {
+    val sub = cb.head.head.size
+    array(cb.zipWithIndex.map { case (codewords, mi) =>
+      array(codewords.map(cw =>
+        sqDist(slice(vec, mi * sub + 1, sub), typedLit(cw))): _*)
     }: _*)
   }
 
@@ -1158,13 +1191,9 @@ object Similarity {
   def pqScoreCodes(codes: DataFrame, queries: DataFrame, cb: PqCodebook,
                    k: Int, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val sub = cb.head.head.size
     val q = broadcast(queries.select(col(idCol).as("q_id"),
       col(vecCol).as("q_vec"))
-      .select(col("q_id"), array(cb.zipWithIndex.map { case (codewords, mi) =>
-        array(codewords.map(cw =>
-          sqDist(slice(col("q_vec"), mi * sub + 1, sub), typedLit(cw))): _*)
-      }: _*).as("tbl")))
+      .select(col("q_id"), adcTable(col("q_vec"), cb).as("tbl")))
     val dist = cb.indices.map { mi =>
       element_at(element_at(col("tbl"), mi + 1),
         element_at(col("codes"), mi + 1) + 1)
@@ -1197,17 +1226,12 @@ object Similarity {
                           centroids: DataFrame, cb: PqCodebook, k: Int,
                           nprobe: Int, idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
-    val sub = cb.head.head.size
     val probes = probeCells(queries, centroids, nprobe, idCol, vecCol)
     // per-query ADC table computed once on the broadcast side (the
     // pqScoreCodes economics), riding with the query's probe rows
     val q = broadcast(probes
       .select(col("q_id"), col("q_cell"),
-        array(cb.zipWithIndex.map { case (codewords, mi) =>
-          array(codewords.map(cw =>
-            sqDist(slice(col("q_vec"), mi * sub + 1, sub),
-              typedLit(cw))): _*)
-        }: _*).as("tbl")))
+        adcTable(col("q_vec"), cb).as("tbl")))
     val c = index.select(col(idCol).as("n_id"),
       col("cell").as("n_cell"), col("codes"))
     val dist = cb.indices.map { mi =>
@@ -1230,7 +1254,6 @@ object Similarity {
             vecCol: String = "embedding",
             cacheCodes: Boolean = true,
             cellCol: Option[String] = None): DataFrame = {
-    val sub = cb.head.head.size
     // classic ADC: each query precomputes its m×k distance table ONCE
     // (all the dims-length folds happen here, |Q|·m·k of them), so the
     // per-pair cost below is m array lookups + m−1 adds instead of m
@@ -1239,10 +1262,8 @@ object Similarity {
     val nCell = cellCol.map(c => Seq(col(c).as("n_cell"))).getOrElse(Nil)
     val q = broadcast(queries.select(Seq(col(idCol).as("q_id"),
       col(vecCol).as("q_vec")) ++ qCell: _*)
-      .select(Seq(col("q_id"), array(cb.zipWithIndex.map { case (codewords, mi) =>
-        array(codewords.map(cw =>
-          sqDist(slice(col("q_vec"), mi * sub + 1, sub), typedLit(cw))): _*)
-      }: _*).as("tbl")) ++ qCell.map(_ => col("q_cell")): _*))
+      .select(Seq(col("q_id"), adcTable(col("q_vec"), cb).as("tbl")) ++
+        qCell.map(_ => col("q_cell")): _*))
     val c0 = corpus.select(Seq(col(idCol).as("n_id"),
       pqEncode(col(vecCol), cb).as("codes")) ++ nCell: _*)
     val c = if (cacheCodes) c0.persist() else c0

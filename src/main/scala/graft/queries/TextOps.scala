@@ -163,6 +163,18 @@ object TextOps {
           === "train")
     },
 
+    // ---- HTML/boilerplate extraction (the C4/RefinedWeb stage 0) ---------
+    // deterministic markup synthesized from the text rows (the m8
+    // construction-math discipline — the oracle replays the same
+    // bytes), then the 6-rule strip: script/style/comment blocks out,
+    // tags to spaces, entities decoded, whitespace collapsed. The
+    // text-to-markup ratio is the stage's quality gate signal. One
+    // map-side projection — no shuffle, no UDF.
+    "t55_html_extract" -> { (s, dir) =>
+      graft.operators.Html.extractionReport(
+        graft.operators.Html.withHtmlPayload(docs(s, dir)))
+    },
+
     // ---- vocabulary-growth (Heaps' law) curve -----------------------------
     // cumulative distinct words at 8 corpus prefixes — the planning
     // input for every vocabulary-bound state (BPE, inverted indexes,
@@ -1003,6 +1015,58 @@ object TextOps {
         |  CAST(SUM(oov) AS BIGINT) AS oov_ct,
         |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS avg_surprisal
         |FROM sc GROUP BY 1, 2""".stripMargin,
+
+    // construction replayed verbatim (pure string math on (id, text)),
+    // then the same 6 strip rules in RE2 ('g' = all matches, matching
+    // Spark's replace-all default; the whitespace class is explicit —
+    // Java's \s and RE2's \s disagree on \x0B); entity decode order
+    // identical (&amp; last); lengths are code-point counts in both
+    // engines and the ratio divides the same exact integers
+    "t55_html_extract" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN ''
+        |         ELSE '<p>Q&amp;A &lt;doc&gt; ' || text || '</p>' END AS body
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style>body { margin: 0; }</style>' ||
+        |    '<script>var x = 1;</script></head><body>' ||
+        |    '<div class="nav">Home &amp; About</div>' ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '<script type="text/javascript">' ||
+        |           'if (a < b && b > c) { run(); }</script>'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '<div><div class="inner">' || body || '</div></div>'
+        |      ELSE body END ||
+        |    '<!-- id: ' || doc_id || ' --></body></html>' AS html
+        |  FROM b),
+        |x AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html,
+        |                '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&amp;', '&'),
+        |      '[ \t\n\r]+', ' ', 'g')) AS extracted
+        |  FROM h)
+        |SELECT doc_id, extracted,
+        |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT)
+        |    AS n_tags,
+        |  CAST(length(html) AS BIGINT) AS html_len,
+        |  CAST(length(extracted) AS BIGINT) AS text_len,
+        |  CAST(length(extracted) AS DOUBLE) /
+        |    CAST(length(html) AS DOUBLE) AS markup_ratio
+        |FROM x""".stripMargin,
 
     "t43_bigram_surprisal" ->
       """WITH w AS (

@@ -67,6 +67,46 @@ object VectorOps {
         codebook = Some(Similarity.pqCodebook(e, m = 4, k = 16)))
     })
 
+  /** The deterministic mixed op feed behind v29 — the lifecycle a real
+    * serving corpus sees (insert, then updates and deletes): every
+    * vector INSERTs at seq 1; every 7th id UPDATEs at seq 2 to its
+    * reversed vector (reversal moves floats without arithmetic, so the
+    * oracle replays the exact bytes); every 11th id DELETEs at seq 3
+    * (tombstone — vector null, the CDC delete shape). Latest state:
+    * %11 ids absent, %7 ids reversed, the rest as inserted.
+    */
+  private def upsertFeed(e: DataFrame): DataFrame = {
+    val vecType = e.schema("embedding").dataType
+    e.select(col("vec_id"), col("embedding"),
+        lit("insert").as("op"), lit(1L).as("seq"))
+      .unionByName(e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+          lit("update").as("op"), lit(2L).as("seq")))
+      .unionByName(e.filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id"), lit(null).cast(vecType).as("embedding"),
+          lit("delete").as("op"), lit(3L).as("seq")))
+  }
+
+  /** The v29 SERVE-READY index, staged (the pqIndexIdx discipline):
+    * the mixed feed's changelog index resolved to its latest state —
+    * updated ids carry the cell/codes of their seq-2 vector, deleted
+    * ids are gone. These rows are exactly what
+    * [[graft.streaming.ScoringStreaming.upsertCellIndexStream]]
+    * maintains incrementally and
+    * [[graft.streaming.ScoringStreaming.servedUpsertCellIndex]] reads,
+    * so the v29 oracle row checks the upsert-serve path end to end.
+    */
+  private def upsertIndexIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      "ivfpq-upsert-index|c=8|m=4|k=16|u7|d11",
+      graft.core.Artifacts.fingerprint(dir))({
+      val e = emb(s, dir)
+      Similarity.latestIndexState(
+        Similarity.indexChangelog(upsertFeed(e),
+          e.filter(col("vec_id") < 8),
+          codebook = Some(Similarity.pqCodebook(e, m = 4, k = 16))))
+    })
+
   /** recall@k counting: per query, how many of `truth`'s (q_id, n_id)
     * pairs `approx` reproduced. ONE implementation for every eval
     * (v11/v14/v16/v21 and v17's two-leg variant) — the denominator,
@@ -393,6 +433,22 @@ object VectorOps {
           e.filter(col("vec_id") < 8),
           Similarity.pqCodebook(e, m = 4, k = 16), k = 3, nprobe = 2),
         k = 3)
+    },
+
+    // the v26 serve AFTER index maintenance under update/delete: the
+    // mixed feed (insert/update/delete per id) flows through the
+    // changelog index builder, resolves to its latest state (updated
+    // vectors re-indexed, tombstoned ids excluded), and serves the
+    // same frozen centroid generation + codebook as v26 — the
+    // full lifecycle of a maintained ANN index as one oracle row.
+    // Centroids and codebook stay the ORIGINAL model artifacts (a
+    // retrain is a separate generation-swap event); only the indexed
+    // corpus moved.
+    "v29_index_upsert_serve" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqScoreCodesIndexed(upsertIndexIdx(s, dir),
+        querySet(e), e.filter(col("vec_id") < 8),
+        Similarity.pqCodebook(e, m = 4, k = 16), k = 3, nprobe = 2)
     })
 
   /** SQL mirror of Similarity.dot: strict left fold over the zipped
@@ -608,7 +664,22 @@ object VectorOps {
     * is the same strict fold as the Spark side, so the top-k agrees
     * bit-for-bit.
     */
-  private def sqlIvfPqServe(k: Int = 3, nprobe: Int = 2): String = {
+  private def sqlIvfPqServe(k: Int = 3, nprobe: Int = 2): String =
+    sqlIvfPqServeOver("SELECT vec_id, embedding FROM embeddings", k,
+      nprobe)
+
+  /** [[sqlIvfPqServe]] generalized over the INDEX-side corpus: the
+    * queries (vec_id % 50 = 0, original vectors), the centroid
+    * generation (first 8 original vectors) and the PQ codebook (first
+    * 16 original vectors) are FROZEN model artifacts read from
+    * `embeddings`, while `corpus` — any (vec_id, embedding) SELECT —
+    * is what actually got indexed. v26 passes the raw table; v29
+    * passes the mixed feed's latest state (updates applied, deletes
+    * absent), which is exactly what the changelog index resolves to
+    * at serve time.
+    */
+  private def sqlIvfPqServeOver(corpus: String, k: Int = 3,
+                                nprobe: Int = 2): String = {
     val d = (0 until 4).map { m =>
       sqlSqDist(s"q.embedding[${m * 16 + 1}:${(m + 1) * 16}]",
         s"b$m.cv[${m * 16 + 1}:${(m + 1) * 16}]")
@@ -618,16 +689,25 @@ object VectorOps {
       "cb.cv[ms.m*16+1 : ms.m*16+16]")
     s"""WITH en AS ($sqlWithNorm),
        |cent AS (SELECT * FROM en WHERE vec_id < 8),
-       |rk AS (
+       |lv AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM ($corpus)),
+       |crk AS (
        |  SELECT v.vec_id, c.vec_id AS cell,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
        |               c.vec_id) AS rnk
-       |  FROM en v CROSS JOIN cent c),
-       |asg AS (SELECT vec_id, cell FROM rk WHERE rnk = 1),
-       |probe AS (
-       |  SELECT vec_id, cell FROM rk
-       |  WHERE rnk <= $nprobe AND vec_id % 50 = 0),
+       |  FROM lv v CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, cell FROM crk WHERE rnk = 1),
+       |qrk AS (
+       |  SELECT v.vec_id, c.vec_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
+       |               c.vec_id) AS rnk
+       |  FROM en v CROSS JOIN cent c
+       |  WHERE v.vec_id % 50 = 0),
+       |probe AS (SELECT vec_id, cell FROM qrk WHERE rnk <= $nprobe),
        |cb AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
@@ -637,7 +717,7 @@ object VectorOps {
        |    SELECT e.vec_id, ms.m, cb.cid,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, ms.m
        |        ORDER BY $encD ASC, cb.cid) AS rnk
-       |    FROM embeddings e CROSS JOIN range(0,4) ms(m) CROSS JOIN cb)
+       |    FROM lv e CROSS JOIN range(0,4) ms(m) CROSS JOIN cb)
        |  WHERE rnk = 1),
        |encp AS (
        |  SELECT vec_id,
@@ -662,6 +742,19 @@ object VectorOps {
        |  FROM sc)
        |WHERE rnk <= $k""".stripMargin
   }
+
+  /** The v29 latest-state corpus in SQL: the mixed feed's resolution —
+    * updated ids (vec_id % 7 = 0) carry their seq-2 reversed vector,
+    * deleted ids (vec_id % 11 = 0) are absent, everything else keeps
+    * its insert. Reversal moves floats without arithmetic, so both
+    * engines hold identical arrays (their norm/cell/code folds then
+    * agree bit-for-bit).
+    */
+  private val sqlUpsertLatest =
+    """SELECT vec_id,
+      |  CASE WHEN vec_id % 7 = 0 THEN list_reverse(embedding)
+      |       ELSE embedding END AS embedding
+      |FROM embeddings WHERE vec_id % 11 <> 0""".stripMargin
 
   /** One config leg of the v28 (m, k) PQ sweep: sqlPqKnn's cb/enc/
     * encp/score CTEs generalized over subspace count `m` (sub =
@@ -1018,6 +1111,13 @@ object VectorOps {
     // coarse cells (v15's rk/asg/probe) × PQ codes (v9's cb/enc) —
     // the composed IVF-PQ serve mirror
     "v26_ivfpq_serve" -> sqlIvfPqServe(),
+
+    // the serve replayed over the feed's latest state: same frozen
+    // centroids/codebook/queries, index-side corpus = updates applied,
+    // deletes absent — DuckDB resolves the feed directly (the
+    // synthesized ops are pure functions of vec_id), Spark resolves it
+    // through indexChangelog -> latestIndexState
+    "v29_index_upsert_serve" -> sqlIvfPqServeOver(sqlUpsertLatest),
 
     // (m, k) PQ sweep: per config the sqlPqKnn CTE set generalized
     // (distinct prefixes), hits counted against the shared brute

@@ -185,6 +185,87 @@ object ScoringStreaming {
       ()
     }
 
+  /** [[cellIndexStream]] for a corpus that doesn't only grow: the
+    * arriving feed carries ops (insert/update/DELETE, sequenced per id
+    * by `seqCol`) and the maintained dir is an INDEX CHANGELOG
+    * ([[graft.operators.Similarity.indexChangelog]] rows — norms,
+    * cells, and PQ codes paid at ingest for live ops, tombstone rows
+    * for deletes). Same exactly-once recipe as [[cellIndexStream]]:
+    * each batch owns its `batch_id=N` partition dir with mode
+    * Overwrite, so an at-least-once replay rewrites identical rows in
+    * place. Index columns are pure per-row functions of (vector,
+    * centroids) and the serve-time read ([[servedUpsertCellIndex]])
+    * resolves last-change-per-id, so the served index equals the batch
+    * `indexCells(latestState(feed))` under any slicing and any
+    * kill/restart point (spec-pinned — including delete-then-restart).
+    * Compaction: [[graft.operators.Dedup.compactIndex]] folds batch
+    * dirs WITHOUT resolving — tombstones stay in storage (a compacted
+    * window must still tell a replayer "this key ended deleted");
+    * only the serve-time read drops them.
+    */
+  def upsertCellIndexStream(stream: DataFrame, centroids: DataFrame,
+                            indexDir: String, idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            opCol: String = "op", seqCol: String = "seq",
+                            deleteOp: String = "delete",
+                            codebook: Option[
+                              graft.operators.Similarity.PqCodebook] = None)
+      : DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.Similarity
+        .indexChangelog(batch, centroids, idCol, vecCol, opCol, seqCol,
+          deleteOp, codebook)
+        .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+      ()
+    }
+
+  /** Serve the changelog index [[upsertCellIndexStream]] maintains:
+    * the LATEST index row per id with delete tombstones excluded
+    * ([[graft.operators.Similarity.latestIndexState]] — one
+    * partial-aggregatable max-struct over the dir, shuffle ≤ |keys|
+    * rows), ready for
+    * [[graft.operators.Similarity.ivfMultiprobeKnnIndexed]] /
+    * [[graft.operators.Similarity.pqScoreCodesIndexed]]. Same
+    * batch_id-partition read contract as [[servedCellIndex]].
+    */
+  def servedUpsertCellIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, idCol: String = "vec_id",
+                            seqCol: String = "seq", opCol: String = "op",
+                            deleteOp: String = "delete"): DataFrame =
+    graft.operators.Similarity.latestIndexState(
+      servedCellIndex(spark, indexDir), idCol, seqCol, opCol, deleteOp)
+
+  /** [[knnScoreStreamIndexed]] under a SWAPPABLE index generation —
+    * the remaining lifecycle event of a maintained index: a centroid
+    * RETRAIN publishes a new (centroids, index) generation (staged via
+    * [[graft.core.Artifacts.table]], whose publish prunes the old
+    * generation by the recorded-logical-id rule) while the query
+    * stream keeps serving. `resolve` returns the CURRENT
+    * (generationId, centroids, index) and is called exactly ONCE per
+    * micro-batch, so every row of a batch is served from one
+    * generation — a swap lands atomically at a micro-batch boundary,
+    * never mid-batch (spec-pinned: each batch's results equal the
+    * batch serve under the generation it reports, and post-swap
+    * results equal the batch serve over the new generation). The
+    * serve itself is stateless per query row, exactly like
+    * [[knnScoreStreamIndexed]].
+    */
+  def knnScoreStreamGenerational(stream: DataFrame,
+                                 resolve: () => (String, DataFrame,
+                                   DataFrame),
+                                 k: Int, nprobe: Int,
+                                 onBatch: (Long, String, DataFrame) => Unit,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding")
+      : DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val (gen, cents, index) = resolve()
+      onBatch(batchId, gen, graft.operators.Similarity
+        .ivfMultiprobeKnnIndexed(index, batch, cents, k, nprobe, idCol,
+          vecCol))
+      ()
+    }
+
   /** Serve the index [[cellIndexStream]] maintains: (id, vector, nrm,
     * cell) rows ready for
     * [[graft.operators.Similarity.ivfMultiprobeKnnIndexed]] — the

@@ -228,6 +228,204 @@ class CellIndexStreamSpec extends AnyFunSuite {
       cellOf(nid) == probe1(qid) })
   }
 
+  // ---- upsert maintenance: the index under UPDATE/DELETE ----------
+
+  /** op-carrying feed over `vecs`: everything inserts at seq 1, ids
+    * 10/12/14 update at seq 2 (vector components swapped — pure data
+    * movement), ids 11/12 delete at seq 3. Latest state: 11 and 12
+    * absent, 10/14 swapped, 13/15 as inserted.
+    */
+  private def swap(e: Array[Float]) = Array(e(1), e(0))
+  private val feedRows: Seq[(Long, Array[Float], String, Long)] =
+    vecs.map { case (id, e) => (id, e, "insert", 1L) } ++
+      vecs.filter(v => Seq(10L, 12L, 14L).contains(v._1))
+        .map { case (id, e) => (id, swap(e), "update", 2L) } ++
+      Seq((11L, null.asInstanceOf[Array[Float]], "delete", 3L),
+        (12L, null.asInstanceOf[Array[Float]], "delete", 3L))
+  private val latestRows: Seq[(Long, Array[Float])] = Seq(
+    10L -> swap(vecs(0)._2), 13L -> vecs(3)._2,
+    14L -> swap(vecs(4)._2), 15L -> vecs(5)._2)
+
+  private def canonUpsert(df: DataFrame): Set[(Long, Seq[Float], Double, Long)] =
+    canon(df.select(col("vec_id"), col("embedding"), col("nrm"),
+      col("cell")))
+
+  test("upsert-maintained index equals indexCells(latestState(feed)) under any slicing") {
+    val expected = canonUpsert(batchIndex(latestRows))
+    assert(expected.map(_._1) === Set(10L, 13L, 14L, 15L),
+      "deletes excluded, survivors present")
+    // resolve-then-index must equal index-then-resolve (pure per-row
+    // index columns): the batch composition the stream is pinned to
+    assert(canonUpsert(Similarity.latestIndexState(
+      Similarity.indexChangelog(
+        feedRows.toDF("vec_id", "embedding", "op", "seq"),
+        centroids))) === expected)
+    for (slices <- Seq(Seq(feedRows), feedRows.grouped(1).toSeq,
+        feedRows.grouped(5).toSeq)) {
+      implicit val sq = spark.sqlContext
+      val idx = Files.createTempDirectory("upsertidx").toString
+      val input = MemoryStream[(Long, Array[Float], String, Long)]
+      val q = ScoringStreaming.upsertCellIndexStream(
+        input.toDF().toDF("vec_id", "embedding", "op", "seq"),
+        centroids, idx).start()
+      try slices.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(canonUpsert(
+        ScoringStreaming.servedUpsertCellIndex(spark, idx)) === expected,
+        s"slicing=${slices.size} batches")
+    }
+  }
+
+  test("upsert index: the changelog fallback join path (maxInlineCentroids=0) matches inline") {
+    // a changelog REPEATS ids (insert + update) — the fallback
+    // assignment must key on (id, seq), not fan out id-joined rows
+    val feed = feedRows.toDF("vec_id", "embedding", "op", "seq")
+    val inline = Similarity.indexChangelog(feed, centroids)
+    val joined = Similarity.indexChangelog(feed, centroids,
+      maxInlineCentroids = 0)
+    assert(joined.count() === feedRows.size.toLong, "one row per change")
+    def rows(df: DataFrame) =
+      df.select(col("vec_id"), col("seq"), col("op"), col("embedding"),
+          col("nrm"), col("cell"))
+        .as[(Long, Long, String, Seq[Float], Option[Double], Option[Long])]
+        .collect().toSet
+    assert(rows(inline) === rows(joined))
+  }
+
+  test("delete then kill+restart: served state stays the latest, tombstones survive compaction") {
+    val srcDir = Files.createTempDirectory("upsrc").toString
+    val ck = Files.createTempDirectory("upck").toString
+    val idx = Files.createTempDirectory("upsertidx_restart").toString
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("op", StringType),
+      StructField("seq", LongType)))
+    def feed(n: Int, rows: Seq[(Long, Array[Float], String, Long)]): Unit = {
+      val lines = rows.map { case (id, e, op, seq) =>
+        val emb = if (e == null) "null" else s"[${e.mkString(",")}]"
+        s"""{"vec_id":$id,"embedding":$emb,"op":"$op","seq":$seq}""" }
+      Files.write(Paths.get(s"$srcDir/f$n.json"),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    def start() = ScoringStreaming.upsertCellIndexStream(
+        spark.readStream.schema(schema).json(srcDir), centroids, idx)
+      .option("checkpointLocation", ck).start()
+
+    val (inserts, rest) = feedRows.splitAt(vecs.size)
+    feed(1, inserts) // all inserts
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop() // kill
+    feed(2, rest.take(2)) // two updates arrive while down
+    val q2 = start() // restart from the same checkpoint
+    q2.processAllAvailable()
+    feed(3, rest.drop(2)) // last update + both DELETES
+    q2.processAllAvailable(); q2.stop()
+
+    val expected = canonUpsert(batchIndex(latestRows))
+    assert(canonUpsert(
+      ScoringStreaming.servedUpsertCellIndex(spark, idx)) === expected)
+    // the serve over the maintained index equals the batch serve over
+    // the resolved corpus — deleted vectors must never surface
+    val queries = Seq(
+      (100L, Array(0.8f, 0.2f)),
+      (101L, Array(0.2f, 0.8f))).toDF("vec_id", "embedding")
+    def res(df: DataFrame) = df.select("q_id", "n_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val served = res(Similarity.ivfMultiprobeKnnIndexed(
+      ScoringStreaming.servedUpsertCellIndex(spark, idx), queries,
+      centroids, k = 2, nprobe = 2))
+    assert(served === res(Similarity.ivfMultiprobeKnn(
+      latestRows.toDF("vec_id", "embedding"), queries, centroids,
+      k = 2, nprobe = 2)))
+    assert(!served.exists { case (_, nid, _) => nid == 11L || nid == 12L })
+    // compaction folds batch dirs WITHOUT resolving: tombstones must
+    // survive it (a compacted window still reports "ended deleted"),
+    // and the served state must not change
+    val upto = Dedup.compactIndex(spark, idx)
+    assert(upto >= 0)
+    val compacted = ScoringStreaming.servedCellIndex(spark, idx)
+    assert(compacted.filter(col("op") === "delete").count() === 2L,
+      "tombstones kept in storage")
+    assert(canonUpsert(Similarity.latestIndexState(compacted)) === expected)
+  }
+
+  test("centroid-generation swap at a micro-batch boundary: no batch serves a mixed index") {
+    implicit val sq = spark.sqlContext
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val gen2Cents = Seq(
+      (0L, Array(0.7f, 0.7f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // both generations staged through Artifacts under ONE logicalId:
+    // publishing gen2 must prune gen1 by the recorded-logical-id rule
+    val artRoot = Files.createTempDirectory("genart").toString
+    val prevRoot = sys.props.get("graft.artifacts.root")
+    sys.props("graft.artifacts.root") = artRoot
+    try {
+      val logical = "cellindex|spec-gen-swap"
+      def logicalDirs() =
+        Option(new java.io.File(artRoot).listFiles()).getOrElse(Array.empty)
+          .filter(d => d.isDirectory &&
+            new java.io.File(d, "_logical").exists() &&
+            java.nio.file.Files.readString(
+              new java.io.File(d, "_logical").toPath) == logical)
+      val idx1 = graft.core.Artifacts.table(spark, logical, "gen1")(
+        Similarity.indexCells(corpus, centroids))
+      val gens = new java.util.concurrent.atomic.AtomicReference(
+        ("gen1", centroids, idx1))
+      val arrivingQ = Seq(
+        (100L, Array(0.8f, 0.2f)),
+        (101L, Array(0.2f, 0.8f)),
+        (102L, Array(0.7f, 0.7f)))
+      val got = scala.collection.mutable.ArrayBuffer[
+        (Long, String, Set[(Long, Long, Int)])]()
+      val qin = MemoryStream[(Long, Array[Float])]
+      val q = ScoringStreaming.knnScoreStreamGenerational(
+          qin.toDF().toDF("vec_id", "embedding"),
+          () => gens.get(), k = 2, nprobe = 2,
+          (bid, gen, df) => got += ((bid, gen,
+            df.select("q_id", "n_id", "rnk")
+              .as[(Long, Long, Int)].collect().toSet)))
+        .start()
+      try {
+        qin.addData(arrivingQ.take(2): _*); q.processAllAvailable()
+        // RETRAIN: publish gen2 (prunes gen1), swap the serving ref —
+        // the swap lands between micro-batches by construction
+        val idx2 = graft.core.Artifacts.table(spark, logical, "gen2")(
+          Similarity.indexCells(corpus, gen2Cents))
+        gens.set(("gen2", gen2Cents, idx2))
+        qin.addData(arrivingQ.drop(2): _*); q.processAllAvailable()
+      } finally q.stop()
+      assert(logicalDirs().length === 1, "old generation pruned")
+      assert(got.map(_._2).toSet === Set("gen1", "gen2"),
+        "batches on both sides of the swap")
+      // every batch's rows equal the batch serve under the ONE
+      // generation it reports — no batch mixed generations
+      def batchServe(qs: Set[Long], cents: DataFrame) =
+        Similarity.ivfMultiprobeKnn(corpus,
+            arrivingQ.filter(v => qs.contains(v._1))
+              .toDF("vec_id", "embedding"), cents, k = 2, nprobe = 2)
+          .select("q_id", "n_id", "rnk")
+          .as[(Long, Long, Int)].collect().toSet
+      got.foreach { case (bid, gen, rows) =>
+        val qids = rows.map(_._1)
+        val cents = if (gen == "gen1") centroids else gen2Cents
+        if (rows.nonEmpty)
+          assert(rows === batchServe(qids, cents), s"batch $bid gen $gen")
+      }
+      // post-swap results exist and equal the new-generation serve
+      val postSwap = got.filter(_._2 == "gen2").flatMap(_._3).toSet
+      assert(postSwap.nonEmpty)
+      assert(postSwap === batchServe(Set(102L), gen2Cents))
+    } finally {
+      prevRoot match {
+        case Some(r) => sys.props("graft.artifacts.root") = r
+        case None => sys.props.remove("graft.artifacts.root")
+      }
+    }
+  }
+
   test("kill + restart: index intact; compaction preserves every row") {
     val srcDir = Files.createTempDirectory("cellsrc").toString
     val ck = Files.createTempDirectory("cellck").toString
