@@ -186,6 +186,31 @@ object ScaleSmoke {
         graft.functions.Bpe.mergesOf(
           graft.functions.Bpe.train(dt1x, nMerges = 5))
       else Seq.empty[(String, String)]
+    // upsertserve: the v29 shape — resolve the maintained CHANGELOG
+    // index to its latest state (one max-struct per id, tombstones
+    // out) and run the IVF-PQ serve over it; the changelog is staged
+    // like a real maintained dir (insert + every-7th update + every-
+    // 11th delete, so the resolved index is ~90% of the feed's ids)
+    val upCb =
+      if (legOn("upsertserve")) Similarity.pqCodebook(e1x, m = 4, k = 16)
+      else null
+    def stageChangelog(e: DataFrame, tag: String): DataFrame = {
+      val feed = e.select(col("vec_id"), col("embedding"),
+          lit("insert").as("op"), lit(1L).as("seq"))
+        .unionByName(e.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+            lit("update").as("op"), lit(2L).as("seq")))
+        .unionByName(e.filter(col("vec_id") % 11 === 0)
+          .select(col("vec_id"),
+            lit(null).cast(e.schema("embedding").dataType).as("embedding"),
+            lit("delete").as("op"), lit(3L).as("seq")))
+      persist(Similarity.indexChangelog(feed, cents8,
+        codebook = Some(upCb)), s"upidx$tag")
+    }
+    val (upIdx1, upIdxN) =
+      if (legOn("upsertserve"))
+        (stageChangelog(e1x, "1"), stageChangelog(eNx, factor.toString))
+      else (null, null)
     // d26s: pairsFromPrefixIndex served from the PARQUET prefix
     // artifact — the 100 TB shape of the exact similarity join
     val (pref1, prefN) =
@@ -521,6 +546,14 @@ object ScaleSmoke {
       // stateless per doc, must track the scan + multiplicity shuffle
       bench("bpeserve", dt1x, dtNx, d =>
         graft.functions.Bpe.docTokenCountsWith(d, frozenMerges)),
+      // upsertserve: latest-state resolution of the maintained
+      // changelog index (max-struct, shuffle <= |keys|) + the v26
+      // serve over the survivors — the v29 deployment read path;
+      // must track the changelog scan
+      bench("upsertserve", upIdx1, upIdxN, idx =>
+        Similarity.pqScoreCodesIndexed(
+          Similarity.latestIndexState(idx), queries, cents8, upCb,
+          k = 3, nprobe = 2)),
       // d26s: the exact similarity join SERVED from the parquet prefix
       // artifact (build untimed above) — prefix equi-join + length
       // filter + per-pair verify, tracking the index scan; the

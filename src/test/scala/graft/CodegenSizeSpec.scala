@@ -29,10 +29,13 @@ class CodegenSizeSpec extends AnyFunSuite {
   private val hugeMethodLimit = 8000
 
   private val pinned = Seq(
+    "v9_knn_pq", // corpus encode + query ADC table (PqCodes/AdcTable)
+    "v12_knn_ivfpq", // same kernels under the cell equi-join
+    "v17_pq_refined_recall", // two encode legs (seed + refined)
     "v24_embed_quality", // literal seed-centroid gate
     "v25_ivf_nprobe_sweep", // ranked-probe join over staged cells
     "v26_ivfpq_serve", // staged serve + per-query ADC tables
-    "v28_pq_sweep", // four ADC legs, four codebooks
+    "v28_pq_sweep", // four ADC legs, four codebooks (m=8: 128 codewords)
     "v29_index_upsert_serve", // changelog-resolved serve
     "t26_bloom_decontam", // bloom bit literals
     "d30_hamming_band_sweep") // four band-extraction legs
