@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL normalization + URL-level dedup — the sibling of [[Html]] in
+  * every web corpus's stage 0: C4/CCNet/RefinedWeb all dedup by
+  * canonical URL before any content pass, because a crawl sees the
+  * same page under tracking-param, fragment, casing, `www.`, and
+  * default-port variants. Pure built-in expressions (regexp pieces +
+  * one array HOF over the query params), so normalization is a
+  * map-side projection; the dedup itself is one hash shuffle on the
+  * canonical string — the standard URL-dedup exchange, trivially
+  * partitionable at 100 TB.
+  *
+  * Normalization rules (small, deterministic, oracle-replayed in RE2):
+  *   1. scheme and host lowercase;
+  *   2. leading `www.` dropped from the host;
+  *   3. default port stripped (`:443` for https, `:80` for http);
+  *   4. fragment dropped;
+  *   5. tracking params dropped (`utm_*`, `fbclid`, `gclid`) and the
+  *      `?` with them when nothing survives — param ORDER is kept
+  *      (full RFC 3986 canonicalization would sort; order-keeping is
+  *      what C4 does and keeps the rule list replayable);
+  *   6. empty path → `/`.
+  * The registrable domain is the host's last two labels — the
+  * public-suffix-list caveat (`co.uk`) is documented, not silently
+  * wrong: the PSL is a data file a deployment broadcasts and joins,
+  * same plan shape.
+  */
+object Urls {
+
+  /** Deterministic URL synthesized from the id — construction math
+    * both engines replay (the t55/m8 discipline). The PAGE identity
+    * (host, port, path, real query param) is a pure function of the
+    * bucket `id / 3`, while the CRAWL-VARIANT noise (host casing,
+    * `www.`/`WWW.` prefixes, tracking params, fragments) varies per
+    * id — so each 3-id bucket is the same page seen three ways and
+    * canonicalization must collapse it to one keeper (the dedup
+    * genuinely fires on ~2/3 of rows), while distinct buckets never
+    * accidentally collide (host/path/port all carry the bucket).
+    */
+  def withUrlPayload(docs: DataFrame, idCol: String = "doc_id")
+      : DataFrame = {
+    val id = col(idCol)
+    val b = (id / 3).cast("long")
+    val host = when(b % 4 === 0, lit("Example.COM"))
+      .when(b % 4 === 1, lit("news.example.com"))
+      .when(b % 4 === 2, lit("cdn.example.org"))
+      .otherwise(lit("blog.sample.net"))
+    val www = when(id % 4 === 0, lit("WWW."))
+      .when(id % 4 === 1, lit("www.")).otherwise(lit(""))
+    val port = when(b % 5 === 0, lit(":443")).otherwise(lit(":8080"))
+    val track = when(id % 2 === 0, lit("&utm_source=feed&gclid=x"))
+      .otherwise(lit(""))
+    val frag = when(id % 3 === 0, lit("#section-2")).otherwise(lit(""))
+    docs.withColumn("url", concat(
+      lit("https://"), www, host, port,
+      lit("/docs/article-"), b.cast("string"),
+      lit("?page="), (b % 7).cast("string"), track, frag))
+  }
+
+  /** Rules 1–6 over a url column → the canonical form. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val rawHost = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]*)", 1))
+    val noWww = regexp_replace(rawHost, "^www\\.", "")
+    val stripped = when(scheme === "https" &&
+        noWww.rlike(":443$"), regexp_replace(noWww, ":443$", ""))
+      .when(scheme === "http" &&
+        noWww.rlike(":80$"), regexp_replace(noWww, ":80$", ""))
+      .otherwise(noWww)
+    val path0 = regexp_extract(url, "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    val path = when(length(path0) === 0, lit("/")).otherwise(path0)
+    val rawQ = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_join(
+      filter(split(rawQ, "&"), p =>
+        length(p) > 0 && !p.rlike("^(utm_[^=]*|fbclid|gclid)=")),
+      "&")
+    concat(scheme, lit("://"), stripped, path,
+      when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
+  /** Registrable domain (last two host labels; PSL caveat above). */
+  def registrableDomain(url: Column): Column = {
+    val host = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#:]*)", 1))
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  }
+
+  /** The URL-dedup report: per row the canonical URL, the registrable
+    * domain, and `keeper` — true iff this row has the smallest id in
+    * its canonical group (the deterministic representative rule every
+    * dedup op in this repo uses). One hash exchange on the canonical
+    * string; everything else is map-side.
+    */
+  def urlDedupReport(docsWithUrl: DataFrame, idCol: String = "doc_id",
+                     urlCol: String = "url"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = docsWithUrl.select(col(idCol), col(urlCol),
+      canonicalUrl(col(urlCol)).as("canon_url"),
+      registrableDomain(col(urlCol)).as("domain"))
+    canon.withColumn("keeper",
+      col(idCol) === min(col(idCol))
+        .over(Window.partitionBy(col("canon_url"))))
+  }
+}

@@ -175,6 +175,17 @@ object TextOps {
         graft.operators.Html.withHtmlPayload(docs(s, dir)))
     },
 
+    // ---- URL canonicalization + URL-level dedup (stage 0's other half) --
+    // deterministic URLs from (id, source) — casing/www/default-port/
+    // tracking-param/fragment variants with (id / 3) path collisions
+    // so the dedup fires; canonical form per the 6 rules, registrable
+    // domain, keeper = smallest id per canonical group. One hash
+    // exchange on the canonical string; normalization is map-side.
+    "t56_url_dedup" -> { (s, dir) =>
+      graft.operators.Urls.urlDedupReport(
+        graft.operators.Urls.withUrlPayload(docs(s, dir)))
+    },
+
     // ---- vocabulary-growth (Heaps' law) curve -----------------------------
     // cumulative distinct words at 8 corpus prefixes — the planning
     // input for every vocabulary-bound state (BPE, inverted indexes,
@@ -1067,6 +1078,61 @@ object TextOps {
         |  CAST(length(extracted) AS DOUBLE) /
         |    CAST(length(html) AS DOUBLE) AS markup_ratio
         |FROM x""".stripMargin,
+
+    // construction replayed (pure string math on (id, source)), then
+    // the same 6 canonicalization rules in RE2; keeper = MIN(doc_id)
+    // per canonical group — both engines window on the same string
+    "t56_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
+        |         WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END ||
+        |    CASE CAST((doc_id // 3) % 4 AS INT)
+        |      WHEN 0 THEN 'Example.COM'
+        |      WHEN 1 THEN 'news.example.com'
+        |      WHEN 2 THEN 'cdn.example.org'
+        |      ELSE 'blog.sample.net' END ||
+        |    CASE WHEN (doc_id // 3) % 5 = 0 THEN ':443' ELSE ':8080' END ||
+        |    '/docs/article-' || CAST(doc_id // 3 AS VARCHAR) ||
+        |    '?page=' || CAST((doc_id // 3) % 7 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&gclid=x'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END AS url
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(lower(
+        |      regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)),
+        |      '^www\.', '') AS h0,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS p0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q0
+        |  FROM u),
+        |k AS (
+        |  SELECT *, array_to_string(list_filter(string_split(q0, '&'),
+        |    p -> len(p) > 0 AND
+        |         NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')),
+        |    '&') AS kept
+        |  FROM n),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    scheme || '://' ||
+        |    CASE WHEN scheme = 'https' AND regexp_matches(h0, ':443$')
+        |           THEN regexp_replace(h0, ':443$', '')
+        |         WHEN scheme = 'http' AND regexp_matches(h0, ':80$')
+        |           THEN regexp_replace(h0, ':80$', '')
+        |         ELSE h0 END ||
+        |    CASE WHEN length(p0) = 0 THEN '/' ELSE p0 END ||
+        |    CASE WHEN length(kept) > 0 THEN '?' || kept ELSE '' END
+        |      AS canon_url,
+        |    regexp_extract(lower(
+        |      regexp_extract(url, '^[A-Za-z]+://([^/?#:]*)', 1)),
+        |      '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM k)
+        |SELECT doc_id, url, canon_url, domain,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper
+        |FROM c""".stripMargin,
 
     "t43_bigram_surprisal" ->
       """WITH w AS (

@@ -1,5 +1,12 @@
 package graft.tools
 import org.apache.spark.sql.execution.debug
+/** Codegen method-size probe: for each query name passed as an arg,
+  * print every whole-stage-codegen subtree's maxMethodCodeSize (AQE
+  * off, sf0.001). The ad-hoc twin of CodegenSizeSpec — use it to
+  * check a NEW literal-heavy operator against HotSpot's 8,000-byte
+  * DontCompileHugeMethods ceiling before pinning it in the spec.
+  * Usage: `sbt "runMain graft.tools.CgProbe v9_knn_pq v28_pq_sweep"`.
+  */
 object CgProbe {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
