@@ -314,13 +314,24 @@ object Similarity {
     * double literal score identically, and ties break to the lowest
     * centroid id either way.
     */
+  /** @param carryCols metadata columns that ride the index row —
+    * the filtered-ANN deployment shape: a serve-time predicate
+    * (`index.filter(meta)`) then PUSHES DOWN to the staged index's
+    * parquet scan instead of joining a corpus-sized metadata table
+    * per query batch. Carried columns must be row-local metadata of
+    * the corpus frame. (A CHANGELOG with repeated ids uses
+    * [[indexChangelog]], which keys its fallback join on (id, seq) —
+    * this builder's fallback joins on `idCol` alone.)
+    */
   def indexCells(corpus: DataFrame, centroids: DataFrame,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding",
                  codebook: Option[PqCodebook] = None,
-                 maxInlineCentroids: Int = 64): DataFrame = {
+                 maxInlineCentroids: Int = 64,
+                 carryCols: Seq[String] = Nil): DataFrame = {
     val base0 = corpus
-      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .select(Seq(col(idCol), col(vecCol)) ++ carryCols.map(col) :+
+        norm(col(vecCol)).as("nrm"): _*)
     val base = codebook.fold(base0)(cb =>
       base0.withColumn("codes", pqEncode(col(vecCol), cb)))
     inlineCellColumn(base, centroids, idCol, vecCol, maxInlineCentroids)

@@ -67,6 +67,23 @@ object VectorOps {
         codebook = Some(Similarity.pqCodebook(e, m = 4, k = 16)))
     })
 
+  /** The v30 index: pqIndexIdx + the `label` metadata column riding
+    * each row — the filtered-ANN deployment shape. A serve-time
+    * metadata predicate becomes `index.filter(...)`, which Parquet
+    * pushes into the index scan (plan-pinned), instead of the
+    * corpus-sized metadata join a label-blind index would force per
+    * query batch.
+    */
+  private def pqMetaIndexIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      "ivfpq-index-meta|c=8|m=4|k=16|label",
+      graft.core.Artifacts.fingerprint(dir))({
+      val e = emb(s, dir)
+      Similarity.indexCells(e, e.filter(col("vec_id") < 8),
+        codebook = Some(Similarity.pqCodebook(e, m = 4, k = 16)),
+        carryCols = Seq("label"))
+    })
+
   /** The deterministic mixed op feed behind v29 — the lifecycle a real
     * serving corpus sees (insert, then updates and deletes): every
     * vector INSERTs at seq 1; every 7th id UPDATEs at seq 2 to its
@@ -447,6 +464,21 @@ object VectorOps {
     "v29_index_upsert_serve" -> { (s, dir) =>
       val e = emb(s, dir)
       Similarity.pqScoreCodesIndexed(upsertIndexIdx(s, dir),
+        querySet(e), e.filter(col("vec_id") < 8),
+        Similarity.pqCodebook(e, m = 4, k = 16), k = 3, nprobe = 2)
+    },
+
+    // FILTERED serving over the staged index — "nearest neighbors
+    // WHERE label is even" with the predicate applied BEFORE ranking
+    // (v22's pre-filter contract) and, because the metadata rides the
+    // index rows (carryCols at ingest), the filter lands IN the index
+    // parquet scan (PushedFilters, plan-pinned) — no corpus-sized
+    // metadata join at serve time. Every query still gets exactly k
+    // admissible candidates from its probed cells.
+    "v30_filtered_serve" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqScoreCodesIndexed(
+        pqMetaIndexIdx(s, dir).filter(col("label") % 2 === 0),
         querySet(e), e.filter(col("vec_id") < 8),
         Similarity.pqCodebook(e, m = 4, k = 16), k = 3, nprobe = 2)
     })
@@ -1118,6 +1150,13 @@ object VectorOps {
     // synthesized ops are pure functions of vec_id), Spark resolves it
     // through indexChangelog -> latestIndexState
     "v29_index_upsert_serve" -> sqlIvfPqServeOver(sqlUpsertLatest),
+
+    // filtered serve: the index-side corpus is the predicate's
+    // survivors — excluded vectors' cells/codes are irrelevant (they
+    // never become candidates), so restricting the corpus CTE mirrors
+    // serve-time index filtering exactly
+    "v30_filtered_serve" -> sqlIvfPqServeOver(
+      "SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0"),
 
     // (m, k) PQ sweep: per config the sqlPqKnn CTE set generalized
     // (distinct prefixes), hits counted against the shared brute

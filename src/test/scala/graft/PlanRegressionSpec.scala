@@ -631,6 +631,22 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("v30 filtered serve: predicate pushed into the index scan, raw vectors never read") {
+    val p = plan("v30_filtered_serve")
+    // the label predicate must land in the staged index's parquet
+    // scan — metadata rides the index (carryCols) precisely so a
+    // filtered serve prunes at the scan instead of joining a
+    // corpus-sized metadata table per query batch
+    assert(p.contains("PushedFilters: [IsNotNull(label)"), p.take(2500))
+    // the serve touches (vec_id, label, codes, cell) only: the index
+    // scan's ReadSchema must NOT include the raw embedding column —
+    // at 100 TB the float vectors never leave cold storage
+    val idxRead = """ReadSchema: [^\n]*codes""".r.findFirstIn(p)
+    assert(idxRead.isDefined, p.take(2500))
+    assert(!idxRead.get.contains("embedding"),
+      s"index scan reads raw vectors: $idxRead")
+  }
+
   test("hammingBandPairs cache lifetime: entry outlives the call, clearCache releases it") {
     // the documented contract (Dedup.hammingBandPairs scaladoc): the
     // banded frame stays persisted after the action — a long-lived

@@ -150,6 +150,34 @@ class PqSpec extends AnyFunSuite {
     assert(errs(1) < errs(0))
   }
 
+  test("filtered serve over a meta-carrying index equals the index built from the filtered corpus") {
+    // the v30 contract: index columns are pure per-row functions, so
+    // serve-time index.filter(meta) == ingest-time corpus.filter(meta)
+    // — and the pre-filter is applied BEFORE ranking (v22's contract),
+    // so every query still gets k admissible candidates
+    val e = emb
+    val cents = e.filter($"vec_id" < 8)
+    val cb = Similarity.pqCodebook(e, M, K)
+    val queries = e.filter($"vec_id" % 50 === 0)
+    val metaIdx = Similarity.indexCells(e, cents, codebook = Some(cb),
+      carryCols = Seq("label"))
+    val preIdx = Similarity.indexCells(e.filter($"label" % 2 === 0),
+      cents, codebook = Some(cb))
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rnk", "dist")
+        .as[(Long, Long, Int, Double)].collect().toSet
+    val filtered = res(Similarity.pqScoreCodesIndexed(
+      metaIdx.filter($"label" % 2 === 0), queries, cents, cb,
+      k = 3, nprobe = 2))
+    assert(filtered.nonEmpty)
+    assert(filtered === res(Similarity.pqScoreCodesIndexed(
+      preIdx, queries, cents, cb, k = 3, nprobe = 2)))
+    // and every returned neighbor satisfies the predicate
+    val evenIds = e.filter($"label" % 2 === 0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(filtered.forall { case (_, nid, _, _) => evenIds(nid) })
+  }
+
   test("IVF-PQ equals exhaustive PQ re-ranked within the query's cell") {
     val cb = Similarity.pqCodebook(emb, M, K)
     val queries = emb.filter($"vec_id" % 50 === 0)
