@@ -90,6 +90,24 @@ object Html {
     trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
   }
 
+  /** MAIN-text extraction: [[extractText]] after dropping the two
+    * boilerplate blocks a readability pass removes before the strip —
+    * `<title>` (page metadata, not body) and `nav`-classed `<div>`
+    * blocks. Block matching is non-greedy to the FIRST closing tag
+    * (deterministic; a nav block containing nested divs would be cut
+    * short — documented, not hidden: real extractors use a DOM, this
+    * is the expression-only tier). The curation reason this exists:
+    * leaving site chrome in the text plants the SAME 4-grams in every
+    * page of a site, which detonates the dup-span candidate join
+    * (every doc pairs with every doc — N² from boilerplate alone) and
+    * poisons near-dup signatures. Strip chrome FIRST, then dedup.
+    */
+  def extractMainText(html: Column): Column =
+    extractText(
+      regexp_replace(
+        regexp_replace(html, "(?s)<title[^>]*>.*?</title>", " "),
+        "(?s)<div class=\"nav\"[^>]*>.*?</div>", " "))
+
   /** The extraction report: per doc the extracted main text, the tag
     * count, raw/text lengths, and the text-to-markup ratio (0.0 for an
     * all-markup page — never null: the gate below must be orderable).

@@ -146,6 +146,28 @@ object CurateOps {
       stageSelect(CorpusPipeline.curate(
         d.filter(col("source") =!= "src0"), c,
         stage = stager(s, dir, "t11c", c)))
+    },
+
+    // t11d: the FROM-CRAWL pipeline — t11c's full 11-gate cascade fed
+    // by stage 0 (URL-dedup keepers over synthesized crawl-variant
+    // URLs, then boilerplate-aware HTML extraction: title/nav chrome
+    // stripped BEFORE dedup, because site chrome plants the same
+    // 4-grams in every page and detonates the dup-span candidate
+    // join). One hash-checked query from markup to train/val shards.
+    "t11d_curate_web" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val nonBench = d.filter(col("source") =!= "src0")
+      val keepers = graft.operators.Urls.urlDedupReport(
+          graft.operators.Urls.withUrlPayload(nonBench))
+        .filter(col("keeper")).select("doc_id")
+      val stage0 = graft.operators.Html.withHtmlPayload(
+          nonBench.join(keepers, "doc_id"))
+        .select(col("doc_id"),
+          graft.operators.Html.extractMainText(col("html")).as("text"),
+          col("source"), col("lang"))
+      val c = cfgFull.copy(benchmark = Some(d.filter(col("source") === "src0")))
+      stageSelect(CorpusPipeline.curate(stage0, c,
+        stage = stager(s, dir, "t11d", c)))
     })
 
   def oracle: Map[String, String] = Map(
@@ -274,7 +296,29 @@ object CurateOps {
     // gate order: empty → quality → repetition → contaminated →
     // exact_dup → near_dup → dup_spans → sampled
     "t11b_curate_gated" -> curateGatedOracle(full = false),
-    "t11c_curate_full" -> curateGatedOracle(full = true)
+    "t11c_curate_full" -> curateGatedOracle(full = true),
+
+    // stage 0 as CTEs ahead of the shared generator: URL keepers
+    // (wu/wn/wk/wc + the keeper window), synthesized HTML over the
+    // survivors (wb/wh), then src = the main-text extraction — the
+    // SAME strip/canonicalization fragments t55/t56 hash-check
+    "t11d_curate_web" -> curateGatedOracle(full = true, srcCtes =
+      s"""${TextOps.sqlUrlCtes(
+             "SELECT doc_id FROM documents WHERE source <> 'src0'", "w")},
+         |wkeep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)
+         |        AS keeper
+         |    FROM wc) WHERE keeper),
+         |${TextOps.sqlHtmlCtes(
+             "SELECT d.doc_id, d.text FROM documents d " +
+               "JOIN wkeep USING (doc_id)", "w")},
+         |src AS MATERIALIZED (
+         |  SELECT d.doc_id,
+         |    ${TextOps.sqlHtmlExtract("wh.html", main = true)} AS text,
+         |    d.source, d.lang
+         |  FROM documents d JOIN wh ON wh.doc_id = d.doc_id)""".stripMargin)
   )
 
   /** Shared mirror of the gated curate cascade. `full = false` is
@@ -286,7 +330,17 @@ object CurateOps {
     * One builder, two bindings: the t11b contract can never drift
     * from t11c's shared stages.
     */
-  private def curateGatedOracle(full: Boolean): String = {
+  /** @param srcCtes the CTE chain that DEFINES `src` — the curated
+    * input relation (doc_id, text, lang[, source]). The default is
+    * the raw-documents split t11/t11b/t11c use; t11d passes the
+    * stage-0 composition (URL-dedup keepers → boilerplate-stripped
+    * HTML extraction), so one oracle generator covers both the
+    * clean-text and the from-crawl pipelines.
+    */
+  private def curateGatedOracle(full: Boolean,
+      srcCtes: String =
+        "src AS (SELECT * FROM documents WHERE source <> 'src0')")
+      : String = {
       val scores = langProfiles.map { case (l, p) =>
         s"len(list_intersect(${TextOps.sqlTokenSet}, ${TextOps.sqlProfile(p)})) AS s_$l"
       }.mkString(",\n  ")
@@ -377,7 +431,7 @@ pcut AS (SELECT MIN(CASE WHEN cum >= (n * $pplCut + 999) // 1000
       WHEN COALESCE(nb.avg_bits < $nbT, FALSE) THEN 'nb_quality'
       WHEN COALESCE(pq.ppm > pc.cv, FALSE) THEN 'ppl_tail'
       """
-      s"""WITH RECURSIVE src AS (SELECT * FROM documents WHERE source <> 'src0'),
+      s"""WITH RECURSIVE $srcCtes,
          |sc AS (
          |  SELECT doc_id, text, $scores,
          |    $nt AS n_tokens,

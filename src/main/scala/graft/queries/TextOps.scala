@@ -526,6 +526,114 @@ object TextOps {
   private[queries] def sqlProfile(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** The t55 synthesized-HTML CTE chain (`${p}b`, `${p}h`) over any
+    * (doc_id, text) source — mirrors `Html.withHtmlPayload` verbatim.
+    * CTE names take prefix `p` so the chain embeds in larger WITHs
+    * (the t11d stage-0 composition) without name collisions.
+    */
+  private[queries] def sqlHtmlCtes(from: String, p: String = ""): String =
+    s"""${p}b AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN doc_id % 13 = 0 THEN ''
+       |         ELSE '<p>Q&amp;A &lt;doc&gt; ' || text || '</p>' END AS body
+       |  FROM ($from)),
+       |${p}h AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>Doc ' || doc_id ||
+       |    '</title><style>body { margin: 0; }</style>' ||
+       |    '<script>var x = 1;</script></head><body>' ||
+       |    '<div class="nav">Home &amp; About</div>' ||
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN '<script type="text/javascript">' ||
+       |           'if (a < b && b > c) { run(); }</script>'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN '<div><div class="inner">' || body || '</div></div>'
+       |      ELSE body END ||
+       |    '<!-- id: ' || doc_id || ' --></body></html>' AS html
+       |  FROM ${p}b)""".stripMargin
+
+  /** The 6-rule strip chain (`Html.extractText`) over an html-typed
+    * SQL expression; `main = true` prepends the title/nav boilerplate
+    * strips (`Html.extractMainText`). RE2 'g' everywhere — Spark's
+    * regexp_replace replaces all matches by default.
+    */
+  private[queries] def sqlHtmlExtract(h: String,
+                                      main: Boolean = false): String = {
+    val base = if (!main) h else
+      s"""regexp_replace(
+         |      regexp_replace($h,
+         |        '(?s)<title[^>]*>.*?</title>', ' ', 'g'),
+         |      '(?s)<div class="nav"[^>]*>.*?</div>', ' ', 'g')""".stripMargin
+    s"""trim(regexp_replace(
+       |      replace(replace(replace(replace(replace(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(
+       |              regexp_replace($base,
+       |                '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+       |              '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+       |            '(?s)<!--.*?-->', ' ', 'g'),
+       |          '<[^>]*>', ' ', 'g'),
+       |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |        '&#39;', ''''), '&amp;', '&'),
+       |      '[ \t\n\r]+', ' ', 'g'))""".stripMargin
+  }
+
+  /** The t56 URL CTE chain (`${p}u/n/k/c`) over any doc_id source —
+    * mirrors `Urls.withUrlPayload` + `Urls.canonicalUrl` /
+    * `registrableDomain`. `${p}c` carries (doc_id, url, canon_url,
+    * domain).
+    */
+  private[queries] def sqlUrlCtes(from: String, p: String = ""): String =
+    s"""${p}u AS (
+       |  SELECT doc_id,
+       |    'https://' ||
+       |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
+       |         WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END ||
+       |    CASE CAST((doc_id // 3) % 4 AS INT)
+       |      WHEN 0 THEN 'Example.COM'
+       |      WHEN 1 THEN 'news.example.com'
+       |      WHEN 2 THEN 'cdn.example.org'
+       |      ELSE 'blog.sample.net' END ||
+       |    CASE WHEN (doc_id // 3) % 5 = 0 THEN ':443' ELSE ':8080' END ||
+       |    '/docs/article-' || CAST(doc_id // 3 AS VARCHAR) ||
+       |    '?page=' || CAST((doc_id // 3) % 7 AS VARCHAR) ||
+       |    CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&gclid=x'
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END AS url
+       |  FROM ($from)),
+       |${p}n AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+       |    regexp_replace(lower(
+       |      regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)),
+       |      '^www\\.', '') AS h0,
+       |    regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS p0,
+       |    regexp_extract(url, '\\?([^#]*)', 1) AS q0
+       |  FROM ${p}u),
+       |${p}k AS (
+       |  SELECT *, array_to_string(list_filter(string_split(q0, '&'),
+       |    p -> len(p) > 0 AND
+       |         NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')),
+       |    '&') AS kept
+       |  FROM ${p}n),
+       |${p}c AS (
+       |  SELECT doc_id, url,
+       |    scheme || '://' ||
+       |    CASE WHEN scheme = 'https' AND regexp_matches(h0, ':443$$')
+       |           THEN regexp_replace(h0, ':443$$', '')
+       |         WHEN scheme = 'http' AND regexp_matches(h0, ':80$$')
+       |           THEN regexp_replace(h0, ':80$$', '')
+       |         ELSE h0 END ||
+       |    CASE WHEN length(p0) = 0 THEN '/' ELSE p0 END ||
+       |    CASE WHEN length(kept) > 0 THEN '?' || kept ELSE '' END
+       |      AS canon_url,
+       |    regexp_extract(lower(
+       |      regexp_extract(url, '^[A-Za-z]+://([^/?#:]*)', 1)),
+       |      '([^.]+\\.[^.]+)$$', 1) AS domain
+       |  FROM ${p}k)""".stripMargin
+
   /** t24/t25 shared mirror: sequential-Poisson priority top-5 per
     * source — the thresholded two-pass variant must produce the
     * IDENTICAL result, so both oracle keys bind to this one SQL.
@@ -1034,41 +1142,10 @@ object TextOps {
     // identical (&amp; last); lengths are code-point counts in both
     // engines and the ratio divides the same exact integers
     "t55_html_extract" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 13 = 0 THEN ''
-        |         ELSE '<p>Q&amp;A &lt;doc&gt; ' || text || '</p>' END AS body
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>Doc ' || doc_id ||
-        |    '</title><style>body { margin: 0; }</style>' ||
-        |    '<script>var x = 1;</script></head><body>' ||
-        |    '<div class="nav">Home &amp; About</div>' ||
-        |    CASE WHEN doc_id % 5 = 0
-        |      THEN '<script type="text/javascript">' ||
-        |           'if (a < b && b > c) { run(); }</script>'
-        |      ELSE '' END ||
-        |    CASE WHEN doc_id % 3 = 0
-        |      THEN '<div><div class="inner">' || body || '</div></div>'
-        |      ELSE body END ||
-        |    '<!-- id: ' || doc_id || ' --></body></html>' AS html
-        |  FROM b),
+      s"""WITH ${sqlHtmlCtes("SELECT doc_id, text FROM documents")},
         |x AS (
         |  SELECT doc_id, html,
-        |    trim(regexp_replace(
-        |      replace(replace(replace(replace(replace(
-        |        regexp_replace(
-        |          regexp_replace(
-        |            regexp_replace(
-        |              regexp_replace(html,
-        |                '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-        |              '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
-        |            '(?s)<!--.*?-->', ' ', 'g'),
-        |          '<[^>]*>', ' ', 'g'),
-        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |        '&#39;', ''''), '&amp;', '&'),
-        |      '[ \t\n\r]+', ' ', 'g')) AS extracted
+        |    ${sqlHtmlExtract("html")} AS extracted
         |  FROM h)
         |SELECT doc_id, extracted,
         |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT)
@@ -1079,57 +1156,11 @@ object TextOps {
         |    CAST(length(html) AS DOUBLE) AS markup_ratio
         |FROM x""".stripMargin,
 
-    // construction replayed (pure string math on (id, source)), then
-    // the same 6 canonicalization rules in RE2; keeper = MIN(doc_id)
+    // construction replayed (pure string math on the id), then the
+    // same 6 canonicalization rules in RE2; keeper = MIN(doc_id)
     // per canonical group — both engines window on the same string
     "t56_url_dedup" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    'https://' ||
-        |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
-        |         WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END ||
-        |    CASE CAST((doc_id // 3) % 4 AS INT)
-        |      WHEN 0 THEN 'Example.COM'
-        |      WHEN 1 THEN 'news.example.com'
-        |      WHEN 2 THEN 'cdn.example.org'
-        |      ELSE 'blog.sample.net' END ||
-        |    CASE WHEN (doc_id // 3) % 5 = 0 THEN ':443' ELSE ':8080' END ||
-        |    '/docs/article-' || CAST(doc_id // 3 AS VARCHAR) ||
-        |    '?page=' || CAST((doc_id // 3) % 7 AS VARCHAR) ||
-        |    CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&gclid=x'
-        |         ELSE '' END ||
-        |    CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END AS url
-        |  FROM documents),
-        |n AS (
-        |  SELECT doc_id, url,
-        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
-        |    regexp_replace(lower(
-        |      regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)),
-        |      '^www\.', '') AS h0,
-        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS p0,
-        |    regexp_extract(url, '\?([^#]*)', 1) AS q0
-        |  FROM u),
-        |k AS (
-        |  SELECT *, array_to_string(list_filter(string_split(q0, '&'),
-        |    p -> len(p) > 0 AND
-        |         NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')),
-        |    '&') AS kept
-        |  FROM n),
-        |c AS (
-        |  SELECT doc_id, url,
-        |    scheme || '://' ||
-        |    CASE WHEN scheme = 'https' AND regexp_matches(h0, ':443$')
-        |           THEN regexp_replace(h0, ':443$', '')
-        |         WHEN scheme = 'http' AND regexp_matches(h0, ':80$')
-        |           THEN regexp_replace(h0, ':80$', '')
-        |         ELSE h0 END ||
-        |    CASE WHEN length(p0) = 0 THEN '/' ELSE p0 END ||
-        |    CASE WHEN length(kept) > 0 THEN '?' || kept ELSE '' END
-        |      AS canon_url,
-        |    regexp_extract(lower(
-        |      regexp_extract(url, '^[A-Za-z]+://([^/?#:]*)', 1)),
-        |      '([^.]+\.[^.]+)$', 1) AS domain
-        |  FROM k)
+      s"""WITH ${sqlUrlCtes("SELECT doc_id FROM documents")}
         |SELECT doc_id, url, canon_url, domain,
         |  doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper
         |FROM c""".stripMargin,
