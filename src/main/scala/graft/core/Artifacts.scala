@@ -58,7 +58,20 @@ object Artifacts {
     * build lineage. On publish, older generations of the same
     * logicalId are pruned (see [[pruneStale]]).
     */
-  def table(spark: SparkSession, logicalId: String, generation: String)
+  /** @param partitionCols directory-partition the staged parquet on
+    * these columns — the serving-index layout lever: a staged ANN
+    * index partitioned on `cell` lets a serve-time probe join prune
+    * whole cell directories (dynamic partition pruning reuses the
+    * broadcast probe side), so a query batch reads nprobe×|Q| cells
+    * of a 100 TB index instead of scanning it. Partition columns
+    * come back LAST in the schema with parquet's inferred type
+    * (`cell` longs read back as ints) — callers select by name and
+    * join by value, both unaffected. Include the layout in the
+    * logicalId so a re-layout rebuilds rather than serving the old
+    * flat artifact.
+    */
+  def table(spark: SparkSession, logicalId: String, generation: String,
+            partitionCols: Seq[String] = Nil)
       (build: => DataFrame): DataFrame = {
     val key = s"$logicalId|$generation"
     val dir = new java.io.File(root, md5(key))
@@ -73,7 +86,8 @@ object Artifacts {
       val tmp = new java.io.File(root,
         s".tmp_${md5(key)}_${ProcessHandle.current().pid()}_" +
           s"${Thread.currentThread().getId}")
-      build.write.mode("overwrite").parquet(tmp.getPath)
+      build.write.mode("overwrite")
+        .partitionBy(partitionCols: _*).parquet(tmp.getPath)
       // the raw identity rides inside the artifact so stale
       // GENERATIONS (same logicalId, older generation) are
       // identifiable after the dir name is hashed

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.operators.Similarity.{dot, norm, probeCells}
+
+/** ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+  * SIGIR '20): documents and queries are bags of CHUNK vectors, and
+  * relevance(q, d) = Σ over q's chunks of the max cosine against any
+  * of d's chunks (MaxSim). Late interaction keeps per-chunk signal
+  * that single-vector pooling destroys — the retrieval shape behind
+  * passage-level RAG — while staying entirely in chunk-vector space:
+  * no cross-attention, just max/sum over cosines, so it runs as two
+  * partial-aggregatable groupBys over a chunk-pair join.
+  *
+  * Determinism discipline: the per-(query, query-chunk, doc) max is
+  * order-free; the per-(query, doc) SUM of maxes is NOT (double
+  * addition), so each max quantizes to `floor(mc·1e12)` and sums as
+  * DECIMAL(38,0) — exact integers, any aggregation order, both
+  * engines ([[Similarity.meanPool]]'s rule). Ranking compares the
+  * exact decimal (ties → lowest doc id); `score` reports the double.
+  * Zero-norm chunks (sign-cancelled hash embeds, padding) are
+  * filtered on BOTH sides — a null cosine would otherwise poison the
+  * max with engine-specific null ordering.
+  *
+  * Scale shape: [[maxSimTopK]] is the labeled brute baseline
+  * (|Q-chunks| × |corpus chunks| — eval only); [[maxSimTopKIndexed]]
+  * is the serving path: candidate docs come from a probe-cell
+  * equi-join against the staged chunk index ([[Similarity.indexCells]]
+  * over chunk embeds — chunk-level ANN), and only candidate (q, d)
+  * pairs pay the exact MaxSim re-rank. That is ColBERT's own
+  * two-stage serve (ANN candidate generation → exact late-interaction
+  * re-rank), expressed as joins.
+  */
+object LateInteraction {
+
+  /** Exact MaxSim top-k: every query chunk against every corpus
+    * chunk. Brute baseline — quadratic in chunks; serving goes
+    * through [[maxSimTopKIndexed]].
+    *
+    * @param qChunks (docCol, chunkCol, vecCol) rows — expected small
+    *                (a query batch); broadcast.
+    * @param dChunks (docCol, chunkCol, vecCol) rows.
+    */
+  def maxSimTopK(qChunks: DataFrame, dChunks: DataFrame, k: Int,
+                 docCol: String = "doc_id",
+                 chunkCol: String = "chunk_idx",
+                 vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(querySide(qChunks, docCol, chunkCol, vecCol))
+    val c = dChunks.select(col(docCol).as("n_doc"),
+        col(vecCol).as("n_vec"), norm(col(vecCol)).as("n_nrm"))
+      .filter(col("n_nrm") > 0)
+    maxSimRank(q.join(c, col("q_doc") =!= col("n_doc")), k)
+  }
+
+  /** Candidate-bounded MaxSim top-k over a STAGED chunk index
+    * ([[Similarity.indexCells]] rows: uidCol, docCol, vecCol, nrm,
+    * cell). Stage 1: each query chunk probes its `nprobe` best cells
+    * and any doc with a chunk in a probed cell becomes a candidate —
+    * a broadcast equi-join on the cell, never a corpus scan per
+    * query. Stage 2: candidate (q, d) pairs pay the exact MaxSim over
+    * the index's own chunk vectors (raw vectors ride the index — no
+    * second corpus fetch).
+    */
+  def maxSimTopKIndexed(qChunks: DataFrame, index: DataFrame,
+                        centroids: DataFrame, k: Int, nprobe: Int,
+                        docCol: String = "doc_id",
+                        chunkCol: String = "chunk_idx",
+                        uidCol: String = "chunk_uid",
+                        vecCol: String = "embedding"): DataFrame = {
+    // probe keyed by the chunk uid (probeCells keys centroids by the
+    // same column — centroid rows are chunk rows, so it exists on
+    // both sides), then map uid → query DOC through the query frame
+    // (query-batch-sized, broadcast)
+    val probes = probeCells(qChunks, centroids, nprobe, idCol = uidCol,
+      vecCol = vecCol)
+    val qMap = qChunks.select(col(uidCol).as("q_id"),
+      col(docCol).as("q_doc"))
+    val cand = broadcast(
+        probes.select(col("q_id"), col("q_cell")).join(qMap, "q_id")
+          .select(col("q_doc"), col("q_cell")).distinct())
+      .join(index.select(col("cell"), col(docCol).as("n_doc")),
+        col("q_cell") === col("cell"))
+      .filter(col("q_doc") =!= col("n_doc"))
+      .select(col("q_doc"), col("n_doc")).distinct()
+    val q = broadcast(querySide(qChunks, docCol, chunkCol, vecCol))
+    val c = index.select(col(docCol).as("n_doc"),
+        col(vecCol).as("n_vec"), col("nrm").as("n_nrm"))
+      .filter(col("n_nrm") > 0)
+    maxSimRank(broadcast(cand).join(c, "n_doc").join(q, "q_doc"), k)
+  }
+
+  private def querySide(qChunks: DataFrame, docCol: String,
+                        chunkCol: String, vecCol: String): DataFrame =
+    qChunks.select(col(docCol).as("q_doc"), col(chunkCol).as("q_chunk"),
+        col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm"))
+      .filter(col("q_nrm") > 0)
+
+  /** Chunk pairs → ranked docs: max cosine per (q_doc, q_chunk,
+    * n_doc), quantized-decimal sum per (q_doc, n_doc), top-k rank.
+    * Both groupBys partial-aggregate; the window runs over the
+    * candidate-sized frame only.
+    */
+  private def maxSimRank(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cos: Column = dot(col("q_vec"), col("n_vec")) /
+      (col("q_nrm") * col("n_nrm"))
+    val perChunk = pairs.withColumn("_cos", cos)
+      .groupBy(col("q_doc"), col("q_chunk"), col("n_doc"))
+      .agg(max(col("_cos")).as("_mc"))
+    val perDoc = perChunk
+      .withColumn("_q", floor(col("_mc") * 1e12).cast(DecimalType(38, 0)))
+      .groupBy(col("q_doc"), col("n_doc"))
+      .agg(sum(col("_q")).as("_sq"))
+    val w = Window.partitionBy(col("q_doc"))
+      .orderBy(col("_sq").desc, col("n_doc"))
+    perDoc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_doc"), col("n_doc"), col("rnk"),
+        (col("_sq").cast(DoubleType) / 1e12).as("score"))
+  }
+}

@@ -40,6 +40,48 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
+  /** Feature-hashing text embedder — the "hashing trick" (Weinberger
+    * et al., ICML '09; Vowpal Wabbit's input layer): each token hashes
+    * to one of `dims` buckets with a ±1 sign drawn from an independent
+    * hash bit, and the document's vector is the per-bucket signed
+    * term-frequency sum. No vocabulary, no model, no shuffle: the
+    * whole embedding is ONE map-side projection over the text column
+    * (token hash = the repo's md5 discipline, so the oracle replays
+    * every component bit-for-bit), which makes it the text→vector
+    * bridge for the ANN family — a corpus with no external embedding
+    * model can still flow through [[indexCells]]/[[ivfMultiprobeKnn]],
+    * and at 100 TB the embed rides the ingest scan for free.
+    *
+    * Components are exact small integers (±1 sums) carried as doubles,
+    * so dot/norm folds agree bit-for-bit across engines. A document
+    * with no tokens embeds to the zero vector (cosine against it is
+    * null by the [[cosine]] guard) — ANN callers filter empty docs.
+    * Cost is O(dims × tokens) adds per row after one md5 per token;
+    * `dims` beyond ~256 wants the (bucket, sign) pairs routed through
+    * a groupBy instead — at that width the per-row fold's constant
+    * beats the exchange it avoids.
+    */
+  def hashEmbed(docs: DataFrame, dims: Int = 64,
+                idCol: String = "doc_id",
+                textCol: String = "text",
+                carryCols: Seq[String] = Nil): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val toks = graft.functions.TextFunctions.tokenize(lower(col(textCol)))
+    // one md5 per token: hash once in the transform, fold the compact
+    // (bucket, sign) pairs after
+    val hs = transform(toks, t => {
+      val h = conv(substring(md5(t), 1, 12), 16, 10).cast(LongType)
+      struct((h % dims).cast(IntegerType).as("b"),
+        ((shiftright(h, 47).bitwiseAND(lit(1L))) * 2 - 1)
+          .cast(DoubleType).as("s"))
+    })
+    val zeros = array_repeat(lit(0.0), lit(dims))
+    val emb = aggregate(hs, zeros, (acc, p) =>
+      transform(acc, (v, i) =>
+        v + when(p.getField("b") === i, p.getField("s")).otherwise(lit(0.0))))
+    docs.select(col(idCol) +: carryCols.map(col) :+ emb.as("embedding"): _*)
+  }
+
   /** Exact top-k neighbors for each query vector.
     *
     * @param corpus  (id, vec) rows

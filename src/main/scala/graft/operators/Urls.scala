@@ -103,4 +103,107 @@ object Urls {
       col(idCol) === min(col(idCol))
         .over(Window.partitionBy(col("canon_url"))))
   }
+
+  // -------------------------------------------------------------------
+  // Public Suffix List registrable domains — the real algorithm behind
+  // the last-two-labels caveat above
+  // -------------------------------------------------------------------
+
+  /** Miniature Public Suffix List fixture covering all three rule
+    * kinds of the publicsuffix.org algorithm — plain rules, wildcard
+    * rules (`*.kobe.jp` / `*.ck`), and exception rules (`!city.kobe.jp`
+    * / `!www.ck`, stored here with `is_exception = true` and no `!`).
+    * A deployment swaps in the full list (~10k rows — still broadcast
+    * change-of-data, not change-of-plan). The rules deliberately ride
+    * a DataFrame, never codegen literals: 10k unrolled string
+    * comparisons would blow the 8 KB JIT method ceiling SCALING.md
+    * documents — model constants enter plans as DATA.
+    */
+  def pslRules(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("com", false), ("org", false), ("net", false), ("io", false),
+      ("jp", false), ("uk", false), ("co.uk", false), ("gov.uk", false),
+      ("github.io", false), ("*.kobe.jp", false),
+      ("city.kobe.jp", true), ("*.ck", false), ("www.ck", true)
+    ).toDF("rule", "is_exception")
+  }
+
+  /** Deterministic multi-label-TLD URL payload — the t56 discipline
+    * pointed at the PSL edge cases: per `id % 8` the host exercises a
+    * multi-label suffix (`co.uk`), a plain TLD, a wildcard match at
+    * depth (`a.b.example.kobe.jp`), both exception rules, a private
+    * registry (`github.io`), an unknown TLD (the `*` default rule),
+    * and a host that IS a public suffix (registrable = null).
+    */
+  def withIntlUrlPayload(docs: DataFrame, idCol: String = "doc_id")
+      : DataFrame = {
+    val id = col(idCol)
+    val host = when(id % 8 === 0, lit("shop.Example.CO.UK"))
+      .when(id % 8 === 1, lit("example.com"))
+      .when(id % 8 === 2, lit("a.b.example.kobe.jp"))
+      .when(id % 8 === 3, lit("city.kobe.jp"))
+      .when(id % 8 === 4, lit("media.github.io"))
+      .when(id % 8 === 5, lit("weird.unknowntld"))
+      .when(id % 8 === 6, lit("uk"))
+      .otherwise(lit("x.www.ck"))
+    docs.withColumn("url", concat(lit("https://"), host,
+      lit("/p/"), (id % 5).cast("string")))
+  }
+
+  /** Registrable domain via the full publicsuffix.org algorithm:
+    * generate the host's trailing-label suffixes (plain, and the
+    * `*.`-for-the-leftmost-label wildcard form) map-side — at most
+    * `2 × maxLabels − 1` candidate rows per host — broadcast-join them
+    * against the rule table, and let one max-struct per host pick the
+    * prevailing rule (exception beats everything, then most labels;
+    * no match → the implicit `*` rule, public suffix = last label).
+    * Public suffix = the prevailing rule's label count (minus one for
+    * an exception rule); registrable domain = public suffix plus one
+    * label, or null when the host IS a public suffix.
+    *
+    * Plan shape: one broadcast hash join on the candidate string, one
+    * partial-aggregatable max-struct on the id, one id-keyed join back
+    * to the host row — per-URL metadata enrichment that scales with
+    * the crawl scan. `maxLabels` bounds the explode at the PSL's own
+    * depth (the real list's deepest rule has 5 labels).
+    */
+  def registrableDomainPsl(docsWithUrl: DataFrame, psl: DataFrame,
+                           idCol: String = "doc_id",
+                           urlCol: String = "url",
+                           maxLabels: Int = 4): DataFrame = {
+    val id = col(idCol)
+    val host = lower(regexp_extract(col(urlCol), "^[A-Za-z]+://([^/?#:]*)", 1))
+    val base = docsWithUrl.select(id, col(urlCol), host.as("host"),
+      split(host, "\\.").as("labels"))
+    val n = size(col("labels"))
+    def lastJoin(k: Column): Column =
+      array_join(slice(col("labels"), -k, k), ".")
+    val is = sequence(lit(1), least(n, lit(maxLabels)))
+    // plain candidate at i = the host's last i labels; wildcard
+    // candidate at i (i >= 2) = '*.' + the last i-1 labels — a
+    // wildcard rule with i labels matches iff this string equals it
+    val plains = transform(is, i => struct(lastJoin(i).as("cand"), i.as("nl")))
+    val wilds = transform(filter(is, i => i >= 2), i =>
+      struct(concat(lit("*."), lastJoin(i - 1)).as("cand"), i.as("nl")))
+    val cands = base.select(id, explode(concat(plains, wilds)).as("c"))
+      .select(id, col("c.cand").as("cand"), col("c.nl").as("nl"))
+    val matched = cands
+      .join(broadcast(psl), col("cand") === col("rule"))
+      .groupBy(id).agg(max(struct(
+        col("is_exception").cast("int").as("exc"),
+        col("nl").as("nl"))).as("prevail"))
+      .select(id,
+        when(col("prevail.exc") === 1, col("prevail.nl") - 1)
+          .otherwise(col("prevail.nl")).as("ps_nl"))
+    base.join(matched, Seq(idCol), "left")
+      .withColumn("_ps", coalesce(col("ps_nl"), lit(1)))
+      .select(id, col(urlCol), col("host"),
+        array_join(slice(col("labels"), -col("_ps"), col("_ps")), ".")
+          .as("public_suffix"),
+        when(n > col("_ps"),
+          array_join(slice(col("labels"), -(col("_ps") + 1),
+            col("_ps") + 1), "."))
+          .otherwise(lit(null).cast("string")).as("registrable"))
+  }
 }

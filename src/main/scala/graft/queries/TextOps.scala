@@ -186,6 +186,16 @@ object TextOps {
         graft.operators.Urls.withUrlPayload(docs(s, dir)))
     },
 
+    // registrable domains via the real Public Suffix List algorithm
+    // (plain + wildcard + exception rules), replacing t56's last-two-
+    // labels heuristic: candidate suffixes explode map-side (≤ 7 per
+    // host), one broadcast rule join, one max-struct per host
+    "t57_registrable_domain" -> { (s, dir) =>
+      graft.operators.Urls.registrableDomainPsl(
+        graft.operators.Urls.withIntlUrlPayload(docs(s, dir)),
+        graft.operators.Urls.pslRules(s))
+    },
+
     // ---- vocabulary-growth (Heaps' law) curve -----------------------------
     // cumulative distinct words at 8 corpus prefixes — the planning
     // input for every vocabulary-bound state (BPE, inverted indexes,
@@ -1164,6 +1174,62 @@ object TextOps {
         |SELECT doc_id, url, canon_url, domain,
         |  doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper
         |FROM c""".stripMargin,
+
+    // PSL replay: the same payload construction, candidate-suffix
+    // generation (plain + '*.'-wildcardized forms), rule VALUES table,
+    // and (exception, label-count) prevailing pick as the Spark side
+    "t57_registrable_domain" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE CAST(doc_id % 8 AS INT)
+        |      WHEN 0 THEN 'shop.Example.CO.UK'
+        |      WHEN 1 THEN 'example.com'
+        |      WHEN 2 THEN 'a.b.example.kobe.jp'
+        |      WHEN 3 THEN 'city.kobe.jp'
+        |      WHEN 4 THEN 'media.github.io'
+        |      WHEN 5 THEN 'weird.unknowntld'
+        |      WHEN 6 THEN 'uk'
+        |      ELSE 'x.www.ck' END ||
+        |    '/p/' || CAST(doc_id % 5 AS VARCHAR) AS url
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, url, host, string_split(host, '.') AS labels,
+        |    len(string_split(host, '.')) AS n
+        |  FROM (
+        |    SELECT doc_id, url,
+        |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#:]*)', 1))
+        |        AS host
+        |    FROM u)),
+        |cand AS (
+        |  SELECT doc_id, i AS nl,
+        |    array_to_string(labels[n - i + 1:], '.') AS cand
+        |  FROM l CROSS JOIN range(1, 5) r(i) WHERE i <= n
+        |  UNION ALL
+        |  SELECT doc_id, i AS nl,
+        |    '*.' || array_to_string(labels[n - i + 2:], '.') AS cand
+        |  FROM l CROSS JOIN range(2, 5) r(i) WHERE i <= n),
+        |rules(rule, is_exception) AS (SELECT * FROM (VALUES
+        |  ('com', false), ('org', false), ('net', false), ('io', false),
+        |  ('jp', false), ('uk', false), ('co.uk', false),
+        |  ('gov.uk', false), ('github.io', false), ('*.kobe.jp', false),
+        |  ('city.kobe.jp', true), ('*.ck', false), ('www.ck', true))),
+        |prev AS (
+        |  SELECT doc_id,
+        |    CASE WHEN exc = 1 THEN nl - 1 ELSE nl END AS ps_nl
+        |  FROM (
+        |    SELECT doc_id, CAST(is_exception AS INT) AS exc, nl,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY CAST(is_exception AS INT) DESC, nl DESC) AS rk
+        |    FROM cand JOIN rules ON cand = rule)
+        |  WHERE rk = 1)
+        |SELECT l.doc_id, l.url, l.host,
+        |  array_to_string(l.labels[l.n - COALESCE(p.ps_nl, 1) + 1:], '.')
+        |    AS public_suffix,
+        |  CASE WHEN l.n > COALESCE(p.ps_nl, 1)
+        |    THEN array_to_string(l.labels[l.n - COALESCE(p.ps_nl, 1):], '.')
+        |  END AS registrable
+        |FROM l LEFT JOIN prev p ON p.doc_id = l.doc_id""".stripMargin,
 
     "t43_bigram_surprisal" ->
       """WITH w AS (

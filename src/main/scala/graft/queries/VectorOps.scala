@@ -481,6 +481,95 @@ object VectorOps {
         pqMetaIndexIdx(s, dir).filter(col("label") % 2 === 0),
         querySet(e), e.filter(col("vec_id") < 8),
         Similarity.pqCodebook(e, m = 4, k = 16), k = 3, nprobe = 2)
+    },
+
+    // text → vector → ANN with no external embedding model: documents
+    // hash-embed map-side (the feature-hashing trick), the index is
+    // STAGED cell-partitioned (serve-time probe joins prune whole cell
+    // directories via dynamic partition pruning — the 100 TB index
+    // layout, spec-pinned in HashEmbedSpec), queries and centroids
+    // re-embed inline (map-side, query-batch-sized after pushdown)
+    "v31_hashembed_knn" -> { (s, dir) =>
+      val he = hashEmbeds(s, dir)
+      Similarity.ivfMultiprobeKnnIndexed(hashEmbedIdx(s, dir),
+        he.filter(col("doc_id") % 50 === 0),
+        he.filter(col("doc_id") < 8), k = 3, nprobe = 2,
+        idCol = "doc_id")
+    },
+
+    // ColBERT-style late interaction over hash-embedded CHUNKS: the
+    // two-stage serve — chunk-level probe join against the staged
+    // chunk index generates candidate docs, exact MaxSim (quantized-
+    // decimal sums, ties → doc id) re-ranks only the candidates
+    "v32_maxsim_rerank" -> { (s, dir) =>
+      val ce = chunkEmbeds(s, dir)
+      graft.operators.LateInteraction.maxSimTopKIndexed(
+        ce.filter(col("doc_id") % 50 === 0), maxSimIdx(s, dir),
+        ce.filter(col("chunk_idx") === 0 && col("doc_id") < 8),
+        k = 3, nprobe = 2)
+    })
+
+  /** Hash-embedded documents (dims = 64), empty docs excluded — the
+    * text→vector bridge behind v31 ([[Similarity.hashEmbed]]): one
+    * map-side projection, no vocabulary, no model artifact. The
+    * empty-doc filter keeps every norm positive, so no cosine is null
+    * and ranking is total on both engines.
+    */
+  private def hashEmbeds(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    Similarity.hashEmbed(
+      d.filter(size(graft.functions.TextFunctions
+        .tokenize(lower(col("text")))) > 0),
+      dims = 64)
+  }
+
+  /** The staged hash-embed ANN index, directory-partitioned on `cell`
+    * (`Artifacts.table(partitionCols)`): at serve time the broadcast
+    * probe side doubles as a dynamic partition filter, so a query
+    * batch reads its nprobe×|Q| cells of the index instead of
+    * scanning it — the layout lever a 100 TB serving index ships
+    * with. The layout rides the logicalId, so switching it rebuilds
+    * rather than serving the flat artifact.
+    */
+  private def hashEmbedIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      "hashembed-index|dims=64|c=8|layout=cell",
+      graft.core.Artifacts.fingerprint(dir),
+      partitionCols = Seq("cell"))({
+      val he = hashEmbeds(s, dir)
+      Similarity.indexCells(he, he.filter(col("doc_id") < 8),
+        idCol = "doc_id")
+    })
+
+  /** Hash-embedded 16/16 sliding chunks (v32's unit of retrieval):
+    * chunk_uid = doc_id·10⁶ + chunk_idx keys the chunk everywhere a
+    * single id column is needed; zero-norm chunks (sign-cancelled
+    * embeds) are filtered here so no cosine is ever null.
+    */
+  private def chunkEmbeds(s: SparkSession, dir: String): DataFrame = {
+    val ch = graft.operators.Chunking.slidingChunks(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        window = 16, stride = 16)
+      .withColumn("chunk_uid",
+        col("doc_id") * 1000000L + col("chunk_idx"))
+    Similarity.hashEmbed(ch, dims = 64, idCol = "chunk_uid",
+        textCol = "chunk_text", carryCols = Seq("doc_id", "chunk_idx"))
+      .filter(Similarity.norm(col("embedding")) > 0)
+  }
+
+  /** The staged chunk-level ANN index behind v32, cell-partitioned
+    * like [[hashEmbedIdx]]; centroids = the first chunk of the first
+    * 8 docs (deterministic, oracle-replayable).
+    */
+  private def maxSimIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      "maxsim-chunk-index|w=16|s=16|dims=64|c=8|layout=cell",
+      graft.core.Artifacts.fingerprint(dir),
+      partitionCols = Seq("cell"))({
+      val ce = chunkEmbeds(s, dir)
+      Similarity.indexCells(ce,
+        ce.filter(col("chunk_idx") === 0 && col("doc_id") < 8),
+        idCol = "chunk_uid", carryCols = Seq("doc_id"))
     })
 
   /** SQL mirror of Similarity.dot: strict left fold over the zipped
@@ -1157,6 +1246,147 @@ object VectorOps {
     // serve-time index filtering exactly
     "v30_filtered_serve" -> sqlIvfPqServeOver(
       "SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0"),
+
+    // MaxSim replay: 16/16 chunking (the t20 CTE pattern), per-chunk
+    // hash embed (exact-integer sums), chunk-level cell assign/probe
+    // (ties → centroid chunk_uid = doc_id·10⁶), candidate pairs from
+    // the cell join, then max-per-(q,q_chunk,d) → floor(mc·1e12)
+    // HUGEINT sums (order-free exact, = Spark's DECIMAL(38,0)) → rank
+    "v32_maxsim_rerank" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 1),
+         |ch AS (
+         |  SELECT doc_id, chunk_idx,
+         |    list_aggregate(w[chunk_idx*16 + 1 : chunk_idx*16 + 16],
+         |      'string_agg', ' ') AS chunk_text
+         |  FROM (
+         |    SELECT doc_id, w, n,
+         |      unnest(range(CASE WHEN n <= 16 THEN 1
+         |                   ELSE 1 + (n - 16 + 15) // 16 END)) AS chunk_idx
+         |    FROM t)),
+         |tk AS (
+         |  SELECT doc_id, chunk_idx,
+         |    unnest(list_filter(string_split(lower(chunk_text), ' '),
+         |      x -> len(x) > 0)) AS w
+         |  FROM ch),
+         |hv AS (
+         |  SELECT doc_id, chunk_idx,
+         |    CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
+         |  FROM tk),
+         |sm AS (
+         |  SELECT doc_id, chunk_idx, h % 64 AS b,
+         |    SUM(((h >> 47) & 1) * 2 - 1) AS s
+         |  FROM hv GROUP BY doc_id, chunk_idx, b),
+         |grid AS (
+         |  SELECT i.doc_id, i.chunk_idx, r.b
+         |  FROM (SELECT DISTINCT doc_id, chunk_idx FROM tk) i
+         |  CROSS JOIN range(0, 64) r(b)),
+         |emb AS (
+         |  SELECT g.doc_id, g.chunk_idx,
+         |    list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b)
+         |      AS embedding
+         |  FROM grid g
+         |  LEFT JOIN sm s ON s.doc_id = g.doc_id
+         |    AND s.chunk_idx = g.chunk_idx AND s.b = g.b
+         |  GROUP BY g.doc_id, g.chunk_idx),
+         |e AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, chunk_idx, embedding,
+         |      sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |    FROM emb) WHERE nrm > 0),
+         |cent AS (SELECT * FROM e WHERE chunk_idx = 0 AND doc_id < 8),
+         |crk AS (
+         |  SELECT v.doc_id, v.chunk_idx, c.doc_id * 1000000 AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY v.doc_id, v.chunk_idx
+         |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
+         |               c.doc_id) AS rnk
+         |  FROM e v CROSS JOIN cent c),
+         |asg AS (SELECT doc_id, chunk_idx, cell FROM crk WHERE rnk = 1),
+         |probe AS (
+         |  SELECT doc_id, chunk_idx, cell FROM crk
+         |  WHERE rnk <= 2 AND doc_id % 50 = 0),
+         |cand AS (
+         |  SELECT DISTINCT p.doc_id AS q_doc, a.doc_id AS n_doc
+         |  FROM probe p JOIN asg a ON a.cell = p.cell
+         |  WHERE a.doc_id <> p.doc_id),
+         |mx AS (
+         |  SELECT c.q_doc, qc.chunk_idx AS q_chunk, c.n_doc,
+         |    MAX(${sqlCos("qc.embedding", "nc.embedding", "qc.nrm", "nc.nrm")}) AS mc
+         |  FROM cand c
+         |  JOIN e qc ON qc.doc_id = c.q_doc
+         |  JOIN e nc ON nc.doc_id = c.n_doc
+         |  GROUP BY c.q_doc, qc.chunk_idx, c.n_doc),
+         |sq AS (
+         |  SELECT q_doc, n_doc,
+         |    SUM(CAST(floor(mc * 1e12) AS HUGEINT)) AS sq
+         |  FROM mx GROUP BY q_doc, n_doc)
+         |SELECT q_doc, n_doc, rnk, CAST(sq AS DOUBLE) / 1e12 AS score
+         |FROM (
+         |  SELECT q_doc, n_doc, sq,
+         |    ROW_NUMBER() OVER (PARTITION BY q_doc
+         |      ORDER BY sq DESC, n_doc) AS rnk
+         |  FROM sq)
+         |WHERE rnk <= 3""".stripMargin,
+
+    // hash-embed replay: md5 token hash → (bucket, ±1 sign) → signed
+    // tf sums per bucket (exact integers, so the GROUP BY and Spark's
+    // map-side fold agree bit-for-bit), then the v15 multiprobe rank
+    // CTEs over doc ids — every cosine the same strict double fold
+    "v31_hashembed_knn" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split(lower(text), ' '),
+         |      x -> len(x) > 0)) AS w
+         |  FROM documents),
+         |hv AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
+         |  FROM tk),
+         |sm AS (
+         |  SELECT doc_id, h % 64 AS b,
+         |    SUM(((h >> 47) & 1) * 2 - 1) AS s
+         |  FROM hv GROUP BY doc_id, b),
+         |ids AS (SELECT DISTINCT doc_id FROM tk),
+         |grid AS (
+         |  SELECT i.doc_id, r.b FROM ids i CROSS JOIN range(0, 64) r(b)),
+         |emb AS (
+         |  SELECT g.doc_id AS vec_id,
+         |    list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b)
+         |      AS embedding
+         |  FROM grid g
+         |  LEFT JOIN sm s ON s.doc_id = g.doc_id AND s.b = g.b
+         |  GROUP BY g.doc_id),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM emb),
+         |cent AS (SELECT * FROM e WHERE vec_id < 8),
+         |rk AS (
+         |  SELECT v.vec_id, c.vec_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
+         |               c.vec_id) AS rnk
+         |  FROM e v CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, cell FROM rk WHERE rnk = 1),
+         |probe AS (
+         |  SELECT vec_id, cell FROM rk
+         |  WHERE rnk <= 2 AND vec_id % 50 = 0)
+         |SELECT q_id, n_id, rnk, cos_sim FROM (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    ${sqlCos("q.embedding", "n.embedding", "q.nrm", "n.nrm")} AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "n.embedding", "q.nrm", "n.nrm")} DESC,
+         |               n.vec_id) AS rnk
+         |  FROM e q
+         |  JOIN probe p ON p.vec_id = q.vec_id
+         |  JOIN asg a ON a.cell = p.cell
+         |  JOIN e n ON n.vec_id = a.vec_id AND n.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |WHERE rnk <= 3""".stripMargin,
 
     // (m, k) PQ sweep: per config the sqlPqKnn CTE set generalized
     // (distinct prefixes), hits counted against the shared brute

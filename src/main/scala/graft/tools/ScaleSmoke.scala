@@ -211,6 +211,61 @@ object ScaleSmoke {
       if (legOn("upsertserve"))
         (stageChangelog(e1x, "1"), stageChangelog(eNx, factor.toString))
       else (null, null)
+    // hashserve: the v31 shape — hash-embedded docs staged as a cell
+    // index (embed + build untimed: a corpus-release artifact), the
+    // serve is the same probe join as knnserve; queries are the BASE
+    // corpus's embeds (the fixed-query-set convention)
+    val (hePsl1, hePslN, heQs, heCents) =
+      if (legOn("hashserve")) {
+        def embOf(d: DataFrame) = Similarity.hashEmbed(d, dims = 64)
+        val he1 = embOf(d1x)
+        val cents = he1.filter(col("doc_id") < 8).persist()
+        (persist(Similarity.indexCells(he1, cents, idCol = "doc_id"),
+            "heidx1"),
+          persist(Similarity.indexCells(embOf(dNx), cents,
+            idCol = "doc_id"), s"heidx$factor"),
+          he1.filter(col("doc_id") % 50 === 0).persist(), cents)
+      } else (null, null, null, null)
+    // maxsimserve: the v32 shape — chunk-level candidates off the
+    // staged chunk index + exact MaxSim re-rank; queries are the BASE
+    // corpus's chunks (fixed query set), so candidate volume and the
+    // re-rank must track the index scan, never chunks²
+    val (msIdx1, msIdxN, msQs, msCents) =
+      if (legOn("maxsimserve")) {
+        def chunksOf(d: DataFrame) = {
+          val ch = graft.operators.Chunking.slidingChunks(d, "doc_id",
+              "text", window = 16, stride = 16)
+            .withColumn("chunk_uid",
+              col("doc_id") * 1000000L + col("chunk_idx"))
+          Similarity.hashEmbed(ch, dims = 64, idCol = "chunk_uid",
+              textCol = "chunk_text",
+              carryCols = Seq("doc_id", "chunk_idx"))
+            .filter(Similarity.norm(col("embedding")) > 0)
+        }
+        val ce1 = chunksOf(dt1x)
+        val cents = ce1.filter(col("chunk_idx") === 0 && col("doc_id") < 8)
+          .persist()
+        (persist(Similarity.indexCells(ce1, cents, idCol = "chunk_uid",
+            carryCols = Seq("doc_id")), "msidx1"),
+          persist(Similarity.indexCells(chunksOf(dtNx), cents,
+            idCol = "chunk_uid", carryCols = Seq("doc_id")),
+            s"msidx$factor"),
+          ce1.filter(col("doc_id") % 50 === 0).persist(), cents)
+      } else (null, null, null, null)
+    // filteredserve: the v30 shape — metadata rides the index row
+    // (carryCols), serve filters the STAGED index ahead of the ADC
+    // scoring; the filter pushes into the index scan, so the leg must
+    // track the (halved) index scan like ivfpqserve
+    val fsCb =
+      if (legOn("filteredserve")) Similarity.pqCodebook(e1x, m = 4, k = 16)
+      else null
+    val (fsIdx1, fsIdxN) =
+      if (legOn("filteredserve"))
+        (persist(Similarity.indexCells(e1x, cents8, codebook = Some(fsCb),
+            carryCols = Seq("label")), "fsidx1"),
+          persist(Similarity.indexCells(eNx, cents8, codebook = Some(fsCb),
+            carryCols = Seq("label")), s"fsidx$factor"))
+      else (null, null)
     // d26s: pairsFromPrefixIndex served from the PARQUET prefix
     // artifact — the 100 TB shape of the exact similarity join
     val (pref1, prefN) =
@@ -562,7 +617,62 @@ object ScaleSmoke {
       benchAction[(DataFrame, DataFrame)]("d26s", (pref1, dt1x),
         (prefN, dtNx), { case (p, d) =>
           Dedup.pairsFromPrefixIndex(p, d, tauPermille = 500).count(); ()
-        }))
+        }),
+      // t55: HTML extraction — payload synthesis + the 6-rule strip is
+      // one codegen'd projection, zero shuffle; must track the doc
+      // scan exactly (regex cost is per-byte, payloads are per-doc)
+      bench("t55", d1x, dNx, d => graft.operators.Html
+        .extractionReport(graft.operators.Html.withHtmlPayload(d))),
+      // t56: URL canonicalization + dedup — map-side regex rules +
+      // ONE hash exchange on the canonical string; the synthetic URL
+      // space grows with ids, so group count grows linearly and group
+      // SIZE stays constant — the window must track the scan
+      bench("t56", d1x, dNx, d => graft.operators.Urls
+        .urlDedupReport(graft.operators.Urls.withUrlPayload(d))),
+      // stage0: the t11d from-crawl front half — URL dedup keepers →
+      // HTML payload → main-text extraction; one exchange (the URL
+      // window), everything else map-side. The cascade behind it is
+      // priced by its own legs (d2/d3/t38/t26/...)
+      bench("stage0", d1x, dNx, { d =>
+        val kept = graft.operators.Urls
+          .urlDedupReport(graft.operators.Urls.withUrlPayload(d))
+          .filter(col("keeper")).select(col("doc_id"))
+          .join(d, Seq("doc_id"))
+        graft.operators.Html.withHtmlPayload(kept)
+          .select(col("doc_id"), graft.operators.Html
+            .extractMainText(col("html")).as("text"))
+      }),
+      // filteredserve: v30 — predicate over the carried metadata
+      // prunes the staged index AT THE SCAN (PushedFilters), then the
+      // same cell-pruned ADC as ivfpqserve; must track the index scan
+      bench("filteredserve", fsIdx1, fsIdxN, idx =>
+        Similarity.pqScoreCodesIndexed(idx.filter(col("label") % 2 === 0),
+          queries, cents8, fsCb, k = 3, nprobe = 2)),
+      // t57: PSL registrable domains — candidate explode (≤7/host) +
+      // broadcast rule join + one max-struct per id + the id join
+      // back; must track the scan (rules are fixed-size data)
+      bench("t57", d1x, dNx, d => graft.operators.Urls
+        .registrableDomainPsl(graft.operators.Urls.withIntlUrlPayload(d),
+          graft.operators.Urls.pslRules(spark))),
+      // hashembed: the map-side feature-hash embed itself — one
+      // projection, zero shuffle; count() would prune the embed away,
+      // so force a component sum
+      benchAction[DataFrame]("hashembed", d1x, dNx, d => {
+        Similarity.hashEmbed(d, dims = 64)
+          .agg(sum(element_at(col("embedding"), 1))).collect(); ()
+      }),
+      // hashserve: the v31 serve over the staged hash-embed index —
+      // same probe-join shape as knnserve, must track the index scan
+      bench("hashserve", hePsl1, hePslN, idx =>
+        Similarity.ivfMultiprobeKnnIndexed(idx, heQs, heCents,
+          k = 3, nprobe = 2, idCol = "doc_id")),
+      // maxsimserve: v32 — candidate docs from the chunk-cell probe
+      // join, exact MaxSim on candidates; the tagged fixture keeps
+      // chunk vocab disjoint across copies so candidate sets stay
+      // per-cell-bounded and the whole serve tracks the index scan
+      bench("maxsimserve", msIdx1, msIdxN, idx =>
+        graft.operators.LateInteraction.maxSimTopKIndexed(msQs, idx,
+          msCents, k = 3, nprobe = 2)))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)

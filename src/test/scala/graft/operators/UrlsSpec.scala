@@ -83,4 +83,52 @@ class UrlsSpec extends AnyFunSuite {
     assert(rep.map(_._2).distinct.length === byBucket.size,
       "distinct buckets never merge")
   }
+
+  private def pslOf(urls: (Long, String)*): Map[Long, (String, Option[String])] =
+    Urls.registrableDomainPsl(urls.toDF("doc_id", "url"),
+        Urls.pslRules(spark))
+      .select("doc_id", "public_suffix", "registrable")
+      .as[(Long, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("PSL: plain rules — longest match wins over the shorter TLD") {
+    val m = pslOf(
+      1L -> "https://shop.example.co.uk/x", // co.uk beats uk
+      2L -> "https://example.com/x",
+      3L -> "https://media.github.io/x") // private registry beats io
+    assert(m(1L) === ("co.uk", Some("example.co.uk")))
+    assert(m(2L) === ("com", Some("example.com")))
+    assert(m(3L) === ("github.io", Some("media.github.io")))
+  }
+
+  test("PSL: wildcard rule matches one label at any depth") {
+    val m = pslOf(
+      1L -> "https://a.b.example.kobe.jp/x", // *.kobe.jp
+      2L -> "https://example.kobe.jp/x") // host IS the public suffix
+    assert(m(1L) === ("example.kobe.jp", Some("b.example.kobe.jp")))
+    assert(m(2L) === ("example.kobe.jp", None))
+  }
+
+  test("PSL: exception rules beat wildcard and longest-match") {
+    val m = pslOf(
+      1L -> "https://city.kobe.jp/x", // !city.kobe.jp
+      2L -> "https://x.www.ck/x") // !www.ck vs *.ck
+    assert(m(1L) === ("kobe.jp", Some("city.kobe.jp")))
+    assert(m(2L) === ("ck", Some("www.ck")))
+  }
+
+  test("PSL: unknown TLD falls back to the implicit * rule; bare suffix has no registrable") {
+    val m = pslOf(
+      1L -> "https://weird.unknowntld/x",
+      2L -> "https://uk/x",
+      3L -> "https://unknowntld/x") // single unknown label
+    assert(m(1L) === ("unknowntld", Some("weird.unknowntld")))
+    assert(m(2L) === ("uk", None))
+    assert(m(3L) === ("unknowntld", None))
+  }
+
+  test("PSL: host casing and ports normalize before matching") {
+    val m = pslOf(1L -> "https://Shop.Example.CO.UK:8443/x")
+    assert(m(1L) === ("co.uk", Some("example.co.uk")))
+  }
 }
