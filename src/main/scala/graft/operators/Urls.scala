@@ -168,6 +168,36 @@ object Urls {
     * the crawl scan. `maxLabels` bounds the explode at the PSL's own
     * depth (the real list's deepest rule has 5 labels).
     */
+  /** Per-registrable-domain crawl governance table — the planning
+    * input for crawl budgeting and domain demotion in every web-scale
+    * corpus (C4's per-domain caps, RefinedWeb's dup-heavy-host
+    * demotion): pages, unique pages (the [[urlDedupReport]] keeper
+    * rule), the dup rate, and a caller-supplied per-page weight
+    * (token count, bytes) summed and averaged. One groupBy on the
+    * domain after the URL window — all sums partial-aggregate, so a
+    * mega-domain is map-side-combined, never a hot reducer key.
+    */
+  def domainStats(docsWithUrl: DataFrame, psl: DataFrame, weight: Column,
+                  idCol: String = "doc_id",
+                  urlCol: String = "url"): DataFrame = {
+    val rep = urlDedupReport(docsWithUrl, idCol, urlCol)
+      .select(col(idCol), col("keeper"))
+    val reg = registrableDomainPsl(docsWithUrl, psl, idCol, urlCol)
+      .select(col(idCol), col("registrable"))
+    docsWithUrl.select(col(idCol), weight.as("_w"))
+      .join(rep, Seq(idCol)).join(reg, Seq(idCol))
+      .groupBy(col("registrable").as("domain"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("keeper"), 1L).otherwise(0L)).as("n_unique"),
+        sum(col("_w")).as("total_weight"))
+      .select(col("domain"), col("n_pages"), col("n_unique"),
+        (lit(1.0) - col("n_unique").cast("double") /
+          col("n_pages").cast("double")).as("dup_rate"),
+        col("total_weight"),
+        (col("total_weight").cast("double") /
+          col("n_pages").cast("double")).as("avg_weight"))
+  }
+
   def registrableDomainPsl(docsWithUrl: DataFrame, psl: DataFrame,
                            idCol: String = "doc_id",
                            urlCol: String = "url",

@@ -196,6 +196,17 @@ object TextOps {
         graft.operators.Urls.pslRules(s))
     },
 
+    // per-registrable-domain crawl governance (C4's per-domain caps /
+    // RefinedWeb's dup-heavy-host demotion input): pages, URL-dedup
+    // keepers, dup rate, token mass — one GROUP BY domain, every sum
+    // partial-aggregated so a mega-domain never hot-keys a reducer
+    "t58_domain_stats" -> { (s, dir) =>
+      graft.operators.Urls.domainStats(
+        graft.operators.Urls.withUrlPayload(docs(s, dir)),
+        graft.operators.Urls.pslRules(s),
+        weight = graft.functions.TextFunctions.nTokens(col("text")))
+    },
+
     // ---- vocabulary-growth (Heaps' law) curve -----------------------------
     // cumulative distinct words at 8 corpus prefixes — the planning
     // input for every vocabulary-bound state (BPE, inverted indexes,
@@ -595,6 +606,72 @@ object TextOps {
     * `registrableDomain`. `${p}c` carries (doc_id, url, canon_url,
     * domain).
     */
+  /** The t57 multi-label-TLD payload (mirrors
+    * `Urls.withIntlUrlPayload`'s construction math).
+    */
+  private[queries] val sqlIntlUrls: String =
+    """SELECT doc_id,
+      |    'https://' ||
+      |    CASE CAST(doc_id % 8 AS INT)
+      |      WHEN 0 THEN 'shop.Example.CO.UK'
+      |      WHEN 1 THEN 'example.com'
+      |      WHEN 2 THEN 'a.b.example.kobe.jp'
+      |      WHEN 3 THEN 'city.kobe.jp'
+      |      WHEN 4 THEN 'media.github.io'
+      |      WHEN 5 THEN 'weird.unknowntld'
+      |      WHEN 6 THEN 'uk'
+      |      ELSE 'x.www.ck' END ||
+      |    '/p/' || CAST(doc_id % 5 AS VARCHAR) AS url
+      |  FROM documents""".stripMargin
+
+  /** PSL registrable-domain CTE chain over a source CTE `src` with
+    * (doc_id, url): mirrors `Urls.registrableDomainPsl` — candidate
+    * trailing-label suffixes (plain + '*.'-wildcardized), the
+    * `Urls.pslRules` VALUES table, the (exception, label-count)
+    * prevailing pick, the implicit `*` fallback. Ends with a CTE
+    * `psl`: (doc_id, url, host, public_suffix, registrable).
+    */
+  private[queries] def sqlPslCtes(src: String): String =
+    """l AS (
+      |  SELECT doc_id, url, host, string_split(host, '.') AS labels,
+      |    len(string_split(host, '.')) AS n
+      |  FROM (
+      |    SELECT doc_id, url,
+      |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#:]*)', 1))
+      |        AS host
+      |    FROM SRC)),
+      |cand AS (
+      |  SELECT doc_id, i AS nl,
+      |    array_to_string(labels[n - i + 1:], '.') AS cand
+      |  FROM l CROSS JOIN range(1, 5) r(i) WHERE i <= n
+      |  UNION ALL
+      |  SELECT doc_id, i AS nl,
+      |    '*.' || array_to_string(labels[n - i + 2:], '.') AS cand
+      |  FROM l CROSS JOIN range(2, 5) r(i) WHERE i <= n),
+      |rules(rule, is_exception) AS (SELECT * FROM (VALUES
+      |  ('com', false), ('org', false), ('net', false), ('io', false),
+      |  ('jp', false), ('uk', false), ('co.uk', false),
+      |  ('gov.uk', false), ('github.io', false), ('*.kobe.jp', false),
+      |  ('city.kobe.jp', true), ('*.ck', false), ('www.ck', true))),
+      |prev AS (
+      |  SELECT doc_id,
+      |    CASE WHEN exc = 1 THEN nl - 1 ELSE nl END AS ps_nl
+      |  FROM (
+      |    SELECT doc_id, CAST(is_exception AS INT) AS exc, nl,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY CAST(is_exception AS INT) DESC, nl DESC) AS rk
+      |    FROM cand JOIN rules ON cand = rule)
+      |  WHERE rk = 1),
+      |psl AS (
+      |  SELECT l.doc_id, l.url, l.host,
+      |    array_to_string(l.labels[l.n - COALESCE(p.ps_nl, 1) + 1:], '.')
+      |      AS public_suffix,
+      |    CASE WHEN l.n > COALESCE(p.ps_nl, 1)
+      |      THEN array_to_string(l.labels[l.n - COALESCE(p.ps_nl, 1):], '.')
+      |    END AS registrable
+      |  FROM l LEFT JOIN prev p ON p.doc_id = l.doc_id)"""
+      .stripMargin.replace("SRC", src)
+
   private[queries] def sqlUrlCtes(from: String, p: String = ""): String =
     s"""${p}u AS (
        |  SELECT doc_id,
@@ -1179,57 +1256,34 @@ object TextOps {
     // generation (plain + '*.'-wildcardized forms), rule VALUES table,
     // and (exception, label-count) prevailing pick as the Spark side
     "t57_registrable_domain" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    'https://' ||
-        |    CASE CAST(doc_id % 8 AS INT)
-        |      WHEN 0 THEN 'shop.Example.CO.UK'
-        |      WHEN 1 THEN 'example.com'
-        |      WHEN 2 THEN 'a.b.example.kobe.jp'
-        |      WHEN 3 THEN 'city.kobe.jp'
-        |      WHEN 4 THEN 'media.github.io'
-        |      WHEN 5 THEN 'weird.unknowntld'
-        |      WHEN 6 THEN 'uk'
-        |      ELSE 'x.www.ck' END ||
-        |    '/p/' || CAST(doc_id % 5 AS VARCHAR) AS url
-        |  FROM documents),
-        |l AS (
-        |  SELECT doc_id, url, host, string_split(host, '.') AS labels,
-        |    len(string_split(host, '.')) AS n
-        |  FROM (
-        |    SELECT doc_id, url,
-        |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#:]*)', 1))
-        |        AS host
-        |    FROM u)),
-        |cand AS (
-        |  SELECT doc_id, i AS nl,
-        |    array_to_string(labels[n - i + 1:], '.') AS cand
-        |  FROM l CROSS JOIN range(1, 5) r(i) WHERE i <= n
-        |  UNION ALL
-        |  SELECT doc_id, i AS nl,
-        |    '*.' || array_to_string(labels[n - i + 2:], '.') AS cand
-        |  FROM l CROSS JOIN range(2, 5) r(i) WHERE i <= n),
-        |rules(rule, is_exception) AS (SELECT * FROM (VALUES
-        |  ('com', false), ('org', false), ('net', false), ('io', false),
-        |  ('jp', false), ('uk', false), ('co.uk', false),
-        |  ('gov.uk', false), ('github.io', false), ('*.kobe.jp', false),
-        |  ('city.kobe.jp', true), ('*.ck', false), ('www.ck', true))),
-        |prev AS (
-        |  SELECT doc_id,
-        |    CASE WHEN exc = 1 THEN nl - 1 ELSE nl END AS ps_nl
-        |  FROM (
-        |    SELECT doc_id, CAST(is_exception AS INT) AS exc, nl,
-        |      ROW_NUMBER() OVER (PARTITION BY doc_id
-        |        ORDER BY CAST(is_exception AS INT) DESC, nl DESC) AS rk
-        |    FROM cand JOIN rules ON cand = rule)
-        |  WHERE rk = 1)
-        |SELECT l.doc_id, l.url, l.host,
-        |  array_to_string(l.labels[l.n - COALESCE(p.ps_nl, 1) + 1:], '.')
-        |    AS public_suffix,
-        |  CASE WHEN l.n > COALESCE(p.ps_nl, 1)
-        |    THEN array_to_string(l.labels[l.n - COALESCE(p.ps_nl, 1):], '.')
-        |  END AS registrable
-        |FROM l LEFT JOIN prev p ON p.doc_id = l.doc_id""".stripMargin,
+      s"""WITH u AS ($sqlIntlUrls),
+        |${sqlPslCtes("u")}
+        |SELECT doc_id, url, host, public_suffix, registrable
+        |FROM psl""".stripMargin,
+
+    // per-domain crawl governance: t56's URL payload + dedup keepers,
+    // t57's PSL registrable domains, one GROUP BY domain — page and
+    // keeper counts are exact ints, dup_rate/avg their double ratios
+    "t58_domain_stats" ->
+      s"""WITH ${sqlUrlCtes("SELECT doc_id FROM documents")},
+        |kp AS (
+        |  SELECT doc_id, url,
+        |    doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper
+        |  FROM c),
+        |${sqlPslCtes("kp")}
+        |SELECT p.registrable AS domain,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pages,
+        |  CAST(SUM(CASE WHEN k.keeper THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  1.0 - CAST(SUM(CASE WHEN k.keeper THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+        |  CAST(SUM($sqlNTokens) AS BIGINT) AS total_weight,
+        |  CAST(SUM($sqlNTokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS avg_weight
+        |FROM kp k
+        |JOIN psl p ON p.doc_id = k.doc_id
+        |JOIN documents d ON d.doc_id = k.doc_id
+        |GROUP BY p.registrable""".stripMargin,
 
     "t43_bigram_surprisal" ->
       """WITH w AS (

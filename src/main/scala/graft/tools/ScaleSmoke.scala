@@ -620,20 +620,30 @@ object ScaleSmoke {
         }),
       // t55: HTML extraction — payload synthesis + the 6-rule strip is
       // one codegen'd projection, zero shuffle; must track the doc
-      // scan exactly (regex cost is per-byte, payloads are per-doc)
-      bench("t55", d1x, dNx, d => graft.operators.Html
-        .extractionReport(graft.operators.Html.withHtmlPayload(d))),
+      // scan exactly (regex cost is per-byte, payloads are per-doc).
+      // A bare count() would let Catalyst PRUNE the projection (rows
+      // survive it 1:1), so the action sums derived columns instead
+      benchAction[DataFrame]("t55", d1x, dNx, d => {
+        graft.operators.Html
+          .extractionReport(graft.operators.Html.withHtmlPayload(d))
+          .agg(sum(col("text_len") + col("n_tags"))).collect(); ()
+      }),
       // t56: URL canonicalization + dedup — map-side regex rules +
       // ONE hash exchange on the canonical string; the synthetic URL
       // space grows with ids, so group count grows linearly and group
-      // SIZE stays constant — the window must track the scan
-      bench("t56", d1x, dNx, d => graft.operators.Urls
-        .urlDedupReport(graft.operators.Urls.withUrlPayload(d))),
+      // SIZE stays constant — the window must track the scan (the
+      // keeper sum forces the window + the canonicalization under it)
+      benchAction[DataFrame]("t56", d1x, dNx, d => {
+        graft.operators.Urls
+          .urlDedupReport(graft.operators.Urls.withUrlPayload(d))
+          .agg(sum(when(col("keeper"), 1L).otherwise(0L))).collect(); ()
+      }),
       // stage0: the t11d from-crawl front half — URL dedup keepers →
       // HTML payload → main-text extraction; one exchange (the URL
-      // window), everything else map-side. The cascade behind it is
-      // priced by its own legs (d2/d3/t38/t26/...)
-      bench("stage0", d1x, dNx, { d =>
+      // window), everything else map-side (forced through the text
+      // length sum — count() would prune the extraction). The cascade
+      // behind it is priced by its own legs (d2/d3/t38/t26/...)
+      benchAction[DataFrame]("stage0", d1x, dNx, { d =>
         val kept = graft.operators.Urls
           .urlDedupReport(graft.operators.Urls.withUrlPayload(d))
           .filter(col("keeper")).select(col("doc_id"))
@@ -641,6 +651,7 @@ object ScaleSmoke {
         graft.operators.Html.withHtmlPayload(kept)
           .select(col("doc_id"), graft.operators.Html
             .extractMainText(col("html")).as("text"))
+          .agg(sum(length(col("text")))).collect(); ()
       }),
       // filteredserve: v30 — predicate over the carried metadata
       // prunes the staged index AT THE SCAN (PushedFilters), then the
@@ -650,10 +661,14 @@ object ScaleSmoke {
           queries, cents8, fsCb, k = 3, nprobe = 2)),
       // t57: PSL registrable domains — candidate explode (≤7/host) +
       // broadcast rule join + one max-struct per id + the id join
-      // back; must track the scan (rules are fixed-size data)
-      bench("t57", d1x, dNx, d => graft.operators.Urls
-        .registrableDomainPsl(graft.operators.Urls.withIntlUrlPayload(d),
-          graft.operators.Urls.pslRules(spark))),
+      // back; must track the scan (rules are fixed-size data; the
+      // suffix-length sum forces the label slicing past pruning)
+      benchAction[DataFrame]("t57", d1x, dNx, d => {
+        graft.operators.Urls
+          .registrableDomainPsl(graft.operators.Urls.withIntlUrlPayload(d),
+            graft.operators.Urls.pslRules(spark))
+          .agg(sum(length(col("public_suffix")))).collect(); ()
+      }),
       // hashembed: the map-side feature-hash embed itself — one
       // projection, zero shuffle; count() would prune the embed away,
       // so force a component sum

@@ -460,4 +460,34 @@ class CellIndexStreamSpec extends AnyFunSuite {
     assert(upto >= 0, "compaction had >= 3 batch dirs to merge")
     assert(canon(ScoringStreaming.servedCellIndex(spark, idx)) === expected)
   }
+
+  test("text stream -> hashEmbed -> maintained index: the crawl-to-ANN pipeline") {
+    // hashEmbed is a pure projection, so it rides the micro-batch
+    // plan untouched: a TEXT feed becomes a servable cell index with
+    // no vector source anywhere — the from-crawl ingest shape
+    implicit val sq = spark.sqlContext
+    val docs = (0L until 30L)
+      .map(i => (i, s"tok${i % 5} tok${i % 7} body$i tok${i % 3}"))
+    val embed = (df: DataFrame) => Similarity.hashEmbed(
+      df, dims = 16, idCol = "doc_id", textCol = "text")
+    val textCents = embed(docs.take(2).toDF("doc_id", "text"))
+    val idx = Files.createTempDirectory("cellidx_text").toString
+    val input = MemoryStream[(Long, String)]
+    val q = ScoringStreaming.cellIndexStream(
+      embed(input.toDF().toDF("doc_id", "text")), textCents, idx,
+      idCol = "doc_id").start()
+    try {
+      input.addData(docs.take(17): _*); q.processAllAvailable()
+      input.addData(docs.drop(17): _*); q.processAllAvailable()
+    } finally q.stop()
+    val served = ScoringStreaming.servedCellIndex(spark, idx)
+      .select(col("doc_id"), col("embedding"), col("nrm"), col("cell"))
+      .as[(Long, Seq[Double], Double, Long)].collect().toSet
+    val expected = Similarity.indexCells(
+        embed(docs.toDF("doc_id", "text")), textCents, idCol = "doc_id")
+      .select(col("doc_id"), col("embedding"), col("nrm"), col("cell"))
+      .as[(Long, Seq[Double], Double, Long)].collect().toSet
+    assert(served === expected)
+    assert(expected.map(_._4).size === 2, "both text cells populated")
+  }
 }
