@@ -70,6 +70,42 @@ object Html {
       lit("<!-- id: "), id.cast("string"), lit(" --></body></html>")))
   }
 
+  /** [[withHtmlPayload]] plus two deterministic outlinks per doc —
+    * the link-graph fixture: hrefs are built from the SAME bucket-
+    * keyed page identity as [[Urls.withUrlPayload]]'s own URLs
+    * (`Urls.hostOf/portOf/pathQOf` over buckets `(id·7+1) % 97` and
+    * `(id·13+5) % 97`), so after canonicalization a link resolves to
+    * the same node string as its target page and the graph connects.
+    * The first href carries `www.` + a tracking param, the second a
+    * fragment — every edge exercises URL normalization, exactly like
+    * a real crawl (the same page linked five dirty ways must be ONE
+    * node). Targets past the corpus's bucket range are dangling
+    * links — normal web-graph structure, no special casing. The
+    * links div is appended after the closing tag: crawl HTML is
+    * routinely malformed and the extractor contract doesn't require
+    * well-formedness.
+    */
+  def withLinkedHtmlPayload(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val b1 = (id * 7 + 1) % 97
+    val b2 = (id * 13 + 5) % 97
+    val a1 = concat(lit("<a href=\"https://www."), Urls.hostOf(b1),
+      Urls.portOf(b1), Urls.pathQOf(b1),
+      lit("&utm_source=link\">l1</a>"))
+    val a2 = concat(lit("<a href=\"https://"), Urls.hostOf(b2),
+      Urls.portOf(b2), Urls.pathQOf(b2), lit("#ref\">l2</a>"))
+    withHtmlPayload(docs, idCol, textCol).withColumn("html",
+      concat(col("html"), lit("<div class=\"links\">"), a1, a2,
+        lit("</div>")))
+  }
+
+  /** All `<a href="...">` targets of an html column, in document
+    * order — one regexp pass, map-side.
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("<a href=\"([^\"]*)\""), lit(1))
+
   /** Rules 1–6 as one expression chain over an html column. */
   def extractText(html: Column): Column = {
     val noScript = regexp_replace(html,

@@ -40,24 +40,37 @@ object Urls {
     * genuinely fires on ~2/3 of rows), while distinct buckets never
     * accidentally collide (host/path/port all carry the bucket).
     */
+  /** The bucket-keyed PAGE IDENTITY pieces (host, port, path + real
+    * query param) — shared by [[withUrlPayload]] (a page's own URL)
+    * and [[Html.withLinkedHtmlPayload]] (hrefs pointing AT pages), so
+    * a link and its target canonicalize to the same node string and
+    * the synthesized link graph actually connects.
+    */
+  private[operators] def hostOf(b: Column): Column =
+    when(b % 4 === 0, lit("Example.COM"))
+      .when(b % 4 === 1, lit("news.example.com"))
+      .when(b % 4 === 2, lit("cdn.example.org"))
+      .otherwise(lit("blog.sample.net"))
+
+  private[operators] def portOf(b: Column): Column =
+    when(b % 5 === 0, lit(":443")).otherwise(lit(":8080"))
+
+  private[operators] def pathQOf(b: Column): Column =
+    concat(lit("/docs/article-"), b.cast("string"),
+      lit("?page="), (b % 7).cast("string"))
+
   def withUrlPayload(docs: DataFrame, idCol: String = "doc_id")
       : DataFrame = {
     val id = col(idCol)
     val b = (id / 3).cast("long")
-    val host = when(b % 4 === 0, lit("Example.COM"))
-      .when(b % 4 === 1, lit("news.example.com"))
-      .when(b % 4 === 2, lit("cdn.example.org"))
-      .otherwise(lit("blog.sample.net"))
     val www = when(id % 4 === 0, lit("WWW."))
       .when(id % 4 === 1, lit("www.")).otherwise(lit(""))
-    val port = when(b % 5 === 0, lit(":443")).otherwise(lit(":8080"))
     val track = when(id % 2 === 0, lit("&utm_source=feed&gclid=x"))
       .otherwise(lit(""))
     val frag = when(id % 3 === 0, lit("#section-2")).otherwise(lit(""))
     docs.withColumn("url", concat(
-      lit("https://"), www, host, port,
-      lit("/docs/article-"), b.cast("string"),
-      lit("?page="), (b % 7).cast("string"), track, frag))
+      lit("https://"), www, hostOf(b), portOf(b), pathQOf(b),
+      track, frag))
   }
 
   /** Rules 1–6 over a url column → the canonical form. */

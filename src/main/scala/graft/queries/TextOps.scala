@@ -207,6 +207,28 @@ object TextOps {
         weight = graft.functions.TextFunctions.nTokens(col("text")))
     },
 
+    // the web link graph from crawl HTML: hrefs extracted (one regexp
+    // pass), both endpoints canonicalized (the same page linked five
+    // dirty ways must be ONE node), integer pagerank over the page
+    // graph — link extraction is map-side, edges dedup in one
+    // exchange, each pagerank round is an edge join + node-sized agg
+    "t59_link_graph" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val own = graft.operators.Urls.withUrlPayload(d)
+        .select(col("doc_id"),
+          graft.operators.Urls.canonicalUrl(col("url")).as("src"))
+      val links = graft.operators.Html.withLinkedHtmlPayload(d)
+        .select(col("doc_id"),
+          explode(graft.operators.Html.extractLinks(col("html")))
+            .as("href"))
+        .select(col("doc_id"),
+          graft.operators.Urls.canonicalUrl(col("href")).as("dst"))
+      val edges = own.join(links, "doc_id")
+        .select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.Graph.pagerank(edges, iters = 3)
+    },
+
     // ---- vocabulary-growth (Heaps' law) curve -----------------------------
     // cumulative distinct words at 8 corpus prefixes — the planning
     // input for every vocabulary-bound state (BPE, inverted indexes,
@@ -672,25 +694,39 @@ object TextOps {
       |  FROM l LEFT JOIN prev p ON p.doc_id = l.doc_id)"""
       .stripMargin.replace("SRC", src)
 
+  /** The bucket-keyed page-identity SQL (host || port || path || real
+    * query) over a bucket expression — mirrors `Urls.hostOf/portOf/
+    * pathQOf`, shared by the t56 payload and the t59 link hrefs.
+    */
+  private def sqlPageCore(b: String): String =
+    s"""CASE CAST(($b) % 4 AS INT)
+       |      WHEN 0 THEN 'Example.COM'
+       |      WHEN 1 THEN 'news.example.com'
+       |      WHEN 2 THEN 'cdn.example.org'
+       |      ELSE 'blog.sample.net' END ||
+       |    CASE WHEN ($b) % 5 = 0 THEN ':443' ELSE ':8080' END ||
+       |    '/docs/article-' || CAST($b AS VARCHAR) ||
+       |    '?page=' || CAST(($b) % 7 AS VARCHAR)""".stripMargin
+
   private[queries] def sqlUrlCtes(from: String, p: String = ""): String =
     s"""${p}u AS (
        |  SELECT doc_id,
        |    'https://' ||
        |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
        |         WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END ||
-       |    CASE CAST((doc_id // 3) % 4 AS INT)
-       |      WHEN 0 THEN 'Example.COM'
-       |      WHEN 1 THEN 'news.example.com'
-       |      WHEN 2 THEN 'cdn.example.org'
-       |      ELSE 'blog.sample.net' END ||
-       |    CASE WHEN (doc_id // 3) % 5 = 0 THEN ':443' ELSE ':8080' END ||
-       |    '/docs/article-' || CAST(doc_id // 3 AS VARCHAR) ||
-       |    '?page=' || CAST((doc_id // 3) % 7 AS VARCHAR) ||
+       |    ${sqlPageCore("doc_id // 3")} ||
        |    CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&gclid=x'
        |         ELSE '' END ||
        |    CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END AS url
        |  FROM ($from)),
-       |${p}n AS (
+       |${sqlCanonCtes(p)}""".stripMargin
+
+  /** URL canonicalization CTE chain (t56's rules 1–6) over an
+    * existing CTE `${p}u` with (doc_id, url) → `${p}c`:
+    * (doc_id, url, canon_url, domain).
+    */
+  private[queries] def sqlCanonCtes(p: String = ""): String =
+    s"""${p}n AS (
        |  SELECT doc_id, url,
        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
        |    regexp_replace(lower(
@@ -1260,6 +1296,56 @@ object TextOps {
         |${sqlPslCtes("u")}
         |SELECT doc_id, url, host, public_suffix, registrable
         |FROM psl""".stripMargin,
+
+    // link-graph replay: own URLs + the two bucket-keyed hrefs, both
+    // through the shared canonicalization chain (prefixes '', 'l'),
+    // distinct edges, then the d13 integer-pagerank rounds (exact //
+    // arithmetic — bit-identical across engines) over STRING nodes
+    "t59_link_graph" -> {
+      val total = graft.operators.Graph.TotalMass
+      val iters = (1 to 3).map { k =>
+        s"""c$k AS (
+           |  SELECT e.dst, SUM(r.r // od.deg) AS m
+           |  FROM edges e
+           |  JOIN r${k - 1} r ON r.node = e.src
+           |  JOIN od ON od.src = e.src
+           |  GROUP BY e.dst),
+           |r$k AS (
+           |  SELECT node,
+           |    (($total // 100) * 15) // n
+           |      + (85 * COALESCE(m, 0)) // 100 AS r
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN c$k ON c$k.dst = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${sqlUrlCtes("SELECT doc_id FROM documents")},
+         |lu AS (
+         |  SELECT doc_id,
+         |    'https://www.' || ${sqlPageCore("(doc_id * 7 + 1) % 97")} ||
+         |    '&utm_source=link' AS url
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    'https://' || ${sqlPageCore("(doc_id * 13 + 5) % 97")} ||
+         |    '#ref' AS url
+         |  FROM documents),
+         |${sqlCanonCtes("l")},
+         |edges AS (
+         |  SELECT DISTINCT c.canon_url AS src, lc.canon_url AS dst
+         |  FROM c JOIN lc ON lc.doc_id = c.doc_id
+         |  WHERE c.canon_url <> lc.canon_url),
+         |nodes AS (
+         |  SELECT src AS node FROM edges
+         |  UNION
+         |  SELECT dst FROM edges),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |od AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (
+         |  SELECT node, $total // n AS r FROM nodes CROSS JOIN nn),
+         |$iters
+         |SELECT node, CAST(r AS BIGINT) AS rank_units,
+         |  CAST(r AS DOUBLE) / ${total.toDouble} AS rank
+         |FROM r3""".stripMargin
+    },
 
     // per-domain crawl governance: t56's URL payload + dedup keepers,
     // t57's PSL registrable domains, one GROUP BY domain — page and

@@ -146,6 +146,44 @@ object ScoringStreaming {
       ()
     }
 
+  /** Late-interaction twin of [[knnScoreStreamIndexed]]: a TEXT query
+    * stream served against the staged CHUNK index
+    * ([[graft.operators.Similarity.indexCells]] over hash-embedded
+    * chunks). Per micro-batch the arriving query docs chunk + embed
+    * in the batch plan (pure projections — no model call, no state),
+    * probe chunk cells for candidate docs, and pay the exact MaxSim
+    * re-rank on candidates only
+    * ([[graft.operators.LateInteraction.maxSimTopKIndexed]]) — the
+    * v32 serve, streamed. Stateless per query row, so stream ≡ batch
+    * under any slicing and replays are idempotent under a keyed sink.
+    *
+    * @param window/stride the chunking config — must match the config
+    * the INDEX was built with (a mismatch is a model-version skew,
+    * the same contract as a PQ codebook or tokenizer version).
+    */
+  def maxSimScoreStream(stream: DataFrame, index: DataFrame,
+                        centroids: DataFrame, k: Int, nprobe: Int,
+                        onBatch: (Long, DataFrame) => Unit,
+                        window: Int = 16, stride: Int = 16,
+                        dims: Int = 64,
+                        idCol: String = "doc_id",
+                        textCol: String = "text")
+      : DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import org.apache.spark.sql.functions.col
+      val ch = graft.operators.Chunking.slidingChunks(
+          batch, idCol, textCol, window, stride)
+        .withColumn("chunk_uid",
+          col(idCol) * 1000000L + col("chunk_idx"))
+      val qs = graft.operators.Similarity.hashEmbed(ch, dims,
+          idCol = "chunk_uid", textCol = "chunk_text",
+          carryCols = Seq(idCol, "chunk_idx"))
+        .filter(graft.operators.Similarity.norm(col("embedding")) > 0)
+      onBatch(batchId, graft.operators.LateInteraction.maxSimTopKIndexed(
+        qs, index, centroids, k, nprobe, docCol = idCol))
+      ()
+    }
+
   /** Maintain the IVF cell-assignment INDEX from an arriving
     * vector INSERT stream — the corpus-side half of
     * [[knnScoreStream]]'s train-once/serve-forever economics, so the

@@ -681,6 +681,23 @@ object ScaleSmoke {
       bench("hashserve", hePsl1, hePslN, idx =>
         Similarity.ivfMultiprobeKnnIndexed(idx, heQs, heCents,
           k = 3, nprobe = 2, idCol = "doc_id")),
+      // t59: link graph — href extraction is map-side, edge dedup one
+      // exchange, pagerank rounds join edge-vs-node frames; plain
+      // copies grow the bucket space (id/3), so nodes and edges grow
+      // linearly and each round must track them
+      bench("t59", d1x, dNx, { d =>
+        val own = graft.operators.Urls.withUrlPayload(d)
+          .select(col("doc_id"), graft.operators.Urls
+            .canonicalUrl(col("url")).as("src"))
+        val links = graft.operators.Html.withLinkedHtmlPayload(d)
+          .select(col("doc_id"), explode(graft.operators.Html
+            .extractLinks(col("html"))).as("href"))
+          .select(col("doc_id"), graft.operators.Urls
+            .canonicalUrl(col("href")).as("dst"))
+        graft.operators.Graph.pagerank(
+          own.join(links, "doc_id").select(col("src"), col("dst"))
+            .filter(col("src") =!= col("dst")), iters = 3)
+      }),
       // maxsimserve: v32 — candidate docs from the chunk-cell probe
       // join, exact MaxSim on candidates; the tagged fixture keeps
       // chunk vocab disjoint across copies so candidate sets stay

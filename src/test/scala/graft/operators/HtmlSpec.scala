@@ -78,4 +78,35 @@ class HtmlSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("extractLinks pulls every href in document order, nothing else") {
+    val html = """<a href="https://a.com/x">one</a> text
+      |<a class="z" href="bad">skipped: href not first attr form</a>
+      |<a href="https://b.com/y?q=1#f">two</a>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(Html.extractLinks(col("h")).as("l"))
+      .as[Seq[String]].head()
+    assert(got === Seq("https://a.com/x", "https://b.com/y?q=1#f"))
+  }
+
+  test("linked payload: 2 hrefs per doc; link and target canonicalize to one node") {
+    val docs = (0L until 12L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val links = Html.withLinkedHtmlPayload(docs)
+      .select(col("doc_id"), explode(Html.extractLinks(col("html"))).as("href"))
+    assert(links.count() === 24)
+    // doc 0's first href targets bucket (0*7+1)%97 = 1: the canonical
+    // form must equal the canonical of a page whose OWN bucket is 1
+    // (ids 3..5 have bucket 1 in withUrlPayload's id/3 scheme)
+    val linkCanon = links.filter(col("doc_id") === 0)
+      .select(Urls.canonicalUrl(col("href")).as("c"))
+      .as[String].collect().head
+    val ownCanon = Urls.withUrlPayload(Seq((3L, "x")).toDF("doc_id", "text"))
+      .select(Urls.canonicalUrl(col("url")).as("c")).as[String].head()
+    assert(linkCanon === ownCanon)
+    // the www + tracking variant really was dirty before canonicalizing
+    val rawHref = links.filter(col("doc_id") === 0).as[(Long, String)]
+      .collect().head._2
+    assert(rawHref.contains("www.") && rawHref.contains("utm_source=link"))
+    assert(rawHref !== linkCanon)
+  }
 }

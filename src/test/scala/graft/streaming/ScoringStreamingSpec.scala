@@ -159,4 +159,51 @@ class ScoringStreamingSpec extends AnyFunSuite {
       assert(got.toSet === batchCounts, s"slicing=${slices.size} batches")
     }
   }
+
+  test("MaxSim text-query stream equals the batch two-stage serve per slicing") {
+    import graft.operators.{Chunking, LateInteraction, Similarity}
+    // corpus: 40 docs, chunked 4/4 and hash-embedded; index staged
+    // exactly as v32 does it
+    val corpus = (0L until 40L)
+      .map(i => (i, s"w${i % 5} w${i % 7} w${i % 11} u$i x${i % 3} y${i % 13} z$i q${i % 2}"))
+      .toDF("doc_id", "text")
+    def chunksOf(df: org.apache.spark.sql.DataFrame) = {
+      val ch = Chunking.slidingChunks(df, "doc_id", "text", 4, 4)
+        .withColumn("chunk_uid", col("doc_id") * 1000000L + col("chunk_idx"))
+      Similarity.hashEmbed(ch, dims = 16, idCol = "chunk_uid",
+          textCol = "chunk_text", carryCols = Seq("doc_id", "chunk_idx"))
+        .filter(Similarity.norm(col("embedding")) > 0)
+    }
+    val ce = chunksOf(corpus).cache()
+    val cents = ce.filter(col("chunk_idx") === 0 && col("doc_id") < 4)
+    val idx = Similarity.indexCells(ce, cents, idCol = "chunk_uid",
+      carryCols = Seq("doc_id"))
+    // arriving TEXT queries, ids disjoint from the corpus
+    val arriving = Seq(
+      (100L, "w1 w2 u7 x1 y4 z9 q0 w3"),
+      (101L, "w4 w6 u13 x2 y11 z20 q1 w0"),
+      (102L, "w0 w0 u1 x0 y1 z2 q0 w1"))
+    val batchRes = LateInteraction.maxSimTopKIndexed(
+        chunksOf(arriving.toDF("doc_id", "text")), idx, cents,
+        k = 3, nprobe = 2)
+      .select("q_doc", "n_doc", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(batchRes.nonEmpty)
+    for (slices <- Seq(Seq(arriving), arriving.grouped(1).toSeq)) {
+      implicit val sq = spark.sqlContext
+      val got = scala.collection.mutable.Set[(Long, Long, Int)]()
+      val input = MemoryStream[(Long, String)]
+      val q = ScoringStreaming.maxSimScoreStream(
+          input.toDF().toDF("doc_id", "text"), idx, cents,
+          k = 3, nprobe = 2,
+          (_, df) => got ++= df.select("q_doc", "n_doc", "rnk")
+            .as[(Long, Long, Int)].collect(),
+          window = 4, stride = 4, dims = 16)
+        .start()
+      try {
+        slices.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      } finally q.stop()
+      assert(got.toSet === batchRes, s"slicing=${slices.size} batches")
+    }
+    ce.unpersist()
+  }
 }
