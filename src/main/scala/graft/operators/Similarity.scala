@@ -1302,6 +1302,98 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"), col("dist"))
   }
 
+  // -----------------------------------------------------------------
+  // Residual IVF-PQ — FAISS's actual IVFPQ encoding (Jégou et al.
+  // §IV.B): codes quantize (vector − its coarse centroid), not the
+  // raw vector. When cluster means dominate (the common embedding
+  // geometry), raw-space codewords waste their budget re-describing
+  // the mean every cell already knows; residual codewords spend it
+  // on the within-cell detail ADC recall actually rides on.
+  // -----------------------------------------------------------------
+
+  /** Each vector's coarse cell and its residual against that cell's
+    * centroid: (id, vec, nrm, cell, residual), subtraction promoted
+    * to double (exact — no arithmetic beyond the difference). One
+    * [[assignCells]] pass, one id-keyed join back, one broadcast
+    * centroid-vector join — the residual column itself is map-side.
+    */
+  def residuals(corpus: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val asg = assignCells(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("cell"))
+    val cvec = broadcast(centroids.select(col(idCol).as("cell"),
+      col(vecCol).as("_cv")))
+    corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .join(asg, Seq(idCol))
+      .join(cvec, Seq("cell"))
+      .select(col(idCol), col(vecCol), col("nrm"), col("cell"),
+        zip_with(col(vecCol), col("_cv"), (a, b) =>
+          a.cast(DoubleType) - b.cast(DoubleType)).as("residual"))
+  }
+
+  /** Residual-space PQ codebook: [[pqCodebook]]'s deterministic seed
+    * rule (first k rows by id) applied to the residual frame — train
+    * and serve quantize the same space.
+    */
+  def pqCodebookResidual(corpus: DataFrame, centroids: DataFrame,
+                         m: Int, k: Int, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): PqCodebook =
+    pqCodebook(residuals(corpus, centroids, idCol, vecCol), m, k,
+      idCol, "residual")
+
+  /** The residual-encoding index build: [[indexCells]]' row shape
+    * (id, vec, nrm, cell, codes) with codes = PQ over the residual.
+    * Serve through [[pqScoreCodesIndexedResidual]] ONLY — raw-space
+    * ADC against residual codes is meaningless (the version-skew
+    * contract: encoding space rides the index artifact's logicalId).
+    */
+  def indexCellsResidual(corpus: DataFrame, centroids: DataFrame,
+                         cb: PqCodebook, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame =
+    residuals(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("nrm"), col("cell"),
+        pqEncode(col("residual"), cb).as("codes"))
+
+  /** Residual IVF-ADC serve: per (query, probe cell) the query's OWN
+    * residual against that cell's centroid feeds the ADC table —
+    * nprobe tables per query instead of one (the real FAISS serve
+    * cost shape; tables are broadcast-side, m·k folds each), then the
+    * same cell equi-join + m lookups per candidate as
+    * [[pqScoreCodesIndexed]]. Approximates ‖q − (centroid + r̂)‖² —
+    * the true IVFPQ distance — where the raw-space serve approximates
+    * ‖q − v̂‖ with v̂ quantized across the whole space.
+    */
+  def pqScoreCodesIndexedResidual(index: DataFrame, queries: DataFrame,
+                                  centroids: DataFrame, cb: PqCodebook,
+                                  k: Int, nprobe: Int,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding")
+      : DataFrame = {
+    val probes = probeCells(queries, centroids, nprobe, idCol, vecCol)
+    val cvec = broadcast(centroids.select(col(idCol).as("q_cell"),
+      col(vecCol).as("_cv")))
+    val q = broadcast(probes.join(cvec, Seq("q_cell"))
+      .select(col("q_id"), col("q_cell"),
+        adcTable(zip_with(col("q_vec"), col("_cv"), (a, b) =>
+          a.cast(DoubleType) - b.cast(DoubleType)), cb).as("tbl")))
+    val c = index.select(col(idCol).as("n_id"),
+      col("cell").as("n_cell"), col("codes"))
+    val dist = cb.indices.map { mi =>
+      element_at(element_at(col("tbl"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    val scored = q.join(c, col("q_cell") === col("n_cell") &&
+        col("q_id") =!= col("n_id"))
+      .withColumn("dist", dist)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("dist"))
+  }
+
   def pqKnn(corpus: DataFrame, queries: DataFrame, cb: PqCodebook, k: Int,
             idCol: String = "vec_id",
             vecCol: String = "embedding",

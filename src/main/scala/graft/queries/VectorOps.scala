@@ -497,6 +497,19 @@ object VectorOps {
         idCol = "doc_id")
     },
 
+    // residual IVF-PQ — FAISS's actual IVFPQ: codes quantize
+    // (vector − coarse centroid); the serve builds one ADC table per
+    // (query, probe cell) from the query's residual against THAT
+    // cell. Index staged cell-partitioned like the raw-space v26
+    "v33_residual_pq_serve" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+      Similarity.pqScoreCodesIndexedResidual(
+        residualPqIdx(s, dir), querySet(e), cents,
+        Similarity.pqCodebookResidual(e, cents, m = 4, k = 16),
+        k = 3, nprobe = 2)
+    },
+
     // ColBERT-style late interaction over hash-embedded CHUNKS: the
     // two-stage serve — chunk-level probe join against the staged
     // chunk index generates candidate docs, exact MaxSim (quantized-
@@ -556,6 +569,22 @@ object VectorOps {
         textCol = "chunk_text", carryCols = Seq("doc_id", "chunk_idx"))
       .filter(Similarity.norm(col("embedding")) > 0)
   }
+
+  /** The staged residual-encoded IVF-PQ index behind v33 (same
+    * centroid generation and (m, k) as the raw-space v26 index; the
+    * encoding SPACE rides the logicalId — serving residual codes
+    * through a raw-space ADC is a version skew, not a fallback).
+    */
+  private def residualPqIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      "ivfpq-residual-index|c=8|m=4|k=16|layout=cell",
+      graft.core.Artifacts.fingerprint(dir),
+      partitionCols = Seq("cell"))({
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+      Similarity.indexCellsResidual(e, cents,
+        Similarity.pqCodebookResidual(e, cents, m = 4, k = 16))
+    })
 
   /** The staged chunk-level ANN index behind v32, cell-partitioned
     * like [[hashEmbedIdx]]; centroids = the first chunk of the first
@@ -1246,6 +1275,78 @@ object VectorOps {
     // serve-time index filtering exactly
     "v30_filtered_serve" -> sqlIvfPqServeOver(
       "SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0"),
+
+    // residual IVF-PQ replay: assignment (cosine ties → low centroid
+    // id), residual = exact double subtraction, seed codebook = first
+    // 16 RESIDUALS by vec_id, argmin encode, per-(query, probe cell)
+    // residual ADC — every fold the same strict left-assoc double op
+    "v33_residual_pq_serve" -> {
+      val d = (0 until 4).map { m =>
+        sqlSqDist(s"qr.r[${m * 16 + 1}:${(m + 1) * 16}]",
+          s"b$m.cv[${m * 16 + 1}:${(m + 1) * 16}]")
+      }
+      val dist = s"(((${d(0)} + ${d(1)}) + ${d(2)}) + ${d(3)})"
+      val encD = sqlSqDist("e.r[ms.m*16+1 : ms.m*16+16]",
+        "cb.cv[ms.m*16+1 : ms.m*16+16]")
+      s"""WITH en AS ($sqlWithNorm),
+         |cent AS (SELECT * FROM en WHERE vec_id < 8),
+         |crk AS (
+         |  SELECT v.vec_id, c.vec_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
+         |               c.vec_id) AS rnk
+         |  FROM en v CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, cell FROM crk WHERE rnk = 1),
+         |res AS (
+         |  SELECT e.vec_id, a.cell,
+         |    list_transform(list_zip(e.embedding, c.embedding),
+         |      p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS r
+         |  FROM embeddings e
+         |  JOIN asg a ON a.vec_id = e.vec_id
+         |  JOIN embeddings c ON c.vec_id = a.cell),
+         |rcb AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, r AS cv
+         |  FROM res ORDER BY vec_id LIMIT 16),
+         |enc AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT e.vec_id, ms.m, cb.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, ms.m
+         |        ORDER BY $encD ASC, cb.cid) AS rnk
+         |    FROM res e CROSS JOIN range(0,4) ms(m) CROSS JOIN rcb cb)
+         |  WHERE rnk = 1),
+         |encp AS (
+         |  SELECT vec_id,
+         |    MAX(CASE WHEN m=0 THEN cid END) AS c0,
+         |    MAX(CASE WHEN m=1 THEN cid END) AS c1,
+         |    MAX(CASE WHEN m=2 THEN cid END) AS c2,
+         |    MAX(CASE WHEN m=3 THEN cid END) AS c3
+         |  FROM enc GROUP BY vec_id),
+         |probe AS (
+         |  SELECT vec_id, cell FROM crk
+         |  WHERE rnk <= 2 AND vec_id % 50 = 0),
+         |qres AS (
+         |  SELECT q.vec_id, p.cell,
+         |    list_transform(list_zip(q.embedding, c.embedding),
+         |      p2 -> CAST(p2[1] AS DOUBLE) - CAST(p2[2] AS DOUBLE)) AS r
+         |  FROM en q
+         |  JOIN probe p ON p.vec_id = q.vec_id
+         |  JOIN embeddings c ON c.vec_id = p.cell),
+         |sc AS (
+         |  SELECT qr.vec_id AS q_id, a.vec_id AS n_id, $dist AS dist
+         |  FROM qres qr
+         |  JOIN asg a ON a.cell = qr.cell AND a.vec_id <> qr.vec_id
+         |  JOIN encp x ON x.vec_id = a.vec_id
+         |  JOIN rcb b0 ON b0.cid = x.c0
+         |  JOIN rcb b1 ON b1.cid = x.c1
+         |  JOIN rcb b2 ON b2.cid = x.c2
+         |  JOIN rcb b3 ON b3.cid = x.c3)
+         |SELECT q_id, n_id, rnk, dist FROM (
+         |  SELECT q_id, n_id, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY dist ASC, n_id) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= 3""".stripMargin
+    },
 
     // MaxSim replay: 16/16 chunking (the t20 CTE pattern), per-chunk
     // hash embed (exact-integer sums), chunk-level cell assign/probe

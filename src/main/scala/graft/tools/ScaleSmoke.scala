@@ -226,6 +226,20 @@ object ScaleSmoke {
             idCol = "doc_id"), s"heidx$factor"),
           he1.filter(col("doc_id") % 50 === 0).persist(), cents)
       } else (null, null, null, null)
+    // residserve: the v33 shape — residual-encoded staged index, ADC
+    // table per (query, probe cell); codebook frozen from the base
+    // corpus residuals (a model artifact), must track the index scan
+    val resCb =
+      if (legOn("residserve"))
+        Similarity.pqCodebookResidual(e1x, cents8, m = 4, k = 16)
+      else null
+    val (resIdx1, resIdxN) =
+      if (legOn("residserve"))
+        (persist(Similarity.indexCellsResidual(e1x, cents8, resCb),
+            "residx1"),
+          persist(Similarity.indexCellsResidual(eNx, cents8, resCb),
+            s"residx$factor"))
+      else (null, null)
     // maxsimserve: the v32 shape — chunk-level candidates off the
     // staged chunk index + exact MaxSim re-rank; queries are the BASE
     // corpus's chunks (fixed query set), so candidate volume and the
@@ -685,7 +699,7 @@ object ScaleSmoke {
       // exchange, pagerank rounds join edge-vs-node frames; plain
       // copies grow the bucket space (id/3), so nodes and edges grow
       // linearly and each round must track them
-      bench("t59", d1x, dNx, { d =>
+      benchAction[DataFrame]("t59", d1x, dNx, { d =>
         val own = graft.operators.Urls.withUrlPayload(d)
           .select(col("doc_id"), graft.operators.Urls
             .canonicalUrl(col("url")).as("src"))
@@ -694,9 +708,12 @@ object ScaleSmoke {
             .extractLinks(col("html"))).as("href"))
           .select(col("doc_id"), graft.operators.Urls
             .canonicalUrl(col("href")).as("dst"))
+        // the rank-units sum forces every pagerank round — a count()
+        // can skip the final left join (unique-keyed, count-preserving)
         graft.operators.Graph.pagerank(
           own.join(links, "doc_id").select(col("src"), col("dst"))
             .filter(col("src") =!= col("dst")), iters = 3)
+          .agg(sum(col("rank_units"))).collect(); ()
       }),
       // maxsimserve: v32 — candidate docs from the chunk-cell probe
       // join, exact MaxSim on candidates; the tagged fixture keeps
@@ -704,7 +721,13 @@ object ScaleSmoke {
       // per-cell-bounded and the whole serve tracks the index scan
       bench("maxsimserve", msIdx1, msIdxN, idx =>
         graft.operators.LateInteraction.maxSimTopKIndexed(msQs, idx,
-          msCents, k = 3, nprobe = 2)))
+          msCents, k = 3, nprobe = 2)),
+      // residserve: v33 — the residual-ADC serve; nprobe tables per
+      // query are broadcast-side constants, so growth must track the
+      // code-carrying index scan exactly like ivfpqserve
+      bench("residserve", resIdx1, resIdxN, idx =>
+        Similarity.pqScoreCodesIndexedResidual(idx, queries, cents8,
+          resCb, k = 3, nprobe = 2)))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)
