@@ -207,6 +207,21 @@ object TextOps {
         weight = graft.functions.TextFunctions.nTokens(col("text")))
     },
 
+    // robots.txt gate (RFC 9309) — the stage before stage 0: parse
+    // per-host files into (agent, type, path) rules, resolve the
+    // crawler's effective group (exact beats *), gate every URL by
+    // longest-prefix-match with Allow winning ties; one broadcast
+    // rule join + one max-struct per URL
+    "t60_robots_gate" -> { (s, dir) =>
+      val urls = graft.operators.Urls.withUrlPayload(docs(s, dir))
+        .select(col("doc_id"),
+          graft.operators.Urls.canonicalUrl(col("url")).as("url"))
+      graft.operators.Robots.applyRobots(urls,
+        graft.operators.Robots.parseRobots(
+          graft.operators.Robots.fixture(s)),
+        agent = "crawler-x")
+    },
+
     // the web link graph from crawl HTML: hrefs extracted (one regexp
     // pass), both endpoints canonicalized (the same page linked five
     // dirty ways must be ONE node), integer pagerank over the page
@@ -1296,6 +1311,83 @@ object TextOps {
         |${sqlPslCtes("u")}
         |SELECT doc_id, url, host, public_suffix, registrable
         |FROM psl""".stripMargin,
+
+    // robots replay: the fixture rows verbatim (chr(10)-joined), the
+    // same line classification, LAG-based group formation, two-tier
+    // agent resolution, and the same (length, allow, path) prevailing
+    // order over the t56 canonical URLs
+    "t60_robots_gate" -> {
+      val rb = graft.operators.Robots.fixtureRows.map { case (h, txt) =>
+        val lits = txt.split("\n")
+          .map(l => "'" + l.replace("'", "''") + "'")
+          .mkString(" || chr(10) || ")
+        s"('$h', $lits)"
+      }.mkString(",\n  ")
+      s"""WITH ${sqlUrlCtes("SELECT doc_id FROM documents")},
+         |rb(host, txt) AS (SELECT * FROM (VALUES
+         |  $rb)),
+         |lines AS (
+         |  SELECT host, unnest(range(1, len(ls) + 1)) AS ln, ls
+         |  FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM rb)),
+         |f AS (
+         |  SELECT * FROM (
+         |    SELECT host, ln,
+         |      lower(regexp_extract(ls[ln], '^\\s*([A-Za-z-]+)\\s*:', 1))
+         |        AS kind,
+         |      trim(regexp_extract(ls[ln], '^[^:]*:(.*)$$', 1)) AS value
+         |    FROM lines)
+         |  WHERE kind IN ('user-agent', 'allow', 'disallow')),
+         |g AS (
+         |  SELECT *, SUM(CASE WHEN kind = 'user-agent' AND
+         |      (prev IS NULL OR prev <> 'user-agent') THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY host ORDER BY ln
+         |          ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM (SELECT *, LAG(kind)
+         |    OVER (PARTITION BY host ORDER BY ln) AS prev FROM f)),
+         |ag AS (
+         |  SELECT host, grp, lower(value) AS agent FROM g
+         |  WHERE kind = 'user-agent'),
+         |ru AS (
+         |  SELECT host, grp, kind AS rule_type, value AS path FROM g
+         |  WHERE kind <> 'user-agent' AND len(value) > 0),
+         |rules AS (
+         |  SELECT r.host, a.agent, r.rule_type, r.path
+         |  FROM ag a JOIN ru r ON r.host = a.host AND r.grp = a.grp),
+         |uu AS (
+         |  SELECT doc_id, canon_url AS url,
+         |    lower(regexp_extract(canon_url,
+         |      '^[A-Za-z]+://([^/?#:]*)', 1)) AS host,
+         |    CASE WHEN length(p) = 0 THEN '/' ELSE p END AS path
+         |  FROM (
+         |    SELECT doc_id, canon_url,
+         |      regexp_extract(canon_url,
+         |        '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS p
+         |    FROM c)),
+         |ex AS (SELECT * FROM rules WHERE agent = 'crawler-x'),
+         |st AS (
+         |  SELECT * FROM rules WHERE agent = '*'
+         |    AND host NOT IN (SELECT DISTINCT host FROM ex)),
+         |eff AS (
+         |  SELECT host, rule_type, path FROM ex
+         |  UNION ALL
+         |  SELECT host, rule_type, path FROM st),
+         |mt AS (
+         |  SELECT doc_id, path AS matched_path, rule_type AS matched_type,
+         |    rule_type = 'allow' AS al
+         |  FROM (
+         |    SELECT u.doc_id, e.path, e.rule_type,
+         |      ROW_NUMBER() OVER (PARTITION BY u.doc_id
+         |        ORDER BY length(e.path) DESC,
+         |          CASE WHEN e.rule_type = 'allow' THEN 1 ELSE 0 END DESC,
+         |          e.path DESC, e.rule_type DESC) AS rk
+         |    FROM uu u
+         |    JOIN eff e ON e.host = u.host
+         |      AND starts_with(u.path, e.path))
+         |  WHERE rk = 1)
+         |SELECT u.doc_id, u.url, u.host, m.matched_path, m.matched_type,
+         |  COALESCE(m.al, TRUE) AS allowed
+         |FROM uu u LEFT JOIN mt m ON m.doc_id = u.doc_id""".stripMargin
+    },
 
     // link-graph replay: own URLs + the two bucket-keyed hrefs, both
     // through the shared canonicalization chain (prefixes '', 'l'),

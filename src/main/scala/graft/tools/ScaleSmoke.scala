@@ -715,6 +715,17 @@ object ScaleSmoke {
             .filter(col("src") =!= col("dst")), iters = 3)
           .agg(sum(col("rank_units"))).collect(); ()
       }),
+      // t60: robots gate — rule parse is file-sized; the gate is a
+      // broadcast join + max-struct per URL and must track the scan
+      benchAction[DataFrame]("t60", d1x, dNx, { d =>
+        val urls = graft.operators.Urls.withUrlPayload(d)
+          .select(col("doc_id"), graft.operators.Urls
+            .canonicalUrl(col("url")).as("url"))
+        graft.operators.Robots.applyRobots(urls,
+            graft.operators.Robots.parseRobots(
+              graft.operators.Robots.fixture(spark)), "crawler-x")
+          .agg(sum(when(col("allowed"), 1L).otherwise(0L))).collect(); ()
+      }),
       // maxsimserve: v32 — candidate docs from the chunk-cell probe
       // join, exact MaxSim on candidates; the tagged fixture keeps
       // chunk vocab disjoint across copies so candidate sets stay
