@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.{Html, Robots, Urls}
+
+/** The crawl front-end, streamed — what runs between the fetcher and
+  * the curation cascade (t11d's stage 0) when pages arrive
+  * continuously instead of as a batch corpus:
+  *
+  *  1. cross-batch URL dedup on the CANONICAL form
+  *     (`dropDuplicatesWithinWatermark` keyed on canon_url): the
+  *     frontier sees the same page under tracking/www/fragment
+  *     variants across hours — first arrival wins, and the dedup
+  *     state is bounded by the watermark horizon (the deployment's
+  *     recrawl-dedup window), not unbounded like a batch `distinct`;
+  *  2. per micro-batch, the stateless gates: robots.txt
+  *     ([[Robots.applyRobots]] — per-row once the broadcast rules are
+  *     resolved) and HTML main-text extraction ([[Html]] — a
+  *     projection), both inside foreachBatch where their
+  *     aggregate/join plans run with batch semantics.
+  *
+  * The downstream cascade (near-dup, quality gates) stays batch —
+  * cross-document state doesn't micro-batch; this stage's contract
+  * is to hand it clean, unique, fetch-allowed documents.
+  */
+object Stage0Stream {
+
+  /** @param onBatch receives (batchId, rows: idCol, canon_url, text —
+    * the extracted main text) for each micro-batch after dedup +
+    * gating. `dedupHorizon` is the watermark delay bounding the
+    * URL-dedup state.
+    */
+  def stage0Stream(stream: DataFrame, rules: DataFrame, agent: String,
+                   onBatch: (Long, DataFrame) => Unit,
+                   dedupHorizon: String = "10 seconds",
+                   idCol: String = "doc_id", textCol: String = "text",
+                   eventTimeCol: String = "event_time")
+      : DataStreamWriter[Row] = {
+    val deduped = Urls.withUrlPayload(stream, idCol)
+      .withColumn("canon_url", Urls.canonicalUrl(col("url")))
+      .withWatermark(eventTimeCol, dedupHorizon)
+      .dropDuplicatesWithinWatermark("canon_url")
+    deduped.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val allowed = Robots.applyRobots(
+          batch.select(col(idCol), col("url")), rules, agent, idCol)
+        .filter(col("allowed")).select(col(idCol))
+      val docs = batch.join(allowed, Seq(idCol))
+      onBatch(batchId, Html.withHtmlPayload(docs, idCol, textCol)
+        .select(col(idCol), col("canon_url"),
+          Html.extractMainText(col("html")).as("text")))
+      ()
+    }
+  }
+}

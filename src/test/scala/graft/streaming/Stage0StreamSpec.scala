@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Robots
+
+/** Pins [[Stage0Stream]]: cross-batch canonical-URL dedup (first
+  * arrival wins, later variants of the same page drop even in later
+  * micro-batches), the robots gate dropping disallowed hosts, and
+  * extraction output matching the batch operators on the survivors.
+  */
+class Stage0StreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("URL variants dedup across batches; robots gate drops; text extracts") {
+    implicit val sq = spark.sqlContext
+    // ids 0..2 share canonical bucket 0 (host example.com — crawler-x
+    // group, /docs has NO crawler-x rule -> allowed); ids 6..8 share
+    // bucket 2 (cdn.example.org — Disallow / for crawler-x -> blocked);
+    // ids 9..11 bucket 3 (blog.sample.net — no applicable group ->
+    // allowed)
+    val t0 = new Timestamp(1700000000000L)
+    def rows(ids: Long*) = ids.map(i => (i, s"body text $i", t0))
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = Stage0Stream.stage0Stream(
+        input.toDF().toDF("doc_id", "text", "event_time"),
+        Robots.parseRobots(Robots.fixture(spark)), "crawler-x",
+        (_, df) => got ++= df.select(col("doc_id"), col("text"))
+          .as[(Long, String)].collect())
+      .start()
+    try {
+      // id 1 first (id 0 is the %13 empty-body edge — a later variant)
+      input.addData(rows(1L, 6L, 9L): _*); q.processAllAvailable()
+      // batch 2: 0 and 2 are canonical DUPLICATES of 1 (same bucket,
+      // different www/tracking variants) — the cross-batch state must
+      // drop them; 10 duplicates 9; 7 is a new row on the blocked host
+      input.addData(rows(0L, 2L, 7L, 10L): _*); q.processAllAvailable()
+    } finally q.stop()
+    val ids = got.map(_._1).toSet
+    assert(ids === Set(1L, 9L), s"got $ids")
+    // extracted text: entity-decoded body, tags gone (the decoded
+    // "Q&A <doc>" literal is DATA, not markup — it must survive)
+    val text1 = got.find(_._1 == 1L).get._2
+    assert(text1.contains("body text 1"))
+    assert(text1.contains("Q&A <doc>"), text1)
+    assert(!text1.contains("<p>") && !text1.contains("<div"), text1)
+  }
+}
