@@ -510,6 +510,33 @@ object VectorOps {
         k = 3, nprobe = 2)
     },
 
+    // the planning row for the residual encoding: recall@3 of the
+    // raw-space serve (v26's index) vs the residual serve (v33's)
+    // against the ONE staged brute truth — same (m, k), same
+    // centroids, same probe budget; the measured version of
+    // ResidualPqSpec's distortion claim
+    "v34_residual_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+      val truth = knnTruthIdx(s, dir)
+      val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
+      def recallOf(serve: DataFrame, name: String) =
+        truth.join(serve.select(col("q_id"), col("n_id")),
+            Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(nTrue)
+          .select(lit(name).as("variant"), col("hits"), col("n_true"),
+            (col("hits").cast("double") / col("n_true").cast("double"))
+              .as("recall"))
+      recallOf(Similarity.pqScoreCodesIndexed(pqIndexIdx(s, dir),
+          querySet(e), cents, Similarity.pqCodebook(e, m = 4, k = 16),
+          k = 3, nprobe = 2), "raw")
+        .unionByName(recallOf(Similarity.pqScoreCodesIndexedResidual(
+          residualPqIdx(s, dir), querySet(e), cents,
+          Similarity.pqCodebookResidual(e, cents, m = 4, k = 16),
+          k = 3, nprobe = 2), "residual"))
+    },
+
     // ColBERT-style late interaction over hash-embedded CHUNKS: the
     // two-stage serve — chunk-level probe join against the staged
     // chunk index generates candidate docs, exact MaxSim (quantized-
@@ -1280,7 +1307,34 @@ object VectorOps {
     // id), residual = exact double subtraction, seed codebook = first
     // 16 RESIDUALS by vec_id, argmin encode, per-(query, probe cell)
     // residual ADC — every fold the same strict left-assoc double op
-    "v33_residual_pq_serve" -> {
+    "v33_residual_pq_serve" -> sqlResidualServe,
+
+    // the planning row residual encoding earns its keep with: recall@3
+    // of the raw-space serve (v26) vs the residual serve (v33) against
+    // the SAME brute-force truth — exact-integer hit counts, double
+    // ratio last
+    "v34_residual_recall" -> {
+      def leg(name: String, q: String) =
+        s"""SELECT '$name' AS variant,
+           |  CAST(COUNT(*) AS BIGINT) AS hits,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_true,
+           |  CAST(COUNT(*) AS DOUBLE) /
+           |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM tr) AS recall
+           |FROM (
+           |$q
+           |) s JOIN tr ON tr.q_id = s.q_id AND tr.n_id = s.n_id""".stripMargin
+      s"""WITH tr AS (
+         |${sqlKnn("q.vec_id <> c.vec_id")}
+         |)
+         |${leg("raw", sqlIvfPqServe())}
+         |UNION ALL
+         |${leg("residual", sqlResidualServe)}""".stripMargin
+    }) ++ oracleTail
+
+  /** Full CTE mirror of the v33 residual IVF-PQ serve (also the
+    * residual leg of v34).
+    */
+  private lazy val sqlResidualServe: String = {
       val d = (0 until 4).map { m =>
         sqlSqDist(s"qr.r[${m * 16 + 1}:${(m + 1) * 16}]",
           s"b$m.cv[${m * 16 + 1}:${(m + 1) * 16}]")
@@ -1346,7 +1400,12 @@ object VectorOps {
          |      ORDER BY dist ASC, n_id) AS rnk
          |  FROM sc)
          |WHERE rnk <= 3""".stripMargin
-    },
+  }
+
+  /** Continuation of [[oracle]] (split around the shared
+    * [[sqlResidualServe]] mirror).
+    */
+  private lazy val oracleTail: Map[String, String] = Map(
 
     // MaxSim replay: 16/16 chunking (the t20 CTE pattern), per-chunk
     // hash embed (exact-integer sums), chunk-level cell assign/probe
