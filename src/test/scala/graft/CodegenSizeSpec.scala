@@ -38,7 +38,9 @@ class CodegenSizeSpec extends AnyFunSuite {
     "v28_pq_sweep", // four ADC legs, four codebooks (m=8: 128 codewords)
     "v29_index_upsert_serve", // changelog-resolved serve
     "t26_bloom_decontam", // bloom bit literals
-    "d30_hamming_band_sweep") // four band-extraction legs
+    "d30_hamming_band_sweep", // four band-extraction legs
+    "v33_residual_pq_serve", // residual encode + per-probe-cell ADC
+    "v31_hashembed_knn") // literal-centroid serve over hash embeds
 
   test("every whole-stage-generated method stays under HotSpot's 8000-byte JIT ceiling") {
     // AQE wraps the plan in AdaptiveSparkPlanExec whose codegen stages

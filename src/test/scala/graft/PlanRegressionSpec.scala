@@ -647,6 +647,18 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"index scan reads raw vectors: $idxRead")
   }
 
+  test("v33 residual serve: codes scanned, raw vectors never read at serve time") {
+    val p = plan("v33_residual_pq_serve")
+    // the residual serve reads (vec_id, cell, codes) off the staged
+    // index — the embedding column must be pruned from the index
+    // scan's ReadSchema exactly like v30 (the cell partition column
+    // rides the directory layout, not the schema)
+    val idxRead = """ReadSchema: [^\n]*codes""".r.findFirstIn(p)
+    assert(idxRead.isDefined, p.take(2500))
+    assert(!idxRead.get.contains("embedding"),
+      s"residual index scan reads raw vectors: $idxRead")
+  }
+
   test("hammingBandPairs cache lifetime: entry outlives the call, clearCache releases it") {
     // the documented contract (Dedup.hammingBandPairs scaladoc): the
     // banded frame stays persisted after the action — a long-lived
