@@ -1394,6 +1394,40 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"), col("dist"))
   }
 
+  /** Serving-index health report — the ops table every deployed ANN
+    * index ships with: one row per CENTROID (empty cells included —
+    * they're the retrain signal, so a left join against the centroid
+    * frame, never just groupBy over occupied cells) carrying the
+    * cell's population and share, plus the index-wide summary on
+    * every row (the frame is centroid-sized): total vectors,
+    * occupied-cell count, and the imbalance factor max/mean. A rising
+    * imbalance means probe cost concentrates (hot cells dominate
+    * every query's candidate set) — the trigger for a centroid
+    * retrain ([[graft.streaming.ScoringStreaming
+    * .knnScoreStreamGenerational]]'s generation swap) or an nprobe
+    * rebalance. One partial-aggregated count on the index scan; all
+    * ratios are exact-integer divisions done last.
+    */
+  def indexStats(index: DataFrame, centroids: DataFrame,
+                 idCol: String = "vec_id"): DataFrame = {
+    val per = index.groupBy(col("cell")).agg(count(lit(1)).as("n_vec"))
+    val base = broadcast(centroids.select(col(idCol).as("cell")))
+      .join(per, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vec"), lit(0L)).as("n_vec"))
+    val tot = broadcast(base.agg(
+      sum(col("n_vec")).as("n_total"),
+      count(lit(1)).as("n_cells"),
+      sum(when(col("n_vec") > 0, 1L).otherwise(0L)).as("n_occupied"),
+      max(col("n_vec")).as("max_cell")))
+    base.crossJoin(tot)
+      .select(col("cell"), col("n_vec"),
+        (col("n_vec").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .as("frac"),
+        col("n_total"), col("n_cells"), col("n_occupied"),
+        (col("max_cell").cast(DoubleType) * col("n_cells").cast(DoubleType) /
+          col("n_total").cast(DoubleType)).as("imbalance"))
+  }
+
   def pqKnn(corpus: DataFrame, queries: DataFrame, cb: PqCodebook, k: Int,
             idCol: String = "vec_id",
             vecCol: String = "embedding",

@@ -510,6 +510,15 @@ object VectorOps {
         k = 3, nprobe = 2)
     },
 
+    // index health over the staged v26 serving index: per-centroid
+    // population (empty cells included — the retrain signal) + the
+    // index-wide imbalance factor on every row
+    "v35_index_stats" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.indexStats(pqIndexIdx(s, dir),
+        e.filter(col("vec_id") < 8))
+    },
+
     // the planning row for the residual encoding: recall@3 of the
     // raw-space serve (v26's index) vs the residual serve (v33's)
     // against the ONE staged brute truth — same (m, k), same
@@ -1308,6 +1317,39 @@ object VectorOps {
     // 16 RESIDUALS by vec_id, argmin encode, per-(query, probe cell)
     // residual ADC — every fold the same strict left-assoc double op
     "v33_residual_pq_serve" -> sqlResidualServe,
+
+    // index-stats replay: re-derive the v26 assignment, count per
+    // centroid with empties preserved (LEFT JOIN from cent), summary
+    // cross-joined — exact ints, double ratios last
+    "v35_index_stats" ->
+      s"""WITH en AS ($sqlWithNorm),
+         |cent AS (SELECT * FROM en WHERE vec_id < 8),
+         |crk AS (
+         |  SELECT v.vec_id, c.vec_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
+         |               c.vec_id) AS rnk
+         |  FROM en v CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, cell FROM crk WHERE rnk = 1),
+         |per AS (
+         |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vec
+         |  FROM asg GROUP BY cell),
+         |base AS (
+         |  SELECT c.vec_id AS cell, COALESCE(p.n_vec, 0) AS n_vec
+         |  FROM cent c LEFT JOIN per p ON p.cell = c.vec_id),
+         |tot AS (
+         |  SELECT CAST(SUM(n_vec) AS BIGINT) AS n_total,
+         |    CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |    CAST(SUM(CASE WHEN n_vec > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_occupied,
+         |    CAST(MAX(n_vec) AS BIGINT) AS max_cell
+         |  FROM base)
+         |SELECT b.cell, b.n_vec,
+         |  CAST(b.n_vec AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS frac,
+         |  t.n_total, t.n_cells, t.n_occupied,
+         |  CAST(t.max_cell AS DOUBLE) * CAST(t.n_cells AS DOUBLE)
+         |    / CAST(t.n_total AS DOUBLE) AS imbalance
+         |FROM base b CROSS JOIN tot t""".stripMargin,
 
     // the planning row residual encoding earns its keep with: recall@3
     // of the raw-space serve (v26) vs the residual serve (v33) against

@@ -463,4 +463,21 @@ class PropertySpecs extends AnyFunSuite {
       assert(got === want, s"lambda=$lambda")
     }
   }
+
+  test("hash embeddings equal the md5 bucket/sign reference for generated docs") {
+    val docs = sample(docGen, 80).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (dims <- Seq(8, 64)) {
+      val got = graft.operators.Similarity.hashEmbed(
+          docs.toDF("doc_id", "text"), dims = dims)
+        .as[(Long, Seq[Double])].collect().toMap
+      docs.foreach { case (id, text) =>
+        val acc = Array.fill(dims)(0.0)
+        text.toLowerCase.split(" ").filter(_.nonEmpty).foreach { w =>
+          val h = java.lang.Long.parseLong(md5hex(w).take(12), 16)
+          acc((h % dims).toInt) += (((h >> 47) & 1L) * 2 - 1).toDouble
+        }
+        assert(got(id) === acc.toSeq, s"doc $id dims=$dims text='$text'")
+      }
+    }
+  }
 }
