@@ -554,6 +554,34 @@ object Relational {
         .groupBy(col("cohort_dt"),
           datediff(col("dt"), col("cohort_dt")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("active_users"))
+    },
+
+    // marketing attribution: per purchase, the FIRST and LAST view
+    // touch inside the 1-hour lookback plus the touch count — one
+    // user-keyed equi-join (per-user history is bounded, no skew
+    // hazard) + one min/max-struct aggregate per purchase; untouched
+    // purchases keep a 0-touch row (the left join)
+    "q36_attribution" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("v_us"),
+          col("event_id").as("v_id"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val touches = p.join(v, Seq("user_id"))
+        .filter(col("v_us") <= col("p_us") &&
+          col("v_us") > col("p_us") - lit(3600000000L))
+        .groupBy(col("p_id"))
+        .agg(min(struct(col("v_us").as("us"), col("v_id").as("id")))
+            .as("ft"),
+          max(struct(col("v_us").as("us"), col("v_id").as("id")))
+            .as("lt"),
+          count(lit(1)).as("n_touches"))
+      p.join(touches, Seq("p_id"), "left")
+        .select(col("p_id"), col("user_id"),
+          coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+          col("ft.id").as("first_touch"), col("lt.id").as("last_touch"))
     }
   )
 
@@ -954,6 +982,38 @@ object Relational {
         |  CAST(d.dt - c.cohort_dt AS INT) AS day_offset,
         |  COUNT(DISTINCT d.user_id) AS active_users
         |FROM days d JOIN c USING (user_id)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // attribution replay: same 1h-lookback join; first/last via
+    // ROW_NUMBER with (v_us, v_id) tie order = Spark's min/max-struct
+    "q36_attribution" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS v_us, event_id AS v_id
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT p.p_id, v.v_us, v.v_id
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |    AND v.v_us <= p.p_us AND v.v_us > p.p_us - 3600000000),
+        |r AS (
+        |  SELECT p_id, v_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p_id
+        |      ORDER BY v_us ASC, v_id ASC) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY p_id
+        |      ORDER BY v_us DESC, v_id DESC) AS rl
+        |  FROM t),
+        |agg AS (
+        |  SELECT p_id, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY p_id)
+        |SELECT p.p_id, p.user_id,
+        |  COALESCE(a.n, 0) AS n_touches,
+        |  f.v_id AS first_touch, l.v_id AS last_touch
+        |FROM p
+        |LEFT JOIN agg a ON a.p_id = p.p_id
+        |LEFT JOIN (SELECT p_id, v_id FROM r WHERE rf = 1) f
+        |  ON f.p_id = p.p_id
+        |LEFT JOIN (SELECT p_id, v_id FROM r WHERE rl = 1) l
+        |  ON l.p_id = p.p_id""".stripMargin
   )
 }

@@ -715,6 +715,23 @@ object ScaleSmoke {
             .filter(col("src") =!= col("dst")), iters = 3)
           .agg(sum(col("rank_units"))).collect(); ()
       }),
+      // q36: attribution — user-keyed view×purchase join (users
+      // remapped per copy, per-user history fixed) + one min/max-
+      // struct per purchase; forced through the touch-count sum
+      benchAction[DataFrame]("q36", v1x, vNx, { e =>
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), unix_micros(col("ts")).as("v_us"),
+            col("event_id").as("v_id"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            unix_micros(col("ts")).as("p_us"))
+        p.join(v, Seq("user_id"))
+          .filter(col("v_us") <= col("p_us") &&
+            col("v_us") > col("p_us") - lit(3600000000L))
+          .groupBy(col("p_id"))
+          .agg(count(lit(1)).as("n_touches"))
+          .agg(sum(col("n_touches"))).collect(); ()
+      }),
       // t60: robots gate — rule parse is file-sized; the gate is a
       // broadcast join + max-struct per URL and must track the scan
       benchAction[DataFrame]("t60", d1x, dNx, { d =>
