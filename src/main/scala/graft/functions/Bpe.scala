@@ -119,43 +119,186 @@ object Bpe {
     words.distinct()
       .withColumn("bpe_len", countUdf(col(words.columns.head)).cast("long"))
 
-  /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn
-    * the `nMerges` highest-count merges from the corpus itself — the
-    * step that produced the frozen [[merges]] fixture, as an operator.
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016): learn the
+    * `nMerges` highest-count merges from the corpus itself — the step
+    * that produced the frozen [[merges]] fixture, as an operator.
     *
     * State is the word-frequency relation (vocabulary-sized, Heaps-law
     * sublinear — the same "train on word counts, not occurrences"
     * factoring as the original BPE paper and every production
-    * trainer). A word's working tokenization is a SPACE-FRAMED string:
-    * `"low"` → `" l  o  w "` (each token wrapped in its own spaces),
-    * so one merge round is pure builtin column work —
-    *   pair counts:  split on the double-space seam → adjacent pairs
-    *                 exploded with the word's count as weight;
-    *   apply:        `replace(s, " a  b ", " ab ")`, whose left-to-
-    *                 right non-overlapping scan IS the BPE apply rule.
-    * Each round is one vocabulary-sized partial aggregation + a 1-row
-    * TakeOrdered (count DESC, pair ASC — total order, engine-exact
-    * on binary string collation) + a map-side rewrite; the collected
-    * winner is the only driver-side data (one row per round).
-    *
-    * Stops early when no pair reaches `minCount` (merging noise pairs
-    * below 2 can never help). Output: one row per learned merge —
-    * (merge_rank, lhs, rhs, pair_ct), rank 0 merges first.
+    * trainer). Stops early when no pair reaches `minCount` (merging
+    * noise pairs below 2 can never help). Output: one row per learned
+    * merge — (merge_rank, lhs, rhs, pair_ct), rank 0 merges first.
     *
     * Scale shape: the corpus is scanned ONCE (the word-count
     * aggregation); every round after that touches only the vocabulary
-    * frame, persisted between rounds so round k does not replay
-    * rounds 0..k−1. At 100 TB the vocabulary (with a count floor) is
-    * bounded, and a trained merges table is a staged artifact
-    * rebuilt per tokenizer release.
+    * — in-core below `localVocabThreshold`, distributed above (see
+    * [[train]]'s dispatch doc). At 100 TB the vocabulary (with a
+    * count floor) is bounded, and a trained merges table is a staged
+    * artifact rebuilt per tokenizer release.
+    */
+  /** Signed adjacent-pair structs of one space-framed word string —
+    * (a, b, w) per adjacent token pair, weighted `w` (the word count,
+    * negated for retraction rows). Empty for single-token words.
+    */
+  private def pairArr(s: Column, w: Column): Column = {
+    val t = split(trim(s), "  ")
+    val idx = when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => struct(
+      element_at(t, i).as("a"), element_at(t, i + 1).as("b"),
+      w.as("w")))
+  }
+
+  /** Size-adaptive dispatch, the [[graft.operators.Dedup.clusterIds]]
+    * discipline: when the vocabulary fits comfortably in one process
+    * (`localVocabThreshold` words — the common case even at corpus
+    * scale, since BPE trains on word COUNTS and every production
+    * trainer from Sennrich's release to HuggingFace runs the merge
+    * loop in one process) the corpus pays ONE distributed scan (the
+    * word-count aggregation), the vocab collects, and all `nMerges`
+    * rounds run in-core with an occurrence-indexed pair table — zero
+    * per-round jobs. A genuinely unbounded vocabulary takes the
+    * distributed incremental loop below instead. Both paths run the
+    * same argmax total order ((count DESC, a, b) — binary string
+    * collation) and the same left-to-right non-overlapping apply, so
+    * the merge sequence and published counts are path-identical
+    * (spec-pinned).
     */
   def train(docs: DataFrame, nMerges: Int,
-            textCol: String = "text", minCount: Long = 2L): DataFrame = {
+            textCol: String = "text", minCount: Long = 2L,
+            localVocabThreshold: Long = 2000000L): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
     val wc = docs.select(explode(tokenize(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).cast(LongType).as("ct"))
+      .persist()
+    val learned =
+      if (wc.count() <= localVocabThreshold)
+        trainLocal(wc.as[(String, Long)].collect(), nMerges, minCount)
+      else trainDistributed(wc, nMerges, minCount)
+    wc.unpersist()
+    learned.toDF("merge_rank", "lhs", "rhs", "pair_ct")
+  }
+
+  /** One word as code-point tokens (the start state of every BPE
+    * variant; shared splitter semantics with [[encodeWith]]).
+    */
+  private def codePointTokens(word: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    b.result()
+  }
+
+  /** The single-rule BPE apply: merge every left-to-right
+    * non-overlapping (a, b) adjacency — exactly the semantics of the
+    * distributed path's `replace(s, " a  b ", " ab ")`.
+    */
+  private def applyMergeOnce(t: Array[String], a: String, b: String)
+      : Array[String] = {
+    val out = Array.newBuilder[String]
+    var j = 0
+    while (j < t.length) {
+      if (j < t.length - 1 && t(j) == a && t(j + 1) == b) {
+        out += (a + b); j += 2
+      } else { out += t(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** In-core merge loop over the collected vocabulary: pair counts in
+    * a hash table, an occurrence index (pair → word ids) so each round
+    * touches only the words containing the winning pair — the fastBPE
+    * factoring. Exact, deterministic, zero Spark jobs.
+    */
+  private def trainLocal(vocab: Array[(String, Long)], nMerges: Int,
+                         minCount: Long)
+      : Vector[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val toks: Array[Array[String]] = vocab.map(v => codePointTokens(v._1))
+    val cts: Array[Long] = vocab.map(_._2)
+    val pairCt = mutable.HashMap.empty[(String, String), Long]
+    val pairWords =
+      mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def retract(i: Int): Unit = {
+      val t = toks(i); val c = cts(i)
+      var j = 0
+      while (j < t.length - 1) {
+        val p = (t(j), t(j + 1))
+        val n = pairCt(p) - c
+        if (n == 0L) pairCt.remove(p) else pairCt(p) = n
+        pairWords.get(p).foreach { s =>
+          s -= i; if (s.isEmpty) pairWords.remove(p)
+        }
+        j += 1
+      }
+    }
+    def assertW(i: Int): Unit = {
+      val t = toks(i); val c = cts(i)
+      var j = 0
+      while (j < t.length - 1) {
+        val p = (t(j), t(j + 1))
+        pairCt(p) = pairCt.getOrElse(p, 0L) + c
+        pairWords.getOrElseUpdate(p, mutable.Set.empty[Int]) += i
+        j += 1
+      }
+    }
+    toks.indices.foreach(assertW)
+    val learned = Vector.newBuilder[(Int, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      // argmax with the shared total order; iteration order of the
+      // hash table never matters because the comparator is total
+      var best: ((String, String), Long) = null
+      pairCt.foreach { case (p, c) =>
+        if (best == null || c > best._2 ||
+            (c == best._2 && (p._1 < best._1._1 ||
+              (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, c)
+      }
+      if (best == null || best._2 < minCount) done = true
+      else {
+        val ((a, b), pct) = best
+        learned += ((r, a, b, pct))
+        pairWords.get((a, b)).map(_.toArray.sorted).foreach(_.foreach {
+          i =>
+            retract(i)
+            toks(i) = applyMergeOnce(toks(i), a, b)
+            assertW(i)
+        })
+        r += 1
+      }
+    }
+    learned.result()
+  }
+
+  /** Distributed merge loop for a vocabulary too large to collect —
+    * the 100 TB fallback path of [[train]]. A word's working
+    * tokenization is a SPACE-FRAMED string: `"low"` → `" l  o  w "`
+    * (each token wrapped in its own spaces), so one merge round is
+    * pure builtin column work —
+    *   pair counts:  split on the double-space seam → adjacent pairs
+    *                 exploded with the word's count as weight;
+    *   apply:        `replace(s, " a  b ", " ab ")`, whose left-to-
+    *                 right non-overlapping scan IS the BPE apply rule.
+    * Each round is one 1-row TakeOrdered over the MAINTAINED pair
+    * frame (count DESC, pair ASC — total order, engine-exact on
+    * binary string collation) + a map-side rewrite; pair counts are
+    * delta-updated from only the words containing the merged pair,
+    * and the collected winner is the only driver-side data (one row
+    * per round).
+    */
+  private def trainDistributed(wc: DataFrame, nMerges: Int,
+                               minCount: Long)
+      : Vector[(Int, String, String, Long)] = {
+    val spark = wc.sparkSession
+    import spark.implicits._
     // ONE persisted frame for the whole loop: round r's state is the
     // initial space-framed vocabulary with r collected-literal
     // replace()s stacked map-side — each round is then a single job
@@ -169,34 +312,65 @@ object Bpe {
     val s0 = wc.select(col("ct"),
         regexp_replace(col("word"), "(.)", " $1 ").as("s"))
       .persist()
-    var state = s0
+    // Pair counts are MAINTAINED incrementally, not re-derived: only
+    // words CONTAINING the merged pair change tokenization between
+    // rounds, so round r's pair frame is round r−1's (persisted,
+    // vocabulary-of-pairs-sized) plus a delta that retracts the
+    // affected words' old pairs and asserts their new ones — exact by
+    // construction (unaffected words' contributions cancel), so the
+    // merge sequence AND the published pair counts are identical to
+    // the full recount. Per round the shuffle input drops from every
+    // adjacent pair of every word to |P| + the affected few — the
+    // classic fast-BPE-trainer factoring (Sennrich et al.'s own
+    // released trainer maintains pair indices the same way).
+    // Lineage discipline: each round's pair frame embeds last round's
+    // as a union leg, so a persist-only loop re-ANALYZES an
+    // exponentially nesting plan every round (measured 3.1 s vs 1.0 s
+    // at sf0.1 — the cost was Catalyst, not data). A lazy
+    // localCheckpoint truncates the logical plan to the materialized
+    // blocks each round, so round r plans against a flat scan + one
+    // delta, and the argmax collect stays the round's single job. (On
+    // a cluster, localCheckpoint blocks die with an executor — a long
+    // training run would use reliable checkpoints every few rounds;
+    // one tokenizer training is minutes of driver-loop either way.)
+    var state: DataFrame = s0
+    var p = s0.select(explode(pairArr(col("s"), col("ct"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("p.w")).as("pct"))
+      .localCheckpoint(false)
     val learned = Vector.newBuilder[(Int, String, String, Long)]
     var r = 0
     var done = false
     while (r < nMerges && !done) {
-      val withT = state.select(col("ct"), split(trim(col("s")), "  ").as("t"))
-        .filter(size(col("t")) >= 2)
-      val pairs = withT
-        .select(col("ct"), explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => struct(element_at(col("t"), i).as("a"),
-            element_at(col("t"), i + 1).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("ct")).as("pct"))
-      val best = pairs.orderBy(col("pct").desc, col("a"), col("b"))
+      // one job per round: the argmax materializes this round's pair
+      // frame (checkpointed p ∪ delta)
+      val best = p.orderBy(col("pct").desc, col("a"), col("b"))
         .limit(1).as[(String, String, Long)].collect()
       best.headOption match {
         case Some((a, b, pct)) if pct >= minCount =>
           learned += ((r, a, b, pct))
+          val needle = s" $a  $b "
+          val merged = s" $a$b "
+          val delta = state.filter(col("s").contains(needle))
+            .select(col("ct"), col("s").as("s0"),
+              replace(col("s"), lit(needle), lit(merged)).as("s1"))
+            .select(explode(concat(
+              pairArr(col("s0"), -col("ct")),
+              pairArr(col("s1"), col("ct")))).as("p"))
+          p = p.select(col("a"), col("b"), col("pct").as("w"))
+            .unionByName(delta.select(col("p.a").as("a"),
+              col("p.b").as("b"), col("p.w").as("w")))
+            .groupBy(col("a"), col("b")).agg(sum(col("w")).as("pct"))
+            .filter(col("pct") > 0)
+            .localCheckpoint(false)
           state = state.select(col("ct"),
-            replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"))
+            replace(col("s"), lit(needle), lit(merged)).as("s"))
           r += 1
         case _ => done = true
       }
     }
     s0.unpersist()
     learned.result()
-      .toDF("merge_rank", "lhs", "rhs", "pair_ct")
   }
 
   /** Per-doc BPE token counts: (id, n_words, bpe_tokens), zero for

@@ -99,7 +99,10 @@ object Robots {
     * that host has one, else the `*` group; longest path wins, Allow
     * beats Disallow on ties (then the lexicographically larger path,
     * for determinism); no match → allowed. One broadcast rule join +
-    * one max-struct per URL.
+    * one max-struct per URL. The rule side's host is lowercased here
+    * to mirror the URL side's lowercasing (DNS names are
+    * case-insensitive) — a robots frame keyed `Example.COM` gates the
+    * same pages as one keyed `example.com`.
     */
   def applyRobots(urls: DataFrame, rules: DataFrame, agent: String,
                   idCol: String = "doc_id",
@@ -109,8 +112,9 @@ object Robots {
     val path0 = regexp_extract(col(urlCol), "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
     val u = urls.select(id, col(urlCol), host.as("host"),
       when(length(path0) === 0, lit("/")).otherwise(path0).as("_path"))
-    val exact = rules.filter(col("agent") === agent.toLowerCase)
-    val star = rules.filter(col("agent") === "*")
+    val norm = rules.withColumn("host", lower(col("host")))
+    val exact = norm.filter(col("agent") === agent.toLowerCase)
+    val star = norm.filter(col("agent") === "*")
       .join(exact.select(col("host")).distinct(), Seq("host"),
         "left_anti")
     val eff = broadcast(exact.unionByName(star)

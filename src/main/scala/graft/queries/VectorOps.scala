@@ -558,11 +558,14 @@ object VectorOps {
         k = 3, nprobe = 2)
     })
 
-  /** Hash-embedded documents (dims = 64), empty docs excluded — the
-    * text→vector bridge behind v31 ([[Similarity.hashEmbed]]): one
-    * map-side projection, no vocabulary, no model artifact. The
-    * empty-doc filter keeps every norm positive, so no cosine is null
-    * and ranking is total on both engines.
+  /** Hash-embedded documents (dims = 64), zero-norm docs excluded —
+    * the text→vector bridge behind v31 ([[Similarity.hashEmbed]]):
+    * one map-side projection, no vocabulary, no model artifact. The
+    * empty-doc filter alone would NOT keep every norm positive (a
+    * non-empty doc can sign-cancel to the zero vector — the same case
+    * [[chunkEmbeds]] guards), so the explicit norm > 0 filter is what
+    * makes every cosine non-null and the ranking total on both
+    * engines; the v31 oracle mirrors it with `WHERE nrm > 0`.
     */
   private def hashEmbeds(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
@@ -570,6 +573,7 @@ object VectorOps {
       d.filter(size(graft.functions.TextFunctions
         .tokenize(lower(col("text")))) > 0),
       dims = 64)
+      .filter(Similarity.norm(col("embedding")) > 0)
   }
 
   /** The staged hash-embed ANN index, directory-partitioned on `cell`
@@ -582,7 +586,7 @@ object VectorOps {
     */
   private def hashEmbedIdx(s: SparkSession, dir: String): DataFrame =
     graft.core.Artifacts.table(s,
-      "hashembed-index|dims=64|c=8|layout=cell",
+      "hashembed-index|dims=64|c=8|nrm>0|layout=cell",
       graft.core.Artifacts.fingerprint(dir),
       partitionCols = Seq("cell"))({
       val he = hashEmbeds(s, dir)
@@ -1565,7 +1569,8 @@ object VectorOps {
          |e AS (
          |  SELECT vec_id, embedding,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
-         |  FROM emb),
+         |  FROM emb
+         |  WHERE sqrt(${sqlDot("embedding", "embedding")}) > 0),
          |cent AS (SELECT * FROM e WHERE vec_id < 8),
          |rk AS (
          |  SELECT v.vec_id, c.vec_id AS cell,

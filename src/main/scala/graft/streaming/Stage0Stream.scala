@@ -31,21 +31,31 @@ object Stage0Stream {
   /** @param onBatch receives (batchId, rows: idCol, canon_url, text —
     * the extracted main text) for each micro-batch after dedup +
     * gating. `dedupHorizon` is the watermark delay bounding the
-    * URL-dedup state.
+    * URL-dedup state. A real crawl stream carries its fetch URL in
+    * `urlCol` and that column is used as-is; only when the column is
+    * ABSENT does the operator synthesize the deterministic
+    * [[Urls.withUrlPayload]] fixture (the spec/harness path) — the
+    * fixture is a fallback, not part of the operator's contract.
     */
   def stage0Stream(stream: DataFrame, rules: DataFrame, agent: String,
                    onBatch: (Long, DataFrame) => Unit,
                    dedupHorizon: String = "10 seconds",
                    idCol: String = "doc_id", textCol: String = "text",
-                   eventTimeCol: String = "event_time")
+                   eventTimeCol: String = "event_time",
+                   urlCol: String = "url")
       : DataStreamWriter[Row] = {
-    val deduped = Urls.withUrlPayload(stream, idCol)
-      .withColumn("canon_url", Urls.canonicalUrl(col("url")))
+    val withUrl =
+      if (stream.columns.contains(urlCol)) stream
+      else Urls.withUrlPayload(stream, idCol)
+        .withColumnRenamed("url", urlCol)
+    val deduped = withUrl
+      .withColumn("canon_url", Urls.canonicalUrl(col(urlCol)))
       .withWatermark(eventTimeCol, dedupHorizon)
       .dropDuplicatesWithinWatermark("canon_url")
     deduped.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val allowed = Robots.applyRobots(
-          batch.select(col(idCol), col("url")), rules, agent, idCol)
+          batch.select(col(idCol), col(urlCol)), rules, agent, idCol,
+          urlCol)
         .filter(col("allowed")).select(col(idCol))
       val docs = batch.join(allowed, Seq(idCol))
       onBatch(batchId, Html.withHtmlPayload(docs, idCol, textCol)

@@ -241,6 +241,21 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(graft.functions.Bpe.train(docs, nMerges = 5).count() === 0L)
   }
 
+  test("in-core and distributed paths learn identical merges and counts") {
+    // localVocabThreshold = 0 forces the distributed incremental loop;
+    // the default takes the in-core occurrence-indexed loop — the
+    // merge SEQUENCE and the published pair counts must be
+    // path-identical (same argmax total order, same apply rule)
+    val docs = Seq(
+      (1L, "low low low lower lower newest wider wide wide"),
+      (2L, "aaa aab abab low newest newest")).toDF("doc_id", "text")
+    def run(thr: Long) =
+      graft.functions.Bpe.train(docs, nMerges = 6,
+          localVocabThreshold = thr)
+        .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(run(0L) === run(2000000L))
+  }
+
   test("training on the harness corpus reproduces the frozen fixture prefix") {
     // the fixture was frozen from sf0.01 (sf0.001's Zipf order differs
     // in ranks 1-3 — merge order is corpus-specific, as it should be)
