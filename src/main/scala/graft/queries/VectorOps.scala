@@ -519,6 +519,40 @@ object VectorOps {
         e.filter(col("vec_id") < 8))
     },
 
+    // the retrain TRIGGER replayed as a batch audit: vectors "arrive"
+    // cell-clustered (ORDER BY cell — the worst-case ingest skew a
+    // drifted feed produces), and at each of 8 arrival prefixes the
+    // v35 stats recompute plus the trigger decision
+    // (imbalance > 2.0) and the first-crossing prefix — the exact
+    // metric `ScoringStreaming.cellIndexStreamWithRetrain` evaluates
+    // per micro-batch (spec-pinned behaviorally in
+    // CellIndexStreamSpec; this row pins the numbers). The global
+    // rank is the SIMULATION's device — the production loop never
+    // sorts the corpus, it reads the maintained dir's stats
+    "v36_retrain_trigger" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+      val ranked = pqIndexIdx(s, dir).select(col("vec_id"), col("cell"))
+        .withColumn("arr",
+          row_number().over(Window.orderBy(col("cell"), col("vec_id"))))
+      val n = broadcast(ranked.agg(count(lit(1)).as("n")))
+      val legs = (1 to 8).map { p =>
+        val pref = ranked.crossJoin(n)
+          .filter(col("arr") <= expr(s"($p * n) DIV 8"))
+          .select(col("vec_id"), col("cell"))
+        Similarity.indexStats(pref, cents)
+          .select(lit(p).cast("long").as("prefix_i"), col("n_total"),
+            col("n_occupied"), col("imbalance"))
+          .distinct()
+      }
+      legs.reduce(_ unionByName _)
+        .withColumn("fired", col("imbalance") > 2.0)
+        .withColumn("fires_at",
+          min(when(col("fired"), col("prefix_i")))
+            .over(Window.partitionBy()))
+    },
+
     // the planning row for the residual encoding: recall@3 of the
     // raw-space serve (v26's index) vs the residual serve (v33's)
     // against the ONE staged brute truth — same (m, k), same
@@ -1354,6 +1388,58 @@ object VectorOps {
          |  CAST(t.max_cell AS DOUBLE) * CAST(t.n_cells AS DOUBLE)
          |    / CAST(t.n_total AS DOUBLE) AS imbalance
          |FROM base b CROSS JOIN tot t""".stripMargin,
+
+    // retrain-trigger replay: the v35 assignment CTEs, a global
+    // (cell, vec_id) arrival rank, 8 integer-division prefixes, the
+    // per-prefix stats with empty cells preserved, and the fired /
+    // first-crossing columns — exact ints throughout, double ratios
+    // and the threshold compare last
+    "v36_retrain_trigger" ->
+      s"""WITH en AS ($sqlWithNorm),
+         |cent AS (SELECT * FROM en WHERE vec_id < 8),
+         |crk AS (
+         |  SELECT v.vec_id, c.vec_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
+         |               c.vec_id) AS rnk
+         |  FROM en v CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, cell FROM crk WHERE rnk = 1),
+         |arr AS (
+         |  SELECT vec_id, cell,
+         |    ROW_NUMBER() OVER (ORDER BY cell, vec_id) AS arr
+         |  FROM asg),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM arr),
+         |pres AS (
+         |  SELECT p.p AS prefix_i, a.cell
+         |  FROM arr a CROSS JOIN nn CROSS JOIN range(1, 9) p(p)
+         |  WHERE a.arr <= (p.p * nn.n) // 8),
+         |per AS (
+         |  SELECT prefix_i, cell, CAST(COUNT(*) AS BIGINT) AS n_vec
+         |  FROM pres GROUP BY 1, 2),
+         |base AS (
+         |  SELECT p.p AS prefix_i, c.vec_id AS cell,
+         |    COALESCE(x.n_vec, 0) AS n_vec
+         |  FROM cent c CROSS JOIN range(1, 9) p(p)
+         |  LEFT JOIN per x ON x.cell = c.vec_id AND x.prefix_i = p.p),
+         |tot AS (
+         |  SELECT prefix_i,
+         |    CAST(SUM(n_vec) AS BIGINT) AS n_total,
+         |    CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |    CAST(SUM(CASE WHEN n_vec > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_occupied,
+         |    CAST(MAX(n_vec) AS BIGINT) AS max_cell
+         |  FROM base GROUP BY prefix_i),
+         |st AS (
+         |  SELECT CAST(prefix_i AS BIGINT) AS prefix_i, n_total,
+         |    n_occupied,
+         |    CAST(max_cell AS DOUBLE) * CAST(n_cells AS DOUBLE)
+         |      / CAST(n_total AS DOUBLE) AS imbalance
+         |  FROM tot)
+         |SELECT prefix_i, n_total, n_occupied, imbalance,
+         |  imbalance > 2.0 AS fired,
+         |  MIN(CASE WHEN imbalance > 2.0 THEN prefix_i END) OVER ()
+         |    AS fires_at
+         |FROM st""".stripMargin,
 
     // the planning row residual encoding earns its keep with: recall@3
     // of the raw-space serve (v26) vs the residual serve (v33) against

@@ -304,6 +304,155 @@ object ScoringStreaming {
       ()
     }
 
+  // ---- the closed retrain loop: stats → trigger → swap -------------
+
+  /** [[cellIndexStream]] with the RETRAIN LOOP CLOSED — the wiring
+    * between the health signal ([[graft.operators.Similarity
+    * .indexStats]]'s imbalance, v35), the mechanism
+    * ([[knnScoreStreamGenerational]]'s atomic per-batch generation
+    * resolve), and the maintained index: a real serving deployment
+    * retrains when the stats degrade, not on operator command (the
+    * reference's own dim pipeline is config-DRIVEN maintenance —
+    * `app/func/TableProcessFunction.java:49-68` reacts to arriving
+    * config state the same way this reacts to arriving index state).
+    *
+    * Per micro-batch: (1) arriving vectors index against the CURRENT
+    * generation's centroids into that generation's own
+    * `indexRoot/<gen>/batch_id=N` dir (mode Overwrite — the
+    * [[cellIndexStream]] idempotence recipe per generation); (2) the
+    * generation's stats recompute over the maintained dir; (3) iff
+    * `imbalance > maxImbalance` (and the index has at least
+    * `minVectors` rows — tiny indexes have degenerate ratios), the
+    * retrain fires ONCE: `retrain(current corpus)` produces the new
+    * centroid set, the corpus re-assigns into the NEW generation's
+    * seed partition (`batch_id=-1`, below any real batch id), the new
+    * centroids persist beside it (`_centroids` — underscore-prefixed,
+    * so index reads skip it), and the shared serving ref swaps.
+    * Because the serving side resolves the ref once per ITS
+    * micro-batch, the swap lands atomically at a query-batch boundary
+    * — no batch serves a mixed index. Post-swap the stats recompute
+    * under the new generation and sit below the threshold, so the
+    * trigger does not re-fire while healthy — exactly-once per
+    * degradation, by signal rather than by flag (spec-pinned).
+    *
+    * Crash-replay contract: a replayed trigger batch re-writes its
+    * rows into the (now current) new generation — value-identical to
+    * the seed's copy of the same ids (same centroids ⇒ same
+    * assignment, exact float math), and [[servedGenIndex]] resolves
+    * per-id by max batch_id, so the served index is unchanged. On
+    * restart, [[resumeGeneration]] recovers (gen, centroids) from the
+    * newest generation dir that has a committed seed or batch.
+    *
+    * @param current the SAME ref a [[knnScoreStreamGenerational]]
+    *   `resolve` closure reads — holding (generationId, centroids);
+    *   the serving index is re-read from `indexRoot/<gen>` per query
+    *   batch so maintained appends become visible
+    * @param retrain current corpus (idCol, vecCol) → new centroids
+    *   frame; [[graft.operators.Similarity.kmeans]] output or any
+    *   deterministic recenter
+    * @param onRetrain observability hook: (fromGen, toGen, imbalance)
+    */
+  def cellIndexStreamWithRetrain(
+      stream: DataFrame, indexRoot: String,
+      current: java.util.concurrent.atomic.AtomicReference[
+        (String, DataFrame)],
+      maxImbalance: Double,
+      retrain: DataFrame => DataFrame,
+      onRetrain: (String, String, Double) => Unit = (_, _, _) => (),
+      minVectors: Long = 1L,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val (gen, cents) = current.get()
+      graft.operators.Similarity
+        .indexCells(batch, cents, idCol, vecCol)
+        .write.mode("overwrite")
+        .parquet(s"$indexRoot/$gen/batch_id=$batchId")
+      val idxNow = servedGenIndex(spark, indexRoot, gen, idCol)
+      val st = graft.operators.Similarity
+        .indexStats(idxNow, cents, idCol)
+        .select(col("imbalance"), col("n_total")).limit(1).collect()(0)
+      val (imb, nTotal) = (st.getDouble(0), st.getLong(1))
+      if (imb > maxImbalance && nTotal >= minVectors) {
+        val corpus = idxNow.select(col(idCol), col(vecCol))
+        val newCents = retrain(corpus)
+        val newGen = nextGen(gen)
+        newCents.write.mode("overwrite")
+          .parquet(s"$indexRoot/$newGen/_centroids")
+        graft.operators.Similarity
+          .indexCells(corpus, newCents, idCol, vecCol)
+          .write.mode("overwrite")
+          .parquet(s"$indexRoot/$newGen/batch_id=-1")
+        current.set((newGen, newCents))
+        onRetrain(gen, newGen, imb)
+      }
+      ()
+    }
+
+  /** Monotonic generation ids: `g0001` → `g0002` → … (zero-padded so
+    * lexicographic order IS generation order — what
+    * [[resumeGeneration]] sorts by).
+    */
+  private[streaming] def nextGen(gen: String): String =
+    f"g${gen.dropWhile(!_.isDigit).toInt + 1}%04d"
+
+  /** Serve one generation of a [[cellIndexStreamWithRetrain]] index:
+    * same batch_id-partition contract as [[servedCellIndex]], plus a
+    * per-id max-batch_id resolve (one partial-aggregatable max-struct,
+    * shuffle ≤ |keys|) that collapses the one legal duplicate — a
+    * crash-replayed trigger batch overlapping the retrain seed, whose
+    * rows are value-identical by construction.
+    */
+  def servedGenIndex(spark: org.apache.spark.sql.SparkSession,
+                     indexRoot: String, gen: String,
+                     idCol: String = "vec_id"): DataFrame = {
+    val dir = s"$indexRoot/$gen"
+    val df = spark.read.option("basePath", dir).parquet(dir)
+    require(df.columns.contains("batch_id"),
+      s"$dir is not a batch_id-partitioned cell index; " +
+        "rebuild it (no in-place migration from other layouts)")
+    val rest = df.columns.filter(c => c != "batch_id" && c != idCol)
+    df.groupBy(col(idCol))
+      .agg(max_by(struct(rest.map(col).toSeq: _*), col("batch_id"))
+        .as("_r"))
+      .select(col(idCol) +: rest.map(c => col(s"_r.$c").as(c)): _*)
+  }
+
+  /** Bootstrap (or manually publish) a generation: persist its
+    * centroid frame where [[resumeGeneration]] looks. The retrain path
+    * writes the same layout itself; callers use this once for g0001.
+    */
+  def publishGeneration(indexRoot: String, gen: String,
+                        centroids: DataFrame): Unit =
+    centroids.write.mode("overwrite")
+      .parquet(s"$indexRoot/$gen/_centroids")
+
+  /** Recover the newest generation after a restart: the
+    * lexicographically last `indexRoot/<gen>` dir holding both a
+    * committed `_centroids` and at least one committed batch dir —
+    * a crash between the centroid write and the seed write leaves an
+    * incomplete dir that is skipped (the trigger will simply re-fire
+    * on the still-degraded previous generation). Returns
+    * (generationId, centroids) ready to seed the shared ref.
+    */
+  def resumeGeneration(spark: org.apache.spark.sql.SparkSession,
+                       indexRoot: String): (String, DataFrame) = {
+    val dirs = Option(new java.io.File(indexRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter { d =>
+        d.isDirectory &&
+          new java.io.File(d, "_centroids/_SUCCESS").exists() &&
+          Option(d.listFiles()).getOrElse(Array.empty).exists(b =>
+            b.getName.startsWith("batch_id=") &&
+              new java.io.File(b, "_SUCCESS").exists())
+      }
+      .map(_.getName).sorted
+    require(dirs.nonEmpty, s"no committed generation under $indexRoot")
+    val gen = dirs.last
+    (gen, spark.read.parquet(s"$indexRoot/$gen/_centroids"))
+  }
+
   /** Serve the index [[cellIndexStream]] maintains: (id, vector, nrm,
     * cell) rows ready for
     * [[graft.operators.Similarity.ivfMultiprobeKnnIndexed]] — the

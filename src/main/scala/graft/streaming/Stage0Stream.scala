@@ -64,4 +64,37 @@ object Stage0Stream {
       ()
     }
   }
+
+  /** [[stage0Stream]] with the crawl→train HANDOFF made exactly-once:
+    * each micro-batch's clean documents land in `outPath` through the
+    * same batch-id ledger the warehouse sinks use
+    * ([[graft.sinks.Sinks.idempotentAppend]] — a crash between the
+    * parquet write and the checkpoint commit replays into the same
+    * `batch=N` subdir, and a crash after the ledger commit
+    * short-circuits), and the downstream cascade consumes
+    * [[cascadeInput]] (the read-committed view), so a death anywhere
+    * between the stage-0 ledger commit and the cascade's own write
+    * loses nothing and duplicates nothing: the cascade is a
+    * re-runnable batch job over a table that only ever grows by whole
+    * committed batches (spec-pinned across kill+restart).
+    */
+  def stage0ToTable(stream: DataFrame, rules: DataFrame, agent: String,
+                    outPath: String,
+                    dedupHorizon: String = "10 seconds",
+                    idCol: String = "doc_id", textCol: String = "text",
+                    eventTimeCol: String = "event_time",
+                    urlCol: String = "url")
+      : DataStreamWriter[Row] =
+    stage0Stream(stream, rules, agent,
+      (batchId, docs) =>
+        graft.sinks.Sinks.idempotentAppend(docs, batchId, outPath),
+      dedupHorizon, idCol, textCol, eventTimeCol, urlCol)
+
+  /** The cascade's input: read-committed rows of a [[stage0ToTable]]
+    * handoff table (partially-written crash leftovers excluded until
+    * their replay commits), batch bookkeeping dropped.
+    */
+  def cascadeInput(spark: org.apache.spark.sql.SparkSession,
+                   outPath: String): DataFrame =
+    graft.sinks.Sinks.committedView(spark, outPath).drop("batch")
 }

@@ -426,6 +426,114 @@ class CellIndexStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("retrain loop closed: drift degrades imbalance, retrain fires exactly once, recall recovers") {
+    implicit val sq = spark.sqlContext
+    val root = Files.createTempDirectory("retrainidx").toString
+    val cents0 = centroids // (1,0) / (0,1)
+    // balanced start: 2 per cell -> imbalance 1.0, far below threshold
+    val balanced = Seq(
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.1f, 0.9f)),
+      (12L, Array(0.8f, 0.2f)), (13L, Array(0.2f, 0.8f)))
+    // drift cluster, two waves: every vector has x > y, so ALL land in
+    // cell 0 under gen1. Wave 1 -> occupancy 5/2, imbalance
+    // 5*2/7 = 1.43 < 1.5 (degraded but under threshold — the window
+    // where the serve is measurably bad); wave 2 -> 8/2,
+    // 8*2/10 = 1.6 > 1.5 (the trigger)
+    val drift1 = Seq(
+      (20L, Array(0.9f, 0.5f)), (21L, Array(0.88f, 0.55f)),
+      (22L, Array(0.86f, 0.58f)))
+    val drift2 = Seq(
+      (23L, Array(0.85f, 0.6f)), (24L, Array(0.82f, 0.62f)),
+      (25L, Array(0.8f, 0.65f)))
+    // post-retrain healthy arrivals: every cell lands at 3 -> imb 1.0
+    val healthy = Seq(
+      (14L, Array(0.95f, 0.05f)), (15L, Array(0.05f, 0.95f)))
+    // deterministic recenter the spec controls: keep the axis
+    // centroids, add two splitting the drift cluster -> occupancy
+    // 2/2/3/3 at the swap (imbalance 1.2 < 1.5: no refire)
+    val cents2 = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.88f, 0.54f)), (3L, Array(0.82f, 0.62f)))
+      .toDF("vec_id", "embedding")
+    val fires =
+      scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      ("g0001", cents0))
+    ScoringStreaming.publishGeneration(root, "g0001", cents0)
+
+    val vin = MemoryStream[(Long, Array[Float])]
+    val maintain = ScoringStreaming.cellIndexStreamWithRetrain(
+        vin.toDF().toDF("vec_id", "embedding"), root, ref,
+        maxImbalance = 1.5, retrain = _ => cents2,
+        onRetrain = (from, to, imb) => fires += ((from, to, imb)))
+      .start()
+    // the serving stream shares the SAME ref: resolve reads it once
+    // per query micro-batch, so the swap is batch-atomic on this side
+    val served = scala.collection.mutable.ArrayBuffer[
+      (Long, String, Set[(Long, Long, Int)])]()
+    val qin = MemoryStream[(Long, Array[Float])]
+    val serve = ScoringStreaming.knnScoreStreamGenerational(
+        qin.toDF().toDF("vec_id", "embedding"),
+        () => {
+          val (g, c) = ref.get()
+          (g, c, ScoringStreaming.servedGenIndex(spark, root, g))
+        },
+        k = 3, nprobe = 1,
+        (bid, gen, df) => served += ((bid, gen,
+          df.select("q_id", "n_id", "rnk")
+            .as[(Long, Long, Int)].collect().toSet)))
+      .start()
+    // the drift-region query: y-leaning, so under gen1 its nprobe=1
+    // cell is c1 — while its TRUE neighbors are drift vectors in c0
+    val query = Seq((100L, Array(0.68f, 0.7f)))
+    def brute(corpus: Seq[(Long, Array[Float])]): Set[Long] =
+      Similarity.bruteForceKnn(corpus.toDF("vec_id", "embedding"),
+          query.toDF("vec_id", "embedding"), k = 3)
+        .select("n_id").as[Long].collect().toSet
+    try {
+      vin.addData(balanced: _*); maintain.processAllAvailable()
+      assert(fires.isEmpty, "balanced index must not trigger")
+      assert(ref.get()._1 === "g0001")
+      // wave 1: degraded (hot cell) but under threshold — no fire
+      vin.addData(drift1: _*); maintain.processAllAvailable()
+      assert(fires.isEmpty, "under-threshold drift must not trigger")
+      // the degraded serve: the query probes c1, every true neighbor
+      // (all drift) sits in hot c0 — recall@3 = 0
+      qin.addData(query: _*); serve.processAllAvailable()
+      val pre = served.last
+      assert(pre._2 === "g0001")
+      val preTruth = brute(balanced ++ drift1)
+      assert(preTruth === Set(20L, 21L, 22L), "true neighbors are drift")
+      assert(pre._3.map(_._2).intersect(preTruth).isEmpty,
+        "pre-retrain recall@3 is 0 under the drifted index")
+      // wave 2 crosses the threshold: the retrain fires, exactly once
+      vin.addData(drift2: _*); maintain.processAllAvailable()
+      assert(fires.toSeq.map(t => (t._1, t._2)) ===
+        Seq(("g0001", "g0002")))
+      assert(fires.head._3 > 1.5, "trigger carried the degraded stat")
+      assert(ref.get()._1 === "g0002")
+      // healthy arrivals post-swap: stats stay under threshold — the
+      // trigger must NOT re-fire (exactly-once per degradation)
+      vin.addData(healthy: _*); maintain.processAllAvailable()
+      assert(fires.size === 1, "no refire while healthy")
+      // post-swap recall recovers: the retrained cells isolate the
+      // drift region, so the same nprobe=1 query now finds the truth
+      qin.addData(query: _*); serve.processAllAvailable()
+      val post = served.last
+      assert(post._2 === "g0002")
+      val postTruth = brute(balanced ++ drift1 ++ drift2 ++ healthy)
+      assert(post._3.map(_._2) === postTruth,
+        "post-retrain recall@3 = 1 (equals brute)")
+      // no mixed generations anywhere
+      assert(served.map(_._2).toSet === Set("g0001", "g0002"))
+    } finally { maintain.stop(); serve.stop() }
+    // restart story: the newest committed generation recovers with its
+    // retrained centroids
+    val (gen, cents) = ScoringStreaming.resumeGeneration(spark, root)
+    assert(gen === "g0002")
+    assert(cents.count() === 4L)
+  }
+
   test("kill + restart: index intact; compaction preserves every row") {
     val srcDir = Files.createTempDirectory("cellsrc").toString
     val ck = Files.createTempDirectory("cellck").toString

@@ -52,4 +52,50 @@ class Stage0StreamSpec extends AnyFunSuite {
     assert(text1.contains("Q&A <doc>"), text1)
     assert(!text1.contains("<p>") && !text1.contains("<div"), text1)
   }
+
+  test("crawl->train handoff: kill+restart loses nothing, duplicates nothing") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val srcDir = Files.createTempDirectory("s0src").toString
+    val ck = Files.createTempDirectory("s0ck").toString
+    val out = Files.createTempDirectory("s0out").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("event_time", TimestampType)))
+    def feed(n: Int, ids: Seq[Long]): Unit = {
+      val lines = ids.map(i =>
+        s"""{"doc_id":$i,"text":"body text $i",""" +
+          s""""event_time":"2023-11-14 22:13:20"}""")
+      Files.write(Paths.get(s"$srcDir/f$n.json"),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    def start() = Stage0Stream.stage0ToTable(
+        spark.readStream.schema(schema).json(srcDir),
+        Robots.parseRobots(Robots.fixture(spark)), "crawler-x", out)
+      .option("checkpointLocation", ck).start()
+
+    feed(1, Seq(1L, 6L, 9L))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop() // kill after the ledger commit
+    // the cascade can already run over the committed handoff
+    def cascadeIds() = Stage0Stream.cascadeInput(spark, out)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(cascadeIds() === Seq(1L, 9L), "6 is robots-blocked")
+    // arrivals while the front-end is down: 0/2 are canonical dupes of
+    // 1, 10 dupes 9, 7 is on the blocked host, 12 is genuinely new
+    feed(2, Seq(0L, 2L, 7L, 10L, 12L))
+    val q2 = start() // restart from the same checkpoint
+    q2.processAllAvailable(); q2.stop()
+    assert(cascadeIds() === Seq(1L, 9L, 12L),
+      "cross-restart dedup state held; the new doc arrived exactly once")
+    // a replayed already-committed batch must short-circuit at the
+    // ledger: the cascade input cannot change
+    graft.sinks.Sinks.idempotentAppend(
+      Seq((999L, "phantom", "x")).toDF("doc_id", "canon_url", "text"),
+      batchId = 0L, out)
+    assert(cascadeIds() === Seq(1L, 9L, 12L),
+      "replay of a committed batch is a no-op")
+  }
 }
