@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+  * LASER mining criterion; Schwenk et al.'s CCMatrix runs it at
+  * billions of sentences): candidate translation pairs between two
+  * monolingual embedding sides score by the RATIO MARGIN —
+  * `cos(x, y)` divided by the mean of the two directions' average
+  * k-NN cosines — because raw cosine is miscalibrated in hubby
+  * regions of embedding space: a pair is interesting when it is
+  * closer than its OWN neighborhoods predict (margin > 1), not when
+  * its absolute cosine is high. The mutual-best flag (x is y's
+  * nearest AND y is x's nearest) is the classic high-precision
+  * filter layered on top.
+  *
+  * Determinism discipline: per-pair cosines are the repo's strict
+  * double fold; the k-neighborhood AVERAGES quantize each cosine to
+  * `floor(cos·1e12)` and sum as DECIMAL(38,0) (order-free exact, the
+  * [[LateInteraction]] rule), so
+  * `margin = qcos·2k / (sumX + sumY)` is integer arithmetic until
+  * one final double division — engine-exact.
+  *
+  * Scale shape: neighborhoods here come from
+  * [[Similarity.bruteForceKnn]] over a BOUNDED query sample (the
+  * v1 eval discipline — the x-side queries broadcast, the y-side
+  * corpus scans once; the backward pass runs only for the ≤|sample|
+  * candidate ys). At 100 TB both directions swap brute for the
+  * staged multiprobe serve
+  * ([[Similarity.ivfMultiprobeKnnIndexed]]) — the margin math is
+  * agnostic to where the k-NN frames come from.
+  */
+object Bitext {
+
+  /** For each x-side query its best y-side candidate, ratio margin,
+    * and mutual-best flag.
+    *
+    * @param xs  one language side (idCol, vecCol)
+    * @param ys  the other side; id spaces must be disjoint
+    * @param queries the x-side query sample (⊆ xs)
+    * @param k   neighborhood size for the margin denominators
+    */
+  def marginPairs(xs: DataFrame, ys: DataFrame, queries: DataFrame,
+                  k: Int, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qc = floor(col("cos_sim") * lit(1e12)).cast("decimal(38,0)")
+    val fwd = Similarity.bruteForceKnn(ys, queries, k, idCol, vecCol)
+    val best = fwd.filter(col("rnk") === 1)
+      .select(col("q_id").as("x_id"), col("n_id").as("y_id"),
+        col("cos_sim"))
+    val sumX = fwd.groupBy(col("q_id").as("x_id"))
+      .agg(sum(qc).as("sum_x"))
+    val yCand = ys.join(
+      best.select(col("y_id").as(idCol)).distinct(), idCol)
+    val bwd = Similarity.bruteForceKnn(xs, yCand, k, idCol, vecCol)
+    val sumY = bwd.groupBy(col("q_id").as("y_id"))
+      .agg(sum(qc).as("sum_y"))
+    val bestBack = bwd.filter(col("rnk") === 1)
+      .select(col("q_id").as("y_id"), col("n_id").as("y_best_x"))
+    best.join(sumX, "x_id").join(sumY, "y_id").join(bestBack, "y_id")
+      .select(col("x_id"), col("y_id"), col("cos_sim"),
+        ((floor(col("cos_sim") * lit(1e12)) * lit(2L * k))
+          .cast("double") /
+          (col("sum_x") + col("sum_y")).cast("double")).as("margin"),
+        (col("y_best_x") === col("x_id")).as("mutual"))
+  }
+}

@@ -90,11 +90,16 @@ object Html {
     val id = col(idCol)
     val b1 = (id * 7 + 1) % 97
     val b2 = (id * 13 + 5) % 97
+    // anchor TEXT is bucket-derived (not constant) so inbound-anchor
+    // aggregation (t61) has real variety to group; hrefs are untouched
+    // — the t59 page graph is unaffected
     val a1 = concat(lit("<a href=\"https://www."), Urls.hostOf(b1),
       Urls.portOf(b1), Urls.pathQOf(b1),
-      lit("&utm_source=link\">l1</a>"))
+      lit("&utm_source=link\">see "), Urls.hostOf(b1),
+      lit(" page "), (b1 % 7).cast("string"), lit("</a>"))
     val a2 = concat(lit("<a href=\"https://"), Urls.hostOf(b2),
-      Urls.portOf(b2), Urls.pathQOf(b2), lit("#ref\">l2</a>"))
+      Urls.portOf(b2), Urls.pathQOf(b2), lit("#ref\">ref item "),
+      (b2 % 5).cast("string"), lit("</a>"))
     withHtmlPayload(docs, idCol, textCol).withColumn("html",
       concat(col("html"), lit("<div class=\"links\">"), a1, a2,
         lit("</div>")))
@@ -105,6 +110,26 @@ object Html {
     */
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("<a href=\"([^\"]*)\""), lit(1))
+
+  /** All anchors of an html column as (href, anchor) structs in
+    * document order — the inbound-anchor signal every web corpus
+    * mines (anchor text describes the TARGET page better than the
+    * page itself; the document-expansion idea behind ORCAS/MS-MARCO
+    * style training sets). One regexp pass pulls whole `<a>` elements
+    * (non-greedy across nested markup), then per-element projections
+    * split href from the tag-stripped, whitespace-collapsed text —
+    * all map-side array HOFs, no shuffle.
+    */
+  def extractAnchors(html: Column): Column = {
+    val els = regexp_extract_all(html,
+      lit("(?s)<a href=\"[^\"]*\"[^>]*>.*?</a>"), lit(0))
+    transform(els, el => struct(
+      regexp_extract(el, "<a href=\"([^\"]*)\"", 1).as("href"),
+      trim(regexp_replace(
+        regexp_replace(regexp_extract(el, "(?s)^[^>]*>(.*)</a>$", 1),
+          "<[^>]*>", " "),
+        "[ \t\n\r]+", " ")).as("anchor")))
+  }
 
   /** Rules 1–6 as one expression chain over an html column. */
   def extractText(html: Column): Column = {

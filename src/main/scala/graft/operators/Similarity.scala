@@ -1419,13 +1419,16 @@ object Similarity {
       count(lit(1)).as("n_cells"),
       sum(when(col("n_vec") > 0, 1L).otherwise(0L)).as("n_occupied"),
       max(col("n_vec")).as("max_cell")))
+    // nullif guards the EMPTY-index edge (an arrival prefix with no
+    // rows, a hostile fixture): ratios are null rather than an ANSI
+    // divide-by-zero; any real index has n_total >= 1
+    val totD = nullif(col("n_total").cast(DoubleType), lit(0.0))
     base.crossJoin(tot)
       .select(col("cell"), col("n_vec"),
-        (col("n_vec").cast(DoubleType) / col("n_total").cast(DoubleType))
-          .as("frac"),
+        (col("n_vec").cast(DoubleType) / totD).as("frac"),
         col("n_total"), col("n_cells"), col("n_occupied"),
         (col("max_cell").cast(DoubleType) * col("n_cells").cast(DoubleType) /
-          col("n_total").cast(DoubleType)).as("imbalance"))
+          totD).as("imbalance"))
   }
 
   def pqKnn(corpus: DataFrame, queries: DataFrame, cb: PqCodebook, k: Int,

@@ -260,6 +260,34 @@ object TextOps {
       graft.operators.Graph.pagerank(pageGraphIdx(s, dir), iters = 3)
     },
 
+    // inbound anchor-text aggregation: anchor text describes the
+    // TARGET page better than the page itself (the document-expansion
+    // signal behind ORCAS/MS-MARCO-style training sets and classic
+    // web ranking) — anchors parse map-side from the crawl HTML
+    // ([[Html.extractAnchors]]), the href canonicalizes to the target
+    // node, and per page the inlink count, anchor-variant count, and
+    // the prevailing anchor (count desc, text asc) aggregate in one
+    // exchange on the target page
+    "t61_anchor_text" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val an = graft.operators.Html.withLinkedHtmlPayload(docs(s, dir))
+        .select(explode(
+          graft.operators.Html.extractAnchors(col("html"))).as("a"))
+        .select(
+          graft.operators.Urls.canonicalUrl(col("a.href")).as("page"),
+          col("a.anchor").as("anchor"))
+      val ct = an.groupBy(col("page"), col("anchor"))
+        .agg(count(lit(1)).as("ct"))
+      val w = Window.partitionBy(col("page"))
+      ct.withColumn("n_inlinks", sum(col("ct")).over(w))
+        .withColumn("n_variants", count(lit(1)).over(w))
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("ct").desc, col("anchor"))))
+        .filter(col("rk") === 1)
+        .select(col("page"), col("n_inlinks"), col("n_variants"),
+          col("anchor").as("top_anchor"), col("ct").as("top_ct"))
+    },
+
     // ---- vocabulary-growth (Heaps' law) curve -----------------------------
     // cumulative distinct words at 8 corpus prefixes — the planning
     // input for every vocabulary-bound state (BPE, inverted indexes,
@@ -725,16 +753,22 @@ object TextOps {
       |  FROM l LEFT JOIN prev p ON p.doc_id = l.doc_id)"""
       .stripMargin.replace("SRC", src)
 
+  /** The bucket-keyed host SQL — mirrors `Urls.hostOf`; shared by
+    * [[sqlPageCore]] and the t61 anchor-text construction.
+    */
+  private def sqlHostOf(b: String): String =
+    s"""CASE CAST(($b) % 4 AS INT)
+       |      WHEN 0 THEN 'Example.COM'
+       |      WHEN 1 THEN 'news.example.com'
+       |      WHEN 2 THEN 'cdn.example.org'
+       |      ELSE 'blog.sample.net' END""".stripMargin
+
   /** The bucket-keyed page-identity SQL (host || port || path || real
     * query) over a bucket expression — mirrors `Urls.hostOf/portOf/
     * pathQOf`, shared by the t56 payload and the t59 link hrefs.
     */
   private def sqlPageCore(b: String): String =
-    s"""CASE CAST(($b) % 4 AS INT)
-       |      WHEN 0 THEN 'Example.COM'
-       |      WHEN 1 THEN 'news.example.com'
-       |      WHEN 2 THEN 'cdn.example.org'
-       |      ELSE 'blog.sample.net' END ||
+    s"""${sqlHostOf(b)} ||
        |    CASE WHEN ($b) % 5 = 0 THEN ':443' ELSE ':8080' END ||
        |    '/docs/article-' || CAST($b AS VARCHAR) ||
        |    '?page=' || CAST(($b) % 7 AS VARCHAR)""".stripMargin
@@ -1453,6 +1487,51 @@ object TextOps {
          |SELECT node, CAST(r AS BIGINT) AS rank_units,
          |  CAST(r AS DOUBLE) / ${total.toDouble} AS rank
          |FROM r3""".stripMargin
+    },
+
+    // inbound-anchor replay: both link legs re-CONSTRUCT their hrefs
+    // and anchor text from the doc-id math (the t55/t59 discipline —
+    // the Spark side PARSES what the payload constructed, so the
+    // construction replay validates the parse end to end), hrefs run
+    // the shared canonicalization chain, then the same
+    // count/window/prevailing-pick
+    "t61_anchor_text" -> {
+      val b1 = "(doc_id * 7 + 1) % 97"
+      val b2 = "(doc_id * 13 + 5) % 97"
+      s"""WITH l1u AS (
+         |  SELECT doc_id,
+         |    'https://www.' || ${sqlPageCore(b1)} ||
+         |    '&utm_source=link' AS url
+         |  FROM documents),
+         |${sqlCanonCtes("l1")},
+         |l2u AS (
+         |  SELECT doc_id,
+         |    'https://' || ${sqlPageCore(b2)} || '#ref' AS url
+         |  FROM documents),
+         |${sqlCanonCtes("l2")},
+         |an AS (
+         |  SELECT canon_url AS page,
+         |    'see ' || ${sqlHostOf(b1)} || ' page ' ||
+         |      CAST((($b1)) % 7 AS VARCHAR) AS anchor
+         |  FROM l1c
+         |  UNION ALL
+         |  SELECT canon_url AS page,
+         |    'ref item ' || CAST((($b2)) % 5 AS VARCHAR) AS anchor
+         |  FROM l2c),
+         |ct AS (
+         |  SELECT page, anchor, CAST(COUNT(*) AS BIGINT) AS ct
+         |  FROM an GROUP BY 1, 2)
+         |SELECT page, n_inlinks, n_variants, anchor AS top_anchor,
+         |  ct AS top_ct
+         |FROM (
+         |  SELECT page, anchor, ct,
+         |    CAST(SUM(ct) OVER (PARTITION BY page) AS BIGINT)
+         |      AS n_inlinks,
+         |    COUNT(*) OVER (PARTITION BY page) AS n_variants,
+         |    ROW_NUMBER() OVER (PARTITION BY page
+         |      ORDER BY ct DESC, anchor) AS rk
+         |  FROM ct)
+         |WHERE rk = 1""".stripMargin
     },
 
     // per-domain crawl governance: t56's URL payload + dedup keepers,

@@ -553,6 +553,19 @@ object VectorOps {
             .over(Window.partitionBy()))
     },
 
+    // margin-based bitext mining (Artetxe & Schwenk: the LASER/
+    // CCMatrix criterion): even/odd vec_ids play the two language
+    // sides; per sampled x its best y, the ratio margin over both
+    // directions' quantized-decimal k-NN neighborhood sums, and the
+    // mutual-best flag — the parallel-corpus miner's scoring row
+    "v37_bitext_margin" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val xs = e.filter(col("vec_id") % 2 === 0)
+      val ys = e.filter(col("vec_id") % 2 === 1)
+      graft.operators.Bitext.marginPairs(xs, ys,
+        xs.filter(col("vec_id") % 50 === 0), k = 4)
+    },
+
     // the planning row for the residual encoding: recall@3 of the
     // raw-space serve (v26's index) vs the residual serve (v33's)
     // against the ONE staged brute truth — same (m, k), same
@@ -1388,6 +1401,54 @@ object VectorOps {
          |  CAST(t.max_cell AS DOUBLE) * CAST(t.n_cells AS DOUBLE)
          |    / CAST(t.n_total AS DOUBLE) AS imbalance
          |FROM base b CROSS JOIN tot t""".stripMargin,
+
+    // bitext-margin replay: both k-NN directions as rank CTEs over
+    // the even/odd sides, neighborhood sums as
+    // SUM(DECIMAL(38,0) floor(cos·1e12)) (order-free exact), margin =
+    // qcos·2k over the summed denominators with ONE final double
+    // division — the same fold discipline as every cosine row
+    "v37_bitext_margin" ->
+      s"""WITH en AS ($sqlWithNorm),
+         |xs AS (SELECT * FROM en WHERE vec_id % 2 = 0),
+         |ys AS (SELECT * FROM en WHERE vec_id % 2 = 1),
+         |qs AS (SELECT * FROM xs WHERE vec_id % 50 = 0),
+         |fwd AS (
+         |  SELECT q.vec_id AS x_id, y.vec_id AS n_id,
+         |    ${sqlCos("q.embedding", "y.embedding", "q.nrm", "y.nrm")} AS cs,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "y.embedding", "q.nrm", "y.nrm")} DESC,
+         |               y.vec_id) AS rnk
+         |  FROM qs q CROSS JOIN ys y),
+         |fk AS (SELECT * FROM fwd WHERE rnk <= 4),
+         |sx AS (
+         |  SELECT x_id, SUM(CAST(FLOOR(cs * 1e12) AS DECIMAL(38,0)))
+         |    AS sum_x
+         |  FROM fk GROUP BY x_id),
+         |best AS (
+         |  SELECT x_id, n_id AS y_id, cs AS cos_sim
+         |  FROM fk WHERE rnk = 1),
+         |bq AS (SELECT DISTINCT y_id FROM best),
+         |bwd AS (
+         |  SELECT y.vec_id AS y_id, x.vec_id AS n_id,
+         |    ${sqlCos("y.embedding", "x.embedding", "y.nrm", "x.nrm")} AS cs,
+         |    ROW_NUMBER() OVER (PARTITION BY y.vec_id
+         |      ORDER BY ${sqlCos("y.embedding", "x.embedding", "y.nrm", "x.nrm")} DESC,
+         |               x.vec_id) AS rnk
+         |  FROM ys y JOIN bq ON bq.y_id = y.vec_id CROSS JOIN xs x),
+         |bk AS (SELECT * FROM bwd WHERE rnk <= 4),
+         |sy AS (
+         |  SELECT y_id, SUM(CAST(FLOOR(cs * 1e12) AS DECIMAL(38,0)))
+         |    AS sum_y
+         |  FROM bk GROUP BY y_id),
+         |bb AS (SELECT y_id, n_id AS y_best_x FROM bk WHERE rnk = 1)
+         |SELECT b.x_id, b.y_id, b.cos_sim,
+         |  (FLOOR(b.cos_sim * 1e12) * 8)
+         |    / CAST(s1.sum_x + s2.sum_y AS DOUBLE) AS margin,
+         |  bb.y_best_x = b.x_id AS mutual
+         |FROM best b
+         |JOIN sx s1 ON s1.x_id = b.x_id
+         |JOIN sy s2 ON s2.y_id = b.y_id
+         |JOIN bb ON bb.y_id = b.y_id""".stripMargin,
 
     // retrain-trigger replay: the v35 assignment CTEs, a global
     // (cell, vec_id) arrival rank, 8 integer-division prefixes, the

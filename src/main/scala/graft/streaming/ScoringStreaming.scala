@@ -416,7 +416,8 @@ object ScoringStreaming {
     df.groupBy(col(idCol))
       .agg(max_by(struct(rest.map(col).toSeq: _*), col("batch_id"))
         .as("_r"))
-      .select(col(idCol) +: rest.map(c => col(s"_r.$c").as(c)): _*)
+      .select((col(idCol) +: rest.map(c =>
+        col(s"_r.$c").as(c)).toSeq): _*)
   }
 
   /** Bootstrap (or manually publish) a generation: persist its

@@ -109,4 +109,34 @@ class HtmlSpec extends AnyFunSuite {
     assert(rawHref.contains("www.") && rawHref.contains("utm_source=link"))
     assert(rawHref !== linkCanon)
   }
+
+  test("extractAnchors pairs each href with its tag-stripped anchor text") {
+    val html = """<a href="https://a.com/x">one <b>bold</b></a> mid
+      |<a href="https://b.com/y" class="z">two
+      |lines</a><a href="https://c.com">three</a>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(explode(Html.extractAnchors(col("h"))).as("a"))
+      .select(col("a.href"), col("a.anchor"))
+      .as[(String, String)].collect().toSeq
+    assert(got === Seq(
+      ("https://a.com/x", "one bold"),   // inner tags strip to spaces
+      ("https://b.com/y", "two lines"),  // newlines collapse
+      ("https://c.com", "three")))       // adjacent anchors don't merge
+  }
+
+  test("linked payload anchors: construction math = extraction, bucket-varied text") {
+    val docs = (0L until 12L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val anchors = Html.withLinkedHtmlPayload(docs)
+      .select(col("doc_id"),
+        explode(Html.extractAnchors(col("html"))).as("a"))
+      .select(col("doc_id"), col("a.href"), col("a.anchor"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(anchors.size === 24, "two anchors per doc")
+    // doc 0: b1 = 1 -> host news.example.com, b1 % 7 = 1;
+    //        b2 = 5 -> host news.example.com, b2 % 5 = 0
+    val d0 = anchors.filter(_._1 == 0L).map(_._3)
+    assert(d0 === Seq("see news.example.com page 1", "ref item 0"))
+    // text varies across buckets (the t61 grouping has real variety)
+    assert(anchors.map(_._3).distinct.size > 4)
+  }
 }
