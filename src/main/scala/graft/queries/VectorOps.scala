@@ -533,9 +533,20 @@ object VectorOps {
       import org.apache.spark.sql.expressions.Window
       val e = emb(s, dir)
       val cents = e.filter(col("vec_id") < 8)
-      val ranked = pqIndexIdx(s, dir).select(col("vec_id"), col("cell"))
-        .withColumn("arr",
-          row_number().over(Window.orderBy(col("cell"), col("vec_id"))))
+      val idx = pqIndexIdx(s, dir).select(col("vec_id"), col("cell"))
+      // the global (cell, vec_id) arrival rank WITHOUT a global sort:
+      // per-cell windows (partitioned) + a broadcast of cumulative
+      // cell-size offsets (a centroid-sized frame) — identical rank
+      // values, but the corpus never funnels through one partition
+      val offsets = idx.groupBy(col("cell"))
+        .agg(count(lit(1)).as("csz"))
+        .withColumn("off", coalesce(
+          sum(col("csz")).over(Window.orderBy(col("cell"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("cell"), col("off"))
+      val ranked = idx.join(broadcast(offsets), "cell")
+        .withColumn("arr", col("off") + row_number().over(
+          Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
       val n = broadcast(ranked.agg(count(lit(1)).as("n")))
       val legs = (1 to 8).map { p =>
         val pref = ranked.crossJoin(n)

@@ -755,7 +755,39 @@ object ScaleSmoke {
       // code-carrying index scan exactly like ivfpqserve
       bench("residserve", resIdx1, resIdxN, idx =>
         Similarity.pqScoreCodesIndexedResidual(idx, queries, cents8,
-          resCb, k = 3, nprobe = 2)))
+          resCb, k = 3, nprobe = 2)),
+      // t61: anchor aggregation — anchor parse + canonicalization are
+      // map-side; the group-by-page exchange and its windows grow with
+      // the (linearly growing) page space; forced through the inlink
+      // sum so the windows can't be pruned by a bare count
+      benchAction[DataFrame]("t61", d1x, dNx, { d =>
+        import org.apache.spark.sql.expressions.Window
+        val an = graft.operators.Html.withLinkedHtmlPayload(d)
+          .select(explode(
+            graft.operators.Html.extractAnchors(col("html"))).as("a"))
+          .select(graft.operators.Urls.canonicalUrl(col("a.href"))
+            .as("page"), col("a.anchor").as("anchor"))
+        val w = Window.partitionBy(col("page"))
+        an.groupBy(col("page"), col("anchor"))
+          .agg(count(lit(1)).as("ct"))
+          .withColumn("n_inlinks", sum(col("ct")).over(w))
+          .withColumn("rk", row_number().over(
+            w.orderBy(col("ct").desc, col("anchor"))))
+          .filter(col("rk") === 1)
+          .agg(sum(col("n_inlinks"))).collect(); ()
+      }),
+      // bitext: v37 — margin mining with the FIXED base query sample
+      // (the fixed-query-set convention): the forward brute leg scans
+      // the growing y side once per query batch, the backward leg is
+      // bounded by the candidate count, so the whole miner must track
+      // the corpus scan, never corpus x corpus
+      benchAction[DataFrame]("bitext", e1x, eNx, { e =>
+        val xs = e.filter(col("vec_id") % 2 === 0)
+        val ys = e.filter(col("vec_id") % 2 === 1)
+        graft.operators.Bitext.marginPairs(xs, ys,
+            queries.filter(col("vec_id") % 2 === 0), k = 4)
+          .agg(sum(col("margin"))).collect(); ()
+      }))
 
     val bar = factor * 2.5
     val bad = ratios.filter(_._2 > bar)

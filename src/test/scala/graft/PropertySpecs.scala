@@ -464,6 +464,56 @@ class PropertySpecs extends AnyFunSuite {
     }
   }
 
+  test("BPE training: in-core and distributed paths identical on generated corpora") {
+    // the size-adaptive dispatch (Bpe.train) must be invisible: for
+    // arbitrary corpora, the zero-jobs in-core loop and the
+    // distributed incremental loop learn the SAME merges with the
+    // SAME counts (same argmax total order, same left-to-right
+    // non-overlapping apply). Path equality over generated inputs is
+    // strictly stronger than the fixture pin in BpeTrainSpec.
+    val corpora = (0 until 6).map { c =>
+      sample(docGen, 12, seed = 100L + c).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+    }
+    corpora.zipWithIndex.foreach { case (docs, c) =>
+      val df = docs.toDF("doc_id", "text")
+      def run(thr: Long) = graft.functions.Bpe
+        .train(df, nMerges = 6, localVocabThreshold = thr)
+        .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+      assert(run(2000000L) === run(0L), s"corpus $c: $docs")
+    }
+  }
+
+  test("extractAnchors round-trips generated anchor lists") {
+    // html built FROM generated (href, anchor) pairs must parse back
+    // to exactly those pairs (after the documented tag-strip +
+    // whitespace-collapse normalization)
+    val hrefGen = Gen.chooseNum(0, 9999)
+      .map(n => s"https://h$n.example.com/p/$n")
+    val anchorGen = Gen.chooseNum(1, 4)
+      .flatMap(n => Gen.listOfN(n,
+        Gen.oneOf("read", "more", "b<i>x</i>", "a  b", "q&a")))
+      .map(_.mkString(" "))
+    val pairGen = for { h <- hrefGen; a <- anchorGen } yield (h, a)
+    val listGen = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, pairGen))
+    val cases = sample(listGen, 40, seed = 7L)
+    val html = cases.zipWithIndex.map { case (ps, i) =>
+      (i.toLong, ps.map { case (h, a) =>
+        s"""<p>noise</p><a href="$h" class="x">$a</a>"""
+      }.mkString(" mid "))
+    }
+    val got = html.toDF("id", "h")
+      .select(col("id"),
+        graft.operators.Html.extractAnchors(col("h")).as("as"))
+      .as[(Long, Seq[(String, String)])].collect().toMap
+    def normalize(a: String): String =
+      a.replaceAll("<[^>]*>", " ").replaceAll("[ \t\n\r]+", " ").trim
+    cases.zipWithIndex.foreach { case (ps, i) =>
+      assert(got(i.toLong) === ps.map { case (h, a) => (h, normalize(a)) },
+        s"case $i: $ps")
+    }
+  }
+
   test("hash embeddings equal the md5 bucket/sign reference for generated docs") {
     val docs = sample(docGen, 80).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     for (dims <- Seq(8, 64)) {
