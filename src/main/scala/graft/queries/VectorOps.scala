@@ -544,20 +544,40 @@ object VectorOps {
           sum(col("csz")).over(Window.orderBy(col("cell"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("cell"), col("off"))
-      val ranked = idx.join(broadcast(offsets), "cell")
+      val n = broadcast(idx.agg(count(lit(1)).as("n")))
+      // SINGLE corpus pass for all 8 prefixes: each row's FIRST
+      // containing prefix is ceil(8·arr / n) (row ∈ prefix p iff
+      // arr ≤ (p·n) DIV 8 ⟺ p·n ≥ 8·arr), so one (cell, bkt) count
+      // + a tiny cells×8 cumulative grid reproduce every prefix's
+      // per-cell occupancy — the 8-leg union re-scanned the index per
+      // prefix (measured 2.9 s vs 0.1 s DuckDB; this is the honest
+      // one-aggregation shape)
+      val bucketed = idx.join(broadcast(offsets), "cell")
         .withColumn("arr", col("off") + row_number().over(
           Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
-      val n = broadcast(ranked.agg(count(lit(1)).as("n")))
-      val legs = (1 to 8).map { p =>
-        val pref = ranked.crossJoin(n)
-          .filter(col("arr") <= expr(s"($p * n) DIV 8"))
-          .select(col("vec_id"), col("cell"))
-        Similarity.indexStats(pref, cents)
-          .select(lit(p).cast("long").as("prefix_i"), col("n_total"),
-            col("n_occupied"), col("imbalance"))
-          .distinct()
-      }
-      legs.reduce(_ unionByName _)
+        .crossJoin(n)
+        .groupBy(col("cell"),
+          expr("(8 * arr + n - 1) DIV n").as("bkt"))
+        .agg(count(lit(1)).as("c"))
+      val ps = s.range(1, 9).select(col("id").as("p"))
+      val nvec = broadcast(cents.select(col("vec_id").as("cell")))
+        .crossJoin(broadcast(ps))
+        .join(bucketed.withColumnRenamed("cell", "bcell"),
+          col("cell") === col("bcell") && col("bkt") <= col("p"),
+          "left")
+        .groupBy(col("p"), col("cell"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_vec"))
+      nvec.groupBy(col("p"))
+        .agg(sum(col("n_vec")).as("n_total"),
+          count(lit(1)).as("n_cells"),
+          sum(when(col("n_vec") > 0, 1L).otherwise(0L))
+            .as("n_occupied"),
+          max(col("n_vec")).as("max_cell"))
+        .select(col("p").as("prefix_i"), col("n_total"),
+          col("n_occupied"),
+          (col("max_cell").cast("double") * col("n_cells").cast("double") /
+            nullif(col("n_total").cast("double"), lit(0.0)))
+            .as("imbalance"))
         .withColumn("fired", col("imbalance") > 2.0)
         .withColumn("fires_at",
           min(when(col("fired"), col("prefix_i")))
