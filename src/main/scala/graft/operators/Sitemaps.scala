@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sitemap.xml parsing and crawl-coverage auditing — the OTHER
+  * crawl-control file (sitemaps.org protocol; [[Robots]] covers RFC
+  * 9309): a site publishes the URLs it WANTS crawled with optional
+  * `lastmod`/`changefreq` hints, and a crawl pipeline audits its
+  * frontier against them — which listed pages are already in the
+  * corpus, which are missing, and in what order to (re)fetch the
+  * rest. Like robots files, sitemaps are a tiny per-authority corpus
+  * (broadcast side); the crawl's canonical-URL set is the
+  * corpus-scale side, so the audit is one broadcast join against the
+  * URL-dedup keepers.
+  *
+  * Supported subset, documented: `<url>` blocks with `<loc>`
+  * (required; entries without one are dropped per the protocol) and
+  * optional `<lastmod>`/`<changefreq>`; `<sitemapindex>` nesting is a
+  * fetch-layer concern (the harness feeds leaf sitemaps, the way it
+  * feeds robots bodies). Parsing is the [[Html.extractAnchors]]
+  * shape: one regexp pass pulls whole blocks, per-block projections
+  * split the fields — map-side, no shuffle.
+  */
+object Sitemaps {
+
+  /** Deterministic per-host sitemap fixture over the t56 URL space —
+    * shared VERBATIM with the SQL oracle (the rows ARE the fixture;
+    * both engines parse the same bytes). Per host: listed locs that
+    * canonicalize onto real page buckets (crawled), one far-bucket
+    * loc no corpus reaches (uncrawled — the fetch-frontier case),
+    * deliberate canonicalization dirt (WWW., :443, tracking params),
+    * and one edge per family: a missing lastmod, a missing
+    * changefreq, and a loc-less block that must drop.
+    */
+  val fixtureRows: Seq[(String, String)] = Seq(
+    "example.com" -> Seq(
+      "<urlset>",
+      "<url><loc>https://WWW.Example.COM:443/docs/article-0?page=0" +
+        "&amp;utm_source=sm</loc>" +
+        "<lastmod>2024-01-05</lastmod>" +
+        "<changefreq>daily</changefreq></url>",
+      "<url><loc>https://Example.COM:8080/docs/article-4?page=4</loc>" +
+        "<lastmod>2024-02-11</lastmod></url>",
+      "<url><loc>https://example.com:8080/docs/article-40004?page=3" +
+        "</loc><changefreq>yearly</changefreq></url>",
+      "<url><lastmod>2024-03-01</lastmod></url>",
+      "</urlset>").mkString("\n"),
+    "news.example.com" -> Seq(
+      "<urlset>",
+      "<url><loc>https://news.example.com:8080/docs/article-1?page=1" +
+        "</loc><lastmod>2024-03-09</lastmod>" +
+        "<changefreq>hourly</changefreq></url>",
+      "<url><loc>https://news.example.com:443/docs/article-5?page=5" +
+        "</loc><lastmod>2023-12-30</lastmod></url>",
+      "<url><loc>https://news.example.com:8080/docs/article-40001" +
+        "?page=4</loc></url>",
+      "</urlset>").mkString("\n"),
+    "cdn.example.org" -> Seq(
+      "<urlset>",
+      "<url><loc>https://cdn.example.org:8080/docs/article-2?page=2" +
+        "</loc><lastmod>2024-01-20</lastmod></url>",
+      "<url><loc>https://cdn.example.org:8080/docs/article-40002" +
+        "?page=5</loc><lastmod>2024-04-02</lastmod></url>",
+      "</urlset>").mkString("\n"),
+    "blog.sample.net" -> Seq(
+      "<urlset>",
+      "<url><loc>https://blog.sample.net:8080/docs/article-3?page=3" +
+        "</loc><changefreq>weekly</changefreq></url>",
+      "</urlset>").mkString("\n"))
+
+  def fixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    fixtureRows.toDF("host", "sitemap_xml")
+  }
+
+  /** sitemap files → one row per listed URL: (host, loc, lastmod,
+    * changefreq). Entities in `loc` decode (`&amp;` — sitemap locs
+    * are XML-escaped by the protocol); blocks without a `<loc>` drop;
+    * missing optional fields are null. One regexp pass per file +
+    * per-block projections, all map-side.
+    */
+  def parseSitemap(sitemaps: DataFrame, hostCol: String = "host",
+                   xmlCol: String = "sitemap_xml"): DataFrame = {
+    def field(el: Column, tag: String): Column = {
+      val v = regexp_extract(el, s"(?s)<$tag>(.*?)</$tag>", 1)
+      when(length(v) > 0, v).otherwise(lit(null).cast("string"))
+    }
+    sitemaps.select(col(hostCol).as("host"),
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?s)<url>.*?</url>"), lit(0))).as("el"))
+      .select(col("host"),
+        replace(field(col("el"), "loc"), lit("&amp;"), lit("&"))
+          .as("loc"),
+        field(col("el"), "lastmod").as("lastmod"),
+        field(col("el"), "changefreq").as("changefreq"))
+      .filter(col("loc").isNotNull)
+  }
+
+  /** The crawl-coverage audit: every sitemap-listed URL against the
+    * crawl's canonical-URL set — `crawled` per listed loc, plus the
+    * per-host fetch-priority rank (uncrawled first, then freshest
+    * lastmod, then loc — the order a frontier would schedule). The
+    * parsed sitemap side is per-authority tiny (broadcast); the crawl
+    * side is the corpus-scale canonical set, already deduped —
+    * at 100 TB this is one broadcast hash join against the URL-dedup
+    * keepers table, no shuffle of the corpus.
+    */
+  def coverageAudit(parsed: DataFrame, crawledCanon: DataFrame,
+                    canonCol: String = "canon_url"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val listed = parsed.withColumn("canon_loc",
+      Urls.canonicalUrl(col("loc")))
+    // Two broadcast passes so the corpus side never shuffles: a
+    // map-side LEFT SEMI against the broadcast listed keys cuts the
+    // corpus down to the (tiny) hit set, then the hit set broadcasts
+    // back onto the listed rows. (A plain left join with `listed` on
+    // the preserved side could not broadcast the small side — left
+    // outer only broadcasts the right — and would sort-merge the
+    // corpus instead.)
+    val keys = listed.select(col("canon_loc")).distinct()
+    val hits = crawledCanon.select(col(canonCol).as("canon_loc"))
+      .join(broadcast(keys), Seq("canon_loc"), "leftsemi")
+      .distinct()
+      .withColumn("_hit", lit(true))
+    val joined = listed
+      .join(broadcast(hits), Seq("canon_loc"), "left")
+      .select(col("host"), col("loc"), col("canon_loc"),
+        col("lastmod"), col("changefreq"),
+        coalesce(col("_hit"), lit(false)).as("crawled"))
+    val w = Window.partitionBy(col("host")).orderBy(
+      col("crawled").asc,
+      coalesce(col("lastmod"), lit("0000-00-00")).desc,
+      col("loc").asc)
+    joined.withColumn("fetch_rank", row_number().over(w))
+  }
+}

@@ -249,6 +249,22 @@ object TextOps {
         agent = "crawler-x")
     },
 
+    // sitemap coverage audit — the OTHER crawl-control file
+    // (sitemaps.org; t60 covers robots.txt): per-host sitemaps parse
+    // map-side, listed locs canonicalize, and one broadcast join
+    // against the crawl's canonical URL set flags crawled/missing
+    // with the per-host fetch-priority order (uncrawled first, then
+    // freshest lastmod)
+    "t62_sitemap_audit" -> { (s, dir) =>
+      val crawled = graft.operators.Urls.withUrlPayload(docs(s, dir))
+        .select(graft.operators.Urls.canonicalUrl(col("url"))
+          .as("canon_url"))
+      graft.operators.Sitemaps.coverageAudit(
+        graft.operators.Sitemaps.parseSitemap(
+          graft.operators.Sitemaps.fixture(s)),
+        crawled)
+    },
+
     // the web link graph from crawl HTML: hrefs extracted (one regexp
     // pass), both endpoints canonicalized (the same page linked five
     // dirty ways must be ONE node), integer pagerank over the page
@@ -1487,6 +1503,55 @@ object TextOps {
          |SELECT node, CAST(r AS BIGINT) AS rank_units,
          |  CAST(r AS DOUBLE) / ${total.toDouble} AS rank
          |FROM r3""".stripMargin
+    },
+
+    // sitemap replay: the fixture bytes render verbatim (the robots
+    // discipline — both engines parse the same bytes), url blocks and
+    // fields split with the same lazy regexes, locs run the shared
+    // canonicalization chain keyed by a deterministic row number, the
+    // crawled set is t56's canonical payload, and the fetch rank is
+    // the same (crawled, lastmod desc, loc) window
+    "t62_sitemap_audit" -> {
+      val sm = graft.operators.Sitemaps.fixtureRows.map { case (h, xml) =>
+        val lits = xml.split("\n")
+          .map(l => "'" + l.replace("'", "''") + "'")
+          .mkString(" || chr(10) || ")
+        s"('$h', $lits)"
+      }.mkString(",\n  ")
+      s"""WITH ${sqlUrlCtes("SELECT doc_id FROM documents")},
+         |crawled AS (SELECT DISTINCT canon_url FROM c),
+         |sm(host, xml) AS (SELECT * FROM (VALUES
+         |  $sm)),
+         |els AS (
+         |  SELECT host,
+         |    unnest(regexp_extract_all(xml, '(?s)<url>.*?</url>', 0))
+         |      AS el
+         |  FROM sm),
+         |fields AS (
+         |  SELECT host,
+         |    replace(NULLIF(regexp_extract(el,
+         |      '(?s)<loc>(.*?)</loc>', 1), ''), '&amp;', '&') AS loc,
+         |    NULLIF(regexp_extract(el,
+         |      '(?s)<lastmod>(.*?)</lastmod>', 1), '') AS lastmod,
+         |    NULLIF(regexp_extract(el,
+         |      '(?s)<changefreq>(.*?)</changefreq>', 1), '')
+         |      AS changefreq
+         |  FROM els),
+         |listed AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY host, loc) AS lid
+         |  FROM fields WHERE loc IS NOT NULL),
+         |lmu AS (SELECT lid AS doc_id, loc AS url FROM listed),
+         |${sqlCanonCtes("lm")}
+         |SELECT l.host, l.loc, cc.canon_url AS canon_loc, l.lastmod,
+         |  l.changefreq,
+         |  cr.canon_url IS NOT NULL AS crawled,
+         |  ROW_NUMBER() OVER (PARTITION BY l.host
+         |    ORDER BY (cr.canon_url IS NOT NULL) ASC,
+         |      COALESCE(l.lastmod, '0000-00-00') DESC, l.loc ASC)
+         |    AS fetch_rank
+         |FROM listed l
+         |JOIN lmc cc ON cc.doc_id = l.lid
+         |LEFT JOIN crawled cr ON cr.canon_url = cc.canon_url""".stripMargin
     },
 
     // inbound-anchor replay: both link legs re-CONSTRUCT their hrefs

@@ -787,6 +787,20 @@ object ScaleSmoke {
         graft.operators.Bitext.marginPairs(xs, ys,
             queries.filter(col("vec_id") % 2 === 0), k = 4)
           .agg(sum(col("margin"))).collect(); ()
+      }),
+      // t62: sitemap coverage audit — the parsed sitemap side is
+      // file-sized (fixed); the corpus-scale crawled set rides ONE
+      // map-side broadcast semi-join (never shuffles), so the whole
+      // audit must track the corpus scan; forced through the
+      // fetch-rank sum so the window can't be pruned
+      benchAction[DataFrame]("t62", d1x, dNx, { d =>
+        val crawled = graft.operators.Urls.withUrlPayload(d)
+          .select(graft.operators.Urls.canonicalUrl(col("url"))
+            .as("canon_url"))
+        graft.operators.Sitemaps.coverageAudit(
+            graft.operators.Sitemaps.parseSitemap(
+              graft.operators.Sitemaps.fixture(spark)), crawled)
+          .agg(sum(col("fetch_rank"))).collect(); ()
       }))
 
     val bar = factor * 2.5

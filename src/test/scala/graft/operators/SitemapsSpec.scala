@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins [[Sitemaps]] — `<url>` block parsing (loc required, optional
+  * fields null, entity decode), the coverage audit's crawled flag via
+  * the canonicalization chain, and the per-host fetch-priority order
+  * (uncrawled first, then freshest lastmod, then loc).
+  */
+class SitemapsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def parsed = Sitemaps.parseSitemap(Sitemaps.fixture(spark))
+
+  test("parse: one row per url block; loc-less blocks drop; optional fields null") {
+    val got = parsed
+      .as[(String, String, Option[String], Option[String])].collect()
+    // example.com fixture has 4 blocks but one has no <loc>
+    assert(got.count(_._1 == "example.com") === 3)
+    assert(got.length === 9)
+    // &amp; in loc decodes
+    val a0 = got.find(_._2.contains("article-0")).get
+    assert(a0._2.contains("page=0&utm_source=sm"))
+    assert(a0._3 === Some("2024-01-05"))
+    assert(a0._4 === Some("daily"))
+    // missing optional fields are null, not empty
+    val a4 = got.find(_._2.contains("article-4?")).get
+    assert(a4._3 === Some("2024-02-11") && a4._4 === None)
+    val a3 = got.find(_._2.contains("article-3")).get
+    assert(a3._3 === None && a3._4 === Some("weekly"))
+  }
+
+  test("audit: crawled flag via canonicalization; dirt (WWW., :443, utm) matches") {
+    val crawled = Seq(
+      "https://example.com/docs/article-0?page=0",
+      "https://example.com:8080/docs/article-4?page=4")
+      .toDF("canon_url")
+    val m = Sitemaps.coverageAudit(parsed, crawled)
+      .filter(col("host") === "example.com")
+      .select(col("loc"), col("crawled"))
+      .as[(String, Boolean)].collect().toMap
+    // WWW. + :443 + utm_source dirt all canonicalize onto the hit
+    assert(m.keys.count(_.contains("article-0")) === 1)
+    assert(m.find(_._1.contains("article-0")).get._2 === true)
+    assert(m.find(_._1.contains("article-4?")).get._2 === true)
+    assert(m.find(_._1.contains("article-40004")).get._2 === false)
+  }
+
+  test("fetch rank: uncrawled first, then freshest lastmod, then loc; per host") {
+    val crawled = Seq(
+      "https://news.example.com:8080/docs/article-1?page=1",
+      "https://news.example.com/docs/article-5?page=5")
+      .toDF("canon_url")
+    val ranks = Sitemaps.coverageAudit(parsed, crawled)
+      .filter(col("host") === "news.example.com")
+      .select(col("loc"), col("fetch_rank"))
+      .as[(String, Int)].collect().toMap
+    // uncrawled article-40001 schedules first; then the two crawled
+    // by lastmod desc (2024-03-09 before 2023-12-30)
+    assert(ranks.find(_._1.contains("article-40001")).get._2 === 1)
+    assert(ranks.find(_._1.contains("article-1?")).get._2 === 2)
+    assert(ranks.find(_._1.contains("article-5?")).get._2 === 3)
+  }
+
+  test("audit plan: corpus side never shuffles — semi-join + final join both broadcast") {
+    val crawled = Seq("https://example.com/docs/article-0?page=0")
+      .toDF("canon_url")
+    val plan = Sitemaps.coverageAudit(parsed, crawled)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"))
+    // the only sort-merge allowed is none: the corpus leg must not
+    // exchange on canon_loc
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
