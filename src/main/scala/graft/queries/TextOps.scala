@@ -265,6 +265,17 @@ object TextOps {
         crawled)
     },
 
+    // corpus-wide line-level boilerplate removal (CCNet/RefinedWeb):
+    // a line recurring in >= 4 DISTINCT docs is chrome and is cut
+    // from every doc; the payload's host header/footer and nav lines
+    // die, the <= 3-doc `page b` line survives (the threshold
+    // boundary), content chunks rejoin in original order
+    "t63_line_dedup" -> { (s, dir) =>
+      graft.operators.Boilerplate.lineDedup(
+        graft.operators.Boilerplate.withLinePayload(docs(s, dir)),
+        textCol = "page_text")
+    },
+
     // the web link graph from crawl HTML: hrefs extracted (one regexp
     // pass), both endpoints canonicalized (the same page linked five
     // dirty ways must be ONE node), integer pagerank over the page
@@ -1553,6 +1564,48 @@ object TextOps {
          |JOIN lmc cc ON cc.doc_id = l.lid
          |LEFT JOIN crawled cr ON cr.canon_url = cc.canon_url""".stripMargin
     },
+
+    // line-dedup replay: the page payload constructs IDENTICALLY
+    // (host header/footer, nav, 8-word content chunks — the d10
+    // slicing shape, the page-bucket line), lines index via the
+    // range-unnest pattern, document frequency is the same
+    // doc-distinct-then-count, and the rebuild is an idx-ordered
+    // string_agg skipping flagged lines (sums cast to BIGINT per the
+    // HUGEINT discipline)
+    "t63_line_dedup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'home | about | contact | ' || ${sqlHostOf("doc_id")}
+         |    || chr(10) ||
+         |    'section ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+         |    array_to_string(list_transform(
+         |      range(0, CAST(ceil(
+         |        len(string_split(text, ' ')) / 8.0) AS BIGINT)),
+         |      j -> array_to_string((string_split(text, ' '))
+         |        [CAST(j*8+1 AS INT) : CAST(j*8+8 AS INT)], ' ')),
+         |      chr(10)) || chr(10) ||
+         |    'page ' || CAST(doc_id // 3 AS VARCHAR) || chr(10) ||
+         |    'copyright 2024 ' || ${sqlHostOf("doc_id")} AS page_text
+         |  FROM documents WHERE text IS NOT NULL),
+         |l AS (
+         |  SELECT doc_id, unnest(range(0, len(ls))) AS idx, ls
+         |  FROM (SELECT doc_id,
+         |          string_split(page_text, chr(10)) AS ls FROM u)),
+         |lx AS (
+         |  SELECT doc_id, idx, ls[CAST(idx + 1 AS INT)] AS line FROM l),
+         |f AS (
+         |  SELECT line FROM (SELECT DISTINCT line, doc_id FROM lx)
+         |  GROUP BY line HAVING count(*) >= 4)
+         |SELECT lx.doc_id,
+         |  COALESCE(string_agg(CASE WHEN f.line IS NULL THEN lx.line END,
+         |    chr(10) ORDER BY lx.idx), '') AS clean_text,
+         |  count(*) AS n_lines,
+         |  CAST(SUM(CASE WHEN f.line IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_removed,
+         |  CAST(SUM(CASE WHEN f.line IS NOT NULL THEN len(lx.line)
+         |    ELSE 0 END) AS BIGINT) AS chars_removed
+         |FROM lx LEFT JOIN f ON f.line = lx.line
+         |GROUP BY lx.doc_id""".stripMargin,
 
     // inbound-anchor replay: both link legs re-CONSTRUCT their hrefs
     // and anchor text from the doc-id math (the t55/t59 discipline —

@@ -801,6 +801,16 @@ object ScaleSmoke {
             graft.operators.Sitemaps.parseSitemap(
               graft.operators.Sitemaps.fixture(spark)), crawled)
           .agg(sum(col("fetch_rank"))).collect(); ()
+      }),
+      // t63: line dedup — the exploded-line distinct + per-line count
+      // and the per-doc rebuild all grow with the corpus; the frequent
+      // set stays broadcast-sized (boilerplate variety is bounded);
+      // forced through the chars sum so the rebuild can't be pruned
+      benchAction[DataFrame]("t63", d1x, dNx, { d =>
+        graft.operators.Boilerplate.lineDedup(
+            graft.operators.Boilerplate.withLinePayload(d),
+            textCol = "page_text")
+          .agg(sum(col("chars_removed"))).collect(); ()
       }))
 
     val bar = factor * 2.5
