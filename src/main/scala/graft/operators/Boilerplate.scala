@@ -33,9 +33,10 @@ object Boilerplate {
     * a host-keyed header and copyright footer (df ≈ N/4 — clear
     * boilerplate), a `section k` nav line (df ≈ N/7), the doc's own
     * text as 8-word content lines (doc-specific), and a `page b`
-    * line shared only by the ≤3 docs of one id-bucket — df below any
-    * sane threshold, so it pins the threshold boundary AND guarantees
-    * every doc keeps at least one line.
+    * line shared only by the ≤3 docs of one id-bucket — df ≤ 3, so at
+    * any `minDocs` ≥ 4 (the [[lineDedup]] default) it pins the
+    * threshold boundary AND guarantees every doc keeps at least one
+    * line (at `minDocs` ∈ {2, 3} that guarantee is off).
     */
   def withLinePayload(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {

@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   * (RFC §2.2.2), unmatched URLs allowed. Group formation follows RFC
   * §2.1: consecutive `User-agent` lines share the rule block that
   * follows; a `User-agent` line after rules starts a new group.
+  * `Sitemap:` records (the sitemaps.org discovery extension) are
+  * group-independent and surfaced by [[sitemapDirectives]].
   *
   * Everything is relational: line classification is a projection over
   * the exploded file, group formation one per-file running-sum
@@ -39,14 +41,19 @@ object Robots {
       "Allow: /docs/article-12",
       "# comment line",
       "User-agent: *",
-      "Disallow: /docs").mkString("\n"),
+      "Disallow: /docs",
+      "Sitemap: https://example.com/sitemap.xml").mkString("\n"),
     "news.example.com" -> Seq(
+      "Sitemap: https://news.example.com/sitemap.xml",
       "User-agent: *",
       "Disallow: /docs/article-3",
       "Disallow: /docs/article-5",
       "Allow: /docs/article-33").mkString("\n"),
     "cdn.example.org" -> Seq(
       "User-agent: legacybot",
+      // a group-independent record INSIDE an agent run — must not
+      // split the run (both agents still share the Disallow)
+      "Sitemap: https://cdn.example.org/sitemap.xml",
       "User-agent: crawler-x",
       "Disallow: /").mkString("\n"),
     "blog.sample.net" -> Seq(
@@ -93,6 +100,25 @@ object Robots {
     agents.join(rules, Seq("host", "grp"))
       .select(col("host"), col("agent"), col("rule_type"), col("path"))
   }
+
+  /** `Sitemap:` records → (host, sitemap_url) — the discovery half of
+    * the crawl-control pair: robots.txt ADVERTISES the sitemaps
+    * ([[Sitemaps]] parses and audits them). Per the sitemaps.org
+    * protocol the record is independent of any user-agent group (it
+    * may appear anywhere in the file, even inside an agent run —
+    * group formation ignores it), and a file may carry several.
+    */
+  def sitemapDirectives(robots: DataFrame, hostCol: String = "host",
+                        txtCol: String = "robots_txt"): DataFrame =
+    robots.select(col(hostCol).as("host"),
+        explode(split(col(txtCol), "\n")).as("line"))
+      .select(col("host"),
+        lower(regexp_extract(col("line"), "^\\s*([A-Za-z-]+)\\s*:", 1))
+          .as("kind"),
+        trim(regexp_extract(col("line"), "^[^:]*:(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(col("kind") === "sitemap" && length(col("sitemap_url")) > 0)
+      .select(col("host"), col("sitemap_url"))
 
   /** Gate a URL frame for `agent`: per URL, the prevailing rule among
     * the effective group's prefix matches — the exact-agent group if

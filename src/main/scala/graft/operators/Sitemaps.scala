@@ -75,10 +75,12 @@ object Sitemaps {
   }
 
   /** sitemap files → one row per listed URL: (host, loc, lastmod,
-    * changefreq). Entities in `loc` decode (`&amp;` — sitemap locs
-    * are XML-escaped by the protocol); blocks without a `<loc>` drop;
-    * missing optional fields are null. One regexp pass per file +
-    * per-block projections, all map-side.
+    * changefreq). The `&amp;` entity in `loc` decodes — the protocol
+    * XML-escapes locs, and `&` is the only escaped character a VALID
+    * URL can carry literally (`<`/`>`/quotes are percent-encoded in
+    * URLs, so their entities never appear in a well-formed loc);
+    * blocks without a `<loc>` drop; missing optional fields are null.
+    * One regexp pass per file + per-block projections, all map-side.
     */
   def parseSitemap(sitemaps: DataFrame, hostCol: String = "host",
                    xmlCol: String = "sitemap_xml"): DataFrame = {
@@ -133,5 +135,39 @@ object Sitemaps {
       coalesce(col("lastmod"), lit("0000-00-00")).desc,
       col("loc").asc)
     joined.withColumn("fetch_rank", row_number().over(w))
+  }
+
+  /** The crawl-control DISCOVERY loop, composed end to end: robots.txt
+    * advertises sitemaps ([[Robots.sitemapDirectives]] — only
+    * advertised files are considered), the advertised sitemaps list
+    * URLs, the [[coverageAudit]] keeps the uncrawled frontier, and the
+    * robots GATE then prunes it (a listed URL may still be disallowed
+    * — discovered ≠ fetchable); survivors rank per host by freshness.
+    * Every corpus-scale leg is the audit's broadcast semi-join; the
+    * directive/gate legs are file-sized.
+    */
+  def discoveryFrontier(robots: DataFrame, sitemapFiles: DataFrame,
+                        crawledCanon: DataFrame, agent: String,
+                        canonCol: String = "canon_url"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val discovered = Robots.sitemapDirectives(robots)
+      .select(lower(regexp_extract(col("sitemap_url"),
+        "^[A-Za-z]+://([^/?#:]*)", 1)).as("host")).distinct()
+    val files = sitemapFiles.join(broadcast(discovered), Seq("host"),
+      "leftsemi")
+    val frontier = coverageAudit(parseSitemap(files), crawledCanon,
+        canonCol)
+      .filter(!col("crawled"))
+    val allowed = Robots.applyRobots(
+        frontier.select(col("loc").as("u_id"), col("loc")),
+        Robots.parseRobots(robots), agent,
+        idCol = "u_id", urlCol = "loc")
+      .filter(col("allowed")).select(col("u_id"))
+    frontier.join(allowed, frontier("loc") === allowed("u_id"))
+      .select(col("host"), col("loc"), col("canon_loc"), col("lastmod"))
+      .withColumn("fetch_order", row_number().over(
+        Window.partitionBy(col("host")).orderBy(
+          coalesce(col("lastmod"), lit("0000-00-00")).desc,
+          col("loc").asc)))
   }
 }

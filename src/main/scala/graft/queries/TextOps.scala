@@ -276,6 +276,23 @@ object TextOps {
         textCol = "page_text")
     },
 
+    // the crawl-control DISCOVERY loop end to end: robots.txt
+    // advertises sitemaps (Sitemap: records — only advertised files
+    // are known, so blog.sample.net's never enters), the advertised
+    // sitemaps list URLs, the coverage audit keeps the uncrawled
+    // frontier, and the robots GATE then prunes it (cdn's loc is
+    // listed-but-disallowed — discovered != fetchable); survivors
+    // rank per host by freshness
+    "t64_discovery_frontier" -> { (s, dir) =>
+      graft.operators.Sitemaps.discoveryFrontier(
+        graft.operators.Robots.fixture(s),
+        graft.operators.Sitemaps.fixture(s),
+        graft.operators.Urls.withUrlPayload(docs(s, dir))
+          .select(graft.operators.Urls.canonicalUrl(col("url"))
+            .as("canon_url")),
+        "crawler-x")
+    },
+
     // the web link graph from crawl HTML: hrefs extracted (one regexp
     // pass), both endpoints canonicalized (the same page linked five
     // dirty ways must be ONE node), integer pagerank over the page
@@ -849,6 +866,123 @@ object TextOps {
        |      '([^.]+\\.[^.]+)$$', 1) AS domain
        |  FROM ${p}k)""".stripMargin
 
+  /** robots.txt fixture replay: the VALUES literal, line
+    * classification (`rcl` keeps EVERY classified line — `Sitemap:`
+    * records included), RFC group formation over the known-kind rows
+    * only, rule rows, and the `agent`-resolved effective set `reff`
+    * (exact group beats `*`). Shared by t60's gate and t64's
+    * discovery frontier.
+    */
+  private def sqlRobotsCtes(agent: String): String = {
+    val rb = graft.operators.Robots.fixtureRows.map { case (h, txt) =>
+      val lits = txt.split("\n")
+        .map(l => "'" + l.replace("'", "''") + "'")
+        .mkString(" || chr(10) || ")
+      s"('$h', $lits)"
+    }.mkString(",\n  ")
+    s"""rb(host, txt) AS (SELECT * FROM (VALUES
+       |  $rb)),
+       |rlns AS (
+       |  SELECT host, unnest(range(1, len(ls) + 1)) AS ln, ls
+       |  FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM rb)),
+       |rcl AS (
+       |  SELECT host, ln,
+       |    lower(regexp_extract(ls[ln], '^\\s*([A-Za-z-]+)\\s*:', 1))
+       |      AS kind,
+       |    trim(regexp_extract(ls[ln], '^[^:]*:(.*)$$', 1)) AS value
+       |  FROM rlns),
+       |rf AS (SELECT * FROM rcl
+       |  WHERE kind IN ('user-agent', 'allow', 'disallow')),
+       |rg AS (
+       |  SELECT *, SUM(CASE WHEN kind = 'user-agent' AND
+       |      (prev IS NULL OR prev <> 'user-agent') THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY host ORDER BY ln
+       |          ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM (SELECT *, LAG(kind)
+       |    OVER (PARTITION BY host ORDER BY ln) AS prev FROM rf)),
+       |rag AS (
+       |  SELECT host, grp, lower(value) AS agent FROM rg
+       |  WHERE kind = 'user-agent'),
+       |rru AS (
+       |  SELECT host, grp, kind AS rule_type, value AS path FROM rg
+       |  WHERE kind <> 'user-agent' AND len(value) > 0),
+       |rrules AS (
+       |  SELECT lower(r.host) AS host, a.agent, r.rule_type, r.path
+       |  FROM rag a JOIN rru r ON r.host = a.host AND r.grp = a.grp),
+       |rex AS (SELECT * FROM rrules WHERE agent = '$agent'),
+       |rst AS (
+       |  SELECT * FROM rrules WHERE agent = '*'
+       |    AND host NOT IN (SELECT DISTINCT host FROM rex)),
+       |reff AS (
+       |  SELECT host, rule_type, path FROM rex
+       |  UNION ALL
+       |  SELECT host, rule_type, path FROM rst)""".stripMargin
+  }
+
+  /** The robots gate over `$src`'s ($idCol, $urlCol) against `reff`:
+    * `${p}uu` (gid, gurl, host, path) and `${p}mt` (gid,
+    * matched_path, matched_type, al) — the same longest-match /
+    * Allow-wins / deterministic tie ROW_NUMBER as `applyRobots`'
+    * max-struct.
+    */
+  private def sqlRobotsGateCtes(p: String, src: String, idCol: String,
+                                urlCol: String): String =
+    s"""${p}uu AS (
+       |  SELECT $idCol AS gid, $urlCol AS gurl,
+       |    lower(regexp_extract($urlCol,
+       |      '^[A-Za-z]+://([^/?#:]*)', 1)) AS host,
+       |    CASE WHEN length(p0) = 0 THEN '/' ELSE p0 END AS path
+       |  FROM (SELECT *, regexp_extract($urlCol,
+       |      '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS p0 FROM $src)),
+       |${p}mt AS (
+       |  SELECT gid, path AS matched_path, rule_type AS matched_type,
+       |    rule_type = 'allow' AS al
+       |  FROM (
+       |    SELECT u.gid, e.path, e.rule_type,
+       |      ROW_NUMBER() OVER (PARTITION BY u.gid
+       |        ORDER BY length(e.path) DESC,
+       |          CASE WHEN e.rule_type = 'allow' THEN 1 ELSE 0 END DESC,
+       |          e.path DESC, e.rule_type DESC) AS rk
+       |    FROM ${p}uu u
+       |    JOIN reff e ON e.host = u.host
+       |      AND starts_with(u.path, e.path))
+       |  WHERE rk = 1)""".stripMargin
+
+  /** Sitemap fixture replay: the VALUES literal `${p}sm` plus the
+    * parse chain `${p}els`/`${p}fields`/`${p}listed` — the same lazy
+    * regexes and &amp; decode as `Sitemaps.parseSitemap`, lid-keyed
+    * for the canonicalization chain. Shared by t62 and t64.
+    */
+  private def sqlSitemapCtes(p: String, smSrc: String): String = {
+    s"""${p}els AS (
+       |  SELECT host,
+       |    unnest(regexp_extract_all(xml, '(?s)<url>.*?</url>', 0))
+       |      AS el
+       |  FROM $smSrc),
+       |${p}fields AS (
+       |  SELECT host,
+       |    replace(NULLIF(regexp_extract(el,
+       |      '(?s)<loc>(.*?)</loc>', 1), ''), '&amp;', '&') AS loc,
+       |    NULLIF(regexp_extract(el,
+       |      '(?s)<lastmod>(.*?)</lastmod>', 1), '') AS lastmod,
+       |    NULLIF(regexp_extract(el,
+       |      '(?s)<changefreq>(.*?)</changefreq>', 1), '')
+       |      AS changefreq
+       |  FROM ${p}els),
+       |${p}listed AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY host, loc) AS lid
+       |  FROM ${p}fields WHERE loc IS NOT NULL)""".stripMargin
+  }
+
+  /** The sitemap fixture rows as a VALUES literal for `sm(host, xml)`. */
+  private def sqlSitemapVals: String =
+    graft.operators.Sitemaps.fixtureRows.map { case (h, xml) =>
+      val lits = xml.split("\n")
+        .map(l => "'" + l.replace("'", "''") + "'")
+        .mkString(" || chr(10) || ")
+      s"('$h', $lits)"
+    }.mkString(",\n  ")
+
   /** t24/t25 shared mirror: sequential-Poisson priority top-5 per
     * source — the thresholded two-pass variant must produce the
     * IDENTICAL result, so both oracle keys bind to this one SQL.
@@ -1394,76 +1528,14 @@ object TextOps {
     // agent resolution, and the same (length, allow, path) prevailing
     // order over the t56 canonical URLs
     "t60_robots_gate" -> {
-      val rb = graft.operators.Robots.fixtureRows.map { case (h, txt) =>
-        val lits = txt.split("\n")
-          .map(l => "'" + l.replace("'", "''") + "'")
-          .mkString(" || chr(10) || ")
-        s"('$h', $lits)"
-      }.mkString(",\n  ")
       s"""WITH ${sqlUrlCtes("SELECT doc_id FROM documents")},
-         |rb(host, txt) AS (SELECT * FROM (VALUES
-         |  $rb)),
-         |lines AS (
-         |  SELECT host, unnest(range(1, len(ls) + 1)) AS ln, ls
-         |  FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM rb)),
-         |f AS (
-         |  SELECT * FROM (
-         |    SELECT host, ln,
-         |      lower(regexp_extract(ls[ln], '^\\s*([A-Za-z-]+)\\s*:', 1))
-         |        AS kind,
-         |      trim(regexp_extract(ls[ln], '^[^:]*:(.*)$$', 1)) AS value
-         |    FROM lines)
-         |  WHERE kind IN ('user-agent', 'allow', 'disallow')),
-         |g AS (
-         |  SELECT *, SUM(CASE WHEN kind = 'user-agent' AND
-         |      (prev IS NULL OR prev <> 'user-agent') THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY host ORDER BY ln
-         |          ROWS UNBOUNDED PRECEDING) AS grp
-         |  FROM (SELECT *, LAG(kind)
-         |    OVER (PARTITION BY host ORDER BY ln) AS prev FROM f)),
-         |ag AS (
-         |  SELECT host, grp, lower(value) AS agent FROM g
-         |  WHERE kind = 'user-agent'),
-         |ru AS (
-         |  SELECT host, grp, kind AS rule_type, value AS path FROM g
-         |  WHERE kind <> 'user-agent' AND len(value) > 0),
-         |rules AS (
-         |  SELECT lower(r.host) AS host, a.agent, r.rule_type, r.path
-         |  FROM ag a JOIN ru r ON r.host = a.host AND r.grp = a.grp),
-         |uu AS (
-         |  SELECT doc_id, canon_url AS url,
-         |    lower(regexp_extract(canon_url,
-         |      '^[A-Za-z]+://([^/?#:]*)', 1)) AS host,
-         |    CASE WHEN length(p) = 0 THEN '/' ELSE p END AS path
-         |  FROM (
-         |    SELECT doc_id, canon_url,
-         |      regexp_extract(canon_url,
-         |        '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS p
-         |    FROM c)),
-         |ex AS (SELECT * FROM rules WHERE agent = 'crawler-x'),
-         |st AS (
-         |  SELECT * FROM rules WHERE agent = '*'
-         |    AND host NOT IN (SELECT DISTINCT host FROM ex)),
-         |eff AS (
-         |  SELECT host, rule_type, path FROM ex
-         |  UNION ALL
-         |  SELECT host, rule_type, path FROM st),
-         |mt AS (
-         |  SELECT doc_id, path AS matched_path, rule_type AS matched_type,
-         |    rule_type = 'allow' AS al
-         |  FROM (
-         |    SELECT u.doc_id, e.path, e.rule_type,
-         |      ROW_NUMBER() OVER (PARTITION BY u.doc_id
-         |        ORDER BY length(e.path) DESC,
-         |          CASE WHEN e.rule_type = 'allow' THEN 1 ELSE 0 END DESC,
-         |          e.path DESC, e.rule_type DESC) AS rk
-         |    FROM uu u
-         |    JOIN eff e ON e.host = u.host
-         |      AND starts_with(u.path, e.path))
-         |  WHERE rk = 1)
-         |SELECT u.doc_id, u.url, u.host, m.matched_path, m.matched_type,
+         |${sqlRobotsCtes("crawler-x")},
+         |cu AS (SELECT doc_id, canon_url FROM c),
+         |${sqlRobotsGateCtes("", "cu", "doc_id", "canon_url")}
+         |SELECT u.gid AS doc_id, u.gurl AS url, u.host,
+         |  m.matched_path, m.matched_type,
          |  COALESCE(m.al, TRUE) AS allowed
-         |FROM uu u LEFT JOIN mt m ON m.doc_id = u.doc_id""".stripMargin
+         |FROM uu u LEFT JOIN mt m ON m.gid = u.gid""".stripMargin
     },
 
     // link-graph replay: own URLs + the two bucket-keyed hrefs, both
@@ -1523,34 +1595,11 @@ object TextOps {
     // crawled set is t56's canonical payload, and the fetch rank is
     // the same (crawled, lastmod desc, loc) window
     "t62_sitemap_audit" -> {
-      val sm = graft.operators.Sitemaps.fixtureRows.map { case (h, xml) =>
-        val lits = xml.split("\n")
-          .map(l => "'" + l.replace("'", "''") + "'")
-          .mkString(" || chr(10) || ")
-        s"('$h', $lits)"
-      }.mkString(",\n  ")
       s"""WITH ${sqlUrlCtes("SELECT doc_id FROM documents")},
          |crawled AS (SELECT DISTINCT canon_url FROM c),
          |sm(host, xml) AS (SELECT * FROM (VALUES
-         |  $sm)),
-         |els AS (
-         |  SELECT host,
-         |    unnest(regexp_extract_all(xml, '(?s)<url>.*?</url>', 0))
-         |      AS el
-         |  FROM sm),
-         |fields AS (
-         |  SELECT host,
-         |    replace(NULLIF(regexp_extract(el,
-         |      '(?s)<loc>(.*?)</loc>', 1), ''), '&amp;', '&') AS loc,
-         |    NULLIF(regexp_extract(el,
-         |      '(?s)<lastmod>(.*?)</lastmod>', 1), '') AS lastmod,
-         |    NULLIF(regexp_extract(el,
-         |      '(?s)<changefreq>(.*?)</changefreq>', 1), '')
-         |      AS changefreq
-         |  FROM els),
-         |listed AS (
-         |  SELECT *, ROW_NUMBER() OVER (ORDER BY host, loc) AS lid
-         |  FROM fields WHERE loc IS NOT NULL),
+         |  $sqlSitemapVals)),
+         |${sqlSitemapCtes("", "sm")},
          |lmu AS (SELECT lid AS doc_id, loc AS url FROM listed),
          |${sqlCanonCtes("lm")}
          |SELECT l.host, l.loc, cc.canon_url AS canon_loc, l.lastmod,
@@ -1606,6 +1655,41 @@ object TextOps {
          |    ELSE 0 END) AS BIGINT) AS chars_removed
          |FROM lx LEFT JOIN f ON f.line = lx.line
          |GROUP BY lx.doc_id""".stripMargin,
+
+    // discovery-loop replay: the robots VALUES drive BOTH halves —
+    // `rcl`'s sitemap records pick the advertised sitemap files, the
+    // shared parse + canonicalization chains list and key the locs,
+    // the crawled set prunes to the frontier, and the shared gate
+    // CTEs prune disallowed locs before the freshness rank
+    "t64_discovery_frontier" -> {
+      s"""WITH ${sqlUrlCtes("SELECT doc_id FROM documents")},
+         |crawled AS (SELECT DISTINCT canon_url FROM c),
+         |${sqlRobotsCtes("crawler-x")},
+         |sd AS (
+         |  SELECT DISTINCT lower(regexp_extract(value,
+         |    '^[A-Za-z]+://([^/?#:]*)', 1)) AS host
+         |  FROM rcl WHERE kind = 'sitemap' AND len(value) > 0),
+         |sm(host, xml) AS (SELECT * FROM (VALUES
+         |  $sqlSitemapVals)),
+         |smd AS (SELECT * FROM sm WHERE host IN (SELECT host FROM sd)),
+         |${sqlSitemapCtes("", "smd")},
+         |lmu AS (SELECT lid AS doc_id, loc AS url FROM listed),
+         |${sqlCanonCtes("lm")},
+         |unc AS (
+         |  SELECT l.host, l.loc, cc.canon_url AS canon_loc, l.lastmod
+         |  FROM listed l
+         |  JOIN lmc cc ON cc.doc_id = l.lid
+         |  LEFT JOIN crawled cr ON cr.canon_url = cc.canon_url
+         |  WHERE cr.canon_url IS NULL),
+         |${sqlRobotsGateCtes("g", "unc", "loc", "loc")}
+         |SELECT u.host, u.loc, u.canon_loc, u.lastmod,
+         |  ROW_NUMBER() OVER (PARTITION BY u.host
+         |    ORDER BY COALESCE(u.lastmod, '0000-00-00') DESC,
+         |      u.loc ASC) AS fetch_order
+         |FROM unc u
+         |LEFT JOIN gmt m ON m.gid = u.loc
+         |WHERE COALESCE(m.al, TRUE)""".stripMargin
+    },
 
     // inbound-anchor replay: both link legs re-CONSTRUCT their hrefs
     // and anchor text from the doc-id math (the t55/t59 discipline —

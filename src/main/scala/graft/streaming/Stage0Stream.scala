@@ -97,4 +97,28 @@ object Stage0Stream {
   def cascadeInput(spark: org.apache.spark.sql.SparkSession,
                    outPath: String): DataFrame =
     graft.sinks.Sinks.committedView(spark, outPath).drop("batch")
+
+  /** The LIVE fetch frontier over a [[stage0ToTable]] handoff table —
+    * the feedback edge that closes the crawl loop: what the
+    * discovery layer says to fetch NEXT, given what the crawl has
+    * already committed. Pure function of the read-committed view
+    * (an empty/uncreated table means an untouched frontier), so it is
+    * restart-consistent by construction: a crash between a parquet
+    * write and its ledger commit can only leave the frontier
+    * momentarily LARGER (the page re-offers, and the stage-0 dedup +
+    * ledger make the re-fetch harmless), never wrong.
+    */
+  def liveFrontier(spark: org.apache.spark.sql.SparkSession,
+                   outPath: String, robots: DataFrame,
+                   sitemapFiles: DataFrame, agent: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val crawled =
+      if (new java.io.File(outPath, "_committed_batches").exists())
+        cascadeInput(spark, outPath).select(col("canon_url"))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("canon_url", StringType))))
+    graft.operators.Sitemaps.discoveryFrontier(
+      robots, sitemapFiles, crawled, agent)
+  }
 }

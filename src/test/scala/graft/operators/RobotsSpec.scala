@@ -68,6 +68,27 @@ class RobotsSpec extends AnyFunSuite {
     assert(m(2L) === ((None, true)))
   }
 
+  test("Sitemap records: group-independent, case-insensitive, multiple per file") {
+    // fixture: 3 of 4 hosts advertise; cdn's record sits INSIDE the
+    // agent run and must not have split it (asserted above)
+    val fx = Robots.sitemapDirectives(Robots.fixture(spark))
+      .as[(String, String)].collect().toSet
+    assert(fx === Set(
+      ("example.com", "https://example.com/sitemap.xml"),
+      ("news.example.com", "https://news.example.com/sitemap.xml"),
+      ("cdn.example.org", "https://cdn.example.org/sitemap.xml")))
+    // hand-built: case-insensitive key, several records, value-less
+    // record drops, directive URL's colon survives the key split
+    val own = Robots.sitemapDirectives(Seq(
+      ("x.com", "SITEMAP: https://x.com/a.xml\nUser-agent: *\n" +
+        "Disallow: /\nsitemap: https://cdn.x.com/b.xml\nSitemap:"))
+      .toDF("host", "robots_txt"))
+      .as[(String, String)].collect().toSet
+    assert(own === Set(
+      ("x.com", "https://x.com/a.xml"),
+      ("x.com", "https://cdn.x.com/b.xml")))
+  }
+
   test("empty-path Disallow matches nothing; host normalization strips case/port") {
     val own = Robots.parseRobots(Seq(
       ("x.com", "User-agent: *\nDisallow:\nDisallow: /a"))

@@ -98,4 +98,49 @@ class Stage0StreamSpec extends AnyFunSuite {
     assert(cascadeIds() === Seq(1L, 9L, 12L),
       "replay of a committed batch is a no-op")
   }
+
+  test("live frontier: shrinks as the committed crawl covers listed pages") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val srcDir = Files.createTempDirectory("fsrc").toString
+    val ck = Files.createTempDirectory("fck").toString
+    val out = Files.createTempDirectory("fout").toString
+    val robots = Robots.fixture(spark)
+    val sitemaps = graft.operators.Sitemaps.fixture(spark)
+    def frontier() = Stage0Stream
+      .liveFrontier(spark, out, robots, sitemaps, "crawler-x")
+      .select(col("loc")).as[String].collect().toSet
+    def art(f: Set[String]) =
+      f.map(l => l.replaceAll(".*article-(\\d+).*", "$1"))
+
+    // before any crawl: the full discovered+allowed frontier —
+    // blog.sample.net unadvertised (article-3 absent), cdn advertised
+    // but robots-blocked (2/40002 absent), news's own listed
+    // article-5 is disallowed by its robots
+    assert(art(frontier()) === Set("0", "4", "40004", "1", "40001"))
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("event_time", TimestampType)))
+    def feed(n: Int, ids: Seq[Long]): Unit = {
+      val lines = ids.map(i =>
+        s"""{"doc_id":$i,"text":"body text $i",""" +
+          s""""event_time":"2023-11-14 22:13:20"}""")
+      Files.write(Paths.get(s"$srcDir/f$n.json"),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    // crawl commits article-0 (doc 1, bucket 0) and article-1
+    // (doc 3, bucket 1): both listed locs leave the frontier through
+    // the canonicalization chain (the listed forms carry WWW./:443/
+    // tracking dirt)
+    feed(1, Seq(1L, 3L))
+    val q = Stage0Stream.stage0ToTable(
+        spark.readStream.schema(schema).json(srcDir),
+        Robots.parseRobots(robots), "crawler-x", out)
+      .option("checkpointLocation", ck).start()
+    q.processAllAvailable(); q.stop()
+    assert(art(frontier()) === Set("4", "40004", "40001"))
+  }
 }
