@@ -67,6 +67,9 @@ object Sitemaps {
       "<urlset>",
       "<url><loc>https://blog.sample.net:8080/docs/article-3?page=3" +
         "</loc><changefreq>weekly</changefreq></url>",
+      "<url><loc>https://blog.sample.net:8080/docs/article-19?page=5" +
+        "</loc><lastmod>2024-01-02</lastmod>" +
+        "<changefreq>never</changefreq></url>",
       "</urlset>").mkString("\n"))
 
   def fixture(spark: SparkSession): DataFrame = {
@@ -135,6 +138,54 @@ object Sitemaps {
       coalesce(col("lastmod"), lit("0000-00-00")).desc,
       col("loc").asc)
     joined.withColumn("fetch_rank", row_number().over(w))
+  }
+
+  /** sitemaps.org `changefreq` hints as refetch intervals, in
+    * seconds; `never` maps to no interval (never redue).
+    */
+  val FreqSeconds: Map[String, Long] = Map(
+    "always" -> 0L, "hourly" -> 3600L, "daily" -> 86400L,
+    "weekly" -> 604800L, "monthly" -> 2592000L, "yearly" -> 31536000L)
+
+  /** Re-fetch scheduling over the CRAWLED half of a [[coverageAudit]]
+    * (the uncrawled half is [[discoveryFrontier]]'s business): per
+    * listed crawled page, `next_due_s = lastmod + changefreq` as
+    * EPOCH SECONDS via pure date-day arithmetic (no timezone in the
+    * chain — `lastmod` is a date, the epoch is day-count × 86400), a
+    * `due` flag against the `asOf` date, and the per-host refetch
+    * order (due first, most-stale first, unknown-lastmod pages ahead
+    * of dated ones — no lastmod means assume maximally stale). A
+    * missing `changefreq` falls back to `defaultFreq` (the hint is
+    * optional); `never` pages are never due. Map-side per row +
+    * one file-sized rank window, like everything on this side of the
+    * audit.
+    */
+  def refetchSchedule(audit: DataFrame, asOf: String,
+                      defaultFreq: String = "monthly"): DataFrame = {
+    require(FreqSeconds.contains(defaultFreq),
+      s"defaultFreq must be one of ${FreqSeconds.keys}, got $defaultFreq")
+    import org.apache.spark.sql.expressions.Window
+    val asOfS = java.time.LocalDate.parse(asOf).toEpochDay * 86400L
+    val eff = coalesce(col("changefreq"), lit(defaultFreq))
+    val secs = FreqSeconds.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, v)) => when(eff === k, lit(v)).otherwise(acc)
+    }
+    val lastmodS = datediff(to_date(col("lastmod")),
+      to_date(lit("1970-01-01"))).cast("long") * 86400L
+    val nextDue = when(col("lastmod").isNotNull && secs.isNotNull,
+      lastmodS + secs)
+    val due = when(eff === "never", lit(false))
+      .when(col("lastmod").isNull, lit(true))
+      .otherwise(nextDue <= lit(asOfS))
+    audit.filter(col("crawled"))
+      .select(col("host"), col("loc"), col("canon_loc"),
+        col("lastmod"), eff.as("eff_freq"),
+        nextDue.as("next_due_s"), due.as("due"))
+      .withColumn("refetch_rank", row_number().over(
+        Window.partitionBy(col("host")).orderBy(
+          col("due").desc,
+          coalesce(col("next_due_s"), lit(Long.MinValue)).asc,
+          col("loc").asc)))
   }
 
   /** The crawl-control DISCOVERY loop, composed end to end: robots.txt

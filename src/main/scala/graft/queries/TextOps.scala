@@ -293,6 +293,22 @@ object TextOps {
         "crawler-x")
     },
 
+    // the crawl lifecycle's LAST edge: re-fetch scheduling for the
+    // crawled listed pages from the changefreq/lastmod hints — due
+    // flag against a fixed as-of date in pure day arithmetic, with
+    // `never` pages never due, missing changefreq defaulting, and
+    // unknown-lastmod pages assumed maximally stale
+    "t65_refetch_schedule" -> { (s, dir) =>
+      graft.operators.Sitemaps.refetchSchedule(
+        graft.operators.Sitemaps.coverageAudit(
+          graft.operators.Sitemaps.parseSitemap(
+            graft.operators.Sitemaps.fixture(s)),
+          graft.operators.Urls.withUrlPayload(docs(s, dir))
+            .select(graft.operators.Urls.canonicalUrl(col("url"))
+              .as("canon_url"))),
+        asOf = "2024-02-20")
+    },
+
     // the web link graph from crawl HTML: hrefs extracted (one regexp
     // pass), both endpoints canonicalized (the same page linked five
     // dirty ways must be ONE node), integer pagerank over the page
@@ -1689,6 +1705,50 @@ object TextOps {
          |FROM unc u
          |LEFT JOIN gmt m ON m.gid = u.loc
          |WHERE COALESCE(m.al, TRUE)""".stripMargin
+    },
+
+    // refetch replay: same listed/canon/crawled chain, the freq
+    // table as VALUES, day-count*86400 epoch arithmetic (no timezone
+    // anywhere in the chain), same due CASE order and rank window
+    "t65_refetch_schedule" -> {
+      val asOfS = java.time.LocalDate.parse("2024-02-20")
+        .toEpochDay * 86400L
+      s"""WITH ${sqlUrlCtes("SELECT doc_id FROM documents")},
+         |crawled AS (SELECT DISTINCT canon_url FROM c),
+         |sm(host, xml) AS (SELECT * FROM (VALUES
+         |  $sqlSitemapVals)),
+         |${sqlSitemapCtes("", "sm")},
+         |lmu AS (SELECT lid AS doc_id, loc AS url FROM listed),
+         |${sqlCanonCtes("lm")},
+         |sched AS (
+         |  SELECT l.host, l.loc, cc.canon_url AS canon_loc,
+         |    l.lastmod, COALESCE(l.changefreq, 'monthly') AS eff_freq
+         |  FROM listed l
+         |  JOIN lmc cc ON cc.doc_id = l.lid
+         |  JOIN crawled cr ON cr.canon_url = cc.canon_url),
+         |fs(freq, s) AS (SELECT * FROM (VALUES
+         |  ('always', 0), ('hourly', 3600), ('daily', 86400),
+         |  ('weekly', 604800), ('monthly', 2592000),
+         |  ('yearly', 31536000))),
+         |nd AS (
+         |  SELECT host, loc, canon_loc, lastmod, eff_freq,
+         |    CASE WHEN lastmod IS NOT NULL AND f.s IS NOT NULL THEN
+         |      CAST(date_diff('day', DATE '1970-01-01',
+         |        CAST(lastmod AS DATE)) * 86400 + f.s AS BIGINT)
+         |    END AS next_due_s
+         |  FROM sched LEFT JOIN fs f ON f.freq = eff_freq),
+         |d AS (
+         |  SELECT *, CASE WHEN eff_freq = 'never' THEN FALSE
+         |    WHEN lastmod IS NULL THEN TRUE
+         |    ELSE next_due_s <= $asOfS END AS due
+         |  FROM nd)
+         |SELECT host, loc, canon_loc, lastmod, eff_freq, next_due_s,
+         |  due,
+         |  ROW_NUMBER() OVER (PARTITION BY host
+         |    ORDER BY due DESC,
+         |      COALESCE(next_due_s, ${Long.MinValue}) ASC, loc ASC)
+         |    AS refetch_rank
+         |FROM d""".stripMargin
     },
 
     // inbound-anchor replay: both link legs re-CONSTRUCT their hrefs

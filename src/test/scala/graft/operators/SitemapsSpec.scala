@@ -21,7 +21,7 @@ class SitemapsSpec extends AnyFunSuite {
       .as[(String, String, Option[String], Option[String])].collect()
     // example.com fixture has 4 blocks but one has no <loc>
     assert(got.count(_._1 == "example.com") === 3)
-    assert(got.length === 9)
+    assert(got.length === 10)
     // &amp; in loc decodes
     val a0 = got.find(_._2.contains("article-0")).get
     assert(a0._2.contains("page=0&utm_source=sm"))
@@ -64,6 +64,33 @@ class SitemapsSpec extends AnyFunSuite {
     assert(ranks.find(_._1.contains("article-40001")).get._2 === 1)
     assert(ranks.find(_._1.contains("article-1?")).get._2 === 2)
     assert(ranks.find(_._1.contains("article-5?")).get._2 === 3)
+  }
+
+  test("refetch schedule: never never dues; unknown lastmod is maximally stale; day math") {
+    val crawled = Seq(
+      "https://blog.sample.net:8080/docs/article-3?page=3",
+      "https://blog.sample.net:8080/docs/article-19?page=5",
+      "https://example.com/docs/article-0?page=0",
+      "https://example.com:8080/docs/article-4?page=4")
+      .toDF("canon_url")
+    val audit = Sitemaps.coverageAudit(parsed, crawled)
+    val got = Sitemaps.refetchSchedule(audit, asOf = "2024-02-20")
+      .select(col("loc"), col("eff_freq"), col("next_due_s"),
+        col("due"), col("refetch_rank"))
+      .as[(String, String, Option[Long], Boolean, Int)].collect()
+      .map(r => r._1.replaceAll(".*article-(\\d+).*", "$1") ->
+        ((r._2, r._3, r._4, r._5))).toMap
+    // uncrawled listed pages are not scheduled
+    assert(!got.contains("40004"))
+    // never: no due date, never due, ranks after the weekly-no-lastmod
+    assert(got("19") === (("never", None, false, 2)))
+    // weekly with no lastmod: due, unknown staleness ranks first
+    assert(got("3") === (("weekly", None, true, 1)))
+    // daily from 2024-01-05: epoch day 19727 * 86400 + 86400
+    assert(got("0") === (("daily", Some(19727L * 86400 + 86400), true, 1)))
+    // missing changefreq defaults to monthly; 2024-02-11 + 30d is
+    // past the as-of date -> not due
+    assert(got("4")._1 === "monthly" && !got("4")._3)
   }
 
   test("audit plan: corpus side never shuffles — semi-join + final join both broadcast") {
