@@ -26,12 +26,13 @@ object Sitemaps {
 
   /** Deterministic per-host sitemap fixture over the t56 URL space —
     * shared VERBATIM with the SQL oracle (the rows ARE the fixture;
-    * both engines parse the same bytes). Per host: listed locs that
-    * canonicalize onto real page buckets (crawled), one far-bucket
-    * loc no corpus reaches (uncrawled — the fetch-frontier case),
-    * deliberate canonicalization dirt (WWW., :443, tracking params),
-    * and one edge per family: a missing lastmod, a missing
-    * changefreq, and a loc-less block that must drop.
+    * both engines parse the same bytes). Listed locs canonicalize
+    * onto real page buckets (crawled); the first three hosts also
+    * carry one far-bucket loc no corpus reaches (uncrawled — the
+    * fetch-frontier case); deliberate canonicalization dirt (WWW.,
+    * :443, tracking params) and one edge per family: a missing
+    * lastmod, a missing changefreq, a `never` changefreq, and a
+    * loc-less block that must drop.
     */
   val fixtureRows: Seq[(String, String)] = Seq(
     "example.com" -> Seq(
@@ -155,10 +156,12 @@ object Sitemaps {
     * `due` flag against the `asOf` date, and the per-host refetch
     * order (due first, most-stale first, unknown-lastmod pages ahead
     * of dated ones — no lastmod means assume maximally stale). A
-    * missing `changefreq` falls back to `defaultFreq` (the hint is
-    * optional); `never` pages are never due. Map-side per row +
-    * one file-sized rank window, like everything on this side of the
-    * audit.
+    * missing OR unrecognized `changefreq` falls back to `defaultFreq`
+    * (the hint is optional and free-text in the wild — an unknown
+    * string must not poison the due flag into SQL NULL, whose
+    * ordering differs across engines); `never` pages are never due.
+    * Map-side per row + one file-sized rank window, like everything
+    * on this side of the audit.
     */
   def refetchSchedule(audit: DataFrame, asOf: String,
                       defaultFreq: String = "monthly"): DataFrame = {
@@ -166,7 +169,9 @@ object Sitemaps {
       s"defaultFreq must be one of ${FreqSeconds.keys}, got $defaultFreq")
     import org.apache.spark.sql.expressions.Window
     val asOfS = java.time.LocalDate.parse(asOf).toEpochDay * 86400L
-    val eff = coalesce(col("changefreq"), lit(defaultFreq))
+    val known = (FreqSeconds.keys.toSeq :+ "never").sorted
+    val eff = when(col("changefreq").isin(known: _*), col("changefreq"))
+      .otherwise(lit(defaultFreq))
     val secs = FreqSeconds.foldLeft(lit(null).cast("long")) {
       case (acc, (k, v)) => when(eff === k, lit(v)).otherwise(acc)
     }

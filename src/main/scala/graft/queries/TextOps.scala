@@ -1722,7 +1722,10 @@ object TextOps {
          |${sqlCanonCtes("lm")},
          |sched AS (
          |  SELECT l.host, l.loc, cc.canon_url AS canon_loc,
-         |    l.lastmod, COALESCE(l.changefreq, 'monthly') AS eff_freq
+         |    l.lastmod,
+         |    CASE WHEN l.changefreq IN ('always', 'daily', 'hourly',
+         |        'monthly', 'never', 'weekly', 'yearly')
+         |      THEN l.changefreq ELSE 'monthly' END AS eff_freq
          |  FROM listed l
          |  JOIN lmc cc ON cc.doc_id = l.lid
          |  JOIN crawled cr ON cr.canon_url = cc.canon_url),

@@ -93,6 +93,22 @@ class SitemapsSpec extends AnyFunSuite {
     assert(got("4")._1 === "monthly" && !got("4")._3)
   }
 
+  test("refetch: an unrecognized changefreq string falls back to the default") {
+    val audit = Sitemaps.coverageAudit(
+      Sitemaps.parseSitemap(Seq(("x.com",
+        "<urlset><url><loc>https://x.com/a</loc>" +
+          "<lastmod>2024-01-01</lastmod>" +
+          "<changefreq>fortnightly</changefreq></url></urlset>"))
+        .toDF("host", "sitemap_xml")),
+      Seq("https://x.com/a").toDF("canon_url"))
+    val r = Sitemaps.refetchSchedule(audit, asOf = "2024-02-20")
+      .select(col("eff_freq"), col("due")).as[(String, Boolean)]
+      .collect().head
+    // monthly from 2024-01-01 -> due; crucially `due` is a real
+    // boolean, not NULL (null ordering diverges across engines)
+    assert(r === (("monthly", true)))
+  }
+
   test("audit plan: corpus side never shuffles — semi-join + final join both broadcast") {
     val crawled = Seq("https://example.com/docs/article-0?page=0")
       .toDF("canon_url")
