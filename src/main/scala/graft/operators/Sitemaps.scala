@@ -193,37 +193,64 @@ object Sitemaps {
           col("loc").asc)))
   }
 
-  /** The crawl-control DISCOVERY loop, composed end to end: robots.txt
+  /** The corpus-INDEPENDENT half of the discovery loop: robots.txt
     * advertises sitemaps ([[Robots.sitemapDirectives]] — only
     * advertised files are considered), the advertised sitemaps list
-    * URLs, the [[coverageAudit]] keeps the uncrawled frontier, and the
-    * robots GATE then prunes it (a listed URL may still be disallowed
-    * — discovered ≠ fetchable); survivors rank per host by freshness.
-    * Every corpus-scale leg is the audit's broadcast semi-join; the
-    * directive/gate legs are file-sized.
+    * URLs, and the robots GATE marks each listed loc fetchable or not
+    * (gating the LISTED side is equivalent to gating the frontier —
+    * allowedness doesn't depend on crawledness — and keeps the
+    * corpus-scale audit subtree out of the gate entirely). Everything
+    * here is file-sized; in a deployment this frame is an
+    * [[graft.core.Artifacts]] table built once per robots/sitemap
+    * release, so the per-query cost of the loop is the audit's one
+    * corpus semi-join (the t59 staging discipline — t64 serves it
+    * staged).
     */
-  def discoveryFrontier(robots: DataFrame, sitemapFiles: DataFrame,
-                        crawledCanon: DataFrame, agent: String,
-                        canonCol: String = "canon_url"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def gatedListed(robots: DataFrame, sitemapFiles: DataFrame,
+                  agent: String): DataFrame = {
     val discovered = Robots.sitemapDirectives(robots)
       .select(lower(regexp_extract(col("sitemap_url"),
         "^[A-Za-z]+://([^/?#:]*)", 1)).as("host")).distinct()
-    val files = sitemapFiles.join(broadcast(discovered), Seq("host"),
-      "leftsemi")
-    val frontier = coverageAudit(parseSitemap(files), crawledCanon,
-        canonCol)
-      .filter(!col("crawled"))
+    val parsed = parseSitemap(
+      sitemapFiles.join(broadcast(discovered), Seq("host"), "leftsemi"))
     val allowed = Robots.applyRobots(
-        frontier.select(col("loc").as("u_id"), col("loc")),
+        parsed.select(col("loc").as("u_id"), col("loc")),
         Robots.parseRobots(robots), agent,
         idCol = "u_id", urlCol = "loc")
-      .filter(col("allowed")).select(col("u_id"))
-    frontier.join(allowed, frontier("loc") === allowed("u_id"))
+      .select(col("u_id"), col("allowed"))
+    parsed.join(broadcast(allowed), parsed("loc") === allowed("u_id"))
+      .select(col("host"), col("loc"), col("lastmod"),
+        col("changefreq"), col("allowed"))
+  }
+
+  /** The corpus-scale half: audit the gated listed locs against the
+    * crawled canonical set, keep the allowed uncrawled ones, rank per
+    * host by freshness — one broadcast semi-join over the corpus plus
+    * file-sized windows.
+    */
+  def frontierFromGated(gated: DataFrame, crawledCanon: DataFrame,
+                        canonCol: String = "canon_url"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    coverageAudit(gated.filter(col("allowed"))
+        .select(col("host"), col("loc"), col("lastmod"),
+          col("changefreq")),
+        crawledCanon, canonCol)
+      .filter(!col("crawled"))
       .select(col("host"), col("loc"), col("canon_loc"), col("lastmod"))
       .withColumn("fetch_order", row_number().over(
         Window.partitionBy(col("host")).orderBy(
           coalesce(col("lastmod"), lit("0000-00-00")).desc,
           col("loc").asc)))
   }
+
+  /** The crawl-control DISCOVERY loop, composed end to end:
+    * [[gatedListed]] (discovery + gate, file-sized) into
+    * [[frontierFromGated]] (the corpus audit). A listed URL may be
+    * disallowed — discovered ≠ fetchable.
+    */
+  def discoveryFrontier(robots: DataFrame, sitemapFiles: DataFrame,
+                        crawledCanon: DataFrame, agent: String,
+                        canonCol: String = "canon_url"): DataFrame =
+    frontierFromGated(gatedListed(robots, sitemapFiles, agent),
+      crawledCanon, canonCol)
 }

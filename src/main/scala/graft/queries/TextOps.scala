@@ -284,13 +284,27 @@ object TextOps {
     // listed-but-disallowed — discovered != fetchable); survivors
     // rank per host by freshness
     "t64_discovery_frontier" -> { (s, dir) =>
-      graft.operators.Sitemaps.discoveryFrontier(
-        graft.operators.Robots.fixture(s),
-        graft.operators.Sitemaps.fixture(s),
+      // the discovery+gate half is corpus-independent (robots +
+      // sitemap files only), so it serves as a staged artifact keyed
+      // by the fixtures' content — the per-query cost is the audit's
+      // one corpus semi-join + the rank (the t59 staging discipline)
+      val fixFp = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val bytes = (graft.operators.Robots.fixtureRows ++
+            graft.operators.Sitemaps.fixtureRows)
+          .map(r => r._1 + " " + r._2).mkString("")
+          .getBytes("UTF-8")
+        md.digest(bytes).map("%02x".format(_)).mkString
+      }
+      val gated = graft.core.Artifacts.table(s,
+        "t64gate|crawler-x", fixFp)(
+        graft.operators.Sitemaps.gatedListed(
+          graft.operators.Robots.fixture(s),
+          graft.operators.Sitemaps.fixture(s), "crawler-x"))
+      graft.operators.Sitemaps.frontierFromGated(gated,
         graft.operators.Urls.withUrlPayload(docs(s, dir))
           .select(graft.operators.Urls.canonicalUrl(col("url"))
-            .as("canon_url")),
-        "crawler-x")
+            .as("canon_url")))
     },
 
     // the crawl lifecycle's LAST edge: re-fetch scheduling for the
