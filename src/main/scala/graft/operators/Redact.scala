@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Rule-based pattern redaction for training corpora: replace PII-like
@@ -77,5 +77,83 @@ object Redact {
       rules.foldLeft(col(textCol)) { (c, r) =>
         regexp_replace(c, r.pattern, r.replacement)
       })
+  }
+
+  /** Card-number candidate shape: 13–19 digits with optional single
+    * space/dash separators, on word boundaries — RE2 ∩ java.util.regex
+    * like every [[piiRules]] pattern.
+    */
+  val CardCandidate: String = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+
+  /** Luhn checksum over a candidate's digits (ISO/IEC 7812 mod-10:
+    * from the rightmost digit, double every second one, subtract 9
+    * above 9, sum ≡ 0). Pure higher-order column functions —
+    * codegen-friendly, no UDF — so VALIDATION runs in the same stage
+    * as extraction.
+    */
+  def luhnValid(s: Column): Column = {
+    val ds = regexp_extract_all(s, lit("[0-9]"), lit(0))
+    val n = size(ds)
+    val summed = aggregate(
+      zip_with(ds, sequence(lit(1), n), (c, i) => {
+        val v = c.cast("int")
+        when(((n - i) % 2) === 1,
+          when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+      }),
+      lit(0), (acc, x) => acc + x)
+    n >= 13 && n <= 19 && summed % 10 === 0
+  }
+
+  /** Deterministic card-bearing payload over the documents table —
+    * replayed literally by the SQL oracle. Four id-keyed cases: a
+    * Luhn-VALID number with space separators, an invalid one (last
+    * digit off), a valid-dashed + invalid pair in one doc (pins
+    * multi-candidate extraction and partial redaction), and a bare
+    * valid one; plus a short `total N` number that must never match
+    * the 13–19-digit candidate shape.
+    */
+  def withCardPayload(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val card = when(id % 4 === 0, lit("4539 1488 0343 6467"))
+      .when(id % 4 === 1, lit("4539148803436468"))
+      .when(id % 4 === 2,
+        lit("6011-0009-9013-9424 and 1234567812345678"))
+      .otherwise(lit("5500005555555559"))
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("page_text", concat(
+        lit("order ref "), card,
+        lit(" total "), (id % 97).cast("string"),
+        lit(" "), col(textCol)))
+  }
+
+  /** VALIDATION-CONDITIONAL redaction — the step plain
+    * pattern-replace ([[redact]]) can't take: a 16-digit string is
+    * only a card number if its Luhn checksum holds, so only
+    * checksum-valid candidates are replaced (a phone-length invoice
+    * number survives; real PAN leaks die). Per doc: candidates
+    * extracted once, each validated in-stage, valid ones folded into
+    * the text via literal replaces (longest first, so a candidate
+    * containing another as a prefix can't be half-replaced), plus
+    * audit counts. Pure map — no shuffle, no UDF.
+    */
+  def redactCardNumbers(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(CardCandidate),
+      lit(0))
+    val valid = array_sort(
+      filter(cands, c => luhnValid(c)),
+      (a, b) => when(length(a) > length(b), -1)
+        .when(length(a) < length(b), 1)
+        .when(a < b, -1).when(a > b, 1).otherwise(0))
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("_v", valid)
+      .select(col(idCol),
+        aggregate(col("_v"), col(textCol),
+          (acc, c) => replace(acc, c, lit("<CARD>"))).as("clean_text"),
+        coalesce(size(col("_v")), lit(0)).cast("long").as("n_cards"),
+        (coalesce(size(cands), lit(0)) -
+          coalesce(size(col("_v")), lit(0))).cast("long")
+          .as("n_rejected"))
   }
 }

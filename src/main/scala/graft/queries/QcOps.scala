@@ -80,6 +80,17 @@ object QcOps {
           col("redacted"))
     },
 
+    // ---- validation-conditional redaction (Luhn mod-10) ------------------
+    // the step t14's pattern-replace can't take: only CHECKSUM-VALID
+    // card candidates redact (the invalid 16-digit invoice number
+    // survives — false-positive control); the payload pins spaced/
+    // dashed/bare valid numbers, an invalid one, and a two-candidate
+    // doc where exactly one dies
+    "t66_card_redact" -> { (s, dir) =>
+      Redact.redactCardNumbers(
+        Redact.withCardPayload(docs(s, dir)), "doc_id", "page_text")
+    },
+
     // ---- domain mixing to per-source token budgets -----------------------
     // src0 capped at 600 tokens, every other source at 1000 — keeps
     // roughly half the corpus, so both branches of the budget rule and
@@ -371,6 +382,61 @@ object QcOps {
         |  regexp_replace(regexp_replace(text, '\bcustomer\b', '<ENT>', 'g'),
         |                 '\bvalue\b', '<VAL>', 'g') AS redacted
         |FROM documents""".stripMargin,
+
+    // card-redaction replay: payload constructed from the same
+    // literals, the same candidate regexp, the full Luhn mod-10 per
+    // candidate (digits list, right-position doubling, subtract-9),
+    // valid ones folded into the text longest-first via list_reduce
+    // over the ORDER BY'd list aggregate — both engines run the same
+    // replace fold in the same order
+    "t66_card_redact" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'order ref ' ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN '4539 1488 0343 6467'
+        |      WHEN 1 THEN '4539148803436468'
+        |      WHEN 2 THEN '6011-0009-9013-9424 and 1234567812345678'
+        |      ELSE '5500005555555559' END ||
+        |    ' total ' || CAST(doc_id % 97 AS VARCHAR) || ' ' || text
+        |      AS page_text
+        |  FROM documents WHERE text IS NOT NULL),
+        |cd AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(page_text,
+        |      '\b(?:[0-9][ -]?){12,18}[0-9]\b', 0)) AS cand
+        |  FROM u),
+        |dg AS (
+        |  SELECT doc_id, cand,
+        |    regexp_extract_all(cand, '[0-9]') AS d
+        |  FROM cd),
+        |lv AS (
+        |  SELECT doc_id, cand,
+        |    len(d) BETWEEN 13 AND 19 AND
+        |    CAST(list_sum(list_transform(range(1, len(d) + 1), i ->
+        |      CASE WHEN (len(d) - i) % 2 = 1 THEN
+        |        CASE WHEN 2 * CAST(d[CAST(i AS INT)] AS INT) > 9
+        |          THEN 2 * CAST(d[CAST(i AS INT)] AS INT) - 9
+        |          ELSE 2 * CAST(d[CAST(i AS INT)] AS INT) END
+        |      ELSE CAST(d[CAST(i AS INT)] AS INT) END))
+        |      AS BIGINT) % 10 = 0 AS ok
+        |  FROM dg),
+        |vl AS (
+        |  SELECT doc_id,
+        |    list(cand ORDER BY len(cand) DESC, cand ASC)
+        |      FILTER (WHERE ok) AS valids,
+        |    count(*) AS n_cands,
+        |    count(*) FILTER (WHERE ok) AS n_valid
+        |  FROM lv GROUP BY doc_id)
+        |SELECT u.doc_id,
+        |  COALESCE(list_reduce(
+        |    list_prepend(u.page_text, COALESCE(v.valids, [])),
+        |    (a, x) -> replace(a, x, '<CARD>')), u.page_text)
+        |    AS clean_text,
+        |  CAST(COALESCE(v.n_valid, 0) AS BIGINT) AS n_cards,
+        |  CAST(COALESCE(v.n_cands - v.n_valid, 0) AS BIGINT)
+        |    AS n_rejected
+        |FROM u LEFT JOIN vl v ON v.doc_id = u.doc_id""".stripMargin,
 
     // single-window mirror of the two-phase keyed prefix sum: bucket
     // order is priority order (bucket = high bits of the hash), so one

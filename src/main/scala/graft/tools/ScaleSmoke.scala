@@ -811,6 +811,15 @@ object ScaleSmoke {
             graft.operators.Boilerplate.withLinePayload(d),
             textCol = "page_text")
           .agg(sum(col("chars_removed"))).collect(); ()
+      }),
+      // t66: Luhn card redaction — pure map (extract + in-stage
+      // validate + fold-replace per row, no shuffle); must track the
+      // scan exactly; forced through the card-count sum
+      benchAction[DataFrame]("t66", d1x, dNx, { d =>
+        graft.operators.Redact.redactCardNumbers(
+            graft.operators.Redact.withCardPayload(d),
+            "doc_id", "page_text")
+          .agg(sum(col("n_cards"))).collect(); ()
       }))
 
     val bar = factor * 2.5

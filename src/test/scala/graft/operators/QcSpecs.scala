@@ -212,6 +212,37 @@ class RedactSpec extends AnyFunSuite {
         Seq(Redact.Rule("a", "x", "y"), Redact.Rule("a", "y", "z")))
     }
   }
+
+  test("Luhn validation: known valid/invalid, separators, length bounds") {
+    val got = Seq(
+      "4539148803436467",    // valid
+      "4539148803436468",    // checksum off by one
+      "4539 1488 0343 6467", // valid with spaces
+      "6011-0009-9013-9424", // valid with dashes
+      "123456789012",        // 12 digits: below the PAN range
+      "0000000000000")       // 13 zeros: sum 0 -> technically valid
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+      .select(col("id"), Redact.luhnValid(col("s")).as("v"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(0L -> true, 1L -> false, 2L -> true,
+      3L -> true, 4L -> false, 5L -> true))
+  }
+
+  test("card redaction: only checksum-valid candidates die; counts audit both") {
+    val df = Seq(
+      (1L, "pay 4539 1488 0343 6467 ref 1234567812345678 end"),
+      (2L, "invoice 4539148803436468 total 12"),
+      (3L, "clean")).toDF("doc_id", "text")
+    val r = Redact.redactCardNumbers(df, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // doc 1: the valid spaced number dies, the invalid 16-digit
+    // neighbor survives verbatim
+    assert(r(1L) === (("pay <CARD> ref 1234567812345678 end", 1L, 1L)))
+    assert(r(2L) === (("invoice 4539148803436468 total 12", 0L, 1L)))
+    assert(r(3L) === (("clean", 0L, 0L)))
+  }
 }
 
 class MixingSpec extends AnyFunSuite {
