@@ -75,12 +75,37 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(out.filter(col("clean_text").contains("about")).count() === 0L)
   }
 
-  test("plan: the frequent-line set broadcasts back onto the line stream") {
+  test("plan: the apply pass is map-only — one broadcast scalar frame, no corpus shuffle") {
     val docs = Seq(doc(1L, "a"), doc(2L, "a"), doc(3L, "b"), doc(4L, "a"))
       .toDF("doc_id", "text")
-    val plan = Boilerplate.lineDedup(docs)
+    val plan = Boilerplate.applyLineDedup(docs,
+        Boilerplate.frequentLines(docs))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"))
+    // the 1-row frequent-line array broadcast-nested-loop joins; the
+    // corpus side itself never exchanges (the only Exchanges in the
+    // plan belong to the frequentLines build)
+    assert(plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("SortMergeJoin"))
+    // the default path: frequent set broadcasts back as a hash join
+    val plan2 = Boilerplate.lineDedup(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("BroadcastHashJoin"))
+    assert(!plan2.contains("SortMergeJoin"))
+  }
+
+  test("staged apply over shards == one-shot lineDedup (path equality)") {
+    val docs = (0L until 24L).map(i => (i, s"w$i x y z")).toDF("doc_id", "text")
+    val payload = Boilerplate.withLinePayload(docs)
+    val oneShot = Boilerplate.lineDedup(payload, textCol = "page_text")
+      .collect().map(_.toSeq).toSet
+    // the deployment shape: build the frequent list ONCE over the
+    // whole corpus, apply it per shard map-only
+    val fl = Boilerplate.frequentLines(payload, textCol = "page_text")
+    val sharded = Seq(payload.filter(col("doc_id") < 12L),
+        payload.filter(col("doc_id") >= 12L))
+      .map(sh => Boilerplate.applyLineDedup(sh, fl,
+        textCol = "page_text"))
+      .reduce(_.unionByName(_)).collect().map(_.toSeq).toSet
+    assert(sharded === oneShot)
   }
 }
