@@ -253,14 +253,29 @@ object Bpe {
     val learned = Vector.newBuilder[(Int, String, String, Long)]
     var r = 0
     var done = false
+    // tie-break comparator: CODE-POINT order, which equals UTF-8 byte
+    // order — Spark's UTF8String binary collation. Java String `<` is
+    // UTF-16 code-UNIT order, which disagrees for supplementary-plane
+    // tokens vs BMP chars >= U+E000; using it here would let the local
+    // and distributed paths learn different merges on such ties,
+    // breaking the size-adaptive dispatch's spec-pinned path identity.
+    def cpLt(a: String, b: String): Boolean = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return ca < cb
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      (a.length - i) < (b.length - j)
+    }
     while (r < nMerges && !done) {
       // argmax with the shared total order; iteration order of the
       // hash table never matters because the comparator is total
       var best: ((String, String), Long) = null
       pairCt.foreach { case (p, c) =>
         if (best == null || c > best._2 ||
-            (c == best._2 && (p._1 < best._1._1 ||
-              (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, c)
+            (c == best._2 && (cpLt(p._1, best._1._1) ||
+              (p._1 == best._1._1 && cpLt(p._2, best._1._2))))) best = (p, c)
       }
       if (best == null || best._2 < minCount) done = true
       else {

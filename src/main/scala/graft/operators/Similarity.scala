@@ -627,7 +627,15 @@ object Similarity {
         .filter(col("_r") === 1)
         .select(col("q_id"), lit(step).as("step"), col("n_id"),
           col("n_vec"), col("n_nrm"), col("rel"), col("_s").as("score"))
-    var selected = top1(cand, col("rel"), 1)
+    // Pin each step's selection: step i's plan references step i−1's
+    // TWICE (the anti-join and the max-sim join), so an unpinned chain
+    // re-evaluates earlier steps 2^(k−step) times and Catalyst
+    // re-analyzes a plan that doubles per step. A lazy localCheckpoint
+    // truncates the lineage to the materialized step — each greedy
+    // step then runs exactly once (the Bpe.trainDistributed
+    // discipline). Frames are retrieval-sized (queries × step rows).
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(false)
+    var selected = pin(top1(cand, col("rel"), 1))
     for (step <- 2 to k) {
       val remaining = cand.join(
         selected.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"),
@@ -640,10 +648,10 @@ object Similarity {
         .groupBy(col("q_id"), col("n_id"))
         .agg(first(col("n_vec")).as("n_vec"), first(col("n_nrm")).as("n_nrm"),
           first(col("rel")).as("rel"), max(col("_sim")).as("_msim"))
-      selected = selected.unionByName(
+      selected = pin(selected.unionByName(
         top1(maxSim,
           lit(lambda) * col("rel") - lit(1.0 - lambda) * col("_msim"),
-          step).select(selected.columns.toIndexedSeq.map(col): _*))
+          step).select(selected.columns.toIndexedSeq.map(col): _*)))
     }
     selected.select(col("q_id"), col("step"), col("n_id"), col("score"))
   }

@@ -213,8 +213,12 @@ object Sitemaps {
         "^[A-Za-z]+://([^/?#:]*)", 1)).as("host")).distinct()
     val parsed = parseSitemap(
       sitemapFiles.join(broadcast(discovered), Seq("host"), "leftsemi"))
+    // gate DISTINCT locs: a loc listed in several advertised sitemap
+    // files (or twice in one) must contribute ONE row to the allowed
+    // side, else the loc-keyed join below multiplies listings n²
     val allowed = Robots.applyRobots(
-        parsed.select(col("loc").as("u_id"), col("loc")),
+        parsed.select(col("loc")).distinct()
+          .select(col("loc").as("u_id"), col("loc")),
         Robots.parseRobots(robots), agent,
         idCol = "u_id", urlCol = "loc")
       .select(col("u_id"), col("allowed"))

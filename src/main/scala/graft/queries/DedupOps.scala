@@ -70,6 +70,26 @@ object DedupOps {
       "src-shingles|n=3", graft.core.Artifacts.fingerprint(dir))(
       Dedup.shingleRows(docs(s, dir), "source").distinct())
 
+  /** The CAPPED per-source shingle space (shingles in > maxSf sources
+    * removed), staged FROM the staged uncapped frame — the exact
+    * d15-vs-d11 discipline at source granularity. d21 serves this
+    * directly, so its per-query cost is the overlap join alone instead
+    * of re-paying the source-frequency aggregation + semi-join on
+    * every cold run.
+    */
+  private def cappedSrcShinglesIdx(s: SparkSession, dir: String,
+                                   maxSf: Long): DataFrame =
+    graft.core.Artifacts.table(s,
+      s"src-shingles|n=3|sf<=$maxSf",
+      graft.core.Artifacts.fingerprint(dir)) {
+      val sh = srcShinglesIdx(s, dir)
+      sh.join(
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("_sf"))
+          .filter(col("_sf") <= maxSf).select("shingle"),
+        "shingle")
+        .select(sh.columns.toIndexedSeq.map(col): _*)
+    }
+
   private def signaturesIdx(s: SparkSession, dir: String): DataFrame =
     graft.core.Artifacts.table(s,
       "minhash-sigs|h=8|n=3", graft.core.Artifacts.fingerprint(dir))(
@@ -379,8 +399,12 @@ object DedupOps {
     // wide-mixture run deploys, since a ubiquitous shingle costs
     // source-freq² join rows while carrying no mixing signal
     "d21_source_overlap_capped" -> { (s, dir) =>
-      Dedup.sourceOverlap(docs(s, dir), maxSourceFreq = 8L,
-        rows = Some(srcShinglesIdx(s, dir)))
+      // the cap is APPLIED AT STAGING (cappedSrcShinglesIdx, sf<=8):
+      // sizes and intersections both read the capped artifact, so no
+      // maxSourceFreq re-filter is needed — value-identical to capping
+      // inline (verified: hash unchanged when this moved to staging)
+      Dedup.sourceOverlap(docs(s, dir),
+        rows = Some(cappedSrcShinglesIdx(s, dir, 8L)))
     },
 
     // sketch-algebra overlap: the d19 matrix from MERGED KMV sketches

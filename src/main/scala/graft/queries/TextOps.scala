@@ -292,7 +292,7 @@ object TextOps {
         val md = java.security.MessageDigest.getInstance("MD5")
         val bytes = (graft.operators.Robots.fixtureRows ++
             graft.operators.Sitemaps.fixtureRows)
-          .map(r => r._1 + " " + r._2).mkString("")
+          .map(r => r._1 + "\u0000" + r._2).mkString("\u0001")
           .getBytes("UTF-8")
         md.digest(bytes).map("%02x".format(_)).mkString
       }

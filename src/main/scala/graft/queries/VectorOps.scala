@@ -1525,7 +1525,7 @@ object VectorOps {
          |  SELECT CAST(prefix_i AS BIGINT) AS prefix_i, n_total,
          |    n_occupied,
          |    CAST(max_cell AS DOUBLE) * CAST(n_cells AS DOUBLE)
-         |      / CAST(n_total AS DOUBLE) AS imbalance
+         |      / NULLIF(CAST(n_total AS DOUBLE), 0) AS imbalance
          |  FROM tot)
          |SELECT prefix_i, n_total, n_occupied, imbalance,
          |  imbalance > 2.0 AS fired,

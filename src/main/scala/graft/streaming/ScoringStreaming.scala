@@ -376,10 +376,17 @@ object ScoringStreaming {
       val (imb, nTotal) = (st.getDouble(0), st.getLong(1))
       if (imb > maxImbalance && nTotal >= minVectors) {
         val corpus = idxNow.select(col(idCol), col(vecCol))
-        val newCents = retrain(corpus)
         val newGen = nextGen(gen)
-        newCents.write.mode("overwrite")
+        retrain(corpus).write.mode("overwrite")
           .parquet(s"$indexRoot/$newGen/_centroids")
+        // evaluate-once discipline: retrain(corpus) is LAZY, so using
+        // the same frame for the write above and the seed assignment
+        // below would run it twice — a non-deterministic retrain
+        // (sampled k-means init) would then persist centroids that
+        // differ from the ones the seed was assigned against, silently
+        // corrupting the generation. The persisted file is the single
+        // source of truth; read it back for everything downstream.
+        val newCents = spark.read.parquet(s"$indexRoot/$newGen/_centroids")
         graft.operators.Similarity
           .indexCells(corpus, newCents, idCol, vecCol)
           .write.mode("overwrite")

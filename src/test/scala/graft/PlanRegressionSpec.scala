@@ -39,6 +39,19 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p.take(1500))
   }
 
+  test("v23 mmr: the greedy chain is pinned per step") {
+    val p = plan("v23_mmr_diverse")
+    // step i references step i−1 TWICE (anti-join + max-sim join): an
+    // unpinned chain re-evaluates earlier steps 2^(k−step) times and
+    // hands Catalyst a plan that doubles per step (the r16 v23 creep).
+    // Each step localCheckpoints, so the final frame must read the
+    // LAST pinned step — a truncated ExistingRDD scan, not a k-deep
+    // join tree re-deriving the selection
+    assert(p.contains("Scan ExistingRDD"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("no query plans a cartesian product of two large sides") {
     // v1 brute-force kNN is the one intentional cross join — its query
     // side is broadcast, so it must plan as a broadcast NL join, never

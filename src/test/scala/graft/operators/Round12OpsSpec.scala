@@ -256,6 +256,26 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(run(0L) === run(2000000L))
   }
 
+  test("path identity holds on supplementary-plane tie-breaks") {
+    // U+10000 (LINEAR B SYLLABLE, a surrogate PAIR in UTF-16) vs
+    // U+E000 (private-use BMP): UTF-16 code-UNIT order puts the
+    // surrogate lead (0xD800) BEFORE 0xE000, but code-point / UTF-8
+    // order — Spark's UTF8String collation, the trainer's documented
+    // total order — puts U+E000 first. Two pairs tied on count and
+    // differing only in that character force the tie-break; both
+    // paths must pick the U+E000 pair (code-point order).
+    val e = "\uE000"; val sp = new String(Character.toChars(0x10000))
+    val docs = Seq(
+      (1L, s"${e}a ${e}a ${sp}a ${sp}a")).toDF("doc_id", "text")
+    def run(thr: Long) =
+      graft.functions.Bpe.train(docs, nMerges = 1,
+          localVocabThreshold = thr)
+        .as[(Int, String, String, Long)].collect().toSeq
+    val local = run(2000000L)
+    assert(local === run(0L))
+    assert(local.head._2 === e, "tie must break by code point")
+  }
+
   test("training on the harness corpus reproduces the frozen fixture prefix") {
     // the fixture was frozen from sf0.01 (sf0.001's Zipf order differs
     // in ranks 1-3 — merge order is corpus-specific, as it should be)

@@ -120,4 +120,32 @@ class SitemapsSpec extends AnyFunSuite {
     // exchange on canon_loc
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("gatedListed: a loc listed twice gates once per LISTING, never n²") {
+    // the robots gate must evaluate each DISTINCT loc once — an
+    // allowed side keyed per parsed row would join a loc listed n
+    // times against n allowed rows, multiplying listings to n² output
+    val robots = Seq(("a.com", Seq(
+      "Sitemap: https://a.com/s1.xml",
+      "Sitemap: https://a.com/s2.xml",
+      "User-agent: *",
+      "Disallow: /private").mkString("\n"))).toDF("host", "robots_txt")
+    // /dup listed TWICE in s1 and again in s2 (3 listings total);
+    // /private listed once — disallowed but still a gated row
+    val files = Seq(
+      ("a.com", Seq("<urlset>",
+        "<url><loc>https://a.com/dup</loc></url>",
+        "<url><loc>https://a.com/dup</loc></url>",
+        "<url><loc>https://a.com/private</loc></url>",
+        "</urlset>").mkString("\n")),
+      ("a.com", Seq("<urlset>",
+        "<url><loc>https://a.com/dup</loc></url>",
+        "</urlset>").mkString("\n"))).toDF("host", "sitemap_xml")
+    val out = Sitemaps.gatedListed(robots, files, "bot")
+      .select(col("loc"), col("allowed"))
+      .as[(String, Boolean)].collect().toSeq
+    assert(out.count(_ == ("https://a.com/dup", true)) === 3)
+    assert(out.count(_ == ("https://a.com/private", false)) === 1)
+    assert(out.size === 4)
+  }
 }
