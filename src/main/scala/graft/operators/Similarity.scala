@@ -791,6 +791,47 @@ object Similarity {
     nz.select(avg(bestCos)).collect().head.getDouble(0)
   }
 
+  /** The corpus-growth sizing rule for an IVF cell count: k ∝ √N
+    * (`max(kMin, ceil(coeff · √n))`) — the standard IVF guideline
+    * (FAISS documents k ≈ √N to a small multiple of it). Under this
+    * rule a fixed-nprobe serve scans `nprobe · N / k ≈ nprobe · √N /
+    * coeff` candidates per query — SUBLINEAR in corpus size, where a
+    * fixed k goes linear (the round-16 maxsimserve 1000× finding:
+    * probed-cell populations grow with the corpus when the cell count
+    * doesn't).
+    */
+  def growthK(n: Long, kMin: Int = 2, coeff: Double = 1.0): Int = {
+    require(kMin >= 2, s"kMin must be >= 2 (k-means needs 2), got $kMin")
+    require(coeff > 0, s"coeff must be > 0, got $coeff")
+    math.max(kMin, math.ceil(coeff * math.sqrt(n.toDouble)).toInt)
+  }
+
+  /** The default RETRAIN POLICY for
+    * [[graft.streaming.ScoringStreaming.cellIndexStreamWithRetrain]]:
+    * a recenter that GROWS the index with the corpus. Counts the
+    * corpus (one scalar job), sizes the new codebook by [[growthK]]'s
+    * k ∝ √N rule, and trains spherical k-means at that k — so a
+    * trigger fired by occupancy (corpus outgrew the cell count)
+    * produces a generation whose occupancy `N / k ≈ √N / coeff` is
+    * back in band, not just recentered at the same saturated k.
+    * Deterministic end to end ([[trainKmeans]]'s md5-seeded init and
+    * decimal-summed means), so the persisted `_centroids` equal the
+    * frame the seed assignment used even though the loop evaluates
+    * the returned frame once per use.
+    */
+  def growthRetrain(kMin: Int = 2, coeff: Double = 1.0, iters: Int = 2,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding")
+      : DataFrame => DataFrame = { corpus =>
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val k = growthK(n, kMin, coeff)
+    trainKmeans(corpus, k, iters, idCol, vecCol)
+      .map { case (cid, cv) => (cid.toLong, cv) }
+      .toDF(idCol, vecCol)
+  }
+
   /** Mean-pool embeddings per group: the chunk→document aggregation of
     * a RAG/embedding pipeline (embed chunks, pool to one vector per
     * doc). Components quantize to 1e-12 via `floor(x · 1e12)` — floor,

@@ -67,6 +67,51 @@ object VectorOps {
         codebook = Some(Similarity.pqCodebook(e, m = 4, k = 16)))
     })
 
+  /** The one-pass arrival-prefix per-cell occupancy grid behind v36
+    * and v38: vectors "arrive" cell-clustered (the worst-case ingest
+    * skew a drifted feed produces) and the grid holds the per-cell
+    * population at each of 8 arrival prefixes — (p, cell, n_vec),
+    * empty cells preserved. The global (cell, vec_id) arrival rank is
+    * computed WITHOUT a global sort: per-cell windows (partitioned) +
+    * a broadcast of cumulative cell-size offsets (a centroid-sized
+    * frame) — identical rank values, but the corpus never funnels
+    * through one partition. SINGLE corpus pass for all 8 prefixes:
+    * each row's FIRST containing prefix is ceil(8·arr / n) (row ∈
+    * prefix p iff arr ≤ (p·n) DIV 8 ⟺ p·n ≥ 8·arr), so one
+    * (cell, bkt) count + a tiny cells×8 cumulative grid reproduce
+    * every prefix's per-cell occupancy — the 8-leg union re-scanned
+    * the index per prefix (measured 2.9 s vs 0.1 s DuckDB; this is
+    * the honest one-aggregation shape).
+    */
+  private def prefixCellCounts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+    val idx = pqIndexIdx(s, dir).select(col("vec_id"), col("cell"))
+    val offsets = idx.groupBy(col("cell"))
+      .agg(count(lit(1)).as("csz"))
+      .withColumn("off", coalesce(
+        sum(col("csz")).over(Window.orderBy(col("cell"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("cell"), col("off"))
+    val n = broadcast(idx.agg(count(lit(1)).as("n")))
+    val bucketed = idx.join(broadcast(offsets), "cell")
+      .withColumn("arr", col("off") + row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+      .crossJoin(n)
+      .groupBy(col("cell"),
+        expr("(8 * arr + n - 1) DIV n").as("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val ps = s.range(1, 9).select(col("id").as("p"))
+    broadcast(cents.select(col("vec_id").as("cell")))
+      .crossJoin(broadcast(ps))
+      .join(bucketed.withColumnRenamed("cell", "bcell"),
+        col("cell") === col("bcell") && col("bkt") <= col("p"),
+        "left")
+      .groupBy(col("p"), col("cell"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_vec"))
+  }
+
   /** The v30 index: pqIndexIdx + the `label` metadata column riding
     * each row — the filtered-ANN deployment shape. A serve-time
     * metadata predicate becomes `index.filter(...)`, which Parquet
@@ -531,43 +576,7 @@ object VectorOps {
     // sorts the corpus, it reads the maintained dir's stats
     "v36_retrain_trigger" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") < 8)
-      val idx = pqIndexIdx(s, dir).select(col("vec_id"), col("cell"))
-      // the global (cell, vec_id) arrival rank WITHOUT a global sort:
-      // per-cell windows (partitioned) + a broadcast of cumulative
-      // cell-size offsets (a centroid-sized frame) — identical rank
-      // values, but the corpus never funnels through one partition
-      val offsets = idx.groupBy(col("cell"))
-        .agg(count(lit(1)).as("csz"))
-        .withColumn("off", coalesce(
-          sum(col("csz")).over(Window.orderBy(col("cell"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("cell"), col("off"))
-      val n = broadcast(idx.agg(count(lit(1)).as("n")))
-      // SINGLE corpus pass for all 8 prefixes: each row's FIRST
-      // containing prefix is ceil(8·arr / n) (row ∈ prefix p iff
-      // arr ≤ (p·n) DIV 8 ⟺ p·n ≥ 8·arr), so one (cell, bkt) count
-      // + a tiny cells×8 cumulative grid reproduce every prefix's
-      // per-cell occupancy — the 8-leg union re-scanned the index per
-      // prefix (measured 2.9 s vs 0.1 s DuckDB; this is the honest
-      // one-aggregation shape)
-      val bucketed = idx.join(broadcast(offsets), "cell")
-        .withColumn("arr", col("off") + row_number().over(
-          Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
-        .crossJoin(n)
-        .groupBy(col("cell"),
-          expr("(8 * arr + n - 1) DIV n").as("bkt"))
-        .agg(count(lit(1)).as("c"))
-      val ps = s.range(1, 9).select(col("id").as("p"))
-      val nvec = broadcast(cents.select(col("vec_id").as("cell")))
-        .crossJoin(broadcast(ps))
-        .join(bucketed.withColumnRenamed("cell", "bcell"),
-          col("cell") === col("bcell") && col("bkt") <= col("p"),
-          "left")
-        .groupBy(col("p"), col("cell"))
-        .agg(coalesce(sum(col("c")), lit(0L)).as("n_vec"))
-      nvec.groupBy(col("p"))
+      prefixCellCounts(s, dir).groupBy(col("p"))
         .agg(sum(col("n_vec")).as("n_total"),
           count(lit(1)).as("n_cells"),
           sum(when(col("n_vec") > 0, 1L).otherwise(0L))
@@ -579,6 +588,46 @@ object VectorOps {
             nullif(col("n_total").cast("double"), lit(0.0)))
             .as("imbalance"))
         .withColumn("fired", col("imbalance") > 2.0)
+        .withColumn("fires_at",
+          min(when(col("fired"), col("prefix_i")))
+            .over(Window.partitionBy()))
+    },
+
+    // the GROWTH-POLICY table (the v36 discipline on the second
+    // trigger): at each arrival prefix, occupancy NEXT TO imbalance,
+    // both trigger verdicts (occupancy > 32 plays the maxOccupancy
+    // bar — both branches carry signal at sf0.01), and the k ∝ √N
+    // rule's answer with the occupancy it would restore — exactly
+    // what `cellIndexStreamWithRetrain(maxOccupancy=…)` +
+    // `Similarity.growthRetrain()` evaluate per micro-batch
+    // (spec-pinned behaviorally in CellIndexStreamSpec; this row
+    // pins the numbers)
+    "v38_growth_policy" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      prefixCellCounts(s, dir).groupBy(col("p"))
+        .agg(sum(col("n_vec")).as("n_total"),
+          count(lit(1)).as("n_cells"),
+          sum(when(col("n_vec") > 0, 1L).otherwise(0L))
+            .as("n_occupied"),
+          max(col("n_vec")).as("max_cell"))
+        .select(col("p").as("prefix_i"), col("n_total"),
+          col("n_cells"), col("n_occupied"),
+          (col("n_total").cast("double") /
+            nullif(col("n_cells").cast("double"), lit(0.0)))
+            .as("occupancy"),
+          (col("max_cell").cast("double") * col("n_cells").cast("double") /
+            nullif(col("n_total").cast("double"), lit(0.0)))
+            .as("imbalance"))
+        .withColumn("fired_imb", col("imbalance") > 2.0)
+        .withColumn("fired_occ", col("occupancy") > 32.0)
+        .withColumn("fired", col("fired_imb") || col("fired_occ"))
+        .withColumn("k_next",
+          when(col("fired"), greatest(lit(2L),
+            ceil(sqrt(col("n_total").cast("double")))))
+            .otherwise(col("n_cells")))
+        .withColumn("occ_after",
+          col("n_total").cast("double") /
+            nullif(col("k_next").cast("double"), lit(0.0)))
         .withColumn("fires_at",
           min(when(col("fired"), col("prefix_i")))
             .over(Window.partitionBy()))
@@ -743,6 +792,47 @@ object VectorOps {
        |FROM embeddings""".stripMargin
 
   private val sqlWithNorm = sqlWithNormOn("embedding")
+
+  /** The shared arrival-prefix CTE chain behind the v36/v38 oracles:
+    * the v35 assignment, a global (cell, vec_id) arrival rank, 8
+    * integer-division prefixes, and the per-prefix stats with empty
+    * cells preserved — exact ints through `tot`.
+    */
+  private val sqlPrefixTot: String =
+    s"""WITH en AS ($sqlWithNorm),
+       |cent AS (SELECT * FROM en WHERE vec_id < 8),
+       |crk AS (
+       |  SELECT v.vec_id, c.vec_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
+       |               c.vec_id) AS rnk
+       |  FROM en v CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, cell FROM crk WHERE rnk = 1),
+       |arr AS (
+       |  SELECT vec_id, cell,
+       |    ROW_NUMBER() OVER (ORDER BY cell, vec_id) AS arr
+       |  FROM asg),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM arr),
+       |pres AS (
+       |  SELECT p.p AS prefix_i, a.cell
+       |  FROM arr a CROSS JOIN nn CROSS JOIN range(1, 9) p(p)
+       |  WHERE a.arr <= (p.p * nn.n) // 8),
+       |per AS (
+       |  SELECT prefix_i, cell, CAST(COUNT(*) AS BIGINT) AS n_vec
+       |  FROM pres GROUP BY 1, 2),
+       |base AS (
+       |  SELECT p.p AS prefix_i, c.vec_id AS cell,
+       |    COALESCE(x.n_vec, 0) AS n_vec
+       |  FROM cent c CROSS JOIN range(1, 9) p(p)
+       |  LEFT JOIN per x ON x.cell = c.vec_id AND x.prefix_i = p.p),
+       |tot AS (
+       |  SELECT prefix_i,
+       |    CAST(SUM(n_vec) AS BIGINT) AS n_total,
+       |    CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |    CAST(SUM(CASE WHEN n_vec > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_occupied,
+       |    CAST(MAX(n_vec) AS BIGINT) AS max_cell
+       |  FROM base GROUP BY prefix_i)""".stripMargin
 
   private def sqlKnn(joinCond: String, vec: String = "embedding",
                      k: Int = 3): String =
@@ -1487,40 +1577,7 @@ object VectorOps {
     // first-crossing columns — exact ints throughout, double ratios
     // and the threshold compare last
     "v36_retrain_trigger" ->
-      s"""WITH en AS ($sqlWithNorm),
-         |cent AS (SELECT * FROM en WHERE vec_id < 8),
-         |crk AS (
-         |  SELECT v.vec_id, c.vec_id AS cell,
-         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
-         |               c.vec_id) AS rnk
-         |  FROM en v CROSS JOIN cent c),
-         |asg AS (SELECT vec_id, cell FROM crk WHERE rnk = 1),
-         |arr AS (
-         |  SELECT vec_id, cell,
-         |    ROW_NUMBER() OVER (ORDER BY cell, vec_id) AS arr
-         |  FROM asg),
-         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM arr),
-         |pres AS (
-         |  SELECT p.p AS prefix_i, a.cell
-         |  FROM arr a CROSS JOIN nn CROSS JOIN range(1, 9) p(p)
-         |  WHERE a.arr <= (p.p * nn.n) // 8),
-         |per AS (
-         |  SELECT prefix_i, cell, CAST(COUNT(*) AS BIGINT) AS n_vec
-         |  FROM pres GROUP BY 1, 2),
-         |base AS (
-         |  SELECT p.p AS prefix_i, c.vec_id AS cell,
-         |    COALESCE(x.n_vec, 0) AS n_vec
-         |  FROM cent c CROSS JOIN range(1, 9) p(p)
-         |  LEFT JOIN per x ON x.cell = c.vec_id AND x.prefix_i = p.p),
-         |tot AS (
-         |  SELECT prefix_i,
-         |    CAST(SUM(n_vec) AS BIGINT) AS n_total,
-         |    CAST(COUNT(*) AS BIGINT) AS n_cells,
-         |    CAST(SUM(CASE WHEN n_vec > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_occupied,
-         |    CAST(MAX(n_vec) AS BIGINT) AS max_cell
-         |  FROM base GROUP BY prefix_i),
+      s"""$sqlPrefixTot,
          |st AS (
          |  SELECT CAST(prefix_i AS BIGINT) AS prefix_i, n_total,
          |    n_occupied,
@@ -1532,6 +1589,37 @@ object VectorOps {
          |  MIN(CASE WHEN imbalance > 2.0 THEN prefix_i END) OVER ()
          |    AS fires_at
          |FROM st""".stripMargin,
+
+    // the v36 prefix stats extended with the SECOND trigger: per
+    // prefix the occupancy, both verdicts, and the k ∝ √N growth
+    // rule's k with the occupancy it restores
+    "v38_growth_policy" ->
+      s"""$sqlPrefixTot,
+         |st AS (
+         |  SELECT CAST(prefix_i AS BIGINT) AS prefix_i, n_total,
+         |    n_cells, n_occupied,
+         |    CAST(n_total AS DOUBLE) / NULLIF(CAST(n_cells AS DOUBLE), 0)
+         |      AS occupancy,
+         |    CAST(max_cell AS DOUBLE) * CAST(n_cells AS DOUBLE)
+         |      / NULLIF(CAST(n_total AS DOUBLE), 0) AS imbalance
+         |  FROM tot),
+         |pol AS (
+         |  SELECT *, imbalance > 2.0 AS fired_imb,
+         |    occupancy > 32.0 AS fired_occ,
+         |    (imbalance > 2.0 OR occupancy > 32.0) AS fired
+         |  FROM st),
+         |pol2 AS (
+         |  SELECT *, CASE WHEN fired THEN
+         |      GREATEST(CAST(2 AS BIGINT),
+         |        CAST(CEIL(SQRT(CAST(n_total AS DOUBLE))) AS BIGINT))
+         |    ELSE n_cells END AS k_next
+         |  FROM pol)
+         |SELECT prefix_i, n_total, n_cells, n_occupied, occupancy,
+         |  imbalance, fired_imb, fired_occ, fired, k_next,
+         |  CAST(n_total AS DOUBLE) / NULLIF(CAST(k_next AS DOUBLE), 0)
+         |    AS occ_after,
+         |  MIN(CASE WHEN fired THEN prefix_i END) OVER () AS fires_at
+         |FROM pol2""".stripMargin,
 
     // the planning row residual encoding earns its keep with: recall@3
     // of the raw-space serve (v26) vs the residual serve (v33) against

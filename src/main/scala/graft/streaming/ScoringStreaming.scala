@@ -321,9 +321,9 @@ object ScoringStreaming {
     * `indexRoot/<gen>/batch_id=N` dir (mode Overwrite — the
     * [[cellIndexStream]] idempotence recipe per generation); (2) the
     * generation's stats recompute over the maintained dir; (3) iff
-    * `imbalance > maxImbalance` (and the index has at least
-    * `minVectors` rows — tiny indexes have degenerate ratios), the
-    * retrain fires ONCE: `retrain(current corpus)` produces the new
+    * `imbalance > maxImbalance` OR `occupancy > maxOccupancy` (and
+    * the index has at least `minVectors` rows — tiny indexes have
+    * degenerate ratios), the retrain fires ONCE: `retrain(current corpus)` produces the new
     * centroid set, the corpus re-assigns into the NEW generation's
     * seed partition (`batch_id=-1`, below any real batch id), the new
     * centroids persist beside it (`_centroids` — underscore-prefixed,
@@ -348,8 +348,20 @@ object ScoringStreaming {
     *   the serving index is re-read from `indexRoot/<gen>` per query
     *   batch so maintained appends become visible
     * @param retrain current corpus (idCol, vecCol) → new centroids
-    *   frame; [[graft.operators.Similarity.kmeans]] output or any
-    *   deterministic recenter
+    *   frame; [[graft.operators.Similarity.growthRetrain]] (the
+    *   default policy a growing corpus needs — k ∝ √N), a
+    *   [[graft.operators.Similarity.trainKmeans]] recenter at fixed
+    *   k, or any deterministic recenter
+    * @param maxOccupancy the GROWTH trigger: fire when `n_total /
+    *   n_cells` exceeds it — imbalance heals skew but is blind to a
+    *   corpus uniformly outgrowing its cell count (every cell grows,
+    *   the ratio stays 1). Pair it with a k-GROWING retrain
+    *   ([[graft.operators.Similarity.growthRetrain]]): post-swap
+    *   occupancy is then `≈ √N / coeff`, back under the bar, so the
+    *   trigger stays exactly-once per outgrowth (a fixed-k recenter
+    *   under this trigger would re-fire every batch — the occupancy
+    *   doesn't change). Default ∞ keeps the r15 imbalance-only
+    *   behavior.
     * @param onRetrain observability hook: (fromGen, toGen, imbalance)
     */
   def cellIndexStreamWithRetrain(
@@ -360,7 +372,8 @@ object ScoringStreaming {
       retrain: DataFrame => DataFrame,
       onRetrain: (String, String, Double) => Unit = (_, _, _) => (),
       minVectors: Long = 1L,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxOccupancy: Double = Double.PositiveInfinity)
       : DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
@@ -372,9 +385,13 @@ object ScoringStreaming {
       val idxNow = servedGenIndex(spark, indexRoot, gen, idCol)
       val st = graft.operators.Similarity
         .indexStats(idxNow, cents, idCol)
-        .select(col("imbalance"), col("n_total")).limit(1).collect()(0)
-      val (imb, nTotal) = (st.getDouble(0), st.getLong(1))
-      if (imb > maxImbalance && nTotal >= minVectors) {
+        .select(col("imbalance"), col("n_total"), col("n_cells"))
+        .limit(1).collect()(0)
+      val (imb, nTotal, nCells) =
+        (st.getDouble(0), st.getLong(1), st.getLong(2))
+      val occupancy = nTotal.toDouble / nCells
+      if ((imb > maxImbalance || occupancy > maxOccupancy) &&
+          nTotal >= minVectors) {
         val corpus = idxNow.select(col(idCol), col(vecCol))
         val newGen = nextGen(gen)
         retrain(corpus).write.mode("overwrite")

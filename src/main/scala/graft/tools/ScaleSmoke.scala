@@ -266,6 +266,52 @@ object ScaleSmoke {
             s"msidx$factor"),
           ce1.filter(col("doc_id") % 50 === 0).persist(), cents)
       } else (null, null, null, null)
+    // maxsimserveT: maxsimserve with the Nx index RETUNED by the
+    // k ∝ √N rule (Similarity.growthK — the growthRetrain policy):
+    // the cell count grows with √factor while nprobe stays fixed, so
+    // per-query candidates are nprobe·chunks/k ≈ √N-bounded. The
+    // fixed-k maxsimserve leg is the CONTROL — its 1000× ratio is
+    // ≈ linear (probed cells' populations grow with the corpus); this
+    // leg shows the retune lever closing exactly that gap
+    val (msT1, msTN, msTQs, msTCents1, msTCentsN) =
+      if (legOn("maxsimserveT")) {
+        def chunksOf(d: DataFrame) = {
+          val ch = graft.operators.Chunking.slidingChunks(d, "doc_id",
+              "text", window = 16, stride = 16)
+            .withColumn("chunk_uid",
+              col("doc_id") * 1000000L + col("chunk_idx"))
+          Similarity.hashEmbed(ch, dims = 64, idCol = "chunk_uid",
+              textCol = "chunk_text",
+              carryCols = Seq("doc_id", "chunk_idx"))
+            .filter(Similarity.norm(col("embedding")) > 0)
+        }
+        val ce1 = chunksOf(dt1x)
+        val ceN = chunksOf(dtNx)
+        // k ∝ √N: the base serves 8 cells, the Nx side 8·√factor
+        val kN = 8 * math.ceil(math.sqrt(factor.toDouble)).toInt
+        val cents1 = ce1.filter(col("chunk_idx") === 0 && col("doc_id") < 8)
+          .persist()
+        val centsN = ceN.filter(col("chunk_idx") === 0 && col("doc_id") < kN)
+          .persist()
+        (persist(Similarity.indexCells(ce1, cents1, idCol = "chunk_uid",
+            carryCols = Seq("doc_id")), "msTidx1"),
+          persist(Similarity.indexCells(ceN, centsN, idCol = "chunk_uid",
+            carryCols = Seq("doc_id")), s"msTidx$factor"),
+          ce1.filter(col("doc_id") % 50 === 0).persist(), cents1, centsN)
+      } else (null, null, null, null, null)
+    // t63apply: the map-only serving split of line dedup — the
+    // frequent-line list is a corpus-release artifact (staged,
+    // untimed); the timed apply is one broadcast + per-row array
+    // filter, ZERO corpus shuffle
+    val (t63f1, t63fN) =
+      if (legOn("t63apply"))
+        (persist(graft.operators.Boilerplate.frequentLines(
+            graft.operators.Boilerplate.withLinePayload(d1x),
+            textCol = "page_text"), "t63f1"),
+          persist(graft.operators.Boilerplate.frequentLines(
+            graft.operators.Boilerplate.withLinePayload(dNx),
+            textCol = "page_text"), s"t63f$factor"))
+      else (null, null)
     // filteredserve: the v30 shape — metadata rides the index row
     // (carryCols), serve filters the STAGED index ahead of the ADC
     // scoring; the filter pushes into the index scan, so the leg must
@@ -820,6 +866,41 @@ object ScaleSmoke {
             graft.operators.Redact.withCardPayload(d),
             "doc_id", "page_text")
           .agg(sum(col("n_cards"))).collect(); ()
+      }),
+      // maxsimserveT: the √N-retuned maxsim serve — each side serves
+      // ITS OWN (index, centroids): the candidate set stays
+      // nprobe/k-sliced as the corpus grows, where the fixed-k
+      // maxsimserve control goes linear
+      benchAction[(DataFrame, DataFrame)]("maxsimserveT",
+        (msT1, msTCents1), (msTN, msTCentsN), { case (idx, cents) =>
+          graft.operators.LateInteraction.maxSimTopKIndexed(msTQs, idx,
+            cents, k = 3, nprobe = 2).count(); ()
+        }),
+      // t63apply: the map-only line-dedup apply against the staged
+      // frequent-line artifact — broadcast + per-row filter, zero
+      // corpus shuffle; must track the scan; forced through the
+      // chars sum so the rebuild can't be pruned
+      benchAction[(DataFrame, DataFrame)]("t63apply",
+        (d1x, t63f1), (dNx, t63fN), { case (d, f) =>
+          graft.operators.Boilerplate.applyLineDedup(
+              graft.operators.Boilerplate.withLinePayload(d), f,
+              textCol = "page_text")
+            .agg(sum(col("chars_removed"))).collect(); ()
+        }),
+      // t64: the COMPOSED discovery frontier — gate + parse are
+      // file-sized, the only corpus-scale stage is the audit's
+      // broadcast semi-join (the t62 shape); forced through the
+      // fetch-order sum so the rank window can't be pruned
+      benchAction[DataFrame]("t64", d1x, dNx, { d =>
+        val crawled = graft.operators.Urls.withUrlPayload(d)
+          .select(graft.operators.Urls.canonicalUrl(col("url"))
+            .as("canon_url"))
+        graft.operators.Sitemaps.frontierFromGated(
+            graft.operators.Sitemaps.gatedListed(
+              graft.operators.Robots.fixture(spark),
+              graft.operators.Sitemaps.fixture(spark), "crawler-x"),
+            crawled)
+          .agg(sum(col("fetch_order"))).collect(); ()
       }))
 
     val bar = factor * 2.5

@@ -259,6 +259,36 @@ class DedupSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.clusterIds(empty).count() === 0L)
   }
+
+  test("sourceOverlap: hand matrix; pre-capped rows equal the inline cap") {
+    // 3-word docs -> one shingle each; srcA {s1, s2}, srcB {s1}, srcC
+    // {s1, s3}: s1 is in all 3 sources, so a cap of 2 kills it
+    val df = Seq(
+      ("srcA", "a b c"), ("srcA", "x y z"),
+      ("srcB", "a b c"),
+      ("srcC", "a b c"), ("srcC", "p q r")).toDF("source", "text")
+    def mat(out: org.apache.spark.sql.DataFrame) =
+      out.select(col("src_a"), col("src_b"), col("inter_ct"),
+          col("size_a"), col("overlap"))
+        .as[(String, String, Long, Long, Double)].collect().toSet
+    val uncapped = mat(Dedup.sourceOverlap(df))
+    // every ordered pair intersects on exactly {s1}; sizes 2/1/2
+    assert(uncapped === Set(
+      ("srcA", "srcB", 1L, 2L, 0.5), ("srcA", "srcC", 1L, 2L, 0.5),
+      ("srcB", "srcA", 1L, 1L, 1.0), ("srcB", "srcC", 1L, 1L, 1.0),
+      ("srcC", "srcA", 1L, 2L, 0.5), ("srcC", "srcB", 1L, 2L, 0.5)))
+    // cap 2: s1 (source-freq 3) leaves counts AND sizes -> no pairs
+    val inline = mat(Dedup.sourceOverlap(df, maxSourceFreq = 2L))
+    assert(inline.isEmpty)
+    // the d21 staging contract: capping the rows BEFORE the call
+    // (the staged-artifact path) equals capping inline
+    val rows = Dedup.shingleRows(df, "source").distinct()
+    val capped = rows.join(
+      rows.groupBy(col("shingle")).agg(count(lit(1)).as("_sf"))
+        .filter(col("_sf") <= 2).select("shingle"), "shingle")
+      .select(rows.columns.toIndexedSeq.map(col): _*)
+    assert(mat(Dedup.sourceOverlap(df, rows = Some(capped))) === inline)
+  }
 }
 
 class FrequencySpec extends AnyFunSuite {

@@ -534,6 +534,71 @@ class CellIndexStreamSpec extends AnyFunSuite {
     assert(cents.count() === 4L)
   }
 
+  test("growth retrain: a 10x flood fires a k-grown retrain once; occupancy returns to band") {
+    implicit val sq = spark.sqlContext
+    val root = Files.createTempDirectory("growthidx").toString
+    val cents0 = centroids // k = 2
+    // seed: 6 vectors on 2 cells -> occupancy 3, far under the bar
+    val seed = vecs
+    // the FLOOD: 10x the seed, spread uniformly on the unit circle's
+    // first quadrant, so no single cell is hot — imbalance stays
+    // healthy while occupancy blows through the bar (the trigger
+    // imbalance alone is blind to: the corpus outgrew k, not skewed)
+    val flood = (0 until 60).map { i =>
+      val a = (i + 0.5) * (math.Pi / 2) / 60
+      (1000L + i, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    val nAll = (seed.size + flood.size).toLong // 66
+    val kGrown = Similarity.growthK(nAll) // ceil(sqrt(66)) = 9
+    assert(kGrown === 9)
+    val fires =
+      scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      ("g0001", cents0))
+    ScoringStreaming.publishGeneration(root, "g0001", cents0)
+    val vin = MemoryStream[(Long, Array[Float])]
+    // maxOccupancy = 10: seed occupancy 3 (no fire); post-flood
+    // 66/2 = 33 (fire); post-retrain 66/9 = 7.3 (back in band, no
+    // refire). The retrain is the DEFAULT policy — k grows with N
+    val maintain = ScoringStreaming.cellIndexStreamWithRetrain(
+        vin.toDF().toDF("vec_id", "embedding"), root, ref,
+        maxImbalance = Double.PositiveInfinity,
+        retrain = Similarity.growthRetrain(),
+        onRetrain = (from, to, imb) => fires += ((from, to, imb)),
+        maxOccupancy = 10.0)
+      .start()
+    try {
+      vin.addData(seed: _*); maintain.processAllAvailable()
+      assert(fires.isEmpty, "seed occupancy 3 must not trigger")
+      vin.addData(flood: _*); maintain.processAllAvailable()
+      assert(fires.toSeq.map(t => (t._1, t._2)) ===
+        Seq(("g0001", "g0002")), "the flood fires exactly once")
+      val (gen2, cents2) = ref.get()
+      assert(gen2 === "g0002")
+      assert(cents2.count() === kGrown.toLong,
+        "the new generation's k follows the sqrt(N) rule")
+      // healthy arrivals post-swap: occupancy 68/9 = 7.6 < 10 — the
+      // trigger must NOT re-fire (the k-grown codebook absorbed the
+      // growth; a fixed-k recenter here would re-fire forever)
+      vin.addData((2000L, Array(0.9f, 0.4f)),
+        (2001L, Array(0.3f, 0.9f)))
+      maintain.processAllAvailable()
+      assert(fires.size === 1, "no refire once occupancy is in band")
+      // the maintained index is intact and back in band
+      val idx = ScoringStreaming.servedGenIndex(spark, root, gen2)
+      assert(idx.count() === nAll + 2)
+      val st = Similarity.indexStats(idx, cents2)
+        .select(col("n_total"), col("n_cells"), col("n_occupied"))
+        .as[(Long, Long, Long)].head()
+      assert(st._1.toDouble / st._2 <= 10.0, "occupancy in band")
+      assert(st._3 >= 5L, "the grown codebook actually spreads load")
+    } finally maintain.stop()
+    // restart recovery picks up the grown generation + its centroids
+    val (gen, cents) = ScoringStreaming.resumeGeneration(spark, root)
+    assert(gen === "g0002")
+    assert(cents.count() === kGrown.toLong)
+  }
+
   test("kill + restart: index intact; compaction preserves every row") {
     val srcDir = Files.createTempDirectory("cellsrc").toString
     val ck = Files.createTempDirectory("cellck").toString
