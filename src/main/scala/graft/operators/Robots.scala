@@ -120,6 +120,90 @@ object Robots {
       .filter(col("kind") === "sitemap" && length(col("sitemap_url")) > 0)
       .select(col("host"), col("sitemap_url"))
 
+  /** Deterministic per-host Crawl-delay fixture over the same host
+    * space — shared VERBATIM with the SQL oracle (the [[fixtureRows]]
+    * discipline). Edge coverage: exact-agent group overriding a
+    * larger `*` delay plus two numeric delays in one group (max wins)
+    * (example.com), a fractional delay (news), a shared agent run
+    * with a non-numeric value dropped and a rule line ignored by the
+    * extractor (cdn), and a host whose only group names another agent
+    * with no `*` fallback (blog — schedules at the caller default).
+    */
+  val delayFixtureRows: Seq[(String, String)] = Seq(
+    "example.com" -> Seq(
+      "User-agent: crawler-x",
+      "Crawl-delay: 1",
+      "Crawl-delay: 2",
+      "User-agent: *",
+      "Crawl-delay: 10").mkString("\n"),
+    "news.example.com" -> Seq(
+      "User-agent: *",
+      "Crawl-delay: 1.5").mkString("\n"),
+    "cdn.example.org" -> Seq(
+      "User-agent: legacybot",
+      "User-agent: crawler-x",
+      "Crawl-delay: fast",
+      "Crawl-delay: 3",
+      "Disallow: /nothing").mkString("\n"),
+    "blog.sample.net" -> Seq(
+      "User-agent: otherbot",
+      "Crawl-delay: 9").mkString("\n"))
+
+  def delayFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    delayFixtureRows.toDF("host", "robots_txt")
+  }
+
+  /** `Crawl-delay:` records → one (host, delay_s) row per host, for
+    * `agent` — the de-facto politeness extension most crawlers honor
+    * (not in RFC 9309, which is why this is a SEPARATE extractor:
+    * per §2.2.4 unknown records must not interfere with rule-group
+    * parsing, so [[parseRobots]] stays delay-blind and group
+    * formation here considers only user-agent adjacency among the
+    * (user-agent, crawl-delay) line sequence). Semantics: each
+    * group's agent lines cross its numeric delay lines (non-numeric
+    * values drop); the exact-agent groups win over `*` per host (the
+    * [[applyRobots]] precedence); several effective delays take the
+    * MAX — the conservative politeness read. Everything here is
+    * file-sized; the corpus never appears.
+    */
+  def crawlDelays(robots: DataFrame, agent: String,
+                  hostCol: String = "host",
+                  txtCol: String = "robots_txt"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("ln", "line")))
+      .select(col("host"), col("ln"),
+        lower(regexp_extract(col("line"), "^\\s*([A-Za-z-]+)\\s*:", 1))
+          .as("kind"),
+        trim(regexp_extract(col("line"), "^[^:]*:(.*)$", 1)).as("value"))
+      .filter(col("kind").isin("user-agent", "crawl-delay"))
+    val w = Window.partitionBy(col("host")).orderBy(col("ln"))
+    val grouped = lines
+      .withColumn("_prev", lag(col("kind"), 1).over(w))
+      .withColumn("_start",
+        when(col("kind") === "user-agent" &&
+          (col("_prev").isNull || col("_prev") =!= "user-agent"), 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("_start"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agents = grouped.filter(col("kind") === "user-agent")
+      .select(col("host"), col("grp"), lower(col("value")).as("agent"))
+    val delays = grouped.filter(col("kind") === "crawl-delay" &&
+        col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .select(col("host"), col("grp"),
+        col("value").cast("double").as("delay_s"))
+    val rows = agents.join(delays, Seq("host", "grp"))
+      .select(lower(col("host")).as("host"), col("agent"),
+        col("delay_s"))
+    val exact = rows.filter(col("agent") === agent.toLowerCase)
+    val star = rows.filter(col("agent") === "*")
+      .join(exact.select(col("host")).distinct(), Seq("host"),
+        "left_anti")
+    exact.unionByName(star)
+      .groupBy(col("host")).agg(max(col("delay_s")).as("delay_s"))
+  }
+
   /** Gate a URL frame for `agent`: per URL, the prevailing rule among
     * the effective group's prefix matches — the exact-agent group if
     * that host has one, else the `*` group; longest path wins, Allow

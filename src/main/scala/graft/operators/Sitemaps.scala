@@ -193,6 +193,26 @@ object Sitemaps {
           col("loc").asc)))
   }
 
+  /** Politeness scheduling — the fetch-EXECUTION edge of the crawl
+    * loop: turn a per-host fetch rank ([[coverageAudit]]'s
+    * `fetch_rank` / [[frontierFromGated]]'s `fetch_order`) into
+    * per-URL start offsets under each host's Crawl-delay
+    * ([[Robots.crawlDelays]]), one queue per host — the i-th fetch of
+    * a host starts at `(rank − 1) · delay` seconds, hosts in
+    * parallel. Hosts with no effective delay record take
+    * `defaultDelayS`. A broadcast of the file-sized delay table + a
+    * pure projection: the ranked frame (corpus-scale in a real
+    * frontier) never shuffles.
+    */
+  def politenessSchedule(ranked: DataFrame, delays: DataFrame,
+                         defaultDelayS: Double,
+                         rankCol: String = "fetch_rank"): DataFrame =
+    ranked.join(broadcast(delays), Seq("host"), "left")
+      .withColumn("delay_s",
+        coalesce(col("delay_s"), lit(defaultDelayS)))
+      .withColumn("offset_s",
+        (col(rankCol) - 1).cast("double") * col("delay_s"))
+
   /** The corpus-INDEPENDENT half of the discovery loop: robots.txt
     * advertises sitemaps ([[Robots.sitemapDirectives]] — only
     * advertised files are considered), the advertised sitemaps list

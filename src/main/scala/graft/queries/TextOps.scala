@@ -323,6 +323,27 @@ object TextOps {
         asOf = "2024-02-20")
     },
 
+    // the fetch-EXECUTION edge of the crawl loop: the audit's
+    // per-host fetch rank becomes per-URL start offsets under each
+    // host's Crawl-delay (the de-facto politeness extension — exact
+    // agent over `*`, numeric values only, max of a group's delays,
+    // hosts without a record at the caller default), one fetch queue
+    // per host running in parallel
+    "t67_politeness" -> { (s, dir) =>
+      graft.operators.Sitemaps.politenessSchedule(
+        graft.operators.Sitemaps.coverageAudit(
+          graft.operators.Sitemaps.parseSitemap(
+            graft.operators.Sitemaps.fixture(s)),
+          graft.operators.Urls.withUrlPayload(docs(s, dir))
+            .select(graft.operators.Urls.canonicalUrl(col("url"))
+              .as("canon_url")))
+          .select(col("host"), col("loc"), col("crawled"),
+            col("fetch_rank")),
+        graft.operators.Robots.crawlDelays(
+          graft.operators.Robots.delayFixture(s), "crawler-x"),
+        defaultDelayS = 5.0)
+    },
+
     // the web link graph from crawl HTML: hrefs extracted (one regexp
     // pass), both endpoints canonicalized (the same page linked five
     // dirty ways must be ONE node), integer pagerank over the page
@@ -1003,6 +1024,18 @@ object TextOps {
        |  SELECT *, ROW_NUMBER() OVER (ORDER BY host, loc) AS lid
        |  FROM ${p}fields WHERE loc IS NOT NULL)""".stripMargin
   }
+
+  /** The crawl-delay fixture rows as a VALUES literal for
+    * `dfx(host, txt)` — the [[sqlRobotsCtes]] verbatim-bytes
+    * discipline applied to [[graft.operators.Robots.delayFixtureRows]].
+    */
+  private def sqlDelayVals: String =
+    graft.operators.Robots.delayFixtureRows.map { case (h, txt) =>
+      val lits = txt.split("\n")
+        .map(l => "'" + l.replace("'", "''") + "'")
+        .mkString(" || chr(10) || ")
+      s"('$h', $lits)"
+    }.mkString(",\n  ")
 
   /** The sitemap fixture rows as a VALUES literal for `sm(host, xml)`. */
   private def sqlSitemapVals: String =
@@ -1767,6 +1800,76 @@ object TextOps {
          |    AS refetch_rank
          |FROM d""".stripMargin
     },
+
+    // politeness replay: the delay fixture bytes render verbatim
+    // (the robots discipline), crawl-delay lines parse with the same
+    // line regexes and agent-run grouping over the (user-agent,
+    // crawl-delay) sequence, numeric-only values, exact agent over
+    // `*`, MAX per host; the audit chain is t62's, and the schedule
+    // is pure arithmetic on the rank
+    "t67_politeness" ->
+      s"""WITH ${sqlUrlCtes("SELECT doc_id FROM documents")},
+         |crawled AS (SELECT DISTINCT canon_url FROM c),
+         |sm(host, xml) AS (SELECT * FROM (VALUES
+         |  $sqlSitemapVals)),
+         |${sqlSitemapCtes("", "sm")},
+         |lmu AS (SELECT lid AS doc_id, loc AS url FROM listed),
+         |${sqlCanonCtes("lm")},
+         |aud AS (
+         |  SELECT l.host, l.loc,
+         |    cr.canon_url IS NOT NULL AS crawled,
+         |    ROW_NUMBER() OVER (PARTITION BY l.host
+         |      ORDER BY (cr.canon_url IS NOT NULL) ASC,
+         |        COALESCE(l.lastmod, '0000-00-00') DESC, l.loc ASC)
+         |      AS fetch_rank
+         |  FROM listed l
+         |  JOIN lmc cc ON cc.doc_id = l.lid
+         |  LEFT JOIN crawled cr ON cr.canon_url = cc.canon_url),
+         |dfx(host, txt) AS (SELECT * FROM (VALUES
+         |  $sqlDelayVals)),
+         |dlns AS (
+         |  SELECT host, unnest(range(1, len(ls) + 1)) AS ln, ls
+         |  FROM (SELECT host, string_split(txt, chr(10)) AS ls
+         |        FROM dfx)),
+         |dcl AS (
+         |  SELECT host, ln,
+         |    lower(regexp_extract(ls[ln], '^\\s*([A-Za-z-]+)\\s*:', 1))
+         |      AS kind,
+         |    trim(regexp_extract(ls[ln], '^[^:]*:(.*)$$', 1)) AS value
+         |  FROM dlns),
+         |df0 AS (SELECT * FROM dcl
+         |  WHERE kind IN ('user-agent', 'crawl-delay')),
+         |dg AS (
+         |  SELECT *, SUM(CASE WHEN kind = 'user-agent' AND
+         |      (prev IS NULL OR prev <> 'user-agent') THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY host ORDER BY ln
+         |          ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM (SELECT *, LAG(kind)
+         |    OVER (PARTITION BY host ORDER BY ln) AS prev FROM df0)),
+         |dag AS (
+         |  SELECT host, grp, lower(value) AS agent FROM dg
+         |  WHERE kind = 'user-agent'),
+         |ddl AS (
+         |  SELECT host, grp, CAST(value AS DOUBLE) AS delay_s FROM dg
+         |  WHERE kind = 'crawl-delay'
+         |    AND regexp_matches(value, '^[0-9]+(\\.[0-9]+)?$$')),
+         |drows AS (
+         |  SELECT lower(a.host) AS host, a.agent, d.delay_s
+         |  FROM dag a JOIN ddl d ON d.host = a.host AND d.grp = a.grp),
+         |dex AS (SELECT * FROM drows WHERE agent = 'crawler-x'),
+         |dst AS (
+         |  SELECT * FROM drows WHERE agent = '*'
+         |    AND host NOT IN (SELECT DISTINCT host FROM dex)),
+         |dd AS (
+         |  SELECT host, MAX(delay_s) AS delay_s
+         |  FROM (SELECT host, delay_s FROM dex
+         |        UNION ALL SELECT host, delay_s FROM dst)
+         |  GROUP BY host)
+         |SELECT a.host, a.loc, a.crawled, a.fetch_rank,
+         |  COALESCE(dd.delay_s, 5.0) AS delay_s,
+         |  CAST(a.fetch_rank - 1 AS DOUBLE) * COALESCE(dd.delay_s, 5.0)
+         |    AS offset_s
+         |FROM aud a LEFT JOIN dd ON dd.host = a.host""".stripMargin,
 
     // inbound-anchor replay: both link legs re-CONSTRUCT their hrefs
     // and anchor text from the doc-id math (the t55/t59 discipline —

@@ -89,6 +89,29 @@ class RobotsSpec extends AnyFunSuite {
       ("x.com", "https://cdn.x.com/b.xml")))
   }
 
+  test("crawlDelays: exact beats *, max of a group, numeric-only, wrong-agent host absent") {
+    val d = Robots.crawlDelays(Robots.delayFixture(spark), "crawler-x")
+      .as[(String, Double)].collect().toMap
+    // exact-agent group (1, 2 -> max 2) wins over the * group's 10
+    assert(d("example.com") === 2.0)
+    // only a * group; fractional value parses
+    assert(d("news.example.com") === 1.5)
+    // shared agent run (legacybot + crawler-x): the delay applies to
+    // both; the non-numeric 'fast' drops; the Disallow line is
+    // invisible to this extractor (and the run doesn't split on it)
+    assert(d("cdn.example.org") === 3.0)
+    // only another agent's group and no * fallback -> no row at all
+    assert(!d.contains("blog.sample.net"))
+    assert(d.size === 3)
+    // host-case normalization + a crawl-delay BEFORE any agent line
+    // belongs to no group and drops
+    val own = Robots.crawlDelays(Seq(
+      ("X.com", "Crawl-delay: 7\nUser-agent: crawler-x\nCRAWL-DELAY: 4"))
+      .toDF("host", "robots_txt"), "crawler-x")
+      .as[(String, Double)].collect().toMap
+    assert(own === Map("x.com" -> 4.0))
+  }
+
   test("empty-path Disallow matches nothing; host normalization strips case/port") {
     val own = Robots.parseRobots(Seq(
       ("x.com", "User-agent: *\nDisallow:\nDisallow: /a"))

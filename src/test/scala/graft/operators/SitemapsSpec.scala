@@ -121,6 +121,32 @@ class SitemapsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("politenessSchedule: per-host queues, (rank-1)*delay offsets, default for missing hosts") {
+    val ranked = Seq(
+      ("a.com", "https://a.com/1", 1), ("a.com", "https://a.com/2", 2),
+      ("a.com", "https://a.com/3", 3),
+      ("b.net", "https://b.net/1", 1), ("b.net", "https://b.net/2", 2))
+      .toDF("host", "loc", "fetch_rank")
+    val delays = Seq(("a.com", 2.5)).toDF("host", "delay_s")
+    val out = Sitemaps.politenessSchedule(ranked, delays,
+        defaultDelayS = 4.0)
+      .select(col("host"), col("loc"), col("delay_s"), col("offset_s"))
+      .as[(String, String, Double, Double)].collect().toSet
+    assert(out === Set(
+      ("a.com", "https://a.com/1", 2.5, 0.0),
+      ("a.com", "https://a.com/2", 2.5, 2.5),
+      ("a.com", "https://a.com/3", 2.5, 5.0),
+      ("b.net", "https://b.net/1", 4.0, 0.0),
+      ("b.net", "https://b.net/2", 4.0, 4.0)))
+    // scale shape: the delay table broadcasts; the ranked frame (the
+    // corpus-scale side in a real frontier) must not exchange
+    val plan = Sitemaps.politenessSchedule(ranked, delays, 4.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("gatedListed: a loc listed twice gates once per LISTING, never n²") {
     // the robots gate must evaluate each DISTINCT loc once — an
     // allowed side keyed per parsed row would join a loc listed n
