@@ -478,6 +478,40 @@ object ScoringStreaming {
     (gen, spark.read.parquet(s"$indexRoot/$gen/_centroids"))
   }
 
+  /** Generation retention — the GC half of the retrain loop: every
+    * retrain leaves the previous generation's full index on disk
+    * (correct for rollback, unbounded over a deployment's lifetime).
+    * Deletes all but the newest `keep` COMMITTED generation dirs
+    * (lexicographic = generation order), never touching incomplete
+    * dirs newer than the kept set (a concurrent retrain mid-publish
+    * must not lose its partial writes — [[resumeGeneration]] already
+    * skips incomplete dirs on recovery, so they are crash debris only
+    * when OLDER than a committed generation, and those are swept).
+    * Run it after a swap (e.g. from `onRetrain`) or on a janitor
+    * schedule. Returns the deleted generation ids.
+    */
+  def pruneGenerations(indexRoot: String, keep: Int = 2): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    def committed(d: java.io.File): Boolean =
+      new java.io.File(d, "_centroids/_SUCCESS").exists() &&
+        Option(d.listFiles()).getOrElse(Array.empty).exists(b =>
+          b.getName.startsWith("batch_id=") &&
+            new java.io.File(b, "_SUCCESS").exists())
+    val all = Option(new java.io.File(indexRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory).sortBy(_.getName)
+    val committedNames = all.filter(committed).map(_.getName)
+    if (committedNames.length <= keep) return Nil
+    val keepFrom = committedNames(committedNames.length - keep)
+    val doomed = all.filter(d => d.getName < keepFrom)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    doomed.foreach(rm)
+    doomed.map(_.getName).toSeq
+  }
+
   /** Serve the index [[cellIndexStream]] maintains: (id, vector, nrm,
     * cell) rows ready for
     * [[graft.operators.Similarity.ivfMultiprobeKnnIndexed]] — the

@@ -597,6 +597,19 @@ class CellIndexStreamSpec extends AnyFunSuite {
     val (gen, cents) = ScoringStreaming.resumeGeneration(spark, root)
     assert(gen === "g0002")
     assert(cents.count() === kGrown.toLong)
+    // retention GC: an incomplete dir NEWER than the kept set (a
+    // mid-publish retrain) must survive; old committed generations
+    // and older crash debris are swept; the served generation resolves
+    // unchanged afterwards
+    Files.createDirectories(Paths.get(s"$root/g0003")) // mid-publish
+    Files.createDirectories(Paths.get(s"$root/g0000")) // crash debris
+    assert(ScoringStreaming.pruneGenerations(root, keep = 1) ===
+      Seq("g0000", "g0001"))
+    assert(ScoringStreaming.pruneGenerations(root, keep = 1) === Nil)
+    val (gen2b, cents2b) = ScoringStreaming.resumeGeneration(spark, root)
+    assert(gen2b === "g0002" && cents2b.count() === kGrown.toLong)
+    assert(new java.io.File(s"$root/g0003").exists(),
+      "incomplete newer dir untouched")
   }
 
   test("kill + restart: index intact; compaction preserves every row") {
