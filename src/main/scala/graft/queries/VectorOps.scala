@@ -112,6 +112,47 @@ object VectorOps {
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_vec"))
   }
 
+  /** The v25 sweep body, shared with v39's planner: for every nprobe
+    * in the sweep, candidate volume (corpus rows a probe-config
+    * actually scans) and recall of the probed cells against the exact
+    * brute-force top-3 truth. ONE ranked probe set at the sweep's
+    * max: probe_rank <= np IS the np-probe candidate set (a corpus
+    * vector lives in exactly one cell and probe cells are distinct,
+    * so a (q, n) candidate surfaces at exactly one rank). The whole
+    * sweep is then one cell join + two conditional aggregates over it
+    * — truth and cells served staged — instead of four
+    * probe/join/count union legs each replaying the shared subplans
+    * (Catalyst does not dedupe common subplans across union
+    * branches).
+    */
+  private def nprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+    val truth = knnTruthIdx(s, dir)
+    val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
+    val nps = Seq(1, 2, 4, 8)
+    val cand = broadcast(
+        Similarity.probeCellsRanked(querySet(e), cents, nprobe = nps.max)
+          .select(col("q_id"), col("q_cell"), col("probe_rank")))
+      .join(corpusCellsIdx(s, dir), col("q_cell") === col("n_cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("probe_rank"))
+    def perNp(prefix: String) = nps.map(np =>
+      coalesce(sum(when(col("probe_rank") <= np, 1L)), lit(0L))
+        .as(s"$prefix$np"))
+    val nCand = cand.agg(perNp("c").head, perNp("c").tail: _*)
+    val nCaught = truth.join(cand, Seq("q_id", "n_id"))
+      .agg(perNp("g").head, perNp("g").tail: _*)
+    val stacked = nps.map(np => s"$np, c$np, g$np").mkString(", ")
+    nCand.crossJoin(nCaught).crossJoin(nTrue)
+      .select(expr(s"stack(${nps.size}, $stacked) AS " +
+        "(nprobe, n_candidates, n_caught)"), col("n_true"))
+      .select(col("nprobe"), col("n_candidates"), col("n_true"),
+        col("n_caught"),
+        when(col("n_true") > 0, col("n_caught").cast("double") /
+          col("n_true").cast("double")).as("recall"))
+  }
+
   /** The v30 index: pqIndexIdx + the `label` metadata column riding
     * each row — the filtered-ANN deployment shape. A serve-time
     * metadata predicate becomes `index.filter(...)`, which Parquet
@@ -405,40 +446,31 @@ object VectorOps {
     // nprobe = |centroids| probes every cell, so its recall row must
     // read 1.0 and its candidate count prices exhaustive search;
     // the table a deployment reads to pick its probe count
-    "v25_ivf_nprobe_sweep" -> { (s, dir) =>
-      val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") < 8)
-      val truth = knnTruthIdx(s, dir)
-      val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
-      val nps = Seq(1, 2, 4, 8)
-      // ONE ranked probe set at the sweep's max: probe_rank <= np IS
-      // the np-probe candidate set (a corpus vector lives in exactly
-      // one cell and probe cells are distinct, so a (q, n) candidate
-      // surfaces at exactly one rank). The whole sweep is then one
-      // cell join + two conditional aggregates over it — truth and
-      // cells served staged — instead of four probe/join/count union
-      // legs each replaying the shared subplans (Catalyst does not
-      // dedupe common subplans across union branches).
-      val cand = broadcast(
-          Similarity.probeCellsRanked(querySet(e), cents, nprobe = nps.max)
-            .select(col("q_id"), col("q_cell"), col("probe_rank")))
-        .join(corpusCellsIdx(s, dir), col("q_cell") === col("n_cell"))
-        .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"), col("probe_rank"))
-      def perNp(prefix: String) = nps.map(np =>
-        coalesce(sum(when(col("probe_rank") <= np, 1L)), lit(0L))
-          .as(s"$prefix$np"))
-      val nCand = cand.agg(perNp("c").head, perNp("c").tail: _*)
-      val nCaught = truth.join(cand, Seq("q_id", "n_id"))
-        .agg(perNp("g").head, perNp("g").tail: _*)
-      val stacked = nps.map(np => s"$np, c$np, g$np").mkString(", ")
-      nCand.crossJoin(nCaught).crossJoin(nTrue)
-        .select(expr(s"stack(${nps.size}, $stacked) AS " +
-          "(nprobe, n_candidates, n_caught)"), col("n_true"))
+    "v25_ivf_nprobe_sweep" -> { (s, dir) => nprobeSweep(s, dir) },
+
+    // the sweep turned into a DECISION (closing the measured-planning
+    // loop the d29/d30/v25/v28 tables open): per config the recall
+    // verdict against a 0.9 target, the scan fraction relative to the
+    // exhaustive probe (the price column), and the chosen plan — the
+    // MINIMUM nprobe meeting the target, falling back to the
+    // exhaustive probe when none does. What a deployment reads off
+    // the v25 table by hand, as a query
+    "v39_nprobe_plan" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      val meets = col("recall") >= 0.9
+      nprobeSweep(s, dir)
+        .withColumn("meets", meets)
+        .withColumn("chosen", col("nprobe") === coalesce(
+          min(when(meets, col("nprobe"))).over(w),
+          max(col("nprobe")).over(w)))
+        .withColumn("scan_frac",
+          when(max(col("n_candidates")).over(w) > 0,
+            col("n_candidates").cast("double") /
+              max(col("n_candidates")).over(w).cast("double")))
         .select(col("nprobe"), col("n_candidates"), col("n_true"),
-          col("n_caught"),
-          when(col("n_true") > 0, col("n_caught").cast("double") /
-            col("n_true").cast("double")).as("recall"))
+          col("n_caught"), col("recall"), col("meets"), col("chosen"),
+          col("scan_frac"))
     },
 
     // the full IVF-PQ SERVE (the FAISS IVFPQ deployment shape) as one
@@ -792,6 +824,46 @@ object VectorOps {
        |FROM embeddings""".stripMargin
 
   private val sqlWithNorm = sqlWithNormOn("embedding")
+
+  /** The v25 sweep oracle, shared with v39's planner wrapper. */
+  private lazy val sqlNprobeSweep: String = {
+    val configs = Seq(1, 2, 4, 8)
+    def cand(np: Int) =
+      s"""cand$np AS (
+         |  SELECT p.vec_id AS q_id, a.n_id
+         |  FROM rk p JOIN asg a ON a.cell = p.cell
+         |  WHERE p.rnk <= $np AND p.vec_id % 50 = 0
+         |    AND a.n_id <> p.vec_id)""".stripMargin
+    def summary(np: Int) =
+      s"""ss$np AS (
+         |  SELECT CAST($np AS INT) AS nprobe,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$np)
+         |      AS n_candidates,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_true,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM b t JOIN cand$np c
+         |       ON c.q_id = t.q_id AND c.n_id = t.n_id) AS n_caught)"""
+        .stripMargin
+    s"""WITH e AS ($sqlWithNorm),
+       |cent AS (SELECT * FROM e WHERE vec_id < 8),
+       |rk AS (
+       |  SELECT v.vec_id, c.vec_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
+       |               c.vec_id) AS rnk
+       |  FROM e v CROSS JOIN cent c),
+       |asg AS (SELECT vec_id AS n_id, cell FROM rk WHERE rnk = 1),
+       |b AS (
+       |${sqlKnn("q.vec_id <> c.vec_id")}
+       |),
+       |${configs.map(cand).mkString(",\n")},
+       |${configs.map(summary).mkString(",\n")}
+       |${configs.map { np =>
+            s"""SELECT nprobe, n_candidates, n_true, n_caught,
+               |  CASE WHEN n_true > 0
+               |    THEN CAST(n_caught AS DOUBLE) / n_true END AS recall
+               |FROM ss$np""".stripMargin
+          }.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   /** The shared arrival-prefix CTE chain behind the v36/v38 oracles:
     * the v35 assignment, a global (cell, vec_id) arrival rank, 8
@@ -2030,44 +2102,25 @@ object VectorOps {
     // CTE (the v15 mirror); per config, candidates = probe cells
     // joined to cell assignment, recall counted against the brute
     // top-3 CTE. Counts cast to BIGINT (the HUGEINT discipline).
-    "v25_ivf_nprobe_sweep" -> {
-      val configs = Seq(1, 2, 4, 8)
-      def cand(np: Int) =
-        s"""cand$np AS (
-           |  SELECT p.vec_id AS q_id, a.n_id
-           |  FROM rk p JOIN asg a ON a.cell = p.cell
-           |  WHERE p.rnk <= $np AND p.vec_id % 50 = 0
-           |    AND a.n_id <> p.vec_id)""".stripMargin
-      def summary(np: Int) =
-        s"""ss$np AS (
-           |  SELECT CAST($np AS INT) AS nprobe,
-           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$np)
-           |      AS n_candidates,
-           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_true,
-           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM b t JOIN cand$np c
-           |       ON c.q_id = t.q_id AND c.n_id = t.n_id) AS n_caught)"""
-          .stripMargin
-      s"""WITH e AS ($sqlWithNorm),
-         |cent AS (SELECT * FROM e WHERE vec_id < 8),
-         |rk AS (
-         |  SELECT v.vec_id, c.vec_id AS cell,
-         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
-         |               c.vec_id) AS rnk
-         |  FROM e v CROSS JOIN cent c),
-         |asg AS (SELECT vec_id AS n_id, cell FROM rk WHERE rnk = 1),
-         |b AS (
-         |${sqlKnn("q.vec_id <> c.vec_id")}
-         |),
-         |${configs.map(cand).mkString(",\n")},
-         |${configs.map(summary).mkString(",\n")}
-         |${configs.map { np =>
-              s"""SELECT nprobe, n_candidates, n_true, n_caught,
-                 |  CASE WHEN n_true > 0
-                 |    THEN CAST(n_caught AS DOUBLE) / n_true END AS recall
-                 |FROM ss$np""".stripMargin
-            }.mkString("\nUNION ALL\n")}""".stripMargin
-    },
+    "v25_ivf_nprobe_sweep" -> sqlNprobeSweep,
+
+    // the sweep wrapped in the planner's decision columns: target
+    // verdict, min-meeting (or exhaustive-fallback) choice, scan
+    // fraction against the full probe
+    "v39_nprobe_plan" ->
+      s"""WITH sw AS (
+         |$sqlNprobeSweep
+         |)
+         |SELECT nprobe, n_candidates, n_true, n_caught, recall,
+         |  recall >= 0.9 AS meets,
+         |  nprobe = COALESCE(
+         |    MIN(CASE WHEN recall >= 0.9 THEN nprobe END) OVER (),
+         |    MAX(nprobe) OVER ()) AS chosen,
+         |  CASE WHEN MAX(n_candidates) OVER () > 0
+         |    THEN CAST(n_candidates AS DOUBLE) /
+         |      CAST(MAX(n_candidates) OVER () AS DOUBLE) END
+         |    AS scan_frac
+         |FROM sw""".stripMargin,
 
     // recall@3: both knn mirrors nested as CTEs, counted per query
     "v11_ann_recall" ->
