@@ -509,6 +509,28 @@ object Similarity {
     graft.sources.CdcRouter.latestState(changelog, Seq(idCol),
       Seq(seqCol), opCol, deleteOp)
 
+  /** The max-seq CHANGE row per id with tombstones KEPT — the
+    * generation seed of an upsert-index retrain
+    * ([[graft.streaming.ScoringStreaming
+    * .upsertCellIndexStreamWithRetrain]]): [[latestIndexState]] drops
+    * delete rows (right for serving), but a seed without the
+    * tombstone would let a late-arriving update with a LOWER seq than
+    * the delete resurrect the id in the new generation — the single-
+    * generation resolve would have kept it dead. Same max-struct
+    * shape as the resolve: partial-aggregatable, shuffle ≤ |keys|.
+    */
+  def latestIndexChange(changelog: DataFrame,
+                        idCol: String = "vec_id",
+                        seqCol: String = "seq"): DataFrame = {
+    val payload = changelog.columns.toSeq
+      .filterNot(c => c == idCol || c == seqCol)
+    changelog.filter(col(seqCol).isNotNull)
+      .groupBy(col(idCol))
+      .agg(max(struct((seqCol +: payload).map(col): _*)).as("_l"))
+      .select(col(idCol) +:
+        (seqCol +: payload).map(c => col(s"_l.$c").as(c)): _*)
+  }
+
   /** [[ivfMultiprobeKnn]] over a PRE-ASSIGNED corpus index
     * ([[indexCells]] rows, however they were materialized — a staged
     * artifact or the stream-maintained parquet dir served by

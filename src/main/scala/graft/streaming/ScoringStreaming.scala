@@ -512,6 +512,115 @@ object ScoringStreaming {
     doomed.map(_.getName).toSeq
   }
 
+  /** [[upsertCellIndexStream]] with the retrain loop closed — the
+    * [[cellIndexStreamWithRetrain]] design carried to the CHANGELOG
+    * index (insert/update/delete feeds): per micro-batch the arriving
+    * changes index against the current generation's centroids into
+    * `indexRoot/<gen>/batch_id=N`, the stats recompute over the
+    * generation's RESOLVED live state ([[graft.operators.Similarity
+    * .latestIndexState]] — tombstoned ids must not count toward
+    * occupancy), and a threshold crossing (imbalance OR occupancy)
+    * retrains once. The new generation's seed (`batch_id=-1`) is the
+    * resolved feed re-indexed against the new centroids — the max-seq
+    * CHANGE row per id with tombstones KEPT
+    * ([[graft.operators.Similarity.latestIndexChange]]): without the
+    * tombstone, a late update with a lower seq than a pre-retrain
+    * delete would resurrect the id, diverging from the
+    * single-generation resolve. Codebook (when PQ-encoding) is a
+    * frozen model artifact shared across generations — only the
+    * coarse centroids retrain (the FAISS deployment convention; a
+    * codebook refresh is a full re-release, not a maintenance event).
+    *
+    * Crash-replay: a replayed trigger batch rewrites value-identical
+    * (id, seq) rows into the (now current) new generation — the
+    * serve's max-seq resolve collapses them, so the served state is
+    * unchanged. [[resumeGeneration]] recovers (gen, centroids)
+    * unchanged (`batch_id=-1` commits with the generation).
+    */
+  def upsertCellIndexStreamWithRetrain(
+      stream: DataFrame, indexRoot: String,
+      current: java.util.concurrent.atomic.AtomicReference[
+        (String, DataFrame)],
+      maxImbalance: Double,
+      retrain: DataFrame => DataFrame,
+      onRetrain: (String, String, Double) => Unit = (_, _, _) => (),
+      minVectors: Long = 1L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      opCol: String = "op", seqCol: String = "seq",
+      deleteOp: String = "delete",
+      codebook: Option[graft.operators.Similarity.PqCodebook] = None,
+      maxOccupancy: Double = Double.PositiveInfinity)
+      : DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val (gen, cents) = current.get()
+      graft.operators.Similarity
+        .indexChangelog(batch, cents, idCol, vecCol, opCol, seqCol,
+          deleteOp, codebook)
+        .write.mode("overwrite")
+        .parquet(s"$indexRoot/$gen/batch_id=$batchId")
+      val all = servedGenChangelog(spark, indexRoot, gen)
+      val live = graft.operators.Similarity
+        .latestIndexState(all, idCol, seqCol, opCol, deleteOp)
+      val st = graft.operators.Similarity
+        .indexStats(live, cents, idCol)
+        .select(col("imbalance"), col("n_total"), col("n_cells"))
+        .limit(1).collect()(0)
+      val (imb, nTotal, nCells) =
+        (st.getDouble(0), st.getLong(1), st.getLong(2))
+      val occupancy = nTotal.toDouble / nCells
+      if ((imb > maxImbalance || occupancy > maxOccupancy) &&
+          nTotal >= minVectors) {
+        val newGen = nextGen(gen)
+        retrain(live.select(col(idCol), col(vecCol)))
+          .write.mode("overwrite")
+          .parquet(s"$indexRoot/$newGen/_centroids")
+        // evaluate-once: the persisted file is the single source of
+        // truth (the cellIndexStreamWithRetrain discipline)
+        val newCents = spark.read.parquet(s"$indexRoot/$newGen/_centroids")
+        val seedFeed = graft.operators.Similarity
+          .latestIndexChange(all, idCol, seqCol)
+          .select(col(idCol), col(vecCol), col(opCol), col(seqCol))
+        graft.operators.Similarity
+          .indexChangelog(seedFeed, newCents, idCol, vecCol, opCol,
+            seqCol, deleteOp, codebook)
+          .write.mode("overwrite")
+          .parquet(s"$indexRoot/$newGen/batch_id=-1")
+        current.set((newGen, newCents))
+        onRetrain(gen, newGen, imb)
+      }
+      ()
+    }
+
+  /** One generation of an upsert index as its RAW changelog rows
+    * (batch_id dropped) — feed [[graft.operators.Similarity
+    * .latestIndexState]] for the served live state, or
+    * [[graft.operators.Similarity.latestIndexChange]] for the
+    * tombstone-carrying resolve.
+    */
+  def servedGenChangelog(spark: org.apache.spark.sql.SparkSession,
+                         indexRoot: String, gen: String): DataFrame = {
+    val dir = s"$indexRoot/$gen"
+    val df = spark.read.option("basePath", dir).parquet(dir)
+    require(df.columns.contains("batch_id"),
+      s"$dir is not a batch_id-partitioned changelog index")
+    df.drop("batch_id")
+  }
+
+  /** Serve one generation of [[upsertCellIndexStreamWithRetrain]]'s
+    * index: the resolved LIVE state (tombstones out), ready for the
+    * indexed serves.
+    */
+  def servedGenUpsertIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexRoot: String, gen: String,
+                           idCol: String = "vec_id",
+                           seqCol: String = "seq",
+                           opCol: String = "op",
+                           deleteOp: String = "delete"): DataFrame =
+    graft.operators.Similarity.latestIndexState(
+      servedGenChangelog(spark, indexRoot, gen), idCol, seqCol, opCol,
+      deleteOp)
+
   /** Serve the index [[cellIndexStream]] maintains: (id, vector, nrm,
     * cell) rows ready for
     * [[graft.operators.Similarity.ivfMultiprobeKnnIndexed]] — the

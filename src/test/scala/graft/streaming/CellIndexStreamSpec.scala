@@ -612,6 +612,81 @@ class CellIndexStreamSpec extends AnyFunSuite {
       "incomplete newer dir untouched")
   }
 
+  test("upsert retrain: flood fires k-grown retrain; tombstones carry into the seed") {
+    implicit val sq = spark.sqlContext
+    val root = Files.createTempDirectory("upgrowthidx").toString
+    val cents0 = centroids // k = 2
+    // phase 1 (pre-flood): 6 inserts, one update, one DELETE (id 11)
+    val phase1: Seq[(Long, Array[Float], String, Long)] =
+      vecs.map { case (id, e) => (id, e, "insert", 1L) } ++ Seq(
+        (10L, swap(vecs(0)._2), "update", 2L),
+        (11L, null.asInstanceOf[Array[Float]], "delete", 3L))
+    // the flood: 54 fresh inserts spread on the quarter circle ->
+    // live = 5 + 54 = 59, occupancy 29.5 > 10 fires; k = ceil(√59) = 8
+    val flood: Seq[(Long, Array[Float], String, Long)] =
+      (0 until 54).map { i =>
+        val a = (i + 0.5) * (math.Pi / 2) / 54
+        (1000L + i,
+          Array(math.cos(a).toFloat, math.sin(a).toFloat), "insert", 1L)
+      }
+    val kGrown = Similarity.growthK(59) // 8
+    // phase 3 (post-swap): a delete of a SEEDED id, and a LATE update
+    // for the pre-retrain-deleted id 11 with seq 2 < its delete's
+    // seq 3 — the seed's tombstone must keep it dead
+    val phase3: Seq[(Long, Array[Float], String, Long)] = Seq(
+      (12L, null.asInstanceOf[Array[Float]], "delete", 3L),
+      (11L, Array(0.5f, 0.5f), "update", 2L))
+    val allFeed = phase1 ++ flood ++ phase3
+    val fires =
+      scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      ("g0001", cents0))
+    ScoringStreaming.publishGeneration(root, "g0001", cents0)
+    val vin = MemoryStream[(Long, Array[Float], String, Long)]
+    val maintain = ScoringStreaming.upsertCellIndexStreamWithRetrain(
+        vin.toDF().toDF("vec_id", "embedding", "op", "seq"), root, ref,
+        maxImbalance = Double.PositiveInfinity,
+        retrain = Similarity.growthRetrain(),
+        onRetrain = (from, to, imb) => fires += ((from, to, imb)),
+        maxOccupancy = 10.0)
+      .start()
+    try {
+      vin.addData(phase1: _*); maintain.processAllAvailable()
+      assert(fires.isEmpty, "occupancy 2.5 must not trigger")
+      vin.addData(flood: _*); maintain.processAllAvailable()
+      assert(fires.toSeq.map(t => (t._1, t._2)) ===
+        Seq(("g0001", "g0002")), "the flood fires exactly once")
+      val (gen2, cents2) = ref.get()
+      assert(gen2 === "g0002")
+      assert(cents2.count() === kGrown.toLong, "k follows the sqrt rule")
+      vin.addData(phase3: _*); maintain.processAllAvailable()
+      assert(fires.size === 1, "59/8 = 7.4 occupancy: no refire")
+    } finally maintain.stop()
+    // the served generation equals the BATCH composition of the whole
+    // feed against the new centroids (resolve-then-index ≡
+    // index-then-resolve — the upsertCellIndexStream pin, now across
+    // a generation swap)
+    def rows(df: DataFrame) =
+      df.select(col("vec_id"), col("embedding"), col("cell"))
+        .as[(Long, Seq[Float], Long)].collect().toSet
+    val gen2Cents = spark.read.parquet(s"$root/g0002/_centroids")
+    val served = rows(
+      ScoringStreaming.servedGenUpsertIndex(spark, root, "g0002"))
+    val batch = rows(Similarity.latestIndexState(
+      Similarity.indexChangelog(
+        allFeed.toDF("vec_id", "embedding", "op", "seq"), gen2Cents,
+        maxInlineCentroids = 0)))
+    assert(served === batch)
+    val ids = served.map(_._1)
+    assert(!ids.contains(11L),
+      "the seed's tombstone keeps the late sub-seq update dead")
+    assert(!ids.contains(12L), "post-swap delete of a seeded id lands")
+    assert(ids.contains(10L) && ids.size === 58)
+    // restart recovery resolves the grown generation
+    val (gen, cents) = ScoringStreaming.resumeGeneration(spark, root)
+    assert(gen === "g0002" && cents.count() === kGrown.toLong)
+  }
+
   test("kill + restart: index intact; compaction preserves every row") {
     val srcDir = Files.createTempDirectory("cellsrc").toString
     val ck = Files.createTempDirectory("cellck").toString
