@@ -1155,7 +1155,32 @@ object Dedup {
     * there was nothing to do.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-                   indexDir: String): Long = {
+                   indexDir: String): Long =
+    compactIndexWith(spark, indexDir)(_.distinct())
+
+  /** SNAPSHOT compaction for a changelog index ([[compactIndex]]'s
+    * protocol with a resolving fold): the folded region's rows
+    * collapse to the max-seq CHANGE row per id
+    * ([[Similarity.latestIndexChange]]) — tombstones KEPT, because a
+    * later batch can still carry a lower-seq late arrival that only
+    * the tombstone keeps dead. This is what makes the
+    * latest-state serve's cost proportional to |keys| + |recent
+    * deltas| instead of |full change history|: row-preserving
+    * compaction fixes the small-files problem but the resolve still
+    * scans every historical version; a snapshot pre-pays the resolve
+    * for everything up to the fold point. Same crash-safe
+    * stage-and-swap, same newest-dir exclusion (replayable), same
+    * resume-on-rerun. Returns the folded-up-to batch id, or -1.
+    */
+  def snapshotIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, idCol: String = "vec_id",
+                    seqCol: String = "seq"): Long =
+    compactIndexWith(spark, indexDir)(df =>
+      Similarity.latestIndexChange(df, idCol, seqCol))
+
+  private def compactIndexWith(spark: org.apache.spark.sql.SparkSession,
+                               indexDir: String)
+                              (fold: DataFrame => DataFrame): Long = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return -1L
@@ -1187,8 +1212,9 @@ object Dedup {
       .map(_.stripPrefix("batch_id=").toLong).sorted
     if (ids.length <= 2) return -1L // nothing worth merging
     val hi = ids(ids.length - 2) // newest stays replayable
-    val merged = spark.read.option("basePath", indexDir).parquet(indexDir)
-      .filter(col("batch_id") <= hi).drop("batch_id").distinct()
+    val merged = fold(
+      spark.read.option("basePath", indexDir).parquet(indexDir)
+        .filter(col("batch_id") <= hi).drop("batch_id"))
     val stage = new org.apache.hadoop.fs.Path(root, s"_compacted_upto_$hi")
     merged.write.mode("overwrite").parquet(stage.toString)
     finishSwap(stage)

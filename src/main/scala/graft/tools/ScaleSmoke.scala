@@ -266,6 +266,54 @@ object ScaleSmoke {
             s"msidx$factor"),
           ce1.filter(col("doc_id") % 50 === 0).persist(), cents)
       } else (null, null, null, null)
+    // upsertserveD / upsertserveS: the DEEP-HISTORY changelog serve,
+    // raw vs snapshotted — every id carries upDepth versions (insert
+    // + updates) + 1/11 deletes: the regime a changelog accumulates
+    // between maintenance runs, and the one snapshots exist for.
+    // upsertserveD resolves the full depth·N-row history per serve
+    // (the honest no-maintenance cost); upsertserveS serves the SAME
+    // logical state from a Dedup.snapshotIndex'd dir (resolve
+    // pre-paid up to the fold: |keys| + the unfolded tail). Compare
+    // the two legs' Nx columns at the same factor — the ratio IS the
+    // measured snapshot payoff the SCALING.md upsertserve prose
+    // claims
+    val upDepth = 16 // versions per id; deletes land at upDepth+1
+    val upDCb =
+      if (legOn("upsertserveD") || legOn("upsertserveS"))
+        Similarity.pqCodebook(e1x, m = 4, k = 16)
+      else null
+    def stageUpsertHistory(e: DataFrame, tag: String,
+                           snapshot: Boolean): String = {
+      val dir = s"$tmp/uph$tag"
+      (1 to upDepth + 1).foreach { s =>
+        val batch =
+          if (s == 1) e.select(col("vec_id"), col("embedding"),
+            lit("insert").as("op"), lit(1L).as("seq"))
+          else if (s <= upDepth) e.select(col("vec_id"),
+            (if (s % 2 == 0) reverse(col("embedding"))
+             else col("embedding")).as("embedding"),
+            lit("update").as("op"), lit(s.toLong).as("seq"))
+          else e.filter(col("vec_id") % 11 === 0)
+            .select(col("vec_id"),
+              lit(null).cast(e.schema("embedding").dataType)
+                .as("embedding"),
+              lit("delete").as("op"), lit(s.toLong).as("seq"))
+        Similarity.indexChangelog(batch, cents8, codebook = Some(upDCb))
+          .write.mode("overwrite").parquet(s"$dir/batch_id=$s")
+      }
+      if (snapshot) { Dedup.snapshotIndex(spark, dir); () }
+      dir
+    }
+    val (upD1, upDN) =
+      if (legOn("upsertserveD"))
+        (stageUpsertHistory(e1x, "D1", snapshot = false),
+          stageUpsertHistory(eNx, s"D$factor", snapshot = false))
+      else (null, null)
+    val (upS1, upSN) =
+      if (legOn("upsertserveS"))
+        (stageUpsertHistory(e1x, "S1", snapshot = true),
+          stageUpsertHistory(eNx, s"S$factor", snapshot = true))
+      else (null, null)
     // maxsimserveT: maxsimserve with the Nx index RETUNED by the
     // k ∝ √N rule (Similarity.growthK — the growthRetrain policy):
     // the cell count grows with √factor while nprobe stays fixed, so
@@ -867,6 +915,29 @@ object ScaleSmoke {
             "doc_id", "page_text")
           .agg(sum(col("n_cards"))).collect(); ()
       }),
+      // upsertserveD / upsertserveS: the deep-history changelog serve
+      // with and without the snapshot — same logical state, same
+      // query; the S leg's resolve scans |keys| + the unfolded tail
+      {
+        def upServe(dir: String): Unit = {
+          val log = spark.read.option("basePath", dir).parquet(dir)
+            .drop("batch_id")
+          Similarity.pqScoreCodesIndexed(
+            Similarity.latestIndexState(log), queries, cents8, upDCb,
+            k = 3, nprobe = 2).count(); ()
+        }
+        benchAction[String]("upsertserveD", upD1, upDN, upServe)
+      },
+      {
+        def upServe(dir: String): Unit = {
+          val log = spark.read.option("basePath", dir).parquet(dir)
+            .drop("batch_id")
+          Similarity.pqScoreCodesIndexed(
+            Similarity.latestIndexState(log), queries, cents8, upDCb,
+            k = 3, nprobe = 2).count(); ()
+        }
+        benchAction[String]("upsertserveS", upS1, upSN, upServe)
+      },
       // maxsimserveT: the √N-retuned maxsim serve — each side serves
       // ITS OWN (index, centroids): the candidate set stays
       // nprobe/k-sliced as the corpus grows, where the fixed-k

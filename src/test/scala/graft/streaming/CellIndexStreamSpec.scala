@@ -612,6 +612,52 @@ class CellIndexStreamSpec extends AnyFunSuite {
       "incomplete newer dir untouched")
   }
 
+  test("snapshotIndex: history collapses to one row per id; serve and tombstones survive") {
+    implicit val sq = spark.sqlContext
+    val idx = Files.createTempDirectory("snapidx").toString
+    val input = MemoryStream[(Long, Array[Float], String, Long)]
+    val q = ScoringStreaming.upsertCellIndexStream(
+      input.toDF().toDF("vec_id", "embedding", "op", "seq"),
+      centroids, idx).start()
+    // four batch dirs so the DELETES land inside the folded region
+    // (the newest dir stays replayable and is never folded)
+    val (inserts, rest) = feedRows.splitAt(vecs.size)
+    try {
+      input.addData(inserts: _*); q.processAllAvailable()
+      input.addData(rest.take(3): _*); q.processAllAvailable() // updates
+      input.addData(rest.drop(3): _*); q.processAllAvailable() // deletes
+      input.addData((16L, Array(0.6f, 0.4f), "insert", 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val before = canonUpsert(
+      ScoringStreaming.servedUpsertCellIndex(spark, idx))
+    assert(before.map(_._1) === Set(10L, 13L, 14L, 15L, 16L))
+    val upto = Dedup.snapshotIndex(spark, idx)
+    assert(upto >= 2L, "deletes folded into the snapshot")
+    // served state identical across the snapshot
+    assert(canonUpsert(
+      ScoringStreaming.servedUpsertCellIndex(spark, idx)) === before)
+    // the folded region holds exactly ONE row per id — the resolve
+    // now scans |keys| + |post-fold deltas|, not the full history
+    val folded = ScoringStreaming.servedCellIndex(spark, idx)
+      .filter(col("batch_id") <= upto)
+    assert(folded.count() ===
+      folded.select(col("vec_id")).distinct().count())
+    assert(folded.filter(col("op") === "delete").count() === 2L,
+      "tombstones survive the snapshot")
+    // the tombstone still guards: a late sub-seq update for deleted
+    // id 11 arriving AFTER the snapshot must not resurrect it
+    Similarity.indexChangelog(
+        Seq((11L, Array(0.5f, 0.5f), "update", 2L))
+          .toDF("vec_id", "embedding", "op", "seq"), centroids)
+      .write.mode("overwrite").parquet(s"$idx/batch_id=9")
+    val after = canonUpsert(
+      ScoringStreaming.servedUpsertCellIndex(spark, idx))
+    assert(!after.map(_._1).contains(11L), "late sub-seq update dead")
+    // idempotent: nothing left to fold (newest dir excluded)
+    assert(Dedup.snapshotIndex(spark, idx) >= -1L)
+  }
+
   test("upsert retrain: flood fires k-grown retrain; tombstones carry into the seed") {
     implicit val sq = spark.sqlContext
     val root = Files.createTempDirectory("upgrowthidx").toString
