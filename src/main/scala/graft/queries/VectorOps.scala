@@ -210,6 +210,48 @@ object VectorOps {
           codebook = Some(Similarity.pqCodebook(e, m = 4, k = 16))))
     })
 
+  /** The post-fold TAIL behind v40 — the deliveries that arrive after
+    * a [[graft.operators.Dedup.snapshotIndex]] fold of [[upsertFeed]]:
+    * a LATE update for every deleted id (seq 2 < the fold's seq-3
+    * tombstone — must stay dead, the row the fold keeps tombstones
+    * FOR) and a genuine post-fold update for every 5th id at seq 4
+    * (supersedes whatever the fold holds; for ids also deleted at
+    * seq 3 this is a REVIVAL — max-struct resolve serves it live).
+    * Reversal moves floats without arithmetic (the v29 discipline).
+    */
+  private def snapshotTail(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 11 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+        lit("update").as("op"), lit(2L).as("seq"))
+      .unionByName(e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+          lit("update").as("op"), lit(4L).as("seq")))
+
+  /** The v40 SERVE-READY index, staged: the [[upsertFeed]] changelog
+    * FOLDED to its max-seq change rows (tombstones kept — the exact
+    * algebra [[graft.operators.Dedup.snapshotIndex]] applies on disk,
+    * whose crash-safe protocol `CellIndexStreamSpec` pins), unioned
+    * with the post-fold tail, then resolved. Hash-equality against an
+    * oracle that resolves the FULL unfolded log is the fold's
+    * correctness claim: fold∘union∘resolve ≡ resolve — which breaks
+    * if the fold drops tombstones (late sub-seq updates resurrect) or
+    * resolves instead of folding (ditto).
+    */
+  private def snapshotIndexIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      "ivfpq-snapshot-index|c=8|m=4|k=16|u7|d11|l11s2|u5s4",
+      graft.core.Artifacts.fingerprint(dir))({
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+      val cb = Some(Similarity.pqCodebook(e, m = 4, k = 16))
+      Similarity.latestIndexState(
+        Similarity.latestIndexChange(
+            Similarity.indexChangelog(upsertFeed(e), cents, codebook = cb))
+          .unionByName(
+            Similarity.indexChangelog(snapshotTail(e), cents,
+              codebook = cb)))
+    })
+
   /** recall@k counting: per query, how many of `truth`'s (q_id, n_id)
     * pairs `approx` reproduced. ONE implementation for every eval
     * (v11/v14/v16/v21 and v17's two-leg variant) — the denominator,
@@ -541,6 +583,20 @@ object VectorOps {
     "v29_index_upsert_serve" -> { (s, dir) =>
       val e = emb(s, dir)
       Similarity.pqScoreCodesIndexed(upsertIndexIdx(s, dir),
+        querySet(e), e.filter(col("vec_id") < 8),
+        Similarity.pqCodebook(e, m = 4, k = 16), k = 3, nprobe = 2)
+    },
+
+    // the v29 serve ACROSS a snapshot fold: the changelog is folded
+    // to max-seq change rows (tombstones kept — Dedup.snapshotIndex's
+    // algebra), the post-fold tail carries a late SUB-seq update per
+    // deleted id (must stay dead: only the kept tombstone outranks
+    // it) and a post-fold seq-4 update per 5th id (supersedes; for
+    // %55 ids a genuine revival after delete). The oracle resolves
+    // the FULL unfolded log — hash equality IS fold∘resolve ≡ resolve
+    "v40_snapshot_fold" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqScoreCodesIndexed(snapshotIndexIdx(s, dir),
         querySet(e), e.filter(col("vec_id") < 8),
         Similarity.pqCodebook(e, m = 4, k = 16), k = 3, nprobe = 2)
     },
@@ -1548,6 +1604,17 @@ object VectorOps {
     // synthesized ops are pure functions of vec_id), Spark resolves it
     // through indexChangelog -> latestIndexState
     "v29_index_upsert_serve" -> sqlIvfPqServeOver(sqlUpsertLatest),
+    // the full-log resolution of upsertFeed + snapshotTail: alive
+    // unless deleted-at-3 with no seq-4 revival (%11 ids that are not
+    // %5 — the late seq-2 update must NOT save them); reversed if a
+    // %5 (seq 4) or %7 (seq 2) update is the max-seq live row
+    "v40_snapshot_fold" -> sqlIvfPqServeOver(
+      """SELECT vec_id,
+        |  CASE WHEN vec_id % 5 = 0 OR vec_id % 7 = 0
+        |       THEN list_reverse(embedding) ELSE embedding END
+        |    AS embedding
+        |FROM embeddings
+        |WHERE vec_id % 11 <> 0 OR vec_id % 5 = 0""".stripMargin),
 
     // filtered serve: the index-side corpus is the predicate's
     // survivors — excluded vectors' cells/codes are irrelevant (they
