@@ -1178,6 +1178,40 @@ object Dedup {
     compactIndexWith(spark, indexDir)(df =>
       Similarity.latestIndexChange(df, idCol, seqCol))
 
+  /** The snapshot POLICY: fold only when the changelog is DEEP —
+    * depth = |change rows| / |distinct ids|, the resolve-cost
+    * amplification the serve pays over an already-snapshotted dir
+    * (depth 1 ≡ nothing to fold; depth 16 ≡ the serve resolves 16
+    * versions per key). Runs [[snapshotIndex]] iff
+    * `depth > maxDepth`, so a maintenance loop can call this after
+    * every committed batch and pay the fold only when it buys a real
+    * resolve reduction — the trigger discipline of
+    * `cellIndexStreamWithRetrain` (signal → threshold → action)
+    * applied to storage maintenance. The check itself reads ONE
+    * column (`idCol`) off the dir — a pruned columnar scan, and the
+    * policy keeps the history it scans short by construction. The
+    * depth metric is oracle-replayed by `v41_snapshot_policy`.
+    * Returns the folded-up-to batch id, or -1 (below threshold,
+    * missing dir, or nothing worth folding).
+    */
+  def snapshotIfDeep(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, maxDepth: Double = 4.0,
+                     idCol: String = "vec_id",
+                     seqCol: String = "seq"): Long = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return -1L
+    if (!fs.listStatus(root).exists(_.getPath.getName
+        .startsWith("batch_id="))) return -1L
+    val ids = spark.read.option("basePath", indexDir).parquet(indexDir)
+      .select(col(idCol))
+    val row = ids.agg(count(lit(1)).as("n_rows"),
+      count_distinct(col(idCol)).as("n_keys")).head()
+    val (nRows, nKeys) = (row.getLong(0), row.getLong(1))
+    if (nKeys == 0L || nRows.toDouble / nKeys <= maxDepth) -1L
+    else snapshotIndex(spark, indexDir, idCol, seqCol)
+  }
+
   private def compactIndexWith(spark: org.apache.spark.sql.SparkSession,
                                indexDir: String)
                               (fold: DataFrame => DataFrame): Long = {

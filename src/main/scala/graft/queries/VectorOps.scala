@@ -721,6 +721,38 @@ object VectorOps {
             .over(Window.partitionBy()))
     },
 
+    // the SNAPSHOT-POLICY table (the v36/v38 trigger discipline
+    // applied to storage maintenance): at each arrival prefix of the
+    // v29/v40 changelog (inserts, %7 updates, %11 deletes, then the
+    // post-fold tail), the DEPTH metric Dedup.snapshotIfDeep
+    // evaluates — change rows per distinct id, the resolve
+    // amplification every serve pays — the fired verdict against the
+    // 1.2 bar (prefixes 1–2 under, 3–4 over: both branches carry
+    // signal), and fold_saves, the rows a snapshot would delete
+    "v41_snapshot_policy" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val feed = upsertFeed(e)
+        .withColumn("b", col("seq").cast("int"))
+        .unionByName(snapshotTail(e).withColumn("b", lit(4)))
+        .select(col("vec_id"), col("b"))
+      val pfx = s.range(1, 5).select(col("id").as("prefix_i"))
+      feed.join(pfx, col("b") <= col("prefix_i"))
+        .groupBy(col("prefix_i"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("vec_id")).as("n_keys"))
+        .withColumn("depth",
+          col("n_rows").cast("double") /
+            nullif(col("n_keys").cast("double"), lit(0.0)))
+        .withColumn("fired", col("depth") > 1.2)
+        .withColumn("fold_saves",
+          when(col("fired"), col("n_rows") - col("n_keys"))
+            .otherwise(lit(0L)))
+        .withColumn("fires_at",
+          min(when(col("fired"), col("prefix_i")))
+            .over(Window.partitionBy()))
+    },
+
     // margin-based bitext mining (Artetxe & Schwenk: the LASER/
     // CCMatrix criterion): even/odd vec_ids play the two language
     // sides; per sampled x its best y, the ratio margin over both
@@ -1604,6 +1636,36 @@ object VectorOps {
     // synthesized ops are pure functions of vec_id), Spark resolves it
     // through indexChangelog -> latestIndexState
     "v29_index_upsert_serve" -> sqlIvfPqServeOver(sqlUpsertLatest),
+    // the depth metric over the arrival prefixes of the v29/v40
+    // changelog: b1 inserts, b2 %7 updates, b3 %11 deletes, b4 the
+    // post-fold tail (late %11 updates + %5 seq-4 updates)
+    "v41_snapshot_policy" ->
+      """WITH feed AS (
+        |  SELECT vec_id, 1 AS b FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, 2 FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id, 3 FROM embeddings WHERE vec_id % 11 = 0
+        |  UNION ALL
+        |  SELECT vec_id, 4 FROM embeddings WHERE vec_id % 11 = 0
+        |  UNION ALL
+        |  SELECT vec_id, 4 FROM embeddings WHERE vec_id % 5 = 0),
+        |agg AS (
+        |  SELECT CAST(p.p AS BIGINT) AS prefix_i,
+        |    COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_keys
+        |  FROM feed JOIN range(1, 5) p(p) ON feed.b <= p.p
+        |  GROUP BY 1),
+        |st AS (
+        |  SELECT *, CAST(n_rows AS DOUBLE)
+        |      / NULLIF(CAST(n_keys AS DOUBLE), 0) AS depth
+        |  FROM agg),
+        |pol AS (SELECT *, depth > 1.2 AS fired FROM st)
+        |SELECT prefix_i, n_rows, n_keys, depth, fired,
+        |  CASE WHEN fired THEN n_rows - n_keys
+        |       ELSE CAST(0 AS BIGINT) END AS fold_saves,
+        |  MIN(CASE WHEN fired THEN prefix_i END) OVER () AS fires_at
+        |FROM pol""".stripMargin,
+
     // the full-log resolution of upsertFeed + snapshotTail: alive
     // unless deleted-at-3 with no seq-4 revival (%11 ids that are not
     // %5 — the late seq-2 update must NOT save them); reversed if a

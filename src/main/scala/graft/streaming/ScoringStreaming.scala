@@ -240,6 +240,17 @@ object ScoringStreaming {
     * dirs WITHOUT resolving — tombstones stay in storage (a compacted
     * window must still tell a replayer "this key ended deleted");
     * only the serve-time read drops them.
+    *
+    * `maxDepth` closes the storage-maintenance loop in-stream: after
+    * each committed batch the changelog's DEPTH (rows per distinct
+    * id — the resolve amplification every serve pays) is checked and
+    * [[graft.operators.Dedup.snapshotIfDeep]] folds the committed
+    * region to max-seq change rows (tombstones kept) when it crosses.
+    * The newest dir is never folded, so the one legal foreachBatch
+    * replay still overwrites its own partition; a crash mid-fold
+    * resumes or discards the stage on the next trigger (the
+    * [[graft.operators.Dedup.compactIndex]] protocol). Serve results
+    * are unchanged by construction — spec-pinned.
     */
   def upsertCellIndexStream(stream: DataFrame, centroids: DataFrame,
                             indexDir: String, idCol: String = "vec_id",
@@ -247,13 +258,18 @@ object ScoringStreaming {
                             opCol: String = "op", seqCol: String = "seq",
                             deleteOp: String = "delete",
                             codebook: Option[
-                              graft.operators.Similarity.PqCodebook] = None)
+                              graft.operators.Similarity.PqCodebook] = None,
+                            maxDepth: Option[Double] = None)
       : DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.operators.Similarity
         .indexChangelog(batch, centroids, idCol, vecCol, opCol, seqCol,
           deleteOp, codebook)
         .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+      maxDepth.foreach { d =>
+        graft.operators.Dedup.snapshotIfDeep(batch.sparkSession, indexDir,
+          d, idCol, seqCol)
+      }
       ()
     }
 

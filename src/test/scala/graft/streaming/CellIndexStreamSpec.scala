@@ -612,6 +612,38 @@ class CellIndexStreamSpec extends AnyFunSuite {
       "incomplete newer dir untouched")
   }
 
+  test("upsertCellIndexStream(maxDepth): deep changelog auto-folds in-stream; serve unchanged") {
+    implicit val sq = spark.sqlContext
+    val idx = Files.createTempDirectory("depthidx").toString
+    val input = MemoryStream[(Long, Array[Float], String, Long)]
+    val q = ScoringStreaming.upsertCellIndexStream(
+      input.toDF().toDF("vec_id", "embedding", "op", "seq"),
+      centroids, idx, maxDepth = Some(2.0)).start()
+    val b1 = vecs.map { case (id, e) => (id, e, "insert", 1L) }
+    val b2 = vecs.filter(v => Seq(10L, 12L, 14L).contains(v._1))
+      .map { case (id, e) => (id, swap(e), "update", 2L) }
+    val b3 = vecs.map { case (id, e) => (id, swap(e), "update", 3L) }
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // depth 9/6 = 1.5 <= 2.0: below the bar — nothing folded
+      assert(spark.read.parquet(idx).count() === 9L)
+      input.addData(b3: _*); q.processAllAvailable()
+      // depth 15/6 = 2.5 > 2.0: batches 0-1 fold to one row per id
+      // (6), the newest dir (the one legal replay) stays untouched (6)
+      assert(spark.read.parquet(idx).count() === 12L)
+    } finally q.stop()
+    val folded = ScoringStreaming.servedCellIndex(spark, idx)
+      .filter(col("batch_id") < 2)
+    assert(folded.count() === 6L, "folded region is one row per id")
+    // the auto-fold never changes what the serve returns: latest
+    // state equals the batch composition over the whole feed
+    val expected = canonUpsert(batchIndex(
+      vecs.map { case (id, e) => (id, swap(e)) }))
+    assert(canonUpsert(
+      ScoringStreaming.servedUpsertCellIndex(spark, idx)) === expected)
+  }
+
   test("snapshotIndex: history collapses to one row per id; serve and tombstones survive") {
     implicit val sq = spark.sqlContext
     val idx = Files.createTempDirectory("snapidx").toString
