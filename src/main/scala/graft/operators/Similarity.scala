@@ -531,6 +531,41 @@ object Similarity {
         (seqCol +: payload).map(c => col(s"_l.$c").as(c)): _*)
   }
 
+  /** A codebook RELEASE — the index-lifecycle event the maintenance
+    * loops deliberately defer: [[graft.streaming.ScoringStreaming
+    * .upsertCellIndexStreamWithRetrain]] retrains coarse CENTROIDS
+    * but freezes the PQ codebook across generations (the FAISS
+    * convention: incremental maintenance must not silently change
+    * what stored codes MEAN), so after enough update churn the
+    * codebook was trained on a corpus that no longer exists. A
+    * release is the batch event that fixes it: resolve the changelog
+    * to its live state ([[latestIndexState]] — tombstoned ids must
+    * not train codewords), train a NEW codebook on that corpus
+    * ([[pqCodebook]]'s deterministic seed so the oracle can replay
+    * it; swap in [[pqCodebookRefined]] for Lloyd's refinement), and
+    * RE-ENCODE every live row against it. Returns the serve-ready
+    * index and the new codebook — publish both as one generation
+    * (the `_centroids`-beside-index discipline of the retrain loop);
+    * coarse centroids stay the caller's, isolating the release from
+    * the recenter event. Full re-encode is the honest cost: one
+    * map-side pass over |live| rows, a corpus-release artifact, not
+    * a per-batch job.
+    */
+  def releaseIndex(changelog: DataFrame, centroids: DataFrame,
+                   m: Int, k: Int, idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   opCol: String = "op", seqCol: String = "seq",
+                   deleteOp: String = "delete",
+                   train: (DataFrame, Int, Int) => PqCodebook = null)
+      : (DataFrame, PqCodebook) = {
+    val live = latestIndexState(changelog, idCol, seqCol, opCol,
+      deleteOp).select(col(idCol), col(vecCol))
+    val cb = Option(train).getOrElse(
+      (c: DataFrame, mm: Int, kk: Int) =>
+        pqCodebook(c, mm, kk, idCol, vecCol)).apply(live, m, k)
+    (indexCells(live, centroids, idCol, vecCol, Some(cb)), cb)
+  }
+
   /** [[ivfMultiprobeKnn]] over a PRE-ASSIGNED corpus index
     * ([[indexCells]] rows, however they were materialized — a staged
     * artifact or the stream-maintained parquet dir served by

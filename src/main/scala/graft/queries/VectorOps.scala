@@ -252,6 +252,38 @@ object VectorOps {
               codebook = cb)))
     })
 
+  /** The v42 RELEASED index, staged: [[Similarity.releaseIndex]] over
+    * the v29 changelog — the codebook retrained on the RESOLVED live
+    * corpus (first-16 live ids: the %11 deletions shift the codeword
+    * set, the %7 updates reverse two codewords) and every live row
+    * re-encoded against it. The serve over this index against an
+    * oracle whose cb CTE reads the resolved corpus is the release's
+    * correctness claim end to end.
+    */
+  private def releasedIndexIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      "ivfpq-released-index|c=8|m=4|k=16|u7|d11",
+      graft.core.Artifacts.fingerprint(dir))({
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+      Similarity.releaseIndex(
+        Similarity.indexChangelog(upsertFeed(e), cents), cents,
+        m = 4, k = 16)._1
+    })
+
+  /** The released codebook, recomputed (a deterministic 16-row
+    * collect — [[Similarity.releaseIndex]]'s own training input, so
+    * it matches the staged index's codes exactly).
+    */
+  private def releasedCb(s: SparkSession, dir: String)
+      : Similarity.PqCodebook = {
+    val e = emb(s, dir)
+    Similarity.pqCodebook(
+      Similarity.latestIndexState(
+        Similarity.indexChangelog(upsertFeed(e),
+          e.filter(col("vec_id") < 8))), m = 4, k = 16)
+  }
+
   /** recall@k counting: per query, how many of `truth`'s (q_id, n_id)
     * pairs `approx` reproduced. ONE implementation for every eval
     * (v11/v14/v16/v21 and v17's two-leg variant) — the denominator,
@@ -599,6 +631,21 @@ object VectorOps {
       Similarity.pqScoreCodesIndexed(snapshotIndexIdx(s, dir),
         querySet(e), e.filter(col("vec_id") < 8),
         Similarity.pqCodebook(e, m = 4, k = 16), k = 3, nprobe = 2)
+    },
+
+    // the codebook RELEASE (the lifecycle event the maintenance loops
+    // defer — coarse centroids retrain in-stream, the PQ codebook
+    // stays frozen so stored codes keep their meaning): resolve the
+    // v29 changelog to its live state, retrain the codebook on THAT
+    // corpus (deleted ids must not train codewords; updated ids train
+    // with their current bytes), re-encode every live row, serve.
+    // The oracle's cb CTE reads the resolved corpus too — codeword
+    // set and bytes both moved vs v29's frozen codebook
+    "v42_codebook_release" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqScoreCodesIndexed(releasedIndexIdx(s, dir),
+        querySet(e), e.filter(col("vec_id") < 8),
+        releasedCb(s, dir), k = 3, nprobe = 2)
     },
 
     // FILTERED serving over the staged index — "nearest neighbors
@@ -1197,7 +1244,10 @@ object VectorOps {
     * at serve time.
     */
   private def sqlIvfPqServeOver(corpus: String, k: Int = 3,
-                                nprobe: Int = 2): String = {
+                                nprobe: Int = 2,
+                                cbFrom: String =
+                                  "SELECT vec_id, embedding FROM embeddings")
+      : String = {
     val d = (0 until 4).map { m =>
       sqlSqDist(s"q.embedding[${m * 16 + 1}:${(m + 1) * 16}]",
         s"b$m.cv[${m * 16 + 1}:${(m + 1) * 16}]")
@@ -1229,7 +1279,7 @@ object VectorOps {
        |cb AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |  FROM ($cbFrom) ORDER BY vec_id LIMIT 16),
        |enc AS (
        |  SELECT vec_id, m, cid FROM (
        |    SELECT e.vec_id, ms.m, cb.cid,
@@ -1636,6 +1686,12 @@ object VectorOps {
     // synthesized ops are pure functions of vec_id), Spark resolves it
     // through indexChangelog -> latestIndexState
     "v29_index_upsert_serve" -> sqlIvfPqServeOver(sqlUpsertLatest),
+    // the released serve: same resolved corpus as v29 but the cb CTE
+    // now trains on it too (first-16 LIVE ids — %11 ids gone, %7
+    // reversed), exactly Similarity.releaseIndex's contract
+    "v42_codebook_release" -> sqlIvfPqServeOver(sqlUpsertLatest,
+      cbFrom = sqlUpsertLatest),
+
     // the depth metric over the arrival prefixes of the v29/v40
     // changelog: b1 inserts, b2 %7 updates, b3 %11 deletes, b4 the
     // post-fold tail (late %11 updates + %5 seq-4 updates)

@@ -111,6 +111,39 @@ class PqSpec extends AnyFunSuite {
     assert(served === fused)
   }
 
+  test("releaseIndex retrains the codebook on the RESOLVED corpus and re-encodes") {
+    val e = emb.filter($"vec_id" < 40)
+    val vecType = e.schema("embedding").dataType
+    val feed = e.select($"vec_id", $"embedding",
+        lit("insert").as("op"), lit(1L).as("seq"))
+      .unionByName(e.filter($"vec_id" === 2)
+        .select($"vec_id", reverse($"embedding").as("embedding"),
+          lit("update").as("op"), lit(2L).as("seq")))
+      .unionByName(e.filter($"vec_id" === 5)
+        .select($"vec_id", lit(null).cast(vecType).as("embedding"),
+          lit("delete").as("op"), lit(2L).as("seq")))
+    val cents = e.filter($"vec_id" < 2)
+    val (idx, cb) = Similarity.releaseIndex(
+      Similarity.indexChangelog(feed, cents), cents, M, K)
+    // the live corpus the release must have trained/encoded against:
+    // id 5 gone (a tombstoned id must not train codewords), id 2 the
+    // reversed update
+    val live = e.filter($"vec_id" =!= 5).select($"vec_id",
+      when($"vec_id" === 2, reverse($"embedding"))
+        .otherwise($"embedding").as("embedding"))
+    assert(cb === Similarity.pqCodebook(live, M, K),
+      "codebook trained on the resolved live state")
+    assert(cb !== Similarity.pqCodebook(e, M, K),
+      "the release actually moved the codebook (id 2 < 16 reversed)")
+    // re-encode: the released index equals a fresh build over the
+    // live corpus under the new codebook, row for row
+    val fresh = Similarity.indexCells(live, cents, codebook = Some(cb))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"embedding", $"nrm", $"cell", $"codes")
+        .as[(Long, Seq[Float], Double, Long, Seq[Int])].collect().toSet
+    assert(canon(idx) === canon(fresh))
+  }
+
   test("refined codebook is deterministic and partition-independent") {
     def run(c: org.apache.spark.sql.DataFrame) =
       Similarity.pqCodebookRefined(c, M, K, iters = 2)
