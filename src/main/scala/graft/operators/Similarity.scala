@@ -460,8 +460,10 @@ object Similarity {
                      opCol: String = "op", seqCol: String = "seq",
                      deleteOp: String = "delete",
                      codebook: Option[PqCodebook] = None,
-                     maxInlineCentroids: Int = 64): DataFrame = {
-    val keep = Seq(col(idCol), col(vecCol), col(opCol), col(seqCol))
+                     maxInlineCentroids: Int = 64,
+                     carryCols: Seq[String] = Nil): DataFrame = {
+    val keep = Seq(col(idCol), col(vecCol), col(opCol), col(seqCol)) ++
+      carryCols.map(col)
     val live0 = feed.filter(!(col(opCol) <=> deleteOp))
       .select(keep :+ norm(col(vecCol)).as("nrm"): _*)
     val live1 = codebook.fold(live0)(cb =>
@@ -484,8 +486,8 @@ object Similarity {
       live.schema("codes").dataType).getOrElse(NullType)
     val deadCols = Seq(col(idCol),
         lit(null).cast(feed.schema(vecCol).dataType).as(vecCol),
-        col(opCol), col(seqCol),
-        lit(null).cast(DoubleType).as("nrm")) ++
+        col(opCol), col(seqCol)) ++ carryCols.map(col) ++
+      Seq(lit(null).cast(DoubleType).as("nrm")) ++
       codebook.map(_ => lit(null).cast(codesType).as("codes")).toSeq :+
       lit(null).cast(LongType).as("cell")
     val dead = feed.filter(col(opCol) <=> deleteOp).select(deadCols: _*)
@@ -529,6 +531,35 @@ object Similarity {
       .agg(max(struct((seqCol +: payload).map(col): _*)).as("_l"))
       .select(col(idCol) +:
         (seqCol +: payload).map(c => col(s"_l.$c").as(c)): _*)
+  }
+
+  /** Serve-time resolution of a SET-VALUED changelog — the chunk
+    * index's upsert semantics (a ColBERT-style index keys chunks, but
+    * the unit of CHANGE is the document): an update delivers the
+    * doc's entire NEW chunk set (n rows, one seq), a delete delivers
+    * one doc-level tombstone, and the live state is ALL rows of each
+    * doc's max-seq version — so an edit that shrinks a doc from 9
+    * chunks to 4 drops the other 5 without ever naming them. This is
+    * why [[latestIndexState]]'s max-struct cannot serve here: a
+    * version is a row SET, not a row, so the resolve is a per-doc
+    * max-seq window + an (doc, seq) equality filter — ONE shuffle on
+    * `docCol` carrying the changelog (irreducible: every surviving
+    * row must learn its doc's max seq; the snapshot fold
+    * ([[graft.operators.Dedup.snapshotIndex]]'s algebra, with this
+    * resolve) keeps that history short). Tombstones excluded like
+    * every serve read; a late lower-seq set stays dead because the
+    * doc's max seq is the tombstone's.
+    */
+  def latestChunkState(changelog: DataFrame, docCol: String = "doc_id",
+                       seqCol: String = "seq", opCol: String = "op",
+                       deleteOp: String = "delete"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(docCol))
+    changelog
+      .withColumn("_max_seq", max(col(seqCol)).over(w))
+      .filter(col(seqCol) === col("_max_seq") &&
+        !(col(opCol) <=> deleteOp))
+      .drop("_max_seq")
   }
 
   /** A codebook RELEASE — the index-lifecycle event the maintenance

@@ -850,6 +850,22 @@ object VectorOps {
         ce.filter(col("doc_id") % 50 === 0), maxSimIdx(s, dir),
         ce.filter(col("chunk_idx") === 0 && col("doc_id") < 8),
         k = 3, nprobe = 2)
+    },
+
+    // the v32 serve under DOC-level index maintenance: the chunk
+    // changelog's unit of change is the document (an edit replaces
+    // the doc's WHOLE chunk set — here shrinking %7 docs to their
+    // even-index chunks with reversed embeddings; %11 docs tombstone
+    // at doc level), resolved by the set-valued latestChunkState
+    // (max-seq per doc keeps ALL that version's rows). Queries stay
+    // the raw corpus' chunks — they are external text, not index
+    // rows. The oracle serves the identically-resolved live set
+    "v43_chunk_upsert_serve" -> { (s, dir) =>
+      val ce = chunkEmbeds(s, dir)
+      graft.operators.LateInteraction.maxSimTopKIndexed(
+        ce.filter(col("doc_id") % 50 === 0), maxSimUpsertIdx(s, dir),
+        ce.filter(col("chunk_idx") === 0 && col("doc_id") < 8),
+        k = 3, nprobe = 2)
     })
 
   /** Hash-embedded documents (dims = 64), zero-norm docs excluded —
@@ -933,6 +949,54 @@ object VectorOps {
       Similarity.indexCells(ce,
         ce.filter(col("chunk_idx") === 0 && col("doc_id") < 8),
         idCol = "chunk_uid", carryCols = Seq("doc_id"))
+    })
+
+  /** The v43 DOC-level chunk changelog — the unit of change is the
+    * document, the unit of storage the chunk: every doc INSERTs its
+    * full chunk set at seq 1; every 7th doc UPDATEs at seq 2 to a
+    * SMALLER set (its even-index chunks, embeddings reversed — an
+    * edit that shrinks the doc, so the resolve must drop odd chunks
+    * it is never told about by name); every 11th doc DELETEs at
+    * seq 3 with ONE doc-level tombstone row.
+    */
+  private def chunkFeed(ce: DataFrame): DataFrame =
+    ce.select(col("doc_id"), col("embedding"),
+        lit("insert").as("op"), lit(1L).as("seq"),
+        col("chunk_uid"), col("chunk_idx"))
+      .unionByName(ce
+        .filter(col("doc_id") % 7 === 0 && col("chunk_idx") % 2 === 0)
+        .select(col("doc_id"), reverse(col("embedding")).as("embedding"),
+          lit("update").as("op"), lit(2L).as("seq"),
+          col("chunk_uid"), col("chunk_idx")))
+      .unionByName(ce.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id")).distinct()
+        .select(col("doc_id"),
+          lit(null).cast(ce.schema("embedding").dataType)
+            .as("embedding"),
+          lit("delete").as("op"), lit(3L).as("seq"),
+          lit(null).cast(ce.schema("chunk_uid").dataType)
+            .as("chunk_uid"),
+          lit(null).cast(ce.schema("chunk_idx").dataType)
+            .as("chunk_idx")))
+
+  /** The v43 SERVE-READY chunk index, staged: [[chunkFeed]] through
+    * [[Similarity.indexChangelog]] (idCol = doc_id so the tombstone
+    * is doc-level; chunk identity rides carryCols; centroids keyed by
+    * chunk_uid so cells match the serve-time probe), resolved by the
+    * SET-VALUED [[Similarity.latestChunkState]]. Exactly what a
+    * stream-maintained ColBERT index resolves to under doc edits.
+    */
+  private def maxSimUpsertIdx(s: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.table(s,
+      "maxsim-chunk-upsert-index|w=16|s=16|dims=64|c=8|u7even|d11",
+      graft.core.Artifacts.fingerprint(dir))({
+      val ce = chunkEmbeds(s, dir)
+      Similarity.latestChunkState(
+        Similarity.indexChangelog(chunkFeed(ce),
+          ce.filter(col("chunk_idx") === 0 && col("doc_id") < 8)
+            .select(col("chunk_uid").as("doc_id"), col("embedding")),
+          idCol = "doc_id",
+          carryCols = Seq("chunk_uid", "chunk_idx")))
     })
 
   /** SQL mirror of Similarity.dot: strict left fold over the zipped
@@ -1309,6 +1373,106 @@ object VectorOps {
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id) AS rnk
        |  FROM sc)
        |WHERE rnk <= $k""".stripMargin
+  }
+
+  /** The v32/v43 two-stage ColBERT serve in SQL, over a parametric
+    * corpus: the chunking→hash-embed→norm prefix (`toks`…`e`) and the
+    * frozen centroid generation (`cent`, raw first chunks of docs
+    * < 8) are shared; `corpus` names the CTE the INDEX side reads —
+    * `e` for the append-only v32, the resolved `live` set for v43
+    * (supplied via `corpusCte`). Queries always probe from raw `e`
+    * (they are external text, not index rows). Cell labels are the
+    * centroid's chunk_uid (doc·10⁶), matching the Spark ingest keyed
+    * by chunk_uid-as-id.
+    */
+  private def sqlMaxSimServeOver(corpus: String,
+                                 corpusCte: Option[String] = None)
+      : String = {
+    val extra = corpusCte.map(c => s"$c,\n").getOrElse("")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 1),
+       |ch AS (
+       |  SELECT doc_id, chunk_idx,
+       |    list_aggregate(w[chunk_idx*16 + 1 : chunk_idx*16 + 16],
+       |      'string_agg', ' ') AS chunk_text
+       |  FROM (
+       |    SELECT doc_id, w, n,
+       |      unnest(range(CASE WHEN n <= 16 THEN 1
+       |                   ELSE 1 + (n - 16 + 15) // 16 END)) AS chunk_idx
+       |    FROM t)),
+       |tk AS (
+       |  SELECT doc_id, chunk_idx,
+       |    unnest(list_filter(string_split(lower(chunk_text), ' '),
+       |      x -> len(x) > 0)) AS w
+       |  FROM ch),
+       |hv AS (
+       |  SELECT doc_id, chunk_idx,
+       |    CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
+       |  FROM tk),
+       |sm AS (
+       |  SELECT doc_id, chunk_idx, h % 64 AS b,
+       |    SUM(((h >> 47) & 1) * 2 - 1) AS s
+       |  FROM hv GROUP BY doc_id, chunk_idx, b),
+       |grid AS (
+       |  SELECT i.doc_id, i.chunk_idx, r.b
+       |  FROM (SELECT DISTINCT doc_id, chunk_idx FROM tk) i
+       |  CROSS JOIN range(0, 64) r(b)),
+       |emb AS (
+       |  SELECT g.doc_id, g.chunk_idx,
+       |    list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b)
+       |      AS embedding
+       |  FROM grid g
+       |  LEFT JOIN sm s ON s.doc_id = g.doc_id
+       |    AND s.chunk_idx = g.chunk_idx AND s.b = g.b
+       |  GROUP BY g.doc_id, g.chunk_idx),
+       |e AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, chunk_idx, embedding,
+       |      sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |    FROM emb) WHERE nrm > 0),
+       |cent AS (SELECT * FROM e WHERE chunk_idx = 0 AND doc_id < 8),
+       |${extra}crk AS (
+       |  SELECT v.doc_id, v.chunk_idx, c.doc_id * 1000000 AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY v.doc_id, v.chunk_idx
+       |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
+       |               c.doc_id) AS rnk
+       |  FROM $corpus v CROSS JOIN cent c),
+       |asg AS (SELECT doc_id, chunk_idx, cell FROM crk WHERE rnk = 1),
+       |qrk AS (
+       |  SELECT v.doc_id, v.chunk_idx, c.doc_id * 1000000 AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY v.doc_id, v.chunk_idx
+       |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
+       |               c.doc_id) AS rnk
+       |  FROM e v CROSS JOIN cent c
+       |  WHERE v.doc_id % 50 = 0),
+       |probe AS (
+       |  SELECT doc_id, chunk_idx, cell FROM qrk WHERE rnk <= 2),
+       |cand AS (
+       |  SELECT DISTINCT p.doc_id AS q_doc, a.doc_id AS n_doc
+       |  FROM probe p JOIN asg a ON a.cell = p.cell
+       |  WHERE a.doc_id <> p.doc_id),
+       |mx AS (
+       |  SELECT c.q_doc, qc.chunk_idx AS q_chunk, c.n_doc,
+       |    MAX(${sqlCos("qc.embedding", "nc.embedding", "qc.nrm", "nc.nrm")}) AS mc
+       |  FROM cand c
+       |  JOIN e qc ON qc.doc_id = c.q_doc
+       |  JOIN $corpus nc ON nc.doc_id = c.n_doc
+       |  GROUP BY c.q_doc, qc.chunk_idx, c.n_doc),
+       |sq AS (
+       |  SELECT q_doc, n_doc,
+       |    SUM(CAST(floor(mc * 1e12) AS HUGEINT)) AS sq
+       |  FROM mx GROUP BY q_doc, n_doc)
+       |SELECT q_doc, n_doc, rnk, CAST(sq AS DOUBLE) / 1e12 AS score
+       |FROM (
+       |  SELECT q_doc, n_doc, sq,
+       |    ROW_NUMBER() OVER (PARTITION BY q_doc
+       |      ORDER BY sq DESC, n_doc) AS rnk
+       |  FROM sq)
+       |WHERE rnk <= 3""".stripMargin
   }
 
   /** The v29 latest-state corpus in SQL: the mixed feed's resolution —
@@ -1981,85 +2145,25 @@ object VectorOps {
     // (ties → centroid chunk_uid = doc_id·10⁶), candidate pairs from
     // the cell join, then max-per-(q,q_chunk,d) → floor(mc·1e12)
     // HUGEINT sums (order-free exact, = Spark's DECIMAL(38,0)) → rank
-    "v32_maxsim_rerank" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
-         |  FROM documents),
-         |t AS (
-         |  SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 1),
-         |ch AS (
-         |  SELECT doc_id, chunk_idx,
-         |    list_aggregate(w[chunk_idx*16 + 1 : chunk_idx*16 + 16],
-         |      'string_agg', ' ') AS chunk_text
+    "v32_maxsim_rerank" -> sqlMaxSimServeOver("e"),
+
+    // the v43 live chunk set: %11 docs tombstoned; %7 docs hold only
+    // their max-seq (seq-2) version — the even-index chunks with
+    // reversed embeddings (nrm RE-computed over the reversed list,
+    // the same fold order Spark's ingest pays); everything else the
+    // insert set. Queries and centroids stay raw `e` rows — external
+    // text and the frozen generation
+    "v43_chunk_upsert_serve" -> sqlMaxSimServeOver("live",
+      corpusCte = Some(s"""live AS (
+         |  SELECT doc_id, chunk_idx, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
          |  FROM (
-         |    SELECT doc_id, w, n,
-         |      unnest(range(CASE WHEN n <= 16 THEN 1
-         |                   ELSE 1 + (n - 16 + 15) // 16 END)) AS chunk_idx
-         |    FROM t)),
-         |tk AS (
-         |  SELECT doc_id, chunk_idx,
-         |    unnest(list_filter(string_split(lower(chunk_text), ' '),
-         |      x -> len(x) > 0)) AS w
-         |  FROM ch),
-         |hv AS (
-         |  SELECT doc_id, chunk_idx,
-         |    CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
-         |  FROM tk),
-         |sm AS (
-         |  SELECT doc_id, chunk_idx, h % 64 AS b,
-         |    SUM(((h >> 47) & 1) * 2 - 1) AS s
-         |  FROM hv GROUP BY doc_id, chunk_idx, b),
-         |grid AS (
-         |  SELECT i.doc_id, i.chunk_idx, r.b
-         |  FROM (SELECT DISTINCT doc_id, chunk_idx FROM tk) i
-         |  CROSS JOIN range(0, 64) r(b)),
-         |emb AS (
-         |  SELECT g.doc_id, g.chunk_idx,
-         |    list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b)
-         |      AS embedding
-         |  FROM grid g
-         |  LEFT JOIN sm s ON s.doc_id = g.doc_id
-         |    AND s.chunk_idx = g.chunk_idx AND s.b = g.b
-         |  GROUP BY g.doc_id, g.chunk_idx),
-         |e AS (
-         |  SELECT * FROM (
-         |    SELECT doc_id, chunk_idx, embedding,
-         |      sqrt(${sqlDot("embedding", "embedding")}) AS nrm
-         |    FROM emb) WHERE nrm > 0),
-         |cent AS (SELECT * FROM e WHERE chunk_idx = 0 AND doc_id < 8),
-         |crk AS (
-         |  SELECT v.doc_id, v.chunk_idx, c.doc_id * 1000000 AS cell,
-         |    ROW_NUMBER() OVER (PARTITION BY v.doc_id, v.chunk_idx
-         |      ORDER BY ${sqlCos("v.embedding", "c.embedding", "v.nrm", "c.nrm")} DESC,
-         |               c.doc_id) AS rnk
-         |  FROM e v CROSS JOIN cent c),
-         |asg AS (SELECT doc_id, chunk_idx, cell FROM crk WHERE rnk = 1),
-         |probe AS (
-         |  SELECT doc_id, chunk_idx, cell FROM crk
-         |  WHERE rnk <= 2 AND doc_id % 50 = 0),
-         |cand AS (
-         |  SELECT DISTINCT p.doc_id AS q_doc, a.doc_id AS n_doc
-         |  FROM probe p JOIN asg a ON a.cell = p.cell
-         |  WHERE a.doc_id <> p.doc_id),
-         |mx AS (
-         |  SELECT c.q_doc, qc.chunk_idx AS q_chunk, c.n_doc,
-         |    MAX(${sqlCos("qc.embedding", "nc.embedding", "qc.nrm", "nc.nrm")}) AS mc
-         |  FROM cand c
-         |  JOIN e qc ON qc.doc_id = c.q_doc
-         |  JOIN e nc ON nc.doc_id = c.n_doc
-         |  GROUP BY c.q_doc, qc.chunk_idx, c.n_doc),
-         |sq AS (
-         |  SELECT q_doc, n_doc,
-         |    SUM(CAST(floor(mc * 1e12) AS HUGEINT)) AS sq
-         |  FROM mx GROUP BY q_doc, n_doc)
-         |SELECT q_doc, n_doc, rnk, CAST(sq AS DOUBLE) / 1e12 AS score
-         |FROM (
-         |  SELECT q_doc, n_doc, sq,
-         |    ROW_NUMBER() OVER (PARTITION BY q_doc
-         |      ORDER BY sq DESC, n_doc) AS rnk
-         |  FROM sq)
-         |WHERE rnk <= 3""".stripMargin,
+         |    SELECT doc_id, chunk_idx,
+         |      CASE WHEN doc_id % 7 = 0 THEN list_reverse(embedding)
+         |           ELSE embedding END AS embedding
+         |    FROM e
+         |    WHERE doc_id % 11 <> 0
+         |      AND (doc_id % 7 <> 0 OR chunk_idx % 2 = 0)))""".stripMargin)),
 
     // hash-embed replay: md5 token hash → (bucket, ±1 sign) → signed
     // tf sums per bucket (exact integers, so the GROUP BY and Spark's

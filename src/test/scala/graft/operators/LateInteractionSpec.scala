@@ -121,4 +121,36 @@ class LateInteractionSpec extends AnyFunSuite {
     // cell of centroid 1 holds docs 1, 2, 3 — doc 11/12 never score
     assert(got.map(_._2).toSet === Set(1L, 3L))
   }
+
+  test("latestChunkState: a doc update replaces the WHOLE chunk set; tombstone kills it") {
+    def chunk(doc: Long, idx: Long, v: Seq[Double], op: String,
+              seq: Long) =
+      (doc, doc * 1000000L + idx, idx, v, op, seq)
+    val feed = Seq(
+      // doc 1 inserts 3 chunks, then seq-2 edits down to ONE chunk —
+      // the resolve must drop chunks 1/2 without being told their ids
+      chunk(1L, 0, Seq(1.0, 0.0), "insert", 1L),
+      chunk(1L, 1, Seq(0.5, 0.5), "insert", 1L),
+      chunk(1L, 2, Seq(0.0, 1.0), "insert", 1L),
+      chunk(1L, 0, Seq(0.9, 0.1), "update", 2L),
+      // doc 2 inserts 2 chunks then deletes at doc level (one
+      // tombstone row, no chunk identity)
+      chunk(2L, 0, Seq(1.0, 1.0), "insert", 1L),
+      chunk(2L, 1, Seq(1.0, 0.5), "insert", 1L),
+      (2L, -1L, -1L, null.asInstanceOf[Seq[Double]], "delete", 2L),
+      // doc 3: delete at seq 2, then a LATE full-set update at seq 1
+      // arrives after — the doc's max seq is the tombstone's, so the
+      // late set stays dead
+      chunk(3L, 0, Seq(0.2, 0.8), "insert", 1L),
+      (3L, -1L, -1L, null.asInstanceOf[Seq[Double]], "delete", 3L),
+      chunk(3L, 0, Seq(0.3, 0.7), "update", 2L),
+      // doc 4 untouched
+      chunk(4L, 0, Seq(0.6, 0.4), "insert", 1L))
+      .toDF("doc_id", "chunk_uid", "chunk_idx", "embedding", "op", "seq")
+    val live = Similarity.latestChunkState(feed)
+      .select($"doc_id", $"chunk_idx", $"seq")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(live === Set((1L, 0L, 2L), (4L, 0L, 1L)),
+      "doc 1 shrank to its seq-2 set, docs 2/3 dead, doc 4 intact")
+  }
 }
