@@ -1178,6 +1178,44 @@ object Dedup {
     compactIndexWith(spark, indexDir)(df =>
       Similarity.latestIndexChange(df, idCol, seqCol))
 
+  /** [[snapshotIndex]] for a SET-VALUED (chunk) changelog: the
+    * folded region collapses to each doc's max-seq VERSION — the
+    * whole row set, not one row ([[Similarity.latestChunkChange]];
+    * folding with the row-valued [[Similarity.latestIndexChange]]
+    * would destroy every multi-chunk doc). Tombstones kept for the
+    * same late-arrival reason. Same crash-safe protocol.
+    */
+  def snapshotChunkIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, docCol: String = "doc_id",
+                         seqCol: String = "seq"): Long =
+    compactIndexWith(spark, indexDir)(df =>
+      Similarity.latestChunkChange(df, docCol, seqCol))
+
+  /** [[snapshotIfDeep]] for a set-valued changelog — with the depth
+    * metric corrected for it: rows/keys would call a 9-chunk doc
+    * "9 deep" with zero history, so depth here is VERSIONS per doc
+    * (distinct (doc, seq) pairs over distinct docs), which is 1 for
+    * any history-free corpus regardless of chunk counts. Two-column
+    * pruned scan; folds via [[snapshotChunkIndex]].
+    */
+  def snapshotChunkIfDeep(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String, maxDepth: Double = 4.0,
+                          docCol: String = "doc_id",
+                          seqCol: String = "seq"): Long = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return -1L
+    if (!fs.listStatus(root).exists(_.getPath.getName
+        .startsWith("batch_id="))) return -1L
+    val row = spark.read.option("basePath", indexDir).parquet(indexDir)
+      .agg(count_distinct(struct(col(docCol), col(seqCol)))
+          .as("n_versions"),
+        count_distinct(col(docCol)).as("n_docs")).head()
+    val (nVer, nDocs) = (row.getLong(0), row.getLong(1))
+    if (nDocs == 0L || nVer.toDouble / nDocs <= maxDepth) -1L
+    else snapshotChunkIndex(spark, indexDir, docCol, seqCol)
+  }
+
   /** The snapshot POLICY: fold only when the changelog is DEEP —
     * depth = |change rows| / |distinct ids|, the resolve-cost
     * amplification the serve pays over an already-snapshotted dir

@@ -552,13 +552,25 @@ object Similarity {
     */
   def latestChunkState(changelog: DataFrame, docCol: String = "doc_id",
                        seqCol: String = "seq", opCol: String = "op",
-                       deleteOp: String = "delete"): DataFrame = {
+                       deleteOp: String = "delete"): DataFrame =
+    latestChunkChange(changelog, docCol, seqCol)
+      .filter(!(col(opCol) <=> deleteOp))
+
+  /** The max-seq VERSION (row set) per doc with tombstones KEPT —
+    * [[latestIndexChange]]'s set-valued twin, and for the same
+    * reason: a snapshot fold of a chunk changelog must keep the
+    * doc-level tombstone, or a late lower-seq chunk set arriving
+    * after the fold would resurrect the doc. Same single shuffle on
+    * `docCol` as [[latestChunkState]].
+    */
+  def latestChunkChange(changelog: DataFrame,
+                        docCol: String = "doc_id",
+                        seqCol: String = "seq"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(docCol))
     changelog
       .withColumn("_max_seq", max(col(seqCol)).over(w))
-      .filter(col(seqCol) === col("_max_seq") &&
-        !(col(opCol) <=> deleteOp))
+      .filter(col(seqCol) === col("_max_seq"))
       .drop("_max_seq")
   }
 

@@ -273,6 +273,55 @@ object ScoringStreaming {
       ()
     }
 
+  /** [[upsertCellIndexStream]] for the SET-VALUED chunk changelog —
+    * the v32/v43 ColBERT index maintained under document edits: the
+    * arriving feed is doc-keyed (an update carries the doc's whole
+    * NEW chunk set at one seq; a delete is one doc-level tombstone),
+    * chunk identity rides `carryCols`, and the serve
+    * ([[servedChunkIndex]]) resolves with the set-valued
+    * [[graft.operators.Similarity.latestChunkState]]. Same
+    * exactly-once recipe (batch-owned partition dir, mode Overwrite);
+    * `maxDepth` triggers [[graft.operators.Dedup.snapshotChunkIfDeep]]
+    * — the set-preserving fold with the versions-per-doc depth
+    * metric (rows-per-doc would confuse chunk count with history).
+    */
+  def upsertChunkIndexStream(stream: DataFrame, centroids: DataFrame,
+                             indexDir: String,
+                             docCol: String = "doc_id",
+                             vecCol: String = "embedding",
+                             opCol: String = "op",
+                             seqCol: String = "seq",
+                             deleteOp: String = "delete",
+                             carryCols: Seq[String] =
+                               Seq("chunk_uid", "chunk_idx"),
+                             codebook: Option[
+                               graft.operators.Similarity.PqCodebook] = None,
+                             maxDepth: Option[Double] = None)
+      : DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.Similarity
+        .indexChangelog(batch, centroids, docCol, vecCol, opCol, seqCol,
+          deleteOp, codebook, carryCols = carryCols)
+        .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+      maxDepth.foreach { d =>
+        graft.operators.Dedup.snapshotChunkIfDeep(batch.sparkSession,
+          indexDir, d, docCol, seqCol)
+      }
+      ()
+    }
+
+  /** Serve the chunk changelog index [[upsertChunkIndexStream]]
+    * maintains: all rows of each doc's max-seq version, doc
+    * tombstones excluded — ready for
+    * [[graft.operators.LateInteraction.maxSimTopKIndexed]].
+    */
+  def servedChunkIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, docCol: String = "doc_id",
+                       seqCol: String = "seq", opCol: String = "op",
+                       deleteOp: String = "delete"): DataFrame =
+    graft.operators.Similarity.latestChunkState(
+      servedCellIndex(spark, indexDir), docCol, seqCol, opCol, deleteOp)
+
   /** Serve the changelog index [[upsertCellIndexStream]] maintains:
     * the LATEST index row per id with delete tombstones excluded
     * ([[graft.operators.Similarity.latestIndexState]] — one

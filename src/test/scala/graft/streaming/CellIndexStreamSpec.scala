@@ -644,6 +644,65 @@ class CellIndexStreamSpec extends AnyFunSuite {
       ScoringStreaming.servedUpsertCellIndex(spark, idx)) === expected)
   }
 
+  test("chunk upsert stream: set-valued serve equals batch composition; depth fold keeps sets") {
+    implicit val sq = spark.sqlContext
+    val idx = Files.createTempDirectory("chunkidx").toString
+    def ch(doc: Long, i: Long, v: Array[Float], op: String, seq: Long) =
+      (doc, doc * 1000000L + i, i, v, op, seq)
+    val b1 = Seq( // three docs, multi-chunk sets
+      ch(1L, 0, Array(0.9f, 0.1f), "insert", 1L),
+      ch(1L, 1, Array(0.1f, 0.9f), "insert", 1L),
+      ch(1L, 2, Array(0.5f, 0.5f), "insert", 1L),
+      ch(2L, 0, Array(0.8f, 0.3f), "insert", 1L),
+      ch(2L, 1, Array(0.3f, 0.8f), "insert", 1L),
+      ch(3L, 0, Array(0.2f, 0.8f), "insert", 1L))
+    val b2 = Seq( // doc 1 edits down to ONE chunk
+      ch(1L, 0, Array(0.7f, 0.2f), "update", 2L))
+    val b3 = Seq( // doc 2 dies at doc level
+      (2L, -1L, -1L, null.asInstanceOf[Array[Float]], "delete", 3L))
+    val b4 = Seq( // doc 2's LATE lower-seq set must stay dead
+      ch(2L, 0, Array(0.6f, 0.6f), "update", 2L))
+    val feed = b1 ++ b2 ++ b3 ++ b4
+    val input = MemoryStream[(Long, Long, Long, Array[Float], String, Long)]
+    // maxDepth 1.2: after b2 doc versions/docs = 4/3 = 1.33 > 1.2 —
+    // the set-preserving fold fires mid-stream
+    // centroid frame keyed by the doc column (the ingest assigns
+    // cells by idCol on BOTH sides — the v43 discipline)
+    val docCents = centroids.withColumnRenamed("vec_id", "doc_id")
+    val q = ScoringStreaming.upsertChunkIndexStream(
+      input.toDF().toDF("doc_id", "chunk_uid", "chunk_idx",
+        "embedding", "op", "seq"),
+      docCents, idx, maxDepth = Some(1.2)).start()
+    try Seq(b1, b2, b3, b4).foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def canonChunks(df: DataFrame): Set[(Long, Long, Seq[Float], Long)] =
+      df.select(col("doc_id"), col("chunk_idx"), col("embedding"),
+        col("cell")).as[(Long, Long, Seq[Float], Long)].collect().toSet
+    val served = canonChunks(ScoringStreaming.servedChunkIndex(spark, idx))
+    // batch twin: resolve-then-index composition over the whole feed
+    val expected = canonChunks(Similarity.latestChunkState(
+      Similarity.indexChangelog(
+        feed.toDF("doc_id", "chunk_uid", "chunk_idx", "embedding",
+          "op", "seq"),
+        docCents, idCol = "doc_id",
+        carryCols = Seq("chunk_uid", "chunk_idx"))))
+    assert(served === expected)
+    assert(served.map(_._1) === Set(1L, 3L),
+      "doc 1 survived shrunk, doc 2 dead despite the late set")
+    assert(served.count(_._1 == 1L) === 1, "doc 1 is its seq-2 set only")
+    // storage kept doc 2's tombstone (it is the ONLY thing keeping
+    // the late b4 set dead) and doc 1's full seq-1 set never leaks
+    // back from the folded region
+    val stored = spark.read.parquet(idx)
+    assert(stored.filter(col("doc_id") === 2L &&
+      col("op") === "delete").count() === 1L)
+    assert(Dedup.snapshotChunkIndex(spark, idx) >= -1L, "idempotent")
+    assert(canonChunks(
+      ScoringStreaming.servedChunkIndex(spark, idx)) === expected,
+      "explicit fold changes nothing the serve sees")
+  }
+
   test("snapshotIndex: history collapses to one row per id; serve and tombstones survive") {
     implicit val sq = spark.sqlContext
     val idx = Files.createTempDirectory("snapidx").toString
