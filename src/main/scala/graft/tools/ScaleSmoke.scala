@@ -314,6 +314,60 @@ object ScaleSmoke {
         (stageUpsertHistory(e1x, "S1", snapshot = true),
           stageUpsertHistory(eNx, s"S$factor", snapshot = true))
       else (null, null)
+    // chunkserveD / chunkserveS: the SET-VALUED resolve's D/S pair —
+    // the chunk changelog's latestChunkState is a per-doc max-seq
+    // WINDOW, which shuffles the FULL history (every surviving row
+    // must learn its doc's max seq), where the row-valued resolve is
+    // a max-struct whose shuffle is ≤ |keys|. The snapshot fold is
+    // therefore worth MORE here; these legs measure exactly the
+    // resolve term (both legs' serve would be identical by
+    // construction, so the timed action is resolve + count). Fixture:
+    // every doc = 3 chunks, 8 versions deep + 1/11 doc deletes.
+    val chDepth = 8
+    def stageChunkHistory(e: DataFrame, tag: String,
+                          snapshot: Boolean): String = {
+      val dir = s"$tmp/chh$tag"
+      val docs = e.select(col("vec_id").as("doc_id"), col("embedding"))
+      val chunks = docs
+        .withColumn("chunk_idx", explode(array(lit(0L), lit(1L), lit(2L))))
+        .select(col("doc_id"),
+          when(col("chunk_idx") === 1L, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"),
+          (col("doc_id") * 1000L + col("chunk_idx")).as("chunk_uid"),
+          col("chunk_idx"))
+      val docCents = cents8.select(col("vec_id").as("doc_id"),
+        col("embedding"))
+      (1 to chDepth + 1).foreach { s =>
+        val batch =
+          if (s <= chDepth) chunks.select(col("doc_id"),
+            (if (s % 2 == 0) reverse(col("embedding"))
+             else col("embedding")).as("embedding"),
+            lit(if (s == 1) "insert" else "update").as("op"),
+            lit(s.toLong).as("seq"), col("chunk_uid"), col("chunk_idx"))
+          else docs.filter(col("doc_id") % 11 === 0)
+            .select(col("doc_id"),
+              lit(null).cast(e.schema("embedding").dataType)
+                .as("embedding"),
+              lit("delete").as("op"), lit(s.toLong).as("seq"),
+              lit(null).cast("long").as("chunk_uid"),
+              lit(null).cast("long").as("chunk_idx"))
+        Similarity.indexChangelog(batch, docCents, idCol = "doc_id",
+            carryCols = Seq("chunk_uid", "chunk_idx"))
+          .write.mode("overwrite").parquet(s"$dir/batch_id=$s")
+      }
+      if (snapshot) { Dedup.snapshotChunkIndex(spark, dir); () }
+      dir
+    }
+    val (chD1, chDN) =
+      if (legOn("chunkserveD"))
+        (stageChunkHistory(e1x, "D1", snapshot = false),
+          stageChunkHistory(eNx, s"D$factor", snapshot = false))
+      else (null, null)
+    val (chS1, chSN) =
+      if (legOn("chunkserveS"))
+        (stageChunkHistory(e1x, "S1", snapshot = true),
+          stageChunkHistory(eNx, s"S$factor", snapshot = true))
+      else (null, null)
     // maxsimserveT: maxsimserve with the Nx index RETUNED by the
     // k ∝ √N rule (Similarity.growthK — the growthRetrain policy):
     // the cell count grows with √factor while nprobe stays fixed, so
@@ -937,6 +991,26 @@ object ScaleSmoke {
             k = 3, nprobe = 2).count(); ()
         }
         benchAction[String]("upsertserveS", upS1, upSN, upServe)
+      },
+      // chunkserveD / chunkserveS: the set-valued resolve, raw deep
+      // history vs the set-preserving snapshot — the window resolve
+      // shuffles whatever history the dir holds, so the fold IS the
+      // asymptotic lever here
+      {
+        def chServe(dir: String): Unit = {
+          val log = spark.read.option("basePath", dir).parquet(dir)
+            .drop("batch_id")
+          Similarity.latestChunkState(log).count(); ()
+        }
+        benchAction[String]("chunkserveD", chD1, chDN, chServe)
+      },
+      {
+        def chServe(dir: String): Unit = {
+          val log = spark.read.option("basePath", dir).parquet(dir)
+            .drop("batch_id")
+          Similarity.latestChunkState(log).count(); ()
+        }
+        benchAction[String]("chunkserveS", chS1, chSN, chServe)
       },
       // maxsimserveT: the √N-retuned maxsim serve — each side serves
       // ITS OWN (index, centroids): the candidate set stays
