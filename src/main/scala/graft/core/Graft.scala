@@ -39,6 +39,40 @@ object Graft {
     spark
   }
 
+  /** Spread a compute-heavy fan-out's INPUT across the session's cores
+    * when its scan is narrower than them (guide §2.5/§6 — r17).
+    *
+    * The pattern this fixes: a staged artifact is small ON DISK (one
+    * parquet split), but the work built ON TOP of it — an exploding
+    * Generate, a broadcast-join fan-out, a per-row vector fold — is
+    * tens to thousands of times the scan bytes. Spark sizes the stage
+    * by input splits, so the whole fan-out runs on one or two cores
+    * while the rest idle. An explicit-N hash repartition on the key
+    * moves the (tiny) input once and lets every downstream row of the
+    * same stage run at full parallelism; explicit N keeps AQE's
+    * byte-based coalescing (which cannot see the fan-out) from folding
+    * the stage back together.
+    *
+    * Scale-adaptive by construction: N = `defaultParallelism` (total
+    * executor cores on a cluster), and the repartition is SKIPPED
+    * whenever the plan already has at least that many partitions — at
+    * production scale the same artifact scan has hundreds of splits
+    * and this is a no-op.
+    *
+    * Caveat: call it on exchange-free subtrees only (scans /
+    * projections / generates over a staged table). `df.rdd` on such a
+    * plan never triggers AQE stage execution, so partition counting
+    * stays a pure planning step. Row content is untouched — only
+    * placement changes, so any order-free downstream (joins, exact
+    * aggregations) is bit-identical.
+    */
+  def fanout(df: DataFrame, keys: Column*): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df
+    else if (keys.isEmpty) df.repartition(par)
+    else df.repartition(par, keys: _*)
+  }
+
   /** Exact-decimal money column: cast a double to DECIMAL(18,2) so sums
     * are associative (order-independent) and hash-identical to the
     * DuckDB oracle regardless of partitioning / parallelism. The final

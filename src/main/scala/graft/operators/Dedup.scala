@@ -697,7 +697,11 @@ object Dedup {
     require(bands >= 1 && bits % bands == 0,
       s"bands must divide $bits, got $bands")
     val width = bits / bands
-    val named = sigs.select(col(idCol), col(sigCol).as("simhash"))
+    // the band fan-out + self-join behind this scan is many times the
+    // scan's bytes — spread a narrow input first (Graft.fanout: no-op
+    // once the input already has >= cores partitions)
+    val named = graft.core.Graft.fanout(
+      sigs.select(col(idCol), col(sigCol).as("simhash")), col(idCol))
     val banded0 = named.select(col(idCol),
       explode(array((0 until bands).map(j => struct(
         lit(j).as("b"),

@@ -86,9 +86,28 @@ object LateInteraction {
       .filter(col("q_doc") =!= col("n_doc"))
       .select(col("q_doc"), col("n_doc")).distinct()
     val q = broadcast(querySide(qChunks, docCol, chunkCol, vecCol))
+    // Stage-2 shape (guide §2.5/§6): the exact re-rank's cost is the
+    // candidate×chunk² dot fan-out AFTER these joins, which is tens of
+    // times the index bytes feeding it — but the stream side is a
+    // compact staged-index scan (few input splits), so without help
+    // the whole fan-out runs at file-split parallelism. Restrict the
+    // index to candidate docs first (broadcast LEFT SEMI — at scale
+    // this is also what keeps non-candidate chunks off the wire), then
+    // spread THAT bounded frame across the session's cores with an
+    // explicit-N repartition (explicit so AQE's size-based coalescing,
+    // which only sees the exchange's small bytes and not the fan-out
+    // behind it, cannot fold the stage back to one task). The exchange
+    // moves candidate chunks exactly once; every downstream dot runs
+    // at full parallelism. Row content is untouched, and both
+    // aggregations in [[maxSimRank]] are order-free (quantized-decimal
+    // sums), so the result is bit-identical.
+    val par = index.sparkSession.sparkContext.defaultParallelism
     val c = index.select(col(docCol).as("n_doc"),
         col(vecCol).as("n_vec"), col("nrm").as("n_nrm"))
       .filter(col("n_nrm") > 0)
+      .join(broadcast(cand.select(col("n_doc")).distinct()),
+        Seq("n_doc"), "left_semi")
+      .repartition(par, col("n_doc"))
     maxSimRank(broadcast(cand).join(c, "n_doc").join(q, "q_doc"), k)
   }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -128,6 +128,12 @@ object DedupOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+
+  // dev-profiling accessors (tools/ProfileSweeps) — not query surface
+  private[graft] def profileSimhash48Idx(s: SparkSession, dir: String) =
+    simhash48Idx(s, dir)
+  private[graft] def profileHammingTruthIdx(s: SparkSession, dir: String) =
+    hammingTruthIdx(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> { (s, dir) => Dedup.exact(docs(s, dir)) },
@@ -463,18 +469,60 @@ object DedupOps {
       val sig = simhash48Idx(s, dir)
       val truth = hammingTruthIdx(s, dir)
       val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
-      Seq(1, 2, 3, 4).map { b =>
-        val cand = Dedup.hammingBandCandidates(sig, "doc_id", "simhash",
-          bits = 48, bands = b)
-        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-        val nCaught = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-          .agg(count(lit(1)).as("n_caught"))
-        nCand.crossJoin(nCaught).crossJoin(nTrue)
-          .select(lit(b).as("bands"), lit(48 / b).as("band_bits"),
-            col("n_candidates"), col("n_true"), col("n_caught"),
-            when(col("n_true") > 0, col("n_caught").cast("double") /
-              col("n_true").cast("double")).as("recall"))
-      }.reduce(_.unionByName(_))
+      // One-universe sweep (r17, guide §2.4/§3.1 — the probeCellsRanked
+      // discipline applied to the Hamming family): every config's
+      // candidate set nests inside cand(4) ∪ cand(3) — a pair agreeing
+      // on a 24/48-bit band agrees on its 12-bit slices, so bands=1/2
+      // are subsets of bands=4; only the 16-bit split (bands=3) brings
+      // pairs of its own. Build the two generator joins ONCE, take the
+      // distinct union, and recompute each config's membership as a
+      // band-slice compare of the two signatures riding the pair — the
+      // generator's own predicate, so counts are exact. The truth
+      // check becomes ONE broadcast join flag (7 MB of eval-truth
+      // pairs) instead of four SortMergeJoin LeftSemis, each of which
+      // sorted the millions-of-pairs candidate side.
+      val universe = Dedup.hammingBandCandidates(sig, "doc_id", "simhash",
+          bits = 48, bands = 4)
+        .unionByName(Dedup.hammingBandCandidates(sig, "doc_id", "simhash",
+          bits = 48, bands = 3))
+        .distinct()
+      val withSigs = universe
+        .join(broadcast(sig.select(col("doc_id").as("doc_a"),
+          col("simhash").as("_siga"))), "doc_a")
+        .join(broadcast(sig.select(col("doc_id").as("doc_b"),
+          col("simhash").as("_sigb"))), "doc_b")
+      def agrees(bands: Int): Column = {
+        val w = 48 / bands
+        val mask = (1L << w) - 1
+        (0 until bands).map(j =>
+          shiftright(col("_siga"), j * w).bitwiseAND(lit(mask)) ===
+            shiftright(col("_sigb"), j * w).bitwiseAND(lit(mask)))
+          .reduce(_ || _)
+      }
+      val flagged = withSigs.join(
+        broadcast(truth.withColumn("_t", lit(1))),
+        Seq("doc_a", "doc_b"), "left")
+      val aggCols = Seq(1, 2, 3, 4).flatMap { b =>
+        Seq(sum(when(agrees(b), 1L)).as(s"_nc$b"),
+          sum(when(agrees(b) && col("_t").isNotNull, 1L)).as(s"_ng$b"))
+      }
+      val counts = flagged.agg(aggCols.head, aggCols.tail: _*)
+      // one row per config via a single explode — a unionByName of four
+      // selects over `one` would re-run the whole aggregate subtree
+      // four times (each union leg is its own copy of the plan)
+      counts.crossJoin(nTrue)
+        .select(explode(array(Seq(1, 2, 3, 4).map { b =>
+          struct(lit(b).as("bands"), lit(48 / b).as("band_bits"),
+            coalesce(col(s"_nc$b"), lit(0L)).as("n_candidates"),
+            col("n_true"),
+            coalesce(col(s"_ng$b"), lit(0L)).as("n_caught"),
+            when(col("n_true") > 0,
+              coalesce(col(s"_ng$b"), lit(0L)).cast("double") /
+                col("n_true").cast("double")).as("recall"))
+        }: _*)).as("_r"))
+        .select(col("_r.bands"), col("_r.band_bits"),
+          col("_r.n_candidates"), col("_r.n_true"), col("_r.n_caught"),
+          col("_r.recall"))
     },
 
     // d18's REPAIR: leaked val docs move to train (one row per doc,

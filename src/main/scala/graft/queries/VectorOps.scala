@@ -2483,4 +2483,12 @@ object VectorOps {
          |SELECT id AS vec_id, MIN(comp) AS cluster_id
          |FROM reach GROUP BY id""".stripMargin
   )
+
+  // dev-profiling accessors (tools/ProfileMaxSim) — not query surface
+  private[graft] def profileChunkEmbeds(s: SparkSession, dir: String) =
+    chunkEmbeds(s, dir)
+  private[graft] def profileMaxSimIdx(s: SparkSession, dir: String) =
+    maxSimIdx(s, dir)
+  private[graft] def profileMaxSimUpsertIdx(s: SparkSession, dir: String) =
+    maxSimUpsertIdx(s, dir)
 }
