@@ -172,12 +172,16 @@ object Bench {
     // the driver's BENCH_r{N}.json capture head-truncates on long runs,
     // losing ~25 queries of cross-round comparison — persist the full
     // line locally so every round's numbers survive verbatim. The
-    // default path is written only by UNFILTERED sweeps: a targeted
-    // SPARK_GRAFT_ONLY run silently overwriting the committed full
-    // sweep with a 3-query JSON is exactly the round-13 clobber this
-    // guards against (an explicit SPARK_GRAFT_BENCH_OUT still wins).
+    // default path is written only by UNFILTERED 32-core sweeps: a
+    // targeted SPARK_GRAFT_ONLY run silently overwriting the committed
+    // full sweep with a 3-query JSON is the round-13 clobber, and the
+    // driver's 8-core scaling sweep replacing the committed 32-core
+    // reference (which the outlier guard above normalizes against)
+    // with 8-core numbers is the round-17 one — both guarded here (an
+    // explicit SPARK_GRAFT_BENCH_OUT still wins).
     val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .orElse(if (only.isEmpty) Some("BENCH_LOCAL.json") else None)
+      .orElse(if (only.isEmpty && cpus == "32") Some("BENCH_LOCAL.json")
+              else None)
     benchOut.foreach { path =>
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(path), json + "\n")

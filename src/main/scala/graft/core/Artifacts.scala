@@ -88,6 +88,16 @@ object Artifacts {
           s"${Thread.currentThread().getId}")
       build.write.mode("overwrite")
         .partitionBy(partitionCols: _*).parquet(tmp.getPath)
+      // record the READ-BACK schema (partition columns come back last
+      // with their directory-inferred types) so every later serve can
+      // skip parquet schema inference — the footer-read/merge step
+      // showed up as ~0.3 s of driver time PER QUERY CONSTRUCTION in
+      // the r18 profile (SchemaMergeUtils.mergeSchemasInParallel), paid
+      // by every artifact-serving query on every run. Production staged
+      // tables carry a catalog schema for exactly this reason.
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_schema").toPath,
+        spark.read.parquet(tmp.getPath).schema.json)
       // the raw identity rides inside the artifact so stale
       // GENERATIONS (same logicalId, older generation) are
       // identifiable after the dir name is hashed
@@ -108,7 +118,16 @@ object Artifacts {
     // serve = access: refresh the marker's mtime so evict()'s LRU
     // order reflects reads, not just builds
     done.setLastModified(System.currentTimeMillis())
-    spark.read.parquet(dir.getPath)
+    // serve with the recorded schema when present (skips footer reads /
+    // schema merging — see the build-side note); artifacts published by
+    // earlier rounds lack the file and fall back to inference
+    val schemaFile = new java.io.File(dir, "_schema")
+    if (schemaFile.exists()) {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(java.nio.file.Files.readString(schemaFile.toPath))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.read.schema(schema).parquet(dir.getPath)
+    } else spark.read.parquet(dir.getPath)
   }
 
   /** One-off artifact with no generation lineage (specs, ad-hoc

@@ -64,13 +64,46 @@ object Graft {
     * plan never triggers AQE stage execution, so partition counting
     * stays a pure planning step. Row content is untouched — only
     * placement changes, so any order-free downstream (joins, exact
-    * aggregations) is bit-identical.
+    * aggregations) is bit-identical. ENFORCED structurally (r17
+    * verdict #4): every optimized-plan node must be a narrow operator,
+    * so a post-shuffle frame fails fast instead of eagerly
+    * materializing AQE query stages and silently pinning a non-AQE
+    * plan.
     */
-  def fanout(df: DataFrame, keys: Column*): DataFrame = {
+  def fanout(df: DataFrame, keys: Column*): DataFrame =
+    fanoutGauged(df, df, keys: _*)
+
+  /** [[fanout]] with the partition probe taken from a separate `gauge`
+    * frame — for inputs that already contain a broadcast join (probing
+    * THEM would eagerly build the broadcast side during planning). A
+    * broadcast join adds no exchange on the stream side, so gauging
+    * the stream-side scan counts exactly the partitions the fan-out
+    * stage will run with. `gauge` must be the exchange-free stream
+    * subtree of `df`.
+    */
+  def fanoutGauged(df: DataFrame, gauge: DataFrame, keys: Column*)
+      : DataFrame = {
+    assertNarrow(gauge)
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df
+    if (gauge.rdd.getNumPartitions >= par) df
     else if (keys.isEmpty) df.repartition(par)
     else df.repartition(par, keys: _*)
+  }
+
+  /** The fanout gauge contract: reject any plan that is not a chain of
+    * narrow, shuffle-free operators over leaves. Planning-only (walks
+    * the optimized logical plan, executes nothing).
+    */
+  private def assertNarrow(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.foreach {
+      case _: LeafNode | _: Project | _: Filter | _: Generate |
+           _: Union | _: SubqueryAlias => ()
+      case other => throw new IllegalArgumentException(
+        "Graft.fanout gauge must be an exchange-free subtree " +
+          s"(scan/project/filter/generate/union); found ${other.nodeName}" +
+          " — probe the stream-side scan via fanoutGauged instead")
+    }
   }
 
   /** Exact-decimal money column: cast a double to DECIMAL(18,2) so sums

@@ -78,6 +78,15 @@ object LateInteraction {
       vecCol = vecCol)
     val qMap = qChunks.select(col(uidCol).as("q_id"),
       col(docCol).as("q_doc"))
+    // persisted (r18): cand feeds THREE consumers below — the semi-join
+    // doc list, the broadcast build of the q×d join, and its own
+    // distinct n_doc projection. Catalyst does not dedupe subtrees, so
+    // without the pin the whole probe pipeline (query chunk embeds →
+    // centroid cross join → rank windows) replays once per consumer —
+    // the plan carried the probe lineage twice (v32 plan diff,
+    // plans/r18). Query-batch × nprobe sized — KBs at any corpus scale;
+    // same cache-lifecycle convention as Dedup.nearDupPairs (callers
+    // sweeping queries clear between runs; Bench/Verify do).
     val cand = broadcast(
         probes.select(col("q_id"), col("q_cell")).join(qMap, "q_id")
           .select(col("q_doc"), col("q_cell")).distinct())
@@ -85,6 +94,7 @@ object LateInteraction {
         col("q_cell") === col("cell"))
       .filter(col("q_doc") =!= col("n_doc"))
       .select(col("q_doc"), col("n_doc")).distinct()
+      .persist()
     val q = broadcast(querySide(qChunks, docCol, chunkCol, vecCol))
     // Stage-2 shape (guide §2.5/§6): the exact re-rank's cost is the
     // candidate×chunk² dot fan-out AFTER these joins, which is tens of
@@ -101,13 +111,20 @@ object LateInteraction {
     // at full parallelism. Row content is untouched, and both
     // aggregations in [[maxSimRank]] are order-free (quantized-decimal
     // sums), so the result is bit-identical.
-    val par = index.sparkSession.sparkContext.defaultParallelism
-    val c = index.select(col(docCol).as("n_doc"),
-        col(vecCol).as("n_vec"), col("nrm").as("n_nrm"))
-      .filter(col("n_nrm") > 0)
-      .join(broadcast(cand.select(col("n_doc")).distinct()),
-        Seq("n_doc"), "left_semi")
-      .repartition(par, col("n_doc"))
+    // Guarded (r17 verdict #3/#5): at production scale the staged index
+    // scan already has ≥ cores splits and the repartition must be a
+    // no-op — Graft.fanoutGauged skips it then, probing the raw index
+    // scan (exchange-free) rather than this frame, whose broadcast
+    // semi-join would otherwise be eagerly built during planning. The
+    // key is n_doc: per-doc chunk counts are bounded by chunking
+    // (window/stride), so no single doc can skew a partition.
+    val c = graft.core.Graft.fanoutGauged(
+      index.select(col(docCol).as("n_doc"),
+          col(vecCol).as("n_vec"), col("nrm").as("n_nrm"))
+        .filter(col("n_nrm") > 0)
+        .join(broadcast(cand.select(col("n_doc")).distinct()),
+          Seq("n_doc"), "left_semi"),
+      index, col("n_doc"))
     maxSimRank(broadcast(cand).join(c, "n_doc").join(q, "q_doc"), k)
   }
 
