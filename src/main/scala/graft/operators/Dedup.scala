@@ -357,6 +357,11 @@ object Dedup {
                             idCol: String = "doc_id",
                             textCol: String = "text",
                             n: Int = 3): DataFrame =
+    // (r18 note: repartitioning this on `shingle` before the persist
+    // was measured and REJECTED — an InMemoryRelation built from an
+    // adaptive plan reports unknown output partitioning, so both
+    // self-join consumers kept their exchanges and the extra shuffle
+    // was pure cost: 2.15 → 2.97 s A/B at sf0.1.)
     pairsFromPrefixIndex(
       prefixIndex(sr, dfreq, tauPermille, idCol).persist(),
       docs, tauPermille, idCol, textCol, n)
@@ -386,7 +391,10 @@ object Dedup {
       .withColumn("n_sh", count(lit(1)).over(szW))
       .filter(col("rnk") <=
         expr(s"n_sh - (n_sh * $tauPermille + 999) DIV 1000 + 1"))
-      .select(col(idCol), col("shingle"), col("n_sh"))
+      // rnk rides along for PPJoin's POSITIONAL filter (r18): the
+      // candidate join prunes occurrences whose positions already cap
+      // the overlap below the Jaccard bound — see pairsFromPrefixIndex
+      .select(col(idCol), col("shingle"), col("n_sh"), col("rnk"))
   }
 
   /** The exact-join QUERY leg over a served [[prefixIndex]]: prefix
@@ -405,13 +413,25 @@ object Dedup {
     require(tauPermille > 0 && tauPermille <= 1000,
       s"tauPermille must be in (0, 1000], got $tauPermille")
     val cand = pref.select(col(idCol).as("doc_a"), col("shingle"),
-        col("n_sh").as("n_a"))
+        col("n_sh").as("n_a"), col("rnk").as("rnk_a"))
       .join(pref.select(col(idCol).as("doc_b"), col("shingle"),
-        col("n_sh").as("n_b")), "shingle")
+        col("n_sh").as("n_b"), col("rnk").as("rnk_b")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
       // length filter: t·max ≤ min ⇒ t·|A| ≤ |B| and t·|B| ≤ |A|
       .filter(col("n_a") * tauPermille <= col("n_b") * 1000 &&
         col("n_b") * tauPermille <= col("n_a") * 1000)
+      // PPJoin positional filter (Xiao et al. '08, r18 — LOSSLESS):
+      // J ≥ τ needs overlap o ≥ ⌈τ(|A|+|B|)/(1000+τ)⌉; the shared
+      // shingles of a qualifying pair all sit at rank ≥ this
+      // occurrence's rank in BOTH docs for the pair's FIRST shared
+      // shingle, so o ≤ 1 + min(|A|−rnk_a, |B|−rnk_b) holds for that
+      // occurrence — an occurrence-level prune that keeps every true
+      // pair (the exact verify below decides membership either way;
+      // this only cuts rows reaching the distinct + array intersect)
+      .filter(lit(1L) +
+        least(col("n_a") - col("rnk_a"), col("n_b") - col("rnk_b")) >=
+        expr(s"($tauPermille * (n_a + n_b) + ${1000 + tauPermille - 1})" +
+          s" DIV ${1000 + tauPermille}"))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .distinct()
     // verify: PPJoin's per-candidate set intersection — attach both
@@ -420,9 +440,15 @@ object Dedup {
     // payload each; the alternative (fanning cand out over shingle
     // ROWS) shuffles |cand|·|doc| exploded rows — measured 4.8 s vs
     // 1.3 s for this leg at sf0.1
+    // persisted (r18): docSets feeds BOTH verify joins (doc_a side and
+    // doc_b side) — unpinned, the full-corpus tokenize+shingle map ran
+    // twice per query (the d26 plan scanned documents twice with the
+    // shingle projection). One map pass fills the cache; both joins
+    // read it. Same cache-lifecycle convention as nearDupPairs.
     val docSets = docs
       .select(col(idCol), split(col(textCol), " ").as("_w"))
       .select(col(idCol), shinglesOf(col("_w"), n).as("sh"))
+      .persist()
     val a = docSets.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
     val b = docSets.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
     cand.join(a, "doc_a").join(b, "doc_b")

@@ -441,18 +441,64 @@ object DedupOps {
       val sig = signaturesIdx(s, dir)
       val truth = exactPairsIdx(s, dir)
       val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
-      Seq((1, 8), (2, 4), (4, 2), (8, 1)).map { case (b, r) =>
-        val cand = Dedup.candidatePairsFromSignatures(sig,
-          bands = b, rowsPerBand = r)
-        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-        val nCaught = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-          .agg(count(lit(1)).as("n_caught"))
-        nCand.crossJoin(nCaught).crossJoin(nTrue)
-          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-            col("n_candidates"), col("n_true"), col("n_caught"),
-            when(col("n_true") > 0, col("n_caught").cast("double") /
-              col("n_true").cast("double")).as("recall"))
-      }.reduce(_.unionByName(_))
+      // One-universe sweep (r18 — the d30 discipline on the MinHash
+      // family, guide §2.4): the four bandings NEST — agreement on a
+      // width-r band implies agreement on every sub-band it contains,
+      // so cand(1,8) ⊆ cand(2,4) ⊆ cand(4,2) ⊆ cand(8,1): the
+      // single-hash banding IS the candidate universe. The old shape
+      // ran 4 independent legs, each replaying the band self-join
+      // TWICE (volume count + truth semi-join) — 8 generator runs and
+      // 24 exchanges. Now: ONE band self-join carrying both docs'
+      // full signatures through the pair (no signature re-join, no
+      // corpus-sized broadcast), each config's membership recomputed
+      // as the generator's own h-tuple predicate (md5 band keys are
+      // injective over the integer h tuples, so key equality ⟺ tuple
+      // equality), the truth check ONE broadcast-join flag, and all
+      // eight counts in ONE aggregate.
+      val hs = 0 until 8
+      def side(tag: String) = sig.select(
+          col("doc_id").as(s"doc_$tag") +:
+            hs.map(i => col(s"h$i").as(s"_$tag$i")): _*)
+        .withColumn("_band", explode(array(hs.map(lit(_)): _*)))
+        .withColumn("_key",
+          element_at(array(hs.map(i => col(s"_$tag$i")): _*),
+            col("_band") + 1))
+      // self-join aliasing: rename the b side's band/key first
+      val bSide = side("b").withColumnRenamed("_band", "_band2")
+        .withColumnRenamed("_key", "_key2")
+      val pairs = side("a").join(bSide,
+          col("_band") === col("_band2") && col("_key") === col("_key2")
+            && col("doc_a") < col("doc_b"))
+        .drop("_band", "_key", "_band2", "_key2")
+        .distinct()
+      def agrees(b: Int, r: Int): Column =
+        (0 until b).map(k => (0 until r).map(i =>
+            col(s"_a${k * r + i}") === col(s"_b${k * r + i}"))
+          .reduce(_ && _)).reduce(_ || _)
+      val flagged = pairs.join(
+        broadcast(truth.withColumn("_t", lit(1))),
+        Seq("doc_a", "doc_b"), "left")
+      val cfgs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+      val aggCols = cfgs.flatMap { case (b, r) =>
+        Seq(sum(when(agrees(b, r), 1L)).as(s"_nc$b"),
+          sum(when(agrees(b, r) && col("_t").isNotNull, 1L)).as(s"_ng$b"))
+      }
+      val counts = flagged.agg(aggCols.head, aggCols.tail: _*)
+      // one row per config via a single explode (the d30 note: a
+      // unionByName of four selects would replay the aggregate per leg)
+      counts.crossJoin(nTrue)
+        .select(explode(array(cfgs.map { case (b, r) =>
+          struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            coalesce(col(s"_nc$b"), lit(0L)).as("n_candidates"),
+            col("n_true"),
+            coalesce(col(s"_ng$b"), lit(0L)).as("n_caught"),
+            when(col("n_true") > 0,
+              coalesce(col(s"_ng$b"), lit(0L)).cast("double") /
+                col("n_true").cast("double")).as("recall"))
+        }: _*)).as("_r"))
+        .select(col("_r.bands"), col("_r.rows_per_band"),
+          col("_r.n_candidates"), col("_r.n_true"), col("_r.n_caught"),
+          col("_r.recall"))
     },
 
     // the SimHash twin of d29: for every band count over the staged
