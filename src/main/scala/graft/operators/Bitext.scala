@@ -46,7 +46,14 @@ object Bitext {
                   vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val qc = floor(col("cos_sim") * lit(1e12)).cast("decimal(38,0)")
+    // both k-NN frames are pinned (r18): each feeds 2–3 consumers
+    // (best / sum / final join), and Catalyst does not dedupe
+    // subtrees, so unpinned the corpus-scan cross join + rank window
+    // replayed per consumer. Post-rank they are |queries|·k rows —
+    // KBs at any scale. Same cache-lifecycle convention as
+    // nearDupPairs (callers clear between runs; Bench/Verify do).
     val fwd = Similarity.bruteForceKnn(ys, queries, k, idCol, vecCol)
+      .persist()
     val best = fwd.filter(col("rnk") === 1)
       .select(col("q_id").as("x_id"), col("n_id").as("y_id"),
         col("cos_sim"))
@@ -55,6 +62,7 @@ object Bitext {
     val yCand = ys.join(
       best.select(col("y_id").as(idCol)).distinct(), idCol)
     val bwd = Similarity.bruteForceKnn(xs, yCand, k, idCol, vecCol)
+      .persist()
     val sumY = bwd.groupBy(col("q_id").as("y_id"))
       .agg(sum(qc).as("sum_y"))
     val bestBack = bwd.filter(col("rnk") === 1)

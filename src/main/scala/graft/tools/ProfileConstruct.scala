@@ -49,6 +49,26 @@ object ProfileConstruct {
         graft.queries.CurateOps.queries("t11_curate")(spark, dir))
       time(s"t11c FULL construct ($i)")(
         graft.queries.CurateOps.queries("t11c_curate_full")(spark, dir))
+      // isolate CATALYST cost of the big scoring trees: force a full
+      // optimize+physical-plan of the scored projection vs a literal
+      // stand-in of the same shape (no execution either way)
+      val scored = d
+        .withColumn("pred_lang",
+          graft.functions.TextFunctions.langId(col("text")))
+        .withColumn("quality",
+          graft.functions.TextFunctions.qualityScore(col("text")))
+        .withColumn("_rep",
+          graft.operators.Repetition.topBigramCount(col("text")))
+        .withColumn("_intra",
+          graft.operators.Repetition.dupChunkFrac(col("text"), 3))
+      time(s"plan-only scored exprs ($i)")(
+        scored.queryExecution.executedPlan)
+      val lits = d.withColumn("pred_lang", lit("en"))
+        .withColumn("quality", lit(0.5))
+        .withColumn("_rep", lit(1))
+        .withColumn("_intra", lit(0.5))
+      time(s"plan-only literal exprs ($i)")(
+        lits.queryExecution.executedPlan)
       spark.catalog.clearCache()
     }
     // sample the driver stack during one more construct to find the

@@ -672,6 +672,51 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"residual index scan reads raw vectors: $idxRead")
   }
 
+  // ---- round-18 optimization movers pinned -------------------------------
+
+  test("v32 maxsim serve: candidate frame pinned once, probe lineage never replayed") {
+    val p = plan("v32_maxsim_rerank")
+    // cand persists and is read by all three consumers — losing the pin
+    // re-plans the whole probe pipeline (query chunk embeds → centroid
+    // cross join → rank windows) once per consumer (the r18 before-plan
+    // carried it twice: 13 Generates vs 4)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+    // the staged index is restricted to candidate docs by ONE broadcast
+    // semi-join before the fan-out
+    assert("BroadcastHashJoin LeftSemi".r.findAllIn(p).size == 1,
+      p.take(2000))
+    // the probe pipeline appears once: its two document scans + the
+    // querySide scan + (outside the cache) nothing else — a Generate
+    // count past 5 means a replayed chunk-embed lineage crept back
+    assert("""\(\d+\) Generate\b""".r.findAllIn(p).size <= 5, p.take(2000))
+  }
+
+  test("d29 sweep: one candidate universe, one aggregate — no per-config replay") {
+    val p = plan("d29_lsh_plan_sweep")
+    // the one-universe rewrite: a single band self-join + ONE global
+    // aggregate serves all four configs; the before-plan carried 24
+    // exchanges (4 legs × 2 consumers × the join/distinct chain)
+    assert("""\(\d+\) Exchange\b""".r.findAllIn(p).size <= 5, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("d26 prefix filter keeps the PPJoin positional prune") {
+    val p = plan("d26_prefix_filter")
+    // the lossless positional filter (rank-capped overlap bound) must
+    // stay in the candidate join's filter — losing it re-inflates the
+    // distinct + verify volume (1.8× measured at sf0.1)
+    assert("least\\(\\(n_a".r.findFirstIn(p).isDefined, p.take(2500))
+    assert(p.contains("array_intersect"), p.take(2500))
+  }
+
+  test("v43 chunk-upsert serve prunes index cells via dynamic partition pruning") {
+    val p = plan("v43_chunk_upsert_serve")
+    // the re-staged cell-partitioned layout: the probe join must reach
+    // the index scan as a partition filter, not a post-scan filter
+    assert(p.contains("dynamicpruning"), p.take(2500))
+  }
+
   test("hammingBandPairs cache lifetime: entry outlives the call, clearCache releases it") {
     // the documented contract (Dedup.hammingBandPairs scaladoc): the
     // banded frame stays persisted after the action — a long-lived
