@@ -156,15 +156,25 @@ object CurateOps {
     // join). One hash-checked query from markup to train/val shards.
     "t11d_curate_web" -> { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
-      val nonBench = d.filter(col("source") =!= "src0")
-      val keepers = graft.operators.Urls.urlDedupReport(
-          graft.operators.Urls.withUrlPayload(nonBench))
-        .filter(col("keeper")).select("doc_id")
-      val stage0 = graft.operators.Html.withHtmlPayload(
-          nonBench.join(keepers, "doc_id"))
-        .select(col("doc_id"),
-          graft.operators.Html.extractMainText(col("html")).as("text"),
-          col("source"), col("lang"))
+      // stage 0 STAGED (r18): the URL-dedup keeper window + the
+      // boilerplate-stripped HTML extraction are the one shuffling leg
+      // of this pipeline that was still rebuilt inline on every run —
+      // production crawls materialize exactly this table once per
+      // crawl version (the WET-file step). Keyed like every other leg:
+      // the input fingerprint is the generation.
+      val stage0 = graft.core.Artifacts.table(s,
+        "curate|t11d|stage0|urldedup+extract",
+        graft.core.Artifacts.fingerprint(dir))({
+        val nonBench = d.filter(col("source") =!= "src0")
+        val keepers = graft.operators.Urls.urlDedupReport(
+            graft.operators.Urls.withUrlPayload(nonBench))
+          .filter(col("keeper")).select("doc_id")
+        graft.operators.Html.withHtmlPayload(
+            nonBench.join(keepers, "doc_id"))
+          .select(col("doc_id"),
+            graft.operators.Html.extractMainText(col("html")).as("text"),
+            col("source"), col("lang"))
+      })
       val c = cfgFull.copy(benchmark = Some(d.filter(col("source") === "src0")))
       stageSelect(CorpusPipeline.curate(stage0, c,
         stage = stager(s, dir, "t11d", c)))
